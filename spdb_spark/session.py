@@ -1,0 +1,103 @@
+"""SparkSession factory with engine defaults.
+
+Tuned for correctness tests on local[N] but with settings chosen for
+multi-executor scale: AQE on (runtime re-plan, skew-join splitting,
+partition coalescing), Arrow on (vectorized pandas UDF transfer),
+shuffle partitions sized by env.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "spdb_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    master = master or f"local[{cpus}]"
+    shuffle_partitions = shuffle_partitions or int(
+        os.environ.get("SPDB_SHUFFLE_PARTITIONS", cpus)
+    )
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # Match DuckDB/ANSI on e.g. integer division and overflow behavior in
+        # oracle-compared queries without failing whole jobs.
+        .config("spark.sql.ansi.enabled", "false")
+        # The driver's parquet tables use TIMESTAMP(NANOS), which Spark 4.x
+        # rejects unless read as long (converted back in load_tables).
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.driver.memory", os.environ.get("SPDB_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()
+
+
+def load_tables(spark: SparkSession, sf_dir: str, names: tuple[str, ...] | None = None):
+    """Read the driver parquet tables under ``sf_dir`` and register temp views.
+
+    Returns a dict name -> DataFrame. Views let operators be written either
+    as DataFrame transformations or spark.sql over the same names the DuckDB
+    oracle uses.
+    """
+    names = names or (
+        "region",
+        "nation",
+        "customer",
+        "supplier",
+        "part",
+        "orders",
+        "lineitem",
+        "events",
+        "documents",
+        "embeddings",
+    )
+    out = {}
+    for name in names:
+        path = os.path.join(sf_dir, f"{name}.parquet")
+        df = spark.read.parquet(path)
+        df = _restore_nano_timestamps(df, path)
+        df.createOrReplaceTempView(name)
+        out[name] = df
+    return out
+
+
+def _restore_nano_timestamps(df, path: str):
+    """Convert timestamp[ns] parquet columns that Spark read as raw longs
+    (via spark.sql.legacy.parquet.nanosAsLong) back to timestamp_ntz.
+
+    Some files' nano columns map to timestamp_ntz automatically; only those
+    left as bigint need the explicit div-1000 conversion.
+    """
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    arrow_schema = pq.read_schema(path)
+    nano_cols = {
+        f.name
+        for f in arrow_schema
+        if str(f.type).startswith("timestamp[ns")
+    }
+    spark_types = dict(df.dtypes)
+    for c in nano_cols:
+        if spark_types.get(c) == "bigint":
+            df = df.withColumn(
+                c,
+                F.timestamp_micros(F.expr(f"`{c}` div 1000")).cast("timestamp_ntz"),
+            )
+    return df
