@@ -1,0 +1,488 @@
+"""Voxel-table operators — the engine's query surface (SURVEY.md §2).
+
+Every operator is a pure DataFrame transformation on the voxel layout
+(t, x, y, z, value [, lookup_key, resolution]); Catalyst supplies pruning,
+pushdown, broadcast selection, and partial/final aggregation. Value 0 is the
+background sentinel and is never stored (zero-suppression), so "zero out"
+semantics become row filters and "missing = zero" becomes left-join+coalesce.
+
+Reference parity notes cite /root/reference file:line for the semantics each
+operator reproduces.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from spdb_spark.constants import CUBOID_X, CUBOID_Y, CUBOID_Z
+
+VOXEL_KEY = ["t", "x", "y", "z"]
+
+
+# ---------------------------------------------------------------------------
+# Scans / filters (reference: spatialdb.py cutout 360-717, filterCutoutOMP.c)
+# ---------------------------------------------------------------------------
+
+def box_predicate(
+    corner: Sequence[int],
+    extent: Sequence[int],
+    t_range: Sequence[int] | None = None,
+) -> Column:
+    """Half-open box predicate [corner, corner+extent) — the cutout filter
+    (reference: spatialdb.py:451-475). Pushes down to parquet scans."""
+    (x0, y0, z0), (dx, dy, dz) = corner, extent
+    p = (
+        (F.col("x") >= x0) & (F.col("x") < x0 + dx)
+        & (F.col("y") >= y0) & (F.col("y") < y0 + dy)
+        & (F.col("z") >= z0) & (F.col("z") < z0 + dz)
+    )
+    if t_range is not None:
+        p = p & (F.col("t") >= t_range[0]) & (F.col("t") < t_range[1])
+    return p
+
+
+def cutout(
+    v: DataFrame,
+    corner: Sequence[int],
+    extent: Sequence[int],
+    t_range: Sequence[int] | None = None,
+    filter_ids: Sequence[int] | None = None,
+) -> DataFrame:
+    """THE read operator (reference: spatialdb.py:360-717): box read with
+    optional id filter. Absent rows are implicit zeros — no trim/zero-fill
+    materialization needed in the sparse representation."""
+    out = v.where(box_predicate(corner, extent, t_range))
+    if filter_ids is not None:
+        out = id_filter(out, filter_ids)
+    return out
+
+
+def id_filter(v: DataFrame, ids: Sequence[int] | DataFrame) -> DataFrame:
+    """Keep only voxels whose value is in `ids`; everything else becomes
+    background (= row dropped). Parity: filterCutoutOMP.c:23-74 zeroes
+    non-matching voxels of a dense cutout.
+
+    Small literal lists compile to an `IN` (whole-stage codegen); a DataFrame
+    of ids becomes a broadcast left-semi join (the 100TB path for large sets).
+    """
+    if isinstance(ids, DataFrame):
+        ids_df = ids.toDF("value").distinct()
+        return v.join(F.broadcast(ids_df), on="value", how="left_semi")
+    return v.where(F.col("value").isin(list(ids)))
+
+
+def with_cuboid_coords(v: DataFrame) -> DataFrame:
+    """Attach cuboid-grid coords + Morton code (reference: zindex.c:27-49,
+    cuboid decomposition spatialdb.py:451-475)."""
+    from spdb_spark.morton import morton_encode
+
+    xi = F.floor(F.col("x") / CUBOID_X).cast("long")
+    yi = F.floor(F.col("y") / CUBOID_Y).cast("long")
+    zi = F.floor(F.col("z") / CUBOID_Z).cast("long")
+    return (
+        v.withColumn("x_idx", xi)
+        .withColumn("y_idx", yi)
+        .withColumn("z_idx", zi)
+        .withColumn("morton", morton_encode(F.col("x_idx"), F.col("y_idx"), F.col("z_idx")))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Id queries (reference: object.py:778-857, object_indices.py:373-623)
+# ---------------------------------------------------------------------------
+
+def ids_in_region(
+    v: DataFrame, corner: Sequence[int], extent: Sequence[int],
+    t_range: Sequence[int] | None = None,
+) -> DataFrame:
+    """Distinct non-zero ids in a box (reference: get_ids_in_region,
+    object.py:778-831). One partial+final distinct agg replaces the
+    reference's interior-index/boundary-cutout split."""
+    return (
+        v.where(box_predicate(corner, extent, t_range))
+        .where(F.col("value") != 0)
+        .select(F.col("value").alias("id"))
+        .distinct()
+    )
+
+
+def tight_bounding_box(v: DataFrame, obj_id: int) -> DataFrame:
+    """Exact per-axis min/max of an id (reference: get_tight_bounding_box,
+    object_indices.py:434-623 — six slab cutouts collapse to one agg)."""
+    return (
+        v.where(F.col("value") == obj_id)
+        .agg(
+            F.min("x").alias("x_min"), F.max("x").alias("x_max"),
+            F.min("y").alias("y_min"), F.max("y").alias("y_max"),
+            F.min("z").alias("z_min"), F.max("z").alias("z_max"),
+        )
+    )
+
+
+def loose_bounding_box(v: DataFrame, obj_id: int) -> DataFrame:
+    """Cuboid-aligned bbox (reference: get_loose_bounding_box,
+    object_indices.py:373-432): tight bounds rounded out to tile boundaries."""
+    tb = tight_bounding_box(v, obj_id)
+    return tb.select(
+        (F.floor(F.col("x_min") / CUBOID_X) * CUBOID_X).cast("long").alias("x_min"),
+        ((F.floor(F.col("x_max") / CUBOID_X) + 1) * CUBOID_X - 1).cast("long").alias("x_max"),
+        (F.floor(F.col("y_min") / CUBOID_Y) * CUBOID_Y).cast("long").alias("y_min"),
+        ((F.floor(F.col("y_max") / CUBOID_Y) + 1) * CUBOID_Y - 1).cast("long").alias("y_max"),
+        (F.floor(F.col("z_min") / CUBOID_Z) * CUBOID_Z).cast("long").alias("z_min"),
+        ((F.floor(F.col("z_max") / CUBOID_Z) + 1) * CUBOID_Z - 1).cast("long").alias("z_max"),
+    )
+
+
+def cuboid_id_index(v: DataFrame) -> DataFrame:
+    """Per-cuboid distinct-id pairs — the materialized id index that replaces
+    the reference's DynamoDB id-set attributes (object_indices.py:625-769)."""
+    return (
+        with_cuboid_coords(v)
+        .where(F.col("value") != 0)
+        .select("morton", F.col("value").alias("id"))
+        .distinct()
+    )
+
+
+def cuboids_containing_id(v: DataFrame, obj_id: int) -> DataFrame:
+    """id -> cuboids containing it (reference: ObjectIndices.get_cuboids,
+    object_indices.py:262-301)."""
+    return (
+        with_cuboid_coords(v.where(F.col("value") == obj_id))
+        .select("morton")
+        .distinct()
+    )
+
+
+# ---------------------------------------------------------------------------
+# Merge family (reference: overwriteDense.c, exceptionDense.c, shaveDense.c,
+# cube.py:264-291; write path spatialdb.py:719-867)
+# ---------------------------------------------------------------------------
+
+def overwrite_merge(old: DataFrame, new: DataFrame) -> DataFrame:
+    """Non-zero voxels of `new` overwrite `old` (overwriteDense.c:27-96).
+    Inputs must be keyed (one row per coordinate)."""
+    n = new.select(*VOXEL_KEY, F.col("value").alias("new_value"))
+    return (
+        old.join(n, on=VOXEL_KEY, how="full_outer")
+        .select(
+            *VOXEL_KEY,
+            F.coalesce(
+                F.nullif(F.col("new_value"), F.lit(0)), F.col("value"), F.lit(0)
+            ).alias("value"),
+        )
+        .where(F.col("value") != 0)
+    )
+
+
+def exception_merge(old: DataFrame, new: DataFrame) -> DataFrame:
+    """Fill-only merge: new voxel lands only where old is background
+    (exceptionDense.c:25-42)."""
+    n = new.select(*VOXEL_KEY, F.col("value").alias("new_value"))
+    return (
+        old.join(n, on=VOXEL_KEY, how="full_outer")
+        .select(
+            *VOXEL_KEY,
+            F.coalesce(F.col("value"), F.col("new_value"), F.lit(0)).alias("value"),
+        )
+        .where(F.col("value") != 0)
+    )
+
+
+def shave_merge(old: DataFrame, mask: DataFrame) -> DataFrame:
+    """Zero out old voxels wherever mask is non-zero (shaveDense.c:25-42) —
+    an anti-join in the sparse representation."""
+    m = mask.where(F.col("value") != 0).select(*VOXEL_KEY)
+    return old.join(m, on=VOXEL_KEY, how="left_anti")
+
+
+def overwrite_to_black(old: DataFrame, mask: DataFrame) -> DataFrame:
+    """cutout-to-black erase: zero old voxels where mask==1
+    (cube.py:264-291, write path spatialdb.py:793-801)."""
+    m = mask.where(F.col("value") == 1).select(*VOXEL_KEY)
+    return old.join(m, on=VOXEL_KEY, how="left_anti")
+
+
+# ---------------------------------------------------------------------------
+# Annotation mutation (reference: annotateCube.c, shaveCube.c, mergeCube.c,
+# annotateEntityDense.c)
+# ---------------------------------------------------------------------------
+
+def annotate(
+    data: DataFrame,
+    locations: DataFrame,
+    annid: int,
+    conflict: str = "O",
+) -> tuple[DataFrame, DataFrame | None]:
+    """Sparse voxel-list labeling with conflict policy
+    (annotateCube.c:27-79): 'O' overwrite, 'P' preserve existing,
+    'E' preserve + emit exceptions (already-labeled locations).
+
+    Returns (result, exceptions); exceptions is None unless conflict='E'.
+    """
+    if conflict not in ("O", "P", "E"):
+        raise ValueError(f"conflict must be O/P/E, got {conflict!r}")
+    locs = locations.select(*VOXEL_KEY).distinct().withColumn("_loc", F.lit(1))
+    joined = data.join(locs, on=VOXEL_KEY, how="full_outer")
+    is_loc = F.col("_loc").isNotNull()
+    old = F.coalesce(F.col("value"), F.lit(0))
+    if conflict == "O":
+        value = F.when(is_loc, F.lit(annid)).otherwise(old)
+    else:  # P and E both preserve already-labeled voxels
+        value = F.when(is_loc & (old == 0), F.lit(annid)).otherwise(old)
+    result = (
+        joined.select(*VOXEL_KEY, value.alias("value"))
+        .where(F.col("value") != 0)
+    )
+    exceptions = None
+    if conflict == "E":
+        exceptions = (
+            joined.where(is_loc & (old != 0) & (old != annid))
+            .select(*VOXEL_KEY)
+        )
+    return result, exceptions
+
+
+def shave_id(
+    data: DataFrame, locations: DataFrame, annid: int
+) -> tuple[DataFrame, DataFrame]:
+    """Sparse unlabel (shaveCube.c:25-65): zero listed voxels where
+    value == annid. Returns (result, exceptions=listed voxels holding a
+    different non-zero id)."""
+    locs = locations.select(*VOXEL_KEY).distinct().withColumn("_loc", F.lit(1))
+    joined = data.join(locs, on=VOXEL_KEY, how="left")
+    is_loc = F.col("_loc").isNotNull()
+    result = (
+        joined.where(~(is_loc & (F.col("value") == annid)))
+        .select(*VOXEL_KEY, "value")
+    )
+    exceptions = (
+        joined.where(is_loc & (F.col("value") != annid) & (F.col("value") != 0))
+        .select(*VOXEL_KEY)
+    )
+    return result, exceptions
+
+
+def relabel(v: DataFrame, old_id: int, new_id: int) -> DataFrame:
+    """value==old_id -> new_id (mergeCube.c:22-45)."""
+    return v.withColumn(
+        "value",
+        F.when(F.col("value") == old_id, F.lit(new_id)).otherwise(F.col("value")),
+    )
+
+
+def relabel_all(v: DataFrame, entity_id: int) -> DataFrame:
+    """All non-zero voxels -> one id (annotateEntityDense.c:25-42)."""
+    return v.withColumn(
+        "value", F.when(F.col("value") != 0, F.lit(entity_id)).otherwise(F.lit(0))
+    ).where(F.col("value") != 0)
+
+
+def relabel_with_map(v: DataFrame, mapping: DataFrame) -> DataFrame:
+    """General relabel against a (old_id, new_id) map — broadcast join
+    (generalizes mergeCube.c to bulk merges)."""
+    m = mapping.toDF("old_id", "new_id")
+    return (
+        v.join(F.broadcast(m), v.value == m.old_id, "left")
+        .select(*VOXEL_KEY, F.coalesce(F.col("new_id"), F.col("value")).alias("value"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Resolution hierarchy (reference: zoomData.c, addData.c, isotropicBuild.c,
+# resource.py:21-118)
+# ---------------------------------------------------------------------------
+
+def downsample_image_stride(v: DataFrame, factor: int = 1) -> DataFrame:
+    """Stride-sampled (top-left pick) xy zoom-out by 2**factor
+    (zoomOutData, zoomData.c:28-75)."""
+    p = 2**factor
+    return (
+        v.where((F.col("x") % p == 0) & (F.col("y") % p == 0))
+        .select(
+            "t",
+            (F.col("x") / p).cast("long").alias("x"),
+            (F.col("y") / p).cast("long").alias("y"),
+            "z",
+            "value",
+        )
+    )
+
+
+def downsample_image_avg(v: DataFrame, factor: int = 1) -> DataFrame:
+    """Average-pooling xy downsample (Spark-native quality upgrade over the
+    stride pick; the agg is partial/final so it scales shuffle-light)."""
+    p = 2**factor
+    return (
+        v.groupBy(
+            "t",
+            F.floor(F.col("x") / p).cast("long").alias("x"),
+            F.floor(F.col("y") / p).cast("long").alias("y"),
+            "z",
+        )
+        .agg(F.avg("value").alias("value"))
+    )
+
+
+def upsample_replicate(v: DataFrame, factor: int = 1) -> DataFrame:
+    """Zoom-in by replication (zoomInData, zoomData.c:79-148): each voxel
+    expands to a 2**factor square in xy (explode of generated offsets — no
+    shuffle, no join)."""
+    p = 2**factor
+    offs = F.explode(F.sequence(F.lit(0), F.lit(p - 1))).alias("d")
+    return (
+        v.select("*", offs)
+        .withColumnRenamed("d", "dx")
+        .select("*", offs)
+        .withColumnRenamed("d", "dy")
+        .select(
+            "t",
+            (F.col("x") * p + F.col("dx")).alias("x"),
+            (F.col("y") * p + F.col("dy")).alias("y"),
+            "z",
+            "value",
+        )
+    )
+
+
+def _get_ann_value(v00: Column, v01: Column, v10: Column, v11: Column) -> Column:
+    """Exact port of getAnnValue (addData.c:28-48) including its quirk: when
+    the running value is still 0 at the v11 step, the C code assigns v10 (not
+    v11). Order-dependent — NOT a plain mode."""
+    a = F.when(v00 == 0, v01).otherwise(v00)
+    b = (
+        F.when((v10 != 0) & (a == 0), v10)
+        .when((v10 != 0) & ((v10 == v00) | (v10 == v01)), v10)
+        .otherwise(a)
+    )
+    c = (
+        F.when((v11 != 0) & (b == 0), v10)  # reference quirk: v10, not v11
+        .when((v11 != 0) & ((v11 == v00) | (v11 == v01) | (v11 == v10)), v11)
+        .otherwise(b)
+    )
+    return c
+
+
+def _pivot_2x2(v: DataFrame, zdiv: bool):
+    """Group voxels into 2x2 xy windows (optionally 2-deep z pairs) and pivot
+    the four corners into columns. Missing corners are background (0)."""
+    gz = (F.floor(F.col("z") / 2) if zdiv else F.col("z")).cast("long").alias("z")
+    zsel = (F.col("z") % 2).alias("zs") if zdiv else F.lit(0).alias("zs")
+    corner = lambda xs, ys, zs: F.coalesce(  # noqa: E731
+        F.max(
+            F.when(
+                (F.col("xs") == xs) & (F.col("ys") == ys) & (F.col("zs") == zs),
+                F.col("value"),
+            )
+        ),
+        F.lit(0),
+    )
+    g = (
+        v.select(
+            "t",
+            F.floor(F.col("x") / 2).cast("long").alias("x"),
+            F.floor(F.col("y") / 2).cast("long").alias("y"),
+            gz,
+            (F.col("x") % 2).alias("xs"),
+            (F.col("y") % 2).alias("ys"),
+            zsel,
+            "value",
+        )
+        .groupBy("t", "x", "y", "z")
+    )
+    return g, corner
+
+
+def downsample_annotation(v: DataFrame, isotropic: bool = False) -> DataFrame:
+    """Annotation pyramid reduction (addDataZSlice / addAnnotationData,
+    addData.c:75-96, :144-202): each 2x2 xy window (and z-pair when
+    isotropic) reduces via getAnnValue; isotropic falls back to the lower z
+    slice's window when the upper yields background.
+
+    Input must be keyed (one row per coordinate). Implemented as a single
+    groupBy with conditional-max corner pivots — partial aggregation
+    map-side, one shuffle, no UDF.
+    """
+    g, corner = _pivot_2x2(v, zdiv=isotropic)
+    top = [corner(0, 0, 0), corner(1, 0, 0), corner(0, 1, 0), corner(1, 1, 0)]
+    if not isotropic:
+        out = g.agg(_get_ann_value(*top).alias("value"))
+    else:
+        bot = [corner(0, 0, 1), corner(1, 0, 1), corner(0, 1, 1), corner(1, 1, 1)]
+        v_top = _get_ann_value(*top)
+        v_bot = _get_ann_value(*bot)
+        out = g.agg(F.when(v_top != 0, v_top).otherwise(v_bot).alias("value"))
+    return out.where(F.col("value") != 0)
+
+
+def isotropic_build(v: DataFrame) -> DataFrame:
+    """Average consecutive z-slice pairs treating 0 as missing
+    (isotropicBuild.c:27-106): out = a if b==0 else b if a==0 else (a+b)/2.
+    Truncating integer average like the C code."""
+    pair = (
+        v.select(
+            "t", "x", "y",
+            F.floor(F.col("z") / 2).cast("long").alias("z"),
+            (F.col("z") % 2).alias("zs"),
+            "value",
+        )
+        .groupBy("t", "x", "y", "z")
+        .agg(
+            F.coalesce(F.max(F.when(F.col("zs") == 0, F.col("value"))), F.lit(0)).alias("a"),
+            F.coalesce(F.max(F.when(F.col("zs") == 1, F.col("value"))), F.lit(0)).alias("b"),
+        )
+    )
+    avg = (
+        F.when(F.col("a") == 0, F.col("b"))
+        .when(F.col("b") == 0, F.col("a"))
+        .otherwise(((F.col("a") + F.col("b")) / 2).cast("long"))
+    )
+    return pair.select("t", "x", "y", "z", avg.alias("value")).where(F.col("value") != 0)
+
+
+# ---------------------------------------------------------------------------
+# Time series (reference: spatialdb.py:139-199 missing-time handling)
+# ---------------------------------------------------------------------------
+
+def missing_time_steps(
+    v: DataFrame, t_start: int, t_stop: int, group: Sequence[str] = ("x", "y", "z")
+) -> DataFrame:
+    """Per-coordinate detection of absent time samples in [t_start, t_stop)
+    (reference: mark_missing_time_steps, spatialdb.py:187-199 — absent
+    samples render as zeros). Expected-grid left-anti-join present."""
+    expected = (
+        v.select(*group).distinct()
+        .select(
+            *group,
+            F.explode(
+                F.sequence(F.lit(t_start), F.lit(t_stop - 1)).cast("array<long>")
+            ).alias("t"),
+        )
+    )
+    present = v.select(*group, "t").distinct()
+    return expected.join(present, on=[*group, "t"], how="left_anti")
+
+
+def time_filled(
+    v: DataFrame, t_start: int, t_stop: int
+) -> DataFrame:
+    """Cutout-with-time semantics: every (coordinate, t) in range appears,
+    absent samples as value 0 (reference renders missing steps as zero cubes,
+    spatialdb.py:175-199)."""
+    grid = (
+        v.select("x", "y", "z").distinct()
+        .select(
+            "x", "y", "z",
+            F.explode(
+                F.sequence(F.lit(t_start), F.lit(t_stop - 1)).cast("array<long>")
+            ).alias("t"),
+        )
+    )
+    present = v.where((F.col("t") >= t_start) & (F.col("t") < t_stop))
+    return (
+        grid.join(present, on=["x", "y", "z", "t"], how="left")
+        .select("t", "x", "y", "z", F.coalesce(F.col("value"), F.lit(0)).alias("value"))
+    )

@@ -1,0 +1,453 @@
+"""Spatial operator suite: (Spark callable, DuckDB oracle SQL) pairs.
+
+Each entry runs an engine operator (spdb_spark.operators.voxel) over the
+derived voxel fixture (spdb_spark.fixtures) and pairs it with ANSI SQL
+computing the identical result on the same lineitem parquet, so the driver's
+DuckDB gate checks exact semantics — including the reference's
+order-dependent getAnnValue tie-breaking (addData.c:28-48).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from spdb_spark.constants import CUBOID_X, CUBOID_Y, CUBOID_Z
+from spdb_spark.fixtures import VALUE_ANNO, VALUE_IMAGE, voxels_df, voxels_sql
+from spdb_spark.morton import morton_encode_sql
+from spdb_spark.operators import voxel as V
+
+# Canonical test parameters (cover multi-cuboid, unaligned boxes).
+BOX_CORNER = (256, 256, 8)
+BOX_EXTENT = (1024, 1024, 32)
+T_RANGE = (0, 2)
+FILTER_IDS = (5, 10, 15, 20, 25, 41)
+ANNO_ID = 7
+ANNOTATE_ID = 999
+
+_OLD_WHERE = "l_linenumber % 2 = 0"
+_NEW_WHERE = "l_linenumber % 2 = 1"
+
+
+def _box_sql(corner=BOX_CORNER, extent=BOX_EXTENT, t_range=None) -> str:
+    (x0, y0, z0), (dx, dy, dz) = corner, extent
+    p = (
+        f"x >= {x0} AND x < {x0 + dx} AND y >= {y0} AND y < {y0 + dy}"
+        f" AND z >= {z0} AND z < {z0 + dz}"
+    )
+    if t_range is not None:
+        p += f" AND t >= {t_range[0]} AND t < {t_range[1]}"
+    return p
+
+
+def _ann_value_sql(inner: str) -> str:
+    """getAnnValue (addData.c:28-48) as a staged CASE cascade, quirk included
+    (v11-step assigns v10 when running value is 0)."""
+    return f"""
+        SELECT t, x, y, z,
+               CASE WHEN v11 <> 0 AND b = 0 THEN v10
+                    WHEN v11 <> 0 AND (v11 = v00 OR v11 = v01 OR v11 = v10) THEN v11
+                    ELSE b END AS value
+        FROM (
+          SELECT *, CASE WHEN v10 <> 0 AND a = 0 THEN v10
+                         WHEN v10 <> 0 AND (v10 = v00 OR v10 = v01) THEN v10
+                         ELSE a END AS b
+          FROM (
+            SELECT *, CASE WHEN v00 = 0 THEN v01 ELSE v00 END AS a
+            FROM ({inner})
+          )
+        )"""
+
+
+def _corner_sql(xs: int, ys: int, zsel: str, zs: int) -> str:
+    zcond = f" AND ({zsel}) = {zs}" if zsel else ""
+    return (
+        f"COALESCE(MAX(CASE WHEN (x % 2) = {xs} AND (y % 2) = {ys}{zcond}"
+        f" THEN value END), 0)"
+    )
+
+
+# ---------------------------------------------------------------------------
+# queries
+# ---------------------------------------------------------------------------
+
+def q_spatial_cutout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    v = voxels_df(spark, sf_dir)
+    return V.cutout(v, BOX_CORNER, BOX_EXTENT, T_RANGE)
+
+
+SQL_SPATIAL_CUTOUT = f"""
+SELECT t, x, y, z, value FROM {voxels_sql()} AS v
+WHERE {_box_sql(t_range=T_RANGE)}
+"""
+
+
+def q_spatial_cutout_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    v = voxels_df(spark, sf_dir)
+    return V.cutout(v, BOX_CORNER, BOX_EXTENT, filter_ids=FILTER_IDS)
+
+
+SQL_SPATIAL_CUTOUT_FILTERED = f"""
+SELECT t, x, y, z, value FROM {voxels_sql()} AS v
+WHERE {_box_sql()} AND value IN {tuple(FILTER_IDS)}
+"""
+
+
+def q_spatial_cuboid_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cuboid decomposition + Morton addressing: per-cuboid row/value stats
+    (the planning step of cutout, spatialdb.py:451-475, exercised as data)."""
+    v = V.with_cuboid_coords(voxels_df(spark, sf_dir))
+    return (
+        v.groupBy("morton", "x_idx", "y_idx", "z_idx")
+        .agg(
+            F.count("*").alias("n_vox"),
+            F.sum("value").alias("sum_val"),
+            F.max("value").alias("max_val"),
+        )
+    )
+
+
+SQL_SPATIAL_CUBOID_AGG = f"""
+SELECT {morton_encode_sql('x_idx', 'y_idx', 'z_idx')} AS morton,
+       x_idx, y_idx, z_idx,
+       COUNT(*) AS n_vox,
+       CAST(SUM(value) AS BIGINT) AS sum_val,
+       MAX(value) AS max_val
+FROM (
+  SELECT (x // {CUBOID_X}) AS x_idx, (y // {CUBOID_Y}) AS y_idx,
+         (z // {CUBOID_Z}) AS z_idx, value
+  FROM {voxels_sql()} AS v
+)
+GROUP BY x_idx, y_idx, z_idx
+"""
+
+
+def q_spatial_ids_in_region(spark: SparkSession, sf_dir: str) -> DataFrame:
+    v = voxels_df(spark, sf_dir, value_expr=VALUE_ANNO)
+    return V.ids_in_region(v, BOX_CORNER, BOX_EXTENT)
+
+
+SQL_SPATIAL_IDS_IN_REGION = f"""
+SELECT DISTINCT value AS id FROM {voxels_sql(value_expr=VALUE_ANNO)} AS v
+WHERE {_box_sql()} AND value <> 0
+"""
+
+
+def q_spatial_tight_bbox(spark: SparkSession, sf_dir: str) -> DataFrame:
+    v = voxels_df(spark, sf_dir, value_expr=VALUE_ANNO)
+    return V.tight_bounding_box(v, ANNO_ID)
+
+
+SQL_SPATIAL_TIGHT_BBOX = f"""
+SELECT MIN(x) AS x_min, MAX(x) AS x_max,
+       MIN(y) AS y_min, MAX(y) AS y_max,
+       MIN(z) AS z_min, MAX(z) AS z_max
+FROM {voxels_sql(value_expr=VALUE_ANNO)} AS v WHERE value = {ANNO_ID}
+"""
+
+
+def q_spatial_loose_bbox(spark: SparkSession, sf_dir: str) -> DataFrame:
+    v = voxels_df(spark, sf_dir, value_expr=VALUE_ANNO)
+    return V.loose_bounding_box(v, ANNO_ID)
+
+
+SQL_SPATIAL_LOOSE_BBOX = f"""
+SELECT (MIN(x) // {CUBOID_X}) * {CUBOID_X} AS x_min,
+       ((MAX(x) // {CUBOID_X}) + 1) * {CUBOID_X} - 1 AS x_max,
+       (MIN(y) // {CUBOID_Y}) * {CUBOID_Y} AS y_min,
+       ((MAX(y) // {CUBOID_Y}) + 1) * {CUBOID_Y} - 1 AS y_max,
+       (MIN(z) // {CUBOID_Z}) * {CUBOID_Z} AS z_min,
+       ((MAX(z) // {CUBOID_Z}) + 1) * {CUBOID_Z} - 1 AS z_max
+FROM {voxels_sql(value_expr=VALUE_ANNO)} AS v WHERE value = {ANNO_ID}
+"""
+
+
+def q_spatial_cuboid_id_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    v = voxels_df(spark, sf_dir, value_expr=VALUE_ANNO)
+    return V.cuboid_id_index(v)
+
+
+SQL_SPATIAL_CUBOID_ID_INDEX = f"""
+SELECT DISTINCT {morton_encode_sql(f'(x // {CUBOID_X})', f'(y // {CUBOID_Y})', f'(z // {CUBOID_Z})')} AS morton,
+       value AS id
+FROM {voxels_sql(value_expr=VALUE_ANNO)} AS v WHERE value <> 0
+"""
+
+
+def q_spatial_cuboids_with_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    v = voxels_df(spark, sf_dir, value_expr=VALUE_ANNO)
+    return V.cuboids_containing_id(v, ANNO_ID)
+
+
+SQL_SPATIAL_CUBOIDS_WITH_ID = f"""
+SELECT DISTINCT {morton_encode_sql(f'(x // {CUBOID_X})', f'(y // {CUBOID_Y})', f'(z // {CUBOID_Z})')} AS morton
+FROM {voxels_sql(value_expr=VALUE_ANNO)} AS v WHERE value = {ANNO_ID}
+"""
+
+
+# --- merge family ---------------------------------------------------------
+
+def _old_new(spark, sf_dir, value_expr=VALUE_IMAGE):
+    old = voxels_df(spark, sf_dir, value_expr=value_expr, dedup=True, where=_OLD_WHERE)
+    new = voxels_df(spark, sf_dir, value_expr=value_expr, dedup=True, where=_NEW_WHERE)
+    return old, new
+
+
+_SQL_OLD = voxels_sql(dedup=True, where=_OLD_WHERE)
+_SQL_NEW = voxels_sql(dedup=True, where=_NEW_WHERE)
+
+
+def q_spatial_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    old, new = _old_new(spark, sf_dir)
+    return V.overwrite_merge(old, new)
+
+
+SQL_SPATIAL_OVERWRITE = f"""
+SELECT COALESCE(o.t, n.t) AS t, COALESCE(o.x, n.x) AS x,
+       COALESCE(o.y, n.y) AS y, COALESCE(o.z, n.z) AS z,
+       COALESCE(NULLIF(n.value, 0), o.value, 0) AS value
+FROM {_SQL_OLD} AS o
+FULL OUTER JOIN {_SQL_NEW} AS n
+  ON o.t = n.t AND o.x = n.x AND o.y = n.y AND o.z = n.z
+WHERE COALESCE(NULLIF(n.value, 0), o.value, 0) <> 0
+"""
+
+
+def q_spatial_exception_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    old, new = _old_new(spark, sf_dir)
+    return V.exception_merge(old, new)
+
+
+SQL_SPATIAL_EXCEPTION_MERGE = f"""
+SELECT COALESCE(o.t, n.t) AS t, COALESCE(o.x, n.x) AS x,
+       COALESCE(o.y, n.y) AS y, COALESCE(o.z, n.z) AS z,
+       COALESCE(o.value, n.value, 0) AS value
+FROM {_SQL_OLD} AS o
+FULL OUTER JOIN {_SQL_NEW} AS n
+  ON o.t = n.t AND o.x = n.x AND o.y = n.y AND o.z = n.z
+WHERE COALESCE(o.value, n.value, 0) <> 0
+"""
+
+
+def q_spatial_shave(spark: SparkSession, sf_dir: str) -> DataFrame:
+    old, new = _old_new(spark, sf_dir)
+    return V.shave_merge(old, new)
+
+
+SQL_SPATIAL_SHAVE = f"""
+SELECT o.t, o.x, o.y, o.z, o.value FROM {_SQL_OLD} AS o
+WHERE NOT EXISTS (
+  SELECT 1 FROM {_SQL_NEW} AS n
+  WHERE n.value <> 0 AND n.t = o.t AND n.x = o.x AND n.y = o.y AND n.z = o.z
+)
+"""
+
+
+def q_spatial_annotate_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    data = voxels_df(spark, sf_dir, value_expr=VALUE_ANNO, dedup=True, where=_OLD_WHERE)
+    locs = voxels_df(spark, sf_dir, dedup=True, where=_NEW_WHERE).select("t", "x", "y", "z")
+    result, _ = V.annotate(data, locs, ANNOTATE_ID, conflict="O")
+    return result
+
+
+_SQL_ANNO_OLD = voxels_sql(value_expr=VALUE_ANNO, dedup=True, where=_OLD_WHERE)
+_SQL_LOCS = f"(SELECT DISTINCT t, x, y, z FROM {voxels_sql(dedup=True, where=_NEW_WHERE)} AS q)"
+
+SQL_SPATIAL_ANNOTATE_OVERWRITE = f"""
+SELECT COALESCE(d.t, l.t) AS t, COALESCE(d.x, l.x) AS x,
+       COALESCE(d.y, l.y) AS y, COALESCE(d.z, l.z) AS z,
+       CASE WHEN l.t IS NOT NULL THEN {ANNOTATE_ID}
+            ELSE COALESCE(d.value, 0) END AS value
+FROM {_SQL_ANNO_OLD} AS d
+FULL OUTER JOIN {_SQL_LOCS} AS l
+  ON d.t = l.t AND d.x = l.x AND d.y = l.y AND d.z = l.z
+WHERE CASE WHEN l.t IS NOT NULL THEN {ANNOTATE_ID}
+           ELSE COALESCE(d.value, 0) END <> 0
+"""
+
+
+def q_spatial_annotate_exceptions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    data = voxels_df(spark, sf_dir, value_expr=VALUE_ANNO, dedup=True, where=_OLD_WHERE)
+    locs = voxels_df(spark, sf_dir, dedup=True, where=_NEW_WHERE).select("t", "x", "y", "z")
+    _, exceptions = V.annotate(data, locs, ANNOTATE_ID, conflict="E")
+    return exceptions
+
+
+SQL_SPATIAL_ANNOTATE_EXCEPTIONS = f"""
+SELECT l.t, l.x, l.y, l.z
+FROM {_SQL_LOCS} AS l
+JOIN {_SQL_ANNO_OLD} AS d
+  ON d.t = l.t AND d.x = l.x AND d.y = l.y AND d.z = l.z
+WHERE d.value <> 0 AND d.value <> {ANNOTATE_ID}
+"""
+
+
+def q_spatial_relabel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    v = voxels_df(spark, sf_dir, value_expr=VALUE_ANNO, dedup=True)
+    return V.relabel(v, ANNO_ID, 1000000)
+
+
+SQL_SPATIAL_RELABEL = f"""
+SELECT t, x, y, z,
+       CASE WHEN value = {ANNO_ID} THEN 1000000 ELSE value END AS value
+FROM {voxels_sql(value_expr=VALUE_ANNO, dedup=True)} AS v
+"""
+
+
+# --- hierarchy ------------------------------------------------------------
+
+def q_spatial_downsample_stride(spark: SparkSession, sf_dir: str) -> DataFrame:
+    v = voxels_df(spark, sf_dir, dedup=True)
+    return V.downsample_image_stride(v, factor=1)
+
+
+SQL_SPATIAL_DOWNSAMPLE_STRIDE = f"""
+SELECT t, x // 2 AS x, y // 2 AS y, z, value
+FROM {voxels_sql(dedup=True)} AS v
+WHERE (x % 2) = 0 AND (y % 2) = 0
+"""
+
+
+def q_spatial_downsample_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    v = voxels_df(spark, sf_dir, dedup=True)
+    return V.downsample_image_avg(v, factor=1)
+
+
+SQL_SPATIAL_DOWNSAMPLE_AVG = f"""
+SELECT t, (x // 2) AS x, (y // 2) AS y, z, AVG(value) AS value
+FROM {voxels_sql(dedup=True)} AS v
+GROUP BY t, (x // 2), (y // 2), z
+"""
+
+
+def q_spatial_downsample_anno(spark: SparkSession, sf_dir: str) -> DataFrame:
+    v = voxels_df(spark, sf_dir, value_expr=VALUE_ANNO, dedup=True)
+    return V.downsample_annotation(v, isotropic=False)
+
+
+def _pivot_sql(zdiv: bool, value_expr: str = VALUE_ANNO) -> str:
+    zgrp = "(z // 2)" if zdiv else "z"
+    zsel = "z % 2" if zdiv else ""
+    corners = ",\n    ".join(
+        f"{_corner_sql(xs, ys, zsel, zs)} AS v{'' if not zdiv else ('t' if zs == 0 else 'b')}{ys}{xs}"
+        if zdiv
+        else f"{_corner_sql(xs, ys, '', 0)} AS v{ys}{xs}"
+        for zs in ([0, 1] if zdiv else [0])
+        for ys in (0, 1)
+        for xs in (0, 1)
+    )
+    return f"""
+  SELECT t, (x // 2) AS x, (y // 2) AS y, {zgrp} AS z,
+    {corners}
+  FROM {voxels_sql(value_expr=value_expr, dedup=True)} AS v
+  GROUP BY t, (x // 2), (y // 2), {zgrp}"""
+
+
+SQL_SPATIAL_DOWNSAMPLE_ANNO = f"""
+SELECT t, x, y, z, value FROM ({_ann_value_sql(_pivot_sql(zdiv=False))})
+WHERE value <> 0
+"""
+
+
+def q_spatial_downsample_anno_iso(spark: SparkSession, sf_dir: str) -> DataFrame:
+    v = voxels_df(spark, sf_dir, value_expr=VALUE_ANNO, dedup=True)
+    return V.downsample_annotation(v, isotropic=True)
+
+
+SQL_SPATIAL_DOWNSAMPLE_ANNO_ISO = f"""
+WITH piv AS ({_pivot_sql(zdiv=True)}),
+top AS (
+  SELECT t, x, y, z, value AS vtop FROM (
+    {_ann_value_sql('SELECT t, x, y, z, vt00 AS v00, vt01 AS v01, vt10 AS v10, vt11 AS v11 FROM piv')}
+  )
+),
+bot AS (
+  SELECT t, x, y, z, value AS vbot FROM (
+    {_ann_value_sql('SELECT t, x, y, z, vb00 AS v00, vb01 AS v01, vb10 AS v10, vb11 AS v11 FROM piv')}
+  )
+)
+SELECT top.t, top.x, top.y, top.z,
+       CASE WHEN vtop <> 0 THEN vtop ELSE vbot END AS value
+FROM top JOIN bot ON top.t = bot.t AND top.x = bot.x AND top.y = bot.y AND top.z = bot.z
+WHERE CASE WHEN vtop <> 0 THEN vtop ELSE vbot END <> 0
+"""
+
+
+def q_spatial_upsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    v = voxels_df(spark, sf_dir, dedup=True)
+    return V.upsample_replicate(v, factor=1)
+
+
+SQL_SPATIAL_UPSAMPLE = f"""
+SELECT t, x * 2 + dx.d AS x, y * 2 + dy.d AS y, z, value
+FROM {voxels_sql(dedup=True)} AS v
+CROSS JOIN (VALUES (CAST(0 AS BIGINT)), (CAST(1 AS BIGINT))) AS dx(d)
+CROSS JOIN (VALUES (CAST(0 AS BIGINT)), (CAST(1 AS BIGINT))) AS dy(d)
+"""
+
+
+def q_spatial_isotropic_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    v = voxels_df(spark, sf_dir, dedup=True)
+    return V.isotropic_build(v)
+
+
+SQL_SPATIAL_ISOTROPIC_BUILD = f"""
+SELECT t, x, y, z,
+       CASE WHEN a = 0 THEN b WHEN b = 0 THEN a
+            ELSE (a + b) // 2 END AS value
+FROM (
+  SELECT t, x, y, (z // 2) AS z,
+         COALESCE(MAX(CASE WHEN (z % 2) = 0 THEN value END), 0) AS a,
+         COALESCE(MAX(CASE WHEN (z % 2) = 1 THEN value END), 0) AS b
+  FROM {voxels_sql(dedup=True)} AS v
+  GROUP BY t, x, y, (z // 2)
+)
+WHERE CASE WHEN a = 0 THEN b WHEN b = 0 THEN a
+           ELSE (a + b) // 2 END <> 0
+"""
+
+
+# --- time series ----------------------------------------------------------
+
+def q_spatial_missing_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    v = voxels_df(spark, sf_dir, dedup=True)
+    return V.missing_time_steps(v, 0, 3)
+
+
+SQL_SPATIAL_MISSING_TIME = f"""
+WITH v AS (SELECT * FROM {voxels_sql(dedup=True)} AS q),
+grid AS (
+  SELECT x, y, z, CAST(ts.t AS BIGINT) AS t
+  FROM (SELECT DISTINCT x, y, z FROM v)
+  CROSS JOIN (VALUES (0), (1), (2)) AS ts(t)
+)
+SELECT g.x, g.y, g.z, g.t FROM grid g
+WHERE NOT EXISTS (
+  SELECT 1 FROM v WHERE v.x = g.x AND v.y = g.y AND v.z = g.z AND v.t = g.t
+)
+"""
+
+
+QUERIES = {
+    "spatial_cutout": (q_spatial_cutout, SQL_SPATIAL_CUTOUT),
+    "spatial_cutout_filtered": (q_spatial_cutout_filtered, SQL_SPATIAL_CUTOUT_FILTERED),
+    "spatial_cuboid_agg": (q_spatial_cuboid_agg, SQL_SPATIAL_CUBOID_AGG),
+    "spatial_ids_in_region": (q_spatial_ids_in_region, SQL_SPATIAL_IDS_IN_REGION),
+    "spatial_tight_bbox": (q_spatial_tight_bbox, SQL_SPATIAL_TIGHT_BBOX),
+    "spatial_loose_bbox": (q_spatial_loose_bbox, SQL_SPATIAL_LOOSE_BBOX),
+    "spatial_cuboid_id_index": (q_spatial_cuboid_id_index, SQL_SPATIAL_CUBOID_ID_INDEX),
+    "spatial_cuboids_with_id": (q_spatial_cuboids_with_id, SQL_SPATIAL_CUBOIDS_WITH_ID),
+    "spatial_overwrite": (q_spatial_overwrite, SQL_SPATIAL_OVERWRITE),
+    "spatial_exception_merge": (q_spatial_exception_merge, SQL_SPATIAL_EXCEPTION_MERGE),
+    "spatial_shave": (q_spatial_shave, SQL_SPATIAL_SHAVE),
+    "spatial_annotate_overwrite": (q_spatial_annotate_overwrite, SQL_SPATIAL_ANNOTATE_OVERWRITE),
+    "spatial_annotate_exceptions": (q_spatial_annotate_exceptions, SQL_SPATIAL_ANNOTATE_EXCEPTIONS),
+    "spatial_relabel": (q_spatial_relabel, SQL_SPATIAL_RELABEL),
+    "spatial_downsample_stride": (q_spatial_downsample_stride, SQL_SPATIAL_DOWNSAMPLE_STRIDE),
+    "spatial_downsample_avg": (q_spatial_downsample_avg, SQL_SPATIAL_DOWNSAMPLE_AVG),
+    "spatial_downsample_anno": (q_spatial_downsample_anno, SQL_SPATIAL_DOWNSAMPLE_ANNO),
+    "spatial_downsample_anno_iso": (q_spatial_downsample_anno_iso, SQL_SPATIAL_DOWNSAMPLE_ANNO_ISO),
+    "spatial_upsample": (q_spatial_upsample, SQL_SPATIAL_UPSAMPLE),
+    "spatial_isotropic_build": (q_spatial_isotropic_build, SQL_SPATIAL_ISOTROPIC_BUILD),
+    "spatial_missing_time": (q_spatial_missing_time, SQL_SPATIAL_MISSING_TIME),
+}
