@@ -1,0 +1,649 @@
+"""Relational suite: scans, joins (broadcast/semi/anti/as-of/range), aggs,
+windows, set ops, rollup, JSON and scalar functions — the general-purpose
+operator surface (SURVEY.md §2.5/§2.7 "built-in if added" rows + north-star
+additions), each with a DuckDB oracle.
+
+Float policy: money aggregates are ROUND()ed (2dp sums / 6dp averages) in
+BOTH engines so partial-aggregation summation order can't flip the value
+hash; per-row scalar math needs no rounding (deterministic in both).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from spdb_spark.operators.relational import asof_join_backward, range_join_buckets
+from spdb_spark.session import load_tables
+
+
+def _t(spark, sf_dir, *names):
+    tabs = load_tables(spark, sf_dir, names=tuple(names))
+    return [tabs[n] for n in names]
+
+
+# --- q1: pricing summary (scan + filter + groupBy agg) ---------------------
+
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (li,) = _t(spark, sf_dir, "lineitem")
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp_ntz"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc), 2).alias("sum_disc_price"),
+            F.round(F.sum(disc * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+SQL_Q1 = """
+SELECT l_returnflag, l_linestatus,
+       ROUND(SUM(l_quantity), 2) AS sum_qty,
+       ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+       ROUND(AVG(l_quantity), 6) AS avg_qty,
+       ROUND(AVG(l_extendedprice), 6) AS avg_price,
+       ROUND(AVG(l_discount), 6) AS avg_disc,
+       COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+# --- q3: top-10 revenue orders (3-way join + topk) -------------------------
+
+def q3_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust, orders, li = _t(spark, sf_dir, "customer", "orders", "lineitem")
+    return (
+        cust.where(F.col("c_mktsegment") == "BUILDING")
+        .join(orders, F.col("c_custkey") == F.col("o_custkey"))
+        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .select(
+            "l_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+            "o_orderpriority",
+            "revenue",
+        )
+        .orderBy(F.desc("revenue"), "l_orderkey")
+        .limit(10)
+    )
+
+
+SQL_Q3 = """
+SELECT l_orderkey,
+       strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
+       o_orderpriority,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, l_orderkey
+LIMIT 10
+"""
+
+
+# --- q5: regional revenue (6-way join incl. broadcast dims) ----------------
+
+def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    region, nation, cust, supp, orders, li = _t(
+        spark, sf_dir, "region", "nation", "customer", "supplier", "orders", "lineitem"
+    )
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(
+            supp,
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .where(F.col("r_name").isin("ASIA", "EUROPE"))
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+SQL_Q5 = """
+SELECT r_name, n_name,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       COUNT(*) AS n_items
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name IN ('ASIA', 'EUROPE')
+GROUP BY r_name, n_name
+"""
+
+
+# --- q4-ish: semi join (EXISTS) --------------------------------------------
+
+def q_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders, li = _t(spark, sf_dir, "orders", "lineitem")
+    shipped_late = (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .where(F.col("l_shipdate") > F.col("o_orderdate"))
+        .select("l_orderkey")
+        .distinct()
+    )
+    return (
+        orders.join(
+            shipped_late, orders.o_orderkey == shipped_late.l_orderkey, "left_semi"
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+    )
+
+
+SQL_SEMI_JOIN = """
+SELECT o_orderpriority, COUNT(*) AS order_count
+FROM orders
+WHERE EXISTS (
+  SELECT 1 FROM lineitem
+  WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate
+)
+GROUP BY o_orderpriority
+"""
+
+
+# --- anti join -------------------------------------------------------------
+
+def q_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust, orders = _t(spark, sf_dir, "customer", "orders")
+    urgent = orders.where(F.col("o_orderpriority") == "1-URGENT")
+    return (
+        cust.join(urgent, cust.c_custkey == urgent.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.round(F.sum("c_acctbal"), 2).alias("sum_acctbal"),
+        )
+    )
+
+
+SQL_ANTI_JOIN = """
+SELECT c_mktsegment, COUNT(*) AS n_customers,
+       ROUND(SUM(c_acctbal), 2) AS sum_acctbal
+FROM customer
+WHERE NOT EXISTS (
+  SELECT 1 FROM orders
+  WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT'
+)
+GROUP BY c_mktsegment
+"""
+
+
+# --- window: top-3 customers per nation ------------------------------------
+
+def q_window_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nation, cust, orders = _t(spark, sf_dir, "nation", "customer", "orders")
+    rev = (
+        orders.join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name", "c_custkey", "c_name")
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("revenue"))
+    )
+    w = Window.partitionBy("n_name").orderBy(F.desc("revenue"), F.col("c_custkey"))
+    return (
+        rev.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= 3)
+        .select("n_name", "c_custkey", "c_name", "revenue", F.col("rk").cast("long").alias("rk"))
+    )
+
+
+SQL_WINDOW_TOPK = """
+SELECT n_name, c_custkey, c_name, revenue, CAST(rk AS BIGINT) AS rk
+FROM (
+  SELECT n_name, c_custkey, c_name,
+         ROUND(SUM(o_totalprice), 2) AS revenue,
+         ROW_NUMBER() OVER (
+           PARTITION BY n_name
+           ORDER BY ROUND(SUM(o_totalprice), 2) DESC, c_custkey
+         ) AS rk
+  FROM orders
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation ON c_nationkey = n_nationkey
+  GROUP BY n_name, c_custkey, c_name
+)
+WHERE rk <= 3
+"""
+
+
+# --- events: running sums + lag deltas (analytic windows) ------------------
+
+def q_event_running(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (events,) = _t(spark, sf_dir, "events")
+    ts_ms = F.unix_millis(F.col("ts").cast("timestamp")).alias("ts_ms")
+    e = events.where(F.col("user_id") % 50 == 0).select(
+        "user_id", "event_id", "value", ts_ms
+    )
+    w = Window.partitionBy("user_id").orderBy("ts_ms", "event_id")
+    return e.select(
+        "user_id",
+        "event_id",
+        F.round(
+            F.sum("value").over(w.rowsBetween(Window.unboundedPreceding, 0)), 4
+        ).alias("running_value"),
+        (F.col("ts_ms") - F.lag("ts_ms", 1).over(w)).alias("delta_ms"),
+        F.row_number().over(w).cast("long").alias("seq"),
+    )
+
+
+SQL_EVENT_RUNNING = """
+SELECT user_id, event_id,
+       ROUND(SUM(value) OVER (
+         PARTITION BY user_id ORDER BY ts_ms, event_id
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS running_value,
+       ts_ms - LAG(ts_ms, 1) OVER (
+         PARTITION BY user_id ORDER BY ts_ms, event_id) AS delta_ms,
+       CAST(ROW_NUMBER() OVER (
+         PARTITION BY user_id ORDER BY ts_ms, event_id) AS BIGINT) AS seq
+FROM (
+  SELECT user_id, event_id, value, epoch_ms(ts) AS ts_ms
+  FROM events WHERE user_id % 50 = 0
+)
+"""
+
+
+# --- events: sessionization (gaps-and-islands) -----------------------------
+
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (events,) = _t(spark, sf_dir, "events")
+    e = events.select(
+        "user_id", "event_id", F.unix_millis(F.col("ts").cast("timestamp")).alias("ts_ms")
+    )
+    w = Window.partitionBy("user_id").orderBy("ts_ms", "event_id")
+    flagged = e.withColumn(
+        "new_session",
+        F.when(
+            (F.col("ts_ms") - F.lag("ts_ms", 1).over(w)) > 30 * 60 * 1000, 1
+        ).otherwise(0),
+    )
+    sessions = flagged.withColumn(
+        "session_id",
+        F.sum("new_session").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return (
+        sessions.groupBy("user_id")
+        .agg(
+            (F.max("session_id") + 1).alias("n_sessions"),
+            F.count("*").alias("n_events"),
+        )
+    )
+
+
+SQL_SESSIONIZE = """
+WITH e AS (
+  SELECT user_id, event_id, epoch_ms(ts) AS ts_ms FROM events
+),
+flagged AS (
+  SELECT user_id, event_id, ts_ms,
+         CASE WHEN ts_ms - LAG(ts_ms, 1) OVER (
+                PARTITION BY user_id ORDER BY ts_ms, event_id) > 1800000
+              THEN 1 ELSE 0 END AS new_session
+  FROM e
+),
+sessions AS (
+  SELECT user_id,
+         SUM(new_session) OVER (
+           PARTITION BY user_id ORDER BY ts_ms, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+  FROM flagged
+)
+SELECT user_id, CAST(MAX(session_id) + 1 AS BIGINT) AS n_sessions,
+       COUNT(*) AS n_events
+FROM sessions GROUP BY user_id
+"""
+
+
+# --- rollup ----------------------------------------------------------------
+
+def q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (li,) = _t(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(F.col("l_quantity").cast("long")).alias("sum_qty"),
+            F.count("*").alias("n"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+            "sum_qty",
+            "n",
+        )
+    )
+
+
+SQL_ROLLUP = """
+SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+       COALESCE(l_linestatus, 'ALL') AS linestatus,
+       CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+       COUNT(*) AS n
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+"""
+
+
+# --- distinct aggregation --------------------------------------------------
+
+def q_distinct_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li, supp = _t(spark, sf_dir, "lineitem", "supplier")
+    return (
+        li.join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(
+            F.countDistinct("l_partkey").alias("n_parts"),
+            F.countDistinct("l_orderkey").alias("n_orders"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+SQL_DISTINCT_AGG = """
+SELECT s_name, COUNT(DISTINCT l_partkey) AS n_parts,
+       COUNT(DISTINCT l_orderkey) AS n_orders, COUNT(*) AS n_items
+FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+GROUP BY s_name
+"""
+
+
+# --- set ops ---------------------------------------------------------------
+
+def q_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders, = _t(spark, sf_dir, "orders")
+    f_cust = orders.where(F.col("o_orderstatus") == "F").select("o_custkey")
+    o_cust = orders.where(F.col("o_orderstatus") == "O").select("o_custkey")
+    p_cust = orders.where(F.col("o_orderstatus") == "P").select("o_custkey")
+    both = f_cust.intersect(o_cust)
+    return both.exceptAll(p_cust.distinct()).distinct().select(
+        F.col("o_custkey").alias("custkey")
+    )
+
+
+SQL_SETOPS = """
+SELECT DISTINCT custkey FROM (
+  (SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'F'
+   INTERSECT
+   SELECT o_custkey FROM orders WHERE o_orderstatus = 'O')
+  EXCEPT
+  SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'P'
+)
+"""
+
+
+# --- as-of join ------------------------------------------------------------
+
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (events,) = _t(spark, sf_dir, "events")
+    ts_ms = F.unix_millis(F.col("ts").cast("timestamp"))
+    purchases = events.where(F.col("event_type") == "purchase").select(
+        "user_id", F.col("event_id").alias("purchase_id"), ts_ms.alias("ts_ms")
+    )
+    clicks = (
+        events.where(F.col("event_type") == "click")
+        .select("user_id", ts_ms.alias("ts_ms"), "event_id")
+        .groupBy("user_id", "ts_ms")
+        .agg(F.max("event_id").alias("click_id"))
+    )
+    joined = asof_join_backward(
+        purchases, clicks, on=["user_id"], ts="ts_ms", right_cols=["click_id"]
+    )
+    return joined.select(
+        "user_id",
+        "purchase_id",
+        F.coalesce(F.col("click_id_right"), F.lit(-1)).alias("last_click_id"),
+    )
+
+
+SQL_ASOF_JOIN = """
+WITH purchases AS (
+  SELECT user_id, event_id AS purchase_id, epoch_ms(ts) AS ts_ms
+  FROM events WHERE event_type = 'purchase'
+),
+clicks AS (
+  SELECT user_id, epoch_ms(ts) AS ts_ms, MAX(event_id) AS click_id
+  FROM events WHERE event_type = 'click'
+  GROUP BY user_id, epoch_ms(ts)
+)
+SELECT p.user_id, p.purchase_id,
+       COALESCE(c.click_id, -1) AS last_click_id
+FROM purchases p
+ASOF LEFT JOIN clicks c
+  ON p.user_id = c.user_id AND c.ts_ms <= p.ts_ms
+"""
+
+
+# --- range join ------------------------------------------------------------
+
+_JAN1_MS = 1704067200000  # 2024-01-01T00:00:00Z
+_BUCKET_MS = 6 * 3600 * 1000
+
+
+def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (events,) = _t(spark, sf_dir, "events")
+    e = events.select(
+        F.unix_millis(F.col("ts").cast("timestamp")).alias("ts_ms"), "value"
+    )
+    joined = range_join_buckets(e, "ts_ms", _JAN1_MS, _BUCKET_MS, 31 * 4)
+    return joined.groupBy("bucket").agg(
+        F.count("*").alias("n_events"),
+        F.round(F.sum("value"), 4).alias("sum_value"),
+    )
+
+
+SQL_RANGE_JOIN = f"""
+SELECT b.bucket, COUNT(*) AS n_events, ROUND(SUM(e.value), 4) AS sum_value
+FROM (SELECT epoch_ms(ts) AS ts_ms, value FROM events) e
+JOIN (
+  SELECT CAST(r.range AS BIGINT) AS bucket,
+         {_JAN1_MS} + CAST(r.range AS BIGINT) * {_BUCKET_MS} AS b_start,
+         {_JAN1_MS} + (CAST(r.range AS BIGINT) + 1) * {_BUCKET_MS} AS b_end
+  FROM range(0, {31 * 4}) r
+) b ON e.ts_ms >= b.b_start AND e.ts_ms < b.b_end
+GROUP BY b.bucket
+"""
+
+
+# --- JSON ------------------------------------------------------------------
+
+def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (events,) = _t(spark, sf_dir, "events")
+    return (
+        events.select(
+            "event_type",
+            F.get_json_object("props", "$.k").cast("long").alias("k"),
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("k").alias("sum_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+        )
+    )
+
+
+SQL_JSON_EXTRACT = """
+SELECT event_type, COUNT(*) AS n,
+       CAST(SUM(k) AS BIGINT) AS sum_k, MIN(k) AS min_k, MAX(k) AS max_k
+FROM (
+  SELECT event_type, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+  FROM events
+)
+GROUP BY event_type
+"""
+
+
+# --- correlated-style: parts above brand average (window) ------------------
+
+def q_above_brand_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window average on exact integer cents: double summation order differs
+    between engines, so averaging doubles directly is nondeterministic at
+    rounding boundaries — cents make the window agg exact in both."""
+    (part,) = _t(spark, sf_dir, "part")
+    w = Window.partitionBy("p_brand")
+    cents = F.round(F.col("p_retailprice") * 100).cast("long")
+    return (
+        part.withColumn("price_cents", cents)
+        .withColumn("brand_avg_cents", F.avg("price_cents").over(w))
+        .where(F.col("price_cents") > F.col("brand_avg_cents"))
+        .select(
+            "p_partkey",
+            "p_brand",
+            "p_retailprice",
+            F.round(F.col("brand_avg_cents") / 100, 4).alias("brand_avg"),
+        )
+    )
+
+
+SQL_ABOVE_BRAND_AVG = """
+SELECT p_partkey, p_brand, p_retailprice,
+       ROUND(brand_avg_cents / 100, 4) AS brand_avg
+FROM (
+  SELECT p_partkey, p_brand, p_retailprice,
+         CAST(ROUND(p_retailprice * 100) AS BIGINT) AS price_cents,
+         AVG(CAST(ROUND(p_retailprice * 100) AS BIGINT))
+           OVER (PARTITION BY p_brand) AS brand_avg_cents
+  FROM part
+)
+WHERE price_cents > brand_avg_cents
+"""
+
+
+# --- scalar gauntlets ------------------------------------------------------
+
+def q_scalar_string_math(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (part,) = _t(spark, sf_dir, "part")
+    return part.where(F.col("p_partkey") % 7 == 0).select(
+        "p_partkey",
+        F.upper("p_name").alias("name_upper"),
+        F.length("p_name").cast("long").alias("name_len"),
+        F.substring("p_type", 1, 5).alias("type_prefix"),
+        F.concat_ws("|", "p_brand", "p_type").alias("brand_type"),
+        F.regexp_replace("p_name", "[aeiou]", "").alias("name_novowels"),
+        F.round(F.sqrt("p_retailprice"), 6).alias("price_sqrt"),
+        F.round(F.log("p_retailprice"), 6).alias("price_ln"),
+        F.abs(F.col("p_size") - 25).cast("long").alias("size_dev"),
+        (F.col("p_size") % 5).cast("long").alias("size_mod"),
+    )
+
+
+SQL_SCALAR_STRING_MATH = """
+SELECT p_partkey,
+       UPPER(p_name) AS name_upper,
+       CAST(LENGTH(p_name) AS BIGINT) AS name_len,
+       SUBSTRING(p_type, 1, 5) AS type_prefix,
+       CONCAT_WS('|', p_brand, p_type) AS brand_type,
+       REGEXP_REPLACE(p_name, '[aeiou]', '', 'g') AS name_novowels,
+       ROUND(SQRT(p_retailprice), 6) AS price_sqrt,
+       ROUND(LN(p_retailprice), 6) AS price_ln,
+       CAST(ABS(p_size - 25) AS BIGINT) AS size_dev,
+       CAST(p_size % 5 AS BIGINT) AS size_mod
+FROM part WHERE p_partkey % 7 = 0
+"""
+
+
+def q_scalar_dates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (orders,) = _t(spark, sf_dir, "orders")
+    return orders.where(F.col("o_orderkey") % 13 == 0).select(
+        "o_orderkey",
+        F.year("o_orderdate").cast("long").alias("yr"),
+        F.month("o_orderdate").cast("long").alias("mo"),
+        F.dayofmonth("o_orderdate").cast("long").alias("dy"),
+        F.quarter("o_orderdate").cast("long").alias("qtr"),
+        F.date_format("o_orderdate", "yyyy-MM").alias("ym"),
+        F.datediff(
+            F.lit("2002-01-01").cast("date"), F.col("o_orderdate").cast("date")
+        ).cast("long").alias("days_to_2002"),
+    )
+
+
+SQL_SCALAR_DATES = """
+SELECT o_orderkey,
+       CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT) AS yr,
+       CAST(EXTRACT(MONTH FROM o_orderdate) AS BIGINT) AS mo,
+       CAST(EXTRACT(DAY FROM o_orderdate) AS BIGINT) AS dy,
+       CAST(EXTRACT(QUARTER FROM o_orderdate) AS BIGINT) AS qtr,
+       strftime(o_orderdate, '%Y-%m') AS ym,
+       CAST(date_diff('day', CAST(o_orderdate AS DATE), DATE '2002-01-01') AS BIGINT)
+         AS days_to_2002
+FROM orders WHERE o_orderkey % 13 = 0
+"""
+
+
+# --- conditional pivot -----------------------------------------------------
+
+def q_pivot_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nation, cust, orders = _t(spark, sf_dir, "nation", "customer", "orders")
+    j = orders.join(cust, F.col("o_custkey") == F.col("c_custkey")).join(
+        F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey")
+    )
+    status_sum = lambda s: F.round(  # noqa: E731
+        F.sum(F.when(F.col("o_orderstatus") == s, F.col("o_totalprice")).otherwise(0.0)),
+        2,
+    )
+    return j.groupBy("n_name").agg(
+        status_sum("F").alias("total_f"),
+        status_sum("O").alias("total_o"),
+        status_sum("P").alias("total_p"),
+    )
+
+
+SQL_PIVOT_STATUS = """
+SELECT n_name,
+       ROUND(SUM(CASE WHEN o_orderstatus = 'F' THEN o_totalprice ELSE 0 END), 2) AS total_f,
+       ROUND(SUM(CASE WHEN o_orderstatus = 'O' THEN o_totalprice ELSE 0 END), 2) AS total_o,
+       ROUND(SUM(CASE WHEN o_orderstatus = 'P' THEN o_totalprice ELSE 0 END), 2) AS total_p
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name
+"""
+
+
+QUERIES = {
+    "q1_pricing_summary": (q1_pricing_summary, SQL_Q1),
+    "q3_top_orders": (q3_top_orders, SQL_Q3),
+    "q5_region_revenue": (q5_region_revenue, SQL_Q5),
+    "q_semi_join": (q_semi_join, SQL_SEMI_JOIN),
+    "q_anti_join": (q_anti_join, SQL_ANTI_JOIN),
+    "q_window_topk": (q_window_topk, SQL_WINDOW_TOPK),
+    "q_event_running": (q_event_running, SQL_EVENT_RUNNING),
+    "q_sessionize": (q_sessionize, SQL_SESSIONIZE),
+    "q_rollup": (q_rollup, SQL_ROLLUP),
+    "q_distinct_agg": (q_distinct_agg, SQL_DISTINCT_AGG),
+    "q_setops": (q_setops, SQL_SETOPS),
+    "q_asof_join": (q_asof_join, SQL_ASOF_JOIN),
+    "q_range_join": (q_range_join, SQL_RANGE_JOIN),
+    "q_json_extract": (q_json_extract, SQL_JSON_EXTRACT),
+    "q_above_brand_avg": (q_above_brand_avg, SQL_ABOVE_BRAND_AVG),
+    "q_scalar_string_math": (q_scalar_string_math, SQL_SCALAR_STRING_MATH),
+    "q_scalar_dates": (q_scalar_dates, SQL_SCALAR_DATES),
+    "q_pivot_status": (q_pivot_status, SQL_PIVOT_STATUS),
+}
