@@ -1,0 +1,71 @@
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Execution is forced with the noop sink (full distributed compute, no
+driver-side collect skew).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+HEADLINE = [
+    "q1_pricing_summary",
+    "q3_top_orders",
+    "q5_region_revenue",
+    "q_window_topk",
+    "q_sessionize",
+    "q_asof_join",
+    "spatial_cutout",
+    "spatial_cuboid_agg",
+    "spatial_overwrite",
+    "spatial_downsample_anno",
+    "llm_dedup_minhash",
+    "llm_ann_topk",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    from spdb_spark.session import get_spark
+    from spdb_spark.suite import REGISTRY
+
+    spark = get_spark("spdb_spark_bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # JVM/codegen warmup outside timed region
+    spark.range(1000).selectExpr("sum(id)").collect()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn, _sql = REGISTRY[name]
+        t0 = time.perf_counter()
+        df = fn(spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "headline_suite_wall_seconds",
+                "value": round(sum(timings.values()), 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,198 @@
+"""Deduplication operators: exact, canonical-fingerprint, n-gram Jaccard,
+MinHash+LSH, SimHash — the standard near-dup stack for pretraining corpora.
+
+Spark-first design notes (100TB posture):
+- shingling/hashing are Column expressions (JVM-side);
+- candidate generation is equi-join on band buckets (shuffle keyed by a
+  32-hex band hash -> uniform partitioning, no skew);
+- frequency capping (`max_doc_freq`) drops stop-shingles BEFORE the
+  pair join, which is what keeps the join from exploding at scale;
+- exact Jaccard verification only runs on LSH candidates.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from spdb_spark.functions.hashing import md5_long
+from spdb_spark.functions.text import tokens
+
+
+def exact_dup_groups(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Exact dedup via content hash: one row per distinct content with the
+    canonical (minimum) id and the duplicate count."""
+    return (
+        df.select(F.md5(F.col(text_col)).alias("text_hash"), F.col(id_col))
+        .groupBy("text_hash")
+        .agg(F.min(id_col).alias("canonical_id"), F.count("*").alias("n_docs"))
+    )
+
+
+def fingerprint_dup_groups(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Near-exact dedup on the canonical token-set fingerprint (order- and
+    multiplicity-insensitive): md5 of the sorted distinct token list."""
+    fp = F.md5(
+        F.array_join(F.array_sort(F.array_distinct(tokens(F.col(text_col)))), " ")
+    )
+    return (
+        df.select(fp.alias("fingerprint"), F.col(id_col))
+        .groupBy("fingerprint")
+        .agg(F.min(id_col).alias("canonical_id"), F.count("*").alias("n_docs"))
+    )
+
+
+def shingles(df: DataFrame, id_col: str, text_col: str, k: int = 3) -> DataFrame:
+    """Distinct word k-shingles per document: (id, shingle)."""
+    toks = tokens(F.col(text_col))
+    sh = F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(toks) - k, F.lit(0))),
+        lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j + 1) for j in range(k)]),
+    )
+    return (
+        df.select(F.col(id_col), F.explode(sh).alias("shingle"))
+        .distinct()
+    )
+
+
+def jaccard_pairs(
+    sh: DataFrame,
+    id_col: str,
+    threshold: float = 0.2,
+    max_doc_freq: int | None = None,
+) -> DataFrame:
+    """All-pairs exact n-gram Jaccard >= threshold from a (id, shingle) set.
+
+    Pair generation joins on shingle; `max_doc_freq` drops shingles present
+    in more than that many docs first (stop-shingle removal — the scale
+    guard; the dropped mass only lowers Jaccard estimates of unrelated
+    pairs). Returns (id_a, id_b, jaccard) with id_a < id_b."""
+    sh = sh.select(F.col(id_col).alias("doc"), "shingle")
+    if max_doc_freq is not None:
+        keep = (
+            sh.groupBy("shingle")
+            .agg(F.count("*").alias("df"))
+            .where(F.col("df") <= max_doc_freq)
+            .select("shingle")
+        )
+        sh = sh.join(keep, "shingle", "left_semi")
+    sizes = sh.groupBy("doc").agg(F.count("*").alias("sz"))
+    a = sh.toDF("doc_a", "shingle")
+    b = sh.toDF("doc_b", "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("inter"))
+    )
+    return (
+        inter.join(sizes.toDF("doc_a", "sz_a"), "doc_a")
+        .join(sizes.toDF("doc_b", "sz_b"), "doc_b")
+        .select(
+            F.col("doc_a").alias("id_a"),
+            F.col("doc_b").alias("id_b"),
+            (
+                F.col("inter")
+                / (F.col("sz_a") + F.col("sz_b") - F.col("inter"))
+            ).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
+
+
+def minhash_signatures(sh: DataFrame, id_col: str, num_hashes: int = 16) -> DataFrame:
+    """MinHash signature columns m0..m{n-1} per doc: m_j = min over shingles
+    of hash(j || ':' || shingle). One groupBy, n conditional mins."""
+    hashed = sh.select(
+        F.col(id_col).alias("doc"),
+        F.explode(
+            F.array(*[F.lit(j) for j in range(num_hashes)])
+        ).alias("j"),
+        "shingle",
+    ).withColumn(
+        "h",
+        md5_long(F.concat_ws(":", F.col("j").cast("string"), F.col("shingle"))),
+    )
+    aggs = [
+        F.min(F.when(F.col("j") == j, F.col("h"))).alias(f"m{j}")
+        for j in range(num_hashes)
+    ]
+    return hashed.groupBy("doc").agg(*aggs)
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame, bands: int = 8, rows: int = 2
+) -> DataFrame:
+    """Band the signature (bands x rows) and emit distinct candidate pairs
+    sharing any band bucket. Bucket key is md5 of the band's minhashes —
+    uniform shuffle keys at any scale."""
+    banded = signatures.select(
+        "doc",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.md5(
+                            F.concat_ws(
+                                ",",
+                                *[
+                                    F.col(f"m{b * rows + r}").cast("string")
+                                    for r in range(rows)
+                                ],
+                            )
+                        ).alias("bucket"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc", "bb.band", "bb.bucket")
+    a = banded.toDF("doc_a", "band", "bucket")
+    b = banded.toDF("doc_b", "band", "bucket")
+    return (
+        a.join(b, ["band", "bucket"])
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+
+
+def minhash_lsh_dedup(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+    num_hashes: int = 16,
+    bands: int = 8,
+    rows: int = 2,
+    threshold: float = 0.2,
+) -> DataFrame:
+    """Full MinHash-LSH near-dup pipeline: shingle -> minhash -> band ->
+    bucket-join candidates -> exact-Jaccard verify. Output
+    (id_a, id_b, jaccard) for verified pairs."""
+    sh = shingles(df, id_col, text_col, k)
+    sigs = minhash_signatures(sh, id_col, num_hashes)
+    cands = lsh_candidate_pairs(sigs, bands, rows)
+    sh_d = sh.select(F.col(id_col).alias("doc"), "shingle")
+    sizes = sh_d.groupBy("doc").agg(F.count("*").alias("sz"))
+    inter = (
+        cands.join(sh_d.toDF("doc_a", "shingle"), "doc_a")
+        .join(sh_d.toDF("doc_b", "shingle_b"), "doc_b")
+        .where(F.col("shingle") == F.col("shingle_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("inter"))
+    )
+    return (
+        inter.join(sizes.toDF("doc_a", "sz_a"), "doc_a")
+        .join(sizes.toDF("doc_b", "sz_b"), "doc_b")
+        .select(
+            F.col("doc_a").alias("id_a"),
+            F.col("doc_b").alias("id_b"),
+            (
+                F.col("inter")
+                / (F.col("sz_a") + F.col("sz_b") - F.col("inter"))
+            ).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )

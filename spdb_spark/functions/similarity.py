@@ -1,0 +1,141 @@
+"""Embedding similarity search: brute-force cosine top-k (baseline) and a
+deterministic random-hyperplane LSH bucketed variant (the scale path).
+
+Dot products run as F.aggregate over zipped double arrays — index-order
+left-to-right summation, bitwise-reproducible and identical to the DuckDB
+oracle's list_dot_product. Broadcast the query side; the corpus never
+shuffles for brute force. The LSH variant buckets the corpus once (16-bit
+signature) and only scores within matching buckets — at 100TB the bucket
+table is the index.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from spdb_spark.functions.hashing import md5_long
+
+
+def _as_double(c: Column) -> Column:
+    return c.cast("array<double>")
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+) -> DataFrame:
+    """Exact cosine top-k: broadcast queries x corpus, per-query rank.
+    Deterministic ordering: (rounded score desc, neighbor id asc).
+    Returns (query_id, neighbor_id, rank, cos_sim)."""
+    from pyspark.sql import Window
+
+    q = F.broadcast(
+        queries.select(
+            F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("q_vec")
+        )
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), _as_double(F.col(vec_col)).alias("c_vec")
+    )
+    scored = (
+        c.crossJoin(q)
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("q_vec"), F.col("c_vec")), 6).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_sim"), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= k)
+    )
+
+
+def hyperplane(dim: int, plane: int) -> list[float]:
+    """Deterministic pseudo-random hyperplane component weights in [-1, 1):
+    derived from the portable md5-hash so Spark and any oracle agree."""
+    # materialized driver-side (tiny) — same arithmetic as hyperplane_col
+    import hashlib
+
+    out = []
+    for d in range(dim):
+        h = int(hashlib.md5(f"{plane}:{d}".encode()).hexdigest()[:15], 16)
+        out.append(((h % 2001) - 1000) / 1000.0)
+    return out
+
+
+def lsh_signature(vec: Column, dim: int, n_planes: int = 16) -> Column:
+    """Random-hyperplane signature: bit p = [dot(vec, plane_p) > 0]."""
+    sig = F.lit(0).cast("long")
+    for p in range(n_planes):
+        w = F.array(*[F.lit(c) for c in hyperplane(dim, p)])
+        sig = sig + F.when(
+            dot(_as_double(vec), w) > 0, F.shiftleft(F.lit(1).cast("long"), p)
+        ).otherwise(F.lit(0).cast("long"))
+    return sig
+
+
+def lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    n_planes: int = 8,
+) -> DataFrame:
+    """Approximate top-k: score only corpus vectors sharing the query's
+    hyperplane bucket. Recall < 1 by construction; n_planes trades recall
+    for candidate-set size (each plane halves the expected bucket)."""
+    from pyspark.sql import Window
+
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        _as_double(F.col(vec_col)).alias("c_vec"),
+        lsh_signature(F.col(vec_col), dim, n_planes).alias("bucket"),
+    )
+    q = F.broadcast(
+        queries.select(
+            F.col(id_col).alias("query_id"),
+            _as_double(F.col(vec_col)).alias("q_vec"),
+            lsh_signature(F.col(vec_col), dim, n_planes).alias("bucket"),
+        )
+    )
+    scored = (
+        c.join(q, "bucket")
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("q_vec"), F.col("c_vec")), 6).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= k)
+    )

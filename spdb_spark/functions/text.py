@@ -1,0 +1,135 @@
+"""Text analysis operators for large-scale training-data pipelines.
+
+All pure Column expressions (JVM-side, whole-stage codegen) — tokenization,
+language ID (stopword-hit heuristic), quality scoring, token counting,
+document fingerprinting. No Python UDFs in any hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from spdb_spark.functions.hashing import md5_long
+
+# Marker stopwords per language for the n-gram/stopword language-ID
+# heuristic. Deterministic tie-break: lexicographically smallest language
+# code among the top scorers.
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "de": ("der", "die", "das", "und", "ist", "nicht"),
+    "en": ("the", "a", "and", "of", "is", "to"),
+    "es": ("el", "la", "los", "y", "es", "de"),
+    "fr": ("le", "la", "les", "et", "est", "de"),
+}
+
+EN_STOPWORDS = ("the", "a", "and", "of", "is", "to", "in", "that", "it", "for")
+
+
+def tokens(c: Column) -> Column:
+    """Lowercased whitespace tokens (parity with the oracle's
+    regexp_split_to_array(lower(trim(s)), '\\s+'))."""
+    return F.split(F.lower(F.trim(c)), r"\s+")
+
+
+def token_count(c: Column) -> Column:
+    return F.size(tokens(c)).cast("long")
+
+
+def word_token_count(c: Column) -> Column:
+    """BPE-ish sub-word proxy: count of [a-z]+ runs (regexp tokenizer)."""
+    return F.size(F.regexp_extract_all(F.lower(c), F.lit("[a-z]+"), 0)).cast("long")
+
+
+def mean_token_length(c: Column) -> Column:
+    """Mean token length without exploding: non-space chars / token count."""
+    n = token_count(c)
+    chars = F.length(F.regexp_replace(F.trim(c), r"\s+", ""))
+    return (chars / n).cast("double")
+
+
+def _hit_count(toks: Column, words: tuple[str, ...]) -> Column:
+    """How many tokens (with multiplicity) are in `words` — via filter on the
+    token array, no explode/shuffle."""
+    arr = F.array(*[F.lit(w) for w in words])
+    return F.size(F.filter(toks, lambda t: F.array_contains(arr, t))).cast("long")
+
+
+def lang_id(c: Column) -> Column:
+    """Language ID: argmax of per-language marker-stopword hit counts,
+    ties -> lexicographically smallest code, zero hits -> 'und'.
+
+    array_max over (hits, rank, code) structs compares fields in order; rank
+    is the negated alphabetical index so ties prefer the smallest code."""
+    toks = tokens(c)
+    ranked = F.array(
+        *[
+            F.struct(
+                _hit_count(toks, words).alias("hits"),
+                F.lit(-i).alias("rank"),
+                F.lit(code).alias("code"),
+            )
+            for i, (code, words) in enumerate(sorted(LANG_MARKERS.items()))
+        ]
+    )
+    top = F.array_max(ranked)
+    return F.when(top["hits"] > 0, top["code"]).otherwise(F.lit("und"))
+
+
+def stopword_ratio(c: Column, stopwords: tuple[str, ...] = EN_STOPWORDS) -> Column:
+    toks = tokens(c)
+    return (_hit_count(toks, stopwords) / F.size(toks)).cast("double")
+
+
+def quality_score(c: Column) -> Column:
+    """Composite quality in [0,1]: length target + stopword ratio + mean
+    token length target (cheap heuristics standard in pretraining pipelines)."""
+    n = token_count(c)
+    return (
+        F.least(n / F.lit(100.0), F.lit(1.0)) * 0.4
+        + stopword_ratio(c) * 0.3
+        + F.least(mean_token_length(c) / F.lit(8.0), F.lit(1.0)) * 0.3
+    ).cast("double")
+
+
+def char_ngram_fingerprint(c: Column, n: int = 8) -> Column:
+    """Winnowing-style fingerprint: minimum md5 over all n-char windows
+    (string min is portable — ASCII hex). Short docs fall back to whole-text
+    md5."""
+    win = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.length(c) - (n - 1), F.lit(1))),
+        lambda i: F.md5(c.substr(i, F.lit(n))),
+    )
+    return F.array_min(win)
+
+
+def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 32) -> DataFrame:
+    """SimHash signature per document: bit k is the sign of the sum over
+    tokens (with multiplicity) of ±1 according to bit k of the token hash.
+
+    Explode tokens × bit positions then sum — shuffle keyed by doc id,
+    partial aggregation map-side; at 100TB drop to fewer bits or sample
+    tokens. Returns (id_col, simhash)."""
+    toks = (
+        df.select(id_col, F.explode(tokens(F.col(text_col))).alias("tok"))
+        .withColumn("h", md5_long(F.col("tok")))
+    )
+    bitpos = F.explode(F.sequence(F.lit(0), F.lit(bits - 1)).cast("array<int>")).alias("k")
+    contrib = (
+        toks.select(id_col, "h", bitpos)
+        .withColumn(
+            "c",
+            F.when(F.expr("shiftright(h, k)").bitwiseAND(1) == 1, 1).otherwise(-1),
+        )
+        .groupBy(id_col, "k")
+        .agg(F.sum("c").alias("s"))
+    )
+    return (
+        contrib.withColumn(
+            "bit",
+            F.when(
+                F.col("s") > 0, F.expr("shiftleft(CAST(1 AS BIGINT), k)")
+            ).otherwise(F.lit(0).cast("long")),
+        )
+        .groupBy(id_col)
+        .agg(F.sum("bit").alias("simhash"))
+    )

@@ -67,6 +67,16 @@ def load_tables(spark: SparkSession, sf_dir: str, names: tuple[str, ...] | None 
         "documents",
         "embeddings",
     )
+    # Defensive: the caller may hand us a session built elsewhere (the
+    # driver's), without the TIMESTAMP(NANOS) and timezone settings.
+    for key, val in (
+        ("spark.sql.legacy.parquet.nanosAsLong", "true"),
+        ("spark.sql.session.timeZone", "UTC"),
+    ):
+        try:
+            spark.conf.set(key, val)
+        except Exception:
+            pass
     out = {}
     for name in names:
         path = os.path.join(sf_dir, f"{name}.parquet")

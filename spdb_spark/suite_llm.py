@@ -1,0 +1,341 @@
+"""LLM-data-pipeline suite: dedup / similarity / text analysis / multimodal
+plumbing over the documents + embeddings tables, with DuckDB oracles.
+
+Hashing is the engine-portable md5-derived 60-bit integer
+(functions/hashing.py) so minhash/simhash signatures are bit-identical
+across engines. Cosine scores compute dot/norms with identical left-to-right
+double summation on both sides and are rounded to 6dp.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from spdb_spark.functions import dedup as D
+from spdb_spark.functions import similarity as S
+from spdb_spark.functions import text as T
+from spdb_spark.functions.hashing import md5_long_sql
+from spdb_spark.session import load_tables
+
+_TOKENS_SQL = "regexp_split_to_array(lower(trim(text)), '\\s+')"
+_SHINGLES_SQL = f"""
+  SELECT DISTINCT doc_id AS doc, shingle
+  FROM (
+    SELECT doc_id,
+           unnest(list_transform(
+             range(1, greatest(len(t) - 1, 1)),
+             i -> concat_ws(' ', t[i], t[i+1], t[i+2])
+           )) AS shingle
+    FROM (SELECT doc_id, {_TOKENS_SQL} AS t FROM documents)
+  )
+"""
+
+
+def _docs(spark, sf_dir):
+    return load_tables(spark, sf_dir, names=("documents",))["documents"]
+
+
+def _embs(spark, sf_dir):
+    return load_tables(spark, sf_dir, names=("embeddings",))["embeddings"]
+
+
+# --- exact + fingerprint dedup --------------------------------------------
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.exact_dup_groups(_docs(spark, sf_dir), "doc_id", "text")
+
+
+SQL_DEDUP_EXACT = """
+SELECT md5(text) AS text_hash, MIN(doc_id) AS canonical_id, COUNT(*) AS n_docs
+FROM documents GROUP BY md5(text)
+"""
+
+
+def q_dedup_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.fingerprint_dup_groups(_docs(spark, sf_dir), "doc_id", "text")
+
+
+SQL_DEDUP_FINGERPRINT = f"""
+SELECT md5(array_to_string(list_sort(list_distinct({_TOKENS_SQL})), ' '))
+         AS fingerprint,
+       MIN(doc_id) AS canonical_id, COUNT(*) AS n_docs
+FROM documents
+GROUP BY md5(array_to_string(list_sort(list_distinct({_TOKENS_SQL})), ' '))
+"""
+
+
+# --- n-gram Jaccard all-pairs ---------------------------------------------
+
+_JACC_THRESHOLD = 0.5
+
+
+def q_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sh = D.shingles(_docs(spark, sf_dir), "doc_id", "text", k=3)
+    pairs = D.jaccard_pairs(sh, "doc_id", threshold=_JACC_THRESHOLD)
+    return pairs.select(
+        "id_a", "id_b", F.round("jaccard", 6).alias("jaccard")
+    )
+
+
+SQL_DEDUP_JACCARD = f"""
+WITH sh AS ({_SHINGLES_SQL}),
+sizes AS (SELECT doc, COUNT(*) AS sz FROM sh GROUP BY doc),
+inter AS (
+  SELECT a.doc AS doc_a, b.doc AS doc_b, COUNT(*) AS inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc < b.doc
+  GROUP BY a.doc, b.doc
+)
+SELECT i.doc_a AS id_a, i.doc_b AS id_b,
+       ROUND(CAST(i.inter AS DOUBLE) / (sa.sz + sb.sz - i.inter), 6) AS jaccard
+FROM inter i
+JOIN sizes sa ON sa.doc = i.doc_a
+JOIN sizes sb ON sb.doc = i.doc_b
+WHERE CAST(i.inter AS DOUBLE) / (sa.sz + sb.sz - i.inter) >= {_JACC_THRESHOLD}
+"""
+
+
+# --- MinHash + LSH ---------------------------------------------------------
+
+_MH_N, _MH_BANDS, _MH_ROWS, _MH_THRESH = 16, 8, 2, 0.5
+
+
+def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = D.minhash_lsh_dedup(
+        _docs(spark, sf_dir),
+        "doc_id",
+        "text",
+        k=3,
+        num_hashes=_MH_N,
+        bands=_MH_BANDS,
+        rows=_MH_ROWS,
+        threshold=_MH_THRESH,
+    )
+    return pairs.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+
+
+def _minhash_pivot_sql() -> str:
+    mins = ",\n         ".join(
+        f"MIN(CASE WHEN j = {j} THEN h END) AS m{j}" for j in range(_MH_N)
+    )
+    return f"""
+  SELECT doc, {mins}
+  FROM (
+    SELECT sh.doc, seeds.j,
+           {md5_long_sql("concat(CAST(seeds.j AS VARCHAR), ':', sh.shingle)")} AS h
+    FROM sh CROSS JOIN range(0, {_MH_N}) seeds(j)
+  )
+  GROUP BY doc"""
+
+
+def _bands_sql() -> str:
+    rows = []
+    for b in range(_MH_BANDS):
+        cols = ", ".join(
+            f"CAST(m{b * _MH_ROWS + r} AS VARCHAR)" for r in range(_MH_ROWS)
+        )
+        rows.append(
+            f"SELECT doc, {b} AS band, md5(concat_ws(',', {cols})) AS bucket FROM sigs"
+        )
+    return " UNION ALL ".join(rows)
+
+
+SQL_DEDUP_MINHASH = f"""
+WITH sh AS ({_SHINGLES_SQL}),
+sigs AS ({_minhash_pivot_sql()}),
+banded AS ({_bands_sql()}),
+cands AS (
+  SELECT DISTINCT a.doc AS doc_a, b.doc AS doc_b
+  FROM banded a JOIN banded b
+    ON a.band = b.band AND a.bucket = b.bucket AND a.doc < b.doc
+),
+sizes AS (SELECT doc, COUNT(*) AS sz FROM sh GROUP BY doc),
+inter AS (
+  SELECT c.doc_a, c.doc_b, COUNT(*) AS inter
+  FROM cands c
+  JOIN sh sa ON sa.doc = c.doc_a
+  JOIN sh sb ON sb.doc = c.doc_b AND sb.shingle = sa.shingle
+  GROUP BY c.doc_a, c.doc_b
+)
+SELECT i.doc_a AS id_a, i.doc_b AS id_b,
+       ROUND(CAST(i.inter AS DOUBLE) / (sa.sz + sb.sz - i.inter), 6) AS jaccard
+FROM inter i
+JOIN sizes sa ON sa.doc = i.doc_a
+JOIN sizes sb ON sb.doc = i.doc_b
+WHERE CAST(i.inter AS DOUBLE) / (sa.sz + sb.sz - i.inter) >= {_MH_THRESH}
+"""
+
+
+# --- SimHash ---------------------------------------------------------------
+
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return T.simhash(_docs(spark, sf_dir), "doc_id", "text", bits=32)
+
+
+SQL_SIMHASH = f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_TOKENS_SQL}) AS tok FROM documents
+),
+hashed AS (
+  SELECT doc_id, {md5_long_sql('tok')} AS h FROM toks
+),
+contrib AS (
+  SELECT doc_id, CAST(k.range AS INTEGER) AS k,
+         SUM(CASE WHEN ((h >> CAST(k.range AS INTEGER)) & 1) = 1
+                  THEN 1 ELSE -1 END) AS s
+  FROM hashed CROSS JOIN range(0, 32) k
+  GROUP BY doc_id, k.range
+)
+SELECT doc_id, CAST(SUM(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << k)
+                             ELSE 0 END) AS BIGINT) AS simhash
+FROM contrib GROUP BY doc_id
+"""
+
+
+# --- text analysis ---------------------------------------------------------
+
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    c = F.col("text")
+    return docs.select(
+        "doc_id",
+        T.token_count(c).alias("n_tokens"),
+        T.word_token_count(c).alias("n_word_tokens"),
+        F.round(T.mean_token_length(c), 6).alias("mean_tok_len"),
+        F.round(T.stopword_ratio(c), 6).alias("stop_ratio"),
+        F.round(T.quality_score(c), 6).alias("quality"),
+        T.lang_id(c).alias("pred_lang"),
+    )
+
+
+def _hits_sql(words) -> str:
+    arr = "[" + ", ".join(f"'{w}'" for w in words) + "]"
+    return f"len(list_filter(t, x -> list_contains({arr}, x)))"
+
+
+_H = {code: _hits_sql(words) for code, words in T.LANG_MARKERS.items()}
+_STOP_HITS = _hits_sql(T.EN_STOPWORDS)
+
+SQL_TEXT_STATS = f"""
+SELECT doc_id,
+       CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(n_word_tokens AS BIGINT) AS n_word_tokens,
+       ROUND(mean_tok_len, 6) AS mean_tok_len,
+       ROUND(stop_ratio, 6) AS stop_ratio,
+       ROUND(LEAST(n_tokens / 100.0, 1.0) * 0.4 + stop_ratio * 0.3
+             + LEAST(mean_tok_len / 8.0, 1.0) * 0.3, 6) AS quality,
+       CASE WHEN GREATEST(h_de, h_en, h_es, h_fr) = 0 THEN 'und'
+            WHEN h_de >= h_en AND h_de >= h_es AND h_de >= h_fr THEN 'de'
+            WHEN h_en >= h_es AND h_en >= h_fr THEN 'en'
+            WHEN h_es >= h_fr THEN 'es'
+            ELSE 'fr' END AS pred_lang
+FROM (
+  SELECT doc_id,
+         len(t) AS n_tokens,
+         len(regexp_extract_all(lower(text), '[a-z]+')) AS n_word_tokens,
+         CAST(length(regexp_replace(trim(text), '\\s+', '', 'g')) AS DOUBLE)
+           / len(t) AS mean_tok_len,
+         CAST({_STOP_HITS} AS DOUBLE) / len(t) AS stop_ratio,
+         {_H['de']} AS h_de, {_H['en']} AS h_en,
+         {_H['es']} AS h_es, {_H['fr']} AS h_fr
+  FROM (SELECT doc_id, text, {_TOKENS_SQL} AS t FROM documents)
+)
+"""
+
+
+def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    return docs.select(
+        "doc_id", T.char_ngram_fingerprint(F.col("text"), 8).alias("fingerprint")
+    )
+
+
+SQL_TEXT_FINGERPRINT = """
+SELECT doc_id,
+       list_min(list_transform(
+         range(1, greatest(length(text) - 6, 2)),
+         i -> md5(substr(text, CAST(i AS INTEGER), 8))
+       )) AS fingerprint
+FROM documents
+"""
+
+
+# --- similarity search -----------------------------------------------------
+
+def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    embs = _embs(spark, sf_dir)
+    queries = embs.where(F.col("vec_id") % 50 == 0)
+    return S.brute_force_topk(embs, queries, "vec_id", "embedding", k=10)
+
+
+SQL_ANN_TOPK = """
+WITH q AS (
+  SELECT vec_id AS query_id, embedding::DOUBLE[] AS q_vec
+  FROM embeddings WHERE vec_id % 50 = 0
+),
+c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS c_vec FROM embeddings),
+scored AS (
+  SELECT query_id, neighbor_id,
+         ROUND(list_dot_product(q_vec, c_vec)
+               / (sqrt(list_dot_product(q_vec, q_vec))
+                  * sqrt(list_dot_product(c_vec, c_vec))), 6) AS cos_sim
+  FROM c CROSS JOIN q
+  WHERE neighbor_id <> query_id
+)
+SELECT query_id, neighbor_id, cos_sim,
+       CAST(ROW_NUMBER() OVER (
+         PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS BIGINT) AS rank
+FROM scored
+QUALIFY rank <= 10
+"""
+
+
+def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate variant — recall checked against brute force in tests;
+    rows-only for the driver (LSH bucketing is the non-SQL scale path)."""
+    embs = _embs(spark, sf_dir)
+    queries = embs.where(F.col("vec_id") % 50 == 0)
+    return S.lsh_topk(embs, queries, dim=64, k=10, n_planes=8)
+
+
+# --- multimodal plumbing ---------------------------------------------------
+
+def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Opaque-binary multimodal columns: payload + typed metadata. The
+    decode itself is stubbed (no media libs in-container); the Spark-side
+    schema/partition plumbing is real — see functions/multimodal.py."""
+    from spdb_spark.functions.multimodal import with_media_columns
+
+    docs = _docs(spark, sf_dir)
+    media = with_media_columns(docs, "doc_id", "text")
+    return media.select(
+        F.col("media_id"),
+        F.col("kind"),
+        F.col("n_bytes"),
+        F.col("checksum"),
+    )
+
+
+SQL_MULTIMODAL_META = """
+SELECT doc_id AS media_id,
+       CASE WHEN doc_id % 3 = 0 THEN 'image'
+            WHEN doc_id % 3 = 1 THEN 'audio'
+            ELSE 'video' END AS kind,
+       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+       md5(text) AS checksum
+FROM documents
+"""
+
+
+QUERIES = {
+    "llm_dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
+    "llm_dedup_fingerprint": (q_dedup_fingerprint, SQL_DEDUP_FINGERPRINT),
+    "llm_dedup_jaccard": (q_dedup_jaccard, SQL_DEDUP_JACCARD),
+    "llm_dedup_minhash": (q_dedup_minhash, SQL_DEDUP_MINHASH),
+    "llm_dedup_simhash": (q_simhash, SQL_SIMHASH),
+    "llm_text_stats": (q_text_stats, SQL_TEXT_STATS),
+    "llm_text_fingerprint": (q_text_fingerprint, SQL_TEXT_FINGERPRINT),
+    "llm_ann_topk": (q_ann_topk, SQL_ANN_TOPK),
+    "llm_ann_lsh": (q_ann_lsh, None),
+    "llm_multimodal_meta": (q_multimodal_meta, SQL_MULTIMODAL_META),
+}
