@@ -1,0 +1,315 @@
+"""CuboidStore: the block-table storage engine (spdb's SpatialDB re-expressed
+on Spark + Parquet).
+
+Layout: one parquet table partitioned by (lookup_key, resolution), one row
+per cuboid per time sample — (t, morton, x_idx, y_idx, z_idx, blob) with the
+blob a compressed [z,y,x] ndarray (codec.py). This is the Spark analog of
+spdb's S3 object store keyed md5&lookup&res&t&morton (object.py:338-363);
+Morton + the idx columns give both space-filling locality and min/max
+row-group pruning for box reads.
+
+Write path parity (spatialdb.py:719-867): input array -> tiles -> merge into
+store with non-zero-overwrite (overwriteDense.c), fill-only
+(exceptionDense.c) or to_black erase (cube.py:264-291) semantics, one
+atomic partition rewrite (Delta/Iceberg MERGE INTO in production — plain
+parquet dynamic-partition-overwrite here since the container has no Delta).
+
+Read path parity (spatialdb.py:360-717): box -> covering cuboid range filter
+(partition+stats pruning) -> Arrow-batched blob decode -> trim to exact box;
+absent cuboids are implicit zeros (zero-suppression, spatialdb.py:571-585).
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Sequence
+
+import numpy as np
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from spdb_spark.codec import blocks_to_voxels, make_voxels_to_blocks, pack_array
+from spdb_spark.constants import CUBOID_X, CUBOID_Y, CUBOID_Z
+from spdb_spark.morton import xyz_morton
+from spdb_spark.schema import CUBOID_SCHEMA, VOXEL_SCHEMA
+
+
+class CuboidStore:
+    def __init__(
+        self,
+        spark: SparkSession,
+        path: str,
+        datatype: str = "uint8",
+        lookup_key: str = "4&3&2",
+    ):
+        self.spark = spark
+        self.path = path
+        self.datatype = datatype
+        self.lookup_key = lookup_key
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+
+    # -- helpers ------------------------------------------------------------
+
+    def _exists(self) -> bool:
+        return os.path.exists(self.path)
+
+    def blocks(self, resolution: int = 0) -> DataFrame:
+        """The block table for one resolution (schema: CUBOID_SCHEMA)."""
+        if not self._exists():
+            return self.spark.createDataFrame([], CUBOID_SCHEMA)
+        return (
+            self.spark.read.schema(CUBOID_SCHEMA)
+            .option("basePath", self.path)
+            .parquet(self.path)
+            .where(
+                (F.col("lookup_key") == self.lookup_key)
+                & (F.col("resolution") == resolution)
+            )
+        )
+
+    def voxels(self, resolution: int = 0) -> DataFrame:
+        """Distributed voxel view (decoded, zero-suppressed)."""
+        return self.blocks(resolution).mapInPandas(
+            blocks_to_voxels, VOXEL_SCHEMA
+        )
+
+    # -- write path ---------------------------------------------------------
+
+    def _array_to_block_rows(
+        self,
+        data: np.ndarray,
+        corner: Sequence[int],
+        resolution: int,
+        time_sample_start: int,
+    ) -> list[tuple]:
+        """Tile a [t,z,y,x] (or [z,y,x]) array into padded cuboid rows
+        (driver-side numpy slicing — the array already lives on the driver,
+        like the reference's write_cuboid input, spatialdb.py:754-788)."""
+        if data.ndim == 3:
+            data = data[None, ...]
+        if data.ndim != 4:
+            raise ValueError(f"expected [t,z,y,x] or [z,y,x], got {data.shape}")
+        x0, y0, z0 = corner
+        nt, nz, ny, nx = data.shape
+        rows = []
+        xi0, xi1 = x0 // CUBOID_X, (x0 + nx - 1) // CUBOID_X
+        yi0, yi1 = y0 // CUBOID_Y, (y0 + ny - 1) // CUBOID_Y
+        zi0, zi1 = z0 // CUBOID_Z, (z0 + nz - 1) // CUBOID_Z
+        np_dtype = np.dtype(self.datatype)
+        for ti in range(nt):
+            for zi in range(zi0, zi1 + 1):
+                for yi in range(yi0, yi1 + 1):
+                    for xi in range(xi0, xi1 + 1):
+                        tile = np.zeros((CUBOID_Z, CUBOID_Y, CUBOID_X), dtype=np_dtype)
+                        # intersection of the cuboid with the input box
+                        gx0 = max(x0, xi * CUBOID_X)
+                        gx1 = min(x0 + nx, (xi + 1) * CUBOID_X)
+                        gy0 = max(y0, yi * CUBOID_Y)
+                        gy1 = min(y0 + ny, (yi + 1) * CUBOID_Y)
+                        gz0 = max(z0, zi * CUBOID_Z)
+                        gz1 = min(z0 + nz, (zi + 1) * CUBOID_Z)
+                        tile[
+                            gz0 - zi * CUBOID_Z : gz1 - zi * CUBOID_Z,
+                            gy0 - yi * CUBOID_Y : gy1 - yi * CUBOID_Y,
+                            gx0 - xi * CUBOID_X : gx1 - xi * CUBOID_X,
+                        ] = data[
+                            ti, gz0 - z0 : gz1 - z0, gy0 - y0 : gy1 - y0,
+                            gx0 - x0 : gx1 - x0,
+                        ]
+                        rows.append(
+                            (
+                                self.lookup_key,
+                                resolution,
+                                time_sample_start + ti,
+                                xyz_morton(xi, yi, zi),
+                                xi,
+                                yi,
+                                zi,
+                                bytearray(pack_array(tile)),
+                            )
+                        )
+        return rows
+
+    def write_cuboid(
+        self,
+        data: np.ndarray,
+        corner: Sequence[int],
+        resolution: int = 0,
+        time_sample_start: int = 0,
+        mode: str = "overwrite",
+    ) -> None:
+        """THE write operator (reference: spatialdb.py:719-867). Modes:
+        'overwrite' — non-zero input voxels overwrite (overwriteDense.c);
+        'exception' — input lands only where store is 0 (exceptionDense.c);
+        'to_black'  — store voxels erased where input == 1 (cube.py:264-291);
+        'replace'   — whole cuboids replaced (bulk ingest fast path).
+        """
+        if mode not in ("overwrite", "exception", "to_black", "replace"):
+            raise ValueError(f"bad mode {mode!r}")
+        rows = self._array_to_block_rows(data, corner, resolution, time_sample_start)
+        new_blocks = self.spark.createDataFrame(rows, CUBOID_SCHEMA)
+        existing = self.blocks(resolution)
+
+        if mode == "replace" or not self._exists():
+            merged = existing.join(
+                new_blocks.select("t", "morton").distinct(),
+                on=["t", "morton"],
+                how="left_anti",
+            ).unionByName(new_blocks)
+        else:
+            # voxel-level merge only for cuboids present on BOTH sides;
+            # everything else passes through block-level (no decode cost).
+            keys = new_blocks.select("t", "morton").distinct()
+            overlap_old = existing.join(keys, ["t", "morton"], "left_semi")
+            rest_old = existing.join(keys, ["t", "morton"], "left_anti")
+            old_keys = existing.select("t", "morton").distinct()
+            overlap_new = new_blocks.join(old_keys, ["t", "morton"], "left_semi")
+            fresh_new = new_blocks.join(old_keys, ["t", "morton"], "left_anti")
+
+            ov = overlap_old.mapInPandas(blocks_to_voxels, VOXEL_SCHEMA)
+            nv = overlap_new.mapInPandas(blocks_to_voxels, VOXEL_SCHEMA)
+            key = ["t", "x", "y", "z"]
+            if mode == "overwrite":
+                mv = (
+                    ov.withColumnRenamed("value", "old_v")
+                    .join(
+                        nv.select(*key, F.col("value").alias("new_v")),
+                        key,
+                        "full_outer",
+                    )
+                    .select(
+                        F.lit(self.lookup_key).alias("lookup_key"),
+                        F.lit(resolution).alias("resolution"),
+                        *key[:1],
+                        *key[1:],
+                        F.coalesce(
+                            F.nullif(F.col("new_v"), F.lit(0)),
+                            F.col("old_v"),
+                            F.lit(0),
+                        ).alias("value"),
+                    )
+                )
+            elif mode == "exception":
+                mv = (
+                    ov.withColumnRenamed("value", "old_v")
+                    .join(
+                        nv.select(*key, F.col("value").alias("new_v")),
+                        key,
+                        "full_outer",
+                    )
+                    .select(
+                        F.lit(self.lookup_key).alias("lookup_key"),
+                        F.lit(resolution).alias("resolution"),
+                        *key,
+                        F.coalesce(F.col("old_v"), F.col("new_v"), F.lit(0)).alias(
+                            "value"
+                        ),
+                    )
+                )
+            else:  # to_black
+                mask = nv.where(F.col("value") == 1).select(*key)
+                mv = ov.join(mask, key, "left_anti").select(
+                    F.lit(self.lookup_key).alias("lookup_key"),
+                    F.lit(resolution).alias("resolution"),
+                    *key,
+                    "value",
+                )
+            mv = mv.where(F.col("value") != 0)
+            merged_overlap = self._voxels_to_blocks(mv, resolution)
+            if mode == "to_black":
+                # fresh cuboids of an erase mask write nothing
+                merged = rest_old.unionByName(merged_overlap)
+            else:
+                merged = rest_old.unionByName(merged_overlap).unionByName(fresh_new)
+
+        self._commit(merged, resolution)
+
+    def _voxels_to_blocks(self, voxels: DataFrame, resolution: int) -> DataFrame:
+        kernel = make_voxels_to_blocks(self.datatype)
+        with_idx = voxels.select(
+            "lookup_key",
+            "resolution",
+            "t",
+            "x",
+            "y",
+            "z",
+            "value",
+            F.floor(F.col("x") / CUBOID_X).cast("int").alias("x_idx"),
+            F.floor(F.col("y") / CUBOID_Y).cast("int").alias("y_idx"),
+            F.floor(F.col("z") / CUBOID_Z).cast("int").alias("z_idx"),
+        )
+        return with_idx.groupBy(
+            "lookup_key", "resolution", "t", "x_idx", "y_idx", "z_idx"
+        ).applyInPandas(kernel, CUBOID_SCHEMA)
+
+    def _commit(self, blocks: DataFrame, resolution: int) -> None:
+        """Atomic-enough partition rewrite: stage then swap via dynamic
+        partition overwrite (Delta MERGE INTO in production)."""
+        staged = blocks.sortWithinPartitions("t", "morton").cache()
+        staged.count()  # materialize before overwriting the source files
+        (
+            staged.write.mode("overwrite")
+            .partitionBy("lookup_key", "resolution")
+            .parquet(self.path)
+        )
+        staged.unpersist()
+
+    # -- read path ----------------------------------------------------------
+
+    def cutout_voxels(
+        self,
+        corner: Sequence[int],
+        extent: Sequence[int],
+        resolution: int = 0,
+        time_sample_range: Sequence[int] | None = None,
+        filter_ids: Sequence[int] | None = None,
+    ) -> DataFrame:
+        """Distributed cutout: pruned block scan -> decode -> exact box trim
+        -> optional id filter. Returns the voxel DataFrame (no collect)."""
+        (x0, y0, z0), (dx, dy, dz) = corner, extent
+        blocks = self.blocks(resolution).where(
+            (F.col("x_idx") >= x0 // CUBOID_X)
+            & (F.col("x_idx") <= (x0 + dx - 1) // CUBOID_X)
+            & (F.col("y_idx") >= y0 // CUBOID_Y)
+            & (F.col("y_idx") <= (y0 + dy - 1) // CUBOID_Y)
+            & (F.col("z_idx") >= z0 // CUBOID_Z)
+            & (F.col("z_idx") <= (z0 + dz - 1) // CUBOID_Z)
+        )
+        if time_sample_range is not None:
+            blocks = blocks.where(
+                (F.col("t") >= time_sample_range[0])
+                & (F.col("t") < time_sample_range[1])
+            )
+        vox = blocks.mapInPandas(blocks_to_voxels, VOXEL_SCHEMA).where(
+            (F.col("x") >= x0) & (F.col("x") < x0 + dx)
+            & (F.col("y") >= y0) & (F.col("y") < y0 + dy)
+            & (F.col("z") >= z0) & (F.col("z") < z0 + dz)
+        )
+        if filter_ids is not None:
+            vox = vox.where(F.col("value").isin(list(filter_ids)))
+        return vox
+
+    def cutout(
+        self,
+        corner: Sequence[int],
+        extent: Sequence[int],
+        resolution: int = 0,
+        time_sample_range: Sequence[int] | None = None,
+        filter_ids: Sequence[int] | None = None,
+    ) -> np.ndarray:
+        """Dense cutout as a [t,z,y,x] ndarray (driver assembly — the Cube
+        return of the reference, zeros for absent voxels)."""
+        t0, t1 = time_sample_range or (0, 1)
+        vox = self.cutout_voxels(
+            corner, extent, resolution, (t0, t1), filter_ids
+        ).toPandas()
+        (x0, y0, z0), (dx, dy, dz) = corner, extent
+        out = np.zeros((t1 - t0, dz, dy, dx), dtype=np.dtype(self.datatype))
+        if len(vox):
+            out[
+                vox["t"].to_numpy() - t0,
+                vox["z"].to_numpy() - z0,
+                vox["y"].to_numpy() - y0,
+                vox["x"].to_numpy() - x0,
+            ] = vox["value"].to_numpy().astype(np.dtype(self.datatype))
+        return out

@@ -1,0 +1,114 @@
+"""CuboidStore round-trips — the reference's own smoke-test style
+(int_test_spatialdb.py:39-530): write random cube, cut it back, arrays equal;
+merge-mode truth tables; time samples; id filter."""
+
+import numpy as np
+import pytest
+
+from spdb_spark.store import CuboidStore
+
+
+@pytest.fixture()
+def store(spark, tmp_path):
+    return CuboidStore(spark, str(tmp_path / "blocks"), datatype="uint8")
+
+
+def random_cube(shape, seed, lo=1, hi=254):
+    rng = np.random.default_rng(seed)
+    return rng.integers(lo, hi, size=shape).astype("uint8")
+
+
+def test_aligned_single_cuboid_roundtrip(store):
+    data = random_cube((16, 512, 512), 1)
+    store.write_cuboid(data, (0, 0, 0))
+    out = store.cutout((0, 0, 0), (512, 512, 16))
+    np.testing.assert_array_equal(out[0], data)
+
+
+def test_unaligned_multi_cuboid_roundtrip(store):
+    data = random_cube((24, 700, 600), 2)
+    store.write_cuboid(data, (300, 400, 7))
+    out = store.cutout((300, 400, 7), (600, 700, 24))
+    np.testing.assert_array_equal(out[0], data)
+
+
+def test_partial_read(store):
+    data = random_cube((16, 512, 512), 3)
+    store.write_cuboid(data, (0, 0, 0))
+    out = store.cutout((100, 200, 4), (50, 60, 8))
+    np.testing.assert_array_equal(out[0], data[4:12, 200:260, 100:150])
+
+
+def test_unwritten_region_is_zeros(store):
+    data = random_cube((16, 512, 512), 4)
+    store.write_cuboid(data, (0, 0, 0))
+    out = store.cutout((600, 600, 0), (64, 64, 16))
+    assert out.sum() == 0
+
+
+def test_overwrite_merge_semantics(store):
+    base = random_cube((16, 512, 512), 5)
+    store.write_cuboid(base, (0, 0, 0))
+    patch = np.zeros((8, 100, 100), dtype="uint8")
+    patch[::2, ::3, ::5] = 77  # sparse non-zero voxels
+    store.write_cuboid(patch, (50, 50, 4))
+    out = store.cutout((0, 0, 0), (512, 512, 16))[0]
+    expected = base.copy()
+    region = expected[4:12, 50:150, 50:150]
+    region[patch != 0] = patch[patch != 0]  # non-zero overwrites only
+    np.testing.assert_array_equal(out, expected)
+
+
+def test_exception_merge_fills_only_zeros(store):
+    base = np.zeros((16, 512, 512), dtype="uint8")
+    base[0:4] = 9
+    store.write_cuboid(base, (0, 0, 0))
+    fill = np.full((8, 64, 64), 33, dtype="uint8")
+    store.write_cuboid(fill, (0, 0, 0), mode="exception")
+    out = store.cutout((0, 0, 0), (512, 512, 16))[0]
+    assert (out[0:4, :64, :64] == 9).all()       # existing preserved
+    assert (out[4:8, :64, :64] == 33).all()      # zeros filled
+    assert (out[8:, :64, :64] == 0).all()
+
+
+def test_to_black_erases_masked(store):
+    base = random_cube((16, 512, 512), 6)
+    store.write_cuboid(base, (0, 0, 0))
+    mask = np.zeros((4, 64, 64), dtype="uint8")
+    mask[:, :32, :] = 1
+    store.write_cuboid(mask, (0, 0, 0), mode="to_black")
+    out = store.cutout((0, 0, 0), (512, 512, 16))[0]
+    assert out[0:4, 0:32, 0:64].sum() == 0
+    np.testing.assert_array_equal(out[0:4, 32:64, 0:64], base[0:4, 32:64, 0:64])
+
+
+def test_time_samples_and_missing_step_zeros(store):
+    t0 = random_cube((16, 64, 64), 7)
+    t2 = random_cube((16, 64, 64), 8)
+    store.write_cuboid(t0, (0, 0, 0), time_sample_start=0)
+    store.write_cuboid(t2, (0, 0, 0), time_sample_start=2)
+    out = store.cutout((0, 0, 0), (64, 64, 16), time_sample_range=(0, 3))
+    np.testing.assert_array_equal(out[0], t0)
+    assert out[1].sum() == 0  # missing middle step renders as zeros
+    np.testing.assert_array_equal(out[2], t2)
+
+
+def test_filtered_cutout(store):
+    data = np.zeros((16, 128, 128), dtype="uint8")
+    data[0, 0, 0:10] = 5
+    data[0, 1, 0:10] = 7
+    data[0, 2, 0:10] = 9
+    store.write_cuboid(data, (0, 0, 0))
+    out = store.cutout((0, 0, 0), (128, 128, 16), filter_ids=[5, 9])
+    assert set(np.unique(out)) == {0, 5, 9}
+    assert (out[0, 0, 0, 0:10] == 5).all()
+    assert (out[0, 0, 1, 0:10] == 0).all()
+
+
+def test_uint64_annotation_roundtrip(spark, tmp_path):
+    store = CuboidStore(spark, str(tmp_path / "anno"), datatype="uint64")
+    data = np.zeros((16, 512, 512), dtype="uint64")
+    data[2:6, 10:40, 10:40] = 10**15  # beyond uint32
+    store.write_cuboid(data, (0, 0, 0))
+    out = store.cutout((0, 0, 0), (512, 512, 16))
+    np.testing.assert_array_equal(out[0], data)
