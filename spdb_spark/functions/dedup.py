@@ -102,22 +102,19 @@ def jaccard_pairs(
 
 def minhash_signatures(sh: DataFrame, id_col: str, num_hashes: int = 16) -> DataFrame:
     """MinHash signature columns m0..m{n-1} per doc: m_j = min over shingles
-    of hash(j || ':' || shingle). One groupBy, n conditional mins."""
-    hashed = sh.select(
-        F.col(id_col).alias("doc"),
-        F.explode(
-            F.array(*[F.lit(j) for j in range(num_hashes)])
-        ).alias("j"),
-        "shingle",
-    ).withColumn(
-        "h",
-        md5_long(F.concat_ws(":", F.col("j").cast("string"), F.col("shingle"))),
-    )
+    of hash(j || ':' || shingle).
+
+    No row explosion: all n hashes evaluate per shingle row inside ONE
+    partial-aggregating groupBy (map-side combine shrinks the shuffle to
+    n longs per doc per partition — at 100TB the shuffle is the bottleneck,
+    not the hashing)."""
     aggs = [
-        F.min(F.when(F.col("j") == j, F.col("h"))).alias(f"m{j}")
+        F.min(
+            md5_long(F.concat_ws(":", F.lit(str(j)), F.col("shingle")))
+        ).alias(f"m{j}")
         for j in range(num_hashes)
     ]
-    return hashed.groupBy("doc").agg(*aggs)
+    return sh.groupBy(F.col(id_col).alias("doc")).agg(*aggs)
 
 
 def lsh_candidate_pairs(
@@ -171,7 +168,7 @@ def minhash_lsh_dedup(
     """Full MinHash-LSH near-dup pipeline: shingle -> minhash -> band ->
     bucket-join candidates -> exact-Jaccard verify. Output
     (id_a, id_b, jaccard) for verified pairs."""
-    sh = shingles(df, id_col, text_col, k)
+    sh = shingles(df, id_col, text_col, k).persist()
     sigs = minhash_signatures(sh, id_col, num_hashes)
     cands = lsh_candidate_pairs(sigs, bands, rows)
     sh_d = sh.select(F.col(id_col).alias("doc"), "shingle")

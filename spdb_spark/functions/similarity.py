@@ -99,6 +99,21 @@ def lsh_signature(vec: Column, dim: int, n_planes: int = 16) -> Column:
     return sig
 
 
+def lsh_signatures(vec: Column, dim: int, n_planes: int, n_tables: int) -> Column:
+    """Array of per-table hyperplane signatures (table l uses planes
+    l*n_planes .. (l+1)*n_planes-1)."""
+    sigs = []
+    for table in range(n_tables):
+        sig = F.lit(0).cast("long")
+        for p in range(n_planes):
+            w = F.array(*[F.lit(c) for c in hyperplane(dim, table * n_planes + p)])
+            sig = sig + F.when(
+                dot(_as_double(vec), w) > 0, F.shiftleft(F.lit(1).cast("long"), p)
+            ).otherwise(F.lit(0).cast("long"))
+        sigs.append(F.struct(F.lit(table).alias("tbl"), sig.alias("sig")))
+    return F.array(*sigs)
+
+
 def lsh_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -107,32 +122,37 @@ def lsh_topk(
     vec_col: str = "embedding",
     k: int = 10,
     n_planes: int = 8,
+    n_tables: int = 8,
 ) -> DataFrame:
-    """Approximate top-k: score only corpus vectors sharing the query's
-    hyperplane bucket. Recall < 1 by construction; n_planes trades recall
-    for candidate-set size (each plane halves the expected bucket)."""
+    """Approximate top-k with multi-table hyperplane LSH: candidates share a
+    full signature in ANY of `n_tables` independent tables (OR-construction
+    — recall 1-(1-q^r)^L), then exact cosine re-rank within candidates.
+    n_planes trades candidate-set size against recall per table."""
     from pyspark.sql import Window
 
+    sig = lambda v: F.explode(lsh_signatures(v, dim, n_planes, n_tables))  # noqa: E731
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         _as_double(F.col(vec_col)).alias("c_vec"),
-        lsh_signature(F.col(vec_col), dim, n_planes).alias("bucket"),
-    )
+        sig(F.col(vec_col)).alias("b"),
+    ).select("neighbor_id", "c_vec", "b.tbl", "b.sig")
     q = F.broadcast(
         queries.select(
             F.col(id_col).alias("query_id"),
             _as_double(F.col(vec_col)).alias("q_vec"),
-            lsh_signature(F.col(vec_col), dim, n_planes).alias("bucket"),
-        )
+            sig(F.col(vec_col)).alias("b"),
+        ).select("query_id", "q_vec", "b.tbl", "b.sig")
     )
-    scored = (
-        c.join(q, "bucket")
+    cands = (
+        c.join(q, ["tbl", "sig"])
         .where(F.col("neighbor_id") != F.col("query_id"))
-        .select(
-            "query_id",
-            "neighbor_id",
-            F.round(cosine(F.col("q_vec"), F.col("c_vec")), 6).alias("cos_sim"),
-        )
+        .select("query_id", "q_vec", "neighbor_id", "c_vec")
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    scored = cands.select(
+        "query_id",
+        "neighbor_id",
+        F.round(cosine(F.col("q_vec"), F.col("c_vec")), 6).alias("cos_sim"),
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.col("neighbor_id"))
     return (

@@ -295,7 +295,7 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows-only for the driver (LSH bucketing is the non-SQL scale path)."""
     embs = _embs(spark, sf_dir)
     queries = embs.where(F.col("vec_id") % 50 == 0)
-    return S.lsh_topk(embs, queries, dim=64, k=10, n_planes=8)
+    return S.lsh_topk(embs, queries, dim=64, k=10, n_planes=8, n_tables=4)
 
 
 # --- multimodal plumbing ---------------------------------------------------

@@ -1,0 +1,195 @@
+"""Direct-semantics unit tests for operators not covered by the DuckDB
+oracle (reference style: merge/filter truth tables, test_cube.py)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from spdb_spark.operators import voxel as V
+
+
+def vdf(spark, rows):
+    return spark.createDataFrame(rows, "t long, x long, y long, z long, value long")
+
+
+def as_set(df):
+    return {tuple(r) for r in df.collect()}
+
+
+def test_annotate_preserve_policy(spark):
+    data = vdf(spark, [(0, 1, 1, 1, 5)])
+    locs = vdf(spark, [(0, 1, 1, 1, 0), (0, 2, 2, 2, 0)]).select("t", "x", "y", "z")
+    result, exc = V.annotate(data, locs, 99, conflict="P")
+    assert exc is None
+    assert as_set(result) == {(0, 1, 1, 1, 5), (0, 2, 2, 2, 99)}
+
+
+def test_annotate_overwrite_policy(spark):
+    data = vdf(spark, [(0, 1, 1, 1, 5)])
+    locs = vdf(spark, [(0, 1, 1, 1, 0)]).select("t", "x", "y", "z")
+    result, _ = V.annotate(data, locs, 99, conflict="O")
+    assert as_set(result) == {(0, 1, 1, 1, 99)}
+
+
+def test_annotate_exception_policy(spark):
+    data = vdf(spark, [(0, 1, 1, 1, 5), (0, 3, 3, 3, 99)])
+    locs = vdf(
+        spark, [(0, 1, 1, 1, 0), (0, 2, 2, 2, 0), (0, 3, 3, 3, 0)]
+    ).select("t", "x", "y", "z")
+    result, exc = V.annotate(data, locs, 99, conflict="E")
+    # conflicting voxel (1,1,1) preserved; same-id voxel is not an exception
+    assert as_set(result) == {(0, 1, 1, 1, 5), (0, 2, 2, 2, 99), (0, 3, 3, 3, 99)}
+    assert as_set(exc) == {(0, 1, 1, 1)}
+
+
+def test_shave_id(spark):
+    data = vdf(spark, [(0, 1, 1, 1, 7), (0, 2, 2, 2, 8), (0, 3, 3, 3, 7)])
+    locs = vdf(spark, [(0, 1, 1, 1, 0), (0, 2, 2, 2, 0)]).select("t", "x", "y", "z")
+    result, exc = V.shave_id(data, locs, 7)
+    assert as_set(result) == {(0, 2, 2, 2, 8), (0, 3, 3, 3, 7)}  # only id-7 listed voxels shaved
+    assert as_set(exc) == {(0, 2, 2, 2)}  # listed voxel holding another id
+
+
+def test_relabel_with_map(spark):
+    data = vdf(spark, [(0, 1, 1, 1, 7), (0, 2, 2, 2, 8), (0, 3, 3, 3, 9)])
+    mapping = spark.createDataFrame([(7, 100), (9, 200)], "old_id long, new_id long")
+    out = V.relabel_with_map(data, mapping)
+    assert {r.value for r in out.collect()} == {100, 8, 200}
+
+
+def test_relabel_all(spark):
+    data = vdf(spark, [(0, 1, 1, 1, 7), (0, 2, 2, 2, 8)])
+    out = V.relabel_all(data, 42)
+    assert {r.value for r in out.collect()} == {42}
+
+
+def test_time_filled_renders_missing_as_zero(spark):
+    data = vdf(spark, [(0, 1, 1, 1, 5), (2, 1, 1, 1, 9)])
+    out = V.time_filled(data, 0, 3)
+    assert as_set(out) == {(0, 1, 1, 1, 5), (1, 1, 1, 1, 0), (2, 1, 1, 1, 9)}
+
+
+def test_id_filter_dataframe_broadcast_path(spark):
+    data = vdf(spark, [(0, 1, 1, 1, 5), (0, 2, 2, 2, 6), (0, 3, 3, 3, 7)])
+    ids = spark.createDataFrame([(5,), (7,)], "id long")
+    out = V.id_filter(data, ids)
+    assert {r.value for r in out.collect()} == {5, 7}
+
+
+def test_overwrite_merge_zero_never_erases(spark):
+    old = vdf(spark, [(0, 1, 1, 1, 5)])
+    new = vdf(spark, [(0, 1, 1, 1, 0), (0, 2, 2, 2, 3)])
+    out = V.overwrite_merge(old, new)
+    assert as_set(out) == {(0, 1, 1, 1, 5), (0, 2, 2, 2, 3)}
+
+
+def test_get_ann_value_quirk(spark):
+    """addData.c:43 quirk: v11-step with running value 0 assigns v10 (==0
+    there), NOT v11 — a lone v11 never survives."""
+    # 2x2 block at origin: only corner (x=1, y=1) set -> v11 = 8
+    data = vdf(spark, [(0, 1, 1, 0, 8)])
+    out = V.downsample_annotation(data, isotropic=False)
+    assert out.count() == 0  # quirk: v11 alone yields background
+
+    # v10 alone (x=0, y=1) DOES survive
+    data2 = vdf(spark, [(0, 0, 1, 0, 8)])
+    out2 = V.downsample_annotation(data2, isotropic=False)
+    assert as_set(out2) == {(0, 0, 0, 0, 8)}
+
+
+def test_downsample_annotation_majority(spark):
+    # 2x2 block: v00=1, v01=2, v10=2, v11=2 -> v10 matches v01 -> 2
+    data = vdf(
+        spark,
+        [(0, 0, 0, 0, 1), (0, 1, 0, 0, 2), (0, 0, 1, 0, 2), (0, 1, 1, 0, 2)],
+    )
+    out = V.downsample_annotation(data, isotropic=False)
+    assert as_set(out) == {(0, 0, 0, 0, 2)}
+
+
+def test_asof_join_inclusive_and_ordering(spark):
+    from spdb_spark.operators.relational import asof_join_backward
+
+    left = spark.createDataFrame(
+        [(1, 100, "p1"), (1, 50, "p2"), (2, 10, "p3")],
+        "user long, ts_ms long, pid string",
+    )
+    right = spark.createDataFrame(
+        [(1, 100, "c_at_100"), (1, 40, "c_at_40"), (1, 60, "c_at_60")],
+        "user long, ts_ms long, cid string",
+    )
+    out = asof_join_backward(
+        left, right, on=["user"], ts="ts_ms", right_cols=["cid"]
+    )
+    got = {(r.pid, r.cid_right) for r in out.collect()}
+    # p1@100 gets the click AT 100 (inclusive); p2@50 gets 40; p3 none
+    assert got == {("p1", "c_at_100"), ("p2", "c_at_40"), ("p3", None)}
+
+
+def test_lsh_ann_recall_vs_brute_force(spark, tables):
+    from spdb_spark.functions.similarity import brute_force_topk, lsh_topk
+
+    embs = tables["embeddings"]
+    queries = embs.where(F.col("vec_id") % 100 == 0)
+    exact = brute_force_topk(embs, queries, k=5).select("query_id", "neighbor_id")
+    approx = lsh_topk(embs, queries, dim=64, k=5, n_planes=4, n_tables=8).select(
+        "query_id", "neighbor_id"
+    )
+    n_exact = exact.count()
+    hits = exact.intersect(approx).count()
+    assert n_exact > 0
+    # multi-table OR-construction: real recall even on near-orthogonal
+    # random vectors (top-5 "neighbors" here have cosine ~0.3)
+    assert hits / n_exact > 0.3
+
+
+def test_multimodal_frame_features_deterministic(spark, tables):
+    from spdb_spark.functions.multimodal import extract_frame_features, with_media_columns
+
+    media = with_media_columns(tables["documents"].limit(10), "doc_id", "text")
+    f1 = extract_frame_features(media, n_frames=2, dim=4).collect()
+    f2 = extract_frame_features(media, n_frames=2, dim=4).collect()
+    assert len(f1) == 20
+    assert all(r.status == "ok" for r in f1)
+    m1 = {(r.media_id, r.frame_idx): r.feature for r in f1}
+    m2 = {(r.media_id, r.frame_idx): r.feature for r in f2}
+    assert m1 == m2  # stub decode is deterministic
+
+
+def test_catalog_hierarchy_math(spark):
+    from spdb_spark.catalog import (
+        Channel,
+        Collection,
+        CoordinateFrame,
+        Experiment,
+        Resource,
+    )
+
+    # the reference's canonical fixture: 4x4x35nm voxels, 7 levels
+    r = Resource(
+        Collection("col1"),
+        Experiment("exp1", num_hierarchy_levels=7, hierarchy_method="anisotropic"),
+        CoordinateFrame(
+            "cf1", 0, 2000, 0, 5000, 0, 200,
+            x_voxel_size=4, y_voxel_size=4, z_voxel_size=35,
+        ),
+        Channel("ch1", "image", "uint8"),
+    )
+    # 4 -> 8 -> 16 -> 32 >= 35 at level 3... (catches up when vx >= vz)
+    assert r.get_isotropic_level() == 4
+    dims = r.get_downsampled_voxel_dims()
+    assert dims[0] == [4, 4, 35]
+    assert dims[1] == [8, 8, 35]  # anisotropic: z fixed
+    ext = r.get_downsampled_extent_dims()
+    assert ext[0] == [2000, 5000, 200]
+    assert ext[1] == [1000, 2500, 200]
+    with pytest.raises(ValueError):
+        Channel("bad", "image", "float32")
+
+
+def test_reserve_ids(tmp_path):
+    from spdb_spark.catalog import reserve_ids
+
+    p = str(tmp_path / "counters.json")
+    assert reserve_ids(None, p, "k1", 10) == (1, 11)
+    assert reserve_ids(None, p, "k1", 5) == (11, 16)
+    assert reserve_ids(None, p, "k2", 3) == (1, 4)

@@ -1,0 +1,65 @@
+"""Physical-plan quality gates: the 100TB posture is only real if the plans
+show it. Assert predicate pushdown into parquet scans, broadcast join
+selection for dimension/id-list joins, and partial aggregation."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from spdb_spark.operators import voxel as V
+
+
+def plan_of(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+@pytest.fixture(scope="module")
+def voxel_parquet(spark, tmp_path_factory):
+    from spdb_spark.fixtures import voxels_df
+
+    path = str(tmp_path_factory.mktemp("vox") / "voxels.parquet")
+    voxels_df(spark, "/root/testdata/sf0.001").write.parquet(path)
+    return spark.read.parquet(path)
+
+
+def test_cutout_pushes_box_predicate_to_scan(voxel_parquet):
+    df = V.cutout(voxel_parquet, (256, 256, 8), (1024, 1024, 32))
+    plan = plan_of(df)
+    assert "PushedFilters" in plan
+    # box bounds must reach the parquet scan (row-group min/max skipping)
+    assert "GreaterThanOrEqual(x,256)" in plan and "LessThan(x,1280)" in plan
+
+
+def test_id_filter_literal_list_stays_in_scan(voxel_parquet):
+    df = V.id_filter(voxel_parquet, [5, 10, 15])
+    plan = plan_of(df)
+    assert "In(value, [" in plan  # literal IN pushed to the scan
+
+
+def test_id_filter_dataframe_uses_broadcast_join(voxel_parquet, spark):
+    ids = spark.createDataFrame([(5,), (10,)], "id long")
+    df = V.id_filter(voxel_parquet, ids)
+    plan = plan_of(df)
+    assert "BroadcastHashJoin" in plan
+    assert "LeftSemi" in plan
+
+
+def test_q5_broadcasts_dimensions(spark):
+    from spdb_spark.suite_relational import q5_region_revenue
+
+    plan = plan_of(q5_region_revenue(spark, "/root/testdata/sf0.001"))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_downsample_uses_partial_aggregation(voxel_parquet):
+    df = V.downsample_image_avg(voxel_parquet)
+    plan = plan_of(df)
+    # two HashAggregates (partial + final) around one shuffle
+    assert plan.count("HashAggregate") >= 2
+    assert "partial_avg" in plan or "partial" in plan
+
+
+def test_whole_stage_codegen_covers_cutout(voxel_parquet):
+    df = V.cutout(voxel_parquet, (0, 0, 0), (512, 512, 16))
+    plan = plan_of(df)
+    # '*(n)' marks WholeStageCodegen stages in the plan string
+    assert "*(1)" in plan

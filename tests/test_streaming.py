@@ -1,0 +1,79 @@
+"""Structured Streaming ingest: micro-batch merge with latest-write-wins
+(replaces the reference's write-buffer/flush pipeline, SURVEY.md §2.8)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from spdb_spark.streaming.ingest import StreamingVoxelIngest, latest_wins, merge_batch
+
+
+def vox_rows(spark, rows):
+    return spark.createDataFrame(
+        rows,
+        "lookup_key string, resolution int, t long, x long, y long, z long, "
+        "value long, seq long",
+    )
+
+
+def test_latest_wins_within_batch(spark):
+    batch = vox_rows(
+        spark,
+        [
+            ("k", 0, 0, 1, 1, 1, 10, 1),
+            ("k", 0, 0, 1, 1, 1, 20, 2),   # later write wins
+            ("k", 0, 0, 2, 2, 2, 5, 1),
+        ],
+    )
+    out = {(r.x, r.value) for r in latest_wins(batch).collect()}
+    assert out == {(1, 20), (2, 5)}
+
+
+def test_merge_batch_overwrite_and_zero_suppression(spark):
+    from spdb_spark.schema import VOXEL_SCHEMA
+
+    existing = spark.createDataFrame(
+        [("k", 0, 0, 1, 1, 1, 7), ("k", 0, 0, 3, 3, 3, 9)], VOXEL_SCHEMA
+    )
+    batch = vox_rows(
+        spark,
+        [
+            ("k", 0, 0, 1, 1, 1, 42, 1),  # overwrites 7
+            ("k", 0, 0, 5, 5, 5, 11, 2),  # new voxel
+            ("k", 0, 0, 3, 3, 3, 0, 3),   # zero does NOT erase (overwriteDense)
+        ],
+    )
+    out = {(r.x, r.value) for r in merge_batch(existing, batch).collect()}
+    assert out == {(1, 42), (3, 9), (5, 11)}
+
+
+def test_streaming_end_to_end(spark, tmp_path):
+    """Drive a real streaming query (file source, availableNow) through
+    foreachBatch into the voxel table."""
+    src = tmp_path / "incoming"
+    src.mkdir()
+    table = str(tmp_path / "voxtable")
+    ckpt = str(tmp_path / "ckpt")
+
+    batch1 = vox_rows(
+        spark, [("k", 0, 0, 1, 1, 1, 10, 1), ("k", 0, 0, 2, 2, 2, 20, 2)]
+    )
+    batch1.write.parquet(str(src / "b1"))
+
+    schema = batch1.schema
+    stream = spark.readStream.schema(schema).option(
+        "maxFilesPerTrigger", 1
+    ).parquet(str(src / "*"))
+    sink = StreamingVoxelIngest(spark, table)
+    q = sink.start(stream, ckpt)
+    q.awaitTermination(120)
+
+    state = {(r.x, r.value) for r in sink.read_state().collect()}
+    assert state == {(1, 10), (2, 20)}
+
+    # second batch overwrites voxel (1,1,1)
+    batch2 = vox_rows(spark, [("k", 0, 0, 1, 1, 1, 99, 3)])
+    batch2.write.parquet(str(src / "b2"))
+    q2 = sink.start(stream, ckpt)
+    q2.awaitTermination(120)
+    state = {(r.x, r.value) for r in sink.read_state().collect()}
+    assert state == {(1, 99), (2, 20)}
