@@ -43,14 +43,20 @@ def fingerprint_dup_groups(df: DataFrame, id_col: str, text_col: str) -> DataFra
 
 
 def shingles(df: DataFrame, id_col: str, text_col: str, k: int = 3) -> DataFrame:
-    """Distinct word k-shingles per document: (id, shingle)."""
-    toks = tokens(F.col(text_col))
+    """Distinct word k-shingles per document: (id, shingle).
+
+    The token array is materialized as its own projection first — inlining
+    it into the transform lambda would re-split the text once per element
+    (quadratic per document; Catalyst keeps multi-referenced non-cheap
+    expressions un-inlined since collapseProjectAlwaysInline=false)."""
+    with_toks = df.select(F.col(id_col), tokens(F.col(text_col)).alias("_toks"))
+    t = F.col("_toks")
     sh = F.transform(
-        F.sequence(F.lit(0), F.greatest(F.size(toks) - k, F.lit(0))),
-        lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j + 1) for j in range(k)]),
+        F.sequence(F.lit(0), F.greatest(F.size(t) - k, F.lit(0))),
+        lambda i: F.concat_ws(" ", *[F.element_at(t, i + j + 1) for j in range(k)]),
     )
     return (
-        df.select(F.col(id_col), F.explode(sh).alias("shingle"))
+        with_toks.select(F.col(id_col), F.explode(sh).alias("shingle"))
         .distinct()
     )
 
