@@ -254,6 +254,50 @@ class CuboidStore:
         )
         staged.unpersist()
 
+    # -- resolution hierarchy ------------------------------------------------
+
+    def build_pyramid(
+        self,
+        num_levels: int,
+        channel_type: str = "image",
+        method: str = "avg",
+        isotropic: bool = False,
+    ) -> None:
+        """Materialize resolution levels 1..num_levels-1, each from the
+        previous (reference: the downsample pipeline over addData.c /
+        zoomData.c kernels). Image channels reduce 2x2 xy by average
+        (method='avg') or stride pick (method='stride' == zoomOutData);
+        annotation channels use the exact getAnnValue reduction. Each level
+        is one job writing its own (lookup_key, resolution) partition."""
+        from spdb_spark.operators import voxel as V
+
+        for level in range(1, num_levels):
+            vox = self.voxels(resolution=level - 1)
+            if channel_type == "annotation":
+                down = V.downsample_annotation(vox, isotropic=isotropic)
+            elif method == "stride":
+                down = V.downsample_image_stride(vox, factor=1)
+            else:
+                down = V.downsample_image_avg(vox, factor=1).withColumn(
+                    "value", F.col("value").cast("long")
+                )
+            down = down.where(F.col("value") != 0).select(
+                F.lit(self.lookup_key).alias("lookup_key"),
+                F.lit(level).alias("resolution"),
+                "t",
+                "x",
+                "y",
+                "z",
+                "value",
+            )
+            blocks = self._voxels_to_blocks(down, level)
+            (
+                blocks.sortWithinPartitions("t", "morton")
+                .write.mode("overwrite")
+                .partitionBy("lookup_key", "resolution")
+                .parquet(self.path)
+            )
+
     # -- read path ----------------------------------------------------------
 
     def cutout_voxels(

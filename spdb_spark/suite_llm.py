@@ -290,6 +290,48 @@ QUALIFY rank <= 10
 """
 
 
+_COS_TAU = 0.45
+
+
+def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs: all (a<b) with cosine >= tau.
+    Brute-force all-pairs is the correctness baseline; the LSH-bucketed
+    variant (q_ann_lsh) is the 100TB path."""
+    embs = _embs(spark, sf_dir)
+    a = embs.select(
+        F.col("vec_id").alias("id_a"),
+        F.col("embedding").cast("array<double>").alias("va"),
+    )
+    b = embs.select(
+        F.col("vec_id").alias("id_b"),
+        F.col("embedding").cast("array<double>").alias("vb"),
+    )
+    return (
+        a.crossJoin(b)
+        .where(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.round(S.cosine(F.col("va"), F.col("vb")), 6).alias("cos_sim"),
+        )
+        .where(F.col("cos_sim") >= _COS_TAU)
+    )
+
+
+SQL_DEDUP_EMBEDDING = f"""
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       ROUND(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+             / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
+                * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))),
+             6) AS cos_sim
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE ROUND(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+            / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
+               * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))),
+            6) >= {_COS_TAU}
+"""
+
+
 def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate variant — recall checked against brute force in tests;
     rows-only for the driver (LSH bucketing is the non-SQL scale path)."""
@@ -336,6 +378,7 @@ QUERIES = {
     "llm_text_stats": (q_text_stats, SQL_TEXT_STATS),
     "llm_text_fingerprint": (q_text_fingerprint, SQL_TEXT_FINGERPRINT),
     "llm_ann_topk": (q_ann_topk, SQL_ANN_TOPK),
+    "llm_dedup_embedding": (q_dedup_embedding, SQL_DEDUP_EMBEDDING),
     "llm_ann_lsh": (q_ann_lsh, None),
     "llm_multimodal_meta": (q_multimodal_meta, SQL_MULTIMODAL_META),
 }

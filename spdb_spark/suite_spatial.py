@@ -428,8 +428,37 @@ WHERE NOT EXISTS (
 """
 
 
+def q_spatial_recolor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Annotation recolor via broadcast palette join (recolorCube.c keyed
+    value % 181; palette generated from md5, not copied)."""
+    from spdb_spark.operators.render import recolor
+
+    v = voxels_df(spark, sf_dir, value_expr=VALUE_ANNO, dedup=True)
+    return recolor(v)
+
+
+SQL_SPATIAL_RECOLOR = f"""
+WITH pal AS (
+  SELECT CAST(r.range AS INTEGER) AS pid,
+         CAST(('0x' || substr(md5('palette:' || CAST(r.range AS VARCHAR)), 1, 2)) AS INTEGER) AS r,
+         CAST(('0x' || substr(md5('palette:' || CAST(r.range AS VARCHAR)), 3, 2)) AS INTEGER) AS g,
+         CAST(('0x' || substr(md5('palette:' || CAST(r.range AS VARCHAR)), 5, 2)) AS INTEGER) AS b,
+         255 AS a
+  FROM range(0, 181) r
+)
+SELECT v.t, v.x, v.y, v.z, v.value,
+       CASE WHEN v.value = 0 THEN 0 ELSE pal.r END AS r,
+       CASE WHEN v.value = 0 THEN 0 ELSE pal.g END AS g,
+       CASE WHEN v.value = 0 THEN 0 ELSE pal.b END AS b,
+       CASE WHEN v.value = 0 THEN 0 ELSE pal.a END AS a
+FROM {voxels_sql(value_expr=VALUE_ANNO, dedup=True)} AS v
+LEFT JOIN pal ON pal.pid = CAST(v.value % 181 AS INTEGER)
+"""
+
+
 QUERIES = {
     "spatial_cutout": (q_spatial_cutout, SQL_SPATIAL_CUTOUT),
+    "spatial_recolor": (q_spatial_recolor, SQL_SPATIAL_RECOLOR),
     "spatial_cutout_filtered": (q_spatial_cutout_filtered, SQL_SPATIAL_CUTOUT_FILTERED),
     "spatial_cuboid_agg": (q_spatial_cuboid_agg, SQL_SPATIAL_CUBOID_AGG),
     "spatial_ids_in_region": (q_spatial_ids_in_region, SQL_SPATIAL_IDS_IN_REGION),
