@@ -17,9 +17,11 @@ from spdb_spark.fixtures import VALUE_ANNO, VALUE_IMAGE, voxels_df, voxels_sql
 from spdb_spark.morton import morton_encode_sql
 from spdb_spark.operators import voxel as V
 
-# Canonical test parameters (cover multi-cuboid, unaligned boxes).
-BOX_CORNER = (256, 256, 8)
-BOX_EXTENT = (1024, 1024, 32)
+# Canonical test parameters: unaligned corner, extents crossing multiple
+# cuboid boundaries in every axis, non-empty at every scale factor (sf0.001
+# derived y only reaches ~200, so the box must start below that).
+BOX_CORNER = (128, 64, 4)
+BOX_EXTENT = (1280, 1024, 32)
 T_RANGE = (0, 2)
 FILTER_IDS = (5, 10, 15, 20, 25, 41)
 ANNO_ID = 7
