@@ -627,8 +627,60 @@ GROUP BY n_name
 """
 
 
+# --- cube grouping sets ----------------------------------------------------
+
+def q_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (orders,) = _t(spark, sf_dir, "orders")
+    return (
+        orders.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+        )
+        .select(
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+            "n",
+            "total",
+        )
+    )
+
+
+SQL_CUBE = """
+SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+       COALESCE(o_orderpriority, 'ALL') AS priority,
+       COUNT(*) AS n, ROUND(SUM(o_totalprice), 2) AS total
+FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+"""
+
+
+# --- ordered collect / string agg ------------------------------------------
+
+def q_collect_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nation, supp = _t(spark, sf_dir, "nation", "supplier")
+    return (
+        supp.join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(
+            F.array_join(F.array_sort(F.collect_list("s_name")), ",").alias("suppliers"),
+            F.count("*").alias("n_suppliers"),
+        )
+    )
+
+
+SQL_COLLECT_SORTED = """
+SELECT n_name,
+       string_agg(s_name, ',' ORDER BY s_name) AS suppliers,
+       COUNT(*) AS n_suppliers
+FROM supplier JOIN nation ON s_nationkey = n_nationkey
+GROUP BY n_name
+"""
+
+
 QUERIES = {
     "q1_pricing_summary": (q1_pricing_summary, SQL_Q1),
+    "q_cube": (q_cube, SQL_CUBE),
+    "q_collect_sorted": (q_collect_sorted, SQL_COLLECT_SORTED),
     "q3_top_orders": (q3_top_orders, SQL_Q3),
     "q5_region_revenue": (q5_region_revenue, SQL_Q5),
     "q_semi_join": (q_semi_join, SQL_SEMI_JOIN),
