@@ -182,6 +182,44 @@ def catalog_df(spark: SparkSession, resources: list[Resource]) -> DataFrame:
     return spark.createDataFrame(rows)
 
 
+def resource_to_dict(r: Resource) -> dict:
+    """JSON-able resource serde (reference: resource.py:304-337 to_json /
+    basicresource.py:37-63 from_json round-trip)."""
+    from dataclasses import asdict
+
+    return {
+        "lookup_key": r.lookup_key,
+        "boss_key": r.boss_key,
+        "collection": asdict(r.collection),
+        "experiment": asdict(r.experiment),
+        "coord_frame": asdict(r.coord_frame),
+        "channel": asdict(r.channel),
+    }
+
+
+def resource_from_dict(d: dict) -> Resource:
+    return Resource(
+        Collection(**d["collection"]),
+        Experiment(**d["experiment"]),
+        CoordinateFrame(**d["coord_frame"]),
+        Channel(**d["channel"]),
+        lookup_key=d.get("lookup_key", ""),
+        boss_key=d.get("boss_key", ""),
+    )
+
+
+def resource_to_json(r: Resource) -> str:
+    import json
+
+    return json.dumps(resource_to_dict(r), sort_keys=True)
+
+
+def resource_from_json(s: str) -> Resource:
+    import json
+
+    return resource_from_dict(json.loads(s))
+
+
 def reserve_ids(spark: SparkSession, counter_path: str, lookup_key: str, num_ids: int) -> tuple[int, int]:
     """Sequential id-block reservation per channel (reference:
     object_indices.py:667-728 conditional-counter semantics). Single-row
@@ -190,6 +228,7 @@ def reserve_ids(spark: SparkSession, counter_path: str, lookup_key: str, num_ids
     import json
     import os
 
+    os.makedirs(os.path.dirname(counter_path) or ".", exist_ok=True)
     counters = {}
     if os.path.exists(counter_path):
         with open(counter_path) as f:

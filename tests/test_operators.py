@@ -193,3 +193,27 @@ def test_reserve_ids(tmp_path):
     assert reserve_ids(None, p, "k1", 10) == (1, 11)
     assert reserve_ids(None, p, "k1", 5) == (11, 16)
     assert reserve_ids(None, p, "k2", 3) == (1, 4)
+
+
+def test_resource_json_roundtrip():
+    from spdb_spark.catalog import (
+        Channel,
+        Collection,
+        CoordinateFrame,
+        Experiment,
+        Resource,
+        resource_from_json,
+        resource_to_json,
+    )
+
+    r = Resource(
+        Collection("col1", "desc"),
+        Experiment("exp1", num_hierarchy_levels=7),
+        CoordinateFrame("cf", 0, 2000, 0, 5000, 0, 200),
+        Channel("anno1", "annotation", "uint64", sources=["ch1"]),
+        lookup_key="4&3&345",
+    )
+    s = resource_to_json(r)
+    r2 = resource_from_json(s)
+    assert r2 == r
+    assert resource_to_json(r2) == s
