@@ -161,6 +161,58 @@ def lsh_candidate_pairs(
     )
 
 
+def dup_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
+    """Transitive closure of near-dup pairs: connected components via
+    iterative min-label propagation (the step that turns pairwise matches
+    into dedup groups). Each iteration is one join + one min-agg; the loop
+    terminates when no label changes (checked with a cheap count) or at
+    max_iter. Iterative by nature — not SQL-expressible in one query.
+
+    Input: (id_a, id_b) pairs. Output: (id, cluster_id) for every id that
+    appears in a pair, cluster_id = min id of its component."""
+    edges = (
+        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+        .union(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
+        .distinct()
+        .persist()
+    )
+    labels = (
+        edges.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("cluster_id", F.col("id"))
+        .persist()
+    )
+    for _ in range(max_iter):
+        neighbor_min = (
+            edges.join(labels, edges.dst == labels.id)
+            .groupBy("src")
+            .agg(F.min("cluster_id").alias("nbr_min"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.id == neighbor_min.src, "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("cluster_id"), F.coalesce(F.col("nbr_min"), F.col("cluster_id"))
+                ).alias("cluster_id"),
+            )
+            .persist()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .where(F.col("n.cluster_id") != F.col("o.cluster_id"))
+            .limit(1)
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels
+
+
 def minhash_lsh_dedup(
     df: DataFrame,
     id_col: str,

@@ -197,13 +197,17 @@ FROM contrib GROUP BY doc_id
 def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir)
     c = F.col("text")
+    # floor-scaling instead of ROUND: both engines compute bit-identical
+    # doubles here, and floor is deterministic at decimal tie points where
+    # ROUND half-up (Spark) vs nearbyint (DuckDB) can disagree by 1e-6.
+    fl6 = lambda col: F.floor(col * 1000000) / 1000000  # noqa: E731
     return docs.select(
         "doc_id",
         T.token_count(c).alias("n_tokens"),
         T.word_token_count(c).alias("n_word_tokens"),
-        F.round(T.mean_token_length(c), 6).alias("mean_tok_len"),
-        F.round(T.stopword_ratio(c), 6).alias("stop_ratio"),
-        F.round(T.quality_score(c), 6).alias("quality"),
+        fl6(T.mean_token_length(c)).alias("mean_tok_len"),
+        fl6(T.stopword_ratio(c)).alias("stop_ratio"),
+        fl6(T.quality_score(c)).alias("quality"),
         T.lang_id(c).alias("pred_lang"),
     )
 
@@ -220,10 +224,10 @@ SQL_TEXT_STATS = f"""
 SELECT doc_id,
        CAST(n_tokens AS BIGINT) AS n_tokens,
        CAST(n_word_tokens AS BIGINT) AS n_word_tokens,
-       ROUND(mean_tok_len, 6) AS mean_tok_len,
-       ROUND(stop_ratio, 6) AS stop_ratio,
-       ROUND(LEAST(n_tokens / 100.0, 1.0) * 0.4 + stop_ratio * 0.3
-             + LEAST(mean_tok_len / 8.0, 1.0) * 0.3, 6) AS quality,
+       FLOOR(mean_tok_len * 1000000) / 1000000 AS mean_tok_len,
+       FLOOR(stop_ratio * 1000000) / 1000000 AS stop_ratio,
+       FLOOR((LEAST(n_tokens / 100.0, 1.0) * 0.4 + stop_ratio * 0.3
+              + LEAST(mean_tok_len / 8.0, 1.0) * 0.3) * 1000000) / 1000000 AS quality,
        CASE WHEN GREATEST(h_de, h_en, h_es, h_fr) = 0 THEN 'und'
             WHEN h_de >= h_en AND h_de >= h_es AND h_de >= h_fr THEN 'de'
             WHEN h_en >= h_es AND h_en >= h_fr THEN 'en'
@@ -340,6 +344,14 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.lsh_topk(embs, queries, dim=64, k=10, n_planes=8, n_tables=4)
 
 
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive dedup groups from exact-Jaccard pairs (iterative min-label
+    propagation — rows-only: iteration isn't one SQL query)."""
+    sh = D.shingles(_docs(spark, sf_dir), "doc_id", "text", k=3)
+    pairs = D.jaccard_pairs(sh, "doc_id", threshold=_JACC_THRESHOLD)
+    return D.dup_clusters(pairs)
+
+
 # --- multimodal plumbing ---------------------------------------------------
 
 def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -380,5 +392,6 @@ QUERIES = {
     "llm_ann_topk": (q_ann_topk, SQL_ANN_TOPK),
     "llm_dedup_embedding": (q_dedup_embedding, SQL_DEDUP_EMBEDDING),
     "llm_ann_lsh": (q_ann_lsh, None),
+    "llm_dedup_clusters": (q_dedup_clusters, None),
     "llm_multimodal_meta": (q_multimodal_meta, SQL_MULTIMODAL_META),
 }

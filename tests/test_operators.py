@@ -217,3 +217,14 @@ def test_resource_json_roundtrip():
     r2 = resource_from_json(s)
     assert r2 == r
     assert resource_to_json(r2) == s
+
+
+def test_dup_clusters_connected_components(spark):
+    from spdb_spark.functions.dedup import dup_clusters
+
+    # components: {1,2,3,4} (chain), {10,11}, singleton pairs absent
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11)], "id_a long, id_b long"
+    )
+    out = {(r.id, r.cluster_id) for r in dup_clusters(pairs).collect()}
+    assert out == {(1, 1), (2, 1), (3, 1), (4, 1), (10, 10), (11, 10)}
