@@ -74,7 +74,8 @@ def q_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = D.shingles(_docs(spark, sf_dir), "doc_id", "text", k=3)
     pairs = D.jaccard_pairs(sh, "doc_id", threshold=_JACC_THRESHOLD)
     return pairs.select(
-        "id_a", "id_b", F.round("jaccard", 6).alias("jaccard")
+        "id_a", "id_b",
+        (F.floor(F.col("jaccard") * 1000000) / 1000000).alias("jaccard"),
     )
 
 
@@ -87,7 +88,7 @@ inter AS (
   GROUP BY a.doc, b.doc
 )
 SELECT i.doc_a AS id_a, i.doc_b AS id_b,
-       ROUND(CAST(i.inter AS DOUBLE) / (sa.sz + sb.sz - i.inter), 6) AS jaccard
+       FLOOR(CAST(i.inter AS DOUBLE) / (sa.sz + sb.sz - i.inter) * 1000000) / 1000000 AS jaccard
 FROM inter i
 JOIN sizes sa ON sa.doc = i.doc_a
 JOIN sizes sb ON sb.doc = i.doc_b
@@ -111,7 +112,10 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         rows=_MH_ROWS,
         threshold=_MH_THRESH,
     )
-    return pairs.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+    return pairs.select(
+        "id_a", "id_b",
+        (F.floor(F.col("jaccard") * 1000000) / 1000000).alias("jaccard"),
+    )
 
 
 def _minhash_pivot_sql() -> str:
@@ -158,7 +162,7 @@ inter AS (
   GROUP BY c.doc_a, c.doc_b
 )
 SELECT i.doc_a AS id_a, i.doc_b AS id_b,
-       ROUND(CAST(i.inter AS DOUBLE) / (sa.sz + sb.sz - i.inter), 6) AS jaccard
+       FLOOR(CAST(i.inter AS DOUBLE) / (sa.sz + sb.sz - i.inter) * 1000000) / 1000000 AS jaccard
 FROM inter i
 JOIN sizes sa ON sa.doc = i.doc_a
 JOIN sizes sb ON sb.doc = i.doc_b

@@ -3,9 +3,13 @@ windows, set ops, rollup, JSON and scalar functions — the general-purpose
 operator surface (SURVEY.md §2.5/§2.7 "built-in if added" rows + north-star
 additions), each with a DuckDB oracle.
 
-Float policy: money aggregates are ROUND()ed (2dp sums / 6dp averages) in
-BOTH engines so partial-aggregation summation order can't flip the value
-hash; per-row scalar math needs no rounding (deterministic in both).
+Float policy: money aggregates are computed on exact integer cents
+(prices/discounts/taxes are 2dp; 0-decimal ROUND is half-away-from-zero in
+both engines) — double summation order varies across partitions AND runs,
+so summing doubles then rounding is latently nondeterministic at decimal
+tie points. Integer sums are exact; final /100.0 divisions and
+floor-scalings of the resulting doubles are bit-identical in both engines.
+Per-row scalar math needs no such care (deterministic in both).
 """
 
 from __future__ import annotations
@@ -25,19 +29,29 @@ def _t(spark, sf_dir, *names):
 # --- q1: pricing summary (scan + filter + groupBy agg) ---------------------
 
 def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Money terms computed on exact integer cents (prices/discounts/taxes
+    are 2dp): double summation order varies across partitions AND engines,
+    so summing doubles then rounding is nondeterministic at tie points.
+    Integer sums are exact; the final /100.0 division and floor-scaled
+    averages are bit-identical in both engines."""
     (li,) = _t(spark, sf_dir, "lineitem")
-    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    pc = F.round(F.col("l_extendedprice") * 100).cast("long")
+    d100 = F.round(F.col("l_discount") * 100).cast("long")
+    t100 = F.round(F.col("l_tax") * 100).cast("long")
+    fl6 = lambda c: F.floor(c * 1000000) / 1000000  # noqa: E731
     return (
         li.where(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp_ntz"))
+        .select("l_returnflag", "l_linestatus", "l_quantity",
+                pc.alias("pc"), d100.alias("d100"), t100.alias("t100"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            F.round(F.sum(disc), 2).alias("sum_disc_price"),
-            F.round(F.sum(disc * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
-            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
-            F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
-            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.sum(F.col("l_quantity").cast("long")).alias("sum_qty"),
+            (F.sum("pc") / 100.0).alias("sum_base_price"),
+            (F.expr("sum(pc * (100 - d100)) div 100") / 100.0).alias("sum_disc_price"),
+            (F.expr("sum(pc * (100 - d100) * (100 + t100)) div 10000") / 100.0).alias("sum_charge"),
+            fl6(F.avg("l_quantity")).alias("avg_qty"),
+            fl6(F.sum("pc") / F.count("*") / 100.0).alias("avg_price"),
+            fl6(F.sum("d100") / F.count("*") / 100.0).alias("avg_disc"),
             F.count("*").alias("count_order"),
         )
     )
@@ -45,16 +59,22 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_Q1 = """
 SELECT l_returnflag, l_linestatus,
-       ROUND(SUM(l_quantity), 2) AS sum_qty,
-       ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
-       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
-       ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
-       ROUND(AVG(l_quantity), 6) AS avg_qty,
-       ROUND(AVG(l_extendedprice), 6) AS avg_price,
-       ROUND(AVG(l_discount), 6) AS avg_disc,
+       CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+       CAST(SUM(pc) AS BIGINT) / 100.0 AS sum_base_price,
+       (CAST(SUM(pc * (100 - d100)) AS BIGINT) // 100) / 100.0 AS sum_disc_price,
+       (CAST(SUM(pc * (100 - d100) * (100 + t100)) AS BIGINT) // 10000) / 100.0 AS sum_charge,
+       FLOOR(AVG(l_quantity) * 1000000) / 1000000 AS avg_qty,
+       FLOOR((CAST(SUM(pc) AS BIGINT) / COUNT(*) / 100.0) * 1000000) / 1000000 AS avg_price,
+       FLOOR((CAST(SUM(d100) AS BIGINT) / COUNT(*) / 100.0) * 1000000) / 1000000 AS avg_disc,
        COUNT(*) AS count_order
-FROM lineitem
-WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+FROM (
+  SELECT l_returnflag, l_linestatus, l_quantity,
+         CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS pc,
+         CAST(ROUND(l_discount * 100) AS BIGINT) AS d100,
+         CAST(ROUND(l_tax * 100) AS BIGINT) AS t100
+  FROM lineitem
+  WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+)
 GROUP BY l_returnflag, l_linestatus
 """
 
@@ -68,11 +88,7 @@ def q3_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(orders, F.col("c_custkey") == F.col("o_custkey"))
         .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
-        .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("revenue")
-        )
+        .agg((F.expr("sum(cast(round(l_extendedprice * 100) as bigint) * (100 - cast(round(l_discount * 100) as bigint))) div 100") / 100.0).alias("revenue"))
         .select(
             "l_orderkey",
             F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
@@ -88,7 +104,7 @@ SQL_Q3 = """
 SELECT l_orderkey,
        strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
        o_orderpriority,
-       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+(CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT) * (100 - CAST(ROUND(l_discount * 100) AS BIGINT))) AS BIGINT) // 100) / 100.0 AS revenue
 FROM customer
 JOIN orders ON c_custkey = o_custkey
 JOIN lineitem ON l_orderkey = o_orderkey
@@ -118,9 +134,7 @@ def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("r_name").isin("ASIA", "EUROPE"))
         .groupBy("r_name", "n_name")
         .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("revenue"),
+            (F.expr("sum(cast(round(l_extendedprice * 100) as bigint) * (100 - cast(round(l_discount * 100) as bigint))) div 100") / 100.0).alias("revenue"),
             F.count("*").alias("n_items"),
         )
     )
@@ -128,7 +142,7 @@ def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_Q5 = """
 SELECT r_name, n_name,
-       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+(CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT) * (100 - CAST(ROUND(l_discount * 100) AS BIGINT))) AS BIGINT) // 100) / 100.0 AS revenue,
        COUNT(*) AS n_items
 FROM lineitem
 JOIN orders ON l_orderkey = o_orderkey
@@ -181,14 +195,14 @@ def q_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("c_mktsegment")
         .agg(
             F.count("*").alias("n_customers"),
-            F.round(F.sum("c_acctbal"), 2).alias("sum_acctbal"),
+            (F.expr("sum(cast(round(c_acctbal * 100) as bigint))") / 100.0).alias("sum_acctbal"),
         )
     )
 
 
 SQL_ANTI_JOIN = """
 SELECT c_mktsegment, COUNT(*) AS n_customers,
-       ROUND(SUM(c_acctbal), 2) AS sum_acctbal
+       CAST(SUM(CAST(ROUND(c_acctbal * 100) AS BIGINT)) AS BIGINT) / 100.0 AS sum_acctbal
 FROM customer
 WHERE NOT EXISTS (
   SELECT 1 FROM orders
@@ -206,7 +220,7 @@ def q_window_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         orders.join(cust, F.col("o_custkey") == F.col("c_custkey"))
         .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
         .groupBy("n_name", "c_custkey", "c_name")
-        .agg(F.round(F.sum("o_totalprice"), 2).alias("revenue"))
+        .agg((F.expr("sum(cast(round(o_totalprice * 100) as bigint))") / 100.0).alias("revenue"))
     )
     w = Window.partitionBy("n_name").orderBy(F.desc("revenue"), F.col("c_custkey"))
     return (
@@ -220,10 +234,10 @@ SQL_WINDOW_TOPK = """
 SELECT n_name, c_custkey, c_name, revenue, CAST(rk AS BIGINT) AS rk
 FROM (
   SELECT n_name, c_custkey, c_name,
-         ROUND(SUM(o_totalprice), 2) AS revenue,
+         CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) / 100.0 AS revenue,
          ROW_NUMBER() OVER (
            PARTITION BY n_name
-           ORDER BY ROUND(SUM(o_totalprice), 2) DESC, c_custkey
+           ORDER BY CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) DESC, c_custkey
          ) AS rk
   FROM orders
   JOIN customer ON o_custkey = c_custkey
@@ -517,14 +531,14 @@ def q_above_brand_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
             "p_partkey",
             "p_brand",
             "p_retailprice",
-            F.round(F.col("brand_avg_cents") / 100, 4).alias("brand_avg"),
+            (F.floor(F.col("brand_avg_cents") / 100 * 10000) / 10000).alias("brand_avg"),
         )
     )
 
 
 SQL_ABOVE_BRAND_AVG = """
 SELECT p_partkey, p_brand, p_retailprice,
-       ROUND(brand_avg_cents / 100, 4) AS brand_avg
+       FLOOR(brand_avg_cents / 100 * 10000) / 10000 AS brand_avg
 FROM (
   SELECT p_partkey, p_brand, p_retailprice,
          CAST(ROUND(p_retailprice * 100) AS BIGINT) AS price_cents,
@@ -604,9 +618,10 @@ def q_pivot_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     j = orders.join(cust, F.col("o_custkey") == F.col("c_custkey")).join(
         F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey")
     )
-    status_sum = lambda s: F.round(  # noqa: E731
-        F.sum(F.when(F.col("o_orderstatus") == s, F.col("o_totalprice")).otherwise(0.0)),
-        2,
+    cents = F.expr("cast(round(o_totalprice * 100) as bigint)")
+    status_sum = lambda s: (  # noqa: E731
+        F.sum(F.when(F.col("o_orderstatus") == s, cents).otherwise(F.lit(0).cast("long")))
+        / 100.0
     )
     return j.groupBy("n_name").agg(
         status_sum("F").alias("total_f"),
@@ -617,13 +632,145 @@ def q_pivot_status(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_PIVOT_STATUS = """
 SELECT n_name,
-       ROUND(SUM(CASE WHEN o_orderstatus = 'F' THEN o_totalprice ELSE 0 END), 2) AS total_f,
-       ROUND(SUM(CASE WHEN o_orderstatus = 'O' THEN o_totalprice ELSE 0 END), 2) AS total_o,
-       ROUND(SUM(CASE WHEN o_orderstatus = 'P' THEN o_totalprice ELSE 0 END), 2) AS total_p
+       CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN CAST(ROUND(o_totalprice * 100) AS BIGINT) ELSE 0 END) AS BIGINT) / 100.0 AS total_f,
+       CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN CAST(ROUND(o_totalprice * 100) AS BIGINT) ELSE 0 END) AS BIGINT) / 100.0 AS total_o,
+       CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN CAST(ROUND(o_totalprice * 100) AS BIGINT) ELSE 0 END) AS BIGINT) / 100.0 AS total_p
 FROM orders
 JOIN customer ON o_custkey = c_custkey
 JOIN nation ON c_nationkey = n_nationkey
 GROUP BY n_name
+"""
+
+
+# --- q2-like: min-price supplier per part (agg subquery join) --------------
+
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """For each part sold by >1 supplier, the supplier(s) with the minimum
+    account balance (q2's correlated-min shape on available columns)."""
+    li, supp, part = _t(spark, sf_dir, "lineitem", "supplier", "part")
+    pairs = (
+        li.select("l_partkey", "l_suppkey")
+        .distinct()
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+    )
+    min_bal = pairs.groupBy("l_partkey").agg(
+        F.min("s_acctbal").alias("min_bal"), F.count("*").alias("n_supp")
+    )
+    return (
+        pairs.join(min_bal, "l_partkey")
+        .where((F.col("s_acctbal") == F.col("min_bal")) & (F.col("n_supp") > 1))
+        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .select(
+            "p_partkey",
+            "p_name",
+            F.col("s_name").alias("cheapest_supplier"),
+            F.round("s_acctbal", 2).alias("acctbal"),
+        )
+    )
+
+
+SQL_Q2_MIN_COST = """
+WITH pairs AS (
+  SELECT DISTINCT l_partkey, l_suppkey FROM lineitem
+),
+j AS (
+  SELECT p.l_partkey, s.s_name, s.s_acctbal FROM pairs p
+  JOIN supplier s ON p.l_suppkey = s.s_suppkey
+),
+m AS (
+  SELECT l_partkey, MIN(s_acctbal) AS min_bal, COUNT(*) AS n_supp
+  FROM j GROUP BY l_partkey
+)
+SELECT p_partkey, p_name, j.s_name AS cheapest_supplier,
+       ROUND(j.s_acctbal, 2) AS acctbal
+FROM j JOIN m ON j.l_partkey = m.l_partkey
+JOIN part ON j.l_partkey = p_partkey
+WHERE j.s_acctbal = m.min_bal AND m.n_supp > 1
+"""
+
+
+# --- q7-like: revenue between nation pairs by year -------------------------
+
+def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nation, cust, supp, orders, li = _t(
+        spark, sf_dir, "nation", "customer", "supplier", "orders", "lineitem"
+    )
+    n1 = nation.select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = nation.select(
+        F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation")
+    )
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("s_nk"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("c_nk"))
+        .where(F.col("supp_nation") < F.col("cust_nation"))
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("long").alias("l_year"),
+        )
+        .agg((F.expr("sum(cast(round(l_extendedprice * 100) as bigint) * (100 - cast(round(l_discount * 100) as bigint))) div 100") / 100.0).alias("revenue"))
+    )
+
+
+SQL_Q7_NATION_VOLUME = """
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       CAST(EXTRACT(YEAR FROM l_shipdate) AS BIGINT) AS l_year,
+(CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT) * (100 - CAST(ROUND(l_discount * 100) AS BIGINT))) AS BIGINT) // 100) / 100.0 AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation n1 ON s_nationkey = n1.n_nationkey
+JOIN nation n2 ON c_nationkey = n2.n_nationkey
+WHERE n1.n_name < n2.n_name
+GROUP BY n1.n_name, n2.n_name, EXTRACT(YEAR FROM l_shipdate)
+"""
+
+
+# --- q8-like: market share of one brand per year ---------------------------
+
+def q8_brand_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part, li = _t(spark, sf_dir, "part", "lineitem")
+    vol_e4 = F.expr(
+        "cast(round(l_extendedprice * 100) as bigint)"
+        " * (100 - cast(round(l_discount * 100) as bigint))"
+    )
+    j = (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .select(
+            F.year("l_shipdate").cast("long").alias("l_year"),
+            vol_e4.alias("vol_e4"),
+            F.when(F.col("p_brand") == "Brand#1", vol_e4).otherwise(F.lit(0).cast("long")).alias("brand_e4"),
+        )
+    )
+    return j.groupBy("l_year").agg(
+        (F.expr("sum(vol_e4) div 100") / 100.0).alias("total_volume"),
+        (F.expr("sum(brand_e4) div 100") / 100.0).alias("brand_volume"),
+        F.expr("(sum(brand_e4) * 1000000) div sum(vol_e4)").alias("share_ppm"),
+    )
+
+
+SQL_Q8_BRAND_SHARE = """
+SELECT CAST(EXTRACT(YEAR FROM l_shipdate) AS BIGINT) AS l_year,
+       (CAST(SUM(vol_e4) AS BIGINT) // 100) / 100.0 AS total_volume,
+       (CAST(SUM(brand_e4) AS BIGINT) // 100) / 100.0 AS brand_volume,
+       (CAST(SUM(brand_e4) AS BIGINT) * 1000000) // CAST(SUM(vol_e4) AS BIGINT) AS share_ppm
+FROM (
+  SELECT l_shipdate,
+         CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+           * (100 - CAST(ROUND(l_discount * 100) AS BIGINT)) AS vol_e4,
+         CASE WHEN p_brand = 'Brand#1'
+              THEN CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                   * (100 - CAST(ROUND(l_discount * 100) AS BIGINT))
+              ELSE 0 END AS brand_e4
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+)
+GROUP BY EXTRACT(YEAR FROM l_shipdate)
 """
 
 
@@ -635,7 +782,7 @@ def q_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
         orders.cube("o_orderstatus", "o_orderpriority")
         .agg(
             F.count("*").alias("n"),
-            F.round(F.sum("o_totalprice"), 2).alias("total"),
+            (F.expr("sum(cast(round(o_totalprice * 100) as bigint))") / 100.0).alias("total"),
         )
         .select(
             F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
@@ -649,7 +796,8 @@ def q_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_CUBE = """
 SELECT COALESCE(o_orderstatus, 'ALL') AS status,
        COALESCE(o_orderpriority, 'ALL') AS priority,
-       COUNT(*) AS n, ROUND(SUM(o_totalprice), 2) AS total
+       COUNT(*) AS n,
+       CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) / 100.0 AS total
 FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
 """
 
@@ -679,6 +827,9 @@ GROUP BY n_name
 
 QUERIES = {
     "q1_pricing_summary": (q1_pricing_summary, SQL_Q1),
+    "q2_min_cost_supplier": (q2_min_cost_supplier, SQL_Q2_MIN_COST),
+    "q7_nation_volume": (q7_nation_volume, SQL_Q7_NATION_VOLUME),
+    "q8_brand_share": (q8_brand_share, SQL_Q8_BRAND_SHARE),
     "q_cube": (q_cube, SQL_CUBE),
     "q_collect_sorted": (q_collect_sorted, SQL_COLLECT_SORTED),
     "q3_top_orders": (q3_top_orders, SQL_Q3),

@@ -388,6 +388,35 @@ CROSS JOIN (VALUES (CAST(0 AS BIGINT)), (CAST(1 AS BIGINT))) AS dy(d)
 """
 
 
+def q_spatial_downsample_f2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stride zoom-out by 4x (factor=2) — zoomOutData with factor>1."""
+    v = voxels_df(spark, sf_dir, dedup=True)
+    return V.downsample_image_stride(v, factor=2)
+
+
+SQL_SPATIAL_DOWNSAMPLE_F2 = f"""
+SELECT t, x // 4 AS x, y // 4 AS y, z, value
+FROM {voxels_sql(dedup=True)} AS v
+WHERE (x % 4) = 0 AND (y % 4) = 0
+"""
+
+
+def q_spatial_upsample_f2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Replication zoom-in by 4x (factor=2) — zoomInData with factor>1.
+    Restricted to a small box to bound the 16x row blowup."""
+    v = voxels_df(spark, sf_dir, dedup=True)
+    return V.upsample_replicate(V.cutout(v, (0, 0, 0), (256, 256, 16)), factor=2)
+
+
+SQL_SPATIAL_UPSAMPLE_F2 = f"""
+SELECT t, x * 4 + dx.d AS x, y * 4 + dy.d AS y, z, value
+FROM {voxels_sql(dedup=True)} AS v
+CROSS JOIN (VALUES (CAST(0 AS BIGINT)), (1), (2), (3)) AS dx(d)
+CROSS JOIN (VALUES (CAST(0 AS BIGINT)), (1), (2), (3)) AS dy(d)
+WHERE v.x >= 0 AND v.x < 256 AND v.y >= 0 AND v.y < 256 AND v.z >= 0 AND v.z < 16
+"""
+
+
 def q_spatial_isotropic_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     v = voxels_df(spark, sf_dir, dedup=True)
     return V.isotropic_build(v)
@@ -479,6 +508,8 @@ QUERIES = {
     "spatial_downsample_anno": (q_spatial_downsample_anno, SQL_SPATIAL_DOWNSAMPLE_ANNO),
     "spatial_downsample_anno_iso": (q_spatial_downsample_anno_iso, SQL_SPATIAL_DOWNSAMPLE_ANNO_ISO),
     "spatial_upsample": (q_spatial_upsample, SQL_SPATIAL_UPSAMPLE),
+    "spatial_downsample_f2": (q_spatial_downsample_f2, SQL_SPATIAL_DOWNSAMPLE_F2),
+    "spatial_upsample_f2": (q_spatial_upsample_f2, SQL_SPATIAL_UPSAMPLE_F2),
     "spatial_isotropic_build": (q_spatial_isotropic_build, SQL_SPATIAL_ISOTROPIC_BUILD),
     "spatial_missing_time": (q_spatial_missing_time, SQL_SPATIAL_MISSING_TIME),
 }
