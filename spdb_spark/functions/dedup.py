@@ -106,21 +106,45 @@ def jaccard_pairs(
     )
 
 
-def minhash_signatures(sh: DataFrame, id_col: str, num_hashes: int = 16) -> DataFrame:
-    """MinHash signature columns m0..m{n-1} per doc: m_j = min over shingles
-    of hash(j || ':' || shingle).
+# Affine rehash constants: deterministic odd multipliers / offsets derived
+# once from the portable hash (so the DuckDB oracle can reproduce them).
+def _affine_consts(j: int) -> tuple[int, int]:
+    import hashlib
 
-    No row explosion: all n hashes evaluate per shingle row inside ONE
-    partial-aggregating groupBy (map-side combine shrinks the shuffle to
-    n longs per doc per partition — at 100TB the shuffle is the bottleneck,
-    not the hashing)."""
-    aggs = [
-        F.min(
-            md5_long(F.concat_ws(":", F.lit(str(j)), F.col("shingle")))
-        ).alias(f"m{j}")
-        for j in range(num_hashes)
-    ]
-    return sh.groupBy(F.col(id_col).alias("doc")).agg(*aggs)
+    a = int(hashlib.md5(f"minhash-a:{j}".encode()).hexdigest()[:7], 16) * 2 + 1
+    b = int(hashlib.md5(f"minhash-b:{j}".encode()).hexdigest()[:7], 16)
+    return a, b
+
+
+_MASK31 = 0x7FFFFFFF
+
+
+def minhash_signatures(sh: DataFrame, id_col: str, num_hashes: int = 16) -> DataFrame:
+    """MinHash signature columns m0..m{n-1} per doc via the standard
+    one-hash + affine-rehash family: m_j = min over shingles of
+    (a_j * h31 + b_j) & (2^31-1), h31 = 31 low bits of the portable hash.
+
+    One md5 per shingle (not per shingle x hash); 31-bit operands keep
+    a_j*h31 < 2^62 so the arithmetic never overflows signed 64-bit (DuckDB
+    raises on overflow). All n mins evaluate inside ONE partial-aggregating
+    groupBy — the shuffle carries n longs per doc per partition."""
+    h31 = md5_long(F.col("shingle")).bitwiseAND(F.lit(_MASK31))
+    base = sh.select(F.col(id_col).alias("doc"), h31.alias("h31"))
+    aggs = []
+    for j in range(num_hashes):
+        a, b = _affine_consts(j)
+        aggs.append(
+            F.min(
+                (F.col("h31") * F.lit(a) + F.lit(b)).bitwiseAND(F.lit(_MASK31))
+            ).alias(f"m{j}")
+        )
+    return base.groupBy("doc").agg(*aggs)
+
+
+def minhash_rehash_sql(h31_expr: str, j: int) -> str:
+    """DuckDB SQL for the identical affine rehash."""
+    a, b = _affine_consts(j)
+    return f"((({h31_expr}) * {a} + {b}) & {_MASK31})"
 
 
 def lsh_candidate_pairs(

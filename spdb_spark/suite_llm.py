@@ -119,15 +119,16 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _minhash_pivot_sql() -> str:
+    from spdb_spark.functions.dedup import minhash_rehash_sql
+
     mins = ",\n         ".join(
-        f"MIN(CASE WHEN j = {j} THEN h END) AS m{j}" for j in range(_MH_N)
+        f"MIN({minhash_rehash_sql('h31', j)}) AS m{j}" for j in range(_MH_N)
     )
     return f"""
   SELECT doc, {mins}
   FROM (
-    SELECT sh.doc, seeds.j,
-           {md5_long_sql("concat(CAST(seeds.j AS VARCHAR), ':', sh.shingle)")} AS h
-    FROM sh CROSS JOIN range(0, {_MH_N}) seeds(j)
+    SELECT sh.doc, ({md5_long_sql("sh.shingle")} & 2147483647) AS h31
+    FROM sh
   )
   GROUP BY doc"""
 
