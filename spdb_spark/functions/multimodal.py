@@ -72,6 +72,44 @@ def _fake_decode(payload: bytes, n_frames: int, dim: int) -> np.ndarray:
     return rng.standard_normal((n_frames, dim), dtype=np.float32)
 
 
+RESIZE_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("width", IntegerType(), False),
+        StructField("height", IntegerType(), False),
+        StructField("payload", StringType(), False),  # placeholder: hex digest of resized bytes
+        StructField("status", StringType(), False),
+    ]
+)
+
+
+def resize_images(media: DataFrame, width: int = 224, height: int = 224) -> DataFrame:
+    """Resize kernel plumbing (mapInPandas, Arrow-batched). STUB decode:
+    emits a deterministic digest standing in for the resized payload —
+    replace `_fake_resize` with PIL `Image.resize` in production; schema,
+    batching, and error handling are the real thing."""
+
+    def _fake_resize(payload: bytes, w: int, h: int) -> str:
+        return hashlib.md5(payload + f":{w}x{h}".encode()).hexdigest()
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for row in pdf.itertuples(index=False):
+                try:
+                    out.append(
+                        (int(row.media_id), width, height,
+                         _fake_resize(bytes(row.payload), width, height), "ok")
+                    )
+                except Exception as e:
+                    out.append((int(row.media_id), width, height, "", f"error: {e}"))
+            yield pd.DataFrame(
+                out, columns=["media_id", "width", "height", "payload", "status"]
+            )
+
+    return media.select("media_id", "payload").mapInPandas(kernel, RESIZE_SCHEMA)
+
+
 def extract_frame_features(
     media: DataFrame, n_frames: int = 4, dim: int = 16
 ) -> DataFrame:

@@ -228,3 +228,12 @@ def test_dup_clusters_connected_components(spark):
     )
     out = {(r.id, r.cluster_id) for r in dup_clusters(pairs).collect()}
     assert out == {(1, 1), (2, 1), (3, 1), (4, 1), (10, 10), (11, 10)}
+
+
+def test_multimodal_resize_stub(spark, tables):
+    from spdb_spark.functions.multimodal import resize_images, with_media_columns
+
+    media = with_media_columns(tables["documents"].limit(5), "doc_id", "text")
+    out = resize_images(media, 64, 64).collect()
+    assert len(out) == 5
+    assert all(r.status == "ok" and r.width == 64 and len(r.payload) == 32 for r in out)
