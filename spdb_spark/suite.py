@@ -7,24 +7,14 @@ for genuinely non-SQL-expressible ops).
 
 from __future__ import annotations
 
+from spdb_spark.suite_llm import QUERIES as LLM
+from spdb_spark.suite_relational import QUERIES as RELATIONAL
 from spdb_spark.suite_spatial import QUERIES as SPATIAL
 
 REGISTRY: dict = {}
 REGISTRY.update(SPATIAL)
-
-try:  # suites added incrementally
-    from spdb_spark.suite_relational import QUERIES as RELATIONAL
-
-    REGISTRY.update(RELATIONAL)
-except ImportError:
-    pass
-
-try:
-    from spdb_spark.suite_llm import QUERIES as LLM
-
-    REGISTRY.update(LLM)
-except ImportError:
-    pass
+REGISTRY.update(RELATIONAL)
+REGISTRY.update(LLM)
 
 
 def queries():
