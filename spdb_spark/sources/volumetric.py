@@ -74,7 +74,9 @@ def ingest_voxel_files(
         .withColumn("lookup_key", F.lit(store.lookup_key))
         .withColumn("resolution", F.lit(resolution))
     )
-    new_blocks = store._voxels_to_blocks(vox, resolution)
+    from spdb_spark.store import _with_pgroup
+
+    new_blocks = _with_pgroup(store._voxels_to_blocks(vox, resolution))
     existing = store.blocks(resolution)
     merged = existing.join(
         new_blocks.select("t", "morton").distinct(), ["t", "morton"], "left_anti"

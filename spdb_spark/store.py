@@ -1,12 +1,16 @@
 """CuboidStore: the block-table storage engine (spdb's SpatialDB re-expressed
 on Spark + Parquet).
 
-Layout: one parquet table partitioned by (lookup_key, resolution), one row
-per cuboid per time sample — (t, morton, x_idx, y_idx, z_idx, blob) with the
-blob a compressed [z,y,x] ndarray (codec.py). This is the Spark analog of
-spdb's S3 object store keyed md5&lookup&res&t&morton (object.py:338-363);
-Morton + the idx columns give both space-filling locality and min/max
-row-group pruning for box reads.
+Layout: one parquet table partitioned by (lookup_key, resolution, pgroup),
+one row per cuboid per time sample — (t, morton, x_idx, y_idx, z_idx, blob)
+with the blob a compressed [z,y,x] ndarray (codec.py). This is the Spark
+analog of spdb's S3 object store keyed md5&lookup&res&t&morton
+(object.py:338-363); Morton + the idx columns give space-filling locality
+and min/max row-group pruning, and `pgroup = morton >> 12` (a 16x16x16
+super-block of cuboids) is the physical partition unit: writes read and
+rewrite ONLY the super-blocks they touch, so write cost tracks the write,
+not the channel size (the plain-parquet stand-in for Delta MERGE file
+granularity).
 
 Write path parity (spatialdb.py:719-867): input array -> tiles -> merge into
 store with non-zero-overwrite (overwriteDense.c), fill-only
@@ -33,6 +37,23 @@ from spdb_spark.constants import CUBOID_X, CUBOID_Y, CUBOID_Z
 from spdb_spark.morton import xyz_morton
 from spdb_spark.schema import CUBOID_SCHEMA, VOXEL_SCHEMA
 
+# Super-block granularity: morton >> 12 groups 4096 cuboids (a 16^3 grid)
+# into one physical partition.
+PGROUP_SHIFT = 12
+
+# NOTE: StructType.add mutates in place — build the read schema by copy.
+from pyspark.sql.types import IntegerType, StructField, StructType  # noqa: E402
+
+_READ_SCHEMA = StructType(
+    list(CUBOID_SCHEMA.fields) + [StructField("pgroup", IntegerType(), True)]
+)
+
+
+def _with_pgroup(df: DataFrame) -> DataFrame:
+    return df.withColumn(
+        "pgroup", F.shiftright(F.col("morton"), PGROUP_SHIFT).cast("int")
+    )
+
 
 class CuboidStore:
     def __init__(
@@ -53,12 +74,16 @@ class CuboidStore:
     def _exists(self) -> bool:
         return os.path.exists(self.path)
 
-    def blocks(self, resolution: int = 0) -> DataFrame:
-        """The block table for one resolution (schema: CUBOID_SCHEMA)."""
+    def blocks(
+        self, resolution: int = 0, pgroups: Sequence[int] | None = None
+    ) -> DataFrame:
+        """The block table for one resolution (schema: CUBOID_SCHEMA +
+        pgroup). `pgroups` restricts the scan to those partitions (pruned
+        at the file-listing level, never read)."""
         if not self._exists():
-            return self.spark.createDataFrame([], CUBOID_SCHEMA)
-        return (
-            self.spark.read.schema(CUBOID_SCHEMA)
+            return _with_pgroup(self.spark.createDataFrame([], CUBOID_SCHEMA))
+        df = (
+            self.spark.read.schema(_READ_SCHEMA)
             .option("basePath", self.path)
             .parquet(self.path)
             .where(
@@ -66,6 +91,9 @@ class CuboidStore:
                 & (F.col("resolution") == resolution)
             )
         )
+        if pgroups is not None:
+            df = df.where(F.col("pgroup").isin([int(g) for g in pgroups]))
+        return df
 
     def voxels(self, resolution: int = 0) -> DataFrame:
         """Distributed voxel view (decoded, zero-suppressed)."""
@@ -147,8 +175,10 @@ class CuboidStore:
         if mode not in ("overwrite", "exception", "to_black", "replace"):
             raise ValueError(f"bad mode {mode!r}")
         rows = self._array_to_block_rows(data, corner, resolution, time_sample_start)
-        new_blocks = self.spark.createDataFrame(rows, CUBOID_SCHEMA)
-        existing = self.blocks(resolution)
+        new_blocks = _with_pgroup(self.spark.createDataFrame(rows, CUBOID_SCHEMA))
+        # only the touched super-blocks are read and rewritten
+        touched = sorted({r[3] >> PGROUP_SHIFT for r in rows})
+        existing = self.blocks(resolution, pgroups=touched)
 
         if mode == "replace" or not self._exists():
             merged = existing.join(
@@ -215,7 +245,7 @@ class CuboidStore:
                     "value",
                 )
             mv = mv.where(F.col("value") != 0)
-            merged_overlap = self._voxels_to_blocks(mv, resolution)
+            merged_overlap = _with_pgroup(self._voxels_to_blocks(mv, resolution))
             if mode == "to_black":
                 # fresh cuboids of an erase mask write nothing
                 merged = rest_old.unionByName(merged_overlap)
@@ -243,13 +273,15 @@ class CuboidStore:
         ).applyInPandas(kernel, CUBOID_SCHEMA)
 
     def _commit(self, blocks: DataFrame, resolution: int) -> None:
-        """Atomic-enough partition rewrite: stage then swap via dynamic
-        partition overwrite (Delta MERGE INTO in production)."""
+        """Atomic-enough super-block rewrite: stage then swap via dynamic
+        partition overwrite — only the (lookup_key, resolution, pgroup)
+        partitions present in `blocks` are replaced (Delta MERGE INTO in
+        production)."""
         staged = blocks.sortWithinPartitions("t", "morton").cache()
         staged.count()  # materialize before overwriting the source files
         (
             staged.write.mode("overwrite")
-            .partitionBy("lookup_key", "resolution")
+            .partitionBy("lookup_key", "resolution", "pgroup")
             .parquet(self.path)
         )
         staged.unpersist()
@@ -290,15 +322,33 @@ class CuboidStore:
                 "z",
                 "value",
             )
-            blocks = self._voxels_to_blocks(down, level)
+            blocks = _with_pgroup(self._voxels_to_blocks(down, level))
             (
                 blocks.sortWithinPartitions("t", "morton")
                 .write.mode("overwrite")
-                .partitionBy("lookup_key", "resolution")
+                .partitionBy("lookup_key", "resolution", "pgroup")
                 .parquet(self.path)
             )
 
     # -- read path ----------------------------------------------------------
+
+    def _box_pgroups(
+        self, corner: Sequence[int], extent: Sequence[int], cap: int = 256
+    ) -> list[int] | None:
+        """Super-block partitions covering a box, or None when the box is
+        large enough that partition pruning stops paying (scan filters
+        still prune via x/y/z_idx stats)."""
+        (x0, y0, z0), (dx, dy, dz) = corner, extent
+        xs = range(x0 // CUBOID_X, (x0 + dx - 1) // CUBOID_X + 1)
+        ys = range(y0 // CUBOID_Y, (y0 + dy - 1) // CUBOID_Y + 1)
+        zs = range(z0 // CUBOID_Z, (z0 + dz - 1) // CUBOID_Z + 1)
+        if len(xs) * len(ys) * len(zs) > 32768:
+            return None
+        groups = {
+            xyz_morton(xi, yi, zi) >> PGROUP_SHIFT
+            for xi in xs for yi in ys for zi in zs
+        }
+        return sorted(groups) if len(groups) <= cap else None
 
     def cutout_voxels(
         self,
@@ -311,7 +361,8 @@ class CuboidStore:
         """Distributed cutout: pruned block scan -> decode -> exact box trim
         -> optional id filter. Returns the voxel DataFrame (no collect)."""
         (x0, y0, z0), (dx, dy, dz) = corner, extent
-        blocks = self.blocks(resolution).where(
+        pgroups = self._box_pgroups(corner, extent)
+        blocks = self.blocks(resolution, pgroups=pgroups).where(
             (F.col("x_idx") >= x0 // CUBOID_X)
             & (F.col("x_idx") <= (x0 + dx - 1) // CUBOID_X)
             & (F.col("y_idx") >= y0 // CUBOID_Y)

@@ -774,6 +774,37 @@ GROUP BY EXTRACT(YEAR FROM l_shipdate)
 """
 
 
+# --- exact quantiles -------------------------------------------------------
+
+def q_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per group (Spark `percentile` and
+    DuckDB `quantile_cont` share linear interpolation — verified
+    bit-identical). The approx_percentile/t-digest path is the 100TB
+    variant (sketch-based, not oracle-comparable)."""
+    (li,) = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.expr("percentile(l_extendedprice, 0.5)").alias("p50"),
+            F.expr("percentile(l_extendedprice, 0.9)").alias("p90"),
+            F.expr("percentile(l_extendedprice, 0.99)").alias("p99"),
+            F.min("l_extendedprice").alias("pmin"),
+            F.max("l_extendedprice").alias("pmax"),
+        )
+    )
+
+
+SQL_QUANTILES = """
+SELECT l_returnflag,
+       quantile_cont(l_extendedprice, 0.5) AS p50,
+       quantile_cont(l_extendedprice, 0.9) AS p90,
+       quantile_cont(l_extendedprice, 0.99) AS p99,
+       MIN(l_extendedprice) AS pmin,
+       MAX(l_extendedprice) AS pmax
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
 # --- cube grouping sets ----------------------------------------------------
 
 def q_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -830,6 +861,7 @@ QUERIES = {
     "q2_min_cost_supplier": (q2_min_cost_supplier, SQL_Q2_MIN_COST),
     "q7_nation_volume": (q7_nation_volume, SQL_Q7_NATION_VOLUME),
     "q8_brand_share": (q8_brand_share, SQL_Q8_BRAND_SHARE),
+    "q_quantiles": (q_quantiles, SQL_QUANTILES),
     "q_cube": (q_cube, SQL_CUBE),
     "q_collect_sorted": (q_collect_sorted, SQL_COLLECT_SORTED),
     "q3_top_orders": (q3_top_orders, SQL_Q3),

@@ -112,3 +112,35 @@ def test_uint64_annotation_roundtrip(spark, tmp_path):
     store.write_cuboid(data, (0, 0, 0))
     out = store.cutout((0, 0, 0), (512, 512, 16))
     np.testing.assert_array_equal(out[0], data)
+
+
+def test_writes_rewrite_only_touched_superblocks(store, spark, tmp_path):
+    """Write cost must track the write, not the channel: parquet files in
+    untouched super-block partitions stay byte-identical on later writes."""
+    import glob
+    import os
+
+    a = random_cube((16, 128, 128), 20)
+    store.write_cuboid(a, (0, 0, 0))  # pgroup 0
+    files_before = {
+        p: os.path.getmtime(p)
+        for p in glob.glob(store.path + "/**/*.parquet", recursive=True)
+    }
+    assert files_before
+    # far-away write lands in a different super-block (x_idx=16 -> morton
+    # 4096 -> pgroup 1)
+    b = random_cube((16, 128, 128), 21)
+    store.write_cuboid(b, (16 * 512, 0, 0))
+    files_after = {
+        p: os.path.getmtime(p)
+        for p in glob.glob(store.path + "/**/*.parquet", recursive=True)
+    }
+    assert set(files_before) < set(files_after)  # new partition added
+    for p, mtime in files_before.items():
+        assert files_after[p] == mtime  # pgroup-0 files untouched
+    # both regions readable
+    import numpy as np
+    np.testing.assert_array_equal(store.cutout((0, 0, 0), (128, 128, 16))[0], a)
+    np.testing.assert_array_equal(
+        store.cutout((16 * 512, 0, 0), (128, 128, 16))[0], b
+    )
