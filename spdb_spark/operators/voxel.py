@@ -327,6 +327,24 @@ def downsample_image_avg(v: DataFrame, factor: int = 1) -> DataFrame:
     )
 
 
+def downsample_image_box(v: DataFrame, factor: int = 1) -> DataFrame:
+    """Dense box-filter downsample: SUM over the 2^f x 2^f xy window divided
+    by the FULL window area (absent voxels count as zeros — matching the
+    dense-array average a C kernel would compute, unlike
+    downsample_image_avg which averages present voxels only)."""
+    p = 2**factor
+    area = float(p * p)
+    return (
+        v.groupBy(
+            "t",
+            F.floor(F.col("x") / p).cast("long").alias("x"),
+            F.floor(F.col("y") / p).cast("long").alias("y"),
+            "z",
+        )
+        .agg((F.sum("value") / area).alias("value"))
+    )
+
+
 def upsample_replicate(v: DataFrame, factor: int = 1) -> DataFrame:
     """Zoom-in by replication (zoomInData, zoomData.c:79-148): each voxel
     expands to a 2**factor square in xy (explode of generated offsets — no

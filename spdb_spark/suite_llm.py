@@ -252,6 +252,38 @@ FROM (
 """
 
 
+def q_text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perplexity proxy: mean log-probability of each document under the
+    corpus unigram LM (token frequencies / total tokens). Low scores flag
+    outlier/garbage docs — a standard cheap quality signal. Corpus freq
+    table is a broadcast join; per-doc mean floor-scaled."""
+    docs = _docs(spark, sf_dir)
+    toks = docs.select("doc_id", F.explode(T.tokens(F.col("text"))).alias("tok"))
+    freq = toks.groupBy("tok").agg(F.count("*").alias("tf"))
+    total = toks.count()
+    scored = toks.join(F.broadcast(freq), "tok").select(
+        "doc_id", F.log(F.col("tf") / F.lit(float(total))).alias("lp")
+    )
+    return scored.groupBy("doc_id").agg(
+        (F.floor(F.avg("lp") * 1000000) / 1000000).alias("mean_logprob"),
+        F.count("*").alias("n_tokens"),
+    )
+
+
+SQL_TEXT_UNIGRAM_LOGPROB = f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_TOKENS_SQL}) AS tok FROM documents
+),
+freq AS (SELECT tok, COUNT(*) AS tf FROM toks GROUP BY tok),
+total AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM toks)
+SELECT doc_id,
+       FLOOR(AVG(LN(tf / total.n)) * 1000000) / 1000000 AS mean_logprob,
+       COUNT(*) AS n_tokens
+FROM toks JOIN freq USING (tok) CROSS JOIN total
+GROUP BY doc_id
+"""
+
+
 def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir)
     return docs.select(
@@ -394,6 +426,7 @@ QUERIES = {
     "llm_dedup_simhash": (q_simhash, SQL_SIMHASH),
     "llm_text_stats": (q_text_stats, SQL_TEXT_STATS),
     "llm_text_fingerprint": (q_text_fingerprint, SQL_TEXT_FINGERPRINT),
+    "llm_text_unigram_logprob": (q_text_unigram_logprob, SQL_TEXT_UNIGRAM_LOGPROB),
     "llm_ann_topk": (q_ann_topk, SQL_ANN_TOPK),
     "llm_dedup_embedding": (q_dedup_embedding, SQL_DEDUP_EMBEDDING),
     "llm_ann_lsh": (q_ann_lsh, None),

@@ -322,6 +322,19 @@ GROUP BY t, (x // 2), (y // 2), z
 """
 
 
+def q_spatial_downsample_box(spark: SparkSession, sf_dir: str) -> DataFrame:
+    v = voxels_df(spark, sf_dir, dedup=True)
+    return V.downsample_image_box(v, factor=1)
+
+
+SQL_SPATIAL_DOWNSAMPLE_BOX = f"""
+SELECT t, (x // 2) AS x, (y // 2) AS y, z,
+       CAST(SUM(value) AS BIGINT) / 4.0 AS value
+FROM {voxels_sql(dedup=True)} AS v
+GROUP BY t, (x // 2), (y // 2), z
+"""
+
+
 def q_spatial_downsample_anno(spark: SparkSession, sf_dir: str) -> DataFrame:
     v = voxels_df(spark, sf_dir, value_expr=VALUE_ANNO, dedup=True)
     return V.downsample_annotation(v, isotropic=False)
@@ -505,6 +518,7 @@ QUERIES = {
     "spatial_relabel": (q_spatial_relabel, SQL_SPATIAL_RELABEL),
     "spatial_downsample_stride": (q_spatial_downsample_stride, SQL_SPATIAL_DOWNSAMPLE_STRIDE),
     "spatial_downsample_avg": (q_spatial_downsample_avg, SQL_SPATIAL_DOWNSAMPLE_AVG),
+    "spatial_downsample_box": (q_spatial_downsample_box, SQL_SPATIAL_DOWNSAMPLE_BOX),
     "spatial_downsample_anno": (q_spatial_downsample_anno, SQL_SPATIAL_DOWNSAMPLE_ANNO),
     "spatial_downsample_anno_iso": (q_spatial_downsample_anno_iso, SQL_SPATIAL_DOWNSAMPLE_ANNO_ISO),
     "spatial_upsample": (q_spatial_upsample, SQL_SPATIAL_UPSAMPLE),
