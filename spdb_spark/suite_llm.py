@@ -381,6 +381,17 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.lsh_topk(embs, queries, dim=64, k=10, n_planes=8, n_tables=4)
 
 
+def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-bucketed ANN (inverted lists over a deterministic coarse
+    quantizer) — rows-only: the iterative/row_number bucketing isn't one
+    SQL query; recall vs brute force asserted in tests/test_ivf.py."""
+    from spdb_spark.functions.ivf import ivf_topk
+
+    embs = _embs(spark, sf_dir)
+    queries = embs.where(F.col("vec_id") % 50 == 0)
+    return ivf_topk(embs, queries, k=10, n_centroids=16, n_probe=4)
+
+
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Transitive dedup groups from exact-Jaccard pairs (iterative min-label
     propagation — rows-only: iteration isn't one SQL query)."""
@@ -431,5 +442,6 @@ QUERIES = {
     "llm_dedup_embedding": (q_dedup_embedding, SQL_DEDUP_EMBEDDING),
     "llm_ann_lsh": (q_ann_lsh, None),
     "llm_dedup_clusters": (q_dedup_clusters, None),
+    "llm_ann_ivf": (q_ann_ivf, None),
     "llm_multimodal_meta": (q_multimodal_meta, SQL_MULTIMODAL_META),
 }
