@@ -87,22 +87,28 @@ def load_tables(spark: SparkSession, sf_dir: str, names: tuple[str, ...] | None 
     return out
 
 
+_NANO_COLS_CACHE: dict[str, frozenset[str]] = {}
+
+
 def _restore_nano_timestamps(df, path: str):
     """Convert timestamp[ns] parquet columns that Spark read as raw longs
     (via spark.sql.legacy.parquet.nanosAsLong) back to timestamp_ntz.
 
     Some files' nano columns map to timestamp_ntz automatically; only those
-    left as bigint need the explicit div-1000 conversion.
+    left as bigint need the explicit div-1000 conversion. The footer probe
+    is cached per path (the driver gate loads tables once per query).
     """
-    import pyarrow.parquet as pq
     from pyspark.sql import functions as F
 
-    arrow_schema = pq.read_schema(path)
-    nano_cols = {
-        f.name
-        for f in arrow_schema
-        if str(f.type).startswith("timestamp[ns")
-    }
+    nano_cols = _NANO_COLS_CACHE.get(path)
+    if nano_cols is None:
+        import pyarrow.parquet as pq
+
+        arrow_schema = pq.read_schema(path)
+        nano_cols = frozenset(
+            f.name for f in arrow_schema if str(f.type).startswith("timestamp[ns")
+        )
+        _NANO_COLS_CACHE[path] = nano_cols
     spark_types = dict(df.dtypes)
     for c in nano_cols:
         if spark_types.get(c) == "bigint":

@@ -286,6 +286,32 @@ class CuboidStore:
         )
         staged.unpersist()
 
+    # -- maintenance ----------------------------------------------------------
+
+    def compact(self, resolution: int = 0, blocks_per_file: int = 64) -> None:
+        """Small-file compaction: rewrite each super-block partition into
+        ~ceil(n/blocks_per_file) Morton-sorted files. Repeated incremental
+        writes fragment partitions (one file per write); compaction restores
+        the scan-friendly layout (the OPTIMIZE/ZORDER maintenance job of a
+        real table format)."""
+        blocks = self.blocks(resolution)
+        n = blocks.count()
+        if n == 0:
+            return
+        num_files = max(1, -(-n // blocks_per_file))
+        staged = (
+            blocks.repartitionByRange(num_files, "pgroup", "morton", "t")
+            .sortWithinPartitions("pgroup", "morton", "t")
+            .cache()
+        )
+        staged.count()
+        (
+            staged.write.mode("overwrite")
+            .partitionBy("lookup_key", "resolution", "pgroup")
+            .parquet(self.path)
+        )
+        staged.unpersist()
+
     # -- resolution hierarchy ------------------------------------------------
 
     def build_pyramid(
