@@ -286,6 +286,29 @@ class CuboidStore:
         )
         staged.unpersist()
 
+    def get_cubes(
+        self, mortons: Sequence[int], t: int = 0, resolution: int = 0
+    ) -> dict[int, np.ndarray]:
+        """Fetch specific cuboids by Morton id, decoded and Morton-sorted
+        (reference: SpatialDB.get_cubes/sort_cubes, spatialdb.py:120-185).
+        Absent cuboids come back as zero cubes (zero-suppression)."""
+        from spdb_spark.codec import unpack_array
+
+        wanted = sorted(set(int(m) for m in mortons))
+        pgroups = sorted({m >> PGROUP_SHIFT for m in wanted})
+        rows = (
+            self.blocks(resolution, pgroups=pgroups)
+            .where((F.col("t") == t) & (F.col("morton").isin(wanted)))
+            .select("morton", "blob")
+            .collect()
+        )
+        out = {int(r.morton): unpack_array(bytes(r.blob)) for r in rows}
+        zeros_shape = (CUBOID_Z, CUBOID_Y, CUBOID_X)
+        for m in wanted:
+            if m not in out:
+                out[m] = np.zeros(zeros_shape, dtype=np.dtype(self.datatype))
+        return dict(sorted(out.items()))
+
     # -- maintenance ----------------------------------------------------------
 
     def compact(self, resolution: int = 0, blocks_per_file: int = 64) -> None:

@@ -1,0 +1,85 @@
+"""Property-based tests (hypothesis) for the driver-side kernels: Morton
+round-trips/ordering, codec round-trips, and getAnnValue reference parity —
+randomized beyond the fixed-case tests."""
+
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from spdb_spark.codec import pack_array, unpack_array
+from spdb_spark.morton import morton_xyz, xyz_morton
+
+coord = st.integers(min_value=0, max_value=2**21 - 1)
+
+
+@given(coord, coord, coord)
+def test_morton_roundtrip(x, y, z):
+    assert morton_xyz(xyz_morton(x, y, z)) == (x, y, z)
+
+
+@given(coord, coord, coord, coord, coord, coord)
+def test_morton_preserves_equality_only(x1, y1, z1, x2, y2, z2):
+    same = (x1, y1, z1) == (x2, y2, z2)
+    assert (xyz_morton(x1, y1, z1) == xyz_morton(x2, y2, z2)) == same
+
+
+@given(coord, coord, coord)
+def test_morton_locality_lsb(x, y, z):
+    # incrementing x toggles the lowest interleaved bit group only
+    if x < 2**21 - 1:
+        m1, m2 = xyz_morton(x, y, z), xyz_morton(x + 1, y, z)
+        assert m1 != m2
+        assert morton_xyz(m2)[0] == x + 1
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    st.sampled_from(["uint8", "uint16", "uint64"]),
+    st.integers(1, 4),
+    st.integers(1, 8),
+    st.integers(1, 8),
+    st.integers(0, 2**31),
+)
+def test_codec_roundtrip_random_shapes(dtype, z, y, x, seed):
+    rng = np.random.default_rng(seed)
+    hi = {"uint8": 255, "uint16": 65535, "uint64": 2**40}[dtype]
+    arr = rng.integers(0, hi, size=(z, y, x)).astype(dtype)
+    out = unpack_array(pack_array(arr))
+    np.testing.assert_array_equal(out, arr)
+    assert out.dtype == arr.dtype
+
+
+def _get_ann_value_ref(v00, v01, v10, v11):
+    """Straight transcription of the documented addData.c:28-48 behavior,
+    written independently of the Spark expression (test oracle)."""
+    value = v00
+    if value == 0:
+        value = v01
+    if v10 != 0:
+        if value == 0:
+            value = v10
+        elif v10 == v00 or v10 == v01:
+            value = v10
+    if v11 != 0:
+        if value == 0:
+            value = v10  # reference quirk
+        elif v11 == v00 or v11 == v01 or v11 == v10:
+            value = v11
+    return value
+
+
+small = st.integers(0, 3)
+
+
+@given(small, small, small, small)
+@settings(max_examples=200, deadline=None)
+def test_get_ann_value_sql_matches_reference(v00, v01, v10, v11):
+    """The oracle CASE cascade (suite_spatial._ann_value_sql) must equal the
+    reference C control flow for every input combination."""
+    import duckdb
+
+    from spdb_spark.suite_spatial import _ann_value_sql
+
+    inner = f"SELECT 0 AS t, 0 AS x, 0 AS y, 0 AS z, {v00} AS v00, {v01} AS v01, {v10} AS v10, {v11} AS v11"
+    got = duckdb.sql(_ann_value_sql(inner)).fetchone()[4]
+    assert got == _get_ann_value_ref(v00, v01, v10, v11)

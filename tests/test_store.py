@@ -144,3 +144,17 @@ def test_writes_rewrite_only_touched_superblocks(store, spark, tmp_path):
     np.testing.assert_array_equal(
         store.cutout((16 * 512, 0, 0), (128, 128, 16))[0], b
     )
+
+
+def test_get_cubes_by_morton(store):
+    from spdb_spark.morton import xyz_morton
+
+    data = random_cube((16, 512, 1024), 30)  # cuboids (0,0,0) and (1,0,0)
+    store.write_cuboid(data, (0, 0, 0))
+    m0, m1 = xyz_morton(0, 0, 0), xyz_morton(1, 0, 0)
+    m_absent = xyz_morton(5, 5, 5)
+    cubes = store.get_cubes([m1, m0, m_absent])
+    assert sorted(cubes) == sorted([m0, m1, m_absent])
+    np.testing.assert_array_equal(cubes[m0], data[:, :, :512])
+    np.testing.assert_array_equal(cubes[m1], data[:, :, 512:])
+    assert cubes[m_absent].sum() == 0  # absent -> zero cube
