@@ -253,19 +253,29 @@ def minhash_lsh_dedup(
     sh = shingles(df, id_col, text_col, k).persist()
     sigs = minhash_signatures(sh, id_col, num_hashes)
     cands = lsh_candidate_pairs(sigs, bands, rows)
-    sh_d = sh.select(F.col(id_col).alias("doc"), "shingle")
-    sizes = sh_d.groupBy("doc").agg(F.count("*").alias("sz"))
+    # Exact-Jaccard verification of candidates: join each pair against the
+    # per-doc shingle SETS (sorted arrays, broadcast) and array-intersect —
+    # two broadcast lookups instead of two shuffles of the shingle table.
+    # At corpus scales where the set table outgrows broadcast, swap these
+    # joins to plain shuffled joins on (doc, shingle); semantics identical.
+    sh_sets = F.broadcast(
+        sh.groupBy(F.col(id_col).alias("doc")).agg(
+            F.array_sort(F.collect_set("shingle")).alias("sh_set")
+        )
+    )
     inter = (
-        cands.join(sh_d.toDF("doc_a", "shingle"), "doc_a")
-        .join(sh_d.toDF("doc_b", "shingle_b"), "doc_b")
-        .where(F.col("shingle") == F.col("shingle_b"))
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count("*").alias("inter"))
+        cands.join(sh_sets.toDF("doc_a", "set_a"), "doc_a")
+        .join(sh_sets.toDF("doc_b", "set_b"), "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.size(F.array_intersect(F.col("set_a"), F.col("set_b"))).alias("inter"),
+            F.size("set_a").alias("sz_a"),
+            F.size("set_b").alias("sz_b"),
+        )
     )
     return (
-        inter.join(sizes.toDF("doc_a", "sz_a"), "doc_a")
-        .join(sizes.toDF("doc_b", "sz_b"), "doc_b")
-        .select(
+        inter.select(
             F.col("doc_a").alias("id_a"),
             F.col("doc_b").alias("id_b"),
             (
