@@ -774,6 +774,45 @@ GROUP BY EXTRACT(YEAR FROM l_shipdate)
 """
 
 
+# --- q10-like: top customers by returned revenue ---------------------------
+
+def q10_returned_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust, orders, li, nation = _t(
+        spark, sf_dir, "customer", "orders", "lineitem", "nation"
+    )
+    rev = F.expr(
+        "sum(cast(round(l_extendedprice * 100) as bigint)"
+        " * (100 - cast(round(l_discount * 100) as bigint))) div 100"
+    ) / 100.0
+    return (
+        li.where(F.col("l_returnflag") == "R")
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(rev.alias("revenue"), F.count("*").alias("n_items"))
+        .orderBy(F.desc("revenue"), "c_custkey")
+        .limit(20)
+    )
+
+
+SQL_Q10_RETURNED = """
+SELECT c_custkey, c_name, n_name,
+       (CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                 * (100 - CAST(ROUND(l_discount * 100) AS BIGINT))) AS BIGINT) // 100)
+         / 100.0 AS revenue,
+       COUNT(*) AS n_items
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+GROUP BY c_custkey, c_name, n_name
+ORDER BY revenue DESC, c_custkey
+LIMIT 20
+"""
+
+
 # --- exact quantiles -------------------------------------------------------
 
 def q_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -861,6 +900,7 @@ QUERIES = {
     "q2_min_cost_supplier": (q2_min_cost_supplier, SQL_Q2_MIN_COST),
     "q7_nation_volume": (q7_nation_volume, SQL_Q7_NATION_VOLUME),
     "q8_brand_share": (q8_brand_share, SQL_Q8_BRAND_SHARE),
+    "q10_returned_revenue": (q10_returned_revenue, SQL_Q10_RETURNED),
     "q_quantiles": (q_quantiles, SQL_QUANTILES),
     "q_cube": (q_cube, SQL_CUBE),
     "q_collect_sorted": (q_collect_sorted, SQL_COLLECT_SORTED),

@@ -451,6 +451,31 @@ WHERE CASE WHEN a = 0 THEN b WHEN b = 0 THEN a
 """
 
 
+def q_spatial_time_filled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-range cutout with missing samples rendered as zeros
+    (spatialdb.py:175-199), bounded to a small box so the coordinate x time
+    grid stays proportionate."""
+    v = voxels_df(spark, sf_dir, dedup=True)
+    small = V.cutout(v, (0, 0, 0), (256, 256, 16))
+    return V.time_filled(small, 0, 3)
+
+
+SQL_SPATIAL_TIME_FILLED = f"""
+WITH v AS (
+  SELECT * FROM {voxels_sql(dedup=True)} AS q
+  WHERE x >= 0 AND x < 256 AND y >= 0 AND y < 256 AND z >= 0 AND z < 16
+),
+grid AS (
+  SELECT x, y, z, CAST(ts.t AS BIGINT) AS t
+  FROM (SELECT DISTINCT x, y, z FROM v)
+  CROSS JOIN (VALUES (0), (1), (2)) AS ts(t)
+)
+SELECT g.t, g.x, g.y, g.z, COALESCE(v.value, 0) AS value
+FROM grid g
+LEFT JOIN v ON v.x = g.x AND v.y = g.y AND v.z = g.z AND v.t = g.t
+"""
+
+
 # --- time series ----------------------------------------------------------
 
 def q_spatial_missing_time(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -526,4 +551,5 @@ QUERIES = {
     "spatial_upsample_f2": (q_spatial_upsample_f2, SQL_SPATIAL_UPSAMPLE_F2),
     "spatial_isotropic_build": (q_spatial_isotropic_build, SQL_SPATIAL_ISOTROPIC_BUILD),
     "spatial_missing_time": (q_spatial_missing_time, SQL_SPATIAL_MISSING_TIME),
+    "spatial_time_filled": (q_spatial_time_filled, SQL_SPATIAL_TIME_FILLED),
 }
