@@ -484,6 +484,54 @@ GROUP BY b.bucket
 """
 
 
+# --- sliding event-time windows (batch form of the streaming op) -----------
+
+_SLIDE_MS = 6 * 3600 * 1000
+_WIN_MS = 12 * 3600 * 1000
+
+
+def q_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """12h windows sliding by 6h over events (each event lands in 2
+    windows) — the batch equivalent of streaming/windows.py, oracle-checked
+    via explicit window-start arithmetic."""
+    (events,) = _t(spark, sf_dir, "events")
+    e = events.select(
+        "event_type",
+        F.unix_millis(F.col("ts").cast("timestamp")).alias("ts_ms"),
+        "value",
+    )
+    k = F.floor(F.col("ts_ms") / _SLIDE_MS)
+    windowed = e.select(
+        "event_type",
+        "value",
+        F.explode(
+            F.array((k - 1) * _SLIDE_MS, k * _SLIDE_MS)
+        ).alias("window_start_ms"),
+        "ts_ms",
+    ).where(
+        (F.col("ts_ms") >= F.col("window_start_ms"))
+        & (F.col("ts_ms") < F.col("window_start_ms") + _WIN_MS)
+    )
+    return windowed.groupBy("window_start_ms", "event_type").agg(
+        F.count("*").alias("n"),
+        F.round(F.sum("value"), 4).alias("sum_value"),
+    )
+
+
+SQL_SLIDING_WINDOW = f"""
+SELECT window_start_ms, event_type, COUNT(*) AS n,
+       ROUND(SUM(value), 4) AS sum_value
+FROM (
+  SELECT event_type, value, ts_ms,
+         ((ts_ms // {_SLIDE_MS}) + d.k) * {_SLIDE_MS} AS window_start_ms
+  FROM (SELECT event_type, value, epoch_ms(ts) AS ts_ms FROM events)
+  CROSS JOIN (VALUES (CAST(-1 AS BIGINT)), (0)) AS d(k)
+)
+WHERE ts_ms >= window_start_ms AND ts_ms < window_start_ms + {_WIN_MS}
+GROUP BY window_start_ms, event_type
+"""
+
+
 # --- JSON ------------------------------------------------------------------
 
 def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -917,6 +965,7 @@ QUERIES = {
     "q_asof_join": (q_asof_join, SQL_ASOF_JOIN),
     "q_range_join": (q_range_join, SQL_RANGE_JOIN),
     "q_json_extract": (q_json_extract, SQL_JSON_EXTRACT),
+    "q_sliding_window": (q_sliding_window, SQL_SLIDING_WINDOW),
     "q_above_brand_avg": (q_above_brand_avg, SQL_ABOVE_BRAND_AVG),
     "q_scalar_string_math": (q_scalar_string_math, SQL_SCALAR_STRING_MATH),
     "q_scalar_dates": (q_scalar_dates, SQL_SCALAR_DATES),

@@ -63,3 +63,14 @@ def test_whole_stage_codegen_covers_cutout(voxel_parquet):
     plan = plan_of(df)
     # '*(n)' marks WholeStageCodegen stages in the plan string
     assert "*(1)" in plan
+
+
+def test_asof_join_avoids_range_cross_product(spark):
+    """The as-of join must stay a union + one keyed shuffle — never a
+    nested-loop/cartesian range join (quadratic under skew)."""
+    from spdb_spark.suite_relational import q_asof_join
+
+    plan = plan_of(q_asof_join(spark, "/root/testdata/sf0.001"))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Window" in plan and "Union" in plan
