@@ -206,6 +206,28 @@ def overwrite_to_black(old: DataFrame, mask: DataFrame) -> DataFrame:
     return old.join(m, on=VOXEL_KEY, how="left_anti")
 
 
+def mask_by_annotation(
+    image: DataFrame,
+    annotation: DataFrame,
+    ids: Sequence[int] | None = None,
+) -> DataFrame:
+    """Cross-channel read: image voxels where the co-located annotation
+    channel holds (one of) the given object id(s) — the workflow the
+    reference's channel `sources`/`related` links exist for
+    (resource.py:246-259): extract an object's image intensities.
+
+    Equi-join on the voxel key; the annotation side is pre-filtered so only
+    masked coordinates shuffle. Output adds the annotation id alongside the
+    image value."""
+    a = annotation.where(F.col("value") != 0)
+    if ids is not None:
+        a = a.where(F.col("value").isin(list(ids)))
+    a = a.select(*VOXEL_KEY, F.col("value").alias("anno_id"))
+    return image.join(a, on=VOXEL_KEY, how="inner").select(
+        *VOXEL_KEY, "value", "anno_id"
+    )
+
+
 # ---------------------------------------------------------------------------
 # Annotation mutation (reference: annotateCube.c, shaveCube.c, mergeCube.c,
 # annotateEntityDense.c)

@@ -451,6 +451,52 @@ WHERE CASE WHEN a = 0 THEN b WHEN b = 0 THEN a
 """
 
 
+def q_spatial_cross_channel_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image intensities under selected annotation objects (cross-channel
+    mask via the channel sources/related linkage)."""
+    img = voxels_df(spark, sf_dir, value_expr=VALUE_IMAGE, dedup=True)
+    anno = voxels_df(spark, sf_dir, value_expr=VALUE_ANNO, dedup=True)
+    return V.mask_by_annotation(img, anno, ids=(3, 7, 11))
+
+
+SQL_SPATIAL_CROSS_CHANNEL_MASK = f"""
+SELECT i.t, i.x, i.y, i.z, i.value, a.value AS anno_id
+FROM {voxels_sql(value_expr=VALUE_IMAGE, dedup=True)} AS i
+JOIN {voxels_sql(value_expr=VALUE_ANNO, dedup=True)} AS a
+  ON i.t = a.t AND i.x = a.x AND i.y = a.y AND i.z = a.z
+WHERE a.value IN (3, 7, 11)
+"""
+
+
+def q_spatial_object_intensity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-object intensity statistics: for every annotation id, the count,
+    sum and floor-scaled mean of co-located image voxel values — feature
+    extraction over a segmentation (one join + one partial/final agg)."""
+    img = voxels_df(spark, sf_dir, value_expr=VALUE_IMAGE, dedup=True)
+    anno = voxels_df(spark, sf_dir, value_expr=VALUE_ANNO, dedup=True)
+    masked = V.mask_by_annotation(img, anno)
+    return masked.groupBy("anno_id").agg(
+        F.count("*").alias("n_vox"),
+        F.sum("value").alias("sum_intensity"),
+        (F.floor((F.sum("value") / F.count("*")) * 1000000) / 1000000).alias(
+            "mean_intensity"
+        ),
+    )
+
+
+SQL_SPATIAL_OBJECT_INTENSITY = f"""
+SELECT a.value AS anno_id, COUNT(*) AS n_vox,
+       CAST(SUM(i.value) AS BIGINT) AS sum_intensity,
+       FLOOR((CAST(SUM(i.value) AS BIGINT) / CAST(COUNT(*) AS DOUBLE)) * 1000000)
+         / 1000000 AS mean_intensity
+FROM {voxels_sql(value_expr=VALUE_IMAGE, dedup=True)} AS i
+JOIN {voxels_sql(value_expr=VALUE_ANNO, dedup=True)} AS a
+  ON i.t = a.t AND i.x = a.x AND i.y = a.y AND i.z = a.z
+WHERE a.value <> 0
+GROUP BY a.value
+"""
+
+
 def q_spatial_time_filled(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Time-range cutout with missing samples rendered as zeros
     (spatialdb.py:175-199), bounded to a small box so the coordinate x time
@@ -552,4 +598,6 @@ QUERIES = {
     "spatial_isotropic_build": (q_spatial_isotropic_build, SQL_SPATIAL_ISOTROPIC_BUILD),
     "spatial_missing_time": (q_spatial_missing_time, SQL_SPATIAL_MISSING_TIME),
     "spatial_time_filled": (q_spatial_time_filled, SQL_SPATIAL_TIME_FILLED),
+    "spatial_cross_channel_mask": (q_spatial_cross_channel_mask, SQL_SPATIAL_CROSS_CHANNEL_MASK),
+    "spatial_object_intensity": (q_spatial_object_intensity, SQL_SPATIAL_OBJECT_INTENSITY),
 }
