@@ -349,6 +349,111 @@ def downsample_image_avg(v: DataFrame, factor: int = 1) -> DataFrame:
     )
 
 
+def connected_components(
+    v: DataFrame, max_iter: int = 30, same_value_only: bool = True
+) -> DataFrame:
+    """3D connected-component labeling over the 6-neighborhood: label every
+    non-zero voxel with the minimum Morton-style scalar key of its
+    component (iterative min-label propagation; converges in O(diameter)
+    rounds, checked each round).
+
+    `same_value_only` restricts components to runs of equal value (label a
+    segmentation); False treats all non-zero voxels as one foreground mask.
+    The reference stores segmentations but cannot compute them — this is
+    the parity-plus operator that closes that loop. Returns
+    (t, x, y, z, value, component)."""
+    vox = v.where(F.col("value") != 0).select(
+        "t", "x", "y", "z", "value",
+        # scalar voxel key: unique, order-preserving enough for min-labels
+        (
+            (F.col("t") * F.lit(2**45))
+            + (F.col("z") * F.lit(2**30))
+            + (F.col("y") * F.lit(2**15))
+            + F.col("x")
+        ).alias("vid"),
+    ).persist()
+    value_cond = (
+        (F.col("a.value") == F.col("b.value")) if same_value_only else F.lit(True)
+    )
+    neighbor_offsets = [(1, 0, 0), (0, 1, 0), (0, 0, 1)]
+    edges = None
+    for dx, dy, dz in neighbor_offsets:
+        e = (
+            vox.alias("a")
+            .join(
+                vox.alias("b"),
+                (F.col("a.t") == F.col("b.t"))
+                & (F.col("b.x") == F.col("a.x") + dx)
+                & (F.col("b.y") == F.col("a.y") + dy)
+                & (F.col("b.z") == F.col("a.z") + dz)
+                & value_cond,
+            )
+            .select(F.col("a.vid").alias("src"), F.col("b.vid").alias("dst"))
+        )
+        edges = e if edges is None else edges.unionByName(e)
+    edges = edges.union(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).persist()
+
+    labels = vox.select("vid", F.col("vid").alias("component")).persist()
+    for _ in range(max_iter):
+        nbr_min = (
+            edges.join(labels, edges.dst == labels.vid)
+            .groupBy("src")
+            .agg(F.min("component").alias("nbr_min"))
+        )
+        new_labels = (
+            labels.join(nbr_min, labels.vid == nbr_min.src, "left")
+            .select(
+                "vid",
+                F.least(
+                    F.col("component"),
+                    F.coalesce(F.col("nbr_min"), F.col("component")),
+                ).alias("component"),
+            )
+            .persist()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "vid")
+            .where(F.col("n.component") != F.col("o.component"))
+            .limit(1)
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    out = vox.join(labels, "vid").select("t", "x", "y", "z", "value", "component")
+    vox.unpersist()
+    return out
+
+
+def smooth_xy(v: DataFrame, radius: int = 1) -> DataFrame:
+    """(2r+1)^2 xy box smoothing: each voxel's contribution explodes to its
+    neighbor positions (map-side, no join), then one partial/final agg sums
+    per target — absent voxels count as zeros, divisor is the full window
+    area. Scatter+agg beats a 9-way self-join: one shuffle, no skew."""
+    k = 2 * radius + 1
+    area = float(k * k)
+    offs = F.sequence(F.lit(-radius), F.lit(radius)).cast("array<long>")
+    scattered = (
+        v.select("t", "x", "y", "z", "value", F.explode(offs).alias("dx"))
+        .select("t", "x", "y", "z", "value", "dx", F.explode(offs).alias("dy"))
+        .select(
+            "t",
+            (F.col("x") + F.col("dx")).alias("x"),
+            (F.col("y") + F.col("dy")).alias("y"),
+            "z",
+            "value",
+        )
+    )
+    return scattered.groupBy("t", "x", "y", "z").agg(
+        (F.sum("value") / area).alias("value")
+    )
+
+
 def downsample_image_box(v: DataFrame, factor: int = 1) -> DataFrame:
     """Dense box-filter downsample: SUM over the 2^f x 2^f xy window divided
     by the FULL window area (absent voxels count as zeros — matching the

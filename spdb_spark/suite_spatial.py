@@ -451,6 +451,23 @@ WHERE CASE WHEN a = 0 THEN b WHEN b = 0 THEN a
 """
 
 
+def q_spatial_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3x3 xy mean filter over a bounded box (scatter + one agg)."""
+    v = voxels_df(spark, sf_dir, dedup=True)
+    return V.smooth_xy(V.cutout(v, (0, 0, 0), (256, 256, 16)), radius=1)
+
+
+SQL_SPATIAL_SMOOTH = f"""
+SELECT t, x + dx.d AS x, y + dy.d AS y, z,
+       CAST(SUM(value) AS BIGINT) / 9.0 AS value
+FROM {voxels_sql(dedup=True)} AS v
+CROSS JOIN (VALUES (CAST(-1 AS BIGINT)), (0), (1)) AS dx(d)
+CROSS JOIN (VALUES (CAST(-1 AS BIGINT)), (0), (1)) AS dy(d)
+WHERE v.x >= 0 AND v.x < 256 AND v.y >= 0 AND v.y < 256 AND v.z >= 0 AND v.z < 16
+GROUP BY t, x + dx.d, y + dy.d, z
+"""
+
+
 def q_spatial_cross_channel_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Image intensities under selected annotation objects (cross-channel
     mask via the channel sources/related linkage)."""
@@ -495,6 +512,14 @@ JOIN {voxels_sql(value_expr=VALUE_ANNO, dedup=True)} AS a
 WHERE a.value <> 0
 GROUP BY a.value
 """
+
+
+def q_spatial_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3D connected-component labeling of the annotation fixture inside a
+    bounded box (iterative — rows-only; correctness pinned by unit tests on
+    known shapes)."""
+    v = voxels_df(spark, sf_dir, value_expr=VALUE_ANNO, dedup=True)
+    return V.connected_components(V.cutout(v, (0, 0, 0), (128, 128, 32)))
 
 
 def q_spatial_time_filled(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -600,4 +625,6 @@ QUERIES = {
     "spatial_time_filled": (q_spatial_time_filled, SQL_SPATIAL_TIME_FILLED),
     "spatial_cross_channel_mask": (q_spatial_cross_channel_mask, SQL_SPATIAL_CROSS_CHANNEL_MASK),
     "spatial_object_intensity": (q_spatial_object_intensity, SQL_SPATIAL_OBJECT_INTENSITY),
+    "spatial_smooth": (q_spatial_smooth, SQL_SPATIAL_SMOOTH),
+    "spatial_connected_components": (q_spatial_connected_components, None),
 }

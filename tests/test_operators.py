@@ -237,3 +237,38 @@ def test_multimodal_resize_stub(spark, tables):
     out = resize_images(media, 64, 64).collect()
     assert len(out) == 5
     assert all(r.status == "ok" and r.width == 64 and len(r.payload) == 32 for r in out)
+
+
+def test_connected_components_labels_shapes(spark):
+    from spdb_spark.operators.voxel import connected_components
+
+    rows = []
+    # component A: an L-shape of value 1
+    for x in range(3):
+        rows.append((0, x, 0, 0, 1))
+    rows.append((0, 2, 1, 0, 1))
+    # component B: same value, not adjacent
+    rows.append((0, 10, 10, 0, 1))
+    # component C: adjacent to A but different value -> separate
+    rows.append((0, 3, 0, 0, 2))
+    v = spark.createDataFrame(rows, "t long, x long, y long, z long, value long")
+    out = connected_components(v).collect()
+    comp = {}
+    for r in out:
+        comp.setdefault(r.component, set()).add((r.x, r.y, r.z, r.value))
+    groups = sorted(comp.values(), key=len, reverse=True)
+    assert len(groups) == 3
+    assert {(0, 0, 0, 1), (1, 0, 0, 1), (2, 0, 0, 1), (2, 1, 0, 1)} in groups
+    assert {(10, 10, 0, 1)} in groups
+    assert {(3, 0, 0, 2)} in groups
+
+
+def test_connected_components_mask_mode_merges_values(spark):
+    from spdb_spark.operators.voxel import connected_components
+
+    v = spark.createDataFrame(
+        [(0, 0, 0, 0, 1), (0, 1, 0, 0, 2)],
+        "t long, x long, y long, z long, value long",
+    )
+    out = connected_components(v, same_value_only=False).collect()
+    assert len({r.component for r in out}) == 1
