@@ -57,36 +57,43 @@ def blob_dtype(blob: bytes) -> str:
 # mapInPandas kernels
 # ---------------------------------------------------------------------------
 
+# Max voxel rows per yielded pandas frame: bounds the Arrow batch a task
+# sends back (a DENSE cuboid decodes to 4.2M rows ~ 250MB as one batch;
+# several concurrent tasks at that size exhaust the JVM direct-memory pool).
+_MAX_ROWS_PER_CHUNK = 512 * 512 * 4
+
+
 def blocks_to_voxels(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     """mapInPandas kernel: block rows -> voxel rows (zero-suppressed).
 
     Input columns: lookup_key, resolution, t, x_idx, y_idx, z_idx, blob.
     Output columns: lookup_key, resolution, t, x, y, z, value.
+
+    Yields one bounded chunk at a time (never concatenates cuboids):
+    per-task memory stays O(one cuboid), whatever the partition holds.
     """
     cx, cy, cz = CUBOID_SIZE
     for pdf in batches:
-        outs = []
         for row in pdf.itertuples(index=False):
             arr = unpack_array(row.blob)
             zz, yy, xx = np.nonzero(arr)
-            if len(zz) == 0:
+            n = len(zz)
+            if n == 0:
                 continue
             vals = arr[zz, yy, xx].astype(np.int64)
-            outs.append(
-                pd.DataFrame(
+            for lo in range(0, n, _MAX_ROWS_PER_CHUNK):
+                hi = min(lo + _MAX_ROWS_PER_CHUNK, n)
+                yield pd.DataFrame(
                     {
                         "lookup_key": row.lookup_key,
                         "resolution": np.int32(row.resolution),
                         "t": np.int64(row.t),
-                        "x": xx.astype(np.int64) + row.x_idx * cx,
-                        "y": yy.astype(np.int64) + row.y_idx * cy,
-                        "z": zz.astype(np.int64) + row.z_idx * cz,
-                        "value": vals,
+                        "x": xx[lo:hi].astype(np.int64) + row.x_idx * cx,
+                        "y": yy[lo:hi].astype(np.int64) + row.y_idx * cy,
+                        "z": zz[lo:hi].astype(np.int64) + row.z_idx * cz,
+                        "value": vals[lo:hi],
                     }
                 )
-            )
-        if outs:
-            yield pd.concat(outs, ignore_index=True)
 
 
 def make_voxels_to_blocks(dtype: str):
