@@ -943,8 +943,99 @@ GROUP BY n_name
 """
 
 
+# --- q9-like: product-line profit by nation and year -----------------------
+# TPC-H q9 proper needs partsupp.ps_supplycost (absent from the driver
+# tables); unit cost here is p_retailprice. Profit can be NEGATIVE per
+# group, and Spark `div` (truncate toward zero) != DuckDB `//` (floor) on
+# negatives — so the e4-cents sum is divided by 10000.0 in ONE float op in
+# both engines (bit-identical: same bigint input, same IEEE divide).
+
+
+def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part, supp, nation, orders, li = _t(
+        spark, sf_dir, "part", "supplier", "nation", "orders", "lineitem"
+    )
+    profit_e4 = F.expr(
+        "cast(round(l_extendedprice * 100) as bigint)"
+        " * (100 - cast(round(l_discount * 100) as bigint))"
+        " - cast(round(p_retailprice * 100) as bigint) * 100"
+        "   * cast(l_quantity as bigint)"
+    )
+    return (
+        li.join(
+            F.broadcast(part.where(F.col("p_name").like("%widget%"))),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("long").alias("o_year"),
+        )
+        .agg((F.sum(profit_e4) / 10000.0).alias("profit"))
+    )
+
+
+SQL_Q9_PRODUCT_PROFIT = """
+SELECT n_name AS nation,
+       CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT) AS o_year,
+       CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                * (100 - CAST(ROUND(l_discount * 100) AS BIGINT))
+              - CAST(ROUND(p_retailprice * 100) AS BIGINT) * 100
+                * CAST(l_quantity AS BIGINT)) AS BIGINT) / 10000.0 AS profit
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN orders ON l_orderkey = o_orderkey
+WHERE p_name LIKE '%widget%'
+GROUP BY n_name, EXTRACT(YEAR FROM o_orderdate)
+"""
+
+
+# --- q12-like: late-shipment priority split --------------------------------
+# TPC-H q12 groups by l_shipmode with commit/receipt-date lateness; the
+# driver lineitem has neither, so the shape is kept (conditional counts of
+# high- vs low-priority orders over a date-arithmetic band) with
+# l_returnflag as the grouping column and ship lag = l_shipdate -
+# o_orderdate. Dates are cast to DATE in both engines so day-diff
+# semantics agree.
+
+
+def q12_late_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders, li = _t(spark, sf_dir, "orders", "lineitem")
+    lag = F.datediff(F.to_date("l_shipdate"), F.to_date("o_orderdate"))
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .where((lag >= 30) & (lag <= 120))
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).cast("long").alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).cast("long").alias("low_line_count"),
+        )
+    )
+
+
+SQL_Q12_LATE_PRIORITY = """
+SELECT l_returnflag,
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+WHERE date_diff('day', CAST(o_orderdate AS DATE), CAST(l_shipdate AS DATE))
+      BETWEEN 30 AND 120
+GROUP BY l_returnflag
+"""
+
+
 QUERIES = {
     "q1_pricing_summary": (q1_pricing_summary, SQL_Q1),
+    "q9_product_profit": (q9_product_profit, SQL_Q9_PRODUCT_PROFIT),
+    "q12_late_priority": (q12_late_priority, SQL_Q12_LATE_PRIORITY),
     "q2_min_cost_supplier": (q2_min_cost_supplier, SQL_Q2_MIN_COST),
     "q7_nation_volume": (q7_nation_volume, SQL_Q7_NATION_VOLUME),
     "q8_brand_share": (q8_brand_share, SQL_Q8_BRAND_SHARE),
