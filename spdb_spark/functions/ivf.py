@@ -35,6 +35,47 @@ def choose_centroids(corpus: DataFrame, id_col: str, vec_col: str, k: int) -> Da
     )
 
 
+def refine_centroids(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    id_col: str,
+    vec_col: str,
+    iters: int = 2,
+) -> DataFrame:
+    """Lloyd k-means refinement of the coarse quantizer, fully declarative:
+    assign (broadcast-join argmax) -> per-dimension mean (posexplode +
+    groupBy(centroid, dim)) -> re-assemble ordered arrays.
+
+    Each iteration shuffles n_vectors * dim scalar rows with map-side
+    partial aggregation — at 100 TB, train on `corpus.sample(...)`
+    (assignment quality needs only a representative sample; pass the
+    sample as `corpus` here, then build lists over the full corpus).
+    A centroid whose list goes empty drops out (k shrinks), which is the
+    standard behavior for quantizer training.
+
+    Float caveat: groupBy-avg is summation-order nondeterministic, so
+    refined centroids are not bit-reproducible across runs (ties at list
+    boundaries may flip) — the unrefined quantizer remains the default
+    for bit-stable gates.
+    """
+    for _ in range(iters):
+        assigned = assign_lists(corpus, centroids, id_col, vec_col, n_probe=1)
+        means = (
+            assigned.select("centroid_id", F.posexplode("v").alias("pos", "val"))
+            .groupBy("centroid_id", "pos")
+            .agg(F.avg("val").alias("m"))
+        )
+        centroids = (
+            means.groupBy("centroid_id")
+            .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
+            .select(
+                "centroid_id",
+                F.expr("transform(pm, x -> x.m)").alias("centroid_vec"),
+            )
+        )
+    return centroids
+
+
 def assign_lists(
     corpus: DataFrame, centroids: DataFrame, id_col: str, vec_col: str,
     n_probe: int = 1,
@@ -65,11 +106,31 @@ def ivf_topk(
     k: int = 10,
     n_centroids: int = 16,
     n_probe: int = 4,
+    refine_iters: int = 0,
+    train_fraction: float | None = None,
 ) -> DataFrame:
     """Approximate top-k: score only corpus vectors in the query's n_probe
     nearest inverted lists, exact cosine re-rank within candidates.
-    Returns (query_id, neighbor_id, rank, cos_sim)."""
+    Returns (query_id, neighbor_id, rank, cos_sim).
+
+    refine_iters > 0 runs Lloyd k-means on the coarse centroids (tighter
+    lists -> better recall at the same n_probe); train_fraction trains on
+    a seeded sample of the corpus (the scale path — quantizer quality
+    needs a sample, not the full 100 TB)."""
     cents = choose_centroids(corpus, id_col, vec_col, n_centroids)
+    if refine_iters > 0:
+        train = (
+            corpus.sample(fraction=train_fraction, seed=42)
+            if train_fraction is not None
+            else corpus
+        )
+        refined = refine_centroids(train, cents, id_col, vec_col, iters=refine_iters)
+        # Materialize once (k x dim doubles — driver-trivial): the lists and
+        # probes assignments must see the SAME centroids, and groupBy-avg
+        # output is not bit-stable across re-evaluations of the plan.
+        cents = corpus.sparkSession.createDataFrame(
+            refined.collect(), schema="centroid_id int, centroid_vec array<double>"
+        )
     lists = assign_lists(corpus, cents, id_col, vec_col, n_probe=1).select(
         F.col("vid").alias("neighbor_id"), F.col("v").alias("c_vec"), "centroid_id"
     )

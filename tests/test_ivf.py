@@ -29,3 +29,35 @@ def test_ivf_deterministic(spark, tables):
     a = sorted(map(tuple, ivf_topk(embs, queries, k=3).collect()))
     b = sorted(map(tuple, ivf_topk(embs, queries, k=3).collect()))
     assert a == b
+
+
+def test_ivf_kmeans_refined_recall(spark, tables):
+    from spdb_spark.functions.ivf import ivf_topk
+    from spdb_spark.functions.similarity import brute_force_topk
+
+    embs = tables["embeddings"]
+    queries = embs.where(F.col("vec_id") % 100 == 0)
+    exact = brute_force_topk(embs, queries, k=5).select("query_id", "neighbor_id")
+    refined = ivf_topk(
+        embs, queries, k=5, n_centroids=16, n_probe=6, refine_iters=2
+    ).select("query_id", "neighbor_id")
+    n_exact = exact.count()
+    hits = exact.intersect(refined).count()
+    assert n_exact > 0
+    assert hits / n_exact > 0.3  # refined quantizer holds the recall floor
+    # per-query output is still a top-k: k rows max, ranks contiguous
+    per_q = refined.groupBy("query_id").count().collect()
+    assert all(r["count"] <= 5 for r in per_q)
+
+
+def test_ivf_refined_on_sample_trains(spark, tables):
+    from spdb_spark.functions.ivf import ivf_topk
+
+    embs = tables["embeddings"]
+    queries = embs.where(F.col("vec_id") % 250 == 0)
+    out = ivf_topk(
+        embs, queries, k=3, refine_iters=1, train_fraction=0.5
+    )
+    rows = out.collect()
+    assert len(rows) > 0
+    assert all(r.cos_sim == r.cos_sim for r in rows)  # no NaN centroids leaked
