@@ -42,23 +42,27 @@ def fingerprint_dup_groups(df: DataFrame, id_col: str, text_col: str) -> DataFra
     )
 
 
-def shingles(df: DataFrame, id_col: str, text_col: str, k: int = 3) -> DataFrame:
-    """Distinct word k-shingles per document: (id, shingle).
+def shingles(
+    df: DataFrame, id_col: str, text_col: str, k: int = 3, distinct: bool = True
+) -> DataFrame:
+    """Word k-shingles per document: (id, shingle), distinct by default.
 
     The token array is materialized as its own projection first — inlining
     it into the transform lambda would re-split the text once per element
     (quadratic per document; Catalyst keeps multi-referenced non-cheap
-    expressions un-inlined since collapseProjectAlwaysInline=false)."""
+    expressions un-inlined since collapseProjectAlwaysInline=false).
+
+    `distinct=False` skips the dedup shuffle for consumers that are
+    idempotent to repeated shingles (MinHash min, collect_set) — the
+    minhash pipeline saves a full shuffle of the shingle table this way."""
     with_toks = df.select(F.col(id_col), tokens(F.col(text_col)).alias("_toks"))
     t = F.col("_toks")
     sh = F.transform(
         F.sequence(F.lit(0), F.greatest(F.size(t) - k, F.lit(0))),
         lambda i: F.concat_ws(" ", *[F.element_at(t, i + j + 1) for j in range(k)]),
     )
-    return (
-        with_toks.select(F.col(id_col), F.explode(sh).alias("shingle"))
-        .distinct()
-    )
+    out = with_toks.select(F.col(id_col), F.explode(sh).alias("shingle"))
+    return out.distinct() if distinct else out
 
 
 def jaccard_pairs(
@@ -250,7 +254,10 @@ def minhash_lsh_dedup(
     """Full MinHash-LSH near-dup pipeline: shingle -> minhash -> band ->
     bucket-join candidates -> exact-Jaccard verify. Output
     (id_a, id_b, jaccard) for verified pairs."""
-    sh = shingles(df, id_col, text_col, k).persist()
+    # distinct=False: MinHash's min and the verify stage's collect_set are
+    # both idempotent to repeated shingles, so the dedup shuffle is pure
+    # overhead here.
+    sh = shingles(df, id_col, text_col, k, distinct=False).persist()
     sigs = minhash_signatures(sh, id_col, num_hashes)
     cands = lsh_candidate_pairs(sigs, bands, rows)
     # Exact-Jaccard verification of candidates: join each pair against the
