@@ -1,0 +1,164 @@
+"""Text retrieval over the documents table: TF-IDF cosine similarity and
+BM25 keyword scoring — the search-side complement of the dedup/ANN ops.
+
+Numeric discipline (gate-stable across Spark and DuckDB): idf values are
+floor-scaled to integers (floor on a bit-identical double is
+deterministic), term weights become exact bigints, and every dot product
+or norm is an exact integer sum — groupBy summation order stops
+mattering. Doubles appear only in single terminal expressions (sqrt,
+divide) applied to identical integers on both engines.
+
+Scale notes: token joins shuffle on the token; document-frequency stop
+caps (`max_df`) remove the degenerate hot keys (stop words are exactly
+the skewed join keys at 100 TB). The df table is vocabulary-sized and
+broadcasts.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from spdb_spark.functions.text import tokens
+
+
+def term_freqs(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(doc, token, tf) — term frequency per document."""
+    return (
+        docs.select(F.col(id_col).alias("doc"), tokens(F.col(text_col)).alias("_toks"))
+        .select("doc", F.explode("_toks").alias("token"))
+        .groupBy("doc", "token")
+        .agg(F.count("*").alias("tf"))
+    )
+
+
+def tfidf_weights(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    idf_scale: int = 1000,
+    max_df: int | None = None,
+) -> DataFrame:
+    """(doc, token, w) with integer weight w = tf * floor(ln(N/df)*scale).
+
+    `max_df` drops stop terms (df above the cap) before weighting — at
+    corpus scale those are both noise and the skewed shuffle keys.
+    """
+    n_docs = docs.count()
+    tf = term_freqs(docs, id_col, text_col)
+    df_t = tf.groupBy("token").agg(F.count("*").alias("df"))
+    if max_df is not None:
+        df_t = df_t.where(F.col("df") <= max_df)
+    idf = df_t.select(
+        "token",
+        F.floor(F.log(F.lit(float(n_docs)) / F.col("df")) * idf_scale)
+        .cast("long")
+        .alias("idf_s"),
+    )
+    return tf.join(F.broadcast(idf), "token").select(
+        "doc", "token", (F.col("tf") * F.col("idf_s")).alias("w")
+    )
+
+
+def doc_norms_sq(weights: DataFrame) -> DataFrame:
+    """(doc, ssq) — exact integer squared L2 norm of each weight vector."""
+    return weights.groupBy("doc").agg(F.sum(F.col("w") * F.col("w")).alias("ssq"))
+
+
+def tfidf_cosine(
+    weights: DataFrame,
+    probes: DataFrame,
+    round_dp: int = 6,
+) -> DataFrame:
+    """Cosine similarity of every probe against every corpus doc sharing a
+    term. `weights` covers the corpus; `probes` is a (doc) DataFrame
+    selecting the query side (its weights are taken from `weights`, so
+    idf is consistent). Returns (probe_id, doc_id, sim) with sim floored
+    to `round_dp`; the probe itself is excluded.
+
+    dot and norms are exact bigint sums -> the terminal
+    dot/(sqrt*sqrt) is bit-identical across engines."""
+    norms = doc_norms_sq(weights)
+    pw = (
+        weights.join(probes.select(F.col("doc").alias("p")), F.col("doc") == F.col("p"))
+        .select(F.col("doc").alias("probe_id"), "token", F.col("w").alias("pw"))
+    )
+    dots = (
+        weights.alias("c")
+        .join(pw, "token")
+        .where(F.col("probe_id") != F.col("doc"))
+        .groupBy("probe_id", F.col("doc").alias("doc_id"))
+        .agg(F.sum(F.col("pw") * F.col("w")).alias("dot"))
+    )
+    scale = float(10 ** round_dp)
+    return (
+        dots.join(norms.select(F.col("doc").alias("probe_id"), F.col("ssq").alias("pssq")), "probe_id")
+        .join(norms.select(F.col("doc").alias("doc_id"), F.col("ssq").alias("dssq")), "doc_id")
+        .select(
+            "probe_id",
+            "doc_id",
+            (
+                F.floor(
+                    F.col("dot")
+                    / (F.sqrt(F.col("pssq")) * F.sqrt(F.col("dssq")))
+                    * scale
+                )
+                / scale
+            ).alias("sim"),
+        )
+    )
+
+
+def bm25_scores(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    terms: Sequence[str],
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """(doc_id, score) — Okapi BM25 of a fixed keyword query against every
+    document.
+
+    Per-term tfs come from conditional aggregation (one groupBy, no
+    explode join), so the score is a single fixed-order expression over
+    exact integers: bit-identical across engines. idf uses the standard
+    ln(1 + (N - df + 0.5)/(df + 0.5)), always positive.
+    """
+    terms = list(terms)
+    n_docs = docs.count()
+    t = (
+        docs.select(F.col(id_col).alias("doc_id"), tokens(F.col(text_col)).alias("_toks"))
+        .select("doc_id", F.explode("_toks").alias("token"))
+    )
+    per_doc = t.groupBy("doc_id").agg(
+        F.count("*").alias("dl"),
+        *[
+            F.sum(F.when(F.col("token") == w, 1).otherwise(0)).alias(f"tf{i}")
+            for i, w in enumerate(terms)
+        ],
+    )
+    # corpus stats: exact integer sums, single-row broadcast
+    stats = per_doc.agg(
+        F.sum("dl").alias("sum_dl"),
+        F.count("*").alias("nd"),
+        *[
+            F.sum(F.when(F.col(f"tf{i}") > 0, 1).otherwise(0)).alias(f"df{i}")
+            for i in range(len(terms))
+        ],
+    )
+    scored = per_doc.crossJoin(F.broadcast(stats))
+    avgdl = F.col("sum_dl") / F.col("nd")
+    score = F.lit(0.0)
+    for i in range(len(terms)):
+        tf = F.col(f"tf{i}")
+        idf = F.log(
+            F.lit(1.0)
+            + (F.lit(float(n_docs)) - F.col(f"df{i}") + F.lit(0.5))
+            / (F.col(f"df{i}") + F.lit(0.5))
+        )
+        denom = tf + F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * (F.col("dl") / avgdl))
+        score = score + (idf * (tf * F.lit(k1 + 1.0))) / denom
+    return scored.select("doc_id", score.alias("score"))

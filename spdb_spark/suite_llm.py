@@ -12,7 +12,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from pyspark.sql import Window as W_
+
 from spdb_spark.functions import dedup as D
+from spdb_spark.functions import retrieval as R
 from spdb_spark.functions import similarity as S
 from spdb_spark.functions import text as T
 from spdb_spark.functions.hashing import md5_long_sql
@@ -429,8 +432,119 @@ FROM documents
 """
 
 
+# --- TF-IDF cosine similar-document search --------------------------------
+# Probe subset (doc_id % 97 == 0) against the full corpus: all-pairs on a
+# near-stopword vocabulary is quadratic, and top-k-per-probe is the actual
+# retrieval shape. Integer idf scaling keeps every sum exact (see
+# functions/retrieval.py docstring).
+
+
+def q_tfidf_similar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    w = R.tfidf_weights(docs, "doc_id", "text", idf_scale=1000)
+    probes = docs.select(F.col("doc_id").alias("doc")).where(F.col("doc") % 97 == 0)
+    sims = R.tfidf_cosine(w, probes)
+    rank_w = W_.partitionBy("probe_id").orderBy(F.desc("sim"), "doc_id")
+    return (
+        sims.withColumn("rank", F.row_number().over(rank_w).cast("long"))
+        .where(F.col("rank") <= 5)
+        .select("probe_id", "doc_id", "sim", "rank")
+    )
+
+
+SQL_TFIDF_SIMILAR = f"""
+WITH tf AS (
+  SELECT doc_id AS doc, token, COUNT(*) AS tf
+  FROM (SELECT doc_id, unnest({_TOKENS_SQL}) AS token FROM documents)
+  GROUP BY doc, token
+),
+nn AS (SELECT COUNT(*) AS n FROM documents),
+idf AS (
+  SELECT token, CAST(FLOOR(ln(CAST(nn.n AS DOUBLE) / df) * 1000) AS BIGINT) AS idf_s
+  FROM (SELECT token, COUNT(*) AS df FROM tf GROUP BY token) CROSS JOIN nn
+),
+w AS (
+  SELECT doc, tf.token, tf.tf * idf.idf_s AS w
+  FROM tf JOIN idf ON tf.token = idf.token
+),
+norms AS (SELECT doc, CAST(SUM(w * w) AS BIGINT) AS ssq FROM w GROUP BY doc),
+pw AS (SELECT doc AS probe_id, token, w AS pw FROM w WHERE doc % 97 = 0),
+dots AS (
+  SELECT pw.probe_id, w.doc AS doc_id, CAST(SUM(pw.pw * w.w) AS BIGINT) AS dot
+  FROM w JOIN pw ON w.token = pw.token
+  WHERE w.doc != pw.probe_id
+  GROUP BY pw.probe_id, w.doc
+),
+sims AS (
+  SELECT probe_id, doc_id,
+         FLOOR(dot / (sqrt(np.ssq) * sqrt(nd.ssq)) * 1000000.0) / 1000000.0 AS sim
+  FROM dots
+  JOIN norms np ON np.doc = dots.probe_id
+  JOIN norms nd ON nd.doc = dots.doc_id
+)
+SELECT probe_id, doc_id, sim,
+       CAST(row_number() OVER (PARTITION BY probe_id
+                               ORDER BY sim DESC, doc_id) AS BIGINT) AS rank
+FROM sims
+QUALIFY rank <= 5
+"""
+
+
+# --- BM25 keyword search ---------------------------------------------------
+
+_BM25_TERMS = ("scan", "merge", "stream")
+
+
+def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    scored = R.bm25_scores(docs, "doc_id", "text", _BM25_TERMS)
+    return (
+        scored.select(
+            "doc_id",
+            (F.floor(F.col("score") * 1000000.0) / 1000000.0).alias("score"),
+        )
+        .orderBy(F.desc("score"), "doc_id")
+        .limit(20)
+    )
+
+
+def _bm25_term_sql(i: int) -> str:
+    # mirrors bm25_scores expression order exactly: (idf * (tf*2.2)) / denom
+    return (
+        f"(ln(1.0 + (CAST(nn.n AS DOUBLE) - df{i} + 0.5) / (df{i} + 0.5))"
+        f" * (tf{i} * 2.2))"
+        f" / (tf{i} + 1.2 * (0.25 + 0.75 * (dl / (sum_dl / nd))))"
+    )
+
+
+SQL_BM25_SEARCH = f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_TOKENS_SQL}) AS token FROM documents
+),
+per_doc AS (
+  SELECT doc_id, COUNT(*) AS dl,
+         {", ".join(f"CAST(SUM(CASE WHEN token = '{t}' THEN 1 ELSE 0 END) AS BIGINT) AS tf{i}" for i, t in enumerate(_BM25_TERMS))}
+  FROM toks GROUP BY doc_id
+),
+stats AS (
+  SELECT CAST(SUM(dl) AS BIGINT) AS sum_dl, COUNT(*) AS nd,
+         {", ".join(f"CAST(SUM(CASE WHEN tf{i} > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df{i}" for i in range(len(_BM25_TERMS)))}
+  FROM per_doc
+),
+nn AS (SELECT COUNT(*) AS n FROM documents)
+SELECT doc_id,
+       FLOOR(({" + ".join(_bm25_term_sql(i) for i in range(len(_BM25_TERMS)))})
+             * 1000000.0) / 1000000.0 AS score
+FROM per_doc CROSS JOIN stats CROSS JOIN nn
+ORDER BY score DESC, doc_id
+LIMIT 20
+"""
+
+
 QUERIES = {
     "llm_dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
+    "llm_tfidf_similar": (q_tfidf_similar, SQL_TFIDF_SIMILAR),
+    "llm_bm25_search": (q_bm25_search, SQL_BM25_SEARCH),
     "llm_dedup_fingerprint": (q_dedup_fingerprint, SQL_DEDUP_FINGERPRINT),
     "llm_dedup_jaccard": (q_dedup_jaccard, SQL_DEDUP_JACCARD),
     "llm_dedup_minhash": (q_dedup_minhash, SQL_DEDUP_MINHASH),
