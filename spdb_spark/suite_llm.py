@@ -16,6 +16,7 @@ from pyspark.sql import Window as W_
 
 from spdb_spark.functions import dedup as D
 from spdb_spark.functions import retrieval as R
+from spdb_spark.functions import sampling as SP
 from spdb_spark.functions import similarity as S
 from spdb_spark.functions import text as T
 from spdb_spark.functions.hashing import md5_long_sql
@@ -541,10 +542,57 @@ LIMIT 20
 """
 
 
+# --- deterministic curation: hash split + stratified sample ----------------
+# rand()/df.sample cannot gate against an oracle and are not reproducible
+# across engines; the curation ops are pure hash functions of the row key
+# (functions/sampling.py) so both engines compute identical memberships.
+
+
+def q_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    return (
+        SP.hash_split(docs, "doc_id")
+        .groupBy("split", "lang")
+        .agg(F.count("*").alias("n_docs"))
+    )
+
+
+_SPLIT_BUCKET = md5_long_sql("'split' || CAST(doc_id AS VARCHAR)") + " % 10000"
+
+SQL_HASH_SPLIT = f"""
+SELECT CASE WHEN {_SPLIT_BUCKET} < 8000 THEN 'train'
+            WHEN {_SPLIT_BUCKET} < 9000 THEN 'val'
+            ELSE 'test' END AS split,
+       lang, COUNT(*) AS n_docs
+FROM documents
+GROUP BY 1, 2
+"""
+
+
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    return SP.stratified_sample(
+        docs, "lang", {"en": 0.3, "zh": 0.1}, "doc_id", default_fraction=0.05
+    ).select("doc_id", "lang")
+
+
+_SAMPLE_BUCKET = md5_long_sql("'sample' || CAST(doc_id AS VARCHAR)") + " % 10000"
+
+SQL_STRATIFIED_SAMPLE = f"""
+SELECT doc_id, lang
+FROM documents
+WHERE {_SAMPLE_BUCKET} < CASE lang WHEN 'en' THEN 3000
+                                   WHEN 'zh' THEN 1000
+                                   ELSE 500 END
+"""
+
+
 QUERIES = {
     "llm_dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
     "llm_tfidf_similar": (q_tfidf_similar, SQL_TFIDF_SIMILAR),
     "llm_bm25_search": (q_bm25_search, SQL_BM25_SEARCH),
+    "llm_hash_split": (q_hash_split, SQL_HASH_SPLIT),
+    "llm_stratified_sample": (q_stratified_sample, SQL_STRATIFIED_SAMPLE),
     "llm_dedup_fingerprint": (q_dedup_fingerprint, SQL_DEDUP_FINGERPRINT),
     "llm_dedup_jaccard": (q_dedup_jaccard, SQL_DEDUP_JACCARD),
     "llm_dedup_minhash": (q_dedup_minhash, SQL_DEDUP_MINHASH),

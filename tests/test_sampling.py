@@ -1,0 +1,44 @@
+"""Deterministic curation ops: split assignment is a pure function of the
+row key — stable under corpus growth, re-partitioning, and re-runs."""
+
+from pyspark.sql import functions as F
+
+from spdb_spark.functions.sampling import hash_split, stratified_sample
+
+
+def test_split_stable_under_growth(spark):
+    small = spark.range(0, 500).withColumnRenamed("id", "doc_id")
+    big = spark.range(0, 1000).withColumnRenamed("id", "doc_id")
+    s_small = {r.doc_id: r.split for r in hash_split(small, "doc_id").collect()}
+    s_big = {r.doc_id: r.split for r in hash_split(big, "doc_id").collect()}
+    # every original row keeps its split when the corpus doubles
+    assert all(s_big[k] == v for k, v in s_small.items())
+    # realized fractions near the request (80/10/10 +- granularity noise)
+    n = len(s_big)
+    frac_train = sum(v == "train" for v in s_big.values()) / n
+    assert 0.74 <= frac_train <= 0.86
+
+
+def test_split_partition_invariant(spark):
+    df = spark.range(0, 300).withColumnRenamed("id", "doc_id")
+    a = {r.doc_id: r.split for r in hash_split(df, "doc_id").collect()}
+    b = {r.doc_id: r.split for r in hash_split(df.repartition(7), "doc_id").collect()}
+    assert a == b
+
+
+def test_stratified_sample_respects_fractions(spark):
+    df = spark.range(0, 2000).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 2 == 0, "en").otherwise("de").alias("lang"),
+    )
+    out = stratified_sample(df, "lang", {"en": 0.5}, "doc_id", default_fraction=0.1)
+    counts = {r.lang: r.n for r in out.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    assert 400 <= counts.get("en", 0) <= 600   # ~50% of 1000
+    assert 50 <= counts.get("de", 0) <= 150    # ~10% of 1000
+    # sample of a superset contains the sample of the subset
+    sub = stratified_sample(
+        df.where(F.col("doc_id") < 500), "lang", {"en": 0.5}, "doc_id", default_fraction=0.1
+    )
+    sub_ids = {r.doc_id for r in sub.collect()}
+    out_ids = {r.doc_id for r in out.collect()}
+    assert sub_ids <= out_ids
