@@ -91,6 +91,33 @@ def main():
         .mode("overwrite")
         .save(),
     )
+    # --- block-path store: bulk ingest, then windowed cutout vs voxel path --
+    import shutil
+
+    from spdb_spark.sources.volumetric import ingest_voxel_files
+    from spdb_spark.store import CuboidStore
+
+    vox_files = f"{out_dir}/vox_files"
+    store_path = f"{out_dir}/store"
+    shutil.rmtree(vox_files, ignore_errors=True)
+    shutil.rmtree(store_path, ignore_errors=True)
+    df.withColumn("t", F.col("t").cast("long")).write.parquet(vox_files)
+    store = CuboidStore(spark, store_path, datatype="uint8")
+    timed("block_ingest", lambda: ingest_voxel_files(store, vox_files))
+    timed(
+        "block_cutout_small_box",
+        lambda: store.cutout_voxels((2100, 2100, 70), (512, 512, 16)).count(),
+    )
+    timed(
+        "block_cutout_large_box",
+        lambda: store.cutout_voxels((0, 0, 0), (4096, 4096, 128)).count(),
+    )
+    # dense ndarray assembly (driver collect) of one cuboid-aligned window
+    timed(
+        "block_cutout_dense_1cuboid",
+        lambda: store.cutout((2048, 2048, 64), (512, 512, 16)).sum(),
+    )
+
     print(json.dumps({"multiplier": mult, **timings}))
     spark.stop()
 
