@@ -1032,10 +1032,78 @@ GROUP BY l_returnflag
 """
 
 
+# --- ordered event funnel --------------------------------------------------
+# Spark side is the PLAN THE ENGINE SHOULD RUN at scale: one shuffle
+# (groupBy user), events folded in event-time order by a Catalyst
+# `aggregate` lambda — no self-joins, no re-shuffling per step. The
+# oracle states the same semantics the relational way (min-ts chain of
+# strictly-later steps); results agree whenever a user has no duplicate
+# event timestamps (held by the data; ties would differ only there).
+
+_FUNNEL_STEPS = ("signup", "purchase", "error")
+
+
+def q_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (events,) = _t(spark, sf_dir, "events")
+    e = events.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.unix_millis(F.col("ts").cast("timestamp")).alias("ts_ms"),
+    )
+    per_user = e.groupBy("user_id").agg(
+        F.array_sort(
+            F.collect_list(F.struct("ts_ms", "event_id", "event_type"))
+        ).alias("evs")
+    )
+    steps = F.array(*[F.lit(s) for s in _FUNNEL_STEPS])
+    folded = per_user.select(
+        F.aggregate(
+            F.col("evs"),
+            F.struct(
+                F.lit(1).alias("stage"), F.lit(-(1 << 62)).cast("long").alias("last_ts")
+            ),
+            lambda acc, ev: F.when(
+                (acc["stage"] <= len(_FUNNEL_STEPS))
+                & (ev["event_type"] == F.element_at(steps, acc["stage"]))
+                & (ev["ts_ms"] > acc["last_ts"]),
+                F.struct(
+                    (acc["stage"] + 1).alias("stage"), ev["ts_ms"].alias("last_ts")
+                ),
+            ).otherwise(acc),
+        )["stage"].alias("stage")
+    )
+    return folded.agg(
+        *[
+            F.sum(F.when(F.col("stage") >= i + 2, 1).otherwise(0))
+            .cast("long")
+            .alias(f"n_step{i + 1}")
+            for i in range(len(_FUNNEL_STEPS))
+        ]
+    )
+
+
+SQL_EVENT_FUNNEL = """
+WITH e AS (
+  SELECT user_id, event_type, epoch_ms(ts) AS ts_ms FROM events
+),
+s1 AS (SELECT user_id, MIN(ts_ms) AS t1 FROM e
+       WHERE event_type = 'signup' GROUP BY user_id),
+s2 AS (SELECT e.user_id, MIN(ts_ms) AS t2 FROM e JOIN s1 USING (user_id)
+       WHERE event_type = 'purchase' AND ts_ms > t1 GROUP BY e.user_id),
+s3 AS (SELECT e.user_id, MIN(ts_ms) AS t3 FROM e JOIN s2 USING (user_id)
+       WHERE event_type = 'error' AND ts_ms > t2 GROUP BY e.user_id)
+SELECT (SELECT COUNT(*) FROM s1) AS n_step1,
+       (SELECT COUNT(*) FROM s2) AS n_step2,
+       (SELECT COUNT(*) FROM s3) AS n_step3
+"""
+
+
 QUERIES = {
     "q1_pricing_summary": (q1_pricing_summary, SQL_Q1),
     "q9_product_profit": (q9_product_profit, SQL_Q9_PRODUCT_PROFIT),
     "q12_late_priority": (q12_late_priority, SQL_Q12_LATE_PRIORITY),
+    "q_event_funnel": (q_event_funnel, SQL_EVENT_FUNNEL),
     "q2_min_cost_supplier": (q2_min_cost_supplier, SQL_Q2_MIN_COST),
     "q7_nation_volume": (q7_nation_volume, SQL_Q7_NATION_VOLUME),
     "q8_brand_share": (q8_brand_share, SQL_Q8_BRAND_SHARE),

@@ -74,3 +74,36 @@ def test_asof_join_avoids_range_cross_product(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "Window" in plan and "Union" in plan
+
+
+def test_tfidf_idf_join_broadcasts(spark):
+    from spdb_spark.functions.retrieval import tfidf_weights
+    from spdb_spark.session import load_tables
+
+    docs = load_tables(spark, "/root/testdata/sf0.001", names=("documents",))[
+        "documents"
+    ]
+    plan = plan_of(tfidf_weights(docs, "doc_id", "text"))
+    # vocabulary-sized idf table must broadcast, not shuffle the tf table
+    assert "BroadcastHashJoin" in plan
+
+
+def test_funnel_is_single_shuffle(spark):
+    from spdb_spark.suite_relational import q_event_funnel
+
+    plan = plan_of(q_event_funnel(spark, "/root/testdata/sf0.001"))
+    # one shuffle for groupBy(user); the final 1-row agg is a single
+    # partition exchange, never a join or per-step re-shuffle
+    assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan
+
+
+def test_stratified_sample_is_narrow(spark):
+    from spdb_spark.functions.sampling import stratified_sample
+    from spdb_spark.session import load_tables
+
+    docs = load_tables(spark, "/root/testdata/sf0.001", names=("documents",))[
+        "documents"
+    ]
+    plan = plan_of(stratified_sample(docs, "lang", {"en": 0.3}, "doc_id"))
+    # pure filter over the scan: no exchange of any kind
+    assert "Exchange" not in plan
