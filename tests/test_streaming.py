@@ -77,3 +77,62 @@ def test_streaming_end_to_end(spark, tmp_path):
     q2.awaitTermination(120)
     state = {(r.x, r.value) for r in sink.read_state().collect()}
     assert state == {(1, 99), (2, 20)}
+
+
+def test_transactional_ingest_exactly_once(spark, tmp_path):
+    """Redelivered batch ids are skipped; commits are atomic (an
+    uncommitted data dir is invisible to readers); time travel works."""
+    import os
+
+    from spdb_spark.streaming.ingest import TransactionalVoxelIngest
+
+    table = str(tmp_path / "txntable")
+    sink = TransactionalVoxelIngest(spark, table)
+
+    b1 = vox_rows(spark, [("k", 0, 0, 1, 1, 1, 10, 1), ("k", 0, 0, 2, 2, 2, 20, 2)])
+    sink.process_batch(b1, 0)
+    assert {(r.x, r.value) for r in sink.read_state().collect()} == {(1, 10), (2, 20)}
+
+    # crash replay: same batch_id delivered again -> no-op
+    sink.process_batch(b1, 0)
+    assert sink._committed() == [0]
+
+    b2 = vox_rows(spark, [("k", 0, 0, 1, 1, 1, 99, 3)])
+    sink.process_batch(b2, 1)
+    assert {(r.x, r.value) for r in sink.read_state().collect()} == {(1, 99), (2, 20)}
+    # replay of an OLD batch after newer commits: still a no-op
+    sink.process_batch(b1, 0)
+    assert {(r.x, r.value) for r in sink.read_state().collect()} == {(1, 99), (2, 20)}
+
+    # time travel to the pre-overwrite snapshot
+    assert {(r.x, r.value) for r in sink.read_state(version=0).collect()} == {
+        (1, 10),
+        (2, 20),
+    }
+
+    # torn write: data dir exists but ledger entry was never committed
+    b3 = vox_rows(spark, [("k", 0, 0, 3, 3, 3, 7, 4)])
+    merged = b3.select("lookup_key", "resolution", "t", "x", "y", "z", "value")
+    merged.write.parquet(sink._data_dir(2))
+    assert {(r.x, r.value) for r in sink.read_state().collect()} == {(1, 99), (2, 20)}
+
+    # vacuum keeps the latest snapshots only
+    sink.vacuum(keep_last=1)
+    assert sink._committed() == [1]
+    assert not os.path.exists(sink._data_dir(0))
+    assert {(r.x, r.value) for r in sink.read_state().collect()} == {(1, 99), (2, 20)}
+
+
+def test_transactional_ingest_streaming_query(spark, tmp_path):
+    """The transactional sink attaches to a real streaming query."""
+    from spdb_spark.streaming.ingest import TransactionalVoxelIngest
+
+    src = tmp_path / "txn_incoming"
+    src.mkdir()
+    b1 = vox_rows(spark, [("k", 0, 0, 5, 5, 5, 50, 1)])
+    b1.write.parquet(str(src / "b1"))
+    stream = spark.readStream.schema(b1.schema).parquet(str(src / "*"))
+    sink = TransactionalVoxelIngest(spark, str(tmp_path / "txntable2"))
+    q = sink.start(stream, str(tmp_path / "txn_ckpt"))
+    q.awaitTermination(120)
+    assert {(r.x, r.value) for r in sink.read_state().collect()} == {(5, 50)}
