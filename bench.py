@@ -30,6 +30,8 @@ HEADLINE = [
     "spatial_downsample_anno",
     "llm_dedup_minhash",
     "llm_ann_topk",
+    "llm_bm25_search",
+    "q_event_funnel",
 ]
 
 
