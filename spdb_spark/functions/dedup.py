@@ -42,6 +42,40 @@ def fingerprint_dup_groups(df: DataFrame, id_col: str, text_col: str) -> DataFra
     )
 
 
+def contamination_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    source_col: str,
+    eval_source: str,
+) -> DataFrame:
+    """Benchmark-contamination check: training docs (any other source)
+    whose canonical token-set fingerprint collides with a doc of
+    `eval_source`. Returns (doc_id, source, eval_doc_id).
+
+    The eval side is benchmark-sized, so it broadcasts — the training
+    corpus streams through a broadcast hash join without shuffling,
+    which is the only shape that works when the training side is 100 TB."""
+    fp = F.md5(
+        F.array_join(F.array_sort(F.array_distinct(tokens(F.col(text_col)))), " ")
+    )
+    fps = df.select(
+        F.col(id_col).alias("doc"), F.col(source_col).alias("src"), fp.alias("fp")
+    )
+    ev = fps.where(F.col("src") == eval_source).select(
+        "fp", F.col("doc").alias("eval_doc_id")
+    )
+    return (
+        fps.where(F.col("src") != eval_source)
+        .join(F.broadcast(ev), "fp")
+        .select(
+            F.col("doc").alias("doc_id"),
+            F.col("src").alias("source"),
+            "eval_doc_id",
+        )
+    )
+
+
 def shingles(
     df: DataFrame, id_col: str, text_col: str, k: int = 3, distinct: bool = True
 ) -> DataFrame:

@@ -454,6 +454,67 @@ def smooth_xy(v: DataFrame, radius: int = 1) -> DataFrame:
     )
 
 
+def surface_stats(v: DataFrame) -> DataFrame:
+    """Per-object surface statistics: a voxel of id k is SURFACE when any
+    of its 6 face-neighbors is not also id k (different id or absent).
+    Returns (anno_id, n_surface, n_total) — surface area + volume per
+    segmented object (parity-plus: the reference stores segmentations
+    but has no morphometry operator; cf. get_ids_in_region
+    object.py:778-831 which only enumerates ids).
+
+    Shape: each voxel scatters its id to its 6 neighbor positions
+    (map-side explode), unioned with the voxels themselves; ONE
+    partial/final agg per (position, id) counts same-id neighbors, and a
+    voxel is interior iff it received all 6. No self-join — the 6-way
+    neighborhood join becomes a single shuffle, skew-free at any volume."""
+    offs = [(1, 0, 0), (-1, 0, 0), (0, 1, 0), (0, -1, 0), (0, 0, 1), (0, 0, -1)]
+    nbrs = v.select(
+        "t",
+        "x",
+        "y",
+        "z",
+        "value",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(dx).alias("dx"),
+                        F.lit(dy).alias("dy"),
+                        F.lit(dz).alias("dz"),
+                    )
+                    for dx, dy, dz in offs
+                ]
+            )
+        ).alias("o"),
+    ).select(
+        "t",
+        (F.col("x") + F.col("o.dx")).alias("x"),
+        (F.col("y") + F.col("o.dy")).alias("y"),
+        (F.col("z") + F.col("o.dz")).alias("z"),
+        "value",
+        F.lit(0).alias("present"),
+        F.lit(1).alias("nbr"),
+    )
+    selfs = v.select(
+        "t", "x", "y", "z", "value", F.lit(1).alias("present"), F.lit(0).alias("nbr")
+    )
+    g = (
+        selfs.unionByName(nbrs)
+        .groupBy("t", "x", "y", "z", "value")
+        .agg(F.sum("present").alias("p"), F.sum("nbr").alias("n"))
+    )
+    return (
+        g.where(F.col("p") > 0)
+        .groupBy(F.col("value").alias("anno_id"))
+        .agg(
+            F.sum(F.when(F.col("n") < 6, 1).otherwise(0))
+            .cast("long")
+            .alias("n_surface"),
+            F.count("*").alias("n_total"),
+        )
+    )
+
+
 def downsample_image_box(v: DataFrame, factor: int = 1) -> DataFrame:
     """Dense box-filter downsample: SUM over the 2^f x 2^f xy window divided
     by the FULL window area (absent voxels count as zeros — matching the

@@ -542,6 +542,31 @@ LIMIT 20
 """
 
 
+# --- benchmark contamination ----------------------------------------------
+
+
+def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.contamination_pairs(
+        _docs(spark, sf_dir), "doc_id", "text", "source", eval_source="src13"
+    )
+
+
+_FP_SQL = (
+    "md5(array_to_string(list_sort(list_distinct("
+    + _TOKENS_SQL
+    + ")), ' '))"
+)
+
+SQL_CONTAMINATION = f"""
+WITH fps AS (
+  SELECT doc_id, source, {_FP_SQL} AS fp FROM documents
+)
+SELECT t.doc_id AS doc_id, t.source AS source, e.doc_id AS eval_doc_id
+FROM fps t JOIN fps e ON t.fp = e.fp
+WHERE e.source = 'src13' AND t.source != 'src13'
+"""
+
+
 # --- deterministic curation: hash split + stratified sample ----------------
 # rand()/df.sample cannot gate against an oracle and are not reproducible
 # across engines; the curation ops are pure hash functions of the row key
@@ -591,6 +616,7 @@ QUERIES = {
     "llm_dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
     "llm_tfidf_similar": (q_tfidf_similar, SQL_TFIDF_SIMILAR),
     "llm_bm25_search": (q_bm25_search, SQL_BM25_SEARCH),
+    "llm_contamination": (q_contamination, SQL_CONTAMINATION),
     "llm_hash_split": (q_hash_split, SQL_HASH_SPLIT),
     "llm_stratified_sample": (q_stratified_sample, SQL_STRATIFIED_SAMPLE),
     "llm_dedup_fingerprint": (q_dedup_fingerprint, SQL_DEDUP_FINGERPRINT),

@@ -468,6 +468,36 @@ GROUP BY t, x + dx.d, y + dy.d, z
 """
 
 
+def q_spatial_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Surface area + volume per annotation object (6-neighborhood)."""
+    v = voxels_df(spark, sf_dir, value_expr=VALUE_ANNO, dedup=True)
+    return V.surface_stats(v)
+
+
+SQL_SPATIAL_SURFACE = f"""
+WITH contrib AS (
+  SELECT t, x + o.dx AS x, y + o.dy AS y, z + o.dz AS z, value,
+         0 AS present, 1 AS nbr
+  FROM {voxels_sql(value_expr=VALUE_ANNO, dedup=True)} AS v
+  CROSS JOIN (VALUES (CAST(1 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT)),
+                     (-1, 0, 0), (0, 1, 0), (0, -1, 0),
+                     (0, 0, 1), (0, 0, -1)) AS o(dx, dy, dz)
+  UNION ALL
+  SELECT t, x, y, z, value, 1, 0
+  FROM {voxels_sql(value_expr=VALUE_ANNO, dedup=True)} AS v2
+),
+g AS (
+  SELECT t, x, y, z, value, SUM(present) AS p, SUM(nbr) AS n
+  FROM contrib GROUP BY t, x, y, z, value
+)
+SELECT value AS anno_id,
+       CAST(SUM(CASE WHEN n < 6 THEN 1 ELSE 0 END) AS BIGINT) AS n_surface,
+       COUNT(*) AS n_total
+FROM g WHERE p > 0
+GROUP BY value
+"""
+
+
 def q_spatial_cross_channel_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Image intensities under selected annotation objects (cross-channel
     mask via the channel sources/related linkage)."""
@@ -623,6 +653,7 @@ QUERIES = {
     "spatial_isotropic_build": (q_spatial_isotropic_build, SQL_SPATIAL_ISOTROPIC_BUILD),
     "spatial_missing_time": (q_spatial_missing_time, SQL_SPATIAL_MISSING_TIME),
     "spatial_time_filled": (q_spatial_time_filled, SQL_SPATIAL_TIME_FILLED),
+    "spatial_surface": (q_spatial_surface, SQL_SPATIAL_SURFACE),
     "spatial_cross_channel_mask": (q_spatial_cross_channel_mask, SQL_SPATIAL_CROSS_CHANNEL_MASK),
     "spatial_object_intensity": (q_spatial_object_intensity, SQL_SPATIAL_OBJECT_INTENSITY),
     "spatial_smooth": (q_spatial_smooth, SQL_SPATIAL_SMOOTH),
