@@ -1099,10 +1099,117 @@ SELECT (SELECT COUNT(*) FROM s1) AS n_step1,
 """
 
 
+# --- q4-like: priority counts of orders with any late-shipped line ---------
+# (no l_commitdate in the driver tables; "late" = shipped > 90 days after
+# order date). EXISTS compiles to a left-semi join — the fact table never
+# duplicates rows.
+
+
+def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders, li = _t(spark, sf_dir, "orders", "lineitem")
+    late = li.join(
+        orders.select("o_orderkey", "o_orderdate"), F.col("l_orderkey") == F.col("o_orderkey")
+    ).where(
+        F.datediff(F.to_date("l_shipdate"), F.to_date("o_orderdate")) > 90
+    ).select(F.col("l_orderkey").alias("late_ok")).distinct()
+    return (
+        orders.join(late, F.col("o_orderkey") == F.col("late_ok"), "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+    )
+
+
+SQL_Q4_ORDER_PRIORITY = """
+SELECT o_orderpriority, COUNT(*) AS order_count
+FROM orders
+WHERE EXISTS (
+  SELECT 1 FROM lineitem
+  WHERE l_orderkey = o_orderkey
+    AND date_diff('day', CAST(o_orderdate AS DATE), CAST(l_shipdate AS DATE)) > 90
+)
+GROUP BY o_orderpriority
+"""
+
+
+# --- q6-like: forecast revenue change (selective scan-aggregate) -----------
+
+
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (li,) = _t(spark, sf_dir, "lineitem")
+    return (
+        li.where(
+            (F.year("l_shipdate") == 1997)
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            (
+                F.expr(
+                    "sum(cast(round(l_extendedprice * 100) as bigint)"
+                    " * cast(round(l_discount * 100) as bigint)) div 100"
+                )
+                / 100.0
+            ).alias("revenue"),
+            F.count("*").alias("n_lines"),
+        )
+    )
+
+
+SQL_Q6_FORECAST = """
+SELECT (CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+             * CAST(ROUND(l_discount * 100) AS BIGINT)) AS BIGINT) // 100) / 100.0
+         AS revenue,
+       COUNT(*) AS n_lines
+FROM lineitem
+WHERE EXTRACT(YEAR FROM l_shipdate) = 1997
+  AND l_discount >= 0.05 AND l_discount <= 0.07
+  AND l_quantity < 24
+"""
+
+
+# --- q19-like: disjunctive bracket predicates (OR-of-ANDs join filter) ------
+
+
+def q19_bracket_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part, li = _t(spark, sf_dir, "part", "lineitem")
+    j = li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+    brackets = (
+        ((F.col("p_brand") == "Brand#1") & (F.col("p_size") <= 10) & (F.col("l_quantity") >= 1) & (F.col("l_quantity") <= 20))
+        | ((F.col("p_brand") == "Brand#2") & (F.col("p_size") <= 20) & (F.col("l_quantity") >= 10) & (F.col("l_quantity") <= 30))
+        | ((F.col("p_brand") == "Brand#3") & (F.col("p_size") <= 30) & (F.col("l_quantity") >= 20) & (F.col("l_quantity") <= 40))
+    )
+    return j.where(brackets).agg(
+        (
+            F.expr(
+                "sum(cast(round(l_extendedprice * 100) as bigint)"
+                " * (100 - cast(round(l_discount * 100) as bigint))) div 100"
+            )
+            / 100.0
+        ).alias("revenue"),
+        F.count("*").alias("n_lines"),
+    )
+
+
+SQL_Q19_BRACKET = """
+SELECT (CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+             * (100 - CAST(ROUND(l_discount * 100) AS BIGINT))) AS BIGINT) // 100)
+         / 100.0 AS revenue,
+       COUNT(*) AS n_lines
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#1' AND p_size <= 10 AND l_quantity BETWEEN 1 AND 20)
+   OR (p_brand = 'Brand#2' AND p_size <= 20 AND l_quantity BETWEEN 10 AND 30)
+   OR (p_brand = 'Brand#3' AND p_size <= 30 AND l_quantity BETWEEN 20 AND 40)
+"""
+
+
 QUERIES = {
     "q1_pricing_summary": (q1_pricing_summary, SQL_Q1),
     "q9_product_profit": (q9_product_profit, SQL_Q9_PRODUCT_PROFIT),
     "q12_late_priority": (q12_late_priority, SQL_Q12_LATE_PRIORITY),
+    "q4_order_priority": (q4_order_priority, SQL_Q4_ORDER_PRIORITY),
+    "q6_forecast_revenue": (q6_forecast_revenue, SQL_Q6_FORECAST),
+    "q19_bracket_revenue": (q19_bracket_revenue, SQL_Q19_BRACKET),
     "q_event_funnel": (q_event_funnel, SQL_EVENT_FUNNEL),
     "q2_min_cost_supplier": (q2_min_cost_supplier, SQL_Q2_MIN_COST),
     "q7_nation_volume": (q7_nation_volume, SQL_Q7_NATION_VOLUME),
