@@ -1203,8 +1203,53 @@ WHERE (p_brand = 'Brand#1' AND p_size <= 10 AND l_quantity BETWEEN 1 AND 20)
 """
 
 
+# --- weekly cohort retention -----------------------------------------------
+# Cohort = ISO week of a user's first event; retention counts users active
+# again k weeks later. Two aggregations + one user-keyed join; weeks
+# truncate identically (Monday) in both engines.
+
+
+def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (events,) = _t(spark, sf_dir, "events")
+    cohorts = events.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cw")
+    )
+    activity = (
+        events.select("user_id", F.date_trunc("week", F.col("ts")).alias("w"))
+        .distinct()
+    )
+    return (
+        activity.join(cohorts, "user_id")
+        .select(
+            F.date_format("cw", "yyyy-MM-dd").alias("cohort_week"),
+            F.floor(F.datediff(F.to_date("w"), F.to_date("cw")) / 7)
+            .cast("long")
+            .alias("week_offset"),
+        )
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.count("*").alias("n_users"))
+    )
+
+
+SQL_COHORT_RETENTION = """
+WITH cohorts AS (
+  SELECT user_id, date_trunc('week', MIN(ts)) AS cw
+  FROM events GROUP BY user_id
+),
+activity AS (
+  SELECT DISTINCT user_id, date_trunc('week', ts) AS w FROM events
+)
+SELECT strftime(cw, '%Y-%m-%d') AS cohort_week,
+       date_diff('day', CAST(cw AS DATE), CAST(w AS DATE)) // 7 AS week_offset,
+       COUNT(*) AS n_users
+FROM activity JOIN cohorts USING (user_id)
+GROUP BY 1, 2
+"""
+
+
 QUERIES = {
     "q1_pricing_summary": (q1_pricing_summary, SQL_Q1),
+    "q_cohort_retention": (q_cohort_retention, SQL_COHORT_RETENTION),
     "q9_product_profit": (q9_product_profit, SQL_Q9_PRODUCT_PROFIT),
     "q12_late_priority": (q12_late_priority, SQL_Q12_LATE_PRIORITY),
     "q4_order_priority": (q4_order_priority, SQL_Q4_ORDER_PRIORITY),
