@@ -185,13 +185,15 @@ def minhash_rehash_sql(h31_expr: str, j: int) -> str:
     return f"((({h31_expr}) * {a} + {b}) & {_MASK31})"
 
 
-def lsh_candidate_pairs(
+def band_buckets(
     signatures: DataFrame, bands: int = 8, rows: int = 2
 ) -> DataFrame:
-    """Band the signature (bands x rows) and emit distinct candidate pairs
-    sharing any band bucket. Bucket key is md5 of the band's minhashes —
-    uniform shuffle keys at any scale."""
-    banded = signatures.select(
+    """(doc, band, bucket) — LSH band table of a signature DataFrame.
+    Bucket key is md5 of the band's minhashes — uniform shuffle keys at
+    any scale. This is the table a deployment PERSISTS as the dedup
+    index (bucketed by `bucket` so incremental probes don't shuffle the
+    corpus side)."""
+    return signatures.select(
         "doc",
         F.explode(
             F.array(
@@ -213,6 +215,14 @@ def lsh_candidate_pairs(
             )
         ).alias("bb"),
     ).select("doc", "bb.band", "bb.bucket")
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame, bands: int = 8, rows: int = 2
+) -> DataFrame:
+    """Band the signature (bands x rows) and emit distinct candidate pairs
+    sharing any band bucket."""
+    banded = band_buckets(signatures, bands, rows)
     a = banded.toDF("doc_a", "band", "bucket")
     b = banded.toDF("doc_b", "band", "bucket")
     return (
@@ -322,6 +332,79 @@ def minhash_lsh_dedup(
             (
                 F.col("inter")
                 / (F.col("sz_a") + F.col("sz_b") - F.col("inter"))
+            ).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
+
+
+def incremental_minhash_dedup(
+    new_docs: DataFrame,
+    corpus_docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+    num_hashes: int = 16,
+    bands: int = 8,
+    rows: int = 2,
+    threshold: float = 0.2,
+    corpus_bands: DataFrame | None = None,
+) -> DataFrame:
+    """Incremental near-dup: a NEW batch probed against the stored corpus,
+    never re-pairing the corpus with itself. Returns
+    (new_id, corpus_id, jaccard) for verified matches.
+
+    This is the 100 TB dedup workflow: the corpus's band table
+    (`band_buckets` output, same hash family) is a persisted index —
+    pass it as `corpus_bands` and only the new batch is shingled +
+    signed. Candidates come from joining new-side bands against the
+    index (shuffle sized by the new batch; with the index bucketed by
+    `bucket`, the corpus side doesn't move). Exact-Jaccard verification
+    recomputes shingle sets ONLY for candidate corpus docs (left-semi
+    pushdown into the corpus scan).
+    """
+    sh_new = shingles(new_docs, id_col, text_col, k, distinct=False).persist()
+    nb = band_buckets(
+        minhash_signatures(sh_new, id_col, num_hashes), bands, rows
+    ).toDF("new_id", "band", "bucket")
+    if corpus_bands is None:
+        sh_c = shingles(corpus_docs, id_col, text_col, k, distinct=False)
+        corpus_bands = band_buckets(
+            minhash_signatures(sh_c, id_col, num_hashes), bands, rows
+        )
+    cb = corpus_bands.toDF("corpus_id", "band", "bucket")
+    cands = nb.join(cb, ["band", "bucket"]).select("new_id", "corpus_id").distinct()
+
+    new_sets = (
+        sh_new.groupBy(F.col(id_col).alias("new_id"))
+        .agg(F.array_sort(F.collect_set("shingle")).alias("set_n"))
+        .join(cands.select("new_id").distinct(), "new_id", "left_semi")
+    )
+    cand_corpus = corpus_docs.join(
+        cands.select(F.col("corpus_id").alias(id_col)).distinct(), id_col, "left_semi"
+    )
+    corp_sets = (
+        shingles(cand_corpus, id_col, text_col, k, distinct=False)
+        .groupBy(F.col(id_col).alias("corpus_id"))
+        .agg(F.array_sort(F.collect_set("shingle")).alias("set_c"))
+    )
+    inter = (
+        cands.join(new_sets, "new_id")
+        .join(corp_sets, "corpus_id")
+        .select(
+            "new_id",
+            "corpus_id",
+            F.size(F.array_intersect(F.col("set_n"), F.col("set_c"))).alias("inter"),
+            F.size("set_n").alias("sz_n"),
+            F.size("set_c").alias("sz_c"),
+        )
+    )
+    return (
+        inter.select(
+            "new_id",
+            "corpus_id",
+            (
+                F.col("inter") / (F.col("sz_n") + F.col("sz_c") - F.col("inter"))
             ).alias("jaccard"),
         )
         .where(F.col("jaccard") >= threshold)
