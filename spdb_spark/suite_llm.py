@@ -542,6 +542,39 @@ LIMIT 20
 """
 
 
+# --- corpus vocabulary report ----------------------------------------------
+
+
+def q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    toks = docs.select(
+        F.explode(T.tokens(F.col("text"))).alias("token")
+    )
+    return (
+        toks.groupBy("token")
+        .agg(F.count("*").alias("n_occurrences"))
+        .withColumn(
+            "rank",
+            F.row_number()
+            .over(W_.orderBy(F.desc("n_occurrences"), "token"))
+            .cast("long"),
+        )
+        .where(F.col("rank") <= 50)
+    )
+
+
+SQL_VOCAB_TOPK = f"""
+SELECT token, n_occurrences,
+       CAST(row_number() OVER (ORDER BY n_occurrences DESC, token) AS BIGINT) AS rank
+FROM (
+  SELECT token, COUNT(*) AS n_occurrences
+  FROM (SELECT unnest({_TOKENS_SQL}) AS token FROM documents)
+  GROUP BY token
+)
+QUALIFY rank <= 50
+"""
+
+
 # --- benchmark contamination ----------------------------------------------
 
 
@@ -616,6 +649,7 @@ QUERIES = {
     "llm_dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
     "llm_tfidf_similar": (q_tfidf_similar, SQL_TFIDF_SIMILAR),
     "llm_bm25_search": (q_bm25_search, SQL_BM25_SEARCH),
+    "llm_vocab_topk": (q_vocab_topk, SQL_VOCAB_TOPK),
     "llm_contamination": (q_contamination, SQL_CONTAMINATION),
     "llm_hash_split": (q_hash_split, SQL_HASH_SPLIT),
     "llm_stratified_sample": (q_stratified_sample, SQL_STRATIFIED_SAMPLE),
