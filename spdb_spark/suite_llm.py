@@ -15,6 +15,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import Window as W_
 
 from spdb_spark.functions import dedup as D
+from spdb_spark.functions import pipeline as PL
 from spdb_spark.functions import retrieval as R
 from spdb_spark.functions import sampling as SP
 from spdb_spark.functions import similarity as S
@@ -645,8 +646,81 @@ WHERE {_SAMPLE_BUCKET} < CASE lang WHEN 'en' THEN 3000
 """
 
 
+# --- quality-filter pipeline (dedup -> rules -> verdict/report) ------------
+
+
+_QF_KW = dict(
+    min_tokens=12,
+    max_tokens=90,
+    mean_tok_len_bounds=(4.0, 10.0),
+    min_stop_ratio=0.01,
+    langs=("en",),
+    min_quality=0.3,
+)
+
+
+def _qf_verdicts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    drops = D.minhash_lsh_dedup(docs, "doc_id", "text").select(
+        F.col("id_b").alias("doc_id")
+    )
+    return PL.quality_filter(docs, drop_ids=drops, **_QF_KW)
+
+
+def q_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup-then-filter triage: the `id_b` side of every verified minhash
+    near-dup pair is dropped first, then Gopher-style text rules fire in
+    fixed order; output is the per-document verdict table."""
+    return _qf_verdicts(spark, sf_dir)
+
+
+def q_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reject-reason partition of the corpus (docs + tokens per reason)."""
+    return PL.quality_report(_qf_verdicts(spark, sf_dir))
+
+
+# verdict CTE shared by both oracles: stats come from SQL_TEXT_STATS, the
+# drop list from SQL_DEDUP_MINHASH (CTEs nest inside subqueries in DuckDB)
+_QF_VERDICT_SQL = f"""
+WITH stats AS ({SQL_TEXT_STATS}),
+drops AS (SELECT DISTINCT id_b AS doc_id FROM ({SQL_DEDUP_MINHASH})),
+verdicts AS (
+  SELECT s.doc_id, s.n_tokens, s.mean_tok_len, s.stop_ratio, s.quality,
+         s.pred_lang,
+         CASE WHEN d.doc_id IS NOT NULL THEN 'near_dup'
+              WHEN s.n_tokens < 12 THEN 'too_short'
+              WHEN s.n_tokens > 90 THEN 'too_long'
+              WHEN s.mean_tok_len < 4.0 OR s.mean_tok_len > 10.0
+                THEN 'bad_token_len'
+              WHEN s.stop_ratio < 0.01 THEN 'low_stopword'
+              WHEN s.pred_lang NOT IN ('en') THEN 'non_target_lang'
+              WHEN s.quality < 0.3 THEN 'low_quality'
+              ELSE 'kept' END AS reject_reason
+  FROM stats s LEFT JOIN drops d ON s.doc_id = d.doc_id
+)
+"""
+
+SQL_QUALITY_FILTER = f"""
+{_QF_VERDICT_SQL}
+SELECT doc_id, n_tokens, mean_tok_len, stop_ratio, quality, pred_lang,
+       reject_reason,
+       CAST(CASE WHEN reject_reason = 'kept' THEN 1 ELSE 0 END AS BIGINT)
+         AS keep
+FROM verdicts
+"""
+
+SQL_QUALITY_REPORT = f"""
+{_QF_VERDICT_SQL}
+SELECT reject_reason, COUNT(*) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS n_tokens
+FROM verdicts GROUP BY reject_reason
+"""
+
+
 QUERIES = {
     "llm_dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
+    "llm_quality_filter": (q_quality_filter, SQL_QUALITY_FILTER),
+    "llm_quality_report": (q_quality_report, SQL_QUALITY_REPORT),
     "llm_tfidf_similar": (q_tfidf_similar, SQL_TFIDF_SIMILAR),
     "llm_bm25_search": (q_bm25_search, SQL_BM25_SEARCH),
     "llm_vocab_topk": (q_vocab_topk, SQL_VOCAB_TOPK),
