@@ -54,6 +54,83 @@ def _slice_to_array(pdf, h_col, w_col, h0, h1, w0, w1, dtype):
     return out
 
 
+def tile_grid(v: DataFrame, z: int, t: int, tile_size: int = 512) -> DataFrame:
+    """Distributed tile manifest for one XY plane: one row per non-empty
+    tile — (tile_y, tile_x, n_voxels, sum_value, content_hash), the index
+    a tile service serves from (reference: the Boss tile endpoint slices
+    cutouts into fixed 512^2 tiles; imagecube.py xyImage is the per-tile
+    render this manifests).
+
+    One groupBy over the z/t-pruned scan: tile id = (y div ts, x div ts),
+    content_hash = md5 over the row-major-ordered (offset:value) pairs, so
+    two runs (or two engines) agree bit-for-bit on tile contents without
+    shipping payloads. Requires coordinate-deduped voxels (offset unique
+    per tile) — the hash order is then total."""
+    ts = tile_size
+    plane = v.where((F.col("z") == z) & (F.col("t") == t))
+    off = (F.col("y") % ts) * ts + (F.col("x") % ts)
+    cells = plane.select(
+        F.floor(F.col("y") / ts).cast("long").alias("tile_y"),
+        F.floor(F.col("x") / ts).cast("long").alias("tile_x"),
+        off.cast("long").alias("off"),
+        "value",
+    )
+    return (
+        cells.groupBy("tile_y", "tile_x")
+        .agg(
+            F.count("*").alias("n_voxels"),
+            F.sum("value").alias("sum_value"),
+            F.array_sort(F.collect_list(F.struct("off", "value"))).alias("cells"),
+        )
+        .select(
+            "tile_y",
+            "tile_x",
+            "n_voxels",
+            "sum_value",
+            F.md5(
+                F.concat_ws(
+                    ",",
+                    F.transform(F.col("cells"), lambda s:
+                        F.concat_ws(":", s["off"].cast("string"), s["value"].cast("string"))
+                    ),
+                )
+            ).alias("content_hash"),
+        )
+    )
+
+
+def tile_payloads(
+    v: DataFrame, z: int, t: int, tile_size: int = 512, dtype: str = "uint64"
+) -> DataFrame:
+    """Dense tile bytes: (tile_y, tile_x, payload) where payload is the
+    row-major tile_size^2 array (zeros filled) as little-endian bytes —
+    what a tile server PNG-encodes per request. Grouped Arrow batches
+    (applyInPandas): each task materializes only its own tiles, so the
+    export is embarrassingly parallel and driver memory stays flat."""
+    ts = tile_size
+
+    def _pack(pdf):
+        import pandas as pd
+
+        out = []
+        for (ty, tx), g in pdf.groupby(["tile_y", "tile_x"]):
+            arr = np.zeros(ts * ts, dtype=np.dtype(dtype).newbyteorder("<"))
+            arr[g["off"].to_numpy()] = g["value"].to_numpy().astype(arr.dtype)
+            out.append((ty, tx, arr.tobytes()))
+        return pd.DataFrame(out, columns=["tile_y", "tile_x", "payload"])
+
+    plane = v.where((F.col("z") == z) & (F.col("t") == t))
+    cells = plane.select(
+        F.floor(F.col("y") / ts).cast("long").alias("tile_y"),
+        F.floor(F.col("x") / ts).cast("long").alias("tile_x"),
+        ((F.col("y") % ts) * ts + (F.col("x") % ts)).cast("long").alias("off"),
+        "value",
+    )
+    return cells.groupBy("tile_y", "tile_x").applyInPandas(
+        _pack, "tile_y long, tile_x long, payload binary"
+    )
+
+
 def xy_slice(v: DataFrame, z: int, t: int, x_rng, y_rng, dtype="uint64") -> np.ndarray:
     """XY plane at one z (imagecube.py xy_image): filter -> driver reshape."""
     pdf = (

@@ -626,8 +626,41 @@ LEFT JOIN pal ON pal.pid = CAST(v.value % 181 AS INTEGER)
 """
 
 
+# --- tile-grid export (tile-service manifest) ------------------------------
+
+TILE_Z, TILE_T, TILE_SIZE = 8, 0, 256
+
+
+def q_spatial_tile_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tile manifest of one XY plane: per-tile voxel count, value sum, and
+    a content hash over row-major-ordered cells (render.tile_grid) — the
+    index the reference's tile endpoint would serve from."""
+    from spdb_spark.operators.render import tile_grid
+
+    v = voxels_df(spark, sf_dir, dedup=True)
+    return tile_grid(v, TILE_Z, TILE_T, tile_size=TILE_SIZE)
+
+
+_TILE_OFF = f"(y % {TILE_SIZE}) * {TILE_SIZE} + (x % {TILE_SIZE})"
+
+SQL_SPATIAL_TILE_GRID = f"""
+SELECT CAST(y // {TILE_SIZE} AS BIGINT) AS tile_y,
+       CAST(x // {TILE_SIZE} AS BIGINT) AS tile_x,
+       COUNT(*) AS n_voxels,
+       CAST(SUM(value) AS BIGINT) AS sum_value,
+       md5(string_agg(
+         CAST({_TILE_OFF} AS VARCHAR) || ':' || CAST(value AS VARCHAR),
+         ',' ORDER BY {_TILE_OFF}
+       )) AS content_hash
+FROM {voxels_sql(dedup=True)} v
+WHERE z = {TILE_Z} AND t = {TILE_T}
+GROUP BY 1, 2
+"""
+
+
 QUERIES = {
     "spatial_cutout": (q_spatial_cutout, SQL_SPATIAL_CUTOUT),
+    "spatial_tile_grid": (q_spatial_tile_grid, SQL_SPATIAL_TILE_GRID),
     "spatial_recolor": (q_spatial_recolor, SQL_SPATIAL_RECOLOR),
     "spatial_cutout_filtered": (q_spatial_cutout_filtered, SQL_SPATIAL_CUTOUT_FILTERED),
     "spatial_cuboid_agg": (q_spatial_cuboid_agg, SQL_SPATIAL_CUBOID_AGG),
