@@ -881,6 +881,22 @@ def q_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB quantile path: `approx_percentile` (Greenwald-Khanna
+    sketch, mergeable across partitions — one partial-agg shuffle of
+    fixed-size sketches instead of sorting the column). Guaranteed rank
+    error <= n/accuracy; tests/test_operators.py pins that bound against
+    the exact percentiles. Rows-only gate: sketch internals differ across
+    engines, so no value-hash oracle exists by construction."""
+    (li,) = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.expr(
+            "approx_percentile(l_extendedprice, array(0.5, 0.9, 0.99), 1000)"
+        ).alias("approx_p"),
+        F.count("*").alias("n"),
+    )
+
+
 SQL_QUANTILES = """
 SELECT l_returnflag,
        quantile_cont(l_extendedprice, 0.5) AS p50,
@@ -1261,6 +1277,7 @@ QUERIES = {
     "q8_brand_share": (q8_brand_share, SQL_Q8_BRAND_SHARE),
     "q10_returned_revenue": (q10_returned_revenue, SQL_Q10_RETURNED),
     "q_quantiles": (q_quantiles, SQL_QUANTILES),
+    "q_approx_quantiles": (q_approx_quantiles, None),
     "q_cube": (q_cube, SQL_CUBE),
     "q_collect_sorted": (q_collect_sorted, SQL_COLLECT_SORTED),
     "q3_top_orders": (q3_top_orders, SQL_Q3),

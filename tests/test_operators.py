@@ -272,3 +272,40 @@ def test_connected_components_mask_mode_merges_values(spark):
     )
     out = connected_components(v, same_value_only=False).collect()
     assert len({r.component for r in out}) == 1
+
+
+def test_approx_quantiles_rank_error_bound(spark):
+    """approx_percentile(accuracy=1000) guarantees rank error <= n/1000;
+    check each sketch output's true rank against its target rank."""
+    import bisect
+
+    from spdb_spark.suite_relational import q_approx_quantiles
+
+    approx = {
+        r.l_returnflag: (r.approx_p, r.n)
+        for r in q_approx_quantiles(spark, "/root/testdata/sf0.001").collect()
+    }
+    from spdb_spark.session import load_tables
+
+    li = load_tables(spark, "/root/testdata/sf0.001", names=("lineitem",))[
+        "lineitem"
+    ]
+    groups = {
+        flag: sorted(
+            r.l_extendedprice
+            for r in li.where(f"l_returnflag = '{flag}'")
+            .select("l_extendedprice")
+            .collect()
+        )
+        for flag in approx
+    }
+    for flag, (vals, n) in approx.items():
+        xs = groups[flag]
+        assert n == len(xs)
+        for q, v in zip((0.5, 0.9, 0.99), vals):
+            # duplicates: v occupies rank range [lo, hi); the guarantee is
+            # SOME rank of v lies within eps*n of the target rank
+            lo, hi = bisect.bisect_left(xs, v), bisect.bisect_right(xs, v)
+            target = q * n
+            dist = max(lo - target, target - hi, 0)
+            assert dist <= n / 1000 + 1
