@@ -1263,7 +1263,129 @@ GROUP BY 1, 2
 """
 
 
+def q_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series resample + gap fill: per user, an hourly grid spanning
+    the user's first to last event hour; each hour carries its last
+    event's value ((ts, event_id)-max tie-break), and empty hours
+    forward-fill the previous observation (last ignoreNulls window).
+
+    Scale shape: one partial-agg shuffle to hourly buckets (the raw event
+    table never enters the window), a per-user grid exploded from a
+    2-row-per-user span table, then one window keyed the same as the
+    bucket shuffle. Grid rows = users x active hours, << raw events."""
+    (events,) = _t(spark, sf_dir, "events")
+    e = events.select(
+        "user_id",
+        "event_id",
+        "value",
+        F.col("ts").cast("timestamp").alias("ts"),
+        F.date_trunc("hour", F.col("ts").cast("timestamp")).alias("h"),
+    )
+    buckets = e.groupBy("user_id", "h").agg(
+        F.max_by("value", F.struct("ts", "event_id")).alias("v")
+    )
+    grid = (
+        buckets.groupBy("user_id")
+        .agg(F.min("h").alias("h0"), F.max("h").alias("h1"))
+        .select(
+            "user_id",
+            F.explode(F.expr("sequence(h0, h1, interval 1 hour)")).alias("h"),
+        )
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("h")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        grid.join(buckets, ["user_id", "h"], "left")
+        .select(
+            "user_id",
+            F.unix_millis("h").alias("hour_ms"),
+            F.col("v").isNotNull().cast("long").alias("observed"),
+            F.last("v", ignorenulls=True).over(w).alias("filled"),
+        )
+    )
+
+
+SQL_RESAMPLE_FFILL = """
+WITH b AS (
+  SELECT user_id, h, value AS v FROM (
+    SELECT user_id, date_trunc('hour', ts) AS h, value,
+           ROW_NUMBER() OVER (
+             PARTITION BY user_id, date_trunc('hour', ts)
+             ORDER BY ts DESC, event_id DESC) AS rn
+    FROM events
+  ) WHERE rn = 1
+),
+spans AS (SELECT user_id, MIN(h) AS h0, MAX(h) AS h1 FROM b GROUP BY 1),
+grid AS (
+  SELECT user_id, unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS h
+  FROM spans
+)
+SELECT g.user_id, epoch_ms(g.h) AS hour_ms,
+       CAST(b.v IS NOT NULL AS BIGINT) AS observed,
+       LAST_VALUE(b.v IGNORE NULLS) OVER (
+         PARTITION BY g.user_id ORDER BY g.h
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled
+FROM grid g LEFT JOIN b ON g.user_id = b.user_id AND g.h = b.h
+"""
+
+
+def q_scd2_user_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension (type 2) build: collapse each user's
+    event_type history into validity intervals — one row per change,
+    [valid_from, valid_to) in epoch ms, open intervals as -1. The
+    change-detect lag and the valid_to lead share one (user) window
+    partitioning, so the whole build is a single shuffle."""
+    (events,) = _t(spark, sf_dir, "events")
+    e = events.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.unix_millis(F.col("ts").cast("timestamp")).alias("ts_ms"),
+    )
+    w = Window.partitionBy("user_id").orderBy("ts_ms", "event_id")
+    changes = e.withColumn("prev", F.lag("event_type").over(w)).where(
+        F.col("prev").isNull() | (F.col("prev") != F.col("event_type"))
+    )
+    w2 = Window.partitionBy("user_id").orderBy("valid_from", "event_id")
+    return (
+        changes.select(
+            "user_id", "event_id", "event_type",
+            F.col("ts_ms").alias("valid_from"),
+        )
+        .select(
+            "user_id",
+            "event_type",
+            "valid_from",
+            F.coalesce(F.lead("valid_from").over(w2), F.lit(-1)).alias("valid_to"),
+        )
+    )
+
+
+SQL_SCD2_USER_TYPE = """
+WITH e AS (
+  SELECT user_id, event_id, event_type, epoch_ms(ts) AS ts_ms FROM events
+),
+changes AS (
+  SELECT user_id, event_id, event_type, ts_ms AS valid_from
+  FROM (
+    SELECT *, LAG(event_type) OVER (
+      PARTITION BY user_id ORDER BY ts_ms, event_id) AS prev
+    FROM e
+  ) WHERE prev IS NULL OR prev <> event_type
+)
+SELECT user_id, event_type, valid_from,
+       COALESCE(LEAD(valid_from) OVER (
+         PARTITION BY user_id ORDER BY valid_from, event_id), -1) AS valid_to
+FROM changes
+"""
+
+
 QUERIES = {
+    "q_resample_ffill": (q_resample_ffill, SQL_RESAMPLE_FFILL),
+    "q_scd2_user_type": (q_scd2_user_type, SQL_SCD2_USER_TYPE),
     "q1_pricing_summary": (q1_pricing_summary, SQL_Q1),
     "q_cohort_retention": (q_cohort_retention, SQL_COHORT_RETENTION),
     "q9_product_profit": (q9_product_profit, SQL_Q9_PRODUCT_PROFIT),

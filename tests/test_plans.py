@@ -107,3 +107,21 @@ def test_stratified_sample_is_narrow(spark):
     plan = plan_of(stratified_sample(docs, "lang", {"en": 0.3}, "doc_id"))
     # pure filter over the scan: no exchange of any kind
     assert "Exchange" not in plan
+
+
+def test_scd2_single_shuffle_shared_window_sort(spark):
+    from spdb_spark.suite_relational import q_scd2_user_type
+
+    plan = plan_of(q_scd2_user_type(spark, "/root/testdata/sf0.001"))
+    # change-detect lag and valid_to lead share ONE (user_id) exchange and
+    # ONE sort — Catalyst must not re-shuffle between the two windows
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "SortMergeJoin" not in plan
+
+
+def test_quality_filter_suite_broadcasts_drop_list(spark):
+    from spdb_spark.suite_llm import q_quality_filter
+
+    plan = plan_of(q_quality_filter(spark, "/root/testdata/sf0.001"))
+    # the near-dup drop list joins broadcast; the rules never shuffle docs
+    assert "BroadcastHashJoin" in plan
