@@ -1383,9 +1383,212 @@ FROM changes
 """
 
 
+# --- remaining TPC-H shapes (q13/q14/q17/q18/q22, fixture-adapted:
+# no partsupp/phone/comment/receiptdate columns exist) ----------------------
+
+
+def q13_order_count_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q13 shape: customers x their order count, then the distribution of
+    order counts (two cascaded aggs off one left join; the second agg's
+    input is customer-sized, not order-sized)."""
+    cust, orders = _t(spark, sf_dir, "customer", "orders")
+    per_cust = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count("*").alias("custdist"))
+    )
+
+
+SQL_Q13 = """
+SELECT c_count, COUNT(*) AS custdist
+FROM (
+  SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+  FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+  GROUP BY c.c_custkey
+)
+GROUP BY c_count
+"""
+
+
+def q14_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q14 shape: promo revenue share over one ship-month. Conditional sum
+    over exact cents; only the final ratio is floating (bit-identical
+    single division, floor-scaled)."""
+    li, part = _t(spark, sf_dir, "lineitem", "part")
+    rc = F.expr(
+        "sum(cast(round(l_extendedprice*100) as long)"
+        " * (100 - cast(round(l_discount*100) as long)))"
+    )
+    promo = F.expr(
+        "sum(case when p_type = 'PROMO' then"
+        " cast(round(l_extendedprice*100) as long)"
+        " * (100 - cast(round(l_discount*100) as long)) else 0 end)"
+    )
+    return (
+        li.where(
+            (F.col("l_shipdate") >= F.lit("1997-03-01").cast("timestamp_ntz"))
+            & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp_ntz"))
+        )
+        .join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .agg(
+            (F.floor(F.lit(100.0) * promo / rc * 1000000) / 1000000).alias(
+                "promo_share"
+            )
+        )
+    )
+
+
+SQL_Q14 = """
+SELECT FLOOR(100.0 *
+         SUM(CASE WHEN p_type = 'PROMO'
+             THEN CAST(ROUND(l_extendedprice*100) AS BIGINT)
+                  * (100 - CAST(ROUND(l_discount*100) AS BIGINT)) ELSE 0 END)
+         / SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)
+               * (100 - CAST(ROUND(l_discount*100) AS BIGINT)))
+         * 1000000) / 1000000 AS promo_share
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1997-03-01'
+  AND l_shipdate < TIMESTAMP '1997-04-01'
+"""
+
+
+def q17_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q17 shape: revenue from small-quantity lines of one brand. The
+    bracket `qty < 0.2 * avg(qty per part)` decides row MEMBERSHIP, so it
+    is rearranged to exact integers (5*qty*cnt < sum_qty) — no float
+    boundary can flip a row between engines. Per-part stats join
+    broadcast (part-sized, not line-sized)."""
+    li, part = _t(spark, sf_dir, "lineitem", "part")
+    qty = F.col("l_quantity").cast("long")
+    stats = (
+        li.groupBy("l_partkey")
+        .agg(F.sum(qty).alias("sum_qty"), F.count("*").alias("cnt"))
+    )
+    pc = F.expr("cast(round(l_extendedprice*100) as long)")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .where(F.col("p_brand") == "Brand#1")
+        .join(F.broadcast(stats), "l_partkey")
+        .where(5 * qty * F.col("cnt") < F.col("sum_qty"))
+        .agg(
+            (F.floor(F.sum(pc) / 100.0 / 7.0 * 10000) / 10000).alias("avg_yearly")
+        )
+    )
+
+
+SQL_Q17 = """
+WITH stats AS (
+  SELECT l_partkey, SUM(CAST(l_quantity AS BIGINT)) AS sum_qty,
+         COUNT(*) AS cnt
+  FROM lineitem GROUP BY l_partkey
+)
+SELECT FLOOR(SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)) / 100.0 / 7.0
+             * 10000) / 10000 AS avg_yearly
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+JOIN stats USING (l_partkey)
+WHERE p_brand = 'Brand#1'
+  AND 5 * CAST(l_quantity AS BIGINT) * cnt < sum_qty
+"""
+
+
+def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q18 shape: orders whose total quantity exceeds a threshold, with
+    customer context. The HAVING membership is an exact integer sum; the
+    order-sized filtered key set then drives semi-style joins."""
+    li, orders, cust = _t(spark, sf_dir, "lineitem", "orders", "customer")
+    qty = F.col("l_quantity").cast("long")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(qty).alias("sum_qty"))
+        .where(F.col("sum_qty") > 250)
+    )
+    return (
+        big.join(orders, big.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            F.unix_millis(F.col("o_orderdate").cast("timestamp")).alias(
+                "order_date_ms"
+            ),
+            "o_totalprice",
+            "sum_qty",
+        )
+    )
+
+
+SQL_Q18 = """
+SELECT c_name, c_custkey, o_orderkey, epoch_ms(o_orderdate) AS order_date_ms,
+       o_totalprice, sum_qty
+FROM (
+  SELECT l_orderkey, CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+  FROM lineitem GROUP BY l_orderkey HAVING sum_qty > 250
+)
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+"""
+
+
+def q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q22 shape: wealthy-but-idle customers per nation — balance above
+    the positive-balance average AND no orders after a cutoff. The
+    average-balance membership compares exact cents (bal*cnt > sum), the
+    idle check is a broadcast-able anti join against recent orders."""
+    cust, orders = _t(spark, sf_dir, "customer", "orders")
+    bal = F.expr("cast(round(c_acctbal*100) as long)")
+    avg_pos = (
+        cust.where(bal > 0)
+        .agg(F.sum(bal).alias("sum_pos"), F.count("*").alias("n_pos"))
+    )
+    recent = orders.where(
+        F.col("o_orderdate") >= F.lit("1999-01-01").cast("timestamp_ntz")
+    ).select(F.col("o_custkey").alias("c_custkey"))
+    return (
+        cust.withColumn("bal_cents", bal)
+        .crossJoin(F.broadcast(avg_pos))
+        .where(F.col("bal_cents") * F.col("n_pos") > F.col("sum_pos"))
+        .join(recent, "c_custkey", "left_anti")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count("*").alias("n_custs"),
+            (F.sum("bal_cents") / 100.0).alias("total_acctbal"),
+        )
+    )
+
+
+SQL_Q22 = """
+WITH avg_pos AS (
+  SELECT SUM(CAST(ROUND(c_acctbal*100) AS BIGINT)) AS sum_pos,
+         COUNT(*) AS n_pos
+  FROM customer WHERE CAST(ROUND(c_acctbal*100) AS BIGINT) > 0
+),
+recent AS (
+  SELECT DISTINCT o_custkey FROM orders
+  WHERE o_orderdate >= TIMESTAMP '1999-01-01'
+)
+SELECT c_nationkey, COUNT(*) AS n_custs,
+       SUM(CAST(ROUND(c_acctbal*100) AS BIGINT)) / 100.0 AS total_acctbal
+FROM customer CROSS JOIN avg_pos
+WHERE CAST(ROUND(c_acctbal*100) AS BIGINT) * n_pos > sum_pos
+  AND c_custkey NOT IN (SELECT o_custkey FROM recent)
+GROUP BY c_nationkey
+"""
+
+
 QUERIES = {
     "q_resample_ffill": (q_resample_ffill, SQL_RESAMPLE_FFILL),
     "q_scd2_user_type": (q_scd2_user_type, SQL_SCD2_USER_TYPE),
+    "q13_order_count_distribution": (q13_order_count_distribution, SQL_Q13),
+    "q14_promo_share": (q14_promo_share, SQL_Q14),
+    "q17_small_qty_revenue": (q17_small_qty_revenue, SQL_Q17),
+    "q18_large_orders": (q18_large_orders, SQL_Q18),
+    "q22_idle_customers": (q22_idle_customers, SQL_Q22),
     "q1_pricing_summary": (q1_pricing_summary, SQL_Q1),
     "q_cohort_retention": (q_cohort_retention, SQL_COHORT_RETENTION),
     "q9_product_profit": (q9_product_profit, SQL_Q9_PRODUCT_PROFIT),
