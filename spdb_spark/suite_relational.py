@@ -1581,6 +1581,246 @@ GROUP BY c_nationkey
 """
 
 
+def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q11 shape, fixture-adapted: parts holding an outsized share of one
+    nation's supply value. No partsupp exists, so supply value is the
+    lineitem extended price (exact cents) shipped by that nation's
+    suppliers. The HAVING `value > total/5000` fraction test is
+    rearranged to integers (value*5000 > total) so no float boundary can
+    flip membership. The nation's supplier set broadcasts into the
+    lineitem scan; the grand total broadcasts into the per-part agg."""
+    li, supp, nation = _t(spark, sf_dir, "lineitem", "supplier", "nation")
+    nat_supp = (
+        supp.join(
+            F.broadcast(nation.where(F.col("n_name") == "NATION_1")),
+            supp.s_nationkey == F.col("n_nationkey"),
+        )
+        .select(F.col("s_suppkey").alias("l_suppkey"))
+    )
+    scoped = li.join(F.broadcast(nat_supp), "l_suppkey", "left_semi")
+    per_part = scoped.groupBy("l_partkey").agg(
+        F.expr("sum(cast(round(l_extendedprice*100) as long))").alias("value_cents")
+    )
+    total = per_part.agg(F.sum("value_cents").alias("total_cents"))
+    return (
+        per_part.crossJoin(F.broadcast(total))
+        .where(F.col("value_cents") * 5000 > F.col("total_cents"))
+        .select("l_partkey", (F.col("value_cents") / 100.0).alias("supply_value"))
+    )
+
+
+SQL_Q11 = """
+WITH scoped AS (
+  SELECT l_partkey, CAST(ROUND(l_extendedprice*100) AS BIGINT) AS cents
+  FROM lineitem
+  WHERE l_suppkey IN (
+    SELECT s_suppkey FROM supplier JOIN nation ON s_nationkey = n_nationkey
+    WHERE n_name = 'NATION_1')
+),
+per_part AS (
+  SELECT l_partkey, SUM(cents) AS value_cents FROM scoped GROUP BY l_partkey
+)
+SELECT l_partkey, value_cents / 100.0 AS supply_value
+FROM per_part
+WHERE value_cents * 5000 > (SELECT SUM(value_cents) FROM per_part)
+"""
+
+
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q15 shape: supplier(s) with the maximum quarterly revenue. Revenue
+    per supplier in exact cents; the max-membership test compares those
+    integers, so ties and boundaries are engine-independent. The
+    supplier-sized revenue relation joins broadcast both to its own max
+    and to the supplier dim."""
+    li, supp = _t(spark, sf_dir, "lineitem", "supplier")
+    cents = F.expr(
+        "sum(cast(round(l_extendedprice*100) as long)"
+        " * (100 - cast(round(l_discount*100) as long)))"
+    )
+    rev = (
+        li.where(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp_ntz"))
+            & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp_ntz"))
+        )
+        .groupBy("l_suppkey")
+        .agg(cents.alias("rev_cents"))
+    )
+    top = rev.agg(F.max("rev_cents").alias("max_cents"))
+    return (
+        rev.crossJoin(F.broadcast(top))
+        .where(F.col("rev_cents") == F.col("max_cents"))
+        .join(F.broadcast(supp), rev.l_suppkey == supp.s_suppkey)
+        .select(
+            "s_suppkey",
+            "s_name",
+            (F.col("rev_cents") / 10000.0).alias("total_revenue"),
+        )
+    )
+
+
+SQL_Q15 = """
+WITH rev AS (
+  SELECT l_suppkey,
+         SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)
+             * (100 - CAST(ROUND(l_discount*100) AS BIGINT))) AS rev_cents
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+    AND l_shipdate < TIMESTAMP '1997-04-01'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, rev_cents / 10000.0 AS total_revenue
+FROM rev JOIN supplier ON l_suppkey = s_suppkey
+WHERE rev_cents = (SELECT MAX(rev_cents) FROM rev)
+"""
+
+
+def q16_supplier_count_by_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q16 shape, fixture-adapted: supplier count per (brand, type, size
+    bucket) for parts outside one brand, excluding flagged suppliers.
+    The fixtures have no partsupp table, so the part-supplier relation is
+    DISTINCT (l_partkey, l_suppkey) observed in lineitem; 'complaint'
+    suppliers are the negative-balance ones. The exclusion list and the
+    part dim both broadcast; the only big shuffle is the distinct over
+    the pair relation."""
+    li, part, supp = _t(spark, sf_dir, "lineitem", "part", "supplier")
+    pairs = li.select("l_partkey", "l_suppkey").distinct()
+    bad = supp.where(F.col("s_acctbal") < 0).select(
+        F.col("s_suppkey").alias("l_suppkey")
+    )
+    parts = part.where(
+        (F.col("p_brand") != "Brand#1") & (F.col("p_size") <= 25)
+    )
+    return (
+        pairs.join(F.broadcast(bad), "l_suppkey", "left_anti")
+        .join(F.broadcast(parts), pairs.l_partkey == parts.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+SQL_Q16 = """
+SELECT p_brand, p_type, p_size, COUNT(DISTINCT l_suppkey) AS supplier_cnt
+FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) ps
+JOIN part ON l_partkey = p_partkey
+WHERE p_brand <> 'Brand#1' AND p_size <= 25
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY p_brand, p_type, p_size
+"""
+
+
+def q20_excess_volume_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q20 shape, fixture-adapted: suppliers in one nation who moved a
+    large volume of PROMO-type parts during 1997. The reference shape's
+    nested part→partsupp→lineitem semi-join chain becomes part-filter →
+    per-(part,supplier) shipped-qty agg → HAVING on an exact integer sum
+    → semi join into the supplier dim. Part dim broadcasts into the
+    lineitem scan; the qualifying pair set broadcasts into supplier."""
+    li, part, supp, nation = _t(
+        spark, sf_dir, "lineitem", "part", "supplier", "nation"
+    )
+    promo = part.where(F.col("p_type") == "PROMO").select("p_partkey")
+    qual = (
+        li.where(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp_ntz"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp_ntz"))
+        )
+        .join(F.broadcast(promo), li.l_partkey == promo.p_partkey)
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum(F.col("l_quantity").cast("long")).alias("sum_qty"))
+        .where(F.col("sum_qty") > 30)
+        .select(F.col("l_suppkey").alias("s_suppkey"))
+        .distinct()
+    )
+    return (
+        supp.join(F.broadcast(qual), "s_suppkey", "left_semi")
+        .join(
+            F.broadcast(nation.where(F.col("n_name") == "NATION_1")),
+            supp.s_nationkey == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", "s_name")
+    )
+
+
+SQL_Q20 = """
+SELECT s_suppkey, s_name
+FROM supplier
+JOIN nation ON s_nationkey = n_nationkey
+WHERE n_name = 'NATION_1'
+  AND s_suppkey IN (
+    SELECT l_suppkey
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE p_type = 'PROMO'
+      AND l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l_shipdate < TIMESTAMP '1998-01-01'
+    GROUP BY l_partkey, l_suppkey
+    HAVING SUM(CAST(l_quantity AS BIGINT)) > 30
+  )
+"""
+
+
+def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q21 shape, fixture-adapted: suppliers who alone held up a
+    multi-supplier order. No receipt/commit dates exist, so 'late' is
+    l_shipdate > o_orderdate + 60 days on finalized orders. The
+    reference's exists/not-exists self-joins on lineitem collapse into
+    one per-(order,supplier) aggregate plus one per-order window — the
+    order's supplier count and late-supplier count come from the window,
+    so lineitem is shuffled twice (pair agg, then order window) instead
+    of three self-join passes."""
+    li, orders, supp = _t(spark, sf_dir, "lineitem", "orders", "supplier")
+    fin = orders.where(F.col("o_orderstatus") == "F").select(
+        "o_orderkey", "o_orderdate"
+    )
+    pair = (
+        li.join(F.broadcast(fin), li.l_orderkey == fin.o_orderkey)
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(
+            F.max(
+                (
+                    F.col("l_shipdate")
+                    > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+                ).cast("int")
+            ).alias("has_late")
+        )
+    )
+    w = Window.partitionBy("l_orderkey")
+    return (
+        pair.withColumn("n_supps", F.count("*").over(w))
+        .withColumn("n_late", F.sum("has_late").over(w))
+        .where(
+            (F.col("has_late") == 1)
+            & (F.col("n_supps") >= 2)
+            & (F.col("n_late") == 1)
+        )
+        .groupBy("l_suppkey")
+        .agg(F.count("*").alias("numwait"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == supp.s_suppkey)
+        .select("s_name", "numwait")
+    )
+
+
+SQL_Q21 = """
+WITH pair AS (
+  SELECT l_orderkey, l_suppkey,
+         MAX(CASE WHEN l_shipdate > o_orderdate + INTERVAL 60 DAY
+             THEN 1 ELSE 0 END) AS has_late
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  WHERE o_orderstatus = 'F'
+  GROUP BY l_orderkey, l_suppkey
+),
+flagged AS (
+  SELECT l_suppkey, has_late,
+         COUNT(*) OVER (PARTITION BY l_orderkey) AS n_supps,
+         SUM(has_late) OVER (PARTITION BY l_orderkey) AS n_late
+  FROM pair
+)
+SELECT s_name, COUNT(*) AS numwait
+FROM flagged JOIN supplier ON l_suppkey = s_suppkey
+WHERE has_late = 1 AND n_supps >= 2 AND n_late = 1
+GROUP BY s_name
+"""
+
+
 QUERIES = {
     "q_resample_ffill": (q_resample_ffill, SQL_RESAMPLE_FFILL),
     "q_scd2_user_type": (q_scd2_user_type, SQL_SCD2_USER_TYPE),
@@ -1589,6 +1829,11 @@ QUERIES = {
     "q17_small_qty_revenue": (q17_small_qty_revenue, SQL_Q17),
     "q18_large_orders": (q18_large_orders, SQL_Q18),
     "q22_idle_customers": (q22_idle_customers, SQL_Q22),
+    "q11_important_stock": (q11_important_stock, SQL_Q11),
+    "q15_top_supplier": (q15_top_supplier, SQL_Q15),
+    "q16_supplier_count_by_part": (q16_supplier_count_by_part, SQL_Q16),
+    "q20_excess_volume_suppliers": (q20_excess_volume_suppliers, SQL_Q20),
+    "q21_waiting_suppliers": (q21_waiting_suppliers, SQL_Q21),
     "q1_pricing_summary": (q1_pricing_summary, SQL_Q1),
     "q_cohort_retention": (q_cohort_retention, SQL_COHORT_RETENTION),
     "q9_product_profit": (q9_product_profit, SQL_Q9_PRODUCT_PROFIT),
