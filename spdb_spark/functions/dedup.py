@@ -409,3 +409,49 @@ def incremental_minhash_dedup(
         )
         .where(F.col("jaccard") >= threshold)
     )
+
+
+def keep_best(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    quality_col: str,
+) -> DataFrame:
+    """Canonical-document selection for near-exact dup groups: within each
+    token-set-fingerprint group, keep the highest-`quality_col` doc
+    (ties -> smallest id). Returns one row per group with >1 member:
+    (fingerprint, keep_id, n_docs, n_dropped).
+
+    The reference policy everywhere else is min-id; real curation keeps
+    the best copy instead. One shuffle (groupBy fingerprint) using a
+    max_by-style struct-max — no window, no second pass. quality must be
+    computed identically across engines (bit-identical doubles) for the
+    argmax to be portable."""
+    from spdb_spark.functions.text import tokens as _tokens
+
+    fp = F.md5(
+        F.array_join(F.array_sort(F.array_distinct(_tokens(F.col(text_col)))), " ")
+    )
+    # argmax via struct ordering: (quality DESC, id ASC) == max of
+    # struct(quality, -id) for numeric ids; use min of struct(-q, id)
+    # to stay sign-agnostic on the id type.
+    return (
+        df.select(
+            fp.alias("fingerprint"),
+            F.col(id_col),
+            F.col(quality_col).alias("_q"),
+        )
+        .groupBy("fingerprint")
+        .agg(
+            F.min(F.struct((-F.col("_q")).alias("nq"), F.col(id_col).alias("i")))
+            .alias("best"),
+            F.count("*").alias("n_docs"),
+        )
+        .where(F.col("n_docs") > 1)
+        .select(
+            "fingerprint",
+            F.col("best.i").alias("keep_id"),
+            "n_docs",
+            (F.col("n_docs") - 1).alias("n_dropped"),
+        )
+    )

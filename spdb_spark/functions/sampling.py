@@ -81,3 +81,50 @@ def stratified_sample(
         else expr.otherwise(int(default_fraction * granularity))
     )
     return df.where(b < bound_col)
+
+
+def mixture_plan(
+    df: DataFrame,
+    domain_col: str,
+    token_col: str,
+    target_shares: Mapping[str, float] | None = None,
+) -> DataFrame:
+    """Domain-mixture rebalancing plan: per domain, the observed token
+    share and the deterministic down-sampling rate that would hit the
+    target share (uniform across domains unless `target_shares` given).
+
+    rate_ppm = min(1e6, target_tokens*1e6 // domain_tokens) — exact
+    integer arithmetic end to end, so the plan is reproducible and can be
+    fed straight into `stratified_sample` (rate_ppm / 1e6 per domain).
+    Two tiny aggregates (domain-count-sized); the corpus scan is one
+    map-side partial agg."""
+    per = df.groupBy(F.col(domain_col).alias("domain")).agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.col(token_col)).cast("long").alias("tokens"),
+    )
+    tot = per.agg(
+        F.sum("tokens").alias("total_tokens"),
+        F.count("*").alias("n_domains"),
+    )
+    out = per.crossJoin(F.broadcast(tot))
+    if target_shares is None:
+        target = F.floor(F.col("total_tokens") / F.col("n_domains")).cast("long")
+    else:
+        expr = None
+        for dom, share in target_shares.items():
+            cond = F.col("domain") == dom
+            val = F.floor(F.col("total_tokens") * share).cast("long")
+            expr = F.when(cond, val) if expr is None else expr.when(cond, val)
+        target = expr.otherwise(F.lit(0))
+    return out.select(
+        "domain",
+        "n_docs",
+        "tokens",
+        (F.floor(F.col("tokens") * 1000000 / F.col("total_tokens")) / 1000000).alias(
+            "actual_share"
+        ),
+        F.least(
+            F.lit(1000000),
+            F.floor(target * 1000000 / F.col("tokens")).cast("long"),
+        ).alias("rate_ppm"),
+    )

@@ -133,3 +133,75 @@ def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 32) -> DataFr
         .groupBy(id_col)
         .agg(F.sum("bit").alias("simhash"))
     )
+
+
+def word_ngrams(toks: Column, n: int = 3) -> Column:
+    """Word n-grams (space-joined) from a token array.
+
+    IMPORTANT: pass a *materialized column* (project the token array in a
+    prior select), not an inline expression — Catalyst re-evaluates an
+    inline array expression once per lambda element (quadratic blowup).
+    Empty array when the doc has fewer than n tokens (Spark's sequence()
+    would otherwise run descending)."""
+    starts = F.sequence(F.lit(0), F.size(toks) - n)
+    gram = lambda i: F.concat_ws(" ", *[toks[i + j] for j in range(n)])  # noqa: E731
+    return F.when(F.size(toks) >= n, F.transform(starts, gram)).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def repetition_stats(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
+    """Within-document repetition metrics (Gopher-style): the fraction of
+    duplicate tokens and duplicate word n-grams per document.
+
+    Entirely per-row Column math (array_distinct on the token / n-gram
+    arrays) — a narrow projection with NO shuffle and NO explode, so it
+    runs at scan speed on any corpus size. Ratios are floor-scaled to 6dp
+    (bit-identical across engines; both divide exact small ints)."""
+    toks = tokens(F.col(text_col))
+    staged = df.select(F.col(id_col), toks.alias("_toks"))
+    grams = word_ngrams(F.col("_toks"), n)
+    staged = staged.select(
+        F.col(id_col),
+        F.size("_toks").cast("long").alias("n_tokens"),
+        F.size(F.array_distinct("_toks")).cast("long").alias("n_distinct_tokens"),
+        F.size(grams).cast("long").alias("n_ngrams"),
+        F.size(F.array_distinct(grams)).cast("long").alias("n_distinct_ngrams"),
+    )
+    frac = lambda tot, dis: F.when(  # noqa: E731
+        F.col(tot) > 0,
+        F.floor((1.0 - F.col(dis) / F.col(tot)) * 1000000) / 1000000,
+    ).otherwise(F.lit(0.0))
+    return staged.select(
+        id_col,
+        "n_tokens",
+        "n_ngrams",
+        frac("n_tokens", "n_distinct_tokens").alias("dup_token_frac"),
+        frac("n_ngrams", "n_distinct_ngrams").alias("dup_ngram_frac"),
+    )
+
+
+# PII patterns kept to a dialect-portable subset (no backtracking-only
+# constructs): identical leftmost matching under Java regex and RE2.
+PII_PATTERNS: tuple[tuple[str, str, str], ...] = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    ("phone", r"\+\d{1,3}[- ]\d{3}[- ]\d{3,4}[- ]\d{3,4}", "<PHONE>"),
+)
+
+
+def redact_pii(c: Column) -> Column:
+    """Replace email / IPv4 / international-phone spans with typed tags.
+    Chained regexp_replace — JVM-side, codegen'd, no UDF."""
+    out = c
+    for _, pat, tag in PII_PATTERNS:
+        out = F.regexp_replace(out, pat, tag)
+    return out
+
+
+def pii_counts(c: Column) -> list[Column]:
+    """Per-kind match counts (regexp_count, JVM-side)."""
+    return [
+        F.regexp_count(c, F.lit(pat)).cast("long").alias(f"n_{kind}")
+        for kind, pat, _ in PII_PATTERNS
+    ]

@@ -717,7 +717,172 @@ FROM verdicts GROUP BY reject_reason
 """
 
 
+# --- within-doc repetition, packing, mixture plan, keep-best, PII ---------
+
+
+def q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style per-doc repetition metrics — pure projection, no
+    shuffle/explode (see functions/text.repetition_stats)."""
+    return T.repetition_stats(_docs(spark, sf_dir), "doc_id", "text", n=3)
+
+
+SQL_REPETITION = f"""
+WITH t AS (SELECT doc_id, {_TOKENS_SQL} AS t FROM documents),
+g AS (
+  SELECT doc_id, t,
+         CASE WHEN len(t) >= 3
+              THEN list_transform(range(1, len(t) - 1),
+                                  i -> concat_ws(' ', t[i], t[i+1], t[i+2]))
+              ELSE CAST([] AS VARCHAR[]) END AS grams
+  FROM t)
+SELECT doc_id,
+       CAST(len(t) AS BIGINT) AS n_tokens,
+       CAST(len(grams) AS BIGINT) AS n_ngrams,
+       CASE WHEN len(t) > 0
+            THEN FLOOR((1.0 - len(list_distinct(t)) / len(t)) * 1000000) / 1000000
+            ELSE 0.0 END AS dup_token_frac,
+       CASE WHEN len(grams) > 0
+            THEN FLOOR((1.0 - len(list_distinct(grams)) / len(grams)) * 1000000)
+                 / 1000000
+            ELSE 0.0 END AS dup_ngram_frac
+FROM g
+"""
+
+
+_PACK_BUDGET = 500
+_PACK_HASH = md5_long_sql("'pack' || CAST(doc_id AS VARCHAR)")
+
+
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-budget sequence packing (hash-bucketed, offset-assigned) and
+    the per-sequence fill report."""
+    from spdb_spark.functions import packing as PK
+
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", T.token_count(F.col("text")).alias("tok")
+    )
+    packed = PK.pack_sequences(docs, "doc_id", "tok", _PACK_BUDGET, n_buckets=32)
+    return PK.sequence_stats(packed, "tok")
+
+
+SQL_PACK_SEQUENCES = f"""
+WITH d AS (
+  SELECT doc_id, CAST(len({_TOKENS_SQL}) AS BIGINT) AS tok,
+         {_PACK_HASH} AS h
+  FROM documents),
+o AS (
+  SELECT h % 32 AS bucket, tok,
+         CAST(SUM(tok) OVER (PARTITION BY h % 32 ORDER BY h, doc_id
+                             ROWS UNBOUNDED PRECEDING) AS BIGINT) - tok
+           AS seq_offset
+  FROM d)
+SELECT bucket, seq_offset // {_PACK_BUDGET} AS seq_id,
+       COUNT(*) AS n_docs, CAST(SUM(tok) AS BIGINT) AS seq_tokens
+FROM o GROUP BY bucket, seq_id
+"""
+
+
+def q_mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-mixture rebalancing plan (uniform target share)."""
+    docs = _docs(spark, sf_dir).select(
+        "source", T.token_count(F.col("text")).alias("tok")
+    )
+    return SP.mixture_plan(docs, "source", "tok")
+
+
+SQL_MIXTURE_PLAN = f"""
+WITH per AS (
+  SELECT source AS domain, COUNT(*) AS n_docs,
+         CAST(SUM(CAST(len({_TOKENS_SQL}) AS BIGINT)) AS BIGINT) AS tokens
+  FROM documents GROUP BY source),
+tot AS (
+  SELECT CAST(SUM(tokens) AS BIGINT) AS total_tokens,
+         COUNT(*) AS n_domains FROM per)
+SELECT domain, n_docs, tokens,
+       FLOOR(tokens * 1000000 / total_tokens) / 1000000 AS actual_share,
+       LEAST(1000000,
+             CAST(FLOOR((total_tokens // n_domains) * 1000000 / tokens)
+                  AS BIGINT)) AS rate_ppm
+FROM per CROSS JOIN tot
+"""
+
+
+def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical-copy selection inside fingerprint dup groups: keep the
+    longest copy (n_chars DESC, doc_id ASC)."""
+    return D.keep_best(_docs(spark, sf_dir), "doc_id", "text", "n_chars")
+
+
+_FP_SQL = f"md5(array_to_string(list_sort(list_distinct({_TOKENS_SQL})), ' '))"
+
+SQL_DEDUP_KEEP_BEST = f"""
+WITH fp AS (SELECT doc_id, n_chars, {_FP_SQL} AS fingerprint FROM documents),
+r AS (
+  SELECT fingerprint, doc_id,
+         ROW_NUMBER() OVER (PARTITION BY fingerprint
+                            ORDER BY n_chars DESC, doc_id) AS rn,
+         COUNT(*) OVER (PARTITION BY fingerprint) AS n_docs
+  FROM fp)
+SELECT fingerprint, doc_id AS keep_id, n_docs, n_docs - 1 AS n_dropped
+FROM r WHERE rn = 1 AND n_docs > 1
+"""
+
+
+def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing over a contact header derived from fixture columns
+    (the corpus text itself contains no PII): per-kind match counts and
+    the md5 of the redacted text. Chained regexp_replace/regexp_count —
+    scan-speed projection, no shuffle."""
+    docs = _docs(spark, sf_dir)
+    raw = F.concat(
+        F.lit("contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@"),
+        F.col("source"),
+        F.lit(".org ip 10.0."),
+        (F.col("doc_id") % 256).cast("string"),
+        F.lit(".1 call +1-555-"),
+        (1000 + F.col("doc_id") % 9000).cast("string"),
+        F.lit("-123 "),
+        F.col("text"),
+    )
+    staged = docs.select("doc_id", raw.alias("raw"))
+    return staged.select(
+        "doc_id",
+        *T.pii_counts(F.col("raw")),
+        F.md5(T.redact_pii(F.col("raw"))).alias("redacted_md5"),
+    )
+
+
+_PII_RAW = (
+    "'contact user' || CAST(doc_id AS VARCHAR) || '@' || source || "
+    "'.org ip 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.1 call +1-555-' || "
+    "CAST(1000 + doc_id % 9000 AS VARCHAR) || '-123 ' || text"
+)
+_PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PII_IP = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+_PII_PHONE = r"\+\d{1,3}[- ]\d{3}[- ]\d{3,4}[- ]\d{3,4}"
+
+SQL_PII_REDACT = f"""
+WITH s AS (SELECT doc_id, {_PII_RAW} AS raw FROM documents)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(raw, '{_PII_EMAIL}')) AS BIGINT) AS n_email,
+       CAST(len(regexp_extract_all(raw, '{_PII_IP}')) AS BIGINT) AS n_ipv4,
+       CAST(len(regexp_extract_all(raw, '{_PII_PHONE}')) AS BIGINT) AS n_phone,
+       md5(regexp_replace(regexp_replace(regexp_replace(raw,
+             '{_PII_EMAIL}', '<EMAIL>', 'g'),
+             '{_PII_IP}', '<IP>', 'g'),
+             '{_PII_PHONE}', '<PHONE>', 'g')) AS redacted_md5
+FROM s
+"""
+
+
 QUERIES = {
+    "llm_repetition": (q_repetition, SQL_REPETITION),
+    "llm_pack_sequences": (q_pack_sequences, SQL_PACK_SEQUENCES),
+    "llm_mixture_plan": (q_mixture_plan, SQL_MIXTURE_PLAN),
+    "llm_dedup_keep_best": (q_dedup_keep_best, SQL_DEDUP_KEEP_BEST),
+    "llm_pii_redact": (q_pii_redact, SQL_PII_REDACT),
     "llm_dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
     "llm_quality_filter": (q_quality_filter, SQL_QUALITY_FILTER),
     "llm_quality_report": (q_quality_report, SQL_QUALITY_REPORT),

@@ -1,0 +1,132 @@
+"""Unit tests for the curation operators added beyond the oracle gates:
+sequence packing invariants, repetition metrics on crafted docs, PII
+redaction spans, keep-best tie-breaking, mixture-plan rates."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from spdb_spark.functions import packing as PK
+from spdb_spark.functions import sampling as SP
+from spdb_spark.functions import text as T
+from spdb_spark.functions.dedup import keep_best
+
+
+def _docs_df(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+class TestPackSequences:
+    def test_every_doc_assigned_and_offsets_partition_budget(self, spark):
+        df = _docs_df(
+            spark, [(i, "w " * (5 + i % 37)) for i in range(200)]
+        ).select("doc_id", T.token_count(F.col("text")).alias("tok"))
+        packed = PK.pack_sequences(df, "doc_id", "tok", budget=50, n_buckets=8)
+        rows = packed.collect()
+        assert len(rows) == 200
+        for r in rows:
+            # a doc is assigned to the sequence its start offset falls in
+            assert r.seq_id == r.seq_offset // 50
+            assert 0 <= r.bucket < 8
+
+    def test_assignment_invariant_to_partitioning(self, spark):
+        df = _docs_df(
+            spark, [(i, "w " * (3 + i % 11)) for i in range(100)]
+        ).select("doc_id", T.token_count(F.col("text")).alias("tok"))
+        a = {
+            r.doc_id: (r.bucket, r.seq_id)
+            for r in PK.pack_sequences(df, "doc_id", "tok", 40).collect()
+        }
+        b = {
+            r.doc_id: (r.bucket, r.seq_id)
+            for r in PK.pack_sequences(
+                df.repartition(13), "doc_id", "tok", 40
+            ).collect()
+        }
+        assert a == b
+
+    def test_sequence_stats_cover_all_tokens(self, spark):
+        df = _docs_df(
+            spark, [(i, "w " * (1 + i % 7)) for i in range(64)]
+        ).select("doc_id", T.token_count(F.col("text")).alias("tok"))
+        total = df.agg(F.sum("tok")).collect()[0][0]
+        packed = PK.pack_sequences(df, "doc_id", "tok", 30)
+        stats = PK.sequence_stats(packed, "tok").collect()
+        assert sum(r.seq_tokens for r in stats) == total
+        assert sum(r.n_docs for r in stats) == 64
+
+
+class TestRepetitionStats:
+    def test_crafted_fractions(self, spark):
+        df = _docs_df(
+            spark,
+            [
+                (1, "a b c d e f"),          # all distinct
+                (2, "a b a b a b"),          # 2 distinct of 6 tokens
+                (3, "x y"),                  # too short for trigrams
+                (4, "a a a a"),              # one distinct token & trigram
+            ],
+        )
+        out = {r.doc_id: r for r in T.repetition_stats(df, "doc_id", "text").collect()}
+        assert out[1].dup_token_frac == 0.0
+        assert out[1].dup_ngram_frac == 0.0
+        # 1 - 2/6 = 0.666666 floor-scaled
+        assert out[2].dup_token_frac == pytest.approx(0.666666)
+        # trigrams of doc2: 4 total, 2 distinct ("a b a", "b a b")
+        assert out[2].n_ngrams == 4
+        assert out[2].dup_ngram_frac == pytest.approx(0.5)
+        assert out[3].n_ngrams == 0
+        assert out[3].dup_ngram_frac == 0.0
+        assert out[4].dup_token_frac == pytest.approx(0.75)
+        assert out[4].dup_ngram_frac == pytest.approx(0.5)
+
+
+class TestRedactPii:
+    def test_spans_replaced_and_counted(self, spark):
+        df = spark.createDataFrame(
+            [(1, "mail a.b+c@ex-ample.org or 192.168.0.1 or +44-123-4567-890 end")],
+            "id long, s string",
+        )
+        row = df.select(
+            T.redact_pii(F.col("s")).alias("red"), *T.pii_counts(F.col("s"))
+        ).collect()[0]
+        assert row.red == "mail <EMAIL> or <IP> or <PHONE> end"
+        assert (row.n_email, row.n_ipv4, row.n_phone) == (1, 1, 1)
+
+    def test_clean_text_untouched(self, spark):
+        df = spark.createDataFrame([(1, "no pii here at all")], "id long, s string")
+        row = df.select(T.redact_pii(F.col("s")).alias("red")).collect()[0]
+        assert row.red == "no pii here at all"
+
+
+class TestKeepBest:
+    def test_keeps_highest_quality_then_smallest_id(self, spark):
+        df = spark.createDataFrame(
+            [
+                # group 1: same token set, doc 11 longer -> kept
+                (10, "alpha beta", 9),
+                (11, "beta alpha alpha", 16),
+                # group 2: tie on quality -> smallest id kept
+                (20, "gamma delta", 11),
+                (21, "delta gamma", 11),
+                # singleton: not reported
+                (30, "unique words here", 17),
+            ],
+            "doc_id long, text string, n_chars int",
+        )
+        out = {r.keep_id: r for r in keep_best(df, "doc_id", "text", "n_chars").collect()}
+        assert set(out) == {11, 20}
+        assert out[11].n_docs == 2 and out[11].n_dropped == 1
+
+
+class TestMixturePlan:
+    def test_uniform_target_rates(self, spark):
+        df = spark.createDataFrame(
+            [("a", 100), ("a", 100), ("b", 50), ("c", 25), ("c", 25)],
+            "source string, tok long",
+        )
+        out = {r.domain: r for r in SP.mixture_plan(df, "source", "tok").collect()}
+        # total 300, 3 domains -> target 100 tokens each
+        assert out["a"].rate_ppm == 500000      # 100/200
+        assert out["b"].rate_ppm == 1000000     # capped at 1.0
+        assert out["c"].rate_ppm == 1000000     # 100/50 capped
+        assert out["a"].actual_share == pytest.approx(0.666666)
