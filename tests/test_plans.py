@@ -125,3 +125,40 @@ def test_quality_filter_suite_broadcasts_drop_list(spark):
     plan = plan_of(q_quality_filter(spark, "/root/testdata/sf0.001"))
     # the near-dup drop list joins broadcast; the rules never shuffle docs
     assert "BroadcastHashJoin" in plan
+
+
+def test_repetition_stats_is_shuffle_free(spark):
+    """Repetition metrics must run at scan speed: a narrow projection with
+    no Exchange anywhere in the plan."""
+    from spdb_spark.suite_llm import q_repetition
+
+    plan = plan_of(q_repetition(spark, "/root/testdata/sf0.001"))
+    assert "Exchange" not in plan
+
+
+def test_pack_sequences_single_window_shuffle(spark):
+    """Packing shuffles once to form the per-bucket windows; the stats agg
+    reuses that partitioning (bucket is a prefix of the window key), so
+    exactly one hash Exchange total."""
+    from spdb_spark.suite_llm import q_pack_sequences
+
+    plan = plan_of(q_pack_sequences(spark, "/root/testdata/sf0.001"))
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_pii_redact_is_shuffle_free(spark):
+    from spdb_spark.suite_llm import q_pii_redact
+
+    plan = plan_of(q_pii_redact(spark, "/root/testdata/sf0.001"))
+    assert "Exchange" not in plan
+
+
+def test_keep_best_single_shuffle_no_window(spark):
+    """Canonical selection is one groupBy (partial agg map-side) — no
+    window operator, no second Exchange."""
+    from spdb_spark.suite_llm import q_dedup_keep_best
+
+    plan = plan_of(q_dedup_keep_best(spark, "/root/testdata/sf0.001"))
+    assert "Window" not in plan
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "partial_min" in plan or "partial" in plan
