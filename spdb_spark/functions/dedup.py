@@ -455,3 +455,47 @@ def keep_best(
             (F.col("n_docs") - 1).alias("n_dropped"),
         )
     )
+
+
+def shared_ngram_coverage(
+    df: DataFrame, id_col: str, text_col: str, k: int = 5
+) -> DataFrame:
+    """Exact-substring overlap detection (the k-gram form of
+    suffix-array dedup): for each doc, how much of it is covered by
+    k-token grams that also appear in at least one OTHER doc. Returns
+    (id, n_grams, n_shared, shared_frac) for docs with any overlap.
+
+    Pipeline: explode grams -> per-gram distinct-doc count (partial
+    aggs both sides) -> flag grams with doc freq > 1 -> per-doc
+    re-aggregate. The gram join is keyed by the gram string (uniform,
+    unskewed); the shared-gram set is boilerplate-sized in practice, so
+    AQE turns the back-join into a broadcast when it fits."""
+    from spdb_spark.functions.text import tokens as _tokens, word_ngrams
+
+    staged = df.select(
+        F.col(id_col).alias("doc"), _tokens(F.col(text_col)).alias("_toks")
+    )
+    staged = staged.select("doc", word_ngrams(F.col("_toks"), k).alias("grams"))
+    g = staged.select(
+        "doc", F.size("grams").cast("long").alias("n_grams"),
+        F.explode("grams").alias("gram"),
+    )
+    shared = (
+        g.groupBy("gram")
+        .agg(F.count_distinct("doc").alias("nd"))
+        .where(F.col("nd") > 1)
+        .select("gram")
+    )
+    return (
+        g.join(shared, "gram")
+        .groupBy("doc", "n_grams")
+        .agg(F.count("*").alias("n_shared"))
+        .select(
+            F.col("doc").alias(id_col),
+            "n_grams",
+            "n_shared",
+            (F.floor(F.col("n_shared") * 1000000 / F.col("n_grams")) / 1000000).alias(
+                "shared_frac"
+            ),
+        )
+    )

@@ -205,3 +205,20 @@ def pii_counts(c: Column) -> list[Column]:
         F.regexp_count(c, F.lit(pat)).cast("long").alias(f"n_{kind}")
         for kind, pat, _ in PII_PATTERNS
     ]
+
+
+def bpe_pair_counts(df: DataFrame, text_col: str, top_n: int = 30) -> DataFrame:
+    """Tokenizer-training primitive: the top adjacent-token-pair counts
+    over the corpus (the statistic a BPE trainer maximizes each merge
+    step). Explode bigrams -> partial+final count -> deterministic top-N
+    by (count DESC, pair ASC). The explode feeds map-side partial
+    aggregation, so the shuffle carries vocabulary-pair rows, not corpus
+    rows; the final top-N is a TakeOrdered over the pair vocabulary."""
+    staged = df.select(tokens(F.col(text_col)).alias("_toks"))
+    pairs = staged.select(F.explode(word_ngrams(F.col("_toks"), 2)).alias("pair"))
+    return (
+        pairs.groupBy("pair")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.col("n").desc(), F.col("pair"))
+        .limit(top_n)
+    )

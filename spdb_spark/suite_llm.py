@@ -877,8 +877,54 @@ FROM s
 """
 
 
+def q_exact_substr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring overlap: per-doc coverage by 5-grams shared with
+    other docs (k-gram form of suffix-array dedup)."""
+    return D.shared_ngram_coverage(_docs(spark, sf_dir), "doc_id", "text", k=5)
+
+
+_GRAMS5_SQL = """
+  SELECT doc_id, CAST(len(t) - 4 AS BIGINT) AS n_grams,
+         unnest(list_transform(range(1, len(t) - 3),
+                i -> concat_ws(' ', t[i], t[i+1], t[i+2], t[i+3], t[i+4])))
+           AS gram
+  FROM (SELECT doc_id, {toks} AS t FROM documents)
+  WHERE len(t) >= 5
+""".format(toks=_TOKENS_SQL)
+
+SQL_EXACT_SUBSTR = f"""
+WITH g AS ({_GRAMS5_SQL}),
+shared AS (
+  SELECT gram FROM g GROUP BY gram HAVING COUNT(DISTINCT doc_id) > 1)
+SELECT doc_id, n_grams, COUNT(*) AS n_shared,
+       FLOOR(COUNT(*) * 1000000 / n_grams) / 1000000 AS shared_frac
+FROM g JOIN shared USING (gram)
+GROUP BY doc_id, n_grams
+"""
+
+
+def q_bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE merge-step statistic: top-30 adjacent token pairs."""
+    return T.bpe_pair_counts(_docs(spark, sf_dir), "text", top_n=30)
+
+
+SQL_BPE_PAIRS = f"""
+WITH t AS (SELECT {_TOKENS_SQL} AS t FROM documents),
+p AS (
+  SELECT unnest(list_transform(range(1, len(t)),
+                i -> concat_ws(' ', t[i], t[i+1]))) AS pair
+  FROM t WHERE len(t) >= 2)
+SELECT pair, COUNT(*) AS n
+FROM p GROUP BY pair
+ORDER BY n DESC, pair
+LIMIT 30
+"""
+
+
 QUERIES = {
     "llm_repetition": (q_repetition, SQL_REPETITION),
+    "llm_exact_substr": (q_exact_substr, SQL_EXACT_SUBSTR),
+    "llm_bpe_pairs": (q_bpe_pairs, SQL_BPE_PAIRS),
     "llm_pack_sequences": (q_pack_sequences, SQL_PACK_SEQUENCES),
     "llm_mixture_plan": (q_mixture_plan, SQL_MIXTURE_PLAN),
     "llm_dedup_keep_best": (q_dedup_keep_best, SQL_DEDUP_KEEP_BEST),

@@ -130,3 +130,40 @@ class TestMixturePlan:
         assert out["b"].rate_ppm == 1000000     # capped at 1.0
         assert out["c"].rate_ppm == 1000000     # 100/50 capped
         assert out["a"].actual_share == pytest.approx(0.666666)
+
+
+class TestSharedNgramCoverage:
+    def test_crafted_overlap(self, spark):
+        from spdb_spark.functions.dedup import shared_ngram_coverage
+
+        df = _docs_df(
+            spark,
+            [
+                (1, "p q r s t u v w"),        # shares "p q r s t" prefix with 2
+                (2, "p q r s t x y z"),
+                (3, "totally different words entirely here now"),
+            ],
+        )
+        out = {
+            r.doc_id: r
+            for r in shared_ngram_coverage(df, "doc_id", "text", k=5).collect()
+        }
+        assert set(out) == {1, 2}
+        # doc1 has 4 grams, exactly 1 ("p q r s t") shared
+        assert out[1].n_grams == 4 and out[1].n_shared == 1
+        assert out[1].shared_frac == pytest.approx(0.25)
+
+    def test_short_docs_excluded(self, spark):
+        from spdb_spark.functions.dedup import shared_ngram_coverage
+
+        df = _docs_df(spark, [(1, "a b"), (2, "a b")])
+        assert shared_ngram_coverage(df, "doc_id", "text", k=5).count() == 0
+
+
+class TestBpePairs:
+    def test_counts_and_order(self, spark):
+        from spdb_spark.functions.text import bpe_pair_counts
+
+        df = _docs_df(spark, [(1, "a b a b c"), (2, "a b")])
+        rows = bpe_pair_counts(df, "text", top_n=2).collect()
+        assert [(r.pair, r.n) for r in rows] == [("a b", 3), ("b a", 1)]
