@@ -14,7 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from spdb_spark.functions.similarity import _as_double, cosine
+from spdb_spark.functions.similarity import _as_double, cosine_prenormed, norm
 
 
 def choose_centroids(corpus: DataFrame, id_col: str, vec_col: str, k: int) -> DataFrame:
@@ -84,10 +84,13 @@ def assign_lists(
     builds the inverted lists; queries use n_probe>1 for recall)."""
     scored = (
         corpus.select(F.col(id_col).alias("vid"), _as_double(F.col(vec_col)).alias("v"))
-        .crossJoin(F.broadcast(centroids))
+        .withColumn("_vn", norm(F.col("v")))
+        .crossJoin(F.broadcast(centroids.withColumn("_cn", norm(F.col("centroid_vec")))))
         .select(
             "vid", "v", "centroid_id",
-            cosine(F.col("v"), F.col("centroid_vec")).alias("c_sim"),
+            cosine_prenormed(
+                F.col("v"), F.col("centroid_vec"), F.col("_vn"), F.col("_cn")
+            ).alias("c_sim"),
         )
     )
     w = Window.partitionBy("vid").orderBy(F.desc("c_sim"), "centroid_id")
@@ -133,10 +136,10 @@ def ivf_topk(
         )
     lists = assign_lists(corpus, cents, id_col, vec_col, n_probe=1).select(
         F.col("vid").alias("neighbor_id"), F.col("v").alias("c_vec"), "centroid_id"
-    )
+    ).withColumn("_cn", norm(F.col("c_vec")))
     probes = assign_lists(queries, cents, id_col, vec_col, n_probe=n_probe).select(
         F.col("vid").alias("query_id"), F.col("v").alias("q_vec"), "centroid_id"
-    )
+    ).withColumn("_qn", norm(F.col("q_vec")))
     scored = (
         lists.join(F.broadcast(probes), "centroid_id")
         .where(F.col("neighbor_id") != F.col("query_id"))
@@ -144,7 +147,12 @@ def ivf_topk(
         .select(
             "query_id",
             "neighbor_id",
-            F.round(cosine(F.col("q_vec"), F.col("c_vec")), 6).alias("cos_sim"),
+            F.round(
+                cosine_prenormed(
+                    F.col("q_vec"), F.col("c_vec"), F.col("_qn"), F.col("_cn")
+                ),
+                6,
+            ).alias("cos_sim"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), "neighbor_id")

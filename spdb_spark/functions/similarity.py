@@ -37,6 +37,16 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (norm(a) * norm(b))
 
 
+def cosine_prenormed(a: Column, b: Column, a_norm: Column, b_norm: Column) -> Column:
+    """Cosine with the per-vector norms hoisted out of the pair loop.
+
+    In an N x M pair scoring, `cosine` re-folds each vector's norm once
+    per PAIR (2*N*M folds); materializing norms in the projections before
+    the join makes it N+M folds and one multiply-add per pair. The norm
+    fold order is unchanged, so scores stay bit-identical."""
+    return dot(a, b) / (a_norm * b_norm)
+
+
 def brute_force_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -52,18 +62,23 @@ def brute_force_topk(
     q = F.broadcast(
         queries.select(
             F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("q_vec")
-        )
+        ).withColumn("q_norm", norm(F.col("q_vec")))
     )
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"), _as_double(F.col(vec_col)).alias("c_vec")
-    )
+    ).withColumn("c_norm", norm(F.col("c_vec")))
     scored = (
         c.crossJoin(q)
         .where(F.col("neighbor_id") != F.col("query_id"))
         .select(
             "query_id",
             "neighbor_id",
-            F.round(cosine(F.col("q_vec"), F.col("c_vec")), 6).alias("cos_sim"),
+            F.round(
+                cosine_prenormed(
+                    F.col("q_vec"), F.col("c_vec"), F.col("q_norm"), F.col("c_norm")
+                ),
+                6,
+            ).alias("cos_sim"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -135,24 +150,33 @@ def lsh_topk(
         F.col(id_col).alias("neighbor_id"),
         _as_double(F.col(vec_col)).alias("c_vec"),
         sig(F.col(vec_col)).alias("b"),
-    ).select("neighbor_id", "c_vec", "b.tbl", "b.sig")
+    ).select("neighbor_id", "c_vec", "b.tbl", "b.sig").withColumn(
+        "_cn", norm(F.col("c_vec"))
+    )
     q = F.broadcast(
         queries.select(
             F.col(id_col).alias("query_id"),
             _as_double(F.col(vec_col)).alias("q_vec"),
             sig(F.col(vec_col)).alias("b"),
-        ).select("query_id", "q_vec", "b.tbl", "b.sig")
+        ).select("query_id", "q_vec", "b.tbl", "b.sig").withColumn(
+            "_qn", norm(F.col("q_vec"))
+        )
     )
     cands = (
         c.join(q, ["tbl", "sig"])
         .where(F.col("neighbor_id") != F.col("query_id"))
-        .select("query_id", "q_vec", "neighbor_id", "c_vec")
+        .select("query_id", "q_vec", "_qn", "neighbor_id", "c_vec", "_cn")
         .dropDuplicates(["query_id", "neighbor_id"])
     )
     scored = cands.select(
         "query_id",
         "neighbor_id",
-        F.round(cosine(F.col("q_vec"), F.col("c_vec")), 6).alias("cos_sim"),
+        F.round(
+            cosine_prenormed(
+                F.col("q_vec"), F.col("c_vec"), F.col("_qn"), F.col("_cn")
+            ),
+            6,
+        ).alias("cos_sim"),
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.col("neighbor_id"))
     return (

@@ -347,18 +347,23 @@ def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     a = embs.select(
         F.col("vec_id").alias("id_a"),
         F.col("embedding").cast("array<double>").alias("va"),
-    )
+    ).withColumn("na", S.norm(F.col("va")))
     b = embs.select(
         F.col("vec_id").alias("id_b"),
         F.col("embedding").cast("array<double>").alias("vb"),
-    )
+    ).withColumn("nb", S.norm(F.col("vb")))
     return (
         a.crossJoin(b)
         .where(F.col("id_a") < F.col("id_b"))
         .select(
             "id_a",
             "id_b",
-            F.round(S.cosine(F.col("va"), F.col("vb")), 6).alias("cos_sim"),
+            F.round(
+                S.cosine_prenormed(
+                    F.col("va"), F.col("vb"), F.col("na"), F.col("nb")
+                ),
+                6,
+            ).alias("cos_sim"),
         )
         .where(F.col("cos_sim") >= _COS_TAU)
     )
