@@ -158,3 +158,28 @@ def test_get_cubes_by_morton(store):
     np.testing.assert_array_equal(cubes[m0], data[:, :, :512])
     np.testing.assert_array_equal(cubes[m1], data[:, :, 512:])
     assert cubes[m_absent].sum() == 0  # absent -> zero cube
+
+
+def test_uint64_full_range_roundtrip(spark, tmp_path):
+    """Values in [2^63, 2^64) must survive write+cutout bit-exactly: the
+    voxel/long representation is the two's-complement view, and both the
+    codec and assembly reinterpret through the same view (SURVEY §1.2
+    'unsigned-dtype fidelity at uint64 boundaries')."""
+    store = CuboidStore(spark, str(tmp_path / "anno64"), datatype="uint64")
+    data = np.zeros((16, 512, 512), dtype="uint64")
+    data[0, 0, 0] = 2**64 - 1
+    data[0, 0, 1] = 2**63 + 5
+    data[1, 2, 3] = 2**63
+    data[2, 4, 6] = 2**63 - 1  # max signed, for contrast
+    store.write_cuboid(data, (0, 0, 0))
+    out = store.cutout((0, 0, 0), (512, 512, 16))
+    np.testing.assert_array_equal(out[0], data)
+
+    # merge semantics hold across the boundary: a second write of a
+    # different >2^63 id overwrites (non-zero wins), zeros never erase
+    data2 = np.zeros((16, 512, 512), dtype="uint64")
+    data2[0, 0, 0] = 2**63 + 99
+    store.write_cuboid(data2, (0, 0, 0))
+    out2 = store.cutout((0, 0, 0), (512, 512, 16))
+    assert out2[0][0, 0, 0] == 2**63 + 99
+    assert out2[0][0, 0, 1] == 2**63 + 5  # untouched by zero
