@@ -926,8 +926,37 @@ LIMIT 30
 """
 
 
+def q_approx_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB distinct-count path: per-language Apache DataSketches
+    HLL sketches of the token vocabulary, merged (hll_union_agg) into a
+    corpus-wide estimate row. Sketches are fixed-size and mergeable, so
+    the shuffle carries KBs per partition regardless of corpus size —
+    the pattern that replaces COUNT(DISTINCT) at scale. Rows-only gate
+    (sketch internals are engine-specific by construction);
+    tests/test_curation.py pins the estimate against the exact distinct
+    count at small SF."""
+    docs = _docs(spark, sf_dir)
+    toks = docs.select(
+        "lang", F.explode(T.tokens(F.col("text"))).alias("tok")
+    )
+    per_lang = toks.groupBy("lang").agg(
+        F.hll_sketch_agg("tok", 12).alias("sk"), F.count("*").alias("n_tokens")
+    )
+    union = per_lang.agg(
+        F.lit("ALL").alias("lang"),
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("approx_distinct"),
+        F.sum("n_tokens").alias("n_tokens"),
+    )
+    return per_lang.select(
+        "lang",
+        F.hll_sketch_estimate("sk").alias("approx_distinct"),
+        "n_tokens",
+    ).unionByName(union)
+
+
 QUERIES = {
     "llm_repetition": (q_repetition, SQL_REPETITION),
+    "llm_approx_vocab": (q_approx_vocab, None),
     "llm_exact_substr": (q_exact_substr, SQL_EXACT_SUBSTR),
     "llm_bpe_pairs": (q_bpe_pairs, SQL_BPE_PAIRS),
     "llm_pack_sequences": (q_pack_sequences, SQL_PACK_SEQUENCES),

@@ -167,3 +167,26 @@ class TestBpePairs:
         df = _docs_df(spark, [(1, "a b a b c"), (2, "a b")])
         rows = bpe_pair_counts(df, "text", top_n=2).collect()
         assert [(r.pair, r.n) for r in rows] == [("a b", 3), ("b a", 1)]
+
+
+class TestApproxVocab:
+    def test_estimate_within_hll_error_of_exact(self, spark):
+        from spdb_spark.suite_llm import q_approx_vocab
+
+        sf = "/root/testdata/sf0.001"
+        rows = {r.lang: r for r in q_approx_vocab(spark, sf).collect()}
+        from spdb_spark.session import load_tables
+
+        docs = load_tables(spark, sf, names=("documents",))["documents"]
+        from spdb_spark.functions.text import tokens
+
+        exact = (
+            docs.select(F.explode(tokens(F.col("text"))).alias("tok"))
+            .agg(F.count_distinct("tok"))
+            .collect()[0][0]
+        )
+        est = rows["ALL"].approx_distinct
+        # lgK=12 -> relative standard error ~1.6%; allow 5 sigma
+        assert abs(est - exact) / exact < 0.08
+        # per-lang estimates sum to >= union estimate (sketch union dedups)
+        assert sum(r.approx_distinct for k, r in rows.items() if k != "ALL") >= est
