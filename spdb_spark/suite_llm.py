@@ -926,6 +926,18 @@ LIMIT 30
 """
 
 
+def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs via IVF bucketing (SemDeDup-style) — the
+    scale path for `llm_dedup_embedding`'s all-pairs baseline. Rows-only
+    gate; precision/recall vs the exact baseline pinned in
+    tests/test_curation.py."""
+    from spdb_spark.functions.ivf import semantic_dedup_pairs
+
+    return semantic_dedup_pairs(
+        _embs(spark, sf_dir), "vec_id", "embedding", tau=_COS_TAU
+    )
+
+
 def q_approx_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The 100 TB distinct-count path: per-language Apache DataSketches
     HLL sketches of the token vocabulary, merged (hll_union_agg) into a
@@ -983,6 +995,7 @@ QUERIES = {
     "llm_dedup_embedding": (q_dedup_embedding, SQL_DEDUP_EMBEDDING),
     "llm_ann_lsh": (q_ann_lsh, None),
     "llm_dedup_clusters": (q_dedup_clusters, None),
+    "llm_dedup_semantic": (q_dedup_semantic, None),
     "llm_ann_ivf": (q_ann_ivf, None),
     "llm_multimodal_meta": (q_multimodal_meta, SQL_MULTIMODAL_META),
 }

@@ -190,3 +190,29 @@ class TestApproxVocab:
         assert abs(est - exact) / exact < 0.08
         # per-lang estimates sum to >= union estimate (sketch union dedups)
         assert sum(r.approx_distinct for k, r in rows.items() if k != "ALL") >= est
+
+
+class TestSemanticDedup:
+    def test_subset_of_exact_pairs_with_bounded_recall(self, spark):
+        from spdb_spark.session import load_tables
+        from spdb_spark.functions.ivf import semantic_dedup_pairs
+        from spdb_spark.suite_llm import q_dedup_embedding, _COS_TAU
+
+        sf = "/root/testdata/sf0.01"
+        exact = {
+            (r.id_a, r.id_b): r.cos_sim
+            for r in q_dedup_embedding(spark, sf).collect()
+        }
+        embs = load_tables(spark, sf, names=("embeddings",))["embeddings"]
+        got = {
+            (r.id_a, r.id_b): r.cos_sim
+            for r in semantic_dedup_pairs(
+                embs, "vec_id", "embedding", tau=_COS_TAU
+            ).collect()
+        }
+        # precision 1.0: every bucketed pair is re-scored exactly, so it
+        # must appear in the baseline with the identical rounded score
+        for pair, sim in got.items():
+            assert exact.get(pair) == sim
+        # recall: bucket misses only, measured 0.86 on these fixtures
+        assert len(got) / len(exact) >= 0.8
