@@ -28,8 +28,41 @@ from collections.abc import Sequence
 import numpy as np
 from pyspark.sql import DataFrame, SparkSession
 
-from spdb_spark.catalog import Resource, reserve_ids as _reserve_ids
+from spdb_spark.catalog import (
+    Channel,
+    Collection,
+    CoordinateFrame,
+    Experiment,
+    Resource,
+    reserve_ids as _reserve_ids,
+)
 from spdb_spark.store import CuboidStore
+
+
+def make_resource(
+    name: str = "ch1",
+    ctype: str = "image",
+    dtype: str = "uint8",
+    levels: int = 3,
+    extent: tuple[int, int, int] = (2048, 2048, 64),
+    hierarchy_method: str = "anisotropic",
+    lookup_key: str | None = None,
+) -> Resource:
+    """Convenience constructor for a single-channel Resource (the
+    reference builds these from boss-layer JSON, resource_setup.py:1-97;
+    this is the quick-start equivalent for library users)."""
+    return Resource(
+        Collection("col1"),
+        Experiment(
+            "exp1", num_hierarchy_levels=levels, hierarchy_method=hierarchy_method
+        ),
+        CoordinateFrame(
+            "cf", 0, extent[0], 0, extent[1], 0, extent[2],
+            x_voxel_size=4, y_voxel_size=4, z_voxel_size=35,
+        ),
+        Channel(name, ctype, dtype),
+        lookup_key=lookup_key or f"1&1&{name}",
+    )
 
 
 class SpatialDB:
