@@ -162,3 +162,33 @@ def test_keep_best_single_shuffle_no_window(spark):
     assert "Window" not in plan
     assert plan.count("Exchange hashpartitioning") == 1
     assert "partial_min" in plan or "partial" in plan
+
+
+def test_q17_stats_and_part_broadcast(spark):
+    """q17's per-part stats and the part dim must both broadcast — the
+    lineitem fact streams through without shuffling for the joins."""
+    from spdb_spark.suite_relational import q17_small_qty_revenue
+
+    plan = plan_of(q17_small_qty_revenue(spark, "/root/testdata/sf0.001"))
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in plan
+
+
+def test_q21_two_exchanges_no_self_join(spark):
+    """q21 compiles to pair-agg + per-order window — two hash exchanges on
+    lineitem-derived data, no lineitem self-join (the reference TPC-H
+    formulation needs exists + not-exists self-joins)."""
+    from spdb_spark.suite_relational import q21_waiting_suppliers
+
+    plan = plan_of(q21_waiting_suppliers(spark, "/root/testdata/sf0.001"))
+    # orders + supplier joins broadcast; no sort-merge join anywhere
+    assert "SortMergeJoin" not in plan
+    assert "Window" in plan
+
+
+def test_q22_anti_join_broadcasts(spark):
+    from spdb_spark.suite_relational import q22_idle_customers
+
+    plan = plan_of(q22_idle_customers(spark, "/root/testdata/sf0.001"))
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+    assert "SortMergeJoin" not in plan
