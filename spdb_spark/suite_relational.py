@@ -1392,10 +1392,14 @@ def q13_order_count_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     order counts (two cascaded aggs off one left join; the second agg's
     input is customer-sized, not order-sized)."""
     cust, orders = _t(spark, sf_dir, "customer", "orders")
-    per_cust = (
-        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
-        .groupBy("c_custkey")
-        .agg(F.count("o_orderkey").alias("c_count"))
+    # aggregate orders BEFORE the join: the join then moves one count per
+    # customer instead of every order row (the oracle SQL keeps the
+    # textbook join-then-agg formulation; results are identical)
+    counts = orders.groupBy(F.col("o_custkey").alias("c_custkey")).agg(
+        F.count("*").alias("c_count")
+    )
+    per_cust = cust.join(counts, "c_custkey", "left").select(
+        F.coalesce(F.col("c_count"), F.lit(0)).alias("c_count")
     )
     return (
         per_cust.groupBy("c_count")
