@@ -83,3 +83,74 @@ def test_get_ann_value_sql_matches_reference(v00, v01, v10, v11):
     inner = f"SELECT 0 AS t, 0 AS x, 0 AS y, 0 AS z, {v00} AS v00, {v01} AS v01, {v10} AS v10, {v11} AS v11"
     got = duckdb.sql(_ann_value_sql(inner)).fetchone()[4]
     assert got == _get_ann_value_ref(v00, v01, v10, v11)
+
+
+# --- packing / repetition invariants over random inputs --------------------
+
+
+def _spark():
+    # hypothesis-driven tests can't take the (function-cached) pytest
+    # fixture; getOrCreate reuses the session-wide SparkSession anyway
+    from spdb_spark.session import get_spark
+
+    return get_spark("spdb_spark_tests", shuffle_partitions=8)
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    st.lists(st.integers(min_value=1, max_value=400), min_size=1, max_size=60),
+    st.integers(min_value=10, max_value=300),
+)
+def test_pack_sequences_invariants(tok_counts, budget):
+    from pyspark.sql import functions as F
+
+    from spdb_spark.functions.packing import pack_sequences, sequence_stats
+
+    spark = _spark()
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(tok_counts)], "doc_id long, tok long"
+    )
+    packed = pack_sequences(df, "doc_id", "tok", budget, n_buckets=4).collect()
+    # every doc assigned exactly once, to the sequence its offset starts in
+    assert len(packed) == len(tok_counts)
+    by_bucket = {}
+    for r in packed:
+        assert r.seq_id == r.seq_offset // budget
+        by_bucket.setdefault(r.bucket, []).append(r)
+    for rows in by_bucket.values():
+        # offsets within a bucket form a contiguous token stream from 0
+        rows = sorted(rows, key=lambda r: r.seq_offset)
+        run = 0
+        for r in rows:
+            assert r.seq_offset == run
+            run += r.tok
+    stats = sequence_stats(
+        pack_sequences(df, "doc_id", "tok", budget, n_buckets=4), "tok"
+    ).collect()
+    assert sum(r.seq_tokens for r in stats) == sum(tok_counts)
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    st.lists(
+        st.lists(
+            st.sampled_from(["a", "b", "c", "dd"]), min_size=0, max_size=12
+        ),
+        min_size=1,
+        max_size=12,
+    )
+)
+def test_repetition_fractions_bounded(docs):
+    from pyspark.sql import functions as F
+
+    from spdb_spark.functions.text import repetition_stats
+
+    spark = _spark()
+    df = spark.createDataFrame(
+        [(i, " ".join(toks) if toks else "x") for i, toks in enumerate(docs)],
+        "doc_id long, text string",
+    )
+    for r in repetition_stats(df, "doc_id", "text").collect():
+        assert 0.0 <= r.dup_token_frac < 1.0
+        assert 0.0 <= r.dup_ngram_frac < 1.0
+        assert r.n_ngrams == max(r.n_tokens - 2, 0)
