@@ -1825,6 +1825,54 @@ GROUP BY s_name
 """
 
 
+def q_scalar_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array / higher-order scalar functions (transform, filter, sort,
+    slice, distinct, contains, index) over a derived token array —
+    per-row Column math, zero shuffles. The token array is materialized
+    in a prior projection (an inline array inside a lambda re-evaluates
+    per element)."""
+    from spdb_spark.functions.text import tokens
+
+    (docs,) = _t(spark, sf_dir, "documents")
+    staged = docs.where(F.col("doc_id") % 11 == 0).select(
+        "doc_id", tokens(F.col("text")).alias("toks")
+    )
+    return staged.select(
+        "doc_id",
+        F.size("toks").cast("long").alias("n"),
+        F.size(F.array_distinct("toks")).cast("long").alias("n_distinct"),
+        F.array_join(F.slice(F.array_sort("toks"), 1, 3), ",").alias("first3_sorted"),
+        F.array_contains("toks", "table").cast("int").cast("long").alias("has_table"),
+        F.size(F.filter("toks", lambda t: F.length(t) > 4)).cast("long").alias(
+            "n_long_toks"
+        ),
+        F.array_join(
+            F.slice(F.transform("toks", lambda t: F.upper(t)), 1, 2), ","
+        ).alias("first2_upper"),
+        F.array_position(F.array_sort("toks"), "value").cast("long").alias(
+            "pos_value_sorted"
+        ),
+    )
+
+
+SQL_SCALAR_ARRAYS = f"""
+WITH staged AS (
+  SELECT doc_id, {{toks}} AS toks FROM documents WHERE doc_id % 11 = 0
+)
+SELECT doc_id,
+       CAST(len(toks) AS BIGINT) AS n,
+       CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct,
+       array_to_string(list_sort(toks)[1:3], ',') AS first3_sorted,
+       CAST(list_contains(toks, 'table') AS BIGINT) AS has_table,
+       CAST(len(list_filter(toks, t -> length(t) > 4)) AS BIGINT) AS n_long_toks,
+       array_to_string(list_transform(toks, t -> upper(t))[1:2], ',')
+         AS first2_upper,
+       CAST(COALESCE(list_position(list_sort(toks), 'value'), 0) AS BIGINT)
+         AS pos_value_sorted
+FROM staged
+""".format(toks="regexp_split_to_array(lower(trim(text)), '\\s+')")
+
+
 QUERIES = {
     "q_resample_ffill": (q_resample_ffill, SQL_RESAMPLE_FFILL),
     "q_scd2_user_type": (q_scd2_user_type, SQL_SCD2_USER_TYPE),
@@ -1872,4 +1920,5 @@ QUERIES = {
     "q_scalar_string_math": (q_scalar_string_math, SQL_SCALAR_STRING_MATH),
     "q_scalar_dates": (q_scalar_dates, SQL_SCALAR_DATES),
     "q_pivot_status": (q_pivot_status, SQL_PIVOT_STATUS),
+    "q_scalar_arrays": (q_scalar_arrays, SQL_SCALAR_ARRAYS),
 }
