@@ -208,3 +208,82 @@ def semantic_dedup_pairs(
         )
         .where(F.col("cos_sim") >= tau)
     )
+
+
+def save_index(
+    corpus: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int = 16,
+    refine_iters: int = 0,
+) -> None:
+    """Persist an IVF index: `<path>/centroids` (k rows) and
+    `<path>/lists` — the inverted lists written PARTITIONED BY
+    centroid_id, so a query touching n_probe lists reads n_probe/k of
+    the index files (directory-level partition pruning, no footer reads
+    for unprobed lists). This is the index layout that makes IVF the
+    100 TB path: build once per corpus snapshot, then every query is a
+    pruned scan + small broadcast join."""
+    cents = choose_centroids(corpus, id_col, vec_col, n_centroids)
+    if refine_iters > 0:
+        refined = refine_centroids(corpus, cents, id_col, vec_col, iters=refine_iters)
+        cents = corpus.sparkSession.createDataFrame(
+            refined.collect(), schema="centroid_id int, centroid_vec array<double>"
+        )
+    cents.write.mode("overwrite").parquet(path + "/centroids")
+    lists = assign_lists(corpus, cents, id_col, vec_col, n_probe=1)
+    (
+        lists.select("vid", "v", "centroid_id")
+        .write.mode("overwrite")
+        .partitionBy("centroid_id")
+        .parquet(path + "/lists")
+    )
+
+
+def ivf_topk_indexed(
+    spark,
+    path: str,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    n_probe: int = 4,
+) -> DataFrame:
+    """Query a persisted IVF index. The probed centroid ids become a
+    pushed-down partition filter on the lists table — only n_probe/k of
+    the index is read. Results are identical to the in-memory
+    `ivf_topk` built with the same quantizer (pinned in tests)."""
+    cents = spark.read.parquet(path + "/centroids")
+    probes = assign_lists(queries, cents, id_col, vec_col, n_probe=n_probe).select(
+        F.col("vid").alias("query_id"), F.col("v").alias("q_vec"), "centroid_id"
+    ).withColumn("_qn", norm(F.col("q_vec")))
+    probe_ids = [r.centroid_id for r in probes.select("centroid_id").distinct().collect()]
+    lists = (
+        spark.read.parquet(path + "/lists")
+        .where(F.col("centroid_id").isin(probe_ids))
+        .select(
+            F.col("vid").alias("neighbor_id"), F.col("v").alias("c_vec"), "centroid_id"
+        )
+        .withColumn("_cn", norm(F.col("c_vec")))
+    )
+    scored = (
+        lists.join(F.broadcast(probes), "centroid_id")
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .dropDuplicates(["query_id", "neighbor_id"])
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(
+                cosine_prenormed(
+                    F.col("q_vec"), F.col("c_vec"), F.col("_qn"), F.col("_cn")
+                ),
+                6,
+            ).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), "neighbor_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= k)
+    )

@@ -61,3 +61,27 @@ def test_ivf_refined_on_sample_trains(spark, tables):
     rows = out.collect()
     assert len(rows) > 0
     assert all(r.cos_sim == r.cos_sim for r in rows)  # no NaN centroids leaked
+
+
+def test_persisted_index_matches_inmemory(spark, tmp_path):
+    """save_index + ivf_topk_indexed must return exactly what ivf_topk
+    computes in-memory with the same quantizer, and the lists scan must
+    carry a centroid_id partition filter (pruned read)."""
+    from spdb_spark.functions.ivf import ivf_topk, ivf_topk_indexed, save_index
+    from spdb_spark.session import load_tables
+
+    sf = "/root/testdata/sf0.001"
+    embs = load_tables(spark, sf, names=("embeddings",))["embeddings"]
+    queries = embs.where(embs.vec_id % 37 == 0)
+
+    path = str(tmp_path / "ivf_idx")
+    save_index(embs, path, n_centroids=8)
+    got = ivf_topk_indexed(spark, path, queries, k=5, n_probe=2)
+    want = ivf_topk(embs, queries, k=5, n_centroids=8, n_probe=2)
+    as_set = lambda df: {  # noqa: E731
+        (r.query_id, r.neighbor_id, r.rank, r.cos_sim) for r in df.collect()
+    }
+    assert as_set(got) == as_set(want)
+
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [centroid_id" in plan or "centroid_id#" in plan
