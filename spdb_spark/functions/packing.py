@@ -59,3 +59,28 @@ def sequence_stats(packed: DataFrame, token_col: str) -> DataFrame:
         F.count("*").alias("n_docs"),
         F.sum(F.col(token_col)).cast("long").alias("seq_tokens"),
     )
+
+
+def materialize_sequences(packed: DataFrame, id_col: str, token_col: str) -> DataFrame:
+    """Emit the composed training sequences: per (bucket, seq_id), the
+    doc ids in concatenation order plus the token total. Order inside a
+    sequence is the deterministic packing order (seq_offset), carried by
+    sorting (offset, id) structs inside the aggregate — `bucket` is a
+    prefix of the group key, so this reuses the packing window's
+    exchange (no extra shuffle)."""
+    return (
+        packed.groupBy("bucket", "seq_id")
+        .agg(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(
+                            F.col("seq_offset").alias("o"), F.col(id_col).alias("i")
+                        )
+                    )
+                ),
+                lambda s: s["i"],
+            ).alias("doc_ids"),
+            F.sum(F.col(token_col)).cast("long").alias("seq_tokens"),
+        )
+    )

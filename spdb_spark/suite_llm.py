@@ -787,6 +787,44 @@ FROM o GROUP BY bucket, seq_id
 """
 
 
+def q_pack_materialize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed training sequences: ordered doc-id arrays per sequence
+    (concatenation order = deterministic packing order)."""
+    from spdb_spark.functions import packing as PK
+
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", T.token_count(F.col("text")).alias("tok")
+    )
+    packed = PK.pack_sequences(docs, "doc_id", "tok", _PACK_BUDGET, n_buckets=32)
+    return PK.materialize_sequences(packed, "doc_id", "tok").select(
+        "bucket",
+        "seq_id",
+        F.array_join(F.transform("doc_ids", lambda i: i.cast("string")), ",").alias(
+            "doc_seq"
+        ),
+        "seq_tokens",
+    )
+
+
+SQL_PACK_MATERIALIZE = f"""
+WITH d AS (
+  SELECT doc_id, CAST(len({_TOKENS_SQL}) AS BIGINT) AS tok,
+         {_PACK_HASH} AS h
+  FROM documents),
+o AS (
+  SELECT h % 32 AS bucket, doc_id, tok,
+         CAST(SUM(tok) OVER (PARTITION BY h % 32 ORDER BY h, doc_id
+                             ROWS UNBOUNDED PRECEDING) AS BIGINT) - tok
+           AS seq_offset
+  FROM d)
+SELECT bucket, seq_offset // {_PACK_BUDGET} AS seq_id,
+       array_to_string(list(CAST(doc_id AS VARCHAR) ORDER BY seq_offset), ',')
+         AS doc_seq,
+       CAST(SUM(tok) AS BIGINT) AS seq_tokens
+FROM o GROUP BY bucket, seq_offset // {_PACK_BUDGET}
+"""
+
+
 def q_mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Domain-mixture rebalancing plan (uniform target share)."""
     docs = _docs(spark, sf_dir).select(
@@ -972,6 +1010,7 @@ QUERIES = {
     "llm_exact_substr": (q_exact_substr, SQL_EXACT_SUBSTR),
     "llm_bpe_pairs": (q_bpe_pairs, SQL_BPE_PAIRS),
     "llm_pack_sequences": (q_pack_sequences, SQL_PACK_SEQUENCES),
+    "llm_pack_materialize": (q_pack_materialize, SQL_PACK_MATERIALIZE),
     "llm_mixture_plan": (q_mixture_plan, SQL_MIXTURE_PLAN),
     "llm_dedup_keep_best": (q_dedup_keep_best, SQL_DEDUP_KEEP_BEST),
     "llm_pii_redact": (q_pii_redact, SQL_PII_REDACT),
