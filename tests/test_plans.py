@@ -192,3 +192,14 @@ def test_q22_anti_join_broadcasts(spark):
     plan = plan_of(q22_idle_customers(spark, "/root/testdata/sf0.001"))
     assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_exact_substr_three_shuffles_max(spark):
+    """Shared-gram coverage: gram doc-freq agg + back-join + per-doc
+    re-agg — at most three hash exchanges, shared-gram side broadcast
+    (boilerplate-sized), never a sort-merge join."""
+    from spdb_spark.suite_llm import q_exact_substr
+
+    plan = plan_of(q_exact_substr(spark, "/root/testdata/sf0.001"))
+    assert plan.count("Exchange hashpartitioning") <= 3
+    assert "SortMergeJoin" not in plan
