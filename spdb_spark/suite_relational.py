@@ -1825,6 +1825,36 @@ GROUP BY s_name
 """
 
 
+def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (the general form of rollup/cube, both also
+    in the suite): per-status, per-priority, and grand-total aggregates in
+    one pass — one shuffle, the expand operator fans each row into its
+    member sets map-side."""
+    (orders,) = _t(spark, sf_dir, "orders")
+    orders.createOrReplaceTempView("orders_gs")
+    return spark.sql(
+        """
+        SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+               COALESCE(o_orderpriority, 'ALL') AS priority,
+               COUNT(*) AS n,
+               SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) / CAST(100 AS DOUBLE)
+                 AS total
+        FROM orders_gs
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        """
+    )
+
+
+SQL_GROUPING_SETS = """
+SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+       COALESCE(o_orderpriority, 'ALL') AS priority,
+       COUNT(*) AS n,
+       SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) / 100.0 AS total
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+"""
+
+
 def q_scalar_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Array / higher-order scalar functions (transform, filter, sort,
     slice, distinct, contains, index) over a derived token array —
@@ -1921,4 +1951,5 @@ QUERIES = {
     "q_scalar_dates": (q_scalar_dates, SQL_SCALAR_DATES),
     "q_pivot_status": (q_pivot_status, SQL_PIVOT_STATUS),
     "q_scalar_arrays": (q_scalar_arrays, SQL_SCALAR_ARRAYS),
+    "q_grouping_sets": (q_grouping_sets, SQL_GROUPING_SETS),
 }
