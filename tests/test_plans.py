@@ -203,3 +203,16 @@ def test_exact_substr_three_shuffles_max(spark):
     plan = plan_of(q_exact_substr(spark, "/root/testdata/sf0.001"))
     assert plan.count("Exchange hashpartitioning") <= 3
     assert "SortMergeJoin" not in plan
+
+
+def test_q18_join_broadcasts_after_aqe(spark):
+    """q18's filtered-agg side is unknown-size at plan time; AQE must
+    convert the orders join to broadcast at runtime (checked on the
+    EXECUTED plan, after the action)."""
+    from spdb_spark.suite_relational import q18_large_orders
+
+    df = q18_large_orders(spark, "/root/testdata/sf0.001")
+    df.write.format("noop").mode("overwrite").save()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
