@@ -300,8 +300,11 @@ def minhash_lsh_dedup(
     (id_a, id_b, jaccard) for verified pairs."""
     # distinct=False: MinHash's min and the verify stage's collect_set are
     # both idempotent to repeated shingles, so the dedup shuffle is pure
-    # overhead here.
-    sh = shingles(df, id_col, text_col, k, distinct=False).persist()
+    # overhead here. No persist: the two consumers re-derive shingles from
+    # the scan (a cheap projection+explode) — measurably faster than
+    # cache-materializing locally, and at 100 TB a shingle cache would
+    # not fit anyway; recompute-from-scan is the scale-correct shape.
+    sh = shingles(df, id_col, text_col, k, distinct=False)
     sigs = minhash_signatures(sh, id_col, num_hashes)
     cands = lsh_candidate_pairs(sigs, bands, rows)
     # Exact-Jaccard verification of candidates: join each pair against the
