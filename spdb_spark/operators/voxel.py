@@ -361,16 +361,37 @@ def connected_components(
     segmentation); False treats all non-zero voxels as one foreground mask.
     The reference stores segmentations but cannot compute them — this is
     the parity-plus operator that closes that loop. Returns
-    (t, x, y, z, value, component)."""
+    (t, x, y, z, value, component).
+
+    Keys: the 6-neighborhood never crosses time samples, so propagation is
+    keyed on (t, vid) with vid the z-major packing (z<<42)|(y<<21)|x —
+    21 bits per axis, the engine's full coordinate range, exactly filling a
+    signed long. (t, component) identifies a component; `component` decodes
+    to the component's canonical voxel (its z-major minimum), which makes
+    labels deterministic and oracle-hashable. Coordinates outside
+    [0, 2^21) raise rather than silently merging unrelated components."""
+    lim = F.lit(1 << 21)
+    in_range = (
+        (F.col("x") >= 0) & (F.col("x") < lim)
+        & (F.col("y") >= 0) & (F.col("y") < lim)
+        & (F.col("z") >= 0) & (F.col("z") < lim)
+    )
+    packed = (
+        (F.col("z").cast("long") * F.lit(1 << 42))
+        + (F.col("y").cast("long") * F.lit(1 << 21))
+        + F.col("x").cast("long")
+    )
+    key = ["t", "vid"]
     vox = v.where(F.col("value") != 0).select(
         "t", "x", "y", "z", "value",
-        # scalar voxel key: unique, order-preserving enough for min-labels
-        (
-            (F.col("t") * F.lit(2**45))
-            + (F.col("z") * F.lit(2**30))
-            + (F.col("y") * F.lit(2**15))
-            + F.col("x")
-        ).alias("vid"),
+        F.when(in_range, packed)
+        .otherwise(
+            F.expr(
+                "raise_error('connected_components: coordinate out of"
+                " [0, 2^21) packable range')"
+            ).cast("long")
+        )
+        .alias("vid"),
     ).persist()
     value_cond = (
         (F.col("a.value") == F.col("b.value")) if same_value_only else F.lit(True)
@@ -388,23 +409,36 @@ def connected_components(
                 & (F.col("b.z") == F.col("a.z") + dz)
                 & value_cond,
             )
-            .select(F.col("a.vid").alias("src"), F.col("b.vid").alias("dst"))
+            .select(
+                F.col("a.t").alias("t"),
+                F.col("a.vid").alias("src"),
+                F.col("b.vid").alias("dst"),
+            )
         )
         edges = e if edges is None else edges.unionByName(e)
     edges = edges.union(
-        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        edges.select("t", F.col("dst").alias("src"), F.col("src").alias("dst"))
     ).persist()
 
-    labels = vox.select("vid", F.col("vid").alias("component")).persist()
+    labels = vox.select(*key, F.col("vid").alias("component")).persist()
     for _ in range(max_iter):
         nbr_min = (
-            edges.join(labels, edges.dst == labels.vid)
-            .groupBy("src")
+            edges.join(
+                labels,
+                (edges.t == labels.t) & (edges.dst == labels.vid),
+            )
+            .groupBy(edges.t, "src")
             .agg(F.min("component").alias("nbr_min"))
+            .select(F.col("t").alias("nt"), "src", "nbr_min")
         )
         new_labels = (
-            labels.join(nbr_min, labels.vid == nbr_min.src, "left")
+            labels.join(
+                nbr_min,
+                (labels.t == nbr_min.nt) & (labels.vid == nbr_min.src),
+                "left",
+            )
             .select(
+                labels.t,
                 "vid",
                 F.least(
                     F.col("component"),
@@ -415,7 +449,7 @@ def connected_components(
         )
         changed = (
             new_labels.alias("n")
-            .join(labels.alias("o"), "vid")
+            .join(labels.alias("o"), key)
             .where(F.col("n.component") != F.col("o.component"))
             .limit(1)
             .count()
@@ -425,7 +459,7 @@ def connected_components(
         if changed == 0:
             break
     edges.unpersist()
-    out = vox.join(labels, "vid").select("t", "x", "y", "z", "value", "component")
+    out = vox.join(labels, key).select("t", "x", "y", "z", "value", "component")
     vox.unpersist()
     return out
 

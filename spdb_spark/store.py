@@ -26,7 +26,10 @@ absent cuboids are implicit zeros (zero-suppression, spatialdb.py:571-585).
 from __future__ import annotations
 
 import os
+import shutil
+import uuid
 from collections.abc import Sequence
+from urllib.parse import unquote
 
 import numpy as np
 from pyspark.sql import DataFrame, SparkSession
@@ -55,6 +58,68 @@ def _with_pgroup(df: DataFrame) -> DataFrame:
     )
 
 
+def _list_partition_dirs(root: str) -> dict[tuple[str, int, int], str]:
+    """Map (lookup_key, resolution, pgroup) -> partition directory under a
+    Hive-layout parquet table root. Values are unescaped the way Spark
+    escapes partition path names (%XX, same as URL quoting)."""
+    out: dict[tuple[str, int, int], str] = {}
+    if not os.path.isdir(root):
+        return out
+    for lk_dir in os.listdir(root):
+        if not lk_dir.startswith("lookup_key="):
+            continue
+        lk = unquote(lk_dir[len("lookup_key="):])
+        lk_path = os.path.join(root, lk_dir)
+        for res_dir in os.listdir(lk_path):
+            if not res_dir.startswith("resolution="):
+                continue
+            res = int(res_dir[len("resolution="):])
+            res_path = os.path.join(lk_path, res_dir)
+            for pg_dir in os.listdir(res_path):
+                if not pg_dir.startswith("pgroup="):
+                    continue
+                pg = int(pg_dir[len("pgroup="):])
+                out[(lk, res, pg)] = os.path.join(res_path, pg_dir)
+    return out
+
+
+class OverwritePublisher:
+    """Publish staged partitions via Spark dynamic partition overwrite —
+    the plain-parquet stand-in for a table-format MERGE commit. Reads the
+    already-materialized stage files, never the table being replaced, so a
+    mid-write executor recompute can't race the overwrite's deletes."""
+
+    def publish(self, store: "CuboidStore", stage_dir: str) -> None:
+        staged = (
+            store.spark.read.option("basePath", stage_dir).parquet(stage_dir)
+        )
+        (
+            staged.write.mode("overwrite")
+            .partitionBy("lookup_key", "resolution", "pgroup")
+            .parquet(store.path)
+        )
+
+
+class SwapPublisher:
+    """Publish staged partitions by moving each staged partition directory
+    into the table root (file-granularity replace, the shape of a
+    Delta/Iceberg commit: new files swapped in, old files dropped, per
+    touched partition only). Proves CuboidStore's commit seam is
+    committer-agnostic (SURVEY §6 / SCALE.md claim)."""
+
+    def publish(self, store: "CuboidStore", stage_dir: str) -> None:
+        table_dirs = _list_partition_dirs(store.path)
+        for key, src in _list_partition_dirs(stage_dir).items():
+            dest = table_dirs.get(key)
+            if dest is None:
+                rel = os.path.relpath(src, stage_dir)
+                dest = os.path.join(store.path, rel)
+            if os.path.isdir(dest):
+                shutil.rmtree(dest)
+            os.makedirs(os.path.dirname(dest), exist_ok=True)
+            os.rename(src, dest)
+
+
 class CuboidStore:
     def __init__(
         self,
@@ -62,11 +127,13 @@ class CuboidStore:
         path: str,
         datatype: str = "uint8",
         lookup_key: str = "4&3&2",
+        committer=None,
     ):
         self.spark = spark
         self.path = path
         self.datatype = datatype
         self.lookup_key = lookup_key
+        self.committer = committer or OverwritePublisher()
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
 
     # -- helpers ------------------------------------------------------------
@@ -252,7 +319,7 @@ class CuboidStore:
             else:
                 merged = rest_old.unionByName(merged_overlap).unionByName(fresh_new)
 
-        self._commit(merged, resolution)
+        self._commit(merged, resolution, touched=touched)
 
     def _voxels_to_blocks(self, voxels: DataFrame, resolution: int) -> DataFrame:
         kernel = make_voxels_to_blocks(self.datatype)
@@ -272,19 +339,50 @@ class CuboidStore:
             "lookup_key", "resolution", "t", "x_idx", "y_idx", "z_idx"
         ).applyInPandas(kernel, CUBOID_SCHEMA)
 
-    def _commit(self, blocks: DataFrame, resolution: int) -> None:
-        """Atomic-enough super-block rewrite: stage then swap via dynamic
-        partition overwrite — only the (lookup_key, resolution, pgroup)
-        partitions present in `blocks` are replaced (Delta MERGE INTO in
-        production)."""
-        staged = blocks.sortWithinPartitions("t", "morton").cache()
-        staged.count()  # materialize before overwriting the source files
-        (
-            staged.write.mode("overwrite")
-            .partitionBy("lookup_key", "resolution", "pgroup")
-            .parquet(self.path)
-        )
-        staged.unpersist()
+    def _commit(
+        self,
+        blocks: DataFrame,
+        resolution: int,
+        touched: Sequence[int] | None = None,
+    ) -> None:
+        """Super-block rewrite in two steps: (1) stage `blocks` to a temp
+        directory on disk — fully materialized before any table file is
+        deleted, so the publish step never recomputes from files it is
+        replacing (unlike a cache, whose evicted blocks would); (2) publish
+        via the pluggable committer (dynamic partition overwrite by default,
+        Delta/Iceberg MERGE in production). `touched` lists the pgroups this
+        write read and merged: a touched pgroup with NO surviving rows never
+        appears in `blocks`, so the committer can't replace it — we delete
+        those partition directories explicitly (the stale-erase fix: a
+        to_black erase that empties a super-block must actually remove it)."""
+        stage_dir = f"{self.path}.stage-{uuid.uuid4().hex[:12]}"
+        try:
+            (
+                blocks.sortWithinPartitions("t", "morton")
+                .write.mode("overwrite")
+                .partitionBy("lookup_key", "resolution", "pgroup")
+                .parquet(stage_dir)
+            )
+            # pgroups that survived the merge, from the stage listing (no
+            # extra Spark job)
+            stage_parts = _list_partition_dirs(stage_dir)
+            present = {
+                pg
+                for (lk, res, pg) in stage_parts
+                if lk == self.lookup_key and res == resolution
+            }
+            if stage_parts:  # nothing staged (e.g. erase-all) -> only deletes
+                self.committer.publish(self, stage_dir)
+        finally:
+            shutil.rmtree(stage_dir, ignore_errors=True)
+        if touched:
+            table_dirs = _list_partition_dirs(self.path)
+            for pg in touched:
+                if int(pg) in present:
+                    continue
+                stale = table_dirs.get((self.lookup_key, resolution, int(pg)))
+                if stale is not None:
+                    shutil.rmtree(stale, ignore_errors=True)
 
     def get_cubes(
         self, mortons: Sequence[int], t: int = 0, resolution: int = 0
@@ -322,18 +420,20 @@ class CuboidStore:
         if n == 0:
             return
         num_files = max(1, -(-n // blocks_per_file))
-        staged = (
-            blocks.repartitionByRange(num_files, "pgroup", "morton", "t")
-            .sortWithinPartitions("pgroup", "morton", "t")
-            .cache()
-        )
-        staged.count()
-        (
-            staged.write.mode("overwrite")
-            .partitionBy("lookup_key", "resolution", "pgroup")
-            .parquet(self.path)
-        )
-        staged.unpersist()
+        staged = blocks.repartitionByRange(
+            num_files, "pgroup", "morton", "t"
+        ).sortWithinPartitions("pgroup", "morton", "t")
+        # stage-to-disk then publish, same safety story as _commit
+        stage_dir = f"{self.path}.stage-{uuid.uuid4().hex[:12]}"
+        try:
+            (
+                staged.write.mode("overwrite")
+                .partitionBy("lookup_key", "resolution", "pgroup")
+                .parquet(stage_dir)
+            )
+            self.committer.publish(self, stage_dir)
+        finally:
+            shutil.rmtree(stage_dir, ignore_errors=True)
 
     # -- resolution hierarchy ------------------------------------------------
 
@@ -372,12 +472,14 @@ class CuboidStore:
                 "value",
             )
             blocks = _with_pgroup(self._voxels_to_blocks(down, level))
-            (
-                blocks.sortWithinPartitions("t", "morton")
-                .write.mode("overwrite")
-                .partitionBy("lookup_key", "resolution", "pgroup")
-                .parquet(self.path)
-            )
+            # re-runs must drop super-blocks that no longer exist at this
+            # level (same stale-partition class as an erasing write)
+            prior = {
+                pg
+                for (lk, res, pg) in _list_partition_dirs(self.path)
+                if lk == self.lookup_key and res == level
+            }
+            self._commit(blocks, level, touched=sorted(prior))
 
     # -- read path ----------------------------------------------------------
 

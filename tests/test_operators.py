@@ -274,6 +274,53 @@ def test_connected_components_mask_mode_merges_values(spark):
     assert len({r.component for r in out}) == 1
 
 
+def test_connected_components_large_coordinates_no_collision(spark):
+    """Coordinates >= 32768 collided under the old 15-bit packing, silently
+    merging unrelated components (round-1 ADVICE); the 21-bit packing must
+    keep them apart and label components canonically (z-major min voxel)."""
+    from spdb_spark.operators.voxel import connected_components
+
+    # two distant 2-voxel runs, one at x ~ 2^16 (past the old field width),
+    # plus the t-field collision shape: (t=1, x=0) vs (t=0, x=2^15) aliased
+    rows = [
+        (0, 70000, 5, 3, 1), (0, 70001, 5, 3, 1),
+        (0, 100, 5, 3, 1), (0, 101, 5, 3, 1),
+        (1, 100, 5, 3, 1),
+        (0, 32768 + 100, 5, 3, 1),
+    ]
+    v = spark.createDataFrame(rows, "t long, x long, y long, z long, value long")
+    out = connected_components(v).collect()
+    comps = {}
+    for r in out:
+        comps.setdefault((r.t, r.component), set()).add((r.x, r.y, r.z))
+    groups = sorted(comps.values(), key=min)
+    assert groups == [
+        {(100, 5, 3), (101, 5, 3)},
+        {(100, 5, 3)},  # t=1: its own component
+        {(32768 + 100, 5, 3)},
+        {(70000, 5, 3), (70001, 5, 3)},
+    ]
+    # canonical labels: component == packed z-major min voxel
+    for r in out:
+        z, rem = divmod(r.component, 1 << 42)
+        y, x = divmod(rem, 1 << 21)
+        assert (x, y, z) == min(
+            (v for v in comps[(r.t, r.component)]), key=lambda p: (p[2], p[1], p[0])
+        )
+
+
+def test_connected_components_out_of_range_raises(spark):
+    from pyspark.errors.exceptions.captured import SparkRuntimeException
+
+    from spdb_spark.operators.voxel import connected_components
+
+    v = spark.createDataFrame(
+        [(0, 2**21, 0, 0, 1)], "t long, x long, y long, z long, value long"
+    )
+    with pytest.raises(SparkRuntimeException, match="packable range"):
+        connected_components(v).collect()
+
+
 def test_approx_quantiles_rank_error_bound(spark):
     """approx_percentile(accuracy=1000) guarantees rank error <= n/1000;
     check each sketch output's true rank against its target rank."""

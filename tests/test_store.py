@@ -5,12 +5,20 @@ merge-mode truth tables; time samples; id filter."""
 import numpy as np
 import pytest
 
-from spdb_spark.store import CuboidStore
+from spdb_spark.store import CuboidStore, OverwritePublisher, SwapPublisher
 
 
-@pytest.fixture()
-def store(spark, tmp_path):
-    return CuboidStore(spark, str(tmp_path / "blocks"), datatype="uint8")
+@pytest.fixture(params=["overwrite", "swap"])
+def store(spark, tmp_path, request):
+    """Every store test runs against BOTH committers: the dynamic-overwrite
+    publisher (default) and the file-granularity swap publisher — the commit
+    seam must be committer-agnostic (SCALE.md's Delta/Iceberg swap claim)."""
+    committer = (
+        OverwritePublisher() if request.param == "overwrite" else SwapPublisher()
+    )
+    return CuboidStore(
+        spark, str(tmp_path / "blocks"), datatype="uint8", committer=committer
+    )
 
 
 def random_cube(shape, seed, lo=1, hi=254):
@@ -80,6 +88,36 @@ def test_to_black_erases_masked(store):
     out = store.cutout((0, 0, 0), (512, 512, 16))[0]
     assert out[0:4, 0:32, 0:64].sum() == 0
     np.testing.assert_array_equal(out[0:4, 32:64, 0:64], base[0:4, 32:64, 0:64])
+
+
+def test_to_black_full_erase_clears_partition(store):
+    """Erasing EVERY surviving voxel of a super-block must remove its
+    parquet partition: dynamic overwrite alone never rewrites a partition
+    absent from the merge output (round-1 ADVICE high bug)."""
+    data = np.zeros((16, 64, 64), dtype="uint8")
+    data[:4, :8, :8] = 7
+    store.write_cuboid(data, (0, 0, 0))
+    mask = np.ones((16, 512, 512), dtype="uint8")
+    store.write_cuboid(mask, (0, 0, 0), mode="to_black")
+    out = store.cutout((0, 0, 0), (512, 512, 16))
+    assert out.sum() == 0
+    # and the store stays writable afterwards
+    store.write_cuboid(data, (0, 0, 0))
+    assert store.cutout((0, 0, 0), (64, 64, 16)).sum() == data.sum()
+
+
+def test_to_black_partial_erase_keeps_other_superblocks(store):
+    """An erase that empties one super-block must not disturb another."""
+    a = random_cube((16, 128, 128), 22)
+    store.write_cuboid(a, (0, 0, 0))  # pgroup 0
+    b = random_cube((16, 128, 128), 23)
+    store.write_cuboid(b, (16 * 512, 0, 0))  # pgroup 1
+    mask = np.ones((16, 128, 128), dtype="uint8")
+    store.write_cuboid(mask, (0, 0, 0), mode="to_black")
+    assert store.cutout((0, 0, 0), (128, 128, 16)).sum() == 0
+    np.testing.assert_array_equal(
+        store.cutout((16 * 512, 0, 0), (128, 128, 16))[0], b
+    )
 
 
 def test_time_samples_and_missing_step_zeros(store):
