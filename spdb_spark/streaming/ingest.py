@@ -49,14 +49,41 @@ def merge_batch(existing: DataFrame, batch: DataFrame, seq_col: str = "seq") -> 
     )
 
 
-class StreamingVoxelIngest:
-    """foreachBatch sink maintaining a voxel table under `table_path`.
+def _pgroup_col():
+    """Partition column for the streaming voxel state: the pgroup of the
+    cuboid containing the voxel (same 16x16x16-cuboid super-block grouping
+    as CuboidStore, store.py PGROUP_SHIFT)."""
+    from spdb_spark.constants import CUBOID_X, CUBOID_Y, CUBOID_Z
+    from spdb_spark.morton import morton_encode
+    from spdb_spark.store import PGROUP_SHIFT
 
-    With Delta/Iceberg this becomes `MERGE INTO` per micro-batch; on plain
-    parquet we stage-and-swap the whole (small test-scale) table. The
-    streaming topology (readStream -> transform -> writeStream/foreachBatch)
-    is identical either way.
+    m = morton_encode(
+        F.floor(F.col("x") / CUBOID_X),
+        F.floor(F.col("y") / CUBOID_Y),
+        F.floor(F.col("z") / CUBOID_Z),
+    )
+    return F.shiftright(m, PGROUP_SHIFT).cast("int")
+
+
+class StreamingVoxelIngest:
+    """foreachBatch sink maintaining a voxel table under `table_path`,
+    Hive-partitioned by (lookup_key, resolution, pgroup).
+
+    Each micro-batch merges ONLY into the super-block partitions it
+    touches: the batch's distinct partition keys are collected (one tiny
+    job over the batch, not the table), the state read is pruned to those
+    partitions, and the merged result is staged to disk and then swapped
+    in per-partition — untouched partitions are never read or rewritten,
+    so per-batch cost is O(batch + touched partitions), not O(table).
+    The stage step fully materializes before any table file is deleted,
+    so a mid-publish recompute can never read files being replaced (the
+    same stage-then-publish seam as CuboidStore._commit, store.py).
+    With Delta/Iceberg this whole method is `MERGE INTO`; the streaming
+    topology (readStream -> transform -> writeStream/foreachBatch) is
+    identical either way.
     """
+
+    PART_COLS = ("lookup_key", "resolution", "pgroup")
 
     def __init__(self, spark, table_path: str):
         self.spark = spark
@@ -70,14 +97,76 @@ class StreamingVoxelIngest:
 
         if not os.path.exists(self.table_path):
             return self.spark.createDataFrame([], VOXEL_SCHEMA)
-        return self.spark.read.parquet(self.table_path)
+        return self.spark.read.parquet(self.table_path).select(
+            *VOXEL_SCHEMA.fieldNames()
+        )
+
+    def _read_partitions(self, keys) -> DataFrame:
+        """State rows from exactly the given (lookup_key, resolution,
+        pgroup) partitions — pruned at file-listing time by the filters on
+        the Hive partition columns."""
+        import os
+
+        from spdb_spark.schema import VOXEL_SCHEMA
+
+        if not os.path.exists(self.table_path) or not keys:
+            return self.spark.createDataFrame([], VOXEL_SCHEMA)
+        df = self.spark.read.parquet(self.table_path)
+        cond = (
+            F.col("lookup_key").isin(sorted({k[0] for k in keys}))
+            & F.col("resolution").isin(sorted({k[1] for k in keys}))
+            & F.col("pgroup").isin(sorted({k[2] for k in keys}))
+        )
+        return df.where(cond).select(*VOXEL_SCHEMA.fieldNames())
 
     def process_batch(self, batch: DataFrame, batch_id: int) -> None:
-        merged = merge_batch(self.read_state(), batch)
-        staged = merged.cache()
-        staged.count()
-        staged.write.mode("overwrite").parquet(self.table_path)
-        staged.unpersist()
+        import os
+        import shutil
+        import uuid
+
+        from spdb_spark.store import _list_partition_dirs
+
+        touched = [
+            (r.lookup_key, int(r.resolution), int(r.pgroup))
+            for r in batch.withColumn("pgroup", _pgroup_col())
+            .select(*self.PART_COLS)
+            .distinct()
+            .collect()
+        ]
+        if not touched:
+            self._version += 1
+            return
+        merged = merge_batch(self._read_partitions(touched), batch)
+        merged = merged.withColumn("pgroup", _pgroup_col())
+
+        stage_dir = f"{self.table_path}.stage-{uuid.uuid4().hex[:12]}"
+        try:
+            (
+                merged.sortWithinPartitions("t", "z", "y", "x")
+                .write.mode("overwrite")
+                .partitionBy(*self.PART_COLS)
+                .parquet(stage_dir)
+            )
+            staged = _list_partition_dirs(stage_dir)
+            table_dirs = _list_partition_dirs(self.table_path)
+            for key in touched:
+                src = staged.get(key)
+                dest = table_dirs.get(key)
+                if src is None:
+                    # merge left no rows in a touched partition: drop it
+                    if dest is not None:
+                        shutil.rmtree(dest, ignore_errors=True)
+                    continue
+                if dest is None:
+                    dest = os.path.join(
+                        self.table_path, os.path.relpath(src, stage_dir)
+                    )
+                if os.path.isdir(dest):
+                    shutil.rmtree(dest)
+                os.makedirs(os.path.dirname(dest), exist_ok=True)
+                os.rename(src, dest)
+        finally:
+            shutil.rmtree(stage_dir, ignore_errors=True)
         self._version += 1
 
     def start(self, stream: DataFrame, checkpoint: str, **trigger_kwargs):

@@ -310,14 +310,16 @@ def test_connected_components_large_coordinates_no_collision(spark):
 
 
 def test_connected_components_out_of_range_raises(spark):
-    from pyspark.errors.exceptions.captured import SparkRuntimeException
-
     from spdb_spark.operators.voxel import connected_components
 
     v = spark.createDataFrame(
         [(0, 2**21, 0, 0, 1)], "t long, x long, y long, z long, value long"
     )
-    with pytest.raises(SparkRuntimeException, match="packable range"):
+    # Under AQE the raise_error can surface wrapped (e.g. as a
+    # STAGE_MATERIALIZATION_MULTIPLE_FAILURES Py4JJavaError) depending on
+    # which concurrent stage materializes it first, so match the message,
+    # not the wrapper class.
+    with pytest.raises(Exception, match="packable range"):
         connected_components(v).collect()
 
 

@@ -79,6 +79,45 @@ def test_streaming_end_to_end(spark, tmp_path):
     assert state == {(1, 99), (2, 20)}
 
 
+def test_streaming_ingest_scoped_merge_leaves_untouched_partitions(spark, tmp_path):
+    """A micro-batch only rewrites the super-block partitions it touches:
+    files in every other partition stay byte-identical (same inode — they
+    are never re-staged, the publish renames only touched dirs)."""
+    import os
+
+    table = str(tmp_path / "scoped")
+    sink = StreamingVoxelIngest(spark, table)
+
+    # x=0 -> pgroup 0; x=16*512 -> cuboid x_idx 16 -> morton 4096 -> pgroup 1
+    far_x = 16 * 512
+    b1 = vox_rows(
+        spark,
+        [("k", 0, 0, 1, 1, 1, 10, 1), ("k", 0, 0, far_x, 1, 1, 20, 2)],
+    )
+    sink.process_batch(b1, 0)
+
+    def snapshot(pgroup):
+        d = os.path.join(table, "lookup_key=k", "resolution=0", f"pgroup={pgroup}")
+        out = {}
+        for f in os.listdir(d):
+            p = os.path.join(d, f)
+            if os.path.isfile(p):
+                st = os.stat(p)
+                out[f] = (st.st_ino, st.st_mtime_ns, st.st_size)
+        return out
+
+    before = snapshot(0)
+    assert before, "pgroup=0 partition should exist after batch 1"
+
+    # batch 2 touches only pgroup 1
+    b2 = vox_rows(spark, [("k", 0, 0, far_x, 1, 1, 99, 3)])
+    sink.process_batch(b2, 1)
+
+    assert snapshot(0) == before  # untouched partition: same inodes, same bytes
+    state = {(r.x, r.value) for r in sink.read_state().collect()}
+    assert state == {(1, 10), (far_x, 99)}
+
+
 def test_transactional_ingest_exactly_once(spark, tmp_path):
     """Redelivered batch ids are skipped; commits are atomic (an
     uncommitted data dir is invisible to readers); time travel works."""
