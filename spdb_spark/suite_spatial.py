@@ -546,10 +546,43 @@ GROUP BY a.value
 
 def q_spatial_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """3D connected-component labeling of the annotation fixture inside a
-    bounded box (iterative — rows-only; correctness pinned by unit tests on
-    known shapes)."""
+    bounded box. Labels are canonical (component = z-major packed minimum
+    voxel of its component), so the DuckDB oracle below reproduces them
+    exactly via recursive-CTE reachability + MIN."""
     v = voxels_df(spark, sf_dir, value_expr=VALUE_ANNO, dedup=True)
     return V.connected_components(V.cutout(v, (0, 0, 0), (128, 128, 32)))
+
+
+# Reachability closure per (t, same-value 6-neighborhood), then the
+# component label is MIN(vid) — identical to the engine's canonical z-major
+# packed minimum because vid = (z<<42)|(y<<21)|x orders by (z, y, x).
+# Tractable because the boxed fixture keeps components tiny.
+SQL_SPATIAL_CONNECTED_COMPONENTS = f"""
+WITH RECURSIVE v AS (
+  SELECT t, x, y, z, value,
+         z * 4398046511104 + y * 2097152 + x AS vid
+  FROM {voxels_sql(value_expr=VALUE_ANNO, dedup=True)} AS q
+  WHERE value <> 0
+    AND x >= 0 AND x < 128 AND y >= 0 AND y < 128 AND z >= 0 AND z < 32
+),
+e AS (
+  SELECT a.t AS t, a.vid AS src, b.vid AS dst
+  FROM v a JOIN v b
+    ON a.t = b.t AND a.value = b.value
+   AND abs(a.x - b.x) + abs(a.y - b.y) + abs(a.z - b.z) = 1
+),
+reach(t, vid, r) AS (
+  SELECT t, vid, vid FROM v
+  UNION
+  SELECT e.t, e.src, reach.r
+  FROM e JOIN reach ON e.t = reach.t AND e.dst = reach.vid
+),
+lab AS (
+  SELECT t, vid, MIN(r) AS component FROM reach GROUP BY t, vid
+)
+SELECT v.t, v.x, v.y, v.z, v.value, lab.component
+FROM v JOIN lab ON v.t = lab.t AND v.vid = lab.vid
+"""
 
 
 def q_spatial_time_filled(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -690,5 +723,8 @@ QUERIES = {
     "spatial_cross_channel_mask": (q_spatial_cross_channel_mask, SQL_SPATIAL_CROSS_CHANNEL_MASK),
     "spatial_object_intensity": (q_spatial_object_intensity, SQL_SPATIAL_OBJECT_INTENSITY),
     "spatial_smooth": (q_spatial_smooth, SQL_SPATIAL_SMOOTH),
-    "spatial_connected_components": (q_spatial_connected_components, None),
+    "spatial_connected_components": (
+        q_spatial_connected_components,
+        SQL_SPATIAL_CONNECTED_COMPONENTS,
+    ),
 }
