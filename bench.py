@@ -29,7 +29,8 @@ HEADLINE = [
     "spatial_overwrite",
     "spatial_downsample_anno",
     "llm_dedup_minhash",
-    "llm_ann_topk",
+    "llm_ann_ivf",
+    "llm_dedup_semantic",
     "llm_bm25_search",
     "q_event_funnel",
     "llm_repetition",
@@ -68,13 +69,23 @@ def main() -> None:
             fn, _sql = REGISTRY[name]
             fn(spark, warm_dir).write.format("noop").mode("overwrite").save()
 
+    # Median of PASSES timed runs per query: the sandbox shows up to ~1.7x
+    # run-to-run variance on identical code, and the gate should measure
+    # the engine, not the neighbors.
+    passes = int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "3"))
     timings: dict[str, float] = {}
-    for name in HEADLINE:
-        fn, _sql = REGISTRY[name]
-        t0 = time.perf_counter()
-        df = fn(spark, sf_dir)
-        df.write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 3)
+    samples: dict[str, list[float]] = {name: [] for name in HEADLINE}
+    for _ in range(passes):
+        for name in HEADLINE:
+            fn, _sql = REGISTRY[name]
+            t0 = time.perf_counter()
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            samples[name].append(time.perf_counter() - t0)
+    for name, ts in samples.items():
+        ts = sorted(ts)
+        mid = len(ts) // 2
+        med = ts[mid] if len(ts) % 2 else (ts[mid - 1] + ts[mid]) / 2
+        timings[name] = round(med, 3)
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     print(

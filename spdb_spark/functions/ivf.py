@@ -85,7 +85,11 @@ def assign_lists(
     scored = (
         corpus.select(F.col(id_col).alias("vid"), _as_double(F.col(vec_col)).alias("v"))
         .withColumn("_vn", norm(F.col("v")))
-        .crossJoin(F.broadcast(centroids.withColumn("_cn", norm(F.col("centroid_vec")))))
+        .crossJoin(
+            F.broadcast(
+                centroids.withColumn("_cn", norm(F.col("centroid_vec")))
+            )
+        )
         .select(
             "vid", "v", "centroid_id",
             cosine_prenormed(
@@ -137,23 +141,29 @@ def ivf_topk(
     lists = assign_lists(corpus, cents, id_col, vec_col, n_probe=1).select(
         F.col("vid").alias("neighbor_id"), F.col("v").alias("c_vec"), "centroid_id"
     ).withColumn("_cn", norm(F.col("c_vec")))
-    probes = assign_lists(queries, cents, id_col, vec_col, n_probe=n_probe).select(
+    probes = assign_lists(
+        queries, cents, id_col, vec_col, n_probe=n_probe
+    ).select(
         F.col("vid").alias("query_id"), F.col("v").alias("q_vec"), "centroid_id"
     ).withColumn("_qn", norm(F.col("q_vec")))
     scored = (
         lists.join(F.broadcast(probes), "centroid_id")
         .where(F.col("neighbor_id") != F.col("query_id"))
-        .dropDuplicates(["query_id", "neighbor_id"])
         .select(
             "query_id",
             "neighbor_id",
             F.round(
                 cosine_prenormed(
-                    F.col("q_vec"), F.col("c_vec"), F.col("_qn"), F.col("_cn")
+                    F.col("q_vec"), F.col("c_vec"), F.col("_qn"), F.col("_cn"),
+                   
                 ),
                 6,
             ).alias("cos_sim"),
         )
+        # score first, dedup after: a candidate seen via two probed lists
+        # scores identically, and deduping 3-scalar rows avoids shuffling
+        # the vectors
+        .dropDuplicates(["query_id", "neighbor_id"])
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), "neighbor_id")
     return (
@@ -167,7 +177,7 @@ def semantic_dedup_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     tau: float = 0.92,
-    k: int = 16,
+    k: int | None = None,
     n_probe: int = 3,
 ) -> DataFrame:
     """Semantic (embedding-space) near-dup pairs at scale, SemDeDup-style:
@@ -185,7 +195,15 @@ def semantic_dedup_pairs(
     (cost scales with (n_probe/k)^2 of all-pairs); the multi-table
     hyperplane LSH in functions/similarity.py is the alternative
     candidate generator when higher recall at fixed cost is needed.
+
+    `k=None` auto-scales the quantizer with the corpus: k = max(16, n/32)
+    keeps the expected bucket to ~32*n_probe vectors, so candidate-pair
+    count grows LINEARLY in n (n^2*n_probe^2/2k = 16*n_probe^2*n) — the
+    property that makes this the 100 TB path; fixed k would quietly drift
+    back toward all-pairs as the corpus grows.
     Returns (id_a, id_b, cos_sim) with id_a < id_b, deduplicated."""
+    if k is None:
+        k = max(16, corpus.count() // 32)
     cents = choose_centroids(corpus, id_col, vec_col, k)
     lists = assign_lists(corpus, cents, id_col, vec_col, n_probe=n_probe)
     a = lists.select(
@@ -194,19 +212,27 @@ def semantic_dedup_pairs(
     b = lists.select(
         F.col("vid").alias("id_b"), F.col("v").alias("vb"), "centroid_id"
     ).withColumn("nb", norm(F.col("vb")))
+    # Score and tau-filter INSIDE the bucket join, then dedup the (small)
+    # survivor set: a pair shared by two probed buckets scores identically
+    # in both, so dropDuplicates after the filter is equivalent to before —
+    # but the pre-filter form shuffled every candidate pair with both
+    # 64-dim vectors attached (the measured bottleneck); this one shuffles
+    # only 3-scalar survivor rows.
     return (
         a.join(b, "centroid_id")
         .where(F.col("id_a") < F.col("id_b"))
-        .dropDuplicates(["id_a", "id_b"])
         .select(
             "id_a",
             "id_b",
             F.round(
-                cosine_prenormed(F.col("va"), F.col("vb"), F.col("na"), F.col("nb")),
+                cosine_prenormed(
+                    F.col("va"), F.col("vb"), F.col("na"), F.col("nb")
+                ),
                 6,
             ).alias("cos_sim"),
         )
         .where(F.col("cos_sim") >= tau)
+        .dropDuplicates(["id_a", "id_b"])
     )
 
 
@@ -255,7 +281,9 @@ def ivf_topk_indexed(
     the index is read. Results are identical to the in-memory
     `ivf_topk` built with the same quantizer (pinned in tests)."""
     cents = spark.read.parquet(path + "/centroids")
-    probes = assign_lists(queries, cents, id_col, vec_col, n_probe=n_probe).select(
+    probes = assign_lists(
+        queries, cents, id_col, vec_col, n_probe=n_probe
+    ).select(
         F.col("vid").alias("query_id"), F.col("v").alias("q_vec"), "centroid_id"
     ).withColumn("_qn", norm(F.col("q_vec")))
     probe_ids = [r.centroid_id for r in probes.select("centroid_id").distinct().collect()]
@@ -270,7 +298,6 @@ def ivf_topk_indexed(
     scored = (
         lists.join(F.broadcast(probes), "centroid_id")
         .where(F.col("neighbor_id") != F.col("query_id"))
-        .dropDuplicates(["query_id", "neighbor_id"])
         .select(
             "query_id",
             "neighbor_id",
@@ -281,6 +308,7 @@ def ivf_topk_indexed(
                 6,
             ).alias("cos_sim"),
         )
+        .dropDuplicates(["query_id", "neighbor_id"])
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), "neighbor_id")
     return (

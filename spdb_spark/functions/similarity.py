@@ -22,6 +22,9 @@ def _as_double(c: Column) -> Column:
 
 
 def dot(a: Column, b: Column) -> Column:
+    # The HOF fold is the measured-fastest JVM-side form: an unrolled
+    # 64-term getItem chain was tried and ran 3x SLOWER (the huge generated
+    # method falls out of JIT/whole-stage codegen into interpreted eval).
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x * y),
         F.lit(0.0),
