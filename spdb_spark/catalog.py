@@ -224,19 +224,33 @@ def reserve_ids(spark: SparkSession, counter_path: str, lookup_key: str, num_ids
     """Sequential id-block reservation per channel (reference:
     object_indices.py:667-728 conditional-counter semantics). Single-row
     counter file at the driver — not a data-parallel op. Returns
-    [start, start+num_ids) like the reference's numpy arange."""
+    [start, start+num_ids) like the reference's numpy arange.
+
+    The read-modify-write holds an exclusive fcntl lock on a sidecar lock
+    file for its whole duration, so concurrent drivers get disjoint blocks
+    — the parity for the reference's DynamoDB conditional-update counter.
+    (A lock file, not the counter itself, because os.replace swaps the
+    counter inode out from under any lock held on it.)"""
+    import fcntl
     import json
     import os
 
     os.makedirs(os.path.dirname(counter_path) or ".", exist_ok=True)
-    counters = {}
-    if os.path.exists(counter_path):
-        with open(counter_path) as f:
-            counters = json.load(f)
-    start = counters.get(lookup_key, 1)
-    counters[lookup_key] = start + num_ids
-    tmp = counter_path + ".tmp"
-    with open(tmp, "w") as f:
-        json.dump(counters, f)
-    os.replace(tmp, counter_path)
+    with open(counter_path + ".lock", "w") as lockf:
+        fcntl.flock(lockf, fcntl.LOCK_EX)
+        try:
+            counters = {}
+            if os.path.exists(counter_path):
+                with open(counter_path) as f:
+                    counters = json.load(f)
+            start = counters.get(lookup_key, 1)
+            counters[lookup_key] = start + num_ids
+            tmp = counter_path + ".tmp"
+            with open(tmp, "w") as f:
+                json.dump(counters, f)
+                f.flush()
+                os.fsync(f.fileno())
+            os.replace(tmp, counter_path)
+        finally:
+            fcntl.flock(lockf, fcntl.LOCK_UN)
     return start, start + num_ids

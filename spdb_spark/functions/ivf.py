@@ -20,13 +20,15 @@ from spdb_spark.functions.similarity import _as_double, cosine_prenormed, norm
 def choose_centroids(corpus: DataFrame, id_col: str, vec_col: str, k: int) -> DataFrame:
     """Deterministic coarse centroids: rank vectors by id, take every
     (n/k)-th. (K-means refinement would drop in here; selection is already
-    a usable quantizer for ANN bucketing.)"""
-    n = corpus.count()
-    stride = max(n // k, 1)
+    a usable quantizer for ANN bucketing.)
+
+    Fully lazy: n comes from a count window over the already-single-
+    partition ranking, not an eager corpus.count() job at build time."""
     return (
         corpus.select(F.col(id_col).alias("cid_src"), F.col(vec_col).alias("c_vec"))
         .withColumn("rn", F.row_number().over(Window.orderBy("cid_src")))
-        .where((F.col("rn") - 1) % stride == 0)
+        .withColumn("_stride", F.greatest(F.floor(F.max("rn").over(Window.partitionBy()) / k), F.lit(1)))
+        .where((F.col("rn") - 1) % F.col("_stride") == 0)
         .limit(k)
         .select(
             (F.row_number().over(Window.orderBy("cid_src")) - 1).alias("centroid_id"),

@@ -46,14 +46,16 @@ def tfidf_weights(
     `max_df` drops stop terms (df above the cap) before weighting — at
     corpus scale those are both noise and the skewed shuffle keys.
     """
-    n_docs = docs.count()
+    # N as an in-plan single-row broadcast branch (column-pruned count
+    # scan), not an eager docs.count() job at DataFrame-build time.
+    n_docs_df = docs.agg(F.count("*").alias("_n_docs"))
     tf = term_freqs(docs, id_col, text_col)
     df_t = tf.groupBy("token").agg(F.count("*").alias("df"))
     if max_df is not None:
         df_t = df_t.where(F.col("df") <= max_df)
-    idf = df_t.select(
+    idf = df_t.crossJoin(F.broadcast(n_docs_df)).select(
         "token",
-        F.floor(F.log(F.lit(float(n_docs)) / F.col("df")) * idf_scale)
+        F.floor(F.log(F.col("_n_docs") / F.col("df")) * idf_scale)
         .cast("long")
         .alias("idf_s"),
     )
@@ -128,7 +130,8 @@ def bm25_scores(
     ln(1 + (N - df + 0.5)/(df + 0.5)), always positive.
     """
     terms = list(terms)
-    n_docs = docs.count()
+    # N in-plan (see tfidf_weights): single-row broadcast, no eager job.
+    n_docs_df = docs.agg(F.count("*").alias("_n_docs"))
     t = (
         docs.select(F.col(id_col).alias("doc_id"), tokens(F.col(text_col)).alias("_toks"))
         .select("doc_id", F.explode("_toks").alias("token"))
@@ -149,14 +152,16 @@ def bm25_scores(
             for i in range(len(terms))
         ],
     )
-    scored = per_doc.crossJoin(F.broadcast(stats))
+    scored = per_doc.crossJoin(F.broadcast(stats)).crossJoin(
+        F.broadcast(n_docs_df)
+    )
     avgdl = F.col("sum_dl") / F.col("nd")
     score = F.lit(0.0)
     for i in range(len(terms)):
         tf = F.col(f"tf{i}")
         idf = F.log(
             F.lit(1.0)
-            + (F.lit(float(n_docs)) - F.col(f"df{i}") + F.lit(0.5))
+            + (F.col("_n_docs") - F.col(f"df{i}") + F.lit(0.5))
             / (F.col(f"df{i}") + F.lit(0.5))
         )
         denom = tf + F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * (F.col("dl") / avgdl))

@@ -264,10 +264,20 @@ def q_text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     table is a broadcast join; per-doc mean floor-scaled."""
     docs = _docs(spark, sf_dir)
     toks = docs.select("doc_id", F.explode(T.tokens(F.col("text"))).alias("tok"))
-    freq = toks.groupBy("tok").agg(F.count("*").alias("tf"))
-    total = toks.count()
+    # Corpus total as an unpartitioned window over the vocabulary-sized
+    # freq table INSIDE the plan — the previous toks.count() was an eager
+    # third scan+tokenize of documents at DataFrame-build time. The window
+    # runs on the (broadcastable, hence small) freq table, so the single
+    # partition is not a bottleneck at corpus scale.
+    from pyspark.sql import Window as _W
+
+    freq = (
+        toks.groupBy("tok")
+        .agg(F.count("*").alias("tf"))
+        .withColumn("total", F.sum("tf").over(_W.partitionBy()))
+    )
     scored = toks.join(F.broadcast(freq), "tok").select(
-        "doc_id", F.log(F.col("tf") / F.lit(float(total))).alias("lp")
+        "doc_id", F.log(F.col("tf") / F.col("total")).alias("lp")
     )
     return scored.groupBy("doc_id").agg(
         (F.floor(F.avg("lp") * 1000000) / 1000000).alias("mean_logprob"),

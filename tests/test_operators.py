@@ -195,6 +195,38 @@ def test_reserve_ids(tmp_path):
     assert reserve_ids(None, p, "k2", 3) == (1, 4)
 
 
+def test_reserve_ids_concurrent_drivers_disjoint(tmp_path):
+    """Two concurrent processes hammering the counter must hand out
+    disjoint id blocks (the flock around the read-modify-write; parity
+    with the reference's conditional-counter, object_indices.py:667-728)."""
+    import multiprocessing as mp
+
+    p = str(tmp_path / "counters.json")
+
+    def worker(path, out, n_calls):
+        from spdb_spark.catalog import reserve_ids
+
+        got = [reserve_ids(None, path, "k", 7) for _ in range(n_calls)]
+        out.extend(got)
+
+    with mp.Manager() as mgr:
+        out = mgr.list()
+        procs = [
+            mp.Process(target=worker, args=(p, out, 25)) for _ in range(2)
+        ]
+        for pr in procs:
+            pr.start()
+        for pr in procs:
+            pr.join()
+        blocks = sorted(list(out))
+    assert len(blocks) == 50
+    # disjoint and gap-free: consecutive blocks tile [1, 1+50*7)
+    assert blocks[0][0] == 1
+    for (s0, e0), (s1, e1) in zip(blocks, blocks[1:]):
+        assert e0 == s1 and e1 - s1 == 7
+    assert blocks[-1][1] == 1 + 50 * 7
+
+
 def test_resource_json_roundtrip():
     from spdb_spark.catalog import (
         Channel,

@@ -216,3 +216,25 @@ def test_q18_join_broadcasts_after_aqe(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_scalar_stats_are_in_plan_not_eager_jobs(spark):
+    """Corpus scalars (unigram total, tfidf/bm25 N) live INSIDE the plan
+    (window / broadcast single-row branch); building the DataFrame must
+    not launch eager full-scan jobs — at most the parquet reader's
+    footer/schema probe per table. An eager docs.count() at build time
+    was a whole extra scan+tokenize of documents per call."""
+    from spdb_spark.suite_llm import (
+        q_bm25_search,
+        q_text_unigram_logprob,
+        q_tfidf_similar,
+    )
+
+    sc = spark.sparkContext
+    for fn in (q_text_unigram_logprob, q_tfidf_similar, q_bm25_search):
+        group = f"lazy-{fn.__name__}"
+        sc.setJobGroup(group, group)
+        fn(spark, "/root/testdata/sf0.001")
+        jobs = sc.statusTracker().getJobIdsForGroup(group)
+        sc.setJobGroup(None, None)
+        assert len(jobs) <= 1, f"{fn.__name__} ran {len(jobs)} jobs at build"
