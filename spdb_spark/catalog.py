@@ -164,9 +164,9 @@ def catalog_df(spark: SparkSession, resources: list[Resource]) -> DataFrame:
                     "x_start": r.coord_frame.x_start, "x_stop": r.coord_frame.x_stop,
                     "y_start": r.coord_frame.y_start, "y_stop": r.coord_frame.y_stop,
                     "z_start": r.coord_frame.z_start, "z_stop": r.coord_frame.z_stop,
-                    "x_voxel_size": r.coord_frame.x_voxel_size,
-                    "y_voxel_size": r.coord_frame.y_voxel_size,
-                    "z_voxel_size": r.coord_frame.z_voxel_size,
+                    "x_voxel_size": float(r.coord_frame.x_voxel_size),
+                    "y_voxel_size": float(r.coord_frame.y_voxel_size),
+                    "z_voxel_size": float(r.coord_frame.z_voxel_size),
                     "voxel_unit": r.coord_frame.voxel_unit,
                 },
                 "channel": {
@@ -179,7 +179,20 @@ def catalog_df(spark: SparkSession, resources: list[Resource]) -> DataFrame:
                 },
             }
         )
-    return spark.createDataFrame(rows)
+    # explicit schema: inference can't type empty `sources` lists
+    schema = (
+        "lookup_key string, boss_key string, "
+        "collection struct<name:string, description:string>, "
+        "experiment struct<name:string, num_hierarchy_levels:int, "
+        "hierarchy_method:string, num_time_samples:int>, "
+        "coord_frame struct<x_start:bigint, x_stop:bigint, y_start:bigint, "
+        "y_stop:bigint, z_start:bigint, z_stop:bigint, x_voxel_size:double, "
+        "y_voxel_size:double, z_voxel_size:double, voxel_unit:string>, "
+        "channel struct<name:string, type:string, datatype:string, "
+        "base_resolution:int, sources:array<string>, "
+        "default_time_sample:int, downsample_status:string>"
+    )
+    return spark.createDataFrame(rows, schema)
 
 
 def resource_to_dict(r: Resource) -> dict:
@@ -254,3 +267,53 @@ def reserve_ids(spark: SparkSession, counter_path: str, lookup_key: str, num_ids
         finally:
             fcntl.flock(lockf, fcntl.LOCK_UN)
     return start, start + num_ids
+
+
+# ---------------------------------------------------------------------------
+# Durable channel registry: one JSON file per channel under
+# <root>/catalog/. The reference keeps channel state (notably
+# downsample_status) on Django-backed resources (resource.py:246-259);
+# here the registry is the driver-side system-of-record so state set by
+# one session (e.g. a completed downsample) is visible after restart.
+# ---------------------------------------------------------------------------
+
+def _catalog_entry_path(root: str, lookup_key: str) -> str:
+    import os
+
+    safe = lookup_key.replace("&", "_").replace("/", "_")
+    return os.path.join(root, "catalog", f"{safe}.json")
+
+
+def save_resource(root: str, r: Resource) -> str:
+    """Persist a resource to the registry (atomic replace). Returns path."""
+    import os
+
+    path = _catalog_entry_path(root, r.lookup_key or r.boss_key)
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        f.write(resource_to_json(r))
+    os.replace(tmp, path)
+    return path
+
+
+def load_resource(root: str, lookup_key: str) -> Resource | None:
+    """Load a registered resource; None if never saved."""
+    import os
+
+    path = _catalog_entry_path(root, lookup_key)
+    if not os.path.exists(path):
+        return None
+    with open(path) as f:
+        return resource_from_json(f.read())
+
+
+def list_resources(root: str) -> list[Resource]:
+    import glob
+    import os
+
+    out = []
+    for path in sorted(glob.glob(os.path.join(root, "catalog", "*.json"))):
+        with open(path) as f:
+            out.append(resource_from_json(f.read()))
+    return out

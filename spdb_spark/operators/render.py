@@ -163,3 +163,180 @@ def yz_slice(v: DataFrame, x: int, t: int, y_rng, z_rng, dtype="uint64") -> np.n
         .toPandas()
     )
     return _slice_to_array(pdf, "z", "y", z_rng[0], z_rng[1], y_rng[0], y_rng[1], dtype)
+
+
+# ---------------------------------------------------------------------------
+# PNG export (reference: imagecube.py:104-150 xy/xz/yz_image -> PIL 'L'
+# images; annocube.py:103-160 -> RGBA false color). The container has no
+# PIL, so this is a dependency-free PNG codec over zlib: grayscale 8/16-bit
+# and RGBA8, filter type 0, one IDAT. Decode is provided so tests can
+# round-trip bytes back to the exact array.
+# ---------------------------------------------------------------------------
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_chunk(tag: bytes, data: bytes) -> bytes:
+    import struct
+    import zlib
+
+    return (
+        struct.pack(">I", len(data))
+        + tag
+        + data
+        + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF)
+    )
+
+
+def png_encode(arr: np.ndarray) -> bytes:
+    """PNG bytes for a 2D uint8 (gray8), 2D uint16 (gray16) or (H, W, 4)
+    uint8 (RGBA) array."""
+    import struct
+    import zlib
+
+    if arr.ndim == 2 and arr.dtype == np.uint8:
+        color_type, bit_depth, row_bytes = 0, 8, arr
+    elif arr.ndim == 2 and arr.dtype == np.uint16:
+        color_type, bit_depth = 0, 16
+        row_bytes = arr.astype(">u2")  # PNG sample order is big-endian
+    elif arr.ndim == 3 and arr.shape[2] == 4 and arr.dtype == np.uint8:
+        color_type, bit_depth, row_bytes = 6, 8, arr
+    else:
+        raise ValueError(f"unsupported array for PNG: {arr.dtype} {arr.shape}")
+    h, w = arr.shape[:2]
+    raw = b"".join(
+        b"\x00" + row_bytes[i].tobytes() for i in range(h)
+    )  # filter type 0 per scanline
+    ihdr = struct.pack(">IIBBBBB", w, h, bit_depth, color_type, 0, 0, 0)
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(raw, 6))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def png_decode(data: bytes) -> np.ndarray:
+    """Inverse of png_encode (filter-0 streams it produces)."""
+    import struct
+    import zlib
+
+    assert data[:8] == _PNG_SIG, "not a PNG"
+    pos, idat, ihdr = 8, b"", None
+    while pos < len(data):
+        (length,) = struct.unpack(">I", data[pos : pos + 4])
+        tag = data[pos + 4 : pos + 8]
+        body = data[pos + 8 : pos + 8 + length]
+        if tag == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", body)
+        elif tag == b"IDAT":
+            idat += body
+        pos += 12 + length
+    w, h, bit_depth, color_type, _, _, _ = ihdr
+    channels = {0: 1, 6: 4}[color_type]
+    sample_bytes = bit_depth // 8
+    stride = w * channels * sample_bytes
+    raw = zlib.decompress(idat)
+    rows = []
+    for i in range(h):
+        row = raw[i * (stride + 1) : (i + 1) * (stride + 1)]
+        assert row[0] == 0, "png_decode only handles filter type 0"
+        rows.append(row[1:])
+    flat = np.frombuffer(b"".join(rows), dtype=">u2" if bit_depth == 16 else np.uint8)
+    if color_type == 0:
+        out = flat.reshape(h, w)
+        return out.astype(np.uint16) if bit_depth == 16 else out
+    return flat.reshape(h, w, 4)
+
+
+def _palette_array() -> np.ndarray:
+    """The same deterministic mod-181 RGBA palette as palette_df, as a
+    (181, 4) uint8 lookup table."""
+    import hashlib
+
+    pal = np.zeros((PALETTE_SIZE, 4), dtype=np.uint8)
+    for i in range(PALETTE_SIZE):
+        h = hashlib.md5(f"palette:{i}".encode()).digest()
+        pal[i] = (h[0], h[1], h[2], 255)
+    return pal
+
+
+def false_color(ids: np.ndarray) -> np.ndarray:
+    """Annotation-id plane -> (H, W, 4) uint8 RGBA via the mod-181
+    palette; background id 0 renders transparent black
+    (annocube.py:103-160 / rgbColor semantics)."""
+    pal = _palette_array()
+    out = pal[(ids % PALETTE_SIZE).astype(np.int64)]
+    out[ids == 0] = 0
+    return out
+
+
+def xy_png(v: DataFrame, z: int, t: int, x_rng, y_rng, datatype: str = "uint8") -> bytes:
+    """Grayscale PNG of the XY plane (imagecube.py:104-117 xy_image).
+    uint8 -> 8-bit PNG, uint16 -> 16-bit PNG."""
+    dtype = {"uint8": "uint8", "uint16": "uint16"}[datatype]
+    return png_encode(xy_slice(v, z, t, x_rng, y_rng, dtype=dtype))
+
+
+def xz_png(v: DataFrame, y: int, t: int, x_rng, z_rng, datatype: str = "uint8") -> bytes:
+    dtype = {"uint8": "uint8", "uint16": "uint16"}[datatype]
+    return png_encode(xz_slice(v, y, t, x_rng, z_rng, dtype=dtype))
+
+
+def yz_png(v: DataFrame, x: int, t: int, y_rng, z_rng, datatype: str = "uint8") -> bytes:
+    dtype = {"uint8": "uint8", "uint16": "uint16"}[datatype]
+    return png_encode(yz_slice(v, x, t, y_rng, z_rng, dtype=dtype))
+
+
+def xy_anno_png(v: DataFrame, z: int, t: int, x_rng, y_rng) -> bytes:
+    """RGBA false-color PNG of an annotation XY plane (annocube.py
+    xy_image parity)."""
+    return png_encode(false_color(xy_slice(v, z, t, x_rng, y_rng, dtype="uint64")))
+
+
+def tile_pngs(
+    v: DataFrame,
+    z: int,
+    t: int,
+    tile_size: int = 512,
+    datatype: str = "uint8",
+    anno: bool = False,
+) -> DataFrame:
+    """Distributed tile rendering: (tile_y, tile_x, png) with the PNG
+    encoded INSIDE the Arrow-batched task, one tile per group — the
+    tile-server export runs fully parallel and the driver never holds
+    pixel data. `anno=True` renders RGBA false color; otherwise
+    grayscale at the channel datatype."""
+    ts = tile_size
+
+    def _render(pdf):
+        import pandas as pd
+
+        out = []
+        for (ty, tx), g in pdf.groupby(["tile_y", "tile_x"]):
+            if anno:
+                ids = np.zeros((ts, ts), dtype=np.uint64)
+                ids[g["yy"].to_numpy(), g["xx"].to_numpy()] = (
+                    g["value"].to_numpy().astype(np.uint64)
+                )
+                png = png_encode(false_color(ids))
+            else:
+                arr = np.zeros((ts, ts), dtype=np.dtype(datatype))
+                arr[g["yy"].to_numpy(), g["xx"].to_numpy()] = (
+                    g["value"].to_numpy().astype(arr.dtype)
+                )
+                png = png_encode(arr)
+            out.append((ty, tx, png))
+        return pd.DataFrame(out, columns=["tile_y", "tile_x", "png"])
+
+    plane = v.where((F.col("z") == z) & (F.col("t") == t))
+    cells = plane.select(
+        F.floor(F.col("y") / ts).cast("long").alias("tile_y"),
+        F.floor(F.col("x") / ts).cast("long").alias("tile_x"),
+        (F.col("y") % ts).cast("long").alias("yy"),
+        (F.col("x") % ts).cast("long").alias("xx"),
+        "value",
+    )
+    return cells.groupBy("tile_y", "tile_x").applyInPandas(
+        _render, "tile_y long, tile_x long, png binary"
+    )

@@ -209,10 +209,35 @@ class SpatialDB:
         )
         return np.arange(start, stop, dtype=np.uint64)
 
+    # -- catalog -------------------------------------------------------------
+
+    def register(self, resource: Resource) -> None:
+        """Persist a resource to the on-disk channel registry (reference:
+        channel state lives on Django-backed resources, resource.py:246-259;
+        here the registry under root_path/catalog is the system-of-record)."""
+        from spdb_spark.catalog import save_resource
+
+        save_resource(self.root_path, resource)
+
+    def load_resource(self, lookup_key: str) -> Resource | None:
+        from spdb_spark.catalog import load_resource
+
+        return load_resource(self.root_path, lookup_key)
+
+    def catalog(self) -> DataFrame:
+        """All registered channels as the queryable catalog DataFrame."""
+        from spdb_spark.catalog import catalog_df, list_resources
+
+        return catalog_df(self.spark, list_resources(self.root_path))
+
     # -- hierarchy -----------------------------------------------------------
 
     def downsample(self, resource: Resource, iso: bool = False) -> None:
-        """Materialize the full resolution pyramid for a channel."""
+        """Materialize the full resolution pyramid for a channel. The
+        status transition is written through the durable registry, not
+        just the in-memory resource — a restarted session sees
+        DOWNSAMPLED (reference parity: resource.py:246-259 tracks it on
+        the persisted channel)."""
         store = self._store(resource, iso)
         store.build_pyramid(
             resource.experiment.num_hierarchy_levels,
@@ -220,3 +245,4 @@ class SpatialDB:
             isotropic=iso or resource.experiment.hierarchy_method == "isotropic",
         )
         resource.channel.downsample_status = "DOWNSAMPLED"
+        self.register(resource)

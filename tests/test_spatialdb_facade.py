@@ -101,3 +101,27 @@ def test_iso_channel_separate_store(sdb):
     # iso data lives under its own key; the non-iso store is empty
     assert sdb.cutout(r, (0, 0, 0), (64, 64, 16), iso=True)[0, 0, 0, 0] == 9
     assert sdb.cutout(r, (0, 0, 0), (64, 64, 16), iso=False).sum() == 0
+
+
+def test_downsample_status_survives_restart(sdb, spark):
+    """The DOWNSAMPLED transition must be durable: a fresh SpatialDB over
+    the same root (a restarted session) sees it via the registry, and the
+    catalog DataFrame reflects it."""
+    r = make_resource("chps", "image", "uint8", levels=2)
+    data = np.arange(1, 1 + 16 * 64 * 64, dtype=np.uint64).reshape(16, 64, 64)
+    sdb.write_cuboid(r, (0, 0, 0), 0, (data % 250 + 1).astype("uint8"))
+    assert r.channel.downsample_status == "NOT_DOWNSAMPLED"
+    sdb.downsample(r)
+    assert r.channel.downsample_status == "DOWNSAMPLED"
+
+    reopened = SpatialDB(spark, sdb.root_path)
+    r2 = reopened.load_resource(r.lookup_key)
+    assert r2 is not None
+    assert r2.channel.downsample_status == "DOWNSAMPLED"
+    row = (
+        reopened.catalog()
+        .where(f"lookup_key = '{r.lookup_key}'")
+        .select("channel.downsample_status")
+        .first()
+    )
+    assert row[0] == "DOWNSAMPLED"

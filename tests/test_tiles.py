@@ -46,3 +46,87 @@ def test_manifest_describes_payloads(spark):
         # fixture voxels are all non-zero, so dense non-zeros == cell count
         assert int((arr != 0).sum()) == n
         assert int(arr.sum()) == s
+
+
+def test_png_roundtrip_gray8_gray16_rgba():
+    from spdb_spark.operators.render import png_decode, png_encode
+
+    rng = np.random.default_rng(7)
+    g8 = rng.integers(0, 256, size=(37, 53), dtype=np.uint16).astype(np.uint8)
+    np.testing.assert_array_equal(png_decode(png_encode(g8)), g8)
+    g16 = rng.integers(0, 65536, size=(19, 23), dtype=np.uint32).astype(np.uint16)
+    np.testing.assert_array_equal(png_decode(png_encode(g16)), g16)
+    rgba = rng.integers(0, 256, size=(11, 13, 4), dtype=np.uint16).astype(np.uint8)
+    np.testing.assert_array_equal(png_decode(png_encode(rgba)), rgba)
+
+
+def test_false_color_matches_recolor_operator(spark):
+    """The numpy false-color palette must agree with the distributed
+    recolor operator's broadcast palette (same mod-181 RGBA mapping,
+    background 0 transparent)."""
+    from spdb_spark.operators.render import false_color, recolor
+
+    ids = np.array([[0, 1, 180], [181, 182, 999]], dtype=np.uint64)
+    rows = [
+        (0, int(x), int(y), 0, int(ids[y, x]))
+        for y in range(2)
+        for x in range(3)
+    ]
+    v = spark.createDataFrame(rows, "t long, x long, y long, z long, value long")
+    got = {
+        (r.y, r.x): (r.r, r.g, r.b, r.a) for r in recolor(v).collect()
+    }
+    fc = false_color(ids)
+    for y in range(2):
+        for x in range(3):
+            assert tuple(int(c) for c in fc[y, x]) == got[(y, x)]
+
+
+def test_xy_anno_png_roundtrip(spark):
+    from spdb_spark.operators.render import (
+        false_color,
+        png_decode,
+        xy_anno_png,
+        xy_slice,
+    )
+
+    v = _voxels(spark)
+    rng = ((0, 256), (0, 256))
+    png = xy_anno_png(v, Z, T, rng[0], rng[1])
+    expect = false_color(xy_slice(v, Z, T, rng[0], rng[1], dtype="uint64"))
+    np.testing.assert_array_equal(png_decode(png), expect)
+
+
+def test_tile_pngs_reassemble_slice(spark):
+    """Distributed per-tile PNG render decodes back to the exact plane,
+    both grayscale and false-color."""
+    from spdb_spark.operators.render import false_color, png_decode, tile_pngs
+
+    v = _voxels(spark)
+    # fixture values are 1..50 -> uint8-safe
+    tiles = {
+        (r.tile_y, r.tile_x): png_decode(r.png)
+        for r in tile_pngs(v, Z, T, tile_size=TS, datatype="uint8").collect()
+    }
+    assert tiles
+    direct = xy_slice(
+        v,
+        Z,
+        T,
+        (0, (max(tx for _, tx in tiles) + 1) * TS),
+        (0, (max(ty for ty, _ in tiles) + 1) * TS),
+    ).astype(np.uint8)
+    for (ty, tx), arr in tiles.items():
+        np.testing.assert_array_equal(
+            arr, direct[ty * TS : (ty + 1) * TS, tx * TS : (tx + 1) * TS]
+        )
+
+    anno_tiles = {
+        (r.tile_y, r.tile_x): png_decode(r.png)
+        for r in tile_pngs(v, Z, T, tile_size=TS, anno=True).collect()
+    }
+    full = false_color(direct.astype(np.uint64))
+    for (ty, tx), arr in anno_tiles.items():
+        np.testing.assert_array_equal(
+            arr, full[ty * TS : (ty + 1) * TS, tx * TS : (tx + 1) * TS]
+        )
