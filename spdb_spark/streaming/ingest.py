@@ -181,26 +181,30 @@ class StreamingVoxelIngest:
 
 
 class TransactionalVoxelIngest(StreamingVoxelIngest):
-    """Exactly-once foreachBatch sink: versioned snapshots + a batch-id
-    commit ledger.
+    """Exactly-once foreachBatch sink: manifest-versioned snapshots + a
+    batch-id commit ledger, with per-batch work scoped to touched
+    partitions.
 
     foreachBatch is at-least-once — after a crash between the sink write
     and the checkpoint commit, Spark redelivers the same (batch, batch_id).
     Exactly-once therefore needs the sink to be (a) atomic per batch and
     (b) idempotent on batch_id. Here:
 
-    - each batch's merged state lands in its own directory
-      `data_v{batch_id}` (never mutated after),
-    - the commit is a ledger file created with an atomic POSIX rename —
-      readers either see the previous snapshot or the new one, never a
-      half-written table,
+    - each batch writes ONLY its touched (lookup_key, resolution, pgroup)
+      partitions into its own immutable directory `data_v{batch_id}`,
+    - the commit is a MANIFEST (ledger file, atomic POSIX rename) mapping
+      every live partition to the version directory that owns it —
+      untouched partitions carry their old pointers forward, so per-batch
+      I/O is O(batch + touched partitions), never O(table),
+    - readers resolve a manifest and union the referenced directories,
+      each pruned to the partitions it owns at that version,
     - a redelivered batch_id is found in the ledger and skipped.
 
     This is the transaction-log pattern Delta/Iceberg implement for real
-    object stores (their MERGE INTO + idempotent txn app-id/version); the
-    interface is identical, so swapping the storage layer changes no
-    streaming topology. Old snapshots remain readable (time travel) until
-    `vacuum`.
+    object stores (MERGE INTO + idempotent txn version: new files per
+    commit, a log entry that maps the table to file sets); the interface
+    is identical, so swapping the storage layer changes no streaming
+    topology. Old manifests stay readable (time travel) until `vacuum`.
     """
 
     def __init__(self, spark, table_path: str):
@@ -224,6 +228,57 @@ class TransactionalVoxelIngest(StreamingVoxelIngest):
 
         return os.path.join(self.table_path, f"data_v{batch_id}")
 
+    @staticmethod
+    def _key_str(key) -> str:
+        lk, res, pg = key
+        return f"{lk}|{res}|{pg}"
+
+    @staticmethod
+    def _key_tuple(s: str):
+        lk, res, pg = s.rsplit("|", 2)
+        return (lk, int(res), int(pg))
+
+    def _manifest(self, version: int) -> dict[str, str]:
+        """partition-key string -> data dir name owning it, at `version`."""
+        import json
+        import os
+
+        with open(os.path.join(self._log_dir, f"{version}.json")) as f:
+            return json.load(f)["partitions"]
+
+    def _read_manifest(self, partitions: dict[str, str], keys=None) -> DataFrame:
+        """Union the referenced version dirs, each pruned to the
+        partitions it owns (restricted further to `keys` if given)."""
+        import os
+        from functools import reduce
+
+        from spdb_spark.schema import VOXEL_SCHEMA
+
+        wanted = {
+            k: d
+            for k, d in partitions.items()
+            if keys is None or self._key_tuple(k) in keys
+        }
+        by_dir: dict[str, list] = {}
+        for k, d in wanted.items():
+            by_dir.setdefault(d, []).append(self._key_tuple(k))
+        parts = []
+        for d, owned in by_dir.items():
+            df = self.spark.read.parquet(os.path.join(self.table_path, d))
+            cond = reduce(
+                lambda a, b: a | b,
+                [
+                    (F.col("lookup_key") == lk)
+                    & (F.col("resolution") == res)
+                    & (F.col("pgroup") == pg)
+                    for lk, res, pg in owned
+                ],
+            )
+            parts.append(df.where(cond).select(*VOXEL_SCHEMA.fieldNames()))
+        if not parts:
+            return self.spark.createDataFrame([], VOXEL_SCHEMA)
+        return reduce(lambda a, b: a.unionByName(b), parts)
+
     def read_state(self, version: int | None = None) -> DataFrame:
         from spdb_spark.schema import VOXEL_SCHEMA
 
@@ -235,31 +290,65 @@ class TransactionalVoxelIngest(StreamingVoxelIngest):
             version = committed[-1]
         else:
             return self.spark.createDataFrame([], VOXEL_SCHEMA)
-        return self.spark.read.parquet(self._data_dir(version))
+        return self._read_manifest(self._manifest(version))
 
     def process_batch(self, batch: DataFrame, batch_id: int) -> None:
         import json
         import os
         import tempfile
 
-        if batch_id in self._committed():
+        from spdb_spark.store import _list_partition_dirs
+
+        committed = self._committed()
+        if batch_id in committed:
             return  # redelivered batch: already durable, skip
-        merged = merge_batch(self.read_state(), batch)
-        merged.write.mode("overwrite").parquet(self._data_dir(batch_id))
-        # atomic commit: rename is the transaction boundary
+        prev = self._manifest(committed[-1]) if committed else {}
+        touched = {
+            (r.lookup_key, int(r.resolution), int(r.pgroup))
+            for r in batch.withColumn("pgroup", _pgroup_col())
+            .select(*self.PART_COLS)
+            .distinct()
+            .collect()
+        }
+        new_parts = dict(prev)
+        if touched:
+            merged = merge_batch(self._read_manifest(prev, keys=touched), batch)
+            dir_name = f"data_v{batch_id}"
+            (
+                merged.withColumn("pgroup", _pgroup_col())
+                .sortWithinPartitions("t", "z", "y", "x")
+                .write.mode("overwrite")
+                .partitionBy(*self.PART_COLS)
+                .parquet(self._data_dir(batch_id))
+            )
+            staged = set(_list_partition_dirs(self._data_dir(batch_id)))
+            for key in touched:
+                ks = self._key_str(key)
+                if key in staged:
+                    new_parts[ks] = dir_name
+                else:
+                    new_parts.pop(ks, None)  # merge left the partition empty
+        # atomic commit: the manifest rename is the transaction boundary
         fd, tmp = tempfile.mkstemp(dir=self._log_dir, suffix=".tmp")
         with os.fdopen(fd, "w") as f:
-            json.dump({"batch_id": batch_id, "dir": f"data_v{batch_id}"}, f)
+            json.dump({"batch_id": batch_id, "partitions": new_parts}, f)
         os.rename(tmp, os.path.join(self._log_dir, f"{batch_id}.json"))
         self._version = batch_id
 
     def vacuum(self, keep_last: int = 2) -> None:
-        """Drop snapshot directories older than the last `keep_last`
-        committed versions (their ledger entries go too)."""
+        """Drop manifests older than the last `keep_last` versions, then
+        delete data directories no kept manifest references."""
         import os
         import shutil
 
         committed = self._committed()
-        for bid in committed[:-keep_last] if keep_last else committed:
-            shutil.rmtree(self._data_dir(bid), ignore_errors=True)
+        drop = committed[:-keep_last] if keep_last else committed
+        keep = [v for v in committed if v not in drop]
+        for bid in drop:
             os.remove(os.path.join(self._log_dir, f"{bid}.json"))
+        live = {d for v in keep for d in self._manifest(v).values()}
+        for name in os.listdir(self.table_path):
+            if name.startswith("data_v") and name not in live:
+                shutil.rmtree(
+                    os.path.join(self.table_path, name), ignore_errors=True
+                )

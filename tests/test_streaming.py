@@ -162,6 +162,63 @@ def test_transactional_ingest_exactly_once(spark, tmp_path):
     assert {(r.x, r.value) for r in sink.read_state().collect()} == {(1, 99), (2, 20)}
 
 
+def test_transactional_ingest_scoped_snapshots(spark, tmp_path):
+    """Each version dir holds ONLY the batch's touched partitions; the
+    manifest carries untouched partitions forward by pointer, so their
+    files are written once and never rewritten (O(batch) commits)."""
+    import os
+
+    from spdb_spark.streaming.ingest import TransactionalVoxelIngest
+
+    table = str(tmp_path / "txnscoped")
+    sink = TransactionalVoxelIngest(spark, table)
+
+    far_x = 16 * 512  # pgroup 1 (see scoped-merge test above)
+    b1 = vox_rows(
+        spark, [("k", 0, 0, 1, 1, 1, 10, 1), ("k", 0, 0, far_x, 1, 1, 20, 2)]
+    )
+    sink.process_batch(b1, 0)
+
+    pg0_dir = os.path.join(
+        table, "data_v0", "lookup_key=k", "resolution=0", "pgroup=0"
+    )
+    before = {
+        f: os.stat(os.path.join(pg0_dir, f)).st_mtime_ns
+        for f in os.listdir(pg0_dir)
+        if os.path.isfile(os.path.join(pg0_dir, f))
+    }
+
+    b2 = vox_rows(spark, [("k", 0, 0, far_x, 1, 1, 99, 3)])
+    sink.process_batch(b2, 1)
+
+    # v1 contains only the touched partition; pgroup=0 still lives in v0
+    assert os.path.isdir(
+        os.path.join(table, "data_v1", "lookup_key=k", "resolution=0", "pgroup=1")
+    )
+    assert not os.path.exists(
+        os.path.join(table, "data_v1", "lookup_key=k", "resolution=0", "pgroup=0")
+    )
+    after = {
+        f: os.stat(os.path.join(pg0_dir, f)).st_mtime_ns
+        for f in os.listdir(pg0_dir)
+        if os.path.isfile(os.path.join(pg0_dir, f))
+    }
+    assert after == before
+    assert sink._manifest(1)["k|0|0"] == "data_v0"
+    assert sink._manifest(1)["k|0|1"] == "data_v1"
+
+    state = {(r.x, r.value) for r in sink.read_state().collect()}
+    assert state == {(1, 10), (far_x, 99)}
+    # time travel still resolves the v0 view
+    state0 = {(r.x, r.value) for r in sink.read_state(version=0).collect()}
+    assert state0 == {(1, 10), (far_x, 20)}
+
+    # vacuum keeps dirs any kept manifest references: v0 is still live
+    sink.vacuum(keep_last=1)
+    assert os.path.isdir(os.path.join(table, "data_v0"))
+    assert {(r.x, r.value) for r in sink.read_state().collect()} == state
+
+
 def test_transactional_ingest_streaming_query(spark, tmp_path):
     """The transactional sink attaches to a real streaming query."""
     from spdb_spark.streaming.ingest import TransactionalVoxelIngest
