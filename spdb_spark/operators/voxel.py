@@ -658,10 +658,17 @@ def downsample_annotation(v: DataFrame, isotropic: bool = False) -> DataFrame:
     return out.where(F.col("value") != 0)
 
 
-def isotropic_build(v: DataFrame) -> DataFrame:
+def isotropic_build(v: DataFrame, float_values: bool = False) -> DataFrame:
     """Average consecutive z-slice pairs treating 0 as missing
     (isotropicBuild.c:27-106): out = a if b==0 else b if a==0 else (a+b)/2.
-    Truncating integer average like the C code."""
+    Truncating integer average like the C code.
+
+    `float_values=True` is the legacy float32 variant
+    (isotropicBuildF32, isotropicBuild.c:88-106 / ndlib.py:441-442):
+    identical 0-is-missing selection but a non-truncating float average
+    (value column comes back as double). The uint32 C variants
+    (ndlib.py:45-47) need no separate path — every kernel here is a
+    dtype-agnostic Catalyst expression over the long value column."""
     pair = (
         v.select(
             "t", "x", "y",
@@ -675,11 +682,14 @@ def isotropic_build(v: DataFrame) -> DataFrame:
             F.coalesce(F.max(F.when(F.col("zs") == 1, F.col("value"))), F.lit(0)).alias("b"),
         )
     )
+    mean = (F.col("a") + F.col("b")) / 2
     avg = (
         F.when(F.col("a") == 0, F.col("b"))
         .when(F.col("b") == 0, F.col("a"))
-        .otherwise(((F.col("a") + F.col("b")) / 2).cast("long"))
+        .otherwise(mean if float_values else mean.cast("long"))
     )
+    if float_values:
+        avg = avg.cast("double")
     return pair.select("t", "x", "y", "z", avg.alias("value")).where(F.col("value") != 0)
 
 

@@ -451,6 +451,31 @@ WHERE CASE WHEN a = 0 THEN b WHEN b = 0 THEN a
 """
 
 
+def q_spatial_isotropic_build_f32(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Legacy float32 isotropicBuild variant (isotropicBuild.c:88-106):
+    non-truncating float average, 0 still means missing. Half-integer
+    results are exactly representable, so the double values hash-match
+    the oracle."""
+    v = voxels_df(spark, sf_dir, dedup=True)
+    return V.isotropic_build(v, float_values=True)
+
+
+SQL_SPATIAL_ISOTROPIC_BUILD_F32 = f"""
+SELECT t, x, y, z,
+       CASE WHEN a = 0 THEN CAST(b AS DOUBLE) WHEN b = 0 THEN CAST(a AS DOUBLE)
+            ELSE (a + b) / 2.0 END AS value
+FROM (
+  SELECT t, x, y, (z // 2) AS z,
+         COALESCE(MAX(CASE WHEN (z % 2) = 0 THEN value END), 0) AS a,
+         COALESCE(MAX(CASE WHEN (z % 2) = 1 THEN value END), 0) AS b
+  FROM {voxels_sql(dedup=True)} AS v
+  GROUP BY t, x, y, (z // 2)
+)
+WHERE CASE WHEN a = 0 THEN CAST(b AS DOUBLE) WHEN b = 0 THEN CAST(a AS DOUBLE)
+           ELSE (a + b) / 2.0 END <> 0
+"""
+
+
 def q_spatial_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
     """3x3 xy mean filter over a bounded box (scatter + one agg)."""
     v = voxels_df(spark, sf_dir, dedup=True)
@@ -717,6 +742,10 @@ QUERIES = {
     "spatial_downsample_f2": (q_spatial_downsample_f2, SQL_SPATIAL_DOWNSAMPLE_F2),
     "spatial_upsample_f2": (q_spatial_upsample_f2, SQL_SPATIAL_UPSAMPLE_F2),
     "spatial_isotropic_build": (q_spatial_isotropic_build, SQL_SPATIAL_ISOTROPIC_BUILD),
+    "spatial_isotropic_build_f32": (
+        q_spatial_isotropic_build_f32,
+        SQL_SPATIAL_ISOTROPIC_BUILD_F32,
+    ),
     "spatial_missing_time": (q_spatial_missing_time, SQL_SPATIAL_MISSING_TIME),
     "spatial_time_filled": (q_spatial_time_filled, SQL_SPATIAL_TIME_FILLED),
     "spatial_surface": (q_spatial_surface, SQL_SPATIAL_SURFACE),

@@ -390,3 +390,22 @@ def test_approx_quantiles_rank_error_bound(spark):
             target = q * n
             dist = max(lo - target, target - hi, 0)
             assert dist <= n / 1000 + 1
+
+
+def test_isotropic_build_f32_non_truncating(spark):
+    """Legacy float32 variant (isotropicBuild.c:88-106): non-truncating
+    average; zero still selects the other slice."""
+    from spdb_spark.operators.voxel import isotropic_build
+
+    v = spark.createDataFrame(
+        [
+            (0, 0, 0, 0, 3), (0, 0, 0, 1, 4),   # pair -> 3.5 (int path: 3)
+            (0, 1, 0, 2, 0), (0, 1, 0, 3, 9),   # a missing -> 9
+            (0, 2, 0, 4, 5),                     # b absent -> 5
+        ],
+        "t long, x long, y long, z long, value long",
+    )
+    f32 = {(r.x, r.z): r.value for r in isotropic_build(v, float_values=True).collect()}
+    assert f32 == {(0, 0): 3.5, (1, 1): 9.0, (2, 2): 5.0}
+    ints = {(r.x, r.z): r.value for r in isotropic_build(v).collect()}
+    assert ints == {(0, 0): 3, (1, 1): 9, (2, 2): 5}
