@@ -181,6 +181,7 @@ def semantic_dedup_pairs(
     tau: float = 0.92,
     k: int | None = None,
     n_probe: int = 3,
+    kernel: str = "fold",
 ) -> DataFrame:
     """Semantic (embedding-space) near-dup pairs at scale, SemDeDup-style:
     bucket vectors into the `n_probe` nearest coarse-quantizer lists, score
@@ -188,22 +189,27 @@ def semantic_dedup_pairs(
 
     The all-pairs cross join (the correctness baseline,
     `llm_dedup_embedding`) is O(n^2) and dies at corpus scale; this is
-    O(n^2 * n_probe^2 / k) with compute sharded by centroid — each bucket's
-    pair loop is an independent task, and k grows with the corpus.
-    Precision is exact (candidates re-scored with the same bit-reproducible
-    cosine); recall misses only pairs whose members share no probed bucket
-    — measured 0.86 at (k=16, n_probe=3) on the sf0.01 fixtures vs the
-    all-pairs baseline (tests pin >= 0.8). Raise n_probe for recall
-    (cost scales with (n_probe/k)^2 of all-pairs); the multi-table
-    hyperplane LSH in functions/similarity.py is the alternative
-    candidate generator when higher recall at fixed cost is needed.
+    O(n^2 * n_probe^2 / k) with compute sharded by centroid — each
+    bucket's pair loop is an independent task. Precision is exact
+    (candidates re-scored with the same bit-reproducible cosine); recall
+    misses only pairs whose members share no probed bucket.
 
-    `k=None` auto-scales the quantizer with the corpus: k = max(16, n/32)
-    keeps the expected bucket to ~32*n_probe vectors, so candidate-pair
-    count grows LINEARLY in n (n^2*n_probe^2/2k = 16*n_probe^2*n) — the
-    property that makes this the 100 TB path; fixed k would quietly drift
-    back toward all-pairs as the corpus grows.
-    Returns (id_a, id_b, cos_sim) with id_a < id_b, deduplicated."""
+    `k=None` auto-scales the quantizer with the corpus (k = max(16,
+    n/32)): bucket size stays bounded as n grows, and at the thresholds
+    this operator is designed for (tau >= ~0.9 — true near-duplicates,
+    nearly coincident in embedding space, which co-bucket under any
+    reasonable quantizer) a fixed small n_probe holds recall, so
+    candidate pairs grow LINEARLY in n (n^2*p^2/2k with k ~ n).
+
+    Loose-tau caveat, measured on the synthetic fixtures at tau=0.45
+    (the gate threshold; its "pairs" are merely the far tail of a random
+    cosine distribution, not near-duplicates): recall vs all-pairs is
+    0.86/0.85 at sf0.01/sf0.1 with the calibrated k=16, p=3, but drops
+    to 0.60 if k grows without co-scaling p (k=62, p=3), and holding
+    recall by co-scaling p (~sqrt(k): k=62, p=6 -> 0.90) gives back the
+    candidate savings. For loose-tau sweeps prefer the calibrated fixed
+    k, or the multi-table hyperplane LSH in functions/similarity.py.
+    Returns (id_a, id_b, cos_sim), id_a < id_b, deduplicated."""
     if k is None:
         k = max(16, corpus.count() // 32)
     cents = choose_centroids(corpus, id_col, vec_col, k)
@@ -220,10 +226,51 @@ def semantic_dedup_pairs(
     # but the pre-filter form shuffled every candidate pair with both
     # 64-dim vectors attached (the measured bottleneck); this one shuffles
     # only 3-scalar survivor rows.
-    return (
+    joined = (
         a.join(b, "centroid_id")
         .where(F.col("id_a") < F.col("id_b"))
-        .select(
+        .select("id_a", "id_b", "va", "vb", "na", "nb")
+    )
+    if kernel == "arrow":
+        # Vectorized pair scoring: the Catalyst HOF fold costs ~10us per
+        # pair (interpreted, allocates a scratch array); at >1M candidate
+        # pairs it dominates the whole query. Arrow-batched numpy einsum
+        # scores a batch in one BLAS-ish sweep — same pipeline position
+        # (before the survivor shuffle), same rounding convention
+        # (HALF_UP replicated sign-aware; numpy's default round is
+        # banker's). Summation order differs from the fold, so scores
+        # can differ in the last float ulp; the 6-dp rounding absorbs it
+        # (precision tests still compare equal against the fold-scored
+        # all-pairs baseline).
+        id_t = joined.schema["id_a"].dataType.simpleString()
+
+        def _score(batches):
+            import numpy as np
+            import pandas as pd
+
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                va = np.stack(pdf["va"].to_numpy())
+                vb = np.stack(pdf["vb"].to_numpy())
+                sim = np.einsum("ij,ij->i", va, vb) / (
+                    pdf["na"].to_numpy() * pdf["nb"].to_numpy()
+                )
+                sim = np.sign(sim) * np.floor(np.abs(sim) * 1e6 + 0.5) / 1e6
+                keep = sim >= tau
+                yield pd.DataFrame(
+                    {
+                        "id_a": pdf["id_a"].to_numpy()[keep],
+                        "id_b": pdf["id_b"].to_numpy()[keep],
+                        "cos_sim": sim[keep],
+                    }
+                )
+
+        scored = joined.mapInPandas(
+            _score, f"id_a {id_t}, id_b {id_t}, cos_sim double"
+        )
+    else:
+        scored = joined.select(
             "id_a",
             "id_b",
             F.round(
@@ -232,10 +279,8 @@ def semantic_dedup_pairs(
                 ),
                 6,
             ).alias("cos_sim"),
-        )
-        .where(F.col("cos_sim") >= tau)
-        .dropDuplicates(["id_a", "id_b"])
-    )
+        ).where(F.col("cos_sim") >= tau)
+    return scored.dropDuplicates(["id_a", "id_b"])
 
 
 def save_index(

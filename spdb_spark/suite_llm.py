@@ -978,11 +978,17 @@ def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-dup pairs via IVF bucketing (SemDeDup-style) — the
     scale path for `llm_dedup_embedding`'s all-pairs baseline. Rows-only
     gate; precision/recall vs the exact baseline pinned in
-    tests/test_curation.py."""
+    tests/test_curation.py at both sf0.01 and sf0.1.
+
+    k pinned to the loose-tau calibration (see semantic_dedup_pairs: the
+    gate's tau=0.45 is the far tail of a random cosine distribution, not
+    a near-dup threshold; k=16/p=3 is the measured recall>=0.8 config
+    there, while auto-k serves the tau>=0.9 regime)."""
     from spdb_spark.functions.ivf import semantic_dedup_pairs
 
     return semantic_dedup_pairs(
-        _embs(spark, sf_dir), "vec_id", "embedding", tau=_COS_TAU
+        _embs(spark, sf_dir), "vec_id", "embedding", tau=_COS_TAU, k=16,
+        kernel="arrow",
     )
 
 
