@@ -294,10 +294,21 @@ def minhash_lsh_dedup(
     bands: int = 8,
     rows: int = 2,
     threshold: float = 0.2,
+    verify: str = "broadcast",
 ) -> DataFrame:
     """Full MinHash-LSH near-dup pipeline: shingle -> minhash -> band ->
     bucket-join candidates -> exact-Jaccard verify. Output
-    (id_a, id_b, jaccard) for verified pairs."""
+    (id_a, id_b, jaccard) for verified pairs.
+
+    `verify` picks the exact-Jaccard stage's physical form:
+    - "broadcast" (default): per-doc shingle SETS broadcast, two map-side
+      lookups + array_intersect. Right while the set table fits the
+      broadcast budget.
+    - "shuffle": the 100 TB form — candidates join the flat (doc,
+      shingle) table on doc_a (one hash shuffle), then match doc_b's
+      shingles on (doc_b, shingle) (second shuffle), count matches.
+      No broadcast of anything corpus-sized; identical output
+      (test-pinned)."""
     # distinct=False: MinHash's min and the verify stage's collect_set are
     # both idempotent to repeated shingles, so the dedup shuffle is pure
     # overhead here. No persist: the two consumers re-derive shingles from
@@ -307,27 +318,34 @@ def minhash_lsh_dedup(
     sh = shingles(df, id_col, text_col, k, distinct=False)
     sigs = minhash_signatures(sh, id_col, num_hashes)
     cands = lsh_candidate_pairs(sigs, bands, rows)
-    # Exact-Jaccard verification of candidates: join each pair against the
-    # per-doc shingle SETS (sorted arrays, broadcast) and array-intersect —
-    # two broadcast lookups instead of two shuffles of the shingle table.
-    # At corpus scales where the set table outgrows broadcast, swap these
-    # joins to plain shuffled joins on (doc, shingle); semantics identical.
-    sh_sets = F.broadcast(
-        sh.groupBy(F.col(id_col).alias("doc")).agg(
-            F.array_sort(F.collect_set("shingle")).alias("sh_set")
+    if verify == "shuffle":
+        sh_d = sh.select(F.col(id_col).alias("doc"), "shingle").distinct()
+        sizes = sh_d.groupBy("doc").agg(F.count("*").alias("sz"))
+        inter = (
+            cands.join(sh_d.toDF("doc_a", "shingle"), "doc_a")
+            .join(sh_d.toDF("doc_b", "shingle"), ["doc_b", "shingle"])
+            .groupBy("doc_a", "doc_b")
+            .agg(F.count("*").alias("inter"))
+            .join(sizes.toDF("doc_a", "sz_a"), "doc_a")
+            .join(sizes.toDF("doc_b", "sz_b"), "doc_b")
         )
-    )
-    inter = (
-        cands.join(sh_sets.toDF("doc_a", "set_a"), "doc_a")
-        .join(sh_sets.toDF("doc_b", "set_b"), "doc_b")
-        .select(
-            "doc_a",
-            "doc_b",
-            F.size(F.array_intersect(F.col("set_a"), F.col("set_b"))).alias("inter"),
-            F.size("set_a").alias("sz_a"),
-            F.size("set_b").alias("sz_b"),
+    else:
+        sh_sets = F.broadcast(
+            sh.groupBy(F.col(id_col).alias("doc")).agg(
+                F.array_sort(F.collect_set("shingle")).alias("sh_set")
+            )
         )
-    )
+        inter = (
+            cands.join(sh_sets.toDF("doc_a", "set_a"), "doc_a")
+            .join(sh_sets.toDF("doc_b", "set_b"), "doc_b")
+            .select(
+                "doc_a",
+                "doc_b",
+                F.size(F.array_intersect(F.col("set_a"), F.col("set_b"))).alias("inter"),
+                F.size("set_a").alias("sz_a"),
+                F.size("set_b").alias("sz_b"),
+            )
+        )
     return (
         inter.select(
             F.col("doc_a").alias("id_a"),

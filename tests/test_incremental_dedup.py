@@ -62,3 +62,28 @@ def test_incremental_accepts_persisted_index(spark, tmp_path):
         )
     )
     assert a == b
+
+
+def test_shuffle_verify_equals_broadcast_verify(spark):
+    """The 100 TB verify form (shuffled joins on the flat (doc, shingle)
+    table) must produce the identical verified pair set as the broadcast
+    set-intersect form."""
+    from spdb_spark.functions.dedup import minhash_lsh_dedup
+    from spdb_spark.session import load_tables
+
+    docs = load_tables(spark, "/root/testdata/sf0.01", names=("documents",))[
+        "documents"
+    ]
+    kw = dict(k=3, num_hashes=16, bands=8, rows=2, threshold=0.2)
+    bc = {
+        (r.id_a, r.id_b): round(r.jaccard, 9)
+        for r in minhash_lsh_dedup(docs, "doc_id", "text", **kw).collect()
+    }
+    sh = {
+        (r.id_a, r.id_b): round(r.jaccard, 9)
+        for r in minhash_lsh_dedup(
+            docs, "doc_id", "text", verify="shuffle", **kw
+        ).collect()
+    }
+    assert bc == sh
+    assert bc  # non-trivial fixture
