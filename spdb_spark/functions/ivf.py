@@ -99,6 +99,28 @@ def assign_lists(
             ).alias("c_sim"),
         )
     )
+    if n_probe == 1:
+        # List building scores the FULL corpus: an argmax via max(struct)
+        # gets map-side partial aggregation (the crossJoin emits each
+        # vid's k candidate rows contiguously, so partials complete
+        # locally and the shuffle carries ONE row per vector, not k).
+        # A window would shuffle+sort all n*k scored rows first.
+        # Tie-break matches the window form: highest c_sim, then lowest
+        # centroid_id (struct comparison on (c_sim, -centroid_id)).
+        best = scored.groupBy("vid").agg(
+            F.max(
+                F.struct(
+                    F.col("c_sim"),
+                    (-F.col("centroid_id")).alias("nc"),
+                    F.col("v").alias("v"),
+                )
+            ).alias("m")
+        )
+        return best.select(
+            "vid",
+            F.col("m.v").alias("v"),
+            (-F.col("m.nc")).cast("int").alias("centroid_id"),
+        )
     w = Window.partitionBy("vid").orderBy(F.desc("c_sim"), "centroid_id")
     return (
         scored.withColumn("crank", F.row_number().over(w))
