@@ -14,26 +14,31 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from spdb_spark.functions.hashing import md5_long
 from spdb_spark.functions.similarity import _as_double, cosine_prenormed, norm
 
 
 def choose_centroids(corpus: DataFrame, id_col: str, vec_col: str, k: int) -> DataFrame:
-    """Deterministic coarse centroids: rank vectors by id, take every
-    (n/k)-th. (K-means refinement would drop in here; selection is already
-    a usable quantizer for ANN bucketing.)
-
-    Fully lazy: n comes from a count window over the already-single-
-    partition ranking, not an eager corpus.count() job at build time."""
-    return (
+    """Deterministic coarse centroids: the k vectors with the smallest
+    portable md5 hash of their id — a pseudo-random but reproducible
+    sample, selected via orderBy(hash).limit(k), which Spark executes as
+    TakeOrdered (per-partition top-k, then a k-row merge at the driver).
+    No global sort, no count, no single-partition window anywhere, so
+    selection cost is one scan regardless of corpus size. (The previous
+    stride-ranking form put the ENTIRE corpus through one global
+    row_number partition — a 100 TB cliff.) K-means refinement
+    (refine_centroids) drops in on top; raw selection is already a usable
+    quantizer for ANN bucketing. The k-row centroid_id ranking window is
+    driver-trivial."""
+    picked = (
         corpus.select(F.col(id_col).alias("cid_src"), F.col(vec_col).alias("c_vec"))
-        .withColumn("rn", F.row_number().over(Window.orderBy("cid_src")))
-        .withColumn("_stride", F.greatest(F.floor(F.max("rn").over(Window.partitionBy()) / k), F.lit(1)))
-        .where((F.col("rn") - 1) % F.col("_stride") == 0)
+        .withColumn("_h", md5_long(F.col("cid_src").cast("string")))
+        .orderBy("_h", "cid_src")
         .limit(k)
-        .select(
-            (F.row_number().over(Window.orderBy("cid_src")) - 1).alias("centroid_id"),
-            _as_double(F.col("c_vec")).alias("centroid_vec"),
-        )
+    )
+    return picked.select(
+        (F.row_number().over(Window.orderBy("cid_src")) - 1).alias("centroid_id"),
+        _as_double(F.col("c_vec")).alias("centroid_vec"),
     )
 
 
