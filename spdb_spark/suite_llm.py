@@ -123,6 +123,27 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_minhash_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB verify form (shuffled joins on the flat (doc, shingle)
+    table, no corpus-sized broadcast) checked against the SAME oracle as
+    the broadcast form — output is identical by construction."""
+    pairs = D.minhash_lsh_dedup(
+        _docs(spark, sf_dir),
+        "doc_id",
+        "text",
+        k=3,
+        num_hashes=_MH_N,
+        bands=_MH_BANDS,
+        rows=_MH_ROWS,
+        threshold=_MH_THRESH,
+        verify="shuffle",
+    )
+    return pairs.select(
+        "id_a", "id_b",
+        (F.floor(F.col("jaccard") * 1000000) / 1000000).alias("jaccard"),
+    )
+
+
 def _minhash_pivot_sql() -> str:
     from spdb_spark.functions.dedup import minhash_rehash_sql
 
@@ -1042,6 +1063,7 @@ QUERIES = {
     "llm_dedup_fingerprint": (q_dedup_fingerprint, SQL_DEDUP_FINGERPRINT),
     "llm_dedup_jaccard": (q_dedup_jaccard, SQL_DEDUP_JACCARD),
     "llm_dedup_minhash": (q_dedup_minhash, SQL_DEDUP_MINHASH),
+    "llm_dedup_minhash_shuffle": (q_dedup_minhash_shuffle, SQL_DEDUP_MINHASH),
     "llm_dedup_simhash": (q_simhash, SQL_SIMHASH),
     "llm_text_stats": (q_text_stats, SQL_TEXT_STATS),
     "llm_text_fingerprint": (q_text_fingerprint, SQL_TEXT_FINGERPRINT),
