@@ -165,21 +165,24 @@ def lsh_topk(
             "_qn", norm(F.col("q_vec"))
         )
     )
-    cands = (
+    # score first, dedup the 3-scalar rows after: a candidate surfaced by
+    # several tables scores identically in each, and deduping before
+    # scoring would shuffle both 64-dim vectors per candidate (the
+    # measured bottleneck shape in the IVF path)
+    scored = (
         c.join(q, ["tbl", "sig"])
         .where(F.col("neighbor_id") != F.col("query_id"))
-        .select("query_id", "q_vec", "_qn", "neighbor_id", "c_vec", "_cn")
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(
+                cosine_prenormed(
+                    F.col("q_vec"), F.col("c_vec"), F.col("_qn"), F.col("_cn")
+                ),
+                6,
+            ).alias("cos_sim"),
+        )
         .dropDuplicates(["query_id", "neighbor_id"])
-    )
-    scored = cands.select(
-        "query_id",
-        "neighbor_id",
-        F.round(
-            cosine_prenormed(
-                F.col("q_vec"), F.col("c_vec"), F.col("_qn"), F.col("_cn")
-            ),
-            6,
-        ).alias("cos_sim"),
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.col("neighbor_id"))
     return (
