@@ -241,12 +241,28 @@ def semantic_dedup_pairs(
         k = max(16, corpus.count() // 32)
     cents = choose_centroids(corpus, id_col, vec_col, k)
     lists = assign_lists(corpus, cents, id_col, vec_col, n_probe=n_probe)
+    # Salt the bucket join when there are fewer buckets than cores: the
+    # a-side gets a hash-derived salt, the b-side replicates per salt, so
+    # each bucket's pair loop splits into `salts` independent tasks.
+    # Every pair still appears exactly once per shared bucket -> output
+    # identical. b-side replication costs salts * |lists| shuffle rows —
+    # only paid when k is small (at corpus scale k >= cores and salts=1).
+    par = lists.sparkSession.sparkContext.defaultParallelism
+    salts = max(1, -(-par // k))
     a = lists.select(
         F.col("vid").alias("id_a"), F.col("v").alias("va"), "centroid_id"
-    ).withColumn("na", norm(F.col("va")))
+    ).withColumn("na", norm(F.col("va"))).withColumn(
+        "_salt", F.pmod(F.xxhash64(F.col("id_a")), F.lit(salts)).cast("int")
+    )
     b = lists.select(
-        F.col("vid").alias("id_b"), F.col("v").alias("vb"), "centroid_id"
-    ).withColumn("nb", norm(F.col("vb")))
+        F.col("vid").alias("id_b"),
+        F.col("v").alias("vb"),
+        "centroid_id",
+        norm(F.col("v")).alias("nb"),
+        F.explode(
+            F.sequence(F.lit(0), F.lit(salts - 1)).cast("array<int>")
+        ).alias("_salt"),
+    )
     # Score and tau-filter INSIDE the bucket join, then dedup the (small)
     # survivor set: a pair shared by two probed buckets scores identically
     # in both, so dropDuplicates after the filter is equivalent to before —
@@ -254,7 +270,7 @@ def semantic_dedup_pairs(
     # 64-dim vectors attached (the measured bottleneck); this one shuffles
     # only 3-scalar survivor rows.
     joined = (
-        a.join(b, "centroid_id")
+        a.join(b, ["centroid_id", "_salt"])
         .where(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b", "va", "vb", "na", "nb")
     )
