@@ -241,12 +241,63 @@ def semantic_dedup_pairs(
         k = max(16, corpus.count() // 32)
     cents = choose_centroids(corpus, id_col, vec_col, k)
     lists = assign_lists(corpus, cents, id_col, vec_col, n_probe=n_probe)
-    # Salt the bucket join when there are fewer buckets than cores: the
-    # a-side gets a hash-derived salt, the b-side replicates per salt, so
-    # each bucket's pair loop splits into `salts` independent tasks.
-    # Every pair still appears exactly once per shared bucket -> output
-    # identical. b-side replication costs salts * |lists| shuffle rows —
-    # only paid when k is small (at corpus scale k >= cores and salts=1).
+    if kernel == "arrow":
+        # Bucket-local all-pairs via applyInPandas: each task receives ONE
+        # bucket's vectors (bounded by the quantizer: ~32*n_probe rows
+        # under auto-k) and scores the whole pair matrix as a single
+        # numpy GEMM. Arrow moves the LISTS (n*n_probe vectors), not the
+        # candidate pairs — at 1M+ candidates the pairwise form shipped
+        # ~1000x more bytes, and the Catalyst fold scored them at
+        # ~10us/pair. Rounding is HALF_UP replicated sign-aware (numpy's
+        # default is banker's); GEMM summation order differs from the
+        # fold by a ulp, absorbed by the 6-dp rounding (precision tests
+        # still compare equal to the fold-scored all-pairs baseline).
+        id_t = lists.schema["vid"].dataType.simpleString()
+
+        def _bucket_pairs(pdf):
+            import numpy as np
+            import pandas as pd
+
+            n_rows = len(pdf)
+            if n_rows < 2:
+                return pd.DataFrame(
+                    {"id_a": pdf["vid"][:0], "id_b": pdf["vid"][:0],
+                     "cos_sim": np.zeros(0)}
+                )
+            ids = pdf["vid"].to_numpy()
+            V = np.stack(pdf["v"].to_numpy())
+            nrm = np.sqrt(np.einsum("ij,ij->i", V, V))
+            S = (V @ V.T) / np.outer(nrm, nrm)
+            iu, ju = np.triu_indices(n_rows, 1)
+            sim = S[iu, ju]
+            sim = np.sign(sim) * np.floor(np.abs(sim) * 1e6 + 0.5) / 1e6
+            keep = sim >= tau
+            ia, jb = ids[iu[keep]], ids[ju[keep]]
+            return pd.DataFrame(
+                {
+                    "id_a": np.minimum(ia, jb),
+                    "id_b": np.maximum(ia, jb),
+                    "cos_sim": sim[keep],
+                }
+            )
+
+        scored = lists.groupBy("centroid_id").applyInPandas(
+            lambda pdf: _bucket_pairs(pdf),
+            f"id_a {id_t}, id_b {id_t}, cos_sim double",
+        )
+        return scored.dropDuplicates(["id_a", "id_b"])
+    # Catalyst form: salt the bucket join when there are fewer buckets
+    # than cores (the a-side gets a hash-derived salt, the b-side
+    # replicates per salt, splitting each bucket's pair loop into
+    # independent tasks; every pair still appears exactly once per shared
+    # bucket -> output identical; replication only costs when k is small
+    # — at corpus scale k >= cores and salts collapses to 1). Score and
+    # tau-filter INSIDE the join, then dedup the (small) survivor set: a
+    # pair shared by two probed buckets scores identically in both, so
+    # dropDuplicates after the filter is equivalent to before — but the
+    # pre-filter form shuffled every candidate pair with both 64-dim
+    # vectors attached (the measured bottleneck); this one shuffles only
+    # 3-scalar survivor rows.
     par = lists.sparkSession.sparkContext.defaultParallelism
     salts = max(1, -(-par // k))
     a = lists.select(
@@ -263,57 +314,10 @@ def semantic_dedup_pairs(
             F.sequence(F.lit(0), F.lit(salts - 1)).cast("array<int>")
         ).alias("_salt"),
     )
-    # Score and tau-filter INSIDE the bucket join, then dedup the (small)
-    # survivor set: a pair shared by two probed buckets scores identically
-    # in both, so dropDuplicates after the filter is equivalent to before —
-    # but the pre-filter form shuffled every candidate pair with both
-    # 64-dim vectors attached (the measured bottleneck); this one shuffles
-    # only 3-scalar survivor rows.
-    joined = (
+    scored = (
         a.join(b, ["centroid_id", "_salt"])
         .where(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "va", "vb", "na", "nb")
-    )
-    if kernel == "arrow":
-        # Vectorized pair scoring: the Catalyst HOF fold costs ~10us per
-        # pair (interpreted, allocates a scratch array); at >1M candidate
-        # pairs it dominates the whole query. Arrow-batched numpy einsum
-        # scores a batch in one BLAS-ish sweep — same pipeline position
-        # (before the survivor shuffle), same rounding convention
-        # (HALF_UP replicated sign-aware; numpy's default round is
-        # banker's). Summation order differs from the fold, so scores
-        # can differ in the last float ulp; the 6-dp rounding absorbs it
-        # (precision tests still compare equal against the fold-scored
-        # all-pairs baseline).
-        id_t = joined.schema["id_a"].dataType.simpleString()
-
-        def _score(batches):
-            import numpy as np
-            import pandas as pd
-
-            for pdf in batches:
-                if not len(pdf):
-                    continue
-                va = np.stack(pdf["va"].to_numpy())
-                vb = np.stack(pdf["vb"].to_numpy())
-                sim = np.einsum("ij,ij->i", va, vb) / (
-                    pdf["na"].to_numpy() * pdf["nb"].to_numpy()
-                )
-                sim = np.sign(sim) * np.floor(np.abs(sim) * 1e6 + 0.5) / 1e6
-                keep = sim >= tau
-                yield pd.DataFrame(
-                    {
-                        "id_a": pdf["id_a"].to_numpy()[keep],
-                        "id_b": pdf["id_b"].to_numpy()[keep],
-                        "cos_sim": sim[keep],
-                    }
-                )
-
-        scored = joined.mapInPandas(
-            _score, f"id_a {id_t}, id_b {id_t}, cos_sim double"
-        )
-    else:
-        scored = joined.select(
+        .select(
             "id_a",
             "id_b",
             F.round(
@@ -322,7 +326,9 @@ def semantic_dedup_pairs(
                 ),
                 6,
             ).alias("cos_sim"),
-        ).where(F.col("cos_sim") >= tau)
+        )
+        .where(F.col("cos_sim") >= tau)
+    )
     return scored.dropDuplicates(["id_a", "id_b"])
 
 
