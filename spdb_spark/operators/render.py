@@ -278,14 +278,31 @@ def xy_png(v: DataFrame, z: int, t: int, x_rng, y_rng, datatype: str = "uint8") 
     return png_encode(xy_slice(v, z, t, x_rng, y_rng, dtype=dtype))
 
 
-def xz_png(v: DataFrame, y: int, t: int, x_rng, z_rng, datatype: str = "uint8") -> bytes:
-    dtype = {"uint8": "uint8", "uint16": "uint16"}[datatype]
-    return png_encode(xz_slice(v, y, t, x_rng, z_rng, dtype=dtype))
+def _z_rescale(arr: np.ndarray, z_scale: int) -> np.ndarray:
+    """Anisotropy correction for z-section renders (imagecube.py:118-150
+    resizes by z_scale): integer nearest-neighbor row repeat — exact and
+    reversible, unlike an interpolating resize."""
+    if z_scale == 1:
+        return arr
+    if z_scale < 1 or int(z_scale) != z_scale:
+        raise ValueError(f"z_scale must be a positive integer, got {z_scale}")
+    return np.repeat(arr, int(z_scale), axis=0)
 
 
-def yz_png(v: DataFrame, x: int, t: int, y_rng, z_rng, datatype: str = "uint8") -> bytes:
+def xz_png(
+    v: DataFrame, y: int, t: int, x_rng, z_rng,
+    datatype: str = "uint8", z_scale: int = 1,
+) -> bytes:
     dtype = {"uint8": "uint8", "uint16": "uint16"}[datatype]
-    return png_encode(yz_slice(v, x, t, y_rng, z_rng, dtype=dtype))
+    return png_encode(_z_rescale(xz_slice(v, y, t, x_rng, z_rng, dtype=dtype), z_scale))
+
+
+def yz_png(
+    v: DataFrame, x: int, t: int, y_rng, z_rng,
+    datatype: str = "uint8", z_scale: int = 1,
+) -> bytes:
+    dtype = {"uint8": "uint8", "uint16": "uint16"}[datatype]
+    return png_encode(_z_rescale(yz_slice(v, x, t, y_rng, z_rng, dtype=dtype), z_scale))
 
 
 def xy_anno_png(v: DataFrame, z: int, t: int, x_rng, y_rng) -> bytes:

@@ -130,3 +130,15 @@ def test_tile_pngs_reassemble_slice(spark):
         np.testing.assert_array_equal(
             arr, full[ty * TS : (ty + 1) * TS, tx * TS : (tx + 1) * TS]
         )
+
+
+def test_xz_png_z_scale_repeats_rows(spark):
+    """Anisotropy correction (imagecube.py z_scale resize): each z row
+    repeats z_scale times, exactly."""
+    from spdb_spark.operators.render import png_decode, xz_png, xz_slice
+
+    v = _voxels(spark)
+    base = xz_slice(v, 8, T, (0, 128), (0, 16), dtype="uint8")
+    scaled = png_decode(xz_png(v, 8, T, (0, 128), (0, 16), z_scale=4))
+    assert scaled.shape == (base.shape[0] * 4, base.shape[1])
+    np.testing.assert_array_equal(scaled, np.repeat(base, 4, axis=0))
