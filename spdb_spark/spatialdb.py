@@ -209,7 +209,36 @@ class SpatialDB:
         )
         return np.arange(start, stop, dtype=np.uint64)
 
-    # -- catalog -------------------------------------------------------------
+    # -- rendering -----------------------------------------------------------
+
+    def xy_image(
+        self,
+        resource: Resource,
+        corner: Sequence[int],
+        extent: Sequence[int],
+        resolution: int = 0,
+        z_index: int = 0,
+        t_index: int = 0,
+    ) -> bytes:
+        """PNG of one XY plane of a cutout — the reference's
+        `cube.xy_image()` (imagecube.py:104-117, annocube.py:103-160)
+        surfaced on the facade: image channels render grayscale at the
+        channel bit depth, annotation channels render RGBA false color.
+        `corner`/`extent` are (x, y) of the plane; z_index/t_index pick
+        the section."""
+        from spdb_spark.operators.render import false_color, png_encode
+
+        (x0, y0), (dx, dy) = tuple(corner[:2]), tuple(extent[:2])
+        arr = self.cutout(
+            resource,
+            (x0, y0, z_index),
+            (dx, dy, 1),
+            resolution,
+            (t_index, t_index + 1),
+        )[0, 0]
+        if resource.channel.is_image():
+            return png_encode(arr.astype(resource.get_numpy_data_type()))
+        return png_encode(false_color(arr.astype(np.uint64)))
 
     def register(self, resource: Resource) -> None:
         """Persist a resource to the on-disk channel registry (reference:

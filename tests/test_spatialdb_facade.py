@@ -125,3 +125,23 @@ def test_downsample_status_survives_restart(sdb, spark):
         .first()
     )
     assert row[0] == "DOWNSAMPLED"
+
+
+def test_xy_image_renders_cutout_plane(sdb):
+    """Facade xy_image: grayscale PNG for image channels, RGBA false
+    color for annotation channels, both decoding back to the cutout."""
+    from spdb_spark.operators.render import false_color, png_decode
+
+    r = make_resource("imgpng", "image", "uint8")
+    rng = np.random.default_rng(3)
+    data = rng.integers(1, 250, size=(16, 64, 64)).astype("uint8")
+    sdb.write_cuboid(r, (0, 0, 0), 0, data)
+    png = sdb.xy_image(r, (0, 0), (64, 64), z_index=5)
+    np.testing.assert_array_equal(png_decode(png), data[5])
+
+    ra = make_resource("annopng", "annotation", "uint64")
+    adata = np.zeros((16, 64, 64), dtype="uint64")
+    adata[2, 10:20, 30:40] = 7
+    sdb.write_cuboid(ra, (0, 0, 0), 0, adata)
+    apng = sdb.xy_image(ra, (0, 0), (64, 64), z_index=2)
+    np.testing.assert_array_equal(png_decode(apng), false_color(adata[2]))
