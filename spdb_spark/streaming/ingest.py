@@ -112,10 +112,19 @@ class StreamingVoxelIngest:
         if not os.path.exists(self.table_path) or not keys:
             return self.spark.createDataFrame([], VOXEL_SCHEMA)
         df = self.spark.read.parquet(self.table_path)
-        cond = (
-            F.col("lookup_key").isin(sorted({k[0] for k in keys}))
-            & F.col("resolution").isin(sorted({k[1] for k in keys}))
-            & F.col("pgroup").isin(sorted({k[2] for k in keys}))
+        # exact OR-of-conjunctions, not a per-column isin cross product —
+        # a batch spanning channels would otherwise read (and re-merge)
+        # partitions it never touched
+        from functools import reduce
+
+        cond = reduce(
+            lambda a, b: a | b,
+            [
+                (F.col("lookup_key") == lk)
+                & (F.col("resolution") == res)
+                & (F.col("pgroup") == pg)
+                for lk, res, pg in keys
+            ],
         )
         return df.where(cond).select(*VOXEL_SCHEMA.fieldNames())
 
