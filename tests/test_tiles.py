@@ -142,3 +142,28 @@ def test_xz_png_z_scale_repeats_rows(spark):
     scaled = png_decode(xz_png(v, 8, T, (0, 128), (0, 16), z_scale=4))
     assert scaled.shape == (base.shape[0] * 4, base.shape[1])
     np.testing.assert_array_equal(scaled, np.repeat(base, 4, axis=0))
+
+
+def test_tile_pngs_uint16(spark):
+    """16-bit grayscale tile render round-trips (imagecube.py:231-300
+    ImageCube16 parity)."""
+    from spdb_spark.operators.render import png_decode, tile_pngs
+
+    v = _voxels(spark)  # values 1..50 fit any width
+    tiles = {
+        (r.tile_y, r.tile_x): png_decode(r.png)
+        for r in tile_pngs(v, Z, T, tile_size=TS, datatype="uint16").collect()
+    }
+    assert tiles
+    direct = xy_slice(
+        v,
+        Z,
+        T,
+        (0, (max(tx for _, tx in tiles) + 1) * TS),
+        (0, (max(ty for ty, _ in tiles) + 1) * TS),
+    ).astype(np.uint16)
+    for (ty, tx), arr in tiles.items():
+        assert arr.dtype == np.uint16
+        np.testing.assert_array_equal(
+            arr, direct[ty * TS : (ty + 1) * TS, tx * TS : (tx + 1) * TS]
+        )
