@@ -424,8 +424,10 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-bucketed ANN (inverted lists over a deterministic coarse
-    quantizer) — rows-only: the iterative/row_number bucketing isn't one
-    SQL query; recall vs brute force asserted in tests/test_ivf.py."""
+    quantizer). With refine_iters=0 (the default) the whole pipeline is
+    deterministic — md5-hash centroid pick, cosine-argmax list build,
+    exact re-rank — and the oracle below replays it in SQL. Recall vs
+    brute force is additionally asserted in tests/test_ivf.py."""
     from spdb_spark.functions.ivf import ivf_topk
 
     embs = _embs(spark, sf_dir)
@@ -433,12 +435,104 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(embs, queries, k=10, n_centroids=16, n_probe=4)
 
 
+def _ivf_quantizer_sql(k: int) -> str:
+    """Shared DuckDB fragments replaying the deterministic IVF quantizer
+    (ivf.choose_centroids + ivf.assign_lists, refine_iters=0). Bit-identical
+    to the Spark path: the centroid pick keys on the portable 60-bit md5
+    hash, and dot/norm are the same left-to-right double folds on both
+    engines (list_dot_product == F.aggregate fold)."""
+    return f"""
+base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+cents AS (
+  SELECT CAST(ROW_NUMBER() OVER (ORDER BY cid_src) - 1 AS INTEGER) AS centroid_id,
+         c_vec
+  FROM (
+    SELECT vec_id AS cid_src, v AS c_vec
+    FROM base
+    ORDER BY {md5_long_sql("CAST(vec_id AS VARCHAR)")}, vec_id
+    LIMIT {k}
+  )
+),
+assigned AS (
+  SELECT vec_id, v, centroid_id,
+         ROW_NUMBER() OVER (
+           PARTITION BY vec_id
+           ORDER BY list_dot_product(v, c_vec)
+                    / (sqrt(list_dot_product(v, v))
+                       * sqrt(list_dot_product(c_vec, c_vec))) DESC,
+                    centroid_id
+         ) AS crank
+  FROM base CROSS JOIN cents
+)"""
+
+
+SQL_ANN_IVF = f"""
+WITH {_ivf_quantizer_sql(16)},
+lists AS (
+  SELECT vec_id AS neighbor_id, v AS c_vec, centroid_id
+  FROM assigned WHERE crank = 1
+),
+probes AS (
+  SELECT vec_id AS query_id, v AS q_vec, centroid_id
+  FROM assigned WHERE crank <= 4 AND vec_id % 50 = 0
+),
+scored AS (
+  SELECT DISTINCT p.query_id, l.neighbor_id,
+         ROUND(list_dot_product(p.q_vec, l.c_vec)
+               / (sqrt(list_dot_product(p.q_vec, p.q_vec))
+                  * sqrt(list_dot_product(l.c_vec, l.c_vec))), 6) AS cos_sim
+  FROM lists l JOIN probes p ON l.centroid_id = p.centroid_id
+  WHERE l.neighbor_id <> p.query_id
+)
+SELECT * FROM (
+  SELECT query_id, neighbor_id, cos_sim,
+         CAST(ROW_NUMBER() OVER (
+           PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id
+         ) AS BIGINT) AS "rank"
+  FROM scored
+) WHERE "rank" <= 10
+"""
+
+
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Transitive dedup groups from exact-Jaccard pairs (iterative min-label
-    propagation — rows-only: iteration isn't one SQL query)."""
+    """Transitive dedup groups from exact-Jaccard pairs. The iterative
+    min-label propagation converges to the component minimum, which the
+    recursive-CTE reachability oracle below reproduces exactly (same
+    pattern as spatial_connected_components)."""
     sh = D.shingles(_docs(spark, sf_dir), "doc_id", "text", k=3)
     pairs = D.jaccard_pairs(sh, "doc_id", threshold=_JACC_THRESHOLD)
     return D.dup_clusters(pairs)
+
+
+# Reachability closure over the symmetric near-dup edge set; cluster_id =
+# MIN(reachable id) — identical to dup_clusters' converged min-label.
+SQL_DEDUP_CLUSTERS = f"""
+WITH RECURSIVE sh AS ({_SHINGLES_SQL}),
+sizes AS (SELECT doc, COUNT(*) AS sz FROM sh GROUP BY doc),
+inter AS (
+  SELECT a.doc AS doc_a, b.doc AS doc_b, COUNT(*) AS inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc < b.doc
+  GROUP BY a.doc, b.doc
+),
+pairs AS (
+  SELECT i.doc_a AS id_a, i.doc_b AS id_b
+  FROM inter i
+  JOIN sizes sa ON sa.doc = i.doc_a
+  JOIN sizes sb ON sb.doc = i.doc_b
+  WHERE CAST(i.inter AS DOUBLE) / (sa.sz + sb.sz - i.inter) >= {_JACC_THRESHOLD}
+),
+e AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION
+  SELECT id_b AS src, id_a AS dst FROM pairs
+),
+reach(id, r) AS (
+  SELECT DISTINCT src, src FROM e
+  UNION
+  SELECT e.src, reach.r FROM e JOIN reach ON e.dst = reach.id
+)
+SELECT id, MIN(r) AS cluster_id FROM reach GROUP BY id
+"""
 
 
 # --- multimodal plumbing ---------------------------------------------------
@@ -1013,6 +1107,28 @@ def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Replays the deterministic bucket assignment (same quantizer fragments as
+# SQL_ANN_IVF, n_probe=3) and scores pairs within shared buckets. The Arrow
+# kernel's GEMM sums in a different order than the sequential fold — a ulp
+# difference absorbed by the shared 6-dp HALF_UP rounding (pinned by the
+# kernel-vs-fold equality tests in tests/test_curation.py).
+SQL_DEDUP_SEMANTIC = f"""
+WITH {_ivf_quantizer_sql(16)},
+lists AS (
+  SELECT vec_id, v, centroid_id FROM assigned WHERE crank <= 3
+)
+SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b,
+       ROUND(list_dot_product(a.v, b.v)
+             / (sqrt(list_dot_product(a.v, a.v))
+                * sqrt(list_dot_product(b.v, b.v))), 6) AS cos_sim
+FROM lists a JOIN lists b
+  ON a.centroid_id = b.centroid_id AND a.vec_id < b.vec_id
+WHERE ROUND(list_dot_product(a.v, b.v)
+            / (sqrt(list_dot_product(a.v, a.v))
+               * sqrt(list_dot_product(b.v, b.v))), 6) >= {_COS_TAU}
+"""
+
+
 def q_approx_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The 100 TB distinct-count path: per-language Apache DataSketches
     HLL sketches of the token vocabulary, merged (hll_union_agg) into a
@@ -1071,8 +1187,8 @@ QUERIES = {
     "llm_ann_topk": (q_ann_topk, SQL_ANN_TOPK),
     "llm_dedup_embedding": (q_dedup_embedding, SQL_DEDUP_EMBEDDING),
     "llm_ann_lsh": (q_ann_lsh, None),
-    "llm_dedup_clusters": (q_dedup_clusters, None),
-    "llm_dedup_semantic": (q_dedup_semantic, None),
-    "llm_ann_ivf": (q_ann_ivf, None),
+    "llm_dedup_clusters": (q_dedup_clusters, SQL_DEDUP_CLUSTERS),
+    "llm_dedup_semantic": (q_dedup_semantic, SQL_DEDUP_SEMANTIC),
+    "llm_ann_ivf": (q_ann_ivf, SQL_ANN_IVF),
     "llm_multimodal_meta": (q_multimodal_meta, SQL_MULTIMODAL_META),
 }
