@@ -1,11 +1,14 @@
 """Multimodal column plumbing: image/audio/video as opaque binary columns
 with typed metadata, processed by Arrow-batched kernels.
 
-The container has no media libraries, so the decode step is STUBBED with a
-deterministic fake (clearly marked); everything Spark-cares-about — schema,
-binary payload handling, partitioning, mapInPandas batch shape, UDF
-signatures — is real and tested. Swap `_fake_decode` for a real
-PIL/librosa/ffmpeg call in production.
+Image decode is REAL: PNG payloads (signature-detected) decode through the
+repo's dependency-free codec (operators/render.py png_decode — gray8/16 +
+RGBA) and produce pixel-exact features / real resizes. Audio/video decode
+is STUBBED with a deterministic fake (the container has no media libs;
+clearly marked), as are non-PNG payloads such as the synthetic text
+fixtures — swap `_fake_decode` for librosa/pyav in production. Everything
+Spark-cares-about — schema, binary payload handling, partitioning,
+mapInPandas batch shape, UDF signatures — is real and tested either way.
 """
 
 from __future__ import annotations
@@ -19,6 +22,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     ArrayType,
+    BinaryType,
     FloatType,
     IntegerType,
     LongType,
@@ -63,13 +67,52 @@ def with_media_columns(df: DataFrame, id_col: str, payload_col: str) -> DataFram
     )
 
 
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
 def _fake_decode(payload: bytes, n_frames: int, dim: int) -> np.ndarray:
-    """STUB — deterministic fake feature extraction. Real deployments
-    replace this with the actual decoder (PIL / torchaudio / pyav); the
-    surrounding Spark plumbing does not change."""
+    """STUB — deterministic fake feature extraction for the modalities the
+    container can't decode (audio/video, non-PNG payloads). Real
+    deployments replace this with the actual decoder (torchaudio / pyav);
+    the surrounding Spark plumbing does not change."""
     seed = int(hashlib.md5(payload).hexdigest()[:8], 16)
     rng = np.random.default_rng(seed)
     return rng.standard_normal((n_frames, dim), dtype=np.float32)
+
+
+def decode_image(payload: bytes) -> np.ndarray:
+    """REAL image decode: PNG via the repo's dependency-free codec
+    (operators/render.py png_decode). Returns (h, w) grayscale uint8/16
+    or (h, w, 4) RGBA uint8."""
+    from spdb_spark.operators.render import png_decode
+
+    return png_decode(payload)
+
+
+def _image_frame_features(img: np.ndarray, n_frames: int, dim: int) -> np.ndarray:
+    """Pixel-exact features from a decoded image: channels averaged to
+    grayscale, the image split into `n_frames` horizontal bands (the
+    image analogue of frame sampling), and per band the means of `dim`
+    equal column slices, normalized by the dtype max. Deterministic and
+    reproducible with plain numpy in tests."""
+    gray = img.astype(np.float64).mean(axis=2) if img.ndim == 3 else img.astype(np.float64)
+    maxv = 65535.0 if img.dtype == np.uint16 else 255.0
+    out = np.zeros((n_frames, dim), dtype=np.float32)
+    for f, band in enumerate(np.array_split(gray, n_frames, axis=0)):
+        if band.size == 0:
+            continue
+        for d, sl in enumerate(np.array_split(band, dim, axis=1)):
+            if sl.size:
+                out[f, d] = sl.mean() / maxv
+    return out
+
+
+def decode_features(payload: bytes, n_frames: int, dim: int) -> np.ndarray:
+    """Dispatch: PNG payloads get the real decode + pixel-exact features;
+    anything else (audio/video codecs, synthetic fixtures) the stub."""
+    if payload[:8] == _PNG_SIG:
+        return _image_frame_features(decode_image(payload), n_frames, dim)
+    return _fake_decode(payload, n_frames, dim)
 
 
 RESIZE_SCHEMA = StructType(
@@ -77,32 +120,48 @@ RESIZE_SCHEMA = StructType(
         StructField("media_id", LongType(), False),
         StructField("width", IntegerType(), False),
         StructField("height", IntegerType(), False),
-        StructField("payload", StringType(), False),  # placeholder: hex digest of resized bytes
+        StructField("payload", BinaryType(), False),
         StructField("status", StringType(), False),
     ]
 )
 
 
-def resize_images(media: DataFrame, width: int = 224, height: int = 224) -> DataFrame:
-    """Resize kernel plumbing (mapInPandas, Arrow-batched). STUB decode:
-    emits a deterministic digest standing in for the resized payload —
-    replace `_fake_resize` with PIL `Image.resize` in production; schema,
-    batching, and error handling are the real thing."""
+def resize_image_array(img: np.ndarray, width: int, height: int) -> np.ndarray:
+    """Nearest-neighbor resize of a decoded image (gray or RGBA)."""
+    h, w = img.shape[:2]
+    ri = (np.arange(height) * h // height).clip(0, h - 1)
+    ci = (np.arange(width) * w // width).clip(0, w - 1)
+    return img[ri][:, ci]
 
-    def _fake_resize(payload: bytes, w: int, h: int) -> str:
-        return hashlib.md5(payload + f":{w}x{h}".encode()).hexdigest()
+
+def resize_images(media: DataFrame, width: int = 224, height: int = 224) -> DataFrame:
+    """Resize kernel (mapInPandas, Arrow-batched). PNG payloads are REALLY
+    resized (decode -> nearest-neighbor -> re-encode via the in-repo
+    codec); non-PNG payloads fall back to a deterministic digest standing
+    in for the resized bytes (replace with PIL/pyav in production).
+    Schema, batching, and error handling are the real thing either way."""
+
+    def _fake_resize(payload: bytes, w: int, h: int) -> bytes:
+        return hashlib.md5(payload + f":{w}x{h}".encode()).hexdigest().encode()
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from spdb_spark.operators.render import png_encode
+
         for pdf in batches:
             out = []
             for row in pdf.itertuples(index=False):
                 try:
-                    out.append(
-                        (int(row.media_id), width, height,
-                         _fake_resize(bytes(row.payload), width, height), "ok")
-                    )
+                    payload = bytes(row.payload)
+                    if payload[:8] == _PNG_SIG:
+                        resized = resize_image_array(
+                            decode_image(payload), width, height
+                        )
+                        blob = png_encode(resized)
+                    else:
+                        blob = _fake_resize(payload, width, height)
+                    out.append((int(row.media_id), width, height, blob, "ok"))
                 except Exception as e:
-                    out.append((int(row.media_id), width, height, "", f"error: {e}"))
+                    out.append((int(row.media_id), width, height, b"", f"error: {e}"))
             yield pd.DataFrame(
                 out, columns=["media_id", "width", "height", "payload", "status"]
             )
@@ -116,15 +175,16 @@ def extract_frame_features(
     """Frame-sample + featurize each payload via mapInPandas (Arrow batches;
     one Python invocation per batch of media rows, numpy per row).
 
-    Deterministic stub decode — see `_fake_decode`. Output one row per
-    (media_id, frame_idx)."""
+    PNG payloads get the real decode + pixel-exact band features
+    (`decode_features`); other payloads the deterministic stub. Output one
+    row per (media_id, frame_idx)."""
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = []
             for row in pdf.itertuples(index=False):
                 try:
-                    feats = _fake_decode(bytes(row.payload), n_frames, dim)
+                    feats = decode_features(bytes(row.payload), n_frames, dim)
                     for i in range(n_frames):
                         out.append(
                             (int(row.media_id), i, feats[i].tolist(), "ok")
