@@ -46,3 +46,17 @@ VOXEL_SCHEMA = StructType(
 
 VOXEL_KEY = ("lookup_key", "resolution", "t", "x", "y", "z")
 CUBOID_KEY = ("lookup_key", "resolution", "t", "morton")
+
+# Materialized id index: which annotation ids appear in which cuboid
+# (reference: the DynamoDB id-set attributes, object_indices.py:625-769).
+# pgroup rides along so the index shares the data table's partitioning and
+# prunes with it.
+ID_INDEX_SCHEMA = StructType(
+    [
+        StructField("lookup_key", StringType(), False),
+        StructField("resolution", IntegerType(), False),
+        StructField("pgroup", IntegerType(), False),
+        StructField("morton", LongType(), False),
+        StructField("id", LongType(), False),
+    ]
+)

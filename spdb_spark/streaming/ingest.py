@@ -247,15 +247,23 @@ class TransactionalVoxelIngest(StreamingVoxelIngest):
         lk, res, pg = s.rsplit("|", 2)
         return (lk, int(res), int(pg))
 
-    def _manifest(self, version: int) -> dict[str, str]:
-        """partition-key string -> data dir name owning it, at `version`."""
+    def _manifest_full(self, version: int) -> dict:
         import json
         import os
 
         with open(os.path.join(self._log_dir, f"{version}.json")) as f:
-            return json.load(f)["partitions"]
+            return json.load(f)
 
-    def _read_manifest(self, partitions: dict[str, str], keys=None) -> DataFrame:
+    def _manifest(self, version: int) -> dict[str, str]:
+        """partition-key string -> data dir name owning it, at `version`."""
+        return self._manifest_full(version)["partitions"]
+
+    def _index_manifest(self, version: int) -> dict[str, str]:
+        """partition-key string -> id-index dir name owning it (empty for
+        manifests written before index maintenance existed)."""
+        return self._manifest_full(version).get("index_partitions", {})
+
+    def _read_manifest(self, partitions: dict[str, str], keys=None, schema=None) -> DataFrame:
         """Union the referenced version dirs, each pruned to the
         partitions it owns (restricted further to `keys` if given)."""
         import os
@@ -263,6 +271,7 @@ class TransactionalVoxelIngest(StreamingVoxelIngest):
 
         from spdb_spark.schema import VOXEL_SCHEMA
 
+        schema = schema or VOXEL_SCHEMA
         wanted = {
             k: d
             for k, d in partitions.items()
@@ -283,23 +292,40 @@ class TransactionalVoxelIngest(StreamingVoxelIngest):
                     for lk, res, pg in owned
                 ],
             )
-            parts.append(df.where(cond).select(*VOXEL_SCHEMA.fieldNames()))
+            parts.append(df.where(cond).select(*schema.fieldNames()))
         if not parts:
-            return self.spark.createDataFrame([], VOXEL_SCHEMA)
+            return self.spark.createDataFrame([], schema)
         return reduce(lambda a, b: a.unionByName(b), parts)
 
-    def read_state(self, version: int | None = None) -> DataFrame:
-        from spdb_spark.schema import VOXEL_SCHEMA
-
+    def _resolve_version(self, version: int | None) -> int | None:
         committed = self._committed()
         if version is not None:
             if version not in committed:
                 raise ValueError(f"version {version} not committed: {committed}")
-        elif committed:
-            version = committed[-1]
-        else:
+            return version
+        return committed[-1] if committed else None
+
+    def read_state(self, version: int | None = None) -> DataFrame:
+        from spdb_spark.schema import VOXEL_SCHEMA
+
+        version = self._resolve_version(version)
+        if version is None:
             return self.spark.createDataFrame([], VOXEL_SCHEMA)
         return self._read_manifest(self._manifest(version))
+
+    def read_id_index(self, version: int | None = None) -> DataFrame:
+        """The maintained (cuboid morton -> annotation id) index at
+        `version` — kept in lockstep with the data by process_batch
+        (reference updates its id index on every cuboid write,
+        object_indices.py:730-769); never recomputed from the full table."""
+        from spdb_spark.schema import ID_INDEX_SCHEMA
+
+        version = self._resolve_version(version)
+        if version is None:
+            return self.spark.createDataFrame([], ID_INDEX_SCHEMA)
+        return self._read_manifest(
+            self._index_manifest(version), schema=ID_INDEX_SCHEMA
+        )
 
     def process_batch(self, batch: DataFrame, batch_id: int) -> None:
         import json
@@ -312,6 +338,7 @@ class TransactionalVoxelIngest(StreamingVoxelIngest):
         if batch_id in committed:
             return  # redelivered batch: already durable, skip
         prev = self._manifest(committed[-1]) if committed else {}
+        prev_idx = self._index_manifest(committed[-1]) if committed else {}
         touched = {
             (r.lookup_key, int(r.resolution), int(r.pgroup))
             for r in batch.withColumn("pgroup", _pgroup_col())
@@ -320,6 +347,7 @@ class TransactionalVoxelIngest(StreamingVoxelIngest):
             .collect()
         }
         new_parts = dict(prev)
+        new_idx = dict(prev_idx)
         if touched:
             merged = merge_batch(self._read_manifest(prev, keys=touched), batch)
             dir_name = f"data_v{batch_id}"
@@ -331,16 +359,59 @@ class TransactionalVoxelIngest(StreamingVoxelIngest):
                 .parquet(self._data_dir(batch_id))
             )
             staged = set(_list_partition_dirs(self._data_dir(batch_id)))
+            # Incremental id-index maintenance (reference posture: the id
+            # index updates on every cuboid write, object_indices.py:730-769).
+            # Rebuilt from the just-written TOUCHED partitions only — exact
+            # under overwrites/shaves (an append-only index couldn't retract
+            # ids) and O(touched), never O(table).
+            staged_idx: set = set()
+            idx_dir_name = f"index_v{batch_id}"
+            if staged:
+                from spdb_spark.operators.voxel import with_cuboid_coords
+
+                data = self.spark.read.parquet(self._data_dir(batch_id))
+                idx = (
+                    with_cuboid_coords(data)
+                    .where(F.col("value") != 0)
+                    .select(
+                        "lookup_key",
+                        F.col("resolution").cast("int").alias("resolution"),
+                        F.col("pgroup").cast("int").alias("pgroup"),
+                        "morton",
+                        F.col("value").alias("id"),
+                    )
+                    .distinct()
+                )
+                (
+                    idx.sortWithinPartitions("morton", "id")
+                    .write.mode("overwrite")
+                    .partitionBy(*self.PART_COLS)
+                    .parquet(os.path.join(self.table_path, idx_dir_name))
+                )
+                staged_idx = set(
+                    _list_partition_dirs(os.path.join(self.table_path, idx_dir_name))
+                )
             for key in touched:
                 ks = self._key_str(key)
                 if key in staged:
                     new_parts[ks] = dir_name
                 else:
                     new_parts.pop(ks, None)  # merge left the partition empty
+                if key in staged_idx:
+                    new_idx[ks] = idx_dir_name
+                else:
+                    new_idx.pop(ks, None)
         # atomic commit: the manifest rename is the transaction boundary
         fd, tmp = tempfile.mkstemp(dir=self._log_dir, suffix=".tmp")
         with os.fdopen(fd, "w") as f:
-            json.dump({"batch_id": batch_id, "partitions": new_parts}, f)
+            json.dump(
+                {
+                    "batch_id": batch_id,
+                    "partitions": new_parts,
+                    "index_partitions": new_idx,
+                },
+                f,
+            )
         os.rename(tmp, os.path.join(self._log_dir, f"{batch_id}.json"))
         self._version = batch_id
 
@@ -356,8 +427,9 @@ class TransactionalVoxelIngest(StreamingVoxelIngest):
         for bid in drop:
             os.remove(os.path.join(self._log_dir, f"{bid}.json"))
         live = {d for v in keep for d in self._manifest(v).values()}
+        live |= {d for v in keep for d in self._index_manifest(v).values()}
         for name in os.listdir(self.table_path):
-            if name.startswith("data_v") and name not in live:
+            if name.startswith(("data_v", "index_v")) and name not in live:
                 shutil.rmtree(
                     os.path.join(self.table_path, name), ignore_errors=True
                 )

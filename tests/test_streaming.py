@@ -232,3 +232,72 @@ def test_transactional_ingest_streaming_query(spark, tmp_path):
     q = sink.start(stream, str(tmp_path / "txn_ckpt"))
     q.awaitTermination(120)
     assert {(r.x, r.value) for r in sink.read_state().collect()} == {(5, 50)}
+
+
+def test_transactional_ingest_maintains_id_index(spark, tmp_path):
+    """The id index is maintained per micro-batch in lockstep with the data
+    (reference updates its id index on every cuboid write,
+    object_indices.py:730-769): equals the batch recompute from the final
+    state, carries untouched partitions forward by pointer (files never
+    rewritten), and retracts ids that an overwrite removed."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from spdb_spark.operators.voxel import cuboid_id_index
+    from spdb_spark.streaming.ingest import TransactionalVoxelIngest
+
+    table = str(tmp_path / "txnidx")
+    sink = TransactionalVoxelIngest(spark, table)
+
+    far_x = 16 * 512  # lands in pgroup 1; x=1 lands in pgroup 0
+    b1 = vox_rows(
+        spark, [("k", 0, 0, 1, 1, 1, 10, 1), ("k", 0, 0, far_x, 1, 1, 20, 2)]
+    )
+    sink.process_batch(b1, 0)
+
+    idx_pg0 = os.path.join(
+        table, "index_v0", "lookup_key=k", "resolution=0", "pgroup=0"
+    )
+    before = {
+        f: os.stat(os.path.join(idx_pg0, f)).st_mtime_ns
+        for f in os.listdir(idx_pg0)
+        if os.path.isfile(os.path.join(idx_pg0, f))
+    }
+
+    # batch 2 touches only pgroup 1: overwrite id 20 -> 99 at the same voxel
+    b2 = vox_rows(spark, [("k", 0, 0, far_x, 1, 1, 99, 3)])
+    sink.process_batch(b2, 1)
+
+    # untouched partition: index files not rewritten, pointer carried forward
+    after = {
+        f: os.stat(os.path.join(idx_pg0, f)).st_mtime_ns
+        for f in os.listdir(idx_pg0)
+        if os.path.isfile(os.path.join(idx_pg0, f))
+    }
+    assert after == before
+    assert sink._index_manifest(1)["k|0|0"] == "index_v0"
+    assert sink._index_manifest(1)["k|0|1"] == "index_v1"
+
+    # maintained index == recompute-from-state (stream == batch)
+    maintained = {
+        (r.lookup_key, r.resolution, r.morton, r.id)
+        for r in sink.read_id_index().collect()
+    }
+    recomputed = {
+        ("k", 0, r.morton, r.id)
+        for r in cuboid_id_index(sink.read_state()).collect()
+    }
+    assert maintained == recomputed
+    # the overwritten id 20 was retracted, 99 present (append-only couldn't)
+    ids = {r.id for r in sink.read_id_index().collect()}
+    assert ids == {10, 99}
+
+    # time travel resolves the v0 index view
+    ids0 = {r.id for r in sink.read_id_index(version=0).collect()}
+    assert ids0 == {10, 20}
+
+    # vacuum keeps live index dirs
+    sink.vacuum(keep_last=1)
+    assert os.path.isdir(os.path.join(table, "index_v0"))
+    assert {r.id for r in sink.read_id_index().collect()} == {10, 99}
