@@ -76,11 +76,18 @@ class StreamingVoxelIngest:
     in per-partition — untouched partitions are never read or rewritten,
     so per-batch cost is O(batch + touched partitions), not O(table).
     The stage step fully materializes before any table file is deleted,
-    so a mid-publish recompute can never read files being replaced (the
-    same stage-then-publish seam as CuboidStore._commit, store.py).
-    With Delta/Iceberg this whole method is `MERGE INTO`; the streaming
-    topology (readStream -> transform -> writeStream/foreachBatch) is
-    identical either way.
+    and the swap moves the old partition ASIDE (rename into a trash dir
+    outside the table root) before renaming the staged one in, so no step
+    ever deletes the only copy: a crash mid-publish leaves the old data
+    in the trash dir, and the recovery pass at the next batch start (or
+    `recover()`) restores it before merging — the redelivered batch then
+    produces the correct merge. Single writer, and readers should not
+    list the table DURING a publish (a partition is briefly absent
+    mid-swap); for concurrent readers / multi-writer use
+    TransactionalVoxelIngest, whose manifest commit never unpublishes a
+    file. With Delta/Iceberg this whole method is `MERGE INTO`; the
+    streaming topology (readStream -> transform -> writeStream/
+    foreachBatch) is identical either way.
     """
 
     PART_COLS = ("lookup_key", "resolution", "pgroup")
@@ -91,11 +98,13 @@ class StreamingVoxelIngest:
         self._version = 0
 
     def read_state(self) -> DataFrame:
-        import os
-
         from spdb_spark.schema import VOXEL_SCHEMA
+        from spdb_spark.store import _list_partition_dirs
 
-        if not os.path.exists(self.table_path):
+        # guard on partition dirs, not the root: a table whose partitions
+        # were all dropped still has a root dir, and reading it would fail
+        # schema inference
+        if not _list_partition_dirs(self.table_path):
             return self.spark.createDataFrame([], VOXEL_SCHEMA)
         return self.spark.read.parquet(self.table_path).select(
             *VOXEL_SCHEMA.fieldNames()
@@ -105,11 +114,10 @@ class StreamingVoxelIngest:
         """State rows from exactly the given (lookup_key, resolution,
         pgroup) partitions — pruned at file-listing time by the filters on
         the Hive partition columns."""
-        import os
-
         from spdb_spark.schema import VOXEL_SCHEMA
+        from spdb_spark.store import _list_partition_dirs
 
-        if not os.path.exists(self.table_path) or not keys:
+        if not keys or not _list_partition_dirs(self.table_path):
             return self.spark.createDataFrame([], VOXEL_SCHEMA)
         df = self.spark.read.parquet(self.table_path)
         # exact OR-of-conjunctions, not a per-column isin cross product —
@@ -128,6 +136,44 @@ class StreamingVoxelIngest:
         )
         return df.where(cond).select(*VOXEL_SCHEMA.fieldNames())
 
+    def recover(self) -> None:
+        """Restore partitions from any interrupted publish. A trash entry
+        whose table leaf is missing means the crash hit between the
+        move-aside and the swap — the trash copy is the only one; put it
+        back. A trash entry whose leaf exists means the swap completed —
+        the trash copy is the superseded version; drop it."""
+        import glob
+        import os
+        import shutil
+
+        from spdb_spark.store import _list_partition_dirs
+
+        for trash_root in glob.glob(f"{self.table_path}.trash-*"):
+            table_dirs = _list_partition_dirs(self.table_path)
+            for key, src in _list_partition_dirs(trash_root).items():
+                if key not in table_dirs:
+                    dest = os.path.join(
+                        self.table_path, os.path.relpath(src, trash_root)
+                    )
+                    os.makedirs(os.path.dirname(dest), exist_ok=True)
+                    os.rename(src, dest)
+            shutil.rmtree(trash_root, ignore_errors=True)
+
+    def _prune_empty_parents(self, leaf_dir: str) -> None:
+        """Remove now-empty lookup_key=/resolution= parents after a leaf
+        drop, so an emptied table doesn't accumulate husk directories
+        (and rmdir never touches a non-empty dir, so this is safe)."""
+        import os
+
+        p = os.path.dirname(leaf_dir)
+        root = os.path.abspath(self.table_path)
+        while os.path.abspath(p) != root:
+            try:
+                os.rmdir(p)
+            except OSError:
+                break
+            p = os.path.dirname(p)
+
     def process_batch(self, batch: DataFrame, batch_id: int) -> None:
         import os
         import shutil
@@ -135,6 +181,7 @@ class StreamingVoxelIngest:
 
         from spdb_spark.store import _list_partition_dirs
 
+        self.recover()
         touched = [
             (r.lookup_key, int(r.resolution), int(r.pgroup))
             for r in batch.withColumn("pgroup", _pgroup_col())
@@ -148,7 +195,9 @@ class StreamingVoxelIngest:
         merged = merge_batch(self._read_partitions(touched), batch)
         merged = merged.withColumn("pgroup", _pgroup_col())
 
-        stage_dir = f"{self.table_path}.stage-{uuid.uuid4().hex[:12]}"
+        token = uuid.uuid4().hex[:12]
+        stage_dir = f"{self.table_path}.stage-{token}"
+        trash_dir = f"{self.table_path}.trash-{token}"
         try:
             (
                 merged.sortWithinPartitions("t", "z", "y", "x")
@@ -158,22 +207,34 @@ class StreamingVoxelIngest:
             )
             staged = _list_partition_dirs(stage_dir)
             table_dirs = _list_partition_dirs(self.table_path)
+
+            def _move_aside(dest: str) -> None:
+                # rename (never delete) the current copy: until the batch
+                # fully publishes, every partition version stays on disk
+                aside = os.path.join(
+                    trash_dir, os.path.relpath(dest, self.table_path)
+                )
+                os.makedirs(os.path.dirname(aside), exist_ok=True)
+                os.rename(dest, aside)
+
             for key in touched:
                 src = staged.get(key)
                 dest = table_dirs.get(key)
                 if src is None:
                     # merge left no rows in a touched partition: drop it
                     if dest is not None:
-                        shutil.rmtree(dest, ignore_errors=True)
+                        _move_aside(dest)
+                        self._prune_empty_parents(dest)
                     continue
                 if dest is None:
                     dest = os.path.join(
                         self.table_path, os.path.relpath(src, stage_dir)
                     )
-                if os.path.isdir(dest):
-                    shutil.rmtree(dest)
+                elif os.path.isdir(dest):
+                    _move_aside(dest)
                 os.makedirs(os.path.dirname(dest), exist_ok=True)
                 os.rename(src, dest)
+            shutil.rmtree(trash_dir, ignore_errors=True)
         finally:
             shutil.rmtree(stage_dir, ignore_errors=True)
         self._version += 1

@@ -301,3 +301,73 @@ def test_transactional_ingest_maintains_id_index(spark, tmp_path):
     sink.vacuum(keep_last=1)
     assert os.path.isdir(os.path.join(table, "index_v0"))
     assert {r.id for r in sink.read_id_index().collect()} == {10, 99}
+
+
+def test_streaming_ingest_crash_mid_publish_loses_nothing(spark, tmp_path, monkeypatch):
+    """Kill the publish between the move-aside and the swap: the old
+    partition data survives in the trash dir, and the redelivered batch
+    (recovery pass + re-merge) converges to the correct state."""
+    import glob
+    import os
+
+    table = str(tmp_path / "crashy")
+    sink = StreamingVoxelIngest(spark, table)
+    b1 = vox_rows(spark, [("k", 0, 0, 1, 1, 1, 10, 1)])
+    sink.process_batch(b1, 0)
+
+    b2 = vox_rows(spark, [("k", 0, 0, 2, 2, 2, 20, 2)])
+    real_rename = os.rename
+    calls = {"n": 0}
+
+    def crashing_rename(src, dst):
+        # call 1 = move-aside (old partition -> trash); call 2 = swap
+        # (staged -> table). Crash exactly between them.
+        calls["n"] += 1
+        if calls["n"] == 2:
+            raise OSError("simulated crash between move-aside and swap")
+        return real_rename(src, dst)
+
+    monkeypatch.setattr(os, "rename", crashing_rename)
+    with pytest.raises(OSError, match="simulated crash"):
+        sink.process_batch(b2, 1)
+    monkeypatch.setattr(os, "rename", real_rename)
+
+    # the partition is absent from the table mid-crash, but its data was
+    # MOVED, not deleted: the only copy lives in the trash dir
+    trash = glob.glob(table + ".trash-*")
+    assert trash, "move-aside dir must survive the crash"
+    trashed = [
+        os.path.join(dp, f)
+        for t in trash
+        for dp, _, fs in os.walk(t)
+        for f in fs
+        if f.endswith(".parquet")
+    ]
+    assert trashed, "old partition files must survive in the trash dir"
+
+    # redelivery (same batch) recovers the trash and re-merges correctly
+    sink.process_batch(b2, 1)
+    assert not glob.glob(table + ".trash-*")
+    state = {(r.x, r.value) for r in sink.read_state().collect()}
+    assert state == {(1, 10), (2, 20)}
+
+
+def test_streaming_ingest_empty_table_reads(spark, tmp_path):
+    """A table whose partitions were all dropped still reads as empty
+    (root dir exists but holds no partition dirs — plain
+    spark.read.parquet would fail schema inference)."""
+    import os
+    import shutil
+
+    table = str(tmp_path / "emptied")
+    sink = StreamingVoxelIngest(spark, table)
+    sink.process_batch(vox_rows(spark, [("k", 0, 0, 1, 1, 1, 5, 1)]), 0)
+    # drop every partition the way the publish drop path does
+    for name in os.listdir(table):
+        shutil.rmtree(os.path.join(table, name))
+    assert os.path.isdir(table)
+    assert sink.read_state().count() == 0
+    assert sink._read_partitions([("k", 0, 0)]).count() == 0
+    # and ingest into the emptied table works
+    sink.process_batch(vox_rows(spark, [("k", 0, 0, 9, 9, 9, 7, 2)]), 1)
+    assert {(r.x, r.value) for r in sink.read_state().collect()} == {(9, 7)}
