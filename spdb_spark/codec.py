@@ -106,7 +106,7 @@ def make_voxels_to_blocks(dtype: str):
     np_dtype = np.dtype(dtype)
     cx, cy, cz = CUBOID_SIZE
 
-    def kernel(key, pdf: pd.DataFrame) -> pd.DataFrame:
+    def kernel(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
         lookup_key, resolution, t, x_idx, y_idx, z_idx = key
         arr = np.zeros((cz, cy, cx), dtype=np_dtype)
         lx = pdf["x"].to_numpy() - x_idx * cx

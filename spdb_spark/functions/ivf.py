@@ -11,11 +11,20 @@ corpus. All stages are DataFrame ops; the centroid table broadcasts.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from spdb_spark.functions.hashing import md5_long
 from spdb_spark.functions.similarity import _as_double, cosine_prenormed, norm
+
+
+def auto_k(n_rows: int) -> int:
+    """Quantizer-size policy for a corpus of n_rows vectors: k = max(16,
+    n/32) keeps expected bucket size ~32*n_probe regardless of scale. A
+    pure function of a number the caller already has (catalog stats, a
+    manifest count) so plan construction never runs a counting job."""
+    return max(16, n_rows // 32)
 
 
 def choose_centroids(corpus: DataFrame, id_col: str, vec_col: str, k: int) -> DataFrame:
@@ -209,6 +218,8 @@ def semantic_dedup_pairs(
     k: int | None = None,
     n_probe: int = 3,
     kernel: str = "fold",
+    n_rows: int | None = None,
+    gemm_block_rows: int = 8192,
 ) -> DataFrame:
     """Semantic (embedding-space) near-dup pairs at scale, SemDeDup-style:
     bucket vectors into the `n_probe` nearest coarse-quantizer lists, score
@@ -221,12 +232,18 @@ def semantic_dedup_pairs(
     (candidates re-scored with the same bit-reproducible cosine); recall
     misses only pairs whose members share no probed bucket.
 
-    `k=None` auto-scales the quantizer with the corpus (k = max(16,
-    n/32)): bucket size stays bounded as n grows, and at the thresholds
-    this operator is designed for (tau >= ~0.9 — true near-duplicates,
-    nearly coincident in embedding space, which co-bucket under any
-    reasonable quantizer) a fixed small n_probe holds recall, so
-    candidate pairs grow LINEARLY in n (n^2*p^2/2k with k ~ n).
+    `k=None` auto-scales the quantizer with the corpus (k = auto_k(n) =
+    max(16, n/32)): bucket size stays bounded as n grows, and at the
+    thresholds this operator is designed for (tau >= ~0.9 — true
+    near-duplicates, nearly coincident in embedding space, which
+    co-bucket under any reasonable quantizer) a fixed small n_probe
+    holds recall, so candidate pairs grow LINEARLY in n (n^2*p^2/2k
+    with k ~ n). Auto-k needs the corpus size from the CALLER
+    (`n_rows`) — catalog statistics, a manifest row count, or an
+    already-paid count — because running `corpus.count()` here would
+    fire a full-scan job at DataFrame-BUILD time, before any action:
+    at 100 TB that is an extra pass over the corpus just to plan.
+    Pass `k` or `n_rows`; building the plan launches no job.
 
     Loose-tau caveat, measured on the synthetic fixtures at tau=0.45
     (the gate threshold; its "pairs" are merely the far tail of a random
@@ -238,25 +255,35 @@ def semantic_dedup_pairs(
     k, or the multi-table hyperplane LSH in functions/similarity.py.
     Returns (id_a, id_b, cos_sim), id_a < id_b, deduplicated."""
     if k is None:
-        k = max(16, corpus.count() // 32)
+        if n_rows is None:
+            raise ValueError(
+                "semantic_dedup_pairs: pass k or n_rows — auto-k needs the "
+                "corpus size, and counting it here would run a full-scan "
+                "job at plan-build time (use auto_k(n_rows) for the policy)"
+            )
+        k = auto_k(n_rows)
     cents = choose_centroids(corpus, id_col, vec_col, k)
     lists = assign_lists(corpus, cents, id_col, vec_col, n_probe=n_probe)
     if kernel == "arrow":
         # Bucket-local all-pairs via applyInPandas: each task receives ONE
         # bucket's vectors (bounded by the quantizer: ~32*n_probe rows
-        # under auto-k) and scores the whole pair matrix as a single
-        # numpy GEMM. Arrow moves the LISTS (n*n_probe vectors), not the
-        # candidate pairs — at 1M+ candidates the pairwise form shipped
-        # ~1000x more bytes, and the Catalyst fold scored them at
-        # ~10us/pair. Rounding is HALF_UP replicated sign-aware (numpy's
-        # default is banker's); GEMM summation order differs from the
-        # fold by a ulp, absorbed by the 6-dp rounding (precision tests
-        # still compare equal to the fold-scored all-pairs baseline).
+        # under auto-k) and scores the pair matrix as numpy GEMM. Arrow
+        # moves the LISTS (n*n_probe vectors), not the candidate pairs —
+        # at 1M+ candidates the pairwise form shipped ~1000x more bytes,
+        # and the Catalyst fold scored them at ~10us/pair. The GEMM runs
+        # in ROW BLOCKS of the bucket (block x remaining-suffix strips,
+        # upper triangle only): peak task memory is O(block * bucket)
+        # doubles, not O(bucket^2), so a fat bucket — fixed small k, a
+        # skewed quantizer cell — degrades to more strips, never to an
+        # allocation quadratic in bucket size. Rounding is HALF_UP
+        # replicated sign-aware (numpy's default is banker's); GEMM
+        # summation order differs from the fold by a ulp, absorbed by
+        # the 6-dp rounding (precision tests still compare equal to the
+        # fold-scored all-pairs baseline).
         id_t = lists.schema["vid"].dataType.simpleString()
 
-        def _bucket_pairs(pdf):
+        def _bucket_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
             import numpy as np
-            import pandas as pd
 
             n_rows = len(pdf)
             if n_rows < 2:
@@ -267,22 +294,35 @@ def semantic_dedup_pairs(
             ids = pdf["vid"].to_numpy()
             V = np.stack(pdf["v"].to_numpy())
             nrm = np.sqrt(np.einsum("ij,ij->i", V, V))
-            S = (V @ V.T) / np.outer(nrm, nrm)
-            iu, ju = np.triu_indices(n_rows, 1)
-            sim = S[iu, ju]
-            sim = np.sign(sim) * np.floor(np.abs(sim) * 1e6 + 0.5) / 1e6
-            keep = sim >= tau
-            ia, jb = ids[iu[keep]], ids[ju[keep]]
-            return pd.DataFrame(
-                {
-                    "id_a": np.minimum(ia, jb),
-                    "id_b": np.maximum(ia, jb),
-                    "cos_sim": sim[keep],
-                }
-            )
+            # ~8k rows/strip: strip memory <= block * bucket * 8 bytes
+            block = gemm_block_rows
+            outs = []
+            for lo in range(0, n_rows - 1, block):
+                hi = min(lo + block, n_rows)
+                # strip vs its suffix; dot-then-divide keeps the exact
+                # arithmetic of the unblocked form (bitwise-equal scores)
+                S = (V[lo:hi] @ V[lo:].T) / np.outer(nrm[lo:hi], nrm[lo:])
+                iu, ju = np.nonzero(
+                    np.arange(n_rows - lo)[None, :] > np.arange(hi - lo)[:, None]
+                )
+                sim = S[iu, ju]
+                sim = np.sign(sim) * np.floor(np.abs(sim) * 1e6 + 0.5) / 1e6
+                keep = sim >= tau
+                ia = ids[lo:][iu[keep]]
+                jb = ids[lo:][ju[keep]]
+                outs.append(
+                    pd.DataFrame(
+                        {
+                            "id_a": np.minimum(ia, jb),
+                            "id_b": np.maximum(ia, jb),
+                            "cos_sim": sim[keep],
+                        }
+                    )
+                )
+            return pd.concat(outs, ignore_index=True)
 
         scored = lists.groupBy("centroid_id").applyInPandas(
-            lambda pdf: _bucket_pairs(pdf),
+            _bucket_pairs,
             f"id_a {id_t}, id_b {id_t}, cos_sim double",
         )
         return scored.dropDuplicates(["id_a", "id_b"])

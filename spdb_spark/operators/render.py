@@ -10,6 +10,7 @@ deterministically from the portable hash instead of copying the table."""
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -109,9 +110,7 @@ def tile_payloads(
     export is embarrassingly parallel and driver memory stays flat."""
     ts = tile_size
 
-    def _pack(pdf):
-        import pandas as pd
-
+    def _pack(pdf: pd.DataFrame) -> pd.DataFrame:
         out = []
         for (ty, tx), g in pdf.groupby(["tile_y", "tile_x"]):
             arr = np.zeros(ts * ts, dtype=np.dtype(dtype).newbyteorder("<"))
@@ -326,9 +325,7 @@ def tile_pngs(
     grayscale at the channel datatype."""
     ts = tile_size
 
-    def _render(pdf):
-        import pandas as pd
-
+    def _render(pdf: pd.DataFrame) -> pd.DataFrame:
         out = []
         for (ty, tx), g in pdf.groupby(["tile_y", "tile_x"]):
             if anno:

@@ -41,7 +41,7 @@ STATE_SCHEMA = StructType(
 
 
 def _update_sessions(
-    key, pdfs: Iterator[pd.DataFrame], state: GroupState
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
 ) -> Iterator[pd.DataFrame]:
     """State update: extend the open session or close it and start a new one
     when the gap exceeds SESSION_GAP_MS. Emits closed sessions."""

@@ -207,7 +207,7 @@ class TestSemanticDedup:
         got = {
             (r.id_a, r.id_b): r.cos_sim
             for r in semantic_dedup_pairs(
-                embs, "vec_id", "embedding", tau=_COS_TAU
+                embs, "vec_id", "embedding", tau=_COS_TAU, n_rows=embs.count()
             ).collect()
         }
         # precision 1.0: every bucketed pair is re-scored exactly, so it
@@ -233,3 +233,67 @@ class TestSemanticDedup:
         }
         assert got <= exact  # precision 1.0
         assert len(got) / len(exact) >= 0.8  # measured 0.847 (k=16, p=3)
+
+    def test_plan_build_launches_no_job(self, spark):
+        """Constructing the semantic-dedup plan must not run a Spark job
+        (the old auto-k path fired a full corpus.count() at build time —
+        an extra 100 TB scan before any action). Tagged job group: any
+        job launched during build would land in it."""
+        from spdb_spark.session import load_tables
+        from spdb_spark.functions.ivf import auto_k, semantic_dedup_pairs
+
+        embs = load_tables(spark, "/root/testdata/sf0.001", names=("embeddings",))[
+            "embeddings"
+        ]
+        sc = spark.sparkContext
+        sc.setJobGroup("semantic-dedup-build", "plan construction only")
+        try:
+            df = semantic_dedup_pairs(
+                embs, "vec_id", "embedding", tau=0.9, n_rows=1024
+            )
+            df_arrow = semantic_dedup_pairs(
+                embs, "vec_id", "embedding", tau=0.9, k=auto_k(1024),
+                kernel="arrow",
+            )
+        finally:
+            sc.setJobGroup("", "")
+        tracker = sc.statusTracker()
+        assert tracker.getJobIdsForGroup("semantic-dedup-build") == []
+        assert df.schema.fieldNames() == ["id_a", "id_b", "cos_sim"]
+        assert df_arrow.schema.fieldNames() == ["id_a", "id_b", "cos_sim"]
+
+    def test_blocked_gemm_equals_fold_scores(self, spark):
+        """The Arrow kernel's row-block strips (bounded task memory) must
+        produce byte-identical pairs+scores to the Catalyst fold: force
+        multi-strip execution with a tiny block so every strip boundary
+        is exercised (sf0.001 buckets would otherwise fit one strip)."""
+        from spdb_spark.session import load_tables
+        from spdb_spark.functions.ivf import semantic_dedup_pairs
+
+        embs = load_tables(spark, "/root/testdata/sf0.001", names=("embeddings",))[
+            "embeddings"
+        ]
+        fold = {
+            (r.id_a, r.id_b): r.cos_sim
+            for r in semantic_dedup_pairs(
+                embs, "vec_id", "embedding", tau=0.45, k=8
+            ).collect()
+        }
+        blocked = {
+            (r.id_a, r.id_b): r.cos_sim
+            for r in semantic_dedup_pairs(
+                embs, "vec_id", "embedding", tau=0.45, k=8,
+                kernel="arrow", gemm_block_rows=7,
+            ).collect()
+        }
+        assert blocked == fold
+
+    def test_auto_k_requires_caller_count(self, spark):
+        from spdb_spark.session import load_tables
+        from spdb_spark.functions.ivf import semantic_dedup_pairs
+
+        embs = load_tables(spark, "/root/testdata/sf0.001", names=("embeddings",))[
+            "embeddings"
+        ]
+        with pytest.raises(ValueError, match="pass k or n_rows"):
+            semantic_dedup_pairs(embs, "vec_id", "embedding")
