@@ -3,12 +3,15 @@ with typed metadata, processed by Arrow-batched kernels.
 
 Image decode is REAL: PNG payloads (signature-detected) decode through the
 repo's dependency-free codec (operators/render.py png_decode — gray8/16 +
-RGBA) and produce pixel-exact features / real resizes. Audio/video decode
-is STUBBED with a deterministic fake (the container has no media libs;
-clearly marked), as are non-PNG payloads such as the synthetic text
-fixtures — swap `_fake_decode` for librosa/pyav in production. Everything
-Spark-cares-about — schema, binary payload handling, partitioning,
-mapInPandas batch shape, UDF signatures — is real and tested either way.
+RGBA) and produce pixel-exact features / real resizes. Audio decode is
+REAL: RIFF/WAVE PCM payloads decode through functions/audio.py (pure
+numpy + struct) into sample-exact RMS/zero-crossing/spectral-band frame
+features. Video decode is STUBBED with a deterministic fake (no practical
+pure-Python video codec; clearly marked), as are payloads in codecs the
+container can't parse (mp3/jpeg/synthetic text fixtures) — swap
+`_fake_decode` for pyav in production. Everything Spark-cares-about —
+schema, binary payload handling, partitioning, mapInPandas batch shape,
+UDF signatures — is real and tested either way.
 """
 
 from __future__ import annotations
@@ -108,10 +111,16 @@ def _image_frame_features(img: np.ndarray, n_frames: int, dim: int) -> np.ndarra
 
 
 def decode_features(payload: bytes, n_frames: int, dim: int) -> np.ndarray:
-    """Dispatch: PNG payloads get the real decode + pixel-exact features;
-    anything else (audio/video codecs, synthetic fixtures) the stub."""
+    """Dispatch by payload signature: PNG -> real decode + pixel-exact
+    band features; RIFF/WAVE -> real PCM decode + sample-exact audio
+    features (functions/audio.py); anything else (video codecs,
+    synthetic fixtures) the stub."""
     if payload[:8] == _PNG_SIG:
         return _image_frame_features(decode_image(payload), n_frames, dim)
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+        from spdb_spark.functions.audio import audio_frame_features
+
+        return audio_frame_features(payload, n_frames, dim)
     return _fake_decode(payload, n_frames, dim)
 
 
