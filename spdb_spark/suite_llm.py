@@ -415,11 +415,70 @@ WHERE ROUND(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
 
 
 def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate variant — recall checked against brute force in tests;
-    rows-only for the driver (LSH bucketing is the non-SQL scale path)."""
+    """Approximate top-k via multi-table hyperplane LSH. Fully
+    deterministic (hyperplanes are md5-derived, functions/similarity.py
+    hyperplane()), so the oracle below replays the exact bucketing +
+    re-rank in SQL; recall vs brute force is additionally pinned in
+    tests."""
     embs = _embs(spark, sf_dir)
     queries = embs.where(F.col("vec_id") % 50 == 0)
     return S.lsh_topk(embs, queries, dim=64, k=10, n_planes=8, n_tables=4)
+
+
+def _lsh_sig_sql(vec: str, table: int, n_planes: int = 8, dim: int = 64) -> str:
+    """DuckDB expression for one table's hyperplane signature of `vec` —
+    the same md5-derived plane weights as Spark's lsh_signatures (Python
+    repr round-trips doubles bit-exactly into DuckDB literals), the same
+    sign(dot) bit per plane. list_dot_product folds left-to-right like
+    F.aggregate, so the signs agree."""
+    from spdb_spark.functions.similarity import hyperplane
+
+    terms = []
+    for p in range(n_planes):
+        w = hyperplane(dim, table * n_planes + p)
+        lst = "[" + ", ".join(repr(c) for c in w) + "]"
+        terms.append(
+            f"(CASE WHEN list_dot_product({vec}, {lst}::DOUBLE[]) > 0"
+            f" THEN {1 << p} ELSE 0 END)"
+        )
+    return "(" + " + ".join(terms) + ")"
+
+
+def _lsh_sig_union_sql(src: str, id_alias: str, vec_alias: str, n_tables: int = 4) -> str:
+    """UNION ALL of per-table (id, vec, tbl, sig) rows for `src` — the SQL
+    analogue of exploding lsh_signatures."""
+    parts = [
+        f"SELECT {id_alias}, {vec_alias}, {t} AS tbl,"
+        f" {_lsh_sig_sql(vec_alias, t)} AS sig FROM {src}"
+        for t in range(n_tables)
+    ]
+    return " UNION ALL ".join(parts)
+
+
+SQL_ANN_LSH = f"""
+WITH c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS c_vec FROM embeddings),
+q AS (
+  SELECT vec_id AS query_id, embedding::DOUBLE[] AS q_vec
+  FROM embeddings WHERE vec_id % 50 = 0
+),
+csig AS ({_lsh_sig_union_sql("c", "neighbor_id", "c_vec")}),
+qsig AS ({_lsh_sig_union_sql("q", "query_id", "q_vec")}),
+scored AS (
+  SELECT DISTINCT qsig.query_id, csig.neighbor_id,
+         ROUND(list_dot_product(qsig.q_vec, csig.c_vec)
+               / (sqrt(list_dot_product(qsig.q_vec, qsig.q_vec))
+                  * sqrt(list_dot_product(csig.c_vec, csig.c_vec))), 6) AS cos_sim
+  FROM csig JOIN qsig ON csig.tbl = qsig.tbl AND csig.sig = qsig.sig
+  WHERE csig.neighbor_id <> qsig.query_id
+)
+SELECT * FROM (
+  SELECT query_id, neighbor_id, cos_sim,
+         CAST(ROW_NUMBER() OVER (
+           PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id
+         ) AS BIGINT) AS "rank"
+  FROM scored
+) WHERE "rank" <= 10
+"""
 
 
 def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1186,7 +1245,7 @@ QUERIES = {
     "llm_text_unigram_logprob": (q_text_unigram_logprob, SQL_TEXT_UNIGRAM_LOGPROB),
     "llm_ann_topk": (q_ann_topk, SQL_ANN_TOPK),
     "llm_dedup_embedding": (q_dedup_embedding, SQL_DEDUP_EMBEDDING),
-    "llm_ann_lsh": (q_ann_lsh, None),
+    "llm_ann_lsh": (q_ann_lsh, SQL_ANN_LSH),
     "llm_dedup_clusters": (q_dedup_clusters, SQL_DEDUP_CLUSTERS),
     "llm_dedup_semantic": (q_dedup_semantic, SQL_DEDUP_SEMANTIC),
     "llm_ann_ivf": (q_ann_ivf, SQL_ANN_IVF),
