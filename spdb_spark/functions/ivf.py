@@ -169,13 +169,18 @@ def ivf_topk(
             if train_fraction is not None
             else corpus
         )
-        refined = refine_centroids(train, cents, id_col, vec_col, iters=refine_iters)
-        # Materialize once (k x dim doubles — driver-trivial): the lists and
-        # probes assignments must see the SAME centroids, and groupBy-avg
-        # output is not bit-stable across re-evaluations of the plan.
-        cents = corpus.sparkSession.createDataFrame(
-            refined.collect(), schema="centroid_id int, centroid_vec array<double>"
-        )
+        cents = refine_centroids(train, cents, id_col, vec_col, iters=refine_iters)
+    # Materialize once (k x dim doubles — driver-trivial): cents feeds TWO
+    # broadcast assignments (lists + probes), and as a lazy plan the
+    # TakeOrdered centroid pick would re-scan the corpus for each —
+    # collecting k rows turns that into ONE corpus scan total. Required
+    # anyway after refinement (groupBy-avg output is not bit-stable across
+    # plan re-evaluations, and both assignments must see the SAME
+    # centroids).
+    cents = corpus.sparkSession.createDataFrame(
+        [(int(r.centroid_id), list(r.centroid_vec)) for r in cents.collect()],
+        schema="centroid_id int, centroid_vec array<double>",
+    )
     lists = assign_lists(corpus, cents, id_col, vec_col, n_probe=1).select(
         F.col("vid").alias("neighbor_id"), F.col("v").alias("c_vec"), "centroid_id"
     ).withColumn("_cn", norm(F.col("c_vec")))
