@@ -408,6 +408,36 @@ def save_index(
     )
 
 
+def append_to_index(
+    spark,
+    path: str,
+    new_vectors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Incremental index maintenance: assign a NEW batch to the index's
+    EXISTING centroids and append its list rows — the corpus already in
+    the index is never re-read or re-written (same incremental posture
+    as dedup.incremental_minhash_dedup and the reference's per-write id
+    index updates, object_indices.py:730-769). Cost is O(batch), and
+    the append lands new parquet files inside the centroid_id=...
+    partition dirs, so query-time partition pruning is unchanged.
+
+    Contract: batch ids must be new (an existing vid would appear twice
+    — same caller contract as the incremental dedup probe). Centroids
+    are frozen at save_index time; re-train by rebuilding when drift
+    matters (quantizer quality, not correctness — queries stay exact
+    within probed lists either way)."""
+    cents = spark.read.parquet(path + "/centroids")
+    lists = assign_lists(new_vectors, cents, id_col, vec_col, n_probe=1)
+    (
+        lists.select("vid", "v", "centroid_id")
+        .write.mode("append")
+        .partitionBy("centroid_id")
+        .parquet(path + "/lists")
+    )
+
+
 def ivf_topk_indexed(
     spark,
     path: str,

@@ -85,3 +85,49 @@ def test_persisted_index_matches_inmemory(spark, tmp_path):
 
     plan = got._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters: [centroid_id" in plan or "centroid_id#" in plan
+
+
+def test_append_to_index_equals_rebuild_with_frozen_centroids(spark, tmp_path):
+    """Appending a new batch must leave the lists table exactly equal to
+    assigning old+new against the index's frozen centroids — and queries
+    over the appended index must surface the new vectors."""
+    from pyspark.sql import functions as F
+
+    from spdb_spark.functions.ivf import (
+        append_to_index,
+        assign_lists,
+        ivf_topk_indexed,
+        save_index,
+    )
+    from spdb_spark.session import load_tables
+
+    sf = "/root/testdata/sf0.001"
+    embs = load_tables(spark, sf, names=("embeddings",))["embeddings"]
+    old = embs.where(embs.vec_id % 5 != 0)
+    new = embs.where(embs.vec_id % 5 == 0)
+
+    path = str(tmp_path / "ivf_idx")
+    save_index(old, path, n_centroids=8)
+    append_to_index(spark, path, new)
+
+    cents = spark.read.parquet(path + "/centroids")
+    want = {
+        (r.vid, r.centroid_id)
+        for r in assign_lists(embs, cents, "vec_id", "embedding", n_probe=1)
+        .select("vid", "centroid_id")
+        .collect()
+    }
+    got = {
+        (r.vid, r.centroid_id)
+        for r in spark.read.parquet(path + "/lists")
+        .select("vid", "centroid_id")
+        .collect()
+    }
+    assert got == want
+
+    # a query whose nearest neighbors are appended vectors finds them
+    queries = embs.where(embs.vec_id % 100 == 0)
+    res = ivf_topk_indexed(spark, path, queries, k=5, n_probe=8)
+    neighbors = {r.neighbor_id for r in res.collect()}
+    appended = {r.vec_id for r in new.select("vec_id").collect()}
+    assert neighbors & appended
