@@ -1216,6 +1216,39 @@ def q_approx_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).unionByName(union)
 
 
+def q_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """int8 symmetric embedding quantization (functions/quantize.py) —
+    the 8x storage/shuffle shrink for embedding tables. Output exploded
+    to scalar rows (vec_id, d, q, scale) so the oracle compares exactly;
+    restricted to vec_id % 20 = 0 to bound row count."""
+    from spdb_spark.functions.quantize import quantize_embeddings
+
+    qd = quantize_embeddings(
+        _embs(spark, sf_dir).where(F.col("vec_id") % 20 == 0)
+    )
+    return qd.select(
+        "vec_id",
+        F.round(F.col("scale"), 9).alias("scale"),
+        F.posexplode("qvec").alias("d", "q"),
+    ).select("vec_id", "d", F.col("q").cast("int").alias("q"), "scale")
+
+
+SQL_EMBED_QUANTIZE = """
+WITH base AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v,
+         list_max(list_transform(embedding::DOUBLE[], x -> abs(x))) / 127.0 AS scale
+  FROM embeddings WHERE vec_id % 20 = 0
+)
+SELECT vec_id, CAST(u.d - 1 AS INTEGER) AS d,
+       CAST(CASE WHEN scale = 0 THEN 0
+            ELSE greatest(-127.0, least(127.0,
+                 sign(v[u.d] / scale) * floor(abs(v[u.d] / scale) + 0.5)))
+       END AS INTEGER) AS q,
+       ROUND(scale, 9) AS scale
+FROM base, LATERAL (SELECT unnest(generate_series(1, len(v))) AS d) u
+"""
+
+
 QUERIES = {
     "llm_repetition": (q_repetition, SQL_REPETITION),
     "llm_approx_vocab": (q_approx_vocab, None),
@@ -1250,4 +1283,5 @@ QUERIES = {
     "llm_dedup_semantic": (q_dedup_semantic, SQL_DEDUP_SEMANTIC),
     "llm_ann_ivf": (q_ann_ivf, SQL_ANN_IVF),
     "llm_multimodal_meta": (q_multimodal_meta, SQL_MULTIMODAL_META),
+    "llm_embed_quantize": (q_embed_quantize, SQL_EMBED_QUANTIZE),
 }
