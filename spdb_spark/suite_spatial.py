@@ -336,7 +336,13 @@ GROUP BY t, (x // 2), (y // 2), z
 
 
 def q_spatial_downsample_anno(spark: SparkSession, sf_dir: str) -> DataFrame:
-    v = voxels_df(spark, sf_dir, value_expr=VALUE_ANNO, dedup=True)
+    # dedup=False: the fixture's dedup semantics is MAX per coordinate,
+    # and the corner pivot inside downsample_annotation is itself a
+    # conditional MAX — duplicates of a voxel land in the same corner
+    # slot, so the pivot absorbs the dedup and the pre-aggregation's
+    # shuffle is pure overhead (oracle output identical; the SQL side
+    # keeps the explicit dedup subquery).
+    v = voxels_df(spark, sf_dir, value_expr=VALUE_ANNO, dedup=False)
     return V.downsample_annotation(v, isotropic=False)
 
 
@@ -365,7 +371,8 @@ WHERE value <> 0
 
 
 def q_spatial_downsample_anno_iso(spark: SparkSession, sf_dir: str) -> DataFrame:
-    v = voxels_df(spark, sf_dir, value_expr=VALUE_ANNO, dedup=True)
+    # dedup=False — same MAX-absorption as q_spatial_downsample_anno
+    v = voxels_df(spark, sf_dir, value_expr=VALUE_ANNO, dedup=False)
     return V.downsample_annotation(v, isotropic=True)
 
 

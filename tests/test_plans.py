@@ -58,6 +58,17 @@ def test_downsample_uses_partial_aggregation(voxel_parquet):
     assert "partial_avg" in plan or "partial" in plan
 
 
+def test_anno_downsample_suite_entry_is_single_shuffle(spark):
+    """The conditional-max corner pivot absorbs the fixture's MAX-dedup
+    (duplicates of a voxel land in the same corner slot), so the suite
+    entry must run ONE exchange — a second dedup shuffle would double
+    the full-volume shuffle cost at any scale."""
+    from spdb_spark.suite_spatial import q_spatial_downsample_anno
+
+    plan = plan_of(q_spatial_downsample_anno(spark, "/root/testdata/sf0.001"))
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
 def test_whole_stage_codegen_covers_cutout(voxel_parquet):
     df = V.cutout(voxel_parquet, (0, 0, 0), (512, 512, 16))
     plan = plan_of(df)
