@@ -438,7 +438,10 @@ WHERE v.x >= 0 AND v.x < 256 AND v.y >= 0 AND v.y < 256 AND v.z >= 0 AND v.z < 1
 
 
 def q_spatial_isotropic_build(spark: SparkSession, sf_dir: str) -> DataFrame:
-    v = voxels_df(spark, sf_dir, dedup=True)
+    # dedup=False: isotropic_build's z-pair pivot is a conditional MAX per
+    # (t,x,y,z//2,z%2) slot, which absorbs the fixture's MAX-dedup — same
+    # single-shuffle absorption as the annotation downsample entries.
+    v = voxels_df(spark, sf_dir, dedup=False)
     return V.isotropic_build(v)
 
 
@@ -463,7 +466,7 @@ def q_spatial_isotropic_build_f32(spark: SparkSession, sf_dir: str) -> DataFrame
     non-truncating float average, 0 still means missing. Half-integer
     results are exactly representable, so the double values hash-match
     the oracle."""
-    v = voxels_df(spark, sf_dir, dedup=True)
+    v = voxels_df(spark, sf_dir, dedup=False)  # MAX-pivot absorbs dedup
     return V.isotropic_build(v, float_values=True)
 
 
