@@ -154,3 +154,46 @@ def test_repetition_fractions_bounded(docs):
         assert 0.0 <= r.dup_token_frac < 1.0
         assert 0.0 <= r.dup_ngram_frac < 1.0
         assert r.n_ngrams == max(r.n_tokens - 2, 0)
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    st.sampled_from(["uint8", "int16", "int32"]),
+    st.integers(1, 3),
+    st.integers(0, 500),
+    st.integers(1, 96000),
+    st.integers(0, 2**31),
+)
+def test_wav_roundtrip_random(dtype, ch, n, rate, seed):
+    from spdb_spark.functions.audio import wav_decode, wav_encode
+
+    rng = np.random.default_rng(seed)
+    info_lo, info_hi = (
+        (0, 256) if dtype == "uint8" else
+        (np.iinfo(dtype).min, np.iinfo(dtype).max)
+    )
+    samples = rng.integers(info_lo, info_hi, size=(n, ch)).astype(dtype)
+    arr, got_rate = wav_decode(wav_encode(samples, rate))
+    assert got_rate == rate
+    np.testing.assert_array_equal(arr, samples)
+    assert arr.dtype == samples.dtype
+
+
+@settings(max_examples=20, deadline=None)
+@given(st.lists(st.floats(-1e6, 1e6, allow_nan=False), min_size=1, max_size=32),
+       st.integers(0, 2**31))
+def test_quantization_error_bound_driver_side(vec, seed):
+    """Pure-python replica of the quantize expressions: reconstruction
+    error <= scale/2 and q in [-127, 127], for arbitrary finite floats."""
+    import math
+
+    mx = max(abs(x) for x in vec)
+    scale = mx / 127.0
+    for x in vec:
+        if scale == 0:
+            q = 0.0
+        else:
+            r = x / scale
+            q = max(-127.0, min(127.0, math.copysign(math.floor(abs(r) + 0.5), r) if r != 0 else 0.0))
+        assert -127 <= q <= 127
+        assert abs(x - q * scale) <= scale / 2 + 1e-9 * max(1.0, mx)
