@@ -384,6 +384,7 @@ def save_index(
     vec_col: str = "embedding",
     n_centroids: int = 16,
     refine_iters: int = 0,
+    quantize: bool = False,
 ) -> None:
     """Persist an IVF index: `<path>/centroids` (k rows) and
     `<path>/lists` — the inverted lists written PARTITIONED BY
@@ -391,7 +392,14 @@ def save_index(
     the index files (directory-level partition pruning, no footer reads
     for unprobed lists). This is the index layout that makes IVF the
     100 TB path: build once per corpus snapshot, then every query is a
-    pruned scan + small broadcast join."""
+    pruned scan + small broadcast join.
+
+    `quantize=True` stores the lists as int8 (functions/quantize.py
+    symmetric scheme: array<tinyint> + one double scale per vector) —
+    ~8x smaller index files and shuffles. Query scoring then uses the
+    scale-free int8 cosine (IVF-SQ8): candidate ORDER is approximate
+    within the quantization error; the recall bar vs the float index is
+    test-pinned."""
     cents = choose_centroids(corpus, id_col, vec_col, n_centroids)
     if refine_iters > 0:
         refined = refine_centroids(corpus, cents, id_col, vec_col, iters=refine_iters)
@@ -400,6 +408,20 @@ def save_index(
         )
     cents.write.mode("overwrite").parquet(path + "/centroids")
     lists = assign_lists(corpus, cents, id_col, vec_col, n_probe=1)
+    if quantize:
+        from spdb_spark.functions.quantize import quantize_embeddings
+
+        q = quantize_embeddings(
+            lists.select("vid", "v"), id_col="vid", vec_col="v"
+        ).withColumnRenamed("vec_id", "vid")
+        lists = lists.select("vid", "centroid_id").join(q, "vid")
+        (
+            lists.select("vid", "qvec", "scale", "centroid_id")
+            .write.mode("overwrite")
+            .partitionBy("centroid_id")
+            .parquet(path + "/lists")
+        )
+        return
     (
         lists.select("vid", "v", "centroid_id")
         .write.mode("overwrite")
@@ -430,6 +452,21 @@ def append_to_index(
     within probed lists either way)."""
     cents = spark.read.parquet(path + "/centroids")
     lists = assign_lists(new_vectors, cents, id_col, vec_col, n_probe=1)
+    if "qvec" in spark.read.parquet(path + "/lists").columns:
+        from spdb_spark.functions.quantize import quantize_embeddings
+
+        q = quantize_embeddings(
+            lists.select("vid", "v"), id_col="vid", vec_col="v"
+        ).withColumnRenamed("vec_id", "vid")
+        (
+            lists.select("vid", "centroid_id")
+            .join(q, "vid")
+            .select("vid", "qvec", "scale", "centroid_id")
+            .write.mode("append")
+            .partitionBy("centroid_id")
+            .parquet(path + "/lists")
+        )
+        return
     (
         lists.select("vid", "v", "centroid_id")
         .write.mode("append")
@@ -449,8 +486,11 @@ def ivf_topk_indexed(
 ) -> DataFrame:
     """Query a persisted IVF index. The probed centroid ids become a
     pushed-down partition filter on the lists table — only n_probe/k of
-    the index is read. Results are identical to the in-memory
-    `ivf_topk` built with the same quantizer (pinned in tests)."""
+    the index is read. Over a float index results are identical to the
+    in-memory `ivf_topk` built with the same quantizer (pinned in
+    tests); over an int8 index (save_index(quantize=True), detected by
+    schema) candidates score with the scale-free int8 cosine — 1/8 the
+    bytes read per probe, approximate ordering, recall test-pinned."""
     cents = spark.read.parquet(path + "/centroids")
     probes = assign_lists(
         queries, cents, id_col, vec_col, n_probe=n_probe
@@ -458,14 +498,46 @@ def ivf_topk_indexed(
         F.col("vid").alias("query_id"), F.col("v").alias("q_vec"), "centroid_id"
     ).withColumn("_qn", norm(F.col("q_vec")))
     probe_ids = [r.centroid_id for r in probes.select("centroid_id").distinct().collect()]
-    lists = (
-        spark.read.parquet(path + "/lists")
-        .where(F.col("centroid_id").isin(probe_ids))
-        .select(
-            F.col("vid").alias("neighbor_id"), F.col("v").alias("c_vec"), "centroid_id"
-        )
-        .withColumn("_cn", norm(F.col("c_vec")))
+    raw = spark.read.parquet(path + "/lists").where(
+        F.col("centroid_id").isin(probe_ids)
     )
+    if "qvec" in raw.columns:
+        from spdb_spark.functions.quantize import quantize_embeddings, _int_dot
+
+        qp = quantize_embeddings(
+            probes.select("query_id", "q_vec"), id_col="query_id", vec_col="q_vec"
+        ).select(F.col("vec_id").alias("query_id"), F.col("qvec").alias("q_q"))
+        probes_q = probes.select("query_id", "centroid_id").join(qp, "query_id")
+        lists_q = raw.select(
+            F.col("vid").alias("neighbor_id"), F.col("qvec").alias("c_q"), "centroid_id"
+        )
+        scored = (
+            lists_q.join(F.broadcast(probes_q), "centroid_id")
+            .where(F.col("neighbor_id") != F.col("query_id"))
+            .select(
+                "query_id",
+                "neighbor_id",
+                F.round(
+                    _int_dot(F.col("c_q"), F.col("q_q")).cast("double")
+                    / (
+                        F.sqrt(_int_dot(F.col("c_q"), F.col("c_q")).cast("double"))
+                        * F.sqrt(_int_dot(F.col("q_q"), F.col("q_q")).cast("double"))
+                    ),
+                    6,
+                ).alias("cos_sim"),
+            )
+            .dropDuplicates(["query_id", "neighbor_id"])
+        )
+        w = Window.partitionBy("query_id").orderBy(
+            F.desc("cos_sim"), "neighbor_id"
+        )
+        return (
+            scored.withColumn("rank", F.row_number().over(w).cast("long"))
+            .where(F.col("rank") <= k)
+        )
+    lists = raw.select(
+        F.col("vid").alias("neighbor_id"), F.col("v").alias("c_vec"), "centroid_id"
+    ).withColumn("_cn", norm(F.col("c_vec")))
     scored = (
         lists.join(F.broadcast(probes), "centroid_id")
         .where(F.col("neighbor_id") != F.col("query_id"))

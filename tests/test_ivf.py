@@ -131,3 +131,64 @@ def test_append_to_index_equals_rebuild_with_frozen_centroids(spark, tmp_path):
     neighbors = {r.neighbor_id for r in res.collect()}
     appended = {r.vec_id for r in new.select("vec_id").collect()}
     assert neighbors & appended
+
+
+def test_quantized_index_recall_and_size(spark, tmp_path):
+    """IVF-SQ8: the int8 index must be a fraction of the float index's
+    size, query through the same partition-pruned path, and keep recall
+    vs the float-index results."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from spdb_spark.functions.ivf import ivf_topk_indexed, save_index
+    from spdb_spark.session import load_tables
+
+    sf = "/root/testdata/sf0.001"
+    embs = load_tables(spark, sf, names=("embeddings",))["embeddings"]
+    queries = embs.where(embs.vec_id % 37 == 0)
+
+    fpath, qpath = str(tmp_path / "f_idx"), str(tmp_path / "q_idx")
+    save_index(embs, fpath, n_centroids=8)
+    save_index(embs, qpath, n_centroids=8, quantize=True)
+
+    def lists_bytes(p):
+        total = 0
+        for root, _dirs, files in os.walk(p + "/lists"):
+            total += sum(
+                os.path.getsize(os.path.join(root, f))
+                for f in files
+                if f.endswith(".parquet")
+            )
+        return total
+
+    assert lists_bytes(qpath) < lists_bytes(fpath) / 3
+
+    exact = ivf_topk_indexed(spark, fpath, queries, k=5, n_probe=2)
+    approx = ivf_topk_indexed(spark, qpath, queries, k=5, n_probe=2)
+    ex = {(r.query_id, r.neighbor_id) for r in exact.collect()}
+    ap = {(r.query_id, r.neighbor_id) for r in approx.collect()}
+    assert len(ap & ex) / len(ex) >= 0.9  # int8 ordering error only
+
+    plan = approx._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [centroid_id" in plan or "centroid_id#" in plan
+
+
+def test_append_to_quantized_index_keeps_layout(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from spdb_spark.functions.ivf import append_to_index, save_index
+    from spdb_spark.session import load_tables
+
+    sf = "/root/testdata/sf0.001"
+    embs = load_tables(spark, sf, names=("embeddings",))["embeddings"]
+    old = embs.where(embs.vec_id % 5 != 0)
+    new = embs.where(embs.vec_id % 5 == 0)
+
+    path = str(tmp_path / "q_idx")
+    save_index(old, path, n_centroids=8, quantize=True)
+    append_to_index(spark, path, new)
+    lists = spark.read.parquet(path + "/lists")
+    assert set(lists.columns) == {"vid", "qvec", "scale", "centroid_id"}
+    assert lists.count() == embs.count()
+    assert lists.select("vid").distinct().count() == embs.count()
