@@ -32,6 +32,11 @@ def tokens(c: Column) -> Column:
 
 
 def token_count(c: Column) -> Column:
+    """Whitespace token count. Quirk shared bit-for-bit with the DuckDB
+    oracle: splitting an empty/whitespace-only string yields [''] in both
+    engines, so such documents count 1 pseudo-token (and mean_token_length
+    0.0, not NaN). Pinned in tests/test_empty_inputs.py — change both
+    engines together or neither."""
     return F.size(tokens(c)).cast("long")
 
 
