@@ -285,6 +285,10 @@ class TransactionalVoxelIngest(StreamingVoxelIngest):
         os.makedirs(self._log_dir, exist_ok=True)
 
     def _committed(self) -> list[int]:
+        """Committed table VERSIONS (manifest numbers — these track batch
+        ids 1:1 for a pure stream, but maintenance commits like compact()
+        take versions of their own, so idempotency checks use the
+        batch_id recorded INSIDE each manifest, never the filename)."""
         import os
 
         return sorted(
@@ -293,10 +297,17 @@ class TransactionalVoxelIngest(StreamingVoxelIngest):
             if f.endswith(".json")
         )
 
-    def _data_dir(self, batch_id: int) -> str:
+    def _seen_batch_ids(self) -> set:
+        return {
+            bid
+            for v in self._committed()
+            if (bid := self._manifest_full(v).get("batch_id")) is not None
+        }
+
+    def _data_dir(self, version: int) -> str:
         import os
 
-        return os.path.join(self.table_path, f"data_v{batch_id}")
+        return os.path.join(self.table_path, f"data_v{version}")
 
     @staticmethod
     def _key_str(key) -> str:
@@ -396,8 +407,9 @@ class TransactionalVoxelIngest(StreamingVoxelIngest):
         from spdb_spark.store import _list_partition_dirs
 
         committed = self._committed()
-        if batch_id in committed:
+        if batch_id in self._seen_batch_ids():
             return  # redelivered batch: already durable, skip
+        version = committed[-1] + 1 if committed else 0
         prev = self._manifest(committed[-1]) if committed else {}
         prev_idx = self._index_manifest(committed[-1]) if committed else {}
         touched = {
@@ -411,26 +423,26 @@ class TransactionalVoxelIngest(StreamingVoxelIngest):
         new_idx = dict(prev_idx)
         if touched:
             merged = merge_batch(self._read_manifest(prev, keys=touched), batch)
-            dir_name = f"data_v{batch_id}"
+            dir_name = f"data_v{version}"
             (
                 merged.withColumn("pgroup", _pgroup_col())
                 .sortWithinPartitions("t", "z", "y", "x")
                 .write.mode("overwrite")
                 .partitionBy(*self.PART_COLS)
-                .parquet(self._data_dir(batch_id))
+                .parquet(self._data_dir(version))
             )
-            staged = set(_list_partition_dirs(self._data_dir(batch_id)))
+            staged = set(_list_partition_dirs(self._data_dir(version)))
             # Incremental id-index maintenance (reference posture: the id
             # index updates on every cuboid write, object_indices.py:730-769).
             # Rebuilt from the just-written TOUCHED partitions only — exact
             # under overwrites/shaves (an append-only index couldn't retract
             # ids) and O(touched), never O(table).
             staged_idx: set = set()
-            idx_dir_name = f"index_v{batch_id}"
+            idx_dir_name = f"index_v{version}"
             if staged:
                 from spdb_spark.operators.voxel import with_cuboid_coords
 
-                data = self.spark.read.parquet(self._data_dir(batch_id))
+                data = self.spark.read.parquet(self._data_dir(version))
                 idx = (
                     with_cuboid_coords(data)
                     .where(F.col("value") != 0)
@@ -473,8 +485,77 @@ class TransactionalVoxelIngest(StreamingVoxelIngest):
                 },
                 f,
             )
-        os.rename(tmp, os.path.join(self._log_dir, f"{batch_id}.json"))
-        self._version = batch_id
+        os.rename(tmp, os.path.join(self._log_dir, f"{version}.json"))
+        self._version = version
+
+    def compact(self) -> None:
+        """Table maintenance (Delta OPTIMIZE analogue): rewrite every live
+        partition into ONE new version directory and commit a manifest
+        pointing all partitions at it. Long-running tables accumulate
+        manifest fan-in (each read unions every version dir that still
+        owns a partition); compaction collapses that to a single pruned
+        scan. O(live table) — run it on maintenance cadence, amortized
+        against every subsequent read. Readers are never disturbed: the
+        rewrite lands in a fresh immutable dir and the manifest rename is
+        the only visible transition; old versions stay time-travelable
+        until `vacuum`."""
+        import json
+        import os
+        import tempfile
+
+        from spdb_spark.store import _list_partition_dirs
+
+        committed = self._committed()
+        if not committed:
+            return
+        version = committed[-1]
+        prev = self._manifest(version)
+        prev_idx = self._index_manifest(version)
+        next_id = version + 1
+        new_parts = {}
+        if prev:
+            dir_name = f"data_v{next_id}"
+            (
+                self._read_manifest(prev)
+                .withColumn("pgroup", _pgroup_col())
+                .sortWithinPartitions("t", "z", "y", "x")
+                .write.mode("overwrite")
+                .partitionBy(*self.PART_COLS)
+                .parquet(self._data_dir(next_id))
+            )
+            staged = set(_list_partition_dirs(self._data_dir(next_id)))
+            new_parts = {self._key_str(k): dir_name for k in staged}
+        new_idx = {}
+        if prev_idx:
+            from spdb_spark.schema import ID_INDEX_SCHEMA
+
+            idx_dir_name = f"index_v{next_id}"
+            (
+                self._read_manifest(prev_idx, schema=ID_INDEX_SCHEMA)
+                .sortWithinPartitions("morton", "id")
+                .write.mode("overwrite")
+                .partitionBy(*self.PART_COLS)
+                .parquet(os.path.join(self.table_path, idx_dir_name))
+            )
+            staged_idx = set(
+                _list_partition_dirs(os.path.join(self.table_path, idx_dir_name))
+            )
+            new_idx = {self._key_str(k): idx_dir_name for k in staged_idx}
+        fd, tmp = tempfile.mkstemp(dir=self._log_dir, suffix=".tmp")
+        with os.fdopen(fd, "w") as f:
+            json.dump(
+                {
+                    # maintenance commit: no batch_id, so a FUTURE stream
+                    # batch with this number is never mistaken for a replay
+                    "batch_id": None,
+                    "partitions": new_parts,
+                    "index_partitions": new_idx,
+                    "compacted": True,
+                },
+                f,
+            )
+        os.rename(tmp, os.path.join(self._log_dir, f"{next_id}.json"))
+        self._version = next_id
 
     def vacuum(self, keep_last: int = 2) -> None:
         """Drop manifests older than the last `keep_last` versions, then

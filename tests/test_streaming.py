@@ -371,3 +371,64 @@ def test_streaming_ingest_empty_table_reads(spark, tmp_path):
     # and ingest into the emptied table works
     sink.process_batch(vox_rows(spark, [("k", 0, 0, 9, 9, 9, 7, 2)]), 1)
     assert {(r.x, r.value) for r in sink.read_state().collect()} == {(9, 7)}
+
+
+def test_transactional_compact_collapses_versions(spark, tmp_path):
+    """compact() rewrites all live partitions into one version dir: state
+    and id index unchanged, manifest fan-in collapses to a single dir,
+    old versions stay time-travelable until vacuum, and a FUTURE stream
+    batch whose id equals the compaction's version number still commits
+    (maintenance versions never collide with batch-id idempotency)."""
+    import os
+
+    from spdb_spark.streaming.ingest import TransactionalVoxelIngest
+
+    table = str(tmp_path / "txncompact")
+    sink = TransactionalVoxelIngest(spark, table)
+
+    far_x = 16 * 512  # second pgroup
+    sink.process_batch(
+        vox_rows(spark, [("k", 0, 0, 1, 1, 1, 10, 1), ("k", 0, 0, far_x, 1, 1, 20, 2)]),
+        0,
+    )
+    sink.process_batch(vox_rows(spark, [("k", 0, 0, far_x, 1, 1, 99, 3)]), 1)
+    before = {(r.x, r.value) for r in sink.read_state().collect()}
+    idx_before = {(r.morton, r.id) for r in sink.read_id_index().collect()}
+    assert before == {(1, 10), (far_x, 99)}
+
+    sink.compact()  # commits version 2, batch_id None
+    assert sink._committed() == [0, 1, 2]
+    after = {(r.x, r.value) for r in sink.read_state().collect()}
+    assert after == before
+    assert {(r.morton, r.id) for r in sink.read_id_index().collect()} == idx_before
+    # every live partition now points at the single compacted dir
+    assert set(sink._manifest(2).values()) == {"data_v2"}
+    assert set(sink._index_manifest(2).values()) == {"index_v2"}
+    # time travel to pre-compaction versions still resolves
+    assert {(r.x, r.value) for r in sink.read_state(version=0).collect()} == {
+        (1, 10),
+        (far_x, 20),
+    }
+
+    # stream continues: batch id 2 == compaction version, must NOT be
+    # treated as a replay
+    sink.process_batch(vox_rows(spark, [("k", 0, 0, 1, 1, 1, 55, 4)]), 2)
+    assert {(r.x, r.value) for r in sink.read_state().collect()} == {
+        (1, 55),
+        (far_x, 99),
+    }
+    # ...but a REAL replay of batch 2 is still skipped
+    sink.process_batch(vox_rows(spark, [("k", 0, 0, 1, 1, 1, 77, 5)]), 2)
+    assert {(r.x, r.value) for r in sink.read_state().collect()} == {
+        (1, 55),
+        (far_x, 99),
+    }
+
+    # vacuum now drops the pre-compaction dirs
+    sink.vacuum(keep_last=1)
+    assert not os.path.exists(os.path.join(table, "data_v0"))
+    assert not os.path.exists(os.path.join(table, "data_v1"))
+    assert {(r.x, r.value) for r in sink.read_state().collect()} == {
+        (1, 55),
+        (far_x, 99),
+    }
