@@ -1249,6 +1249,66 @@ FROM base, LATERAL (SELECT unnest(generate_series(1, len(v))) AS d) u
 """
 
 
+def q_ann_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage quantized ANN (functions/quantize.quantized_topk): int8
+    candidate scoring + exact float re-rank. Deterministic end-to-end —
+    integer dot products are exact in IEEE doubles (< 2^53), so the
+    oracle replays candidate ordering and the re-rank bit-for-bit."""
+    from spdb_spark.functions.quantize import quantized_topk
+
+    embs = _embs(spark, sf_dir)
+    queries = embs.where(F.col("vec_id") % 50 == 0)
+    return quantized_topk(embs, queries, k=10, rerank=30)
+
+
+SQL_ANN_QUANTIZED = """
+WITH base AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v,
+         list_max(list_transform(embedding::DOUBLE[], x -> abs(x))) / 127.0 AS scale
+  FROM embeddings
+),
+qv AS (
+  SELECT vec_id, v,
+         CASE WHEN scale = 0 THEN list_transform(v, x -> 0.0)
+              ELSE list_transform(v, x -> greatest(-127.0, least(127.0,
+                   sign(x / scale) * floor(abs(x / scale) + 0.5))))
+         END AS q
+  FROM base
+),
+cands AS (
+  SELECT query_id, neighbor_id
+  FROM (
+    SELECT qq.vec_id AS query_id, cc.vec_id AS neighbor_id,
+           ROW_NUMBER() OVER (
+             PARTITION BY qq.vec_id
+             ORDER BY list_dot_product(cc.q, qq.q)
+                      / (sqrt(list_dot_product(cc.q, cc.q))
+                         * sqrt(list_dot_product(qq.q, qq.q))) DESC,
+                      cc.vec_id
+           ) AS qr
+    FROM qv cc CROSS JOIN qv qq
+    WHERE qq.vec_id % 50 = 0 AND cc.vec_id <> qq.vec_id
+  ) WHERE qr <= 30
+),
+rescored AS (
+  SELECT c.query_id, c.neighbor_id,
+         ROUND(list_dot_product(q.v, n.v)
+               / (sqrt(list_dot_product(q.v, q.v))
+                  * sqrt(list_dot_product(n.v, n.v))), 6) AS cos_sim
+  FROM cands c
+  JOIN base n ON n.vec_id = c.neighbor_id
+  JOIN base q ON q.vec_id = c.query_id
+)
+SELECT * FROM (
+  SELECT query_id, neighbor_id, cos_sim,
+         CAST(ROW_NUMBER() OVER (
+           PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id
+         ) AS BIGINT) AS "rank"
+  FROM rescored
+) WHERE "rank" <= 10
+"""
+
+
 QUERIES = {
     "llm_repetition": (q_repetition, SQL_REPETITION),
     "llm_approx_vocab": (q_approx_vocab, None),
@@ -1284,4 +1344,5 @@ QUERIES = {
     "llm_ann_ivf": (q_ann_ivf, SQL_ANN_IVF),
     "llm_multimodal_meta": (q_multimodal_meta, SQL_MULTIMODAL_META),
     "llm_embed_quantize": (q_embed_quantize, SQL_EMBED_QUANTIZE),
+    "llm_ann_quantized": (q_ann_quantized, SQL_ANN_QUANTIZED),
 }
