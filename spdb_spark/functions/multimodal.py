@@ -113,14 +113,23 @@ def _image_frame_features(img: np.ndarray, n_frames: int, dim: int) -> np.ndarra
 def decode_features(payload: bytes, n_frames: int, dim: int) -> np.ndarray:
     """Dispatch by payload signature: PNG -> real decode + pixel-exact
     band features; RIFF/WAVE -> real PCM decode + sample-exact audio
-    features (functions/audio.py); anything else (video codecs,
-    synthetic fixtures) the stub."""
+    features (functions/audio.py); RIFF/AVI with PNG-compressed frames
+    (MPNG) -> real container walk + frame sampling + per-frame PNG decode
+    (functions/video.py). Only payloads in codecs pure Python can't parse
+    (H.264, mp3, jpeg, synthetic fixtures) fall to the stub."""
     if payload[:8] == _PNG_SIG:
         return _image_frame_features(decode_image(payload), n_frames, dim)
     if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
         from spdb_spark.functions.audio import audio_frame_features
 
         return audio_frame_features(payload, n_frames, dim)
+    if payload[:4] == b"RIFF" and payload[8:12] == b"AVI ":
+        from spdb_spark.functions.video import video_frame_features
+
+        try:
+            return video_frame_features(payload, n_frames, dim)
+        except ValueError:  # non-PNG frame codec: honest stub
+            return _fake_decode(payload, n_frames, dim)
     return _fake_decode(payload, n_frames, dim)
 
 

@@ -1,0 +1,110 @@
+"""Dependency-free AVI (RIFF) container codec for video payloads, making
+the `kind='video'` leg of the multimodal pipeline REAL for MPNG streams
+(AVI carrying PNG-compressed frames — a real FourCC; each frame decodes
+through the repo's own PNG codec). Other video codecs (H.264/VP9/...)
+cannot be decoded in pure Python and keep the documented stub.
+
+The container layer is the part a Spark pipeline owns: chunk walking,
+frame extraction, and deterministic frame SAMPLING (pick n_frames evenly
+across the stream) — per-frame pixel decode then reuses
+operators/render.png_decode. Encode writes a minimal but well-formed
+single-stream AVI (avih + strl headers, movi '00dc' chunks) sufficient
+for interchange and round-trip tests.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+
+def _chunk(cid: bytes, body: bytes) -> bytes:
+    return cid + struct.pack("<I", len(body)) + body + (b"\x00" if len(body) & 1 else b"")
+
+
+def _list(kind: bytes, body: bytes) -> bytes:
+    return _chunk(b"LIST", kind + body)
+
+
+def avi_encode_mpng(
+    frames: list[bytes], width: int, height: int, fps: int = 10
+) -> bytes:
+    """Pack PNG-encoded frames into a single-stream AVI (FourCC MPNG)."""
+    n = len(frames)
+    usec_per_frame = int(1_000_000 / max(fps, 1))
+    max_bytes = max((len(f) for f in frames), default=0)
+    avih = struct.pack(
+        "<14I",
+        usec_per_frame, max_bytes * fps, 0, 0x10,  # flags: AVIF_HASINDEX off, 0x10 = was index...
+        n, 0, 1, 0,
+        width, height, 0, 0, 0, 0,
+    )
+    strh = struct.pack(
+        "<4s4sIHHIIIIIIII4H",
+        b"vids", b"MPNG", 0, 0, 0, 0, 1, fps, 0, n, max_bytes, 0xFFFFFFFF, 0,
+        0, 0, width, height,
+    )
+    strf = struct.pack(
+        "<IiiHH4sIiiII",
+        40, width, height, 1, 24, b"MPNG", 0, 0, 0, 0, 0,
+    )
+    hdrl = _list(
+        b"hdrl",
+        _chunk(b"avih", avih) + _list(b"strl", _chunk(b"strh", strh) + _chunk(b"strf", strf)),
+    )
+    movi = _list(b"movi", b"".join(_chunk(b"00dc", f) for f in frames))
+    body = b"AVI " + hdrl + movi
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def avi_frames(payload: bytes) -> list[bytes]:
+    """Extract the frame byte blobs from an AVI payload by walking the
+    RIFF chunk tree to LIST 'movi' and collecting '..dc'/'..db' entries.
+    Codec-agnostic: returns the encoded frame bytes in stream order."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
+        raise ValueError("not a RIFF/AVI payload")
+    frames: list[bytes] = []
+
+    def walk(buf: bytes, pos: int, end: int, in_movi: bool) -> None:
+        while pos + 8 <= end:
+            cid = buf[pos : pos + 4]
+            size = struct.unpack("<I", buf[pos + 4 : pos + 8])[0]
+            body_start = pos + 8
+            body_end = min(body_start + size, end)
+            if cid == b"LIST":
+                kind = buf[body_start : body_start + 4]
+                walk(buf, body_start + 4, body_end, in_movi or kind == b"movi")
+            elif in_movi and cid[2:4] in (b"dc", b"db"):
+                frames.append(buf[body_start:body_end])
+            pos = body_start + size + (size & 1)
+
+    walk(payload, 12, 8 + struct.unpack("<I", payload[4:8])[0], False)
+    return frames
+
+
+def sample_frame_indices(n_available: int, n_wanted: int) -> list[int]:
+    """Deterministic even sampling: frame i of n_wanted maps to
+    floor(i * n_available / n_wanted) — first frame always included,
+    stride uniform, no randomness."""
+    if n_available <= 0 or n_wanted <= 0:
+        return []
+    return [min(i * n_available // n_wanted, n_available - 1) for i in range(n_wanted)]
+
+
+def video_frame_features(payload: bytes, n_frames: int, dim: int) -> np.ndarray:
+    """(n_frames, dim) features: sample n_frames evenly from the AVI
+    stream; PNG-compressed frames (MPNG) get the repo's real PNG decode +
+    the same band features as still images; a non-PNG frame raises (the
+    caller's dispatch keeps such payloads on the stub path)."""
+    from spdb_spark.functions.multimodal import _PNG_SIG, _image_frame_features
+    from spdb_spark.operators.render import png_decode
+
+    frames = avi_frames(payload)
+    out = np.zeros((n_frames, dim), dtype=np.float32)
+    for row, idx in enumerate(sample_frame_indices(len(frames), n_frames)):
+        blob = frames[idx]
+        if blob[:8] != _PNG_SIG:
+            raise ValueError("non-PNG frame codec — pure-Python decode unavailable")
+        out[row] = _image_frame_features(png_decode(blob), 1, dim)[0]
+    return out

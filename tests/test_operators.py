@@ -526,3 +526,56 @@ def test_isotropic_build_f32_non_truncating(spark):
     assert f32 == {(0, 0): 3.5, (1, 1): 9.0, (2, 2): 5.0}
     ints = {(r.x, r.z): r.value for r in isotropic_build(v).collect()}
     assert ints == {(0, 0): 3, (1, 1): 9, (2, 2): 5}
+
+
+def test_avi_mpng_roundtrip_and_sampling():
+    """AVI container round-trip: encoded PNG frames come back byte-equal,
+    and even frame sampling is deterministic with first frame included."""
+    import numpy as np
+
+    from spdb_spark.functions.video import (
+        avi_encode_mpng,
+        avi_frames,
+        sample_frame_indices,
+    )
+    from spdb_spark.operators.render import png_encode
+
+    rng = np.random.default_rng(5)
+    frames = [
+        png_encode(rng.integers(0, 256, size=(8, 12), dtype=np.uint8))
+        for _ in range(7)
+    ]
+    blob = avi_encode_mpng(frames, width=12, height=8, fps=5)
+    got = avi_frames(blob)
+    assert got == frames
+    assert sample_frame_indices(7, 3) == [0, 2, 4]
+    assert sample_frame_indices(3, 5) == [0, 0, 1, 1, 2]
+    assert sample_frame_indices(0, 4) == []
+
+
+def test_multimodal_avi_real_decode_frame_exact(spark):
+    """AVI/MPNG payload -> extract_frame_features -> per-sampled-frame
+    features equal the single-image features of the SAME decoded frames
+    (real container walk + real PNG decode, not the stub)."""
+    import numpy as np
+
+    from spdb_spark.functions.multimodal import _image_frame_features, extract_frame_features
+    from spdb_spark.functions.video import avi_encode_mpng, sample_frame_indices
+    from spdb_spark.operators.render import png_encode
+
+    rng = np.random.default_rng(9)
+    imgs = [rng.integers(0, 256, size=(16, 16), dtype=np.uint8) for _ in range(6)]
+    blob = avi_encode_mpng([png_encode(im) for im in imgs], 16, 16)
+    media = spark.createDataFrame(
+        [(3, bytearray(blob))], "media_id long, payload binary"
+    )
+    rows = extract_frame_features(media, n_frames=3, dim=4).collect()
+    assert len(rows) == 3 and all(r.status == "ok" for r in rows)
+    got = np.array([r.feature for r in sorted(rows, key=lambda r: r.frame_idx)])
+    expect = np.array(
+        [
+            _image_frame_features(imgs[i], 1, 4)[0]
+            for i in sample_frame_indices(6, 3)
+        ]
+    )
+    np.testing.assert_array_equal(got.astype(np.float32), expect)
