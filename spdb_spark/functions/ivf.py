@@ -502,7 +502,7 @@ def ivf_topk_indexed(
         F.col("centroid_id").isin(probe_ids)
     )
     if "qvec" in raw.columns:
-        from spdb_spark.functions.quantize import quantize_embeddings, _int_dot
+        from spdb_spark.functions.quantize import quantize_embeddings, int_dot
 
         qp = quantize_embeddings(
             probes.select("query_id", "q_vec"), id_col="query_id", vec_col="q_vec"
@@ -518,10 +518,10 @@ def ivf_topk_indexed(
                 "query_id",
                 "neighbor_id",
                 F.round(
-                    _int_dot(F.col("c_q"), F.col("q_q")).cast("double")
+                    int_dot(F.col("c_q"), F.col("q_q")).cast("double")
                     / (
-                        F.sqrt(_int_dot(F.col("c_q"), F.col("c_q")).cast("double"))
-                        * F.sqrt(_int_dot(F.col("q_q"), F.col("q_q")).cast("double"))
+                        F.sqrt(int_dot(F.col("c_q"), F.col("c_q")).cast("double"))
+                        * F.sqrt(int_dot(F.col("q_q"), F.col("q_q")).cast("double"))
                     ),
                     6,
                 ).alias("cos_sim"),

@@ -64,7 +64,7 @@ def dequantize(qvec, scale):
     return F.transform(qvec, lambda x: x.cast("double") * scale)
 
 
-def _int_dot(a, b):
+def int_dot(a, b):
     """Integer dot product of two tinyint arrays as a long fold — the
     cheap scoring path (no float math until the final normalize)."""
     return F.aggregate(
@@ -106,10 +106,10 @@ def quantized_topk(
             "query_id",
             "neighbor_id",
             (
-                _int_dot(F.col("c_q"), F.col("q_q")).cast("double")
+                int_dot(F.col("c_q"), F.col("q_q")).cast("double")
                 / (
-                    F.sqrt(_int_dot(F.col("c_q"), F.col("c_q")).cast("double"))
-                    * F.sqrt(_int_dot(F.col("q_q"), F.col("q_q")).cast("double"))
+                    F.sqrt(int_dot(F.col("c_q"), F.col("c_q")).cast("double"))
+                    * F.sqrt(int_dot(F.col("q_q"), F.col("q_q")).cast("double"))
                 )
             ).alias("q_sim"),
         )

@@ -36,7 +36,7 @@ def avi_encode_mpng(
     max_bytes = max((len(f) for f in frames), default=0)
     avih = struct.pack(
         "<14I",
-        usec_per_frame, max_bytes * fps, 0, 0x10,  # flags: AVIF_HASINDEX off, 0x10 = was index...
+        usec_per_frame, max_bytes * fps, 0, 0,  # no index chunk: flags 0
         n, 0, 1, 0,
         width, height, 0, 0, 0, 0,
     )
