@@ -139,8 +139,6 @@ def test_quantized_index_recall_and_size(spark, tmp_path):
     vs the float-index results."""
     import os
 
-    from pyspark.sql import functions as F
-
     from spdb_spark.functions.ivf import ivf_topk_indexed, save_index
     from spdb_spark.session import load_tables
 
@@ -175,8 +173,6 @@ def test_quantized_index_recall_and_size(spark, tmp_path):
 
 
 def test_append_to_quantized_index_keeps_layout(spark, tmp_path):
-    from pyspark.sql import functions as F
-
     from spdb_spark.functions.ivf import append_to_index, save_index
     from spdb_spark.session import load_tables
 
