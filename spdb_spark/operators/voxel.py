@@ -199,6 +199,70 @@ def shave_merge(old: DataFrame, mask: DataFrame) -> DataFrame:
     return old.join(m, on=VOXEL_KEY, how="left_anti")
 
 
+def _tagged_union(old: DataFrame, new: DataFrame):
+    """(key, o_val, n_val) union of two voxel sets — the substrate for the
+    single-shuffle merge forms. NULL marks an absent side (a genuine 0
+    value stays 0, matching the join forms' semantics)."""
+    o = old.select(
+        *VOXEL_KEY,
+        F.col("value").alias("o_val"),
+        F.lit(None).cast("long").alias("n_val"),
+    )
+    n = new.select(
+        *VOXEL_KEY,
+        F.lit(None).cast("long").alias("o_val"),
+        F.col("value").alias("n_val"),
+    )
+    return (
+        o.unionByName(n)
+        .groupBy(*VOXEL_KEY)
+        .agg(F.max("o_val").alias("o_val"), F.max("n_val").alias("n_val"))
+    )
+
+
+def overwrite_merge_union(old: DataFrame, new: DataFrame) -> DataFrame:
+    """overwrite_merge as ONE partial-aggregating shuffle: tag-union both
+    sides and resolve per coordinate in a single groupBy. The full-outer
+    join form exchanges THREE times at scale (old hash, new hash, and
+    both sides' sort/merge); this form exchanges the union once, with
+    map-side partials. Same output for keyed inputs (test-pinned); inputs
+    carrying duplicate coordinates additionally resolve by MAX per side —
+    the upstream dedup the join form requires is absorbed, the same
+    composition the downsample entries exploit."""
+    return (
+        _tagged_union(old, new)
+        .select(
+            *VOXEL_KEY,
+            F.coalesce(
+                F.nullif(F.col("n_val"), F.lit(0)), F.col("o_val"), F.lit(0)
+            ).alias("value"),
+        )
+        .where(F.col("value") != 0)
+    )
+
+
+def exception_merge_union(old: DataFrame, new: DataFrame) -> DataFrame:
+    """exception_merge (fill-only) as one shuffle — see
+    overwrite_merge_union."""
+    return (
+        _tagged_union(old, new)
+        .select(
+            *VOXEL_KEY,
+            F.coalesce(F.col("o_val"), F.col("n_val"), F.lit(0)).alias("value"),
+        )
+        .where(F.col("value") != 0)
+    )
+
+
+def shave_merge_union(old: DataFrame, mask: DataFrame) -> DataFrame:
+    """shave_merge as one shuffle: the mask side unions in as a hit flag;
+    surviving rows are old voxels whose coordinate saw no non-zero mask."""
+    agg = _tagged_union(old, mask.where(F.col("value") != 0))
+    return agg.where(F.col("n_val").isNull() & F.col("o_val").isNotNull()).select(
+        *VOXEL_KEY, F.col("o_val").alias("value")
+    )
+
+
 def overwrite_to_black(old: DataFrame, mask: DataFrame) -> DataFrame:
     """cutout-to-black erase: zero old voxels where mask==1
     (cube.py:264-291, write path spatialdb.py:793-801)."""

@@ -231,6 +231,22 @@ WHERE COALESCE(o.value, n.value, 0) <> 0
 """
 
 
+def q_spatial_overwrite_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-shuffle form of the overwrite merge (tag-union + one
+    groupBy; absorbs the fixture's MAX-dedup) checked against the SAME
+    oracle as the join form — output identical by construction."""
+    old = voxels_df(spark, sf_dir, dedup=False, where=_OLD_WHERE)
+    new = voxels_df(spark, sf_dir, dedup=False, where=_NEW_WHERE)
+    return V.overwrite_merge_union(old, new)
+
+
+def q_spatial_exception_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-shuffle fill-only merge — same oracle as the join form."""
+    old = voxels_df(spark, sf_dir, dedup=False, where=_OLD_WHERE)
+    new = voxels_df(spark, sf_dir, dedup=False, where=_NEW_WHERE)
+    return V.exception_merge_union(old, new)
+
+
 def q_spatial_shave(spark: SparkSession, sf_dir: str) -> DataFrame:
     old, new = _old_new(spark, sf_dir)
     return V.shave_merge(old, new)
@@ -738,7 +754,9 @@ QUERIES = {
     "spatial_cuboid_id_index": (q_spatial_cuboid_id_index, SQL_SPATIAL_CUBOID_ID_INDEX),
     "spatial_cuboids_with_id": (q_spatial_cuboids_with_id, SQL_SPATIAL_CUBOIDS_WITH_ID),
     "spatial_overwrite": (q_spatial_overwrite, SQL_SPATIAL_OVERWRITE),
+    "spatial_overwrite_union": (q_spatial_overwrite_union, SQL_SPATIAL_OVERWRITE),
     "spatial_exception_merge": (q_spatial_exception_merge, SQL_SPATIAL_EXCEPTION_MERGE),
+    "spatial_exception_union": (q_spatial_exception_union, SQL_SPATIAL_EXCEPTION_MERGE),
     "spatial_shave": (q_spatial_shave, SQL_SPATIAL_SHAVE),
     "spatial_annotate_overwrite": (q_spatial_annotate_overwrite, SQL_SPATIAL_ANNOTATE_OVERWRITE),
     "spatial_annotate_exceptions": (q_spatial_annotate_exceptions, SQL_SPATIAL_ANNOTATE_EXCEPTIONS),

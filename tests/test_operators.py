@@ -579,3 +579,31 @@ def test_multimodal_avi_real_decode_frame_exact(spark):
         ]
     )
     np.testing.assert_array_equal(got.astype(np.float32), expect)
+
+
+def test_union_merge_forms_equal_join_forms(spark):
+    """The single-shuffle union-aggregate merges must equal the full-outer
+    join forms on keyed inputs, including the zero-value edge (a stored 0
+    in `new` must NOT erase old under overwrite; a stored 0 in `old` wins
+    nothing under exception)."""
+    old = vdf(spark, [(0, 1, 1, 1, 5), (0, 2, 2, 2, 6), (0, 4, 4, 4, 0)])
+    new = vdf(spark, [(0, 1, 1, 1, 0), (0, 2, 2, 2, 9), (0, 3, 3, 3, 7)])
+    assert as_set(V.overwrite_merge_union(old, new)) == as_set(
+        V.overwrite_merge(old, new)
+    )
+    assert as_set(V.exception_merge_union(old, new)) == as_set(
+        V.exception_merge(old, new)
+    )
+    mask = vdf(spark, [(0, 2, 2, 2, 1), (0, 9, 9, 9, 1), (0, 1, 1, 1, 0)])
+    assert as_set(V.shave_merge_union(old, mask)) == as_set(
+        V.shave_merge(old, mask)
+    )
+
+
+def test_union_merge_absorbs_duplicates_by_max(spark):
+    """Duplicate coordinates resolve by MAX per side — the upstream dedup
+    the join forms require is part of the one aggregation."""
+    old = vdf(spark, [(0, 1, 1, 1, 5), (0, 1, 1, 1, 3)])
+    new = vdf(spark, [(0, 1, 1, 1, 2), (0, 1, 1, 1, 9)])
+    assert as_set(V.overwrite_merge_union(old, new)) == {(0, 1, 1, 1, 9)}
+    assert as_set(V.exception_merge_union(old, new)) == {(0, 1, 1, 1, 5)}

@@ -261,3 +261,14 @@ def test_semantic_dedup_ships_lists_not_pairs(spark):
     plan = plan_of(q_dedup_semantic(spark, "/root/testdata/sf0.001"))
     assert "FlatMapGroupsInPandas" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_union_merge_suite_entry_is_single_shuffle(spark):
+    """The union-aggregate merge must run ONE exchange end-to-end (raw
+    fixture -> tag union -> one groupBy); the join form pays three at
+    scale (both sides' hash + the join)."""
+    from spdb_spark.suite_spatial import q_spatial_overwrite_union
+
+    plan = plan_of(q_spatial_overwrite_union(spark, "/root/testdata/sf0.001"))
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Join" not in plan
