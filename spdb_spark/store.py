@@ -35,7 +35,12 @@ import numpy as np
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from spdb_spark.codec import blocks_to_voxels, make_voxels_to_blocks, pack_array
+from spdb_spark.codec import (
+    blocks_to_voxels,
+    make_merge_voxels_to_blocks,
+    make_voxels_to_blocks,
+    pack_array,
+)
 from spdb_spark.constants import CUBOID_X, CUBOID_Y, CUBOID_Z
 from spdb_spark.morton import xyz_morton
 from spdb_spark.schema import CUBOID_SCHEMA, VOXEL_SCHEMA
@@ -263,56 +268,33 @@ class CuboidStore:
             overlap_new = new_blocks.join(old_keys, ["t", "morton"], "left_semi")
             fresh_new = new_blocks.join(old_keys, ["t", "morton"], "left_anti")
 
-            ov = overlap_old.mapInPandas(blocks_to_voxels, VOXEL_SCHEMA)
-            nv = overlap_new.mapInPandas(blocks_to_voxels, VOXEL_SCHEMA)
-            key = ["t", "x", "y", "z"]
-            if mode == "overwrite":
-                mv = (
-                    ov.withColumnRenamed("value", "old_v")
-                    .join(
-                        nv.select(*key, F.col("value").alias("new_v")),
-                        key,
-                        "full_outer",
-                    )
-                    .select(
-                        F.lit(self.lookup_key).alias("lookup_key"),
-                        F.lit(resolution).alias("resolution"),
-                        *key[:1],
-                        *key[1:],
-                        F.coalesce(
-                            F.nullif(F.col("new_v"), F.lit(0)),
-                            F.col("old_v"),
-                            F.lit(0),
-                        ).alias("value"),
-                    )
-                )
-            elif mode == "exception":
-                mv = (
-                    ov.withColumnRenamed("value", "old_v")
-                    .join(
-                        nv.select(*key, F.col("value").alias("new_v")),
-                        key,
-                        "full_outer",
-                    )
-                    .select(
-                        F.lit(self.lookup_key).alias("lookup_key"),
-                        F.lit(resolution).alias("resolution"),
-                        *key,
-                        F.coalesce(F.col("old_v"), F.col("new_v"), F.lit(0)).alias(
-                            "value"
-                        ),
-                    )
-                )
-            else:  # to_black
-                mask = nv.where(F.col("value") == 1).select(*key)
-                mv = ov.join(mask, key, "left_anti").select(
-                    F.lit(self.lookup_key).alias("lookup_key"),
-                    F.lit(resolution).alias("resolution"),
-                    *key,
-                    "value",
-                )
-            mv = mv.where(F.col("value") != 0)
-            merged_overlap = _with_pgroup(self._voxels_to_blocks(mv, resolution))
+            # Fused merge+pack: decode both sides, tag them, and resolve
+            # each cuboid in ONE grouped Arrow task that overlays dense
+            # arrays with the reference's dense-merge semantics
+            # (overwriteDense.c et al.) and packs the result. The prior
+            # shape — full-outer join on the voxel key, then a re-block
+            # groupBy — exchanged the voxel volume three times; this
+            # exchanges it once, keyed by cuboid.
+            ov = overlap_old.mapInPandas(blocks_to_voxels, VOXEL_SCHEMA).withColumn(
+                "side", F.lit("o")
+            )
+            nv = overlap_new.mapInPandas(blocks_to_voxels, VOXEL_SCHEMA).withColumn(
+                "side", F.lit("n")
+            )
+            both = ov.unionByName(nv).select(
+                F.lit(self.lookup_key).alias("lookup_key"),
+                F.lit(resolution).alias("resolution"),
+                "t", "x", "y", "z", "value", "side",
+                F.floor(F.col("x") / CUBOID_X).cast("int").alias("x_idx"),
+                F.floor(F.col("y") / CUBOID_Y).cast("int").alias("y_idx"),
+                F.floor(F.col("z") / CUBOID_Z).cast("int").alias("z_idx"),
+            )
+            kernel = make_merge_voxels_to_blocks(self.datatype, mode)
+            merged_overlap = _with_pgroup(
+                both.groupBy(
+                    "lookup_key", "resolution", "t", "x_idx", "y_idx", "z_idx"
+                ).applyInPandas(kernel, CUBOID_SCHEMA)
+            )
             if mode == "to_black":
                 # fresh cuboids of an erase mask write nothing
                 merged = rest_old.unionByName(merged_overlap)
