@@ -33,16 +33,33 @@ def latest_wins(batch: DataFrame, seq_col: str = "seq") -> DataFrame:
 def merge_batch(existing: DataFrame, batch: DataFrame, seq_col: str = "seq") -> DataFrame:
     """Non-zero-overwrite merge of a deduplicated micro-batch into the
     stored voxel state (same semantics as operators.voxel.overwrite_merge,
-    but keyed by the full voxel key incl. lookup_key/resolution)."""
-    b = latest_wins(batch, seq_col).select(
-        *VOXEL_KEY, F.col("value").alias("new_value")
+    but keyed by the full voxel key incl. lookup_key/resolution).
+
+    Single-shuffle union-aggregate form (see voxel.overwrite_merge_union):
+    the full-outer join exchanged the pruned state AND the batch and then
+    merge-sorted both; the tag-union groupBy exchanges the union once
+    with map-side partials. Both inputs are keyed (state is unique per
+    key; latest_wins dedups the batch), so MAX per side is the identity
+    and the output is unchanged (stream==batch tests pin it)."""
+    b = latest_wins(batch, seq_col)
+    o = existing.select(
+        *VOXEL_KEY,
+        F.col("value").alias("o_val"),
+        F.lit(None).cast("long").alias("n_val"),
+    )
+    n = b.select(
+        *VOXEL_KEY,
+        F.lit(None).cast("long").alias("o_val"),
+        F.col("value").alias("n_val"),
     )
     return (
-        existing.join(b, on=VOXEL_KEY, how="full_outer")
+        o.unionByName(n)
+        .groupBy(*VOXEL_KEY)
+        .agg(F.max("o_val").alias("o_val"), F.max("n_val").alias("n_val"))
         .select(
             *VOXEL_KEY,
             F.coalesce(
-                F.nullif(F.col("new_value"), F.lit(0)), F.col("value"), F.lit(0)
+                F.nullif(F.col("n_val"), F.lit(0)), F.col("o_val"), F.lit(0)
             ).alias("value"),
         )
         .where(F.col("value") != 0)
