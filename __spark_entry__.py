@@ -3,8 +3,10 @@
 - ``entry(spark)``: flagship query at sf0.001 (smoke check).
 - ``queries()``: one entry per implemented operator from SURVEY.md §2 plus
   the LLM-pipeline extensions — see spdb_spark/suite*.py.
-- ``oracle_sql()``: DuckDB-equivalent SQL per query (omitted only for
-  genuinely non-SQL-expressible ops, e.g. the LSH ANN scale path).
+- ``oracle_sql()``: DuckDB-equivalent SQL per query (omitted only for the
+  two genuinely sketch-based ops: the HLL vocabulary estimate and GK
+  approximate quantiles — every other query, including the LSH/IVF/
+  quantized ANN scale paths, carries an exact oracle).
 """
 
 from __future__ import annotations
