@@ -413,7 +413,7 @@ def incremental_minhash_dedup(
     recomputes shingle sets ONLY for candidate corpus docs (left-semi
     pushdown into the corpus scan).
     """
-    sh_new = shingles(new_docs, id_col, text_col, k, distinct=False).persist()
+    sh_new = shingles(new_docs, id_col, text_col, k, distinct=False)
     nb = band_buckets(
         minhash_signatures(sh_new, id_col, num_hashes), bands, rows
     ).toDF("new_id", "band", "bucket")
@@ -425,18 +425,24 @@ def incremental_minhash_dedup(
     cb = corpus_bands.toDF("corpus_id", "band", "bucket")
     cands = nb.join(cb, ["band", "bucket"]).select("new_id", "corpus_id").distinct()
 
+    # Verify sets from the row-local array form (shingle_arrays +
+    # array_distinct): collect_set over exploded shingles has no map-side
+    # reduction, so it shuffled every shingle row — see PLANS.md's
+    # HOF-vs-partial-agg rule
     new_sets = (
-        sh_new.groupBy(F.col(id_col).alias("new_id"))
-        .agg(F.array_sort(F.collect_set("shingle")).alias("set_n"))
+        shingle_arrays(new_docs, id_col, text_col, k)
+        .select(
+            F.col("doc").alias("new_id"),
+            F.array_sort(F.array_distinct("sh_arr")).alias("set_n"),
+        )
         .join(cands.select("new_id").distinct(), "new_id", "left_semi")
     )
     cand_corpus = corpus_docs.join(
         cands.select(F.col("corpus_id").alias(id_col)).distinct(), id_col, "left_semi"
     )
-    corp_sets = (
-        shingles(cand_corpus, id_col, text_col, k, distinct=False)
-        .groupBy(F.col(id_col).alias("corpus_id"))
-        .agg(F.array_sort(F.collect_set("shingle")).alias("set_c"))
+    corp_sets = shingle_arrays(cand_corpus, id_col, text_col, k).select(
+        F.col("doc").alias("corpus_id"),
+        F.array_sort(F.array_distinct("sh_arr")).alias("set_c"),
     )
     inter = (
         cands.join(new_sets, "new_id")
