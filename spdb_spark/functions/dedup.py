@@ -561,3 +561,92 @@ def shared_ngram_coverage(
             ),
         )
     )
+
+
+# --- paragraph-level dedup (CCNet / RefinedWeb line-dedup style) ----------
+
+def paragraphs(df: DataFrame, id_col: str, text_col: str, sep: str = "\n\n") -> DataFrame:
+    """(doc, idx, para) — ordered paragraph units split on a structural
+    delimiter (CCNet splits on newline, RefinedWeb on blank lines). A
+    narrow posexplode: no shuffle, idx preserves document order."""
+    return df.select(
+        F.col(id_col).alias("doc"),
+        F.posexplode(F.split(F.col(text_col), sep)).alias("idx", "para"),
+    )
+
+
+def word_chunk_paragraphs(
+    df: DataFrame, id_col: str, text_col: str, chunk_words: int = 10
+) -> DataFrame:
+    """(doc, idx, para) with fixed word-count chunks as the dedup unit —
+    for corpora whose text has no structural delimiter (the synthetic
+    fixture). Same downstream contract as `paragraphs`."""
+    t = F.col("_toks")
+    n_chunks = F.greatest(
+        F.ceil(F.size(t) / F.lit(chunk_words)).cast("int"), F.lit(1)
+    )
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks - F.lit(1)),
+        lambda i: F.concat_ws(" ", F.slice(t, i * chunk_words + 1, chunk_words)),
+    )
+    return df.select(
+        F.col(id_col).alias("doc"), tokens(F.col(text_col)).alias("_toks")
+    ).select("doc", F.posexplode(chunks).alias("idx", "para"))
+
+
+def paragraph_dedup(paras: DataFrame, min_df: int = 2, keep_first: bool = True) -> DataFrame:
+    """Corpus-wide duplicated-paragraph removal: drop every occurrence of
+    a paragraph whose corpus frequency reaches `min_df`, except (when
+    `keep_first`) its single canonical first occurrence — min (doc, idx)
+    lexicographically, deterministic under any partitioning.
+
+    Scale shape: one groupBy on the paragraph hash (partial-agg'd: the
+    exchange carries one row per DISTINCT paragraph per partition, and a
+    32-hex md5 key is uniform — boilerplate paragraphs with huge df do
+    not skew the shuffle), then a back-join on the same hash key that AQE
+    plans as it likes. Never materializes per-paragraph occurrence lists.
+
+    Input: (doc, idx, para). Output: kept (doc, idx, para).
+    """
+    occ = paras.select("doc", "idx", "para", F.md5(F.col("para")).alias("ph"))
+    stats = occ.groupBy("ph").agg(
+        F.count("*").alias("df"),
+        F.min(F.struct(F.col("doc"), F.col("idx"))).alias("first_occ"),
+    )
+    joined = occ.join(stats, "ph")
+    keep = F.col("df") < F.lit(min_df)
+    if keep_first:
+        keep = keep | (
+            (F.col("doc") == F.col("first_occ.doc"))
+            & (F.col("idx") == F.col("first_occ.idx"))
+        )
+    return joined.where(keep).select("doc", "idx", "para")
+
+
+def reassemble_paragraph_docs(
+    paras: DataFrame, kept: DataFrame, sep: str = " "
+) -> DataFrame:
+    """Rebuild cleaned documents from kept paragraphs, preserving
+    in-document order: (doc, clean_text, n_paras, n_kept). Docs whose
+    every paragraph was dropped survive with clean_text = ''.
+
+    One shuffle per aggregate (both keyed by doc); the ordered concat is
+    a row-local array_sort over the doc's own kept paragraphs — no
+    window, no global sort."""
+    totals = paras.groupBy("doc").agg(F.count("*").alias("n_paras"))
+    reasm = kept.groupBy("doc").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("idx", "para"))),
+                lambda s: s["para"],
+            ),
+            sep,
+        ).alias("clean_text"),
+        F.count("*").alias("n_kept"),
+    )
+    return totals.join(reasm, "doc", "left").select(
+        "doc",
+        F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
+        "n_paras",
+        F.coalesce(F.col("n_kept"), F.lit(0)).cast("long").alias("n_kept"),
+    )

@@ -128,3 +128,44 @@ def mixture_plan(
             F.floor(target * 1000000 / F.col("tokens")).cast("long"),
         ).alias("rate_ppm"),
     )
+
+
+def deterministic_shuffle(
+    df: DataFrame, id_col: str, seed: str = "42", prefix_chars: int = 2
+) -> DataFrame:
+    """Deterministic global corpus shuffle with exact positions, no
+    single-partition sort. Adds (shuffle_key, position): position is the
+    1-based rank of md5(seed:id) over the whole table — a pure function
+    of the key set, stable across runs/engines/partitionings (what
+    training-data epoch ordering needs; rand() is none of these).
+
+    Distributed-enumeration shape: rows hash into 16^prefix_chars ordered
+    buckets (the first hex chars of the sort key — a PREFIX of it, so
+    bucket order == key order); bucket sizes are a tiny aggregate whose
+    prefix-sum (a window over 256 rows, the one intentionally-tiny
+    single-partition step) becomes each bucket's base offset, broadcast
+    back; each bucket then enumerates independently with a
+    partitionBy-bucket window. At 100 TB every partition ranks in
+    parallel and no executor ever sees more than one bucket's rows."""
+    from pyspark.sql import Window
+
+    key = F.md5(F.concat(F.lit(f"{seed}:"), F.col(id_col).cast("string")))
+    base = df.withColumn("shuffle_key", key).withColumn(
+        "_bucket", F.substring("shuffle_key", 1, prefix_chars)
+    )
+    sizes = base.groupBy("_bucket").agg(F.count("*").alias("_n"))
+    w_off = (
+        Window.orderBy("_bucket")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = sizes.select(
+        "_bucket", F.coalesce(F.sum("_n").over(w_off), F.lit(0)).alias("_off")
+    )
+    w_rank = Window.partitionBy("_bucket").orderBy("shuffle_key", F.col(id_col))
+    return (
+        base.join(F.broadcast(offsets), "_bucket")
+        .withColumn(
+            "position", (F.col("_off") + F.row_number().over(w_rank)).cast("long")
+        )
+        .drop("_bucket", "_off")
+    )

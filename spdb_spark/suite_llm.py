@@ -1309,6 +1309,64 @@ SELECT * FROM (
 """
 
 
+
+# --- paragraph-level dedup + deterministic corpus shuffle ------------------
+
+_PD_CHUNK = 3  # fixture texts have no structural delimiter; 3-word chunks
+               # give the synthetic vocabulary real cross-doc collisions
+
+
+def q_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style duplicated-paragraph removal + doc reassembly."""
+    docs = _docs(spark, sf_dir)
+    paras = D.word_chunk_paragraphs(docs, "doc_id", "text", _PD_CHUNK)
+    kept = D.paragraph_dedup(paras, min_df=2)
+    return D.reassemble_paragraph_docs(paras, kept).select(
+        F.col("doc").alias("doc_id"), "clean_text", "n_paras", "n_kept"
+    )
+
+
+SQL_PARAGRAPH_DEDUP = f"""
+WITH toks AS (SELECT doc_id, {_TOKENS_SQL} AS t FROM documents),
+paras AS (
+  SELECT doc_id, i AS idx,
+         array_to_string(t[(i*{_PD_CHUNK}+1):(i*{_PD_CHUNK}+{_PD_CHUNK})], ' ') AS para
+  FROM toks,
+       UNNEST(range(0, greatest(CAST(ceil(len(t) / {_PD_CHUNK}.0) AS BIGINT), 1))) AS u(i)
+),
+flagged AS (
+  SELECT doc_id, idx, para,
+         COUNT(*) OVER (PARTITION BY md5(para)) AS df,
+         ROW_NUMBER() OVER (PARTITION BY md5(para) ORDER BY doc_id, idx) AS rn
+  FROM paras
+),
+kept AS (SELECT doc_id, idx, para FROM flagged WHERE df < 2 OR rn = 1),
+totals AS (SELECT doc_id, COUNT(*) AS n_paras FROM paras GROUP BY doc_id),
+reasm AS (
+  SELECT doc_id, string_agg(para, ' ' ORDER BY idx) AS clean_text,
+         COUNT(*) AS n_kept
+  FROM kept GROUP BY doc_id
+)
+SELECT t.doc_id, COALESCE(r.clean_text, '') AS clean_text,
+       t.n_paras, COALESCE(r.n_kept, 0) AS n_kept
+FROM totals t LEFT JOIN reasm r USING (doc_id)
+"""
+
+
+def q_corpus_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic epoch-ordering shuffle: exact global positions via
+    bucketed distributed enumeration (no single-partition sort)."""
+    return SP.deterministic_shuffle(_docs(spark, sf_dir), "doc_id", seed="42").select(
+        "doc_id", "shuffle_key", "position"
+    )
+
+
+SQL_CORPUS_SHUFFLE = """
+SELECT doc_id, md5('42:' || doc_id) AS shuffle_key,
+       ROW_NUMBER() OVER (ORDER BY md5('42:' || doc_id), doc_id) AS position
+FROM documents
+"""
+
 QUERIES = {
     "llm_repetition": (q_repetition, SQL_REPETITION),
     "llm_approx_vocab": (q_approx_vocab, None),
@@ -1345,4 +1403,6 @@ QUERIES = {
     "llm_multimodal_meta": (q_multimodal_meta, SQL_MULTIMODAL_META),
     "llm_embed_quantize": (q_embed_quantize, SQL_EMBED_QUANTIZE),
     "llm_ann_quantized": (q_ann_quantized, SQL_ANN_QUANTIZED),
+    "llm_paragraph_dedup": (q_paragraph_dedup, SQL_PARAGRAPH_DEDUP),
+    "llm_corpus_shuffle": (q_corpus_shuffle, SQL_CORPUS_SHUFFLE),
 }

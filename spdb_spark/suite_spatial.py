@@ -753,8 +753,12 @@ QUERIES = {
     "spatial_loose_bbox": (q_spatial_loose_bbox, SQL_SPATIAL_LOOSE_BBOX),
     "spatial_cuboid_id_index": (q_spatial_cuboid_id_index, SQL_SPATIAL_CUBOID_ID_INDEX),
     "spatial_cuboids_with_id": (q_spatial_cuboids_with_id, SQL_SPATIAL_CUBOIDS_WITH_ID),
-    "spatial_overwrite": (q_spatial_overwrite, SQL_SPATIAL_OVERWRITE),
-    "spatial_overwrite_union": (q_spatial_overwrite_union, SQL_SPATIAL_OVERWRITE),
+    # The benched `spatial_overwrite` name measures the SCALE form (tag-union
+    # + one partial-agg shuffle — ~20% faster at sf0.1 and three shuffles
+    # fewer); the classic full-outer-join form keeps its own gate under
+    # `spatial_overwrite_join`. Both are checked against the same oracle.
+    "spatial_overwrite": (q_spatial_overwrite_union, SQL_SPATIAL_OVERWRITE),
+    "spatial_overwrite_join": (q_spatial_overwrite, SQL_SPATIAL_OVERWRITE),
     "spatial_exception_merge": (q_spatial_exception_merge, SQL_SPATIAL_EXCEPTION_MERGE),
     "spatial_exception_union": (q_spatial_exception_union, SQL_SPATIAL_EXCEPTION_MERGE),
     "spatial_shave": (q_spatial_shave, SQL_SPATIAL_SHAVE),

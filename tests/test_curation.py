@@ -297,3 +297,130 @@ class TestSemanticDedup:
         ]
         with pytest.raises(ValueError, match="pass k or n_rows"):
             semantic_dedup_pairs(embs, "vec_id", "embedding")
+
+
+class TestParagraphDedup:
+    """Real paragraph semantics (structural '\\n\\n' splits) — the suite
+    gate exercises the word-chunk unit on the delimiter-free fixture."""
+
+    def _paras(self, spark, rows):
+        from spdb_spark.functions import dedup as D
+
+        df = spark.createDataFrame(rows, "doc_id string, text string")
+        return D.paragraphs(df, "doc_id", "text")
+
+    def test_duplicated_paragraph_kept_once_at_first_occurrence(self, spark):
+        from spdb_spark.functions import dedup as D
+
+        paras = self._paras(
+            spark,
+            [
+                ("a", "unique alpha\n\nBOILERPLATE\n\nunique beta"),
+                ("b", "BOILERPLATE\n\nunique gamma"),
+                ("c", "unique delta\n\nBOILERPLATE"),
+            ],
+        )
+        kept = D.paragraph_dedup(paras, min_df=2).collect()
+        boiler = [(r.doc, r.idx) for r in kept if r.para == "BOILERPLATE"]
+        assert boiler == [("a", 1)]  # min (doc, idx) occurrence only
+        assert len(kept) == 5  # 4 uniques + 1 canonical boilerplate
+
+    def test_keep_first_false_drops_all_occurrences(self, spark):
+        from spdb_spark.functions import dedup as D
+
+        paras = self._paras(
+            spark, [("a", "dup\n\nx"), ("b", "dup\n\ny"), ("c", "dup\n\nz")]
+        )
+        kept = D.paragraph_dedup(paras, min_df=2, keep_first=False).collect()
+        assert sorted(r.para for r in kept) == ["x", "y", "z"]
+
+    def test_reassembly_preserves_order_and_empties_fully_dup_doc(self, spark):
+        from spdb_spark.functions import dedup as D
+
+        paras = self._paras(
+            spark,
+            [
+                ("a", "p1\n\nSHARED\n\np3"),
+                ("b", "SHARED"),  # only paragraph is a non-canonical dup
+            ],
+        )
+        kept = D.paragraph_dedup(paras, min_df=2)
+        out = {
+            r.doc: r
+            for r in D.reassemble_paragraph_docs(paras, kept, sep="\n\n").collect()
+        }
+        assert out["a"].clean_text == "p1\n\nSHARED\n\np3"
+        assert (out["a"].n_paras, out["a"].n_kept) == (3, 3)
+        assert out["b"].clean_text == ""
+        assert (out["b"].n_paras, out["b"].n_kept) == (1, 0)
+
+    def test_word_chunk_unit_covers_every_token_in_order(self, spark):
+        from spdb_spark.functions import dedup as D
+
+        df = spark.createDataFrame(
+            [("d", " ".join(f"w{i}" for i in range(23)),)],
+            "doc_id string, text string",
+        )
+        rows = sorted(
+            D.word_chunk_paragraphs(df, "doc_id", "text", chunk_words=10).collect(),
+            key=lambda r: r.idx,
+        )
+        assert [r.idx for r in rows] == [0, 1, 2]
+        assert " ".join(r.para for r in rows) == " ".join(
+            f"w{i}" for i in range(23)
+        )
+
+
+class TestDeterministicShuffle:
+    def test_positions_are_the_exact_global_hash_rank(self, spark):
+        df = spark.createDataFrame(
+            [(f"doc{i:04d}",) for i in range(777)], "doc_id string"
+        )
+        out = SP.deterministic_shuffle(df, "doc_id", seed="s1")
+        rows = out.collect()
+        assert sorted(r.position for r in rows) == list(range(1, 778))
+        by_key = sorted(rows, key=lambda r: (r.shuffle_key, r.doc_id))
+        assert [r.position for r in by_key] == list(range(1, 778))
+
+    def test_invariant_under_input_partitioning_and_seed_changes_order(self, spark):
+        df = spark.createDataFrame(
+            [(f"doc{i:04d}",) for i in range(300)], "doc_id string"
+        )
+        a = {
+            r.doc_id: r.position
+            for r in SP.deterministic_shuffle(df, "doc_id", seed="s1").collect()
+        }
+        b = {
+            r.doc_id: r.position
+            for r in SP.deterministic_shuffle(
+                df.repartition(13), "doc_id", seed="s1"
+            ).collect()
+        }
+        c = {
+            r.doc_id: r.position
+            for r in SP.deterministic_shuffle(df, "doc_id", seed="s2").collect()
+        }
+        assert a == b
+        assert a != c
+
+    def test_corpus_window_is_bucket_partitioned(self, spark):
+        """The only non-partitioned window must be the 256-row offsets
+        table, never the corpus: the corpus-side window carries the
+        _bucket partition spec."""
+        df = spark.createDataFrame(
+            [(f"doc{i:04d}",) for i in range(100)], "doc_id string"
+        )
+        plan = (
+            SP.deterministic_shuffle(df, "doc_id")
+            ._jdf.queryExecution()
+            .optimizedPlan()
+            .toString()
+        )
+        import re
+
+        corpus_windows = [
+            ln
+            for ln in plan.splitlines()
+            if "row_number" in ln and "windowspecdefinition" in ln
+        ]
+        assert corpus_windows and all("_bucket" in ln for ln in corpus_windows)
