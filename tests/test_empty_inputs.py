@@ -97,3 +97,24 @@ def test_text_stats_empty_and_whitespace_docs(spark):
         assert r.n_tok >= 1
         assert r.q == r.q and 0.0 <= r.q <= 1.0  # finite, bounded
         assert r.lang == "und"
+
+
+def test_paragraph_dedup_on_empty_corpus(spark):
+    from spdb_spark.functions import dedup as D
+
+    paras = D.word_chunk_paragraphs(_empty_docs(spark), "doc_id", "text")
+    kept = D.paragraph_dedup(paras)
+    out = D.reassemble_paragraph_docs(paras, kept)
+    assert out.count() == 0
+    assert [f.name for f in out.schema.fields] == [
+        "doc", "clean_text", "n_paras", "n_kept",
+    ]
+
+
+def test_deterministic_shuffle_empty_and_singleton(spark):
+    from spdb_spark.functions import sampling as SP
+
+    assert SP.deterministic_shuffle(_empty_docs(spark), "doc_id").count() == 0
+    one = spark.createDataFrame([(7, "x")], "doc_id long, text string")
+    rows = SP.deterministic_shuffle(one, "doc_id").collect()
+    assert len(rows) == 1 and rows[0].position == 1

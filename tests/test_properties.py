@@ -197,3 +197,48 @@ def test_quantization_error_bound_driver_side(vec, seed):
             q = max(-127.0, min(127.0, math.copysign(math.floor(abs(r) + 0.5), r) if r != 0 else 0.0))
         assert -127 <= q <= 127
         assert abs(x - q * scale) <= scale / 2 + 1e-9 * max(1.0, mx)
+
+
+@given(
+    st.lists(
+        st.text(alphabet="ab ", min_size=0, max_size=30), min_size=1, max_size=8
+    ),
+    st.integers(min_value=1, max_value=5),
+)
+@settings(max_examples=15, deadline=None)
+def test_paragraph_dedup_identity_when_nothing_duplicated(texts, chunk):
+    """With min_df above any possible frequency, reassembly reproduces the
+    normalized token stream of every document exactly."""
+    from spdb_spark.functions import dedup as D
+    from pyspark.sql import functions as F
+
+    spark = _spark()
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    paras = D.word_chunk_paragraphs(df, "doc_id", "text", chunk_words=chunk)
+    kept = D.paragraph_dedup(paras, min_df=10**9)
+    out = {
+        r.doc: r.clean_text
+        for r in D.reassemble_paragraph_docs(paras, kept).collect()
+    }
+    expected = {
+        r.doc_id: " ".join(
+            r.text.strip().lower().split()
+        )
+        for r in df.collect()
+    }
+    for doc_id, text in expected.items():
+        # both engines split ''/'   ' into one empty pseudo-token
+        assert out[doc_id] == text
+
+
+@given(st.integers(min_value=0, max_value=400), st.text(alphabet="xyz", min_size=1, max_size=4))
+@settings(max_examples=10, deadline=None)
+def test_deterministic_shuffle_is_a_permutation(n, seed):
+    from spdb_spark.functions import sampling as SP
+
+    spark = _spark()
+    df = spark.createDataFrame([(i,) for i in range(n)], "doc_id long")
+    rows = SP.deterministic_shuffle(df, "doc_id", seed=seed).collect()
+    assert sorted(r.position for r in rows) == list(range(1, n + 1))
