@@ -252,12 +252,23 @@ def lsh_candidate_pairs(
     )
 
 
-def dup_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
+def dup_clusters(
+    pairs: DataFrame, max_iter: int = 20, checkpoint_every: int | None = 5
+) -> DataFrame:
     """Transitive closure of near-dup pairs: connected components via
     iterative min-label propagation (the step that turns pairwise matches
     into dedup groups). Each iteration is one join + one min-agg; the loop
     terminates when no label changes (checked with a cheap count) or at
     max_iter. Iterative by nature — not SQL-expressible in one query.
+
+    Every `checkpoint_every` iterations the label lineage is truncated
+    with localCheckpoint: without it each iteration's plan nests the
+    previous one, so Catalyst re-analyzes an ever-deeper tree every round
+    (quadratic planning on high-diameter graphs — exactly the graphs that
+    need many iterations). localCheckpoint materializes to executor
+    storage; on a cluster with executor churn, point
+    `spark.sparkContext.setCheckpointDir` at durable storage and swap in
+    `.checkpoint()` — the loop structure is unchanged.
 
     Input: (id_a, id_b) pairs. Output: (id, cluster_id) for every id that
     appears in a pair, cluster_id = min id of its component."""
@@ -273,22 +284,24 @@ def dup_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
         .withColumn("cluster_id", F.col("id"))
         .persist()
     )
-    for _ in range(max_iter):
+    for it in range(max_iter):
         neighbor_min = (
             edges.join(labels, edges.dst == labels.id)
             .groupBy("src")
             .agg(F.min("cluster_id").alias("nbr_min"))
         )
-        new_labels = (
-            labels.join(neighbor_min, labels.id == neighbor_min.src, "left")
-            .select(
-                "id",
-                F.least(
-                    F.col("cluster_id"), F.coalesce(F.col("nbr_min"), F.col("cluster_id"))
-                ).alias("cluster_id"),
-            )
-            .persist()
+        new_labels = labels.join(
+            neighbor_min, labels.id == neighbor_min.src, "left"
+        ).select(
+            "id",
+            F.least(
+                F.col("cluster_id"), F.coalesce(F.col("nbr_min"), F.col("cluster_id"))
+            ).alias("cluster_id"),
         )
+        if checkpoint_every and (it + 1) % checkpoint_every == 0:
+            new_labels = new_labels.localCheckpoint(eager=True)
+        else:
+            new_labels = new_labels.persist()
         changed = (
             new_labels.alias("n")
             .join(labels.alias("o"), "id")

@@ -414,7 +414,10 @@ def downsample_image_avg(v: DataFrame, factor: int = 1) -> DataFrame:
 
 
 def connected_components(
-    v: DataFrame, max_iter: int = 30, same_value_only: bool = True
+    v: DataFrame,
+    max_iter: int = 30,
+    same_value_only: bool = True,
+    checkpoint_every: int | None = 5,
 ) -> DataFrame:
     """3D connected-component labeling over the 6-neighborhood: label every
     non-zero voxel with the minimum Morton-style scalar key of its
@@ -485,7 +488,7 @@ def connected_components(
     ).persist()
 
     labels = vox.select(*key, F.col("vid").alias("component")).persist()
-    for _ in range(max_iter):
+    for it in range(max_iter):
         nbr_min = (
             edges.join(
                 labels,
@@ -495,22 +498,25 @@ def connected_components(
             .agg(F.min("component").alias("nbr_min"))
             .select(F.col("t").alias("nt"), "src", "nbr_min")
         )
-        new_labels = (
-            labels.join(
-                nbr_min,
-                (labels.t == nbr_min.nt) & (labels.vid == nbr_min.src),
-                "left",
-            )
-            .select(
-                labels.t,
-                "vid",
-                F.least(
-                    F.col("component"),
-                    F.coalesce(F.col("nbr_min"), F.col("component")),
-                ).alias("component"),
-            )
-            .persist()
+        new_labels = labels.join(
+            nbr_min,
+            (labels.t == nbr_min.nt) & (labels.vid == nbr_min.src),
+            "left",
+        ).select(
+            labels.t,
+            "vid",
+            F.least(
+                F.col("component"),
+                F.coalesce(F.col("nbr_min"), F.col("component")),
+            ).alias("component"),
         )
+        # truncate lineage periodically: O(diameter) rounds would otherwise
+        # nest the plan O(diameter) deep and Catalyst re-analyzes the whole
+        # tree each round (see dedup.dup_clusters for the cluster-mode note)
+        if checkpoint_every and (it + 1) % checkpoint_every == 0:
+            new_labels = new_labels.localCheckpoint(eager=True)
+        else:
+            new_labels = new_labels.persist()
         changed = (
             new_labels.alias("n")
             .join(labels.alias("o"), key)

@@ -262,6 +262,38 @@ def test_dup_clusters_connected_components(spark):
     assert out == {(1, 1), (2, 1), (3, 1), (4, 1), (10, 10), (11, 10)}
 
 
+def test_dup_clusters_high_diameter_with_lineage_truncation(spark):
+    """A 20-node path graph needs ~20 propagation rounds — the case where
+    un-truncated lineage nests the plan 20 deep. Checkpointed and
+    un-checkpointed runs must agree exactly, and the checkpointed run's
+    final plan must be bounded (a checkpoint scan, not the join tower)."""
+    from spdb_spark.functions.dedup import dup_clusters
+
+    n = 20
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n)], "id_a long, id_b long"
+    )
+    ck = dup_clusters(pairs, max_iter=n + 5, checkpoint_every=3)
+    assert {(r.id, r.cluster_id) for r in ck.collect()} == {
+        (i, 0) for i in range(n + 1)
+    }
+    # checkpointed == un-checkpointed, compared at a depth the latter
+    # survives: labels is referenced TWICE per iteration (propagation join
+    # + neighbor-min), so the un-truncated plan tree doubles per round —
+    # ~2^25 nodes at n=20 OOMs the JVM just printing the tree. That
+    # exponential blowup is exactly what checkpoint_every bounds.
+    small = spark.createDataFrame(
+        [(i, i + 1) for i in range(5)], "id_a long, id_b long"
+    )
+    a = dup_clusters(small, max_iter=6, checkpoint_every=3)
+    b = dup_clusters(small, max_iter=6, checkpoint_every=None)
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+    # lineage bounded: at most checkpoint_every iterations of plan on top
+    # of the last checkpoint scan
+    depth = str(ck._jdf.queryExecution().optimizedPlan()).count("Join")
+    assert depth <= 2 * 3
+
+
 def test_multimodal_resize_stub(spark, tables):
     from spdb_spark.functions.multimodal import resize_images, with_media_columns
 
