@@ -33,12 +33,10 @@ arrives" workflow for the document/LLM-pipeline tables.
 
 from __future__ import annotations
 
-import json
-import os
-import tempfile
-
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+from spdb_spark.streaming.ledger import BatchLedgerSink
 
 from spdb_spark.functions.dedup import (
     band_buckets,
@@ -52,10 +50,10 @@ _PAIR_SCHEMA = "id_a long, id_b long, jaccard double, batch_id long"
 _BAND_SCHEMA = "doc long, band int, bucket string"
 
 
-class StreamingNearDup:
+class StreamingNearDup(BatchLedgerSink):
     """foreachBatch sink flagging near-dup documents as they arrive.
 
-    Under `base_path`:
+    Under `base_path` (layout + compaction: streaming/ledger.py):
       pairs/b{N}   (id_a, id_b, jaccard, batch_id) flagged in batch N
       bands/b{N}   batch N's slice of the LSH band index
       docs/b{N}    batch N's (id, text) — verification corpus
@@ -77,8 +75,12 @@ class StreamingNearDup:
         rows: int = 2,
         threshold: float = 0.2,
     ):
-        self.spark = spark
-        self.base_path = base_path
+        super().__init__(spark, base_path)
+        self.STATE_TABLES = {
+            "pairs": _PAIR_SCHEMA,
+            "bands": _BAND_SCHEMA,
+            "docs": f"{id_col} long, {text_col} string",
+        }
         self.id_col = id_col
         self.text_col = text_col
         self.k = k
@@ -86,24 +88,8 @@ class StreamingNearDup:
         self.bands = bands
         self.rows = rows
         self.threshold = threshold
-        self._log_dir = os.path.join(base_path, "_log")
-        os.makedirs(self._log_dir, exist_ok=True)
 
     # -- committed-state readers ------------------------------------------
-
-    def _committed(self) -> list[int]:
-        return sorted(
-            int(f[: -len(".json")])
-            for f in os.listdir(self._log_dir)
-            if f.endswith(".json")
-        )
-
-    def _read(self, sub: str, schema: str, batch_ids: list[int]) -> DataFrame | None:
-        paths = [os.path.join(self.base_path, sub, f"b{b}") for b in batch_ids]
-        paths = [p for p in paths if os.path.exists(p)]
-        if not paths:
-            return None
-        return self.spark.read.schema(schema).parquet(*paths)
 
     def pairs(self) -> DataFrame:
         """All committed near-dup pairs."""
@@ -167,15 +153,6 @@ class StreamingNearDup:
             self._commit(batch_id)
         finally:
             batch.unpersist()
-
-    def _dir(self, sub: str, batch_id: int) -> str:
-        return os.path.join(self.base_path, sub, f"b{batch_id}")
-
-    def _commit(self, batch_id: int) -> None:
-        fd, tmp = tempfile.mkstemp(dir=self._log_dir, suffix=".tmp")
-        with os.fdopen(fd, "w") as f:
-            json.dump({"batch_id": batch_id}, f)
-        os.rename(tmp, os.path.join(self._log_dir, f"{batch_id}.json"))
 
     def start(self, stream: DataFrame, checkpoint: str, **trigger_kwargs):
         return (

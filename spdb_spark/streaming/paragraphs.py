@@ -24,12 +24,10 @@ batch suite gates as `llm_paragraph_dedup`.
 
 from __future__ import annotations
 
-import json
-import os
-import tempfile
-
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+from spdb_spark.streaming.ledger import BatchLedgerSink
 
 from spdb_spark.functions.dedup import (
     paragraph_dedup,
@@ -42,7 +40,7 @@ _DOC_SCHEMA = "doc long, clean_text string, n_paras bigint, n_kept long"
 _PH_SCHEMA = "ph string"
 
 
-class StreamingParagraphDedup:
+class StreamingParagraphDedup(BatchLedgerSink):
     """foreachBatch sink emitting cleaned documents as they arrive.
 
     Under `base_path`:
@@ -71,32 +69,16 @@ class StreamingParagraphDedup:
         min_df: int = 2,
         reassemble_sep: str = " ",
     ):
-        self.spark = spark
-        self.base_path = base_path
+        super().__init__(spark, base_path)
+        self.STATE_TABLES = {"docs": _DOC_SCHEMA, "phashes": _PH_SCHEMA}
         self.id_col = id_col
         self.text_col = text_col
         self.chunk_words = chunk_words
         self.sep = sep
         self.min_df = min_df
         self.reassemble_sep = reassemble_sep
-        self._log_dir = os.path.join(base_path, "_log")
-        os.makedirs(self._log_dir, exist_ok=True)
 
     # -- committed-state readers ------------------------------------------
-
-    def _committed(self) -> list[int]:
-        return sorted(
-            int(f[: -len(".json")])
-            for f in os.listdir(self._log_dir)
-            if f.endswith(".json")
-        )
-
-    def _read(self, sub: str, schema: str, batch_ids: list[int]) -> DataFrame | None:
-        paths = [os.path.join(self.base_path, sub, f"b{b}") for b in batch_ids]
-        paths = [p for p in paths if os.path.exists(p)]
-        if not paths:
-            return None
-        return self.spark.read.schema(schema).parquet(*paths)
 
     def docs(self) -> DataFrame:
         """All committed cleaned documents."""
@@ -140,15 +122,6 @@ class StreamingParagraphDedup:
             self._commit(batch_id)
         finally:
             paras.unpersist()
-
-    def _dir(self, sub: str, batch_id: int) -> str:
-        return os.path.join(self.base_path, sub, f"b{batch_id}")
-
-    def _commit(self, batch_id: int) -> None:
-        fd, tmp = tempfile.mkstemp(dir=self._log_dir, suffix=".tmp")
-        with os.fdopen(fd, "w") as f:
-            json.dump({"batch_id": batch_id}, f)
-        os.rename(tmp, os.path.join(self._log_dir, f"{batch_id}.json"))
 
     def start(self, stream: DataFrame, checkpoint: str, **trigger_kwargs):
         return (

@@ -83,3 +83,31 @@ def test_streaming_neardup_end_to_end(spark, tmp_path):
     assert len(sink._committed()) >= 2  # genuinely incremental, not one batch
     got = _unordered((r.id_a, r.id_b, r.jaccard) for r in sink.pairs().collect())
     assert got == _expected(docs)
+
+
+def test_neardup_compact_and_vacuum_preserve_pairs(spark, tmp_path):
+    import os
+
+    base = str(tmp_path / "ndc")
+    docs = _docs(spark)
+    sink = StreamingNearDup(spark, base)
+    sink.process_batch(docs.where(F.col("doc_id") < CUTS[0]), 0)
+    sink.process_batch(
+        docs.where((F.col("doc_id") >= CUTS[0]) & (F.col("doc_id") < CUTS[1])), 1
+    )
+    before = _unordered((r.id_a, r.id_b, r.jaccard) for r in sink.pairs().collect())
+
+    sink.compact()
+    sink.vacuum()
+    assert (
+        _unordered((r.id_a, r.id_b, r.jaccard) for r in sink.pairs().collect())
+        == before
+    )
+    assert not os.path.exists(os.path.join(base, "bands", "b0"))
+    assert os.path.exists(os.path.join(base, "bands", "g0"))
+
+    # later batches probe the compacted band index: totals equal the full
+    # batch pipeline on the union
+    sink.process_batch(docs.where(F.col("doc_id") >= CUTS[1]), 2)
+    got = _unordered((r.id_a, r.id_b, r.jaccard) for r in sink.pairs().collect())
+    assert got == _expected(docs)

@@ -95,3 +95,43 @@ def test_streaming_entrypoint_available_now(spark, tmp_path):
     q = sink.start(stream, str(tmp_path / "ckpt"))
     q.awaitTermination(120)
     assert sink.docs().count() == 50
+
+
+def test_compact_and_vacuum_preserve_state_and_future_batches(spark, tmp_path):
+    base = str(tmp_path / "pd4")
+    sink = StreamingParagraphDedup(spark, base, chunk_words=CHUNK)
+    docs = _docs(spark)
+    sink.process_batch(docs.where(F.col("doc_id") < CUTS[0]), 0)
+    sink.process_batch(
+        docs.where((F.col("doc_id") >= CUTS[0]) & (F.col("doc_id") < CUTS[1])), 1
+    )
+    before = sorted(map(tuple, sink.docs().collect()))
+
+    sink.compact()
+    assert sorted(map(tuple, sink.docs().collect())) == before
+    sink.vacuum()
+    assert sorted(map(tuple, sink.docs().collect())) == before
+    # batch dirs under the watermark are gone, one generation dir remains
+    assert not os.path.exists(os.path.join(base, "docs", "b0"))
+    assert os.path.exists(os.path.join(base, "docs", "g0"))
+
+    # post-compaction batches still dedup against the compacted index
+    # AND the streaming total still equals the batch pipeline
+    sink.process_batch(docs.where(F.col("doc_id") >= CUTS[1]), 2)
+    got = {
+        r.doc: (r.clean_text, r.n_paras, r.n_kept) for r in sink.docs().collect()
+    }
+    assert got == _batch_expected(docs)
+
+    # a second compact generation also round-trips
+    sink.compact()
+    sink.vacuum()
+    assert {
+        r.doc: (r.clean_text, r.n_paras, r.n_kept) for r in sink.docs().collect()
+    } == _batch_expected(docs)
+
+    # replay of a pre-compaction batch id is still a no-op
+    sink.process_batch(docs.where(F.col("doc_id") < CUTS[0]), 0)
+    assert {
+        r.doc: (r.clean_text, r.n_paras, r.n_kept) for r in sink.docs().collect()
+    } == _batch_expected(docs)
