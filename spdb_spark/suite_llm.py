@@ -1367,6 +1367,80 @@ SELECT doc_id, md5('42:' || doc_id) AS shuffle_key,
 FROM documents
 """
 
+
+def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end curation in ONE plan — the realistic 100 TB composition:
+    minhash near-dup triage + Gopher-style quality rules (quality_filter)
+    -> paragraph-level boilerplate removal on the kept docs -> deterministic
+    train/val/test split -> final per-(split, lang) shipping report with
+    CLEANED token counts. Every stage is the already-gated operator; this
+    gate pins that they compose (ids line up, nothing double-drops, token
+    accounting reflects the cleaned text)."""
+    docs = _docs(spark, sf_dir)
+    kept_ids = (
+        _qf_verdicts(spark, sf_dir)
+        .where(F.col("reject_reason") == "kept")
+        .select("doc_id")
+    )
+    kept_docs = docs.join(kept_ids, "doc_id")
+    paras = D.word_chunk_paragraphs(kept_docs, "doc_id", "text", _PD_CHUNK)
+    kept_paras = D.paragraph_dedup(paras, min_df=2)
+    clean = (
+        D.reassemble_paragraph_docs(paras, kept_paras)
+        .select(F.col("doc").alias("doc_id"), "clean_text")
+        .join(docs.select("doc_id", "lang"), "doc_id")
+    )
+    return (
+        SP.hash_split(clean, "doc_id")
+        .groupBy("split", "lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(T.token_count(F.col("clean_text"))).alias("n_tokens"),
+        )
+    )
+
+
+_CLEAN_TOKENS_SQL = (
+    "CAST(len(regexp_split_to_array(lower(trim(clean_text)), '\\s+')) AS BIGINT)"
+)
+
+SQL_CURATION_PIPELINE = f"""
+{_QF_VERDICT_SQL},
+kept AS (SELECT doc_id FROM verdicts WHERE reject_reason = 'kept'),
+ktoks AS (
+  SELECT d.doc_id, d.lang, {_TOKENS_SQL} AS t
+  FROM documents d JOIN kept USING (doc_id)
+),
+kparas AS (
+  SELECT doc_id, i AS idx,
+         array_to_string(t[(i*{_PD_CHUNK}+1):(i*{_PD_CHUNK}+{_PD_CHUNK})], ' ') AS para
+  FROM ktoks,
+       UNNEST(range(0, greatest(CAST(ceil(len(t) / {_PD_CHUNK}.0) AS BIGINT), 1))) AS u(i)
+),
+kflagged AS (
+  SELECT doc_id, idx, para,
+         COUNT(*) OVER (PARTITION BY md5(para)) AS df,
+         ROW_NUMBER() OVER (PARTITION BY md5(para) ORDER BY doc_id, idx) AS rn
+  FROM kparas
+),
+kkept AS (SELECT doc_id, idx, para FROM kflagged WHERE df < 2 OR rn = 1),
+kreasm AS (
+  SELECT doc_id, string_agg(para, ' ' ORDER BY idx) AS clean_text
+  FROM kkept GROUP BY doc_id
+),
+cleaned AS (
+  SELECT k.doc_id, k.lang, COALESCE(r.clean_text, '') AS clean_text
+  FROM (SELECT DISTINCT doc_id, lang FROM ktoks) k
+  LEFT JOIN kreasm r USING (doc_id)
+)
+SELECT CASE WHEN {_SPLIT_BUCKET} < 8000 THEN 'train'
+            WHEN {_SPLIT_BUCKET} < 9000 THEN 'val'
+            ELSE 'test' END AS split,
+       lang, COUNT(*) AS n_docs, CAST(SUM({_CLEAN_TOKENS_SQL}) AS BIGINT) AS n_tokens
+FROM cleaned
+GROUP BY 1, 2
+"""
+
 QUERIES = {
     "llm_repetition": (q_repetition, SQL_REPETITION),
     "llm_approx_vocab": (q_approx_vocab, None),
@@ -1405,4 +1479,5 @@ QUERIES = {
     "llm_ann_quantized": (q_ann_quantized, SQL_ANN_QUANTIZED),
     "llm_paragraph_dedup": (q_paragraph_dedup, SQL_PARAGRAPH_DEDUP),
     "llm_corpus_shuffle": (q_corpus_shuffle, SQL_CORPUS_SHUFFLE),
+    "llm_curation_pipeline": (q_curation_pipeline, SQL_CURATION_PIPELINE),
 }
