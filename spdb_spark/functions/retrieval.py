@@ -167,3 +167,29 @@ def bm25_scores(
         denom = tf + F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * (F.col("dl") / avgdl))
         score = score + (idf * (tf * F.lit(k1 + 1.0))) / denom
     return scored.select("doc_id", score.alias("score"))
+
+
+def passages(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    window: int = 12,
+    stride: int = 6,
+) -> DataFrame:
+    """(doc, idx, passage) — overlapping word windows, the RAG-style
+    retrieval unit (score passages, return their parent docs). Window i
+    covers tokens [i*stride, i*stride + window); the final window may be
+    shorter; every doc yields at least one. A narrow posexplode — no
+    shuffle — so passage construction composes with whatever retrieval
+    runs on top (BM25/TF-IDF over (passage id, passage text))."""
+    t = F.col("_toks")
+    n_win = F.lit(1) + F.ceil(
+        F.greatest(F.size(t) - F.lit(window), F.lit(0)) / F.lit(stride)
+    ).cast("int")
+    wins = F.transform(
+        F.sequence(F.lit(0), n_win - F.lit(1)),
+        lambda i: F.concat_ws(" ", F.slice(t, i * stride + 1, window)),
+    )
+    return docs.select(
+        F.col(id_col).alias("doc"), tokens(F.col(text_col)).alias("_toks")
+    ).select("doc", F.posexplode(wins).alias("idx", "passage"))

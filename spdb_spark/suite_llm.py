@@ -1441,6 +1441,64 @@ FROM cleaned
 GROUP BY 1, 2
 """
 
+
+# --- passage-level retrieval (RAG chunk-and-search) -------------------------
+
+_PSG_WINDOW, _PSG_STRIDE = 12, 6
+
+
+def q_passage_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 over overlapping word-window passages: the retrieval unit a
+    RAG pipeline actually serves. Passage construction is a narrow
+    posexplode; scoring reuses the gated doc-level BM25 with passage-local
+    length normalization."""
+    docs = _docs(spark, sf_dir)
+    psg = R.passages(docs, "doc_id", "text", _PSG_WINDOW, _PSG_STRIDE).select(
+        F.concat_ws(
+            "#", F.col("doc").cast("string"), F.col("idx").cast("string")
+        ).alias("pid"),
+        "passage",
+    )
+    scored = R.bm25_scores(psg, "pid", "passage", _BM25_TERMS)
+    return (
+        scored.select(
+            F.col("doc_id").alias("pid"),
+            (F.floor(F.col("score") * 1000000.0) / 1000000.0).alias("score"),
+        )
+        .orderBy(F.desc("score"), "pid")
+        .limit(20)
+    )
+
+
+SQL_PASSAGE_SEARCH = f"""
+WITH pt AS (SELECT doc_id, {_TOKENS_SQL} AS t FROM documents),
+psg AS (
+  SELECT CAST(doc_id AS VARCHAR) || '#' || CAST(i AS VARCHAR) AS pid,
+         t[(i*{_PSG_STRIDE}+1):(i*{_PSG_STRIDE}+{_PSG_WINDOW})] AS ptoks
+  FROM pt,
+       UNNEST(range(0, 1 + CAST(ceil(greatest(len(t) - {_PSG_WINDOW}, 0)
+                                     / {_PSG_STRIDE}.0) AS BIGINT))) AS u(i)
+),
+toks AS (SELECT pid, unnest(ptoks) AS token FROM psg),
+per_doc AS (
+  SELECT pid, COUNT(*) AS dl,
+         {", ".join(f"CAST(SUM(CASE WHEN token = '{t}' THEN 1 ELSE 0 END) AS BIGINT) AS tf{i}" for i, t in enumerate(_BM25_TERMS))}
+  FROM toks GROUP BY pid
+),
+stats AS (
+  SELECT CAST(SUM(dl) AS BIGINT) AS sum_dl, COUNT(*) AS nd,
+         {", ".join(f"CAST(SUM(CASE WHEN tf{i} > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df{i}" for i in range(len(_BM25_TERMS)))}
+  FROM per_doc
+),
+nn AS (SELECT COUNT(*) AS n FROM psg)
+SELECT pid,
+       FLOOR(({" + ".join(_bm25_term_sql(i) for i in range(len(_BM25_TERMS)))})
+             * 1000000.0) / 1000000.0 AS score
+FROM per_doc CROSS JOIN stats CROSS JOIN nn
+ORDER BY score DESC, pid
+LIMIT 20
+"""
+
 QUERIES = {
     "llm_repetition": (q_repetition, SQL_REPETITION),
     "llm_approx_vocab": (q_approx_vocab, None),
@@ -1480,4 +1538,5 @@ QUERIES = {
     "llm_paragraph_dedup": (q_paragraph_dedup, SQL_PARAGRAPH_DEDUP),
     "llm_corpus_shuffle": (q_corpus_shuffle, SQL_CORPUS_SHUFFLE),
     "llm_curation_pipeline": (q_curation_pipeline, SQL_CURATION_PIPELINE),
+    "llm_passage_search": (q_passage_search, SQL_PASSAGE_SEARCH),
 }

@@ -44,3 +44,31 @@ def test_bm25_monotone_in_tf_and_length_normalized(spark):
     assert scores[2] > scores[1]   # more occurrences -> higher score
     assert scores[1] > scores[3]   # same tf in a longer doc -> lower score
     assert all(s >= 0 for s in scores.values())
+
+
+class TestPassages:
+    def test_windows_cover_tokens_with_overlap(self, spark):
+        from spdb_spark.functions.retrieval import passages
+
+        df = spark.createDataFrame(
+            [("d", " ".join(f"w{i}" for i in range(20)))],
+            "doc_id string, text string",
+        )
+        rows = sorted(
+            passages(df, "doc_id", "text", window=8, stride=4).collect(),
+            key=lambda r: r.idx,
+        )
+        # 1 + ceil((20-8)/4) = 4 windows, starts 0,4,8,12
+        assert [r.idx for r in rows] == [0, 1, 2, 3]
+        assert rows[0].passage.split() == [f"w{i}" for i in range(8)]
+        assert rows[1].passage.split() == [f"w{i}" for i in range(4, 12)]
+        assert rows[3].passage.split() == [f"w{i}" for i in range(12, 20)]
+
+    def test_short_doc_yields_single_window(self, spark):
+        from spdb_spark.functions.retrieval import passages
+
+        df = spark.createDataFrame(
+            [("d", "a b c")], "doc_id string, text string"
+        )
+        rows = passages(df, "doc_id", "text", window=8, stride=4).collect()
+        assert len(rows) == 1 and rows[0].passage == "a b c"
