@@ -272,3 +272,58 @@ def test_union_merge_suite_entry_is_single_shuffle(spark):
     plan = plan_of(q_spatial_overwrite_union(spark, "/root/testdata/sf0.001"))
     assert plan.count("Exchange hashpartitioning") == 1
     assert "Join" not in plan
+
+
+def test_paragraph_dedup_single_hash_keyed_exchange(spark):
+    """The dedup stage's only corpus exchanges are keyed by the md5
+    paragraph hash (stats agg + back-join); reassembly adds the two
+    doc-keyed aggregates but NO window over the corpus."""
+    from spdb_spark.functions import dedup as D
+    from spdb_spark.session import load_tables
+
+    docs = load_tables(spark, "/root/testdata/sf0.001", names=("documents",))[
+        "documents"
+    ]
+    paras = D.word_chunk_paragraphs(docs, "doc_id", "text", 3)
+    kept = D.paragraph_dedup(paras)
+    out = D.reassemble_paragraph_docs(paras, kept)
+    plan = plan_of(out)
+    assert "Window" not in plan  # ordered concat is row-local array_sort
+    dedup_plan = plan_of(kept)
+    assert "hashpartitioning(ph" in dedup_plan  # stats keyed by the hash
+
+
+def test_curation_pipeline_is_one_plan_no_eager_jobs(spark):
+    """Building the composite curation DataFrame must not run any job —
+    every stage stays lazy inside the single plan."""
+    from spdb_spark.suite_llm import q_curation_pipeline
+
+    from spdb_spark.suite_llm import _docs
+
+    tracker = spark.sparkContext.statusTracker()
+    # baseline: table registration itself costs parquet footer jobs; the
+    # pipeline build may pay that per load_tables call but nothing more
+    n0 = len(tracker.getJobIdsForGroup(None))
+    _docs(spark, "/root/testdata/sf0.001")
+    _docs(spark, "/root/testdata/sf0.001")
+    per_two_loads = len(tracker.getJobIdsForGroup(None)) - n0
+
+    n1 = len(tracker.getJobIdsForGroup(None))
+    df = q_curation_pipeline(spark, "/root/testdata/sf0.001")
+    built = len(tracker.getJobIdsForGroup(None)) - n1
+    assert built <= per_two_loads  # no operator stage ran eagerly
+    assert df.columns == ["split", "lang", "n_docs", "n_tokens"]
+
+
+def test_passage_construction_adds_no_exchange(spark):
+    """Chunking docs into overlapping passages is a narrow posexplode —
+    the first exchange in passage-BM25 must be the per-passage token
+    aggregate, never the chunking itself."""
+    from spdb_spark.functions.retrieval import passages
+    from spdb_spark.session import load_tables
+
+    docs = load_tables(spark, "/root/testdata/sf0.001", names=("documents",))[
+        "documents"
+    ]
+    plan = plan_of(passages(docs, "doc_id", "text"))
+    assert "Exchange" not in plan
