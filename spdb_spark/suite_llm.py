@@ -1499,6 +1499,108 @@ ORDER BY score DESC, pid
 LIMIT 20
 """
 
+
+# --- hybrid lexical+semantic search (reciprocal rank fusion) ----------------
+
+_RRF_K = 60
+_HYB_BRANCH_K = 50
+
+
+def q_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RRF fusion of BM25 keyword ranking and exact cosine ranking to a
+    fixed query (doc/vec 0): score = sum over branches of 1/(60 + rank),
+    missing-from-branch contributes 0. The scale shape is
+    top-k-per-branch THEN fuse — each branch is a TakeOrdered of bounded
+    size, so the fusion join and its rank windows run over <= 2k rows
+    regardless of corpus size (the single-partition window warning on a
+    50-row set is the intended bounded step)."""
+    docs = _docs(spark, sf_dir)
+    embs = _embs(spark, sf_dir)
+    lex = (
+        R.bm25_scores(docs, "doc_id", "text", _BM25_TERMS)
+        .select(
+            "doc_id", (F.floor(F.col("score") * 1000000.0) / 1000000.0).alias("s")
+        )
+        .orderBy(F.desc("s"), "doc_id")
+        .limit(_HYB_BRANCH_K)
+        .withColumn(
+            "lex_rank",
+            F.row_number().over(W_.orderBy(F.desc("s"), "doc_id")).cast("long"),
+        )
+        .select(F.col("doc_id").alias("id"), "lex_rank")
+    )
+    sem = S.brute_force_topk(
+        embs, embs.where(F.col("vec_id") == 0), "vec_id", "embedding",
+        k=_HYB_BRANCH_K,
+    ).select(F.col("neighbor_id").alias("id"), F.col("rank").alias("sem_rank"))
+    fused = lex.join(sem, "id", "full_outer").select(
+        "id",
+        (
+            F.coalesce(F.lit(1.0) / (F.lit(_RRF_K) + F.col("lex_rank")), F.lit(0.0))
+            + F.coalesce(F.lit(1.0) / (F.lit(_RRF_K) + F.col("sem_rank")), F.lit(0.0))
+        ).alias("rrf"),
+    )
+    return (
+        fused.select(
+            "id", (F.floor(F.col("rrf") * 1000000.0) / 1000000.0).alias("rrf_score")
+        )
+        .orderBy(F.desc("rrf_score"), "id")
+        .limit(20)
+    )
+
+
+SQL_HYBRID_SEARCH = f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_TOKENS_SQL}) AS token FROM documents
+),
+per_doc AS (
+  SELECT doc_id, COUNT(*) AS dl,
+         {", ".join(f"CAST(SUM(CASE WHEN token = '{t}' THEN 1 ELSE 0 END) AS BIGINT) AS tf{i}" for i, t in enumerate(_BM25_TERMS))}
+  FROM toks GROUP BY doc_id
+),
+stats AS (
+  SELECT CAST(SUM(dl) AS BIGINT) AS sum_dl, COUNT(*) AS nd,
+         {", ".join(f"CAST(SUM(CASE WHEN tf{i} > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df{i}" for i in range(len(_BM25_TERMS)))}
+  FROM per_doc
+),
+nn AS (SELECT COUNT(*) AS n FROM documents),
+lexs AS (
+  SELECT doc_id,
+         FLOOR(({" + ".join(_bm25_term_sql(i) for i in range(len(_BM25_TERMS)))})
+               * 1000000.0) / 1000000.0 AS s
+  FROM per_doc CROSS JOIN stats CROSS JOIN nn
+  ORDER BY s DESC, doc_id LIMIT {_HYB_BRANCH_K}
+),
+lex AS (
+  SELECT doc_id AS id,
+         CAST(ROW_NUMBER() OVER (ORDER BY s DESC, doc_id) AS BIGINT) AS lex_rank
+  FROM lexs
+),
+qv AS (SELECT embedding::DOUBLE[] AS q_vec FROM embeddings WHERE vec_id = 0),
+semt AS (
+  SELECT vec_id AS id,
+         ROUND(list_dot_product(q_vec, embedding::DOUBLE[])
+               / (sqrt(list_dot_product(q_vec, q_vec))
+                  * sqrt(list_dot_product(embedding::DOUBLE[],
+                                          embedding::DOUBLE[]))), 6) AS cos_sim
+  FROM embeddings CROSS JOIN qv
+  WHERE vec_id <> 0
+),
+sem AS (
+  SELECT id,
+         CAST(ROW_NUMBER() OVER (ORDER BY cos_sim DESC, id) AS BIGINT) AS sem_rank
+  FROM semt
+  ORDER BY cos_sim DESC, id LIMIT {_HYB_BRANCH_K}
+)
+SELECT COALESCE(lex.id, sem.id) AS id,
+       FLOOR((COALESCE(1.0 / ({_RRF_K} + lex_rank), 0.0)
+              + COALESCE(1.0 / ({_RRF_K} + sem_rank), 0.0)) * 1000000.0)
+         / 1000000.0 AS rrf_score
+FROM lex FULL JOIN sem ON lex.id = sem.id
+ORDER BY rrf_score DESC, id
+LIMIT 20
+"""
+
 QUERIES = {
     "llm_repetition": (q_repetition, SQL_REPETITION),
     "llm_approx_vocab": (q_approx_vocab, None),
@@ -1539,4 +1641,5 @@ QUERIES = {
     "llm_corpus_shuffle": (q_corpus_shuffle, SQL_CORPUS_SHUFFLE),
     "llm_curation_pipeline": (q_curation_pipeline, SQL_CURATION_PIPELINE),
     "llm_passage_search": (q_passage_search, SQL_PASSAGE_SEARCH),
+    "llm_hybrid_search": (q_hybrid_search, SQL_HYBRID_SEARCH),
 }
