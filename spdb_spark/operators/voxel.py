@@ -806,3 +806,41 @@ def time_filled(
         grid.join(present, on=["x", "y", "z", "t"], how="left")
         .select("t", "x", "y", "z", F.coalesce(F.col("value"), F.lit(0)).alias("value"))
     )
+
+
+def object_moments(v: DataFrame) -> DataFrame:
+    """Per-object centroid + moment statistics: (anno_id, n_voxels,
+    cx, cy, cz, moment_trace) for every non-zero annotation id.
+
+    Parity-plus morphometry in the surface_stats family (the reference
+    stores segmentations but computes no shape statistics; cf.
+    object.py:778-831 which only enumerates ids). Numeric discipline:
+    coordinate sums stay exact bigints through the aggregate; centroids
+    are floor(sum * 1e6 / n) / 1e6 — integer arithmetic until the single
+    terminal division, so any engine agrees bit-for-bit. moment_trace is
+    the raw integer second moment sum(x^2+y^2+z^2) (the rotation-
+    invariant part callers derive gyration radii from without float
+    drift). One partial/final aggregate keyed by the object id."""
+    nz = v.where(F.col("value") != 0)
+    g = nz.groupBy("value").agg(
+        F.count("*").alias("n_voxels"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum("z").alias("sz"),
+        F.sum(
+            F.col("x") * F.col("x") + F.col("y") * F.col("y")
+            + F.col("z") * F.col("z")
+        ).alias("moment_trace"),
+    )
+    def _c(s):
+        return (F.floor(F.col(s) * 1000000 / F.col("n_voxels")) / 1000000).alias(
+            "c" + s[1]
+        )
+    return g.select(
+        F.col("value").alias("anno_id"),
+        "n_voxels",
+        _c("sx"),
+        _c("sy"),
+        _c("sz"),
+        F.col("moment_trace").cast("long").alias("moment_trace"),
+    )

@@ -742,6 +742,24 @@ GROUP BY 1, 2
 """
 
 
+
+def q_spatial_object_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Centroid + integer moment trace per annotation object."""
+    v = voxels_df(spark, sf_dir, value_expr=VALUE_ANNO, dedup=True)
+    return V.object_moments(v)
+
+
+SQL_SPATIAL_OBJECT_MOMENTS = f"""
+SELECT value AS anno_id, COUNT(*) AS n_voxels,
+       FLOOR(SUM(x) * 1000000 / COUNT(*)) / 1000000 AS cx,
+       FLOOR(SUM(y) * 1000000 / COUNT(*)) / 1000000 AS cy,
+       FLOOR(SUM(z) * 1000000 / COUNT(*)) / 1000000 AS cz,
+       CAST(SUM(x*x + y*y + z*z) AS BIGINT) AS moment_trace
+FROM {voxels_sql(value_expr=VALUE_ANNO, dedup=True)} AS v
+WHERE value <> 0
+GROUP BY value
+"""
+
 QUERIES = {
     "spatial_cutout": (q_spatial_cutout, SQL_SPATIAL_CUTOUT),
     "spatial_tile_grid": (q_spatial_tile_grid, SQL_SPATIAL_TILE_GRID),
@@ -781,6 +799,7 @@ QUERIES = {
     "spatial_missing_time": (q_spatial_missing_time, SQL_SPATIAL_MISSING_TIME),
     "spatial_time_filled": (q_spatial_time_filled, SQL_SPATIAL_TIME_FILLED),
     "spatial_surface": (q_spatial_surface, SQL_SPATIAL_SURFACE),
+    "spatial_object_moments": (q_spatial_object_moments, SQL_SPATIAL_OBJECT_MOMENTS),
     "spatial_cross_channel_mask": (q_spatial_cross_channel_mask, SQL_SPATIAL_CROSS_CHANNEL_MASK),
     "spatial_object_intensity": (q_spatial_object_intensity, SQL_SPATIAL_OBJECT_INTENSITY),
     "spatial_smooth": (q_spatial_smooth, SQL_SPATIAL_SMOOTH),
