@@ -844,3 +844,76 @@ def object_moments(v: DataFrame) -> DataFrame:
         _c("sz"),
         F.col("moment_trace").cast("long").alias("moment_trace"),
     )
+
+
+def _scatter_union(v: DataFrame) -> DataFrame:
+    """Shared union-scatter for 6-neighborhood morphology: every voxel
+    contributes itself (present=1) and its id scattered to the 6 face
+    positions (nbr=1). One narrow explode — the single groupBy a consumer
+    runs on top is the only shuffle."""
+    offs = [(1, 0, 0), (-1, 0, 0), (0, 1, 0), (0, -1, 0), (0, 0, 1), (0, 0, -1)]
+    nbrs = v.select(
+        "t", "x", "y", "z", "value",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(dx).alias("dx"),
+                        F.lit(dy).alias("dy"),
+                        F.lit(dz).alias("dz"),
+                    )
+                    for dx, dy, dz in offs
+                ]
+            )
+        ).alias("o"),
+    ).select(
+        "t",
+        (F.col("x") + F.col("o.dx")).alias("x"),
+        (F.col("y") + F.col("o.dy")).alias("y"),
+        (F.col("z") + F.col("o.dz")).alias("z"),
+        "value",
+        F.lit(0).alias("present"),
+        F.lit(1).alias("nbr"),
+    )
+    selfs = v.select(
+        "t", "x", "y", "z", "value", F.lit(1).alias("present"), F.lit(0).alias("nbr")
+    )
+    return selfs.unionByName(nbrs)
+
+
+def dilate(v: DataFrame) -> DataFrame:
+    """Binary 6-neighborhood dilation of a segmentation: a position is
+    labeled after dilation if it holds a voxel (keeps its own id) or any
+    face-neighbor does (takes the MIN claiming id — deterministic when
+    objects touch). Parity-plus morphology in the surface_stats family;
+    the grid is unbounded (no clamp) — clip with box_predicate if needed.
+
+    Same scale shape as surface_stats: scatter-union then ONE
+    partial/final aggregate keyed by position — no self-join."""
+    g = (
+        _scatter_union(v)
+        .groupBy("t", "x", "y", "z")
+        .agg(
+            F.max(F.when(F.col("present") == 1, F.col("value"))).alias("self_val"),
+            F.min(F.when(F.col("nbr") == 1, F.col("value"))).alias("nbr_min"),
+        )
+    )
+    return g.select(
+        "t", "x", "y", "z",
+        F.coalesce(F.col("self_val"), F.col("nbr_min")).alias("value"),
+    )
+
+
+def erode(v: DataFrame) -> DataFrame:
+    """Binary 6-neighborhood erosion of a segmentation: a voxel survives
+    iff all 6 face-neighbors hold the SAME id (object interiors; surface
+    voxels — surface_stats' n < 6 — are removed). Same single-shuffle
+    scatter-union shape."""
+    g = (
+        _scatter_union(v)
+        .groupBy("t", "x", "y", "z", "value")
+        .agg(F.sum("present").alias("p"), F.sum("nbr").alias("n"))
+    )
+    return g.where((F.col("p") > 0) & (F.col("n") == 6)).select(
+        "t", "x", "y", "z", "value"
+    )

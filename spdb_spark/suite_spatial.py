@@ -760,6 +760,78 @@ WHERE value <> 0
 GROUP BY value
 """
 
+
+_MORPH_OFFS_SQL = """CROSS JOIN (VALUES (CAST(1 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT)),
+                     (-1, 0, 0), (0, 1, 0), (0, -1, 0),
+                     (0, 0, 1), (0, 0, -1)) AS o(dx, dy, dz)"""
+
+
+def q_spatial_dilate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary 6-neighborhood dilation (min-id claim on empty positions)."""
+    v = voxels_df(spark, sf_dir, value_expr=VALUE_ANNO, dedup=True)
+    return V.dilate(v)
+
+
+SQL_SPATIAL_DILATE = f"""
+WITH contrib AS (
+  SELECT t, x + o.dx AS x, y + o.dy AS y, z + o.dz AS z, value,
+         0 AS present, 1 AS nbr
+  FROM {voxels_sql(value_expr=VALUE_ANNO, dedup=True)} AS v
+  {_MORPH_OFFS_SQL}
+  UNION ALL
+  SELECT t, x, y, z, value, 1, 0
+  FROM {voxels_sql(value_expr=VALUE_ANNO, dedup=True)} AS v2
+),
+g AS (
+  SELECT t, x, y, z,
+         MAX(CASE WHEN present = 1 THEN value END) AS self_val,
+         MIN(CASE WHEN nbr = 1 THEN value END) AS nbr_min
+  FROM contrib GROUP BY t, x, y, z
+)
+SELECT t, x, y, z, COALESCE(self_val, nbr_min) AS value FROM g
+"""
+
+
+def q_spatial_closing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Morphological closing: erode(dilate(v)) — fills pits/gaps smaller
+    than the structuring element. Gated as the composition because the
+    sparse fixture has no interior voxels for a bare erosion to keep
+    (plain erode's semantics are pinned by crafted-shape unit tests)."""
+    v = voxels_df(spark, sf_dir, value_expr=VALUE_ANNO, dedup=True)
+    return V.erode(V.dilate(v))
+
+
+SQL_SPATIAL_CLOSING = f"""
+WITH dcontrib AS (
+  SELECT t, x + o.dx AS x, y + o.dy AS y, z + o.dz AS z, value,
+         0 AS present, 1 AS nbr
+  FROM {voxels_sql(value_expr=VALUE_ANNO, dedup=True)} AS v
+  {_MORPH_OFFS_SQL}
+  UNION ALL
+  SELECT t, x, y, z, value, 1, 0
+  FROM {voxels_sql(value_expr=VALUE_ANNO, dedup=True)} AS v2
+),
+dil AS (
+  SELECT t, x, y, z,
+         COALESCE(MAX(CASE WHEN present = 1 THEN value END),
+                  MIN(CASE WHEN nbr = 1 THEN value END)) AS value
+  FROM dcontrib GROUP BY t, x, y, z
+),
+econtrib AS (
+  SELECT t, x + o.dx AS x, y + o.dy AS y, z + o.dz AS z, value,
+         0 AS present, 1 AS nbr
+  FROM dil
+  {_MORPH_OFFS_SQL}
+  UNION ALL
+  SELECT t, x, y, z, value, 1, 0 FROM dil
+),
+g AS (
+  SELECT t, x, y, z, value, SUM(present) AS p, SUM(nbr) AS n
+  FROM econtrib GROUP BY t, x, y, z, value
+)
+SELECT t, x, y, z, value FROM g WHERE p > 0 AND n = 6
+"""
+
 QUERIES = {
     "spatial_cutout": (q_spatial_cutout, SQL_SPATIAL_CUTOUT),
     "spatial_tile_grid": (q_spatial_tile_grid, SQL_SPATIAL_TILE_GRID),
@@ -800,6 +872,8 @@ QUERIES = {
     "spatial_time_filled": (q_spatial_time_filled, SQL_SPATIAL_TIME_FILLED),
     "spatial_surface": (q_spatial_surface, SQL_SPATIAL_SURFACE),
     "spatial_object_moments": (q_spatial_object_moments, SQL_SPATIAL_OBJECT_MOMENTS),
+    "spatial_dilate": (q_spatial_dilate, SQL_SPATIAL_DILATE),
+    "spatial_closing": (q_spatial_closing, SQL_SPATIAL_CLOSING),
     "spatial_cross_channel_mask": (q_spatial_cross_channel_mask, SQL_SPATIAL_CROSS_CHANNEL_MASK),
     "spatial_object_intensity": (q_spatial_object_intensity, SQL_SPATIAL_OBJECT_INTENSITY),
     "spatial_smooth": (q_spatial_smooth, SQL_SPATIAL_SMOOTH),

@@ -639,3 +639,60 @@ def test_union_merge_absorbs_duplicates_by_max(spark):
     new = vdf(spark, [(0, 1, 1, 1, 2), (0, 1, 1, 1, 9)])
     assert as_set(V.overwrite_merge_union(old, new)) == {(0, 1, 1, 1, 9)}
     assert as_set(V.exception_merge_union(old, new)) == {(0, 1, 1, 1, 5)}
+
+
+class TestMorphology:
+    def _v(self, spark, coords, value=7):
+        return spark.createDataFrame(
+            [(0, x, y, z, value) for x, y, z in coords],
+            "t long, x long, y long, z long, value long",
+        )
+
+    def test_dilate_single_voxel_grows_to_cross(self, spark):
+        from spdb_spark.operators.voxel import dilate
+
+        out = {(r.x, r.y, r.z): r.value for r in dilate(self._v(spark, [(5, 5, 5)])).collect()}
+        expected = {(5, 5, 5), (6, 5, 5), (4, 5, 5), (5, 6, 5), (5, 4, 5), (5, 5, 6), (5, 5, 4)}
+        assert set(out) == expected and set(out.values()) == {7}
+
+    def test_dilate_conflict_takes_min_id_but_keeps_own(self, spark):
+        from spdb_spark.operators.voxel import dilate
+
+        df = spark.createDataFrame(
+            [(0, 0, 0, 0, 9), (0, 2, 0, 0, 3)],
+            "t long, x long, y long, z long, value long",
+        )
+        out = {(r.x, r.y, r.z): r.value for r in dilate(df).collect()}
+        assert out[(1, 0, 0)] == 3   # contested empty position: min id wins
+        assert out[(0, 0, 0)] == 9   # present voxel keeps its own id
+        assert out[(2, 0, 0)] == 3
+
+    def test_erode_3x3x3_block_leaves_center(self, spark):
+        from spdb_spark.operators.voxel import erode
+
+        block = [(x, y, z) for x in range(3) for y in range(3) for z in range(3)]
+        out = [(r.x, r.y, r.z, r.value) for r in erode(self._v(spark, block)).collect()]
+        assert out == [(1, 1, 1, 7)]
+
+    def test_erode_requires_same_id_neighbors(self, spark):
+        from spdb_spark.operators.voxel import erode
+
+        # center of the cross has all 6 neighbors, but one carries a
+        # different id -> center is NOT interior of object 7
+        coords = [(1, 1, 1), (0, 1, 1), (2, 1, 1), (1, 0, 1), (1, 2, 1), (1, 1, 0)]
+        df = self._v(spark, coords).union(
+            self._v(spark, [(1, 1, 2)], value=8)
+        )
+        assert erode(df).count() == 0
+
+    def test_closing_fills_one_voxel_pit(self, spark):
+        from spdb_spark.operators.voxel import dilate, erode
+
+        # 3x3x3 block missing its center: closing restores the center voxel
+        block = [
+            (x, y, z)
+            for x in range(3) for y in range(3) for z in range(3)
+            if (x, y, z) != (1, 1, 1)
+        ]
+        closed = {(r.x, r.y, r.z) for r in erode(dilate(self._v(spark, block))).collect()}
+        assert (1, 1, 1) in closed
