@@ -169,3 +169,32 @@ def deterministic_shuffle(
         )
         .drop("_bucket", "_off")
     )
+
+
+def reservoir_per_group(
+    df: DataFrame,
+    group_col: str,
+    id_col: str,
+    k: int,
+    salt: str = "reservoir",
+) -> DataFrame:
+    """Deterministic k-per-group sample: the k rows with the smallest
+    md5(salt:id) in each group — the hash-function analogue of reservoir
+    sampling. Unlike rand()-based reservoirs it is a pure function of
+    the key set: stable across runs/engines/partitionings, and under
+    corpus growth a row leaves the sample only when displaced by a
+    smaller-hash arrival (bounded churn, the property balanced eval-set
+    construction needs).
+
+    One shuffle: the rank window partitions BY group, so every group
+    ranks in parallel — no global sort, no skew (hash order is uniform
+    within any group)."""
+    from pyspark.sql import Window
+
+    key = F.md5(F.concat(F.lit(f"{salt}:"), F.col(id_col).cast("string")))
+    w = Window.partitionBy(group_col).orderBy(key.asc(), F.col(id_col).asc())
+    return (
+        df.withColumn("_rk", F.row_number().over(w))
+        .where(F.col("_rk") <= k)
+        .drop("_rk")
+    )

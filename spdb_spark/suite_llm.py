@@ -1601,6 +1601,24 @@ ORDER BY rrf_score DESC, id
 LIMIT 20
 """
 
+
+_RSV_K = 5
+
+
+def q_reservoir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic k-per-language sample (hash-reservoir): balanced
+    eval-subset construction that survives reprocessing and growth."""
+    return SP.reservoir_per_group(
+        _docs(spark, sf_dir), "lang", "doc_id", _RSV_K, salt="rsv"
+    ).select("lang", "doc_id")
+
+
+SQL_RESERVOIR_SAMPLE = f"""
+SELECT lang, doc_id FROM documents
+QUALIFY ROW_NUMBER() OVER (
+  PARTITION BY lang ORDER BY md5('rsv:' || doc_id), doc_id) <= {_RSV_K}
+"""
+
 QUERIES = {
     "llm_repetition": (q_repetition, SQL_REPETITION),
     "llm_approx_vocab": (q_approx_vocab, None),
@@ -1642,4 +1660,5 @@ QUERIES = {
     "llm_curation_pipeline": (q_curation_pipeline, SQL_CURATION_PIPELINE),
     "llm_passage_search": (q_passage_search, SQL_PASSAGE_SEARCH),
     "llm_hybrid_search": (q_hybrid_search, SQL_HYBRID_SEARCH),
+    "llm_reservoir_sample": (q_reservoir_sample, SQL_RESERVOIR_SAMPLE),
 }

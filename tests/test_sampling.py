@@ -42,3 +42,48 @@ def test_stratified_sample_respects_fractions(spark):
     sub_ids = {r.doc_id for r in sub.collect()}
     out_ids = {r.doc_id for r in out.collect()}
     assert sub_ids <= out_ids
+
+
+class TestReservoirPerGroup:
+    def test_exact_k_smallest_hashes_and_partition_invariance(self, spark):
+        import hashlib
+
+        from spdb_spark.functions.sampling import reservoir_per_group
+
+        rows = [(f"g{i % 3}", i) for i in range(200)]
+        df = spark.createDataFrame(rows, "grp string, doc_id long")
+        got = {
+            (r.grp, r.doc_id)
+            for r in reservoir_per_group(df, "grp", "doc_id", 4, salt="s").collect()
+        }
+        expected = set()
+        for g in ("g0", "g1", "g2"):
+            members = sorted(
+                (i for grp, i in rows if grp == g),
+                key=lambda i: (hashlib.md5(f"s:{i}".encode()).hexdigest(), i),
+            )
+            expected |= {(g, i) for i in members[:4]}
+        assert got == expected
+
+        got2 = {
+            (r.grp, r.doc_id)
+            for r in reservoir_per_group(
+                df.repartition(17), "grp", "doc_id", 4, salt="s"
+            ).collect()
+        }
+        assert got2 == got
+
+    def test_growth_only_displaces(self, spark):
+        from spdb_spark.functions.sampling import reservoir_per_group
+
+        small = spark.createDataFrame(
+            [("g", i) for i in range(50)], "grp string, doc_id long"
+        )
+        grown = spark.createDataFrame(
+            [("g", i) for i in range(100)], "grp string, doc_id long"
+        )
+        a = {r.doc_id for r in reservoir_per_group(small, "grp", "doc_id", 10).collect()}
+        b = {r.doc_id for r in reservoir_per_group(grown, "grp", "doc_id", 10).collect()}
+        # every sampled row of the grown corpus that existed before was
+        # already sampled before (new rows can displace, never promote)
+        assert (b & set(range(50))) <= a
