@@ -832,6 +832,32 @@ g AS (
 SELECT t, x, y, z, value FROM g WHERE p > 0 AND n = 6
 """
 
+
+def q_spatial_object_contacts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Face-contact counts between different annotation objects."""
+    v = voxels_df(spark, sf_dir, value_expr=VALUE_ANNO, dedup=True)
+    return V.object_contacts(v)
+
+
+SQL_SPATIAL_OBJECT_CONTACTS = f"""
+WITH nz AS (
+  SELECT t, x, y, z, value
+  FROM {voxels_sql(value_expr=VALUE_ANNO, dedup=True)} AS v WHERE value <> 0
+),
+scattered AS (
+  SELECT t, x + o.dx AS x, y + o.dy AS y, z + o.dz AS z, value AS src_id
+  FROM nz
+  {_MORPH_OFFS_SQL}
+)
+SELECT LEAST(s.src_id, n.value) AS id_a,
+       GREATEST(s.src_id, n.value) AS id_b,
+       CAST(COUNT(*) / 2 AS BIGINT) AS n_contacts
+FROM scattered s
+JOIN nz n ON s.t = n.t AND s.x = n.x AND s.y = n.y AND s.z = n.z
+WHERE n.value <> s.src_id
+GROUP BY 1, 2
+"""
+
 QUERIES = {
     "spatial_cutout": (q_spatial_cutout, SQL_SPATIAL_CUTOUT),
     "spatial_tile_grid": (q_spatial_tile_grid, SQL_SPATIAL_TILE_GRID),
@@ -874,6 +900,7 @@ QUERIES = {
     "spatial_object_moments": (q_spatial_object_moments, SQL_SPATIAL_OBJECT_MOMENTS),
     "spatial_dilate": (q_spatial_dilate, SQL_SPATIAL_DILATE),
     "spatial_closing": (q_spatial_closing, SQL_SPATIAL_CLOSING),
+    "spatial_object_contacts": (q_spatial_object_contacts, SQL_SPATIAL_OBJECT_CONTACTS),
     "spatial_cross_channel_mask": (q_spatial_cross_channel_mask, SQL_SPATIAL_CROSS_CHANNEL_MASK),
     "spatial_object_intensity": (q_spatial_object_intensity, SQL_SPATIAL_OBJECT_INTENSITY),
     "spatial_smooth": (q_spatial_smooth, SQL_SPATIAL_SMOOTH),

@@ -696,3 +696,20 @@ class TestMorphology:
         ]
         closed = {(r.x, r.y, r.z) for r in erode(dilate(self._v(spark, block))).collect()}
         assert (1, 1, 1) in closed
+
+
+def test_object_contacts_counts_touching_faces(spark):
+    from spdb_spark.operators.voxel import object_contacts
+
+    # object 3: two voxels; object 9: one voxel touching BOTH of them;
+    # object 5: isolated
+    df = spark.createDataFrame(
+        [
+            (0, 0, 0, 0, 3), (0, 0, 1, 0, 3),
+            (0, 1, 0, 0, 9), (0, 1, 1, 0, 9),
+            (0, 9, 9, 9, 5),
+        ],
+        "t long, x long, y long, z long, value long",
+    )
+    out = {(r.id_a, r.id_b): r.n_contacts for r in object_contacts(df).collect()}
+    assert out == {(3, 9): 2}  # two touching faces, counted once each
