@@ -14,7 +14,6 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from spdb_spark.functions.hashing import md5_long
 
 
 def _as_double(c: Column) -> Column:

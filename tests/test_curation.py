@@ -416,8 +416,6 @@ class TestDeterministicShuffle:
             .optimizedPlan()
             .toString()
         )
-        import re
-
         corpus_windows = [
             ln
             for ln in plan.splitlines()

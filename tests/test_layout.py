@@ -1,7 +1,6 @@
 """Layout management: Z-order writes prune scans; bucketed joins skip the
 shuffle — the 100TB tactics, verified on the physical plan."""
 
-import pytest
 from pyspark.sql import functions as F
 
 from spdb_spark.plans.layout import (

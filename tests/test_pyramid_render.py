@@ -1,7 +1,6 @@
 """Resolution-pyramid materialization + slice/recolor presentation ops."""
 
 import numpy as np
-import pytest
 from pyspark.sql import functions as F
 
 from spdb_spark.store import CuboidStore

@@ -1,7 +1,5 @@
 """Volumetric sources/sinks + custom stateful streaming sessionizer."""
 
-import datetime
-
 import numpy as np
 
 
