@@ -242,3 +242,29 @@ def test_deterministic_shuffle_is_a_permutation(n, seed):
     df = spark.createDataFrame([(i,) for i in range(n)], "doc_id long")
     rows = SP.deterministic_shuffle(df, "doc_id", seed=seed).collect()
     assert sorted(r.position for r in rows) == list(range(1, n + 1))
+
+
+@given(
+    st.sets(
+        st.tuples(
+            st.integers(min_value=0, max_value=4),
+            st.integers(min_value=0, max_value=4),
+            st.integers(min_value=0, max_value=4),
+        ),
+        min_size=1,
+        max_size=20,
+    )
+)
+@settings(max_examples=10, deadline=None)
+def test_single_object_closing_is_extensive(coords):
+    """For a single-id voxel set, morphological closing (erode of dilate)
+    always CONTAINS the original set — the defining property of closing."""
+    from spdb_spark.operators.voxel import dilate, erode
+
+    spark = _spark()
+    df = spark.createDataFrame(
+        [(0, x, y, z, 7) for x, y, z in coords],
+        "t long, x long, y long, z long, value long",
+    )
+    closed = {(r.x, r.y, r.z) for r in erode(dilate(df)).collect()}
+    assert coords <= closed
