@@ -193,3 +193,82 @@ def passages(
     return docs.select(
         F.col(id_col).alias("doc"), tokens(F.col(text_col)).alias("_toks")
     ).select("doc", F.posexplode(wins).alias("idx", "passage"))
+
+
+def save_bm25_index(
+    docs: DataFrame, id_col: str, text_col: str, path: str
+) -> None:
+    """Persist a BM25 index so keyword search never re-scans the corpus
+    (the search-side analogue of ivf.save_index): one corpus scan writes
+
+      {path}/tf      (doc, token, tf, dl) — sorted by token inside each
+                     file, so a query's `token IN (...)` predicate prunes
+                     parquet row groups via min/max stats
+      {path}/df      (token, df) — vocabulary-sized
+      {path}/stats   single row (n_docs, sum_dl)
+
+    At cluster scale the tf table would be bucketed by token; on plain
+    parquet the in-file token sort gives the same skip behavior for the
+    few-term point lookups BM25 queries are."""
+    tf = term_freqs(docs, id_col, text_col)
+    dl = tf.groupBy("doc").agg(F.sum("tf").alias("dl"))
+    (
+        tf.join(dl, "doc")
+        .repartition("token")
+        .sortWithinPartitions("token")
+        .write.mode("overwrite")
+        .parquet(f"{path}/tf")
+    )
+    tf.groupBy("token").agg(F.count("*").alias("df")).write.mode(
+        "overwrite"
+    ).parquet(f"{path}/df")
+    dl.agg(
+        F.count("*").alias("n_docs"), F.sum("dl").alias("sum_dl")
+    ).write.mode("overwrite").parquet(f"{path}/stats")
+
+
+def bm25_search_indexed(
+    spark,
+    path: str,
+    terms: Sequence[str],
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """BM25 from a persisted index: reads only the query terms' tf rows
+    (token IN (...) pushed to the parquet scan) plus the tiny df/stats
+    tables — query cost tracks the posting lists touched, not the corpus.
+    Returns (doc_id, score) for documents matching at least one term.
+
+    Bit-parity with `bm25_scores`: the filtered tf rows pivot back to
+    per-term columns (conditional agg), so the score is the SAME
+    fixed-order expression — no order-dependent float summation."""
+    terms = list(terms)
+    tf = spark.read.parquet(f"{path}/tf").where(F.col("token").isin(terms))
+    dfs = F.broadcast(
+        spark.read.parquet(f"{path}/df").where(F.col("token").isin(terms))
+    )
+    stats = F.broadcast(spark.read.parquet(f"{path}/stats"))
+    per_doc = tf.groupBy("doc", "dl").agg(
+        *[
+            F.sum(F.when(F.col("token") == w, F.col("tf")).otherwise(0)).alias(
+                f"tf{i}"
+            )
+            for i, w in enumerate(terms)
+        ]
+    )
+    df_row = dfs.groupBy().pivot("token", terms).agg(F.first("df"))
+    scored = per_doc.crossJoin(F.broadcast(df_row)).crossJoin(stats)
+    avgdl = F.col("sum_dl") / F.col("n_docs")
+    score = F.lit(0.0)
+    for i, w in enumerate(terms):
+        tf_c = F.col(f"tf{i}")
+        df_c = F.coalesce(F.col(w), F.lit(0)).cast("double")
+        idf = F.log(
+            F.lit(1.0)
+            + (F.col("n_docs") - df_c + F.lit(0.5)) / (df_c + F.lit(0.5))
+        )
+        denom = tf_c + F.lit(k1) * (
+            F.lit(1.0 - b) + F.lit(b) * (F.col("dl") / avgdl)
+        )
+        score = score + (idf * (tf_c * F.lit(k1 + 1.0))) / denom
+    return scored.select(F.col("doc").alias("doc_id"), score.alias("score"))

@@ -72,3 +72,45 @@ class TestPassages:
         )
         rows = passages(df, "doc_id", "text", window=8, stride=4).collect()
         assert len(rows) == 1 and rows[0].passage == "a b c"
+
+
+class TestPersistedBM25Index:
+    def test_indexed_search_equals_full_scan_bitwise(self, spark, tables, tmp_path):
+        from spdb_spark.functions.retrieval import (
+            bm25_scores,
+            bm25_search_indexed,
+            save_bm25_index,
+        )
+
+        docs = tables["documents"]
+        terms = ("scan", "merge", "stream")
+        path = str(tmp_path / "bm25")
+        save_bm25_index(docs, "doc_id", "text", path)
+
+        got = {
+            r.doc_id: r.score
+            for r in bm25_search_indexed(spark, path, terms).collect()
+        }
+        full = {
+            r.doc_id: r.score
+            for r in bm25_scores(docs, "doc_id", "text", terms).collect()
+            if r.score > 0.0
+        }
+        assert got == full  # bit-identical fixed-order float expression
+
+    def test_query_prunes_to_term_posting_lists(self, spark, tables, tmp_path):
+        from spdb_spark.functions.retrieval import (
+            bm25_search_indexed,
+            save_bm25_index,
+        )
+
+        docs = tables["documents"]
+        path = str(tmp_path / "bm25p")
+        save_bm25_index(docs, "doc_id", "text", path)
+        plan = (
+            bm25_search_indexed(spark, path, ("scan", "merge"))
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "PushedFilters" in plan and "In(token" in plan
