@@ -272,3 +272,51 @@ def bm25_search_indexed(
         )
         score = score + (idf * (tf_c * F.lit(k1 + 1.0))) / denom
     return scored.select(F.col("doc").alias("doc_id"), score.alias("score"))
+
+
+def append_to_bm25_index(
+    new_docs: DataFrame, id_col: str, text_col: str, path: str
+) -> None:
+    """Incremental index growth: O(batch) work appends the new docs'
+    posting rows and folds their counts into the vocabulary-sized df and
+    1-row stats tables — the indexed corpus is never re-read (the ivf
+    append_to_index pattern). `bm25_search_indexed` results equal a full
+    rebuild (test-pinned; scores depend only on tf/df/stats totals, not
+    file layout)."""
+    spark = new_docs.sparkSession
+    tf = term_freqs(new_docs, id_col, text_col)
+    dl = tf.groupBy("doc").agg(F.sum("tf").alias("dl"))
+    (
+        tf.join(dl, "doc")
+        .repartition("token")
+        .sortWithinPartitions("token")
+        .write.mode("append")
+        .parquet(f"{path}/tf")
+    )
+    new_df = tf.groupBy("token").agg(F.count("*").alias("df"))
+    merged_df = (
+        spark.read.parquet(f"{path}/df")
+        .unionByName(new_df)
+        .groupBy("token")
+        .agg(F.sum("df").alias("df"))
+        .collect()
+    )
+    new_stats = dl.agg(
+        F.count("*").alias("n_docs"),
+        F.coalesce(F.sum("dl"), F.lit(0)).alias("sum_dl"),  # empty batch
+    ).collect()[0]
+    old_stats = spark.read.parquet(f"{path}/stats").collect()[0]
+    # vocab + stats are driver-small by construction; staging through the
+    # driver lets both tables swap atomically AFTER the tf append landed
+    spark.createDataFrame(merged_df).write.mode("overwrite").parquet(
+        f"{path}/df"
+    )
+    spark.createDataFrame(
+        [
+            (
+                int(old_stats.n_docs) + int(new_stats.n_docs),
+                int(old_stats.sum_dl) + int(new_stats.sum_dl),
+            )
+        ],
+        "n_docs bigint, sum_dl bigint",
+    ).write.mode("overwrite").parquet(f"{path}/stats")

@@ -114,3 +114,28 @@ class TestPersistedBM25Index:
             .toString()
         )
         assert "PushedFilters" in plan and "In(token" in plan
+
+    def test_append_equals_rebuild(self, spark, tables, tmp_path):
+        from pyspark.sql import functions as F
+
+        from spdb_spark.functions.retrieval import (
+            append_to_bm25_index,
+            bm25_search_indexed,
+            save_bm25_index,
+        )
+
+        docs = tables["documents"]
+        terms = ("scan", "merge", "stream")
+        first = docs.where(F.col("doc_id") % 2 == 0)
+        rest = docs.where(F.col("doc_id") % 2 == 1)
+
+        inc = str(tmp_path / "inc")
+        save_bm25_index(first, "doc_id", "text", inc)
+        append_to_bm25_index(rest, "doc_id", "text", inc)
+
+        full = str(tmp_path / "full")
+        save_bm25_index(docs, "doc_id", "text", full)
+
+        a = {r.doc_id: r.score for r in bm25_search_indexed(spark, inc, terms).collect()}
+        b = {r.doc_id: r.score for r in bm25_search_indexed(spark, full, terms).collect()}
+        assert a == b
