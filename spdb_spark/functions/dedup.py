@@ -663,3 +663,27 @@ def reassemble_paragraph_docs(
         "n_paras",
         F.coalesce(F.col("n_kept"), F.lit(0)).cast("long").alias("n_kept"),
     )
+
+
+def paragraph_provenance(paras: DataFrame, min_df: int = 2) -> DataFrame:
+    """Attribution view of the paragraph dedup: every occurrence that
+    `paragraph_dedup` would DROP, mapped to the canonical occurrence that
+    shadows it — (doc, idx, canonical_doc, canonical_idx). The audit
+    trail curation pipelines need ("why did this text disappear, and
+    where does it live now"). Same single hash-keyed aggregate + back-
+    join as the dedup itself."""
+    occ = paras.select("doc", "idx", F.md5(F.col("para")).alias("ph"))
+    stats = occ.groupBy("ph").agg(
+        F.count("*").alias("df"),
+        F.min(F.struct(F.col("doc"), F.col("idx"))).alias("first_occ"),
+    )
+    joined = occ.join(stats.where(F.col("df") >= F.lit(min_df)), "ph")
+    return joined.where(
+        (F.col("doc") != F.col("first_occ.doc"))
+        | (F.col("idx") != F.col("first_occ.idx"))
+    ).select(
+        "doc",
+        "idx",
+        F.col("first_occ.doc").alias("canonical_doc"),
+        F.col("first_occ.idx").alias("canonical_idx"),
+    )

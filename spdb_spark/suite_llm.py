@@ -1619,6 +1619,39 @@ QUALIFY ROW_NUMBER() OVER (
   PARTITION BY lang ORDER BY md5('rsv:' || doc_id), doc_id) <= {_RSV_K}
 """
 
+
+def q_paragraph_provenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audit trail of the paragraph dedup: dropped occurrence -> its
+    canonical surviving copy."""
+    docs = _docs(spark, sf_dir)
+    paras = D.word_chunk_paragraphs(docs, "doc_id", "text", _PD_CHUNK)
+    return D.paragraph_provenance(paras, min_df=2).select(
+        F.col("doc").alias("doc_id"), "idx", "canonical_doc", "canonical_idx"
+    )
+
+
+SQL_PARAGRAPH_PROVENANCE = f"""
+WITH toks AS (SELECT doc_id, {_TOKENS_SQL} AS t FROM documents),
+paras AS (
+  SELECT doc_id, i AS idx,
+         array_to_string(t[(i*{_PD_CHUNK}+1):(i*{_PD_CHUNK}+{_PD_CHUNK})], ' ') AS para
+  FROM toks,
+       UNNEST(range(0, greatest(CAST(ceil(len(t) / {_PD_CHUNK}.0) AS BIGINT), 1))) AS u(i)
+),
+flagged AS (
+  SELECT doc_id, idx,
+         COUNT(*) OVER (PARTITION BY md5(para)) AS df,
+         FIRST_VALUE(doc_id) OVER w AS canonical_doc,
+         FIRST_VALUE(idx) OVER w AS canonical_idx
+  FROM paras
+  WINDOW w AS (PARTITION BY md5(para) ORDER BY doc_id, idx
+               ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+)
+SELECT doc_id, idx, canonical_doc, canonical_idx
+FROM flagged
+WHERE df >= 2 AND (doc_id <> canonical_doc OR idx <> canonical_idx)
+"""
+
 QUERIES = {
     "llm_repetition": (q_repetition, SQL_REPETITION),
     "llm_approx_vocab": (q_approx_vocab, None),
@@ -1661,4 +1694,5 @@ QUERIES = {
     "llm_passage_search": (q_passage_search, SQL_PASSAGE_SEARCH),
     "llm_hybrid_search": (q_hybrid_search, SQL_HYBRID_SEARCH),
     "llm_reservoir_sample": (q_reservoir_sample, SQL_RESERVOIR_SAMPLE),
+    "llm_paragraph_provenance": (q_paragraph_provenance, SQL_PARAGRAPH_PROVENANCE),
 }

@@ -422,3 +422,27 @@ class TestDeterministicShuffle:
             if "row_number" in ln and "windowspecdefinition" in ln
         ]
         assert corpus_windows and all("_bucket" in ln for ln in corpus_windows)
+
+
+def test_paragraph_provenance_points_at_canonical_copy(spark):
+    from spdb_spark.functions import dedup as D
+
+    df = spark.createDataFrame(
+        [
+            ("a", "unique alpha\n\nBOILER\n\nbeta"),
+            ("b", "BOILER\n\ngamma"),
+            ("c", "delta\n\nBOILER"),
+        ],
+        "doc_id string, text string",
+    )
+    paras = D.paragraphs(df, "doc_id", "text")
+    prov = {
+        (r.doc, r.idx): (r.canonical_doc, r.canonical_idx)
+        for r in D.paragraph_provenance(paras).collect()
+    }
+    # the two non-canonical BOILER occurrences both point at ("a", 1)
+    assert prov == {("b", 0): ("a", 1), ("c", 1): ("a", 1)}
+    # provenance rows are exactly the dedup's dropped occurrences
+    kept = D.paragraph_dedup(paras)
+    dropped = paras.select("doc", "idx").subtract(kept.select("doc", "idx"))
+    assert {(r.doc, r.idx) for r in dropped.collect()} == set(prov)
