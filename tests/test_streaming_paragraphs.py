@@ -135,3 +135,44 @@ def test_compact_and_vacuum_preserve_state_and_future_batches(spark, tmp_path):
     assert {
         r.doc: (r.clean_text, r.n_paras, r.n_kept) for r in sink.docs().collect()
     } == _batch_expected(docs)
+
+
+def test_crash_mid_compact_leaves_state_readable_and_retry_succeeds(
+    spark, tmp_path, monkeypatch
+):
+    """A crash AFTER the generation dirs are written but BEFORE
+    _compact.json swings must leave readers on the old layout (state
+    unchanged), and a retried compact() must fully recover."""
+    import json
+
+    base = str(tmp_path / "pdc")
+    sink = StreamingParagraphDedup(spark, base, chunk_words=CHUNK)
+    docs = _docs(spark)
+    sink.process_batch(docs.where(F.col("doc_id") < CUTS[0]), 0)
+    sink.process_batch(docs.where(F.col("doc_id") >= CUTS[0]), 1)
+    before = sorted(map(tuple, sink.docs().collect()))
+
+    real_rename = os.rename
+
+    def exploding_rename(src, dst):
+        if dst.endswith("_compact.json"):
+            raise OSError("simulated crash before publish")
+        return real_rename(src, dst)
+
+    monkeypatch.setattr(os, "rename", exploding_rename)
+    try:
+        sink.compact()
+    except OSError:
+        pass
+    monkeypatch.undo()
+
+    # not published: readers still see the batch-dir layout, unchanged
+    assert sink._compact_info() is None
+    assert sorted(map(tuple, sink.docs().collect())) == before
+
+    # retry succeeds and the orphan generation dir is superseded
+    sink.compact()
+    sink.vacuum()
+    assert sorted(map(tuple, sink.docs().collect())) == before
+    info = json.load(open(os.path.join(base, "_compact.json")))
+    assert os.path.exists(os.path.join(base, "docs", f"g{info['gen']}"))
