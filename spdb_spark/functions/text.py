@@ -227,3 +227,76 @@ def bpe_pair_counts(df: DataFrame, text_col: str, top_n: int = 30) -> DataFrame:
         .orderBy(F.col("n").desc(), F.col("pair"))
         .limit(top_n)
     )
+
+
+def _merge_adjacent(toks: Column, a: str, b: str) -> Column:
+    """Greedy left-to-right non-overlapping merge of adjacent (a, b) into
+    the single token "a b" inside one token array (row-local fold)."""
+    return F.aggregate(
+        toks,
+        F.array().cast("array<string>"),
+        lambda acc, x: F.when(
+            (F.size(acc) > 0)
+            & (F.element_at(acc, -1) == F.lit(a))
+            & (x == F.lit(b)),
+            F.concat(
+                F.slice(acc, 1, F.size(acc) - 1),
+                F.array(F.lit(f"{a} {b}")),
+            ),
+        ).otherwise(F.concat(acc, F.array(x))),
+    )
+
+
+def train_bpe_merges(
+    df: DataFrame, text_col: str, n_merges: int = 10, min_count: int = 2
+) -> list[tuple[int, str, str, int]]:
+    """Iterative BPE merge training (word-level merge proxy, consistent
+    with `bpe_pair_counts` being one step of it): each round counts
+    adjacent-token pairs corpus-wide, fuses the most frequent pair
+    everywhere (greedy left-to-right, ties broken (count DESC, a ASC,
+    b ASC) so the result is deterministic), and repeats. Returns the
+    ordered merge table [(step, a, b, count)] — the artifact a tokenizer
+    ships.
+
+    Scale shape per round: ONE vocabulary-sized pair aggregate (explode
+    feeds map-side partials; only the single best row reaches the
+    driver) plus a narrow row-local array rewrite. Lineage is
+    localCheckpoint-truncated every 3 rounds (the dup_clusters pattern)
+    so plan depth stays bounded for large merge tables. Tokenizers train
+    on a corpus sample in practice — compose with
+    `sampling.hash_split`/`stratified_sample` upstream."""
+    t = F.col("_toks")
+    cur = df.select(tokens(F.col(text_col)).alias("_toks")).persist()
+    merges: list[tuple[int, str, str, int]] = []
+    for step in range(n_merges):
+        pairs = cur.where(F.size(t) >= 2).select(
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size(t) - 1),
+                    lambda i: F.struct(
+                        F.element_at(t, i).alias("a"),
+                        F.element_at(t, i + 1).alias("b"),
+                    ),
+                )
+            ).alias("p")
+        )
+        top = (
+            pairs.groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+            .agg(F.count("*").alias("n"))
+            .orderBy(F.col("n").desc(), "a", "b")
+            .limit(1)
+            .collect()
+        )
+        if not top or top[0].n < min_count:
+            break
+        a, b, n = top[0].a, top[0].b, int(top[0].n)
+        merges.append((step, a, b, n))
+        nxt = cur.select(_merge_adjacent(t, a, b).alias("_toks"))
+        if (step + 1) % 3 == 0:
+            nxt = nxt.localCheckpoint(eager=True)
+        else:
+            nxt = nxt.persist()
+        cur.unpersist()
+        cur = nxt
+    cur.unpersist()
+    return merges

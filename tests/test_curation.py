@@ -446,3 +446,64 @@ def test_paragraph_provenance_points_at_canonical_copy(spark):
     kept = D.paragraph_dedup(paras)
     dropped = paras.select("doc", "idx").subtract(kept.select("doc", "idx"))
     assert {(r.doc, r.idx) for r in dropped.collect()} == set(prov)
+
+
+class TestTrainBpeMerges:
+    @staticmethod
+    def _reference(texts, n_merges, min_count=2):
+        """Pure-Python mirror: greedy left-to-right merges, ties broken
+        (count DESC, a ASC, b ASC)."""
+        docs = [t.strip().lower().split() for t in texts]
+        merges = []
+        for step in range(n_merges):
+            counts = {}
+            for toks in docs:
+                for i in range(len(toks) - 1):
+                    counts[(toks[i], toks[i + 1])] = (
+                        counts.get((toks[i], toks[i + 1]), 0) + 1
+                    )
+            if not counts:
+                break
+            (a, b), n = min(
+                counts.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+            )
+            if n < min_count:
+                break
+            merges.append((step, a, b, n))
+            new_docs = []
+            for toks in docs:
+                out = []
+                for x in toks:
+                    if out and out[-1] == a and x == b:
+                        out[-1] = f"{a} {b}"
+                    else:
+                        out.append(x)
+                new_docs.append(out)
+            docs = new_docs
+        return merges
+
+    def test_matches_python_reference_through_checkpoint_rounds(self, spark):
+        from spdb_spark.functions.text import train_bpe_merges
+
+        texts = [
+            "the quick brown fox jumps over the quick brown dog",
+            "the quick brown fox sleeps",
+            "a quick brown fox is quick",
+            "the the the quick quick brown",
+        ] * 3
+        df = spark.createDataFrame([(t,) for t in texts], "text string")
+        got = train_bpe_merges(df, "text", n_merges=8)
+        assert got == self._reference(texts, 8)
+        assert len(got) >= 4  # enough rounds to cross a checkpoint boundary
+
+    def test_greedy_nonoverlapping_run_merge(self, spark):
+        from spdb_spark.functions.text import train_bpe_merges
+
+        # "x x x x" (run of 4) -> pair (x,x) counted 3 times, but greedy
+        # left-to-right merging yields ["x x", "x x"], and the next round
+        # merges those
+        df = spark.createDataFrame([("x x x x",)] * 2, "text string")
+        got = train_bpe_merges(df, "text", n_merges=2)
+        assert got == self._reference(["x x x x"] * 2, 2)
+        assert got[0][1:3] == ("x", "x")
+        assert got[1][1:3] == ("x x", "x x")
