@@ -300,3 +300,52 @@ def train_bpe_merges(
         cur = nxt
     cur.unpersist()
     return merges
+
+
+def apply_bpe_merges(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    merges: list,
+    engine: str = "arrow",
+) -> DataFrame:
+    """Encode documents with a trained merge table (the inference side of
+    `train_bpe_merges`): (id, bpe_tokens) after applying every merge in
+    training order. Accepts (step, a, b, n) or (a, b) rows.
+
+    engine="column": a chain of row-local merge folds — pure Catalyst,
+    right for short merge tables (codegen depth grows with table length).
+    engine="arrow" (default): one mapInPandas pass applying the whole
+    table per batch — the shape for production-sized tables (tokenizers
+    are sequential per token; batch-level Arrow is the standard posture,
+    cf. the blob codec). Both engines produce identical output
+    (test-pinned)."""
+    order = [(m[1], m[2]) if len(m) == 4 else (m[0], m[1]) for m in merges]
+    if engine == "column":
+        toks = tokens(F.col(text_col))
+        for a, b in order:
+            toks = _merge_adjacent(toks, a, b)
+        return df.select(F.col(id_col), toks.alias("bpe_tokens"))
+
+    import pandas as pd
+
+    def encode(batches):
+        for pdf in batches:
+            out = []
+            for text in pdf[text_col]:
+                toks = str(text).strip().lower().split()
+                for a, b in order:
+                    res: list[str] = []
+                    for x in toks:
+                        if res and res[-1] == a and x == b:
+                            res[-1] = f"{a} {b}"
+                        else:
+                            res.append(x)
+                    toks = res
+                out.append(toks)
+            yield pd.DataFrame({id_col: pdf[id_col], "bpe_tokens": out})
+
+    id_type = df.schema[id_col].dataType.simpleString()
+    return df.select(id_col, text_col).mapInPandas(
+        encode, schema=f"{id_col} {id_type}, bpe_tokens array<string>"
+    )

@@ -507,3 +507,38 @@ class TestTrainBpeMerges:
         assert got == self._reference(["x x x x"] * 2, 2)
         assert got[0][1:3] == ("x", "x")
         assert got[1][1:3] == ("x x", "x x")
+
+    def test_apply_merges_both_engines_equal_reference(self, spark):
+        from spdb_spark.functions.text import apply_bpe_merges, train_bpe_merges
+
+        texts = [
+            "the quick brown fox jumps over the quick brown dog",
+            "the quick brown fox sleeps",
+            "a quick brown fox is quick",
+        ] * 2
+        df = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+        )
+        merges = train_bpe_merges(df, "text", n_merges=6)
+
+        def ref_encode(text):
+            toks = text.strip().lower().split()
+            for _, a, b, _ in merges:
+                res = []
+                for x in toks:
+                    if res and res[-1] == a and x == b:
+                        res[-1] = f"{a} {b}"
+                    else:
+                        res.append(x)
+                toks = res
+            return toks
+
+        expected = {i: ref_encode(t) for i, t in enumerate(texts)}
+        for engine in ("arrow", "column"):
+            got = {
+                r.doc_id: list(r.bpe_tokens)
+                for r in apply_bpe_merges(
+                    df, "doc_id", "text", merges, engine=engine
+                ).collect()
+            }
+            assert got == expected, engine
