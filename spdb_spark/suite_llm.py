@@ -1652,6 +1652,53 @@ FROM flagged
 WHERE df >= 2 AND (doc_id <> canonical_doc OR idx <> canonical_idx)
 """
 
+
+def q_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE end-to-end dedup output: which documents survive. Near-dup
+    pairs -> transitive clusters -> keep the best copy per cluster
+    (longest text, ties to smallest id); unclustered docs survive as
+    their own cluster. One cluster-keyed argmax aggregate + back-join —
+    no window over the corpus."""
+    docs = _docs(spark, sf_dir)
+    sh = D.shingles(docs, "doc_id", "text", k=3)
+    pairs = D.jaccard_pairs(sh, "doc_id", threshold=_JACC_THRESHOLD).select(
+        "id_a", "id_b"
+    )
+    labels = D.dup_clusters(pairs)
+    with_cl = docs.join(labels, docs.doc_id == labels.id, "left").select(
+        "doc_id",
+        "n_chars",
+        F.coalesce(F.col("cluster_id"), F.col("doc_id")).alias("cl"),
+    )
+    best = with_cl.groupBy("cl").agg(
+        F.min(
+            F.struct(
+                (-F.col("n_chars")).alias("nq"), F.col("doc_id").alias("kid")
+            )
+        ).alias("m")
+    )
+    return with_cl.join(best, "cl").select(
+        "doc_id",
+        F.col("cl").alias("cluster_id"),
+        (F.col("doc_id") == F.col("m.kid")).cast("int").alias("survives"),
+    )
+
+
+SQL_DEDUP_SURVIVORS = f"""
+WITH labels AS ({SQL_DEDUP_CLUSTERS}),
+alldocs AS (
+  SELECT d.doc_id, d.n_chars, COALESCE(l.cluster_id, d.doc_id) AS cl
+  FROM documents d LEFT JOIN labels l ON d.doc_id = l.id
+),
+best AS (
+  SELECT cl, doc_id AS kid FROM alldocs
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY cl ORDER BY n_chars DESC, doc_id) = 1
+)
+SELECT a.doc_id, a.cl AS cluster_id,
+       CAST(CASE WHEN a.doc_id = b.kid THEN 1 ELSE 0 END AS INT) AS survives
+FROM alldocs a JOIN best b USING (cl)
+"""
+
 QUERIES = {
     "llm_repetition": (q_repetition, SQL_REPETITION),
     "llm_approx_vocab": (q_approx_vocab, None),
@@ -1695,4 +1742,5 @@ QUERIES = {
     "llm_hybrid_search": (q_hybrid_search, SQL_HYBRID_SEARCH),
     "llm_reservoir_sample": (q_reservoir_sample, SQL_RESERVOIR_SAMPLE),
     "llm_paragraph_provenance": (q_paragraph_provenance, SQL_PARAGRAPH_PROVENANCE),
+    "llm_dedup_survivors": (q_dedup_survivors, SQL_DEDUP_SURVIVORS),
 }
