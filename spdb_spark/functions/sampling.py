@@ -198,3 +198,28 @@ def reservoir_per_group(
         .where(F.col("_rk") <= k)
         .drop("_rk")
     )
+
+
+def apply_mixture(
+    df: DataFrame,
+    domain_col: str,
+    id_col: str,
+    plan: DataFrame,
+    salt: str = "mix",
+) -> DataFrame:
+    """Materialize a mixture plan (`mixture_plan` output): keep a row iff
+    its deterministic ppm bucket falls under the domain's rate —
+    md5(salt:id) % 1e6 < rate_ppm. The plan is domain-count-sized and
+    broadcasts; the corpus pass is one broadcast join + narrow filter, no
+    corpus shuffle. Same hash discipline as `hash_split` /
+    `stratified_sample`: membership is a pure function of the row key, so
+    re-runs and corpus growth never flip a kept doc."""
+    rates = F.broadcast(plan.select("domain", "rate_ppm"))
+    bucket = md5_long(
+        F.concat(F.lit(f"{salt}:"), F.col(id_col).cast("string"))
+    ) % 1_000_000
+    return (
+        df.join(rates, df[domain_col] == rates["domain"])
+        .where(bucket < F.col("rate_ppm"))
+        .drop("domain", "rate_ppm")
+    )

@@ -1699,6 +1699,30 @@ SELECT a.doc_id, a.cl AS cluster_id,
 FROM alldocs a JOIN best b USING (cl)
 """
 
+
+def q_mixture_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixture plan MATERIALIZED: the rebalanced corpus itself (docs kept
+    under each domain's deterministic ppm rate)."""
+    docs = _docs(spark, sf_dir)
+    plan = SP.mixture_plan(
+        docs.select("source", T.token_count(F.col("text")).alias("tok")),
+        "source",
+        "tok",
+    )
+    return SP.apply_mixture(docs, "source", "doc_id", plan).select(
+        "doc_id", "source"
+    )
+
+
+_MIX_BUCKET = md5_long_sql("'mix:' || CAST(doc_id AS VARCHAR)") + " % 1000000"
+
+SQL_MIXTURE_APPLY = f"""
+WITH plan AS ({SQL_MIXTURE_PLAN})
+SELECT d.doc_id, d.source
+FROM documents d JOIN plan p ON d.source = p.domain
+WHERE {_MIX_BUCKET} < p.rate_ppm
+"""
+
 QUERIES = {
     "llm_repetition": (q_repetition, SQL_REPETITION),
     "llm_approx_vocab": (q_approx_vocab, None),
@@ -1743,4 +1767,5 @@ QUERIES = {
     "llm_reservoir_sample": (q_reservoir_sample, SQL_RESERVOIR_SAMPLE),
     "llm_paragraph_provenance": (q_paragraph_provenance, SQL_PARAGRAPH_PROVENANCE),
     "llm_dedup_survivors": (q_dedup_survivors, SQL_DEDUP_SURVIVORS),
+    "llm_mixture_apply": (q_mixture_apply, SQL_MIXTURE_APPLY),
 }
