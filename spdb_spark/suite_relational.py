@@ -1903,6 +1903,54 @@ FROM staged
 """.format(toks="regexp_split_to_array(lower(trim(text)), '\\s+')")
 
 
+
+def q_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average of each user's irregularly sampled series
+    (left-continuous step interpolation, the hypertable-rollup classic):
+    sum(value * dt) / sum(dt) with dt from ONE user-keyed lead window.
+    Users with a single sample (zero span) are excluded."""
+    (events,) = _t(spark, sf_dir, "events")
+    e = events.select(
+        "user_id",
+        "event_id",
+        "value",
+        F.unix_millis(F.col("ts").cast("timestamp")).alias("ts_ms"),
+    )
+    w = Window.partitionBy("user_id").orderBy("ts_ms", "event_id")
+    seg = e.withColumn("dt", F.lead("ts_ms").over(w) - F.col("ts_ms"))
+    return (
+        seg.groupBy("user_id")
+        .agg(
+            F.sum(F.col("value") * F.col("dt")).alias("wsum"),
+            F.sum("dt").alias("span"),
+        )
+        .where(F.col("span") > 0)
+        .select(
+            "user_id",
+            (F.floor(F.col("wsum") / F.col("span") * 1000000) / 1000000).alias(
+                "twa"
+            ),
+        )
+    )
+
+
+SQL_TIME_WEIGHTED_AVG = """
+WITH e AS (
+  SELECT user_id, event_id, value, epoch_ms(ts) AS ts_ms FROM events
+),
+seg AS (
+  SELECT user_id, value,
+         LEAD(ts_ms) OVER (
+           PARTITION BY user_id ORDER BY ts_ms, event_id) - ts_ms AS dt
+  FROM e
+)
+SELECT user_id,
+       FLOOR(SUM(value * dt) / SUM(dt) * 1000000) / 1000000 AS twa
+FROM seg
+GROUP BY user_id
+HAVING SUM(dt) > 0
+"""
+
 QUERIES = {
     "q_resample_ffill": (q_resample_ffill, SQL_RESAMPLE_FFILL),
     "q_scd2_user_type": (q_scd2_user_type, SQL_SCD2_USER_TYPE),
@@ -1939,6 +1987,7 @@ QUERIES = {
     "q_window_topk": (q_window_topk, SQL_WINDOW_TOPK),
     "q_event_running": (q_event_running, SQL_EVENT_RUNNING),
     "q_sessionize": (q_sessionize, SQL_SESSIONIZE),
+    "q_time_weighted_avg": (q_time_weighted_avg, SQL_TIME_WEIGHTED_AVG),
     "q_rollup": (q_rollup, SQL_ROLLUP),
     "q_distinct_agg": (q_distinct_agg, SQL_DISTINCT_AGG),
     "q_setops": (q_setops, SQL_SETOPS),
