@@ -146,7 +146,10 @@ def deterministic_shuffle(
     single-partition step) becomes each bucket's base offset, broadcast
     back; each bucket then enumerates independently with a
     partitionBy-bucket window. At 100 TB every partition ranks in
-    parallel and no executor ever sees more than one bucket's rows."""
+    parallel and no executor ever sees more than one bucket's rows.
+    Size `prefix_chars` so one bucket (total/16^prefix_chars rows) fits
+    a window partition — 4-5 hex chars at 100 TB; positions are
+    invariant to the choice (test-pinned)."""
     from pyspark.sql import Window
 
     key = F.md5(F.concat(F.lit(f"{seed}:"), F.col(id_col).cast("string")))

@@ -542,3 +542,24 @@ class TestTrainBpeMerges:
                 ).collect()
             }
             assert got == expected, engine
+
+
+def test_deterministic_shuffle_positions_invariant_to_bucket_width(spark):
+    """prefix_chars sizes the enumeration buckets (256 at 2 hex chars;
+    at 100 TB you raise it so a bucket fits one window partition) — the
+    POSITIONS must not depend on it."""
+    df = spark.createDataFrame(
+        [(f"doc{i:04d}",) for i in range(400)], "doc_id string"
+    )
+    base = {
+        r.doc_id: r.position
+        for r in SP.deterministic_shuffle(df, "doc_id", prefix_chars=2).collect()
+    }
+    for pc in (1, 3):
+        got = {
+            r.doc_id: r.position
+            for r in SP.deterministic_shuffle(
+                df, "doc_id", prefix_chars=pc
+            ).collect()
+        }
+        assert got == base, pc
