@@ -189,17 +189,31 @@ def reservoir_per_group(
     smaller-hash arrival (bounded churn, the property balanced eval-set
     construction needs).
 
-    One shuffle: the rank window partitions BY group, so every group
-    ranks in parallel — no global sort, no skew (hash order is uniform
-    within any group)."""
+    Two-stage top-k so no window partition ever holds a whole group
+    (a group can be most of the corpus — "lang = en"): rows first rank
+    within (group, 2-hex key prefix) — 256 subgroups, each keeping its
+    own k (a superset of its contribution to the true top-k) — then the
+    survivors (<= 256k rows per group, independent of corpus size) rank
+    within the group. Results are identical to the single-window form by
+    construction; both stages order by (hash, id) so ties are stable."""
     from pyspark.sql import Window
 
     key = F.md5(F.concat(F.lit(f"{salt}:"), F.col(id_col).cast("string")))
-    w = Window.partitionBy(group_col).orderBy(key.asc(), F.col(id_col).asc())
+    staged = df.withColumn("_key", key).withColumn(
+        "_sub", F.substring("_key", 1, 2)
+    )
+    w1 = Window.partitionBy(group_col, "_sub").orderBy(
+        F.col("_key").asc(), F.col(id_col).asc()
+    )
+    w2 = Window.partitionBy(group_col).orderBy(
+        F.col("_key").asc(), F.col(id_col).asc()
+    )
     return (
-        df.withColumn("_rk", F.row_number().over(w))
+        staged.withColumn("_rk1", F.row_number().over(w1))
+        .where(F.col("_rk1") <= k)
+        .withColumn("_rk", F.row_number().over(w2))
         .where(F.col("_rk") <= k)
-        .drop("_rk")
+        .drop("_key", "_sub", "_rk1", "_rk")
     )
 
 
