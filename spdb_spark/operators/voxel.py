@@ -571,39 +571,8 @@ def surface_stats(v: DataFrame) -> DataFrame:
     partial/final agg per (position, id) counts same-id neighbors, and a
     voxel is interior iff it received all 6. No self-join — the 6-way
     neighborhood join becomes a single shuffle, skew-free at any volume."""
-    offs = [(1, 0, 0), (-1, 0, 0), (0, 1, 0), (0, -1, 0), (0, 0, 1), (0, 0, -1)]
-    nbrs = v.select(
-        "t",
-        "x",
-        "y",
-        "z",
-        "value",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(dx).alias("dx"),
-                        F.lit(dy).alias("dy"),
-                        F.lit(dz).alias("dz"),
-                    )
-                    for dx, dy, dz in offs
-                ]
-            )
-        ).alias("o"),
-    ).select(
-        "t",
-        (F.col("x") + F.col("o.dx")).alias("x"),
-        (F.col("y") + F.col("o.dy")).alias("y"),
-        (F.col("z") + F.col("o.dz")).alias("z"),
-        "value",
-        F.lit(0).alias("present"),
-        F.lit(1).alias("nbr"),
-    )
-    selfs = v.select(
-        "t", "x", "y", "z", "value", F.lit(1).alias("present"), F.lit(0).alias("nbr")
-    )
     g = (
-        selfs.unionByName(nbrs)
+        _scatter_union(v)
         .groupBy("t", "x", "y", "z", "value")
         .agg(F.sum("present").alias("p"), F.sum("nbr").alias("n"))
     )
