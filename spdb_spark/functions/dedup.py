@@ -687,3 +687,59 @@ def paragraph_provenance(paras: DataFrame, min_df: int = 2) -> DataFrame:
         F.col("first_occ.doc").alias("canonical_doc"),
         F.col("first_occ.idx").alias("canonical_idx"),
     )
+
+
+def cross_corpus_gram_novelty(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    source_col: str,
+    eval_source: str,
+    k: int = 3,
+) -> DataFrame:
+    """N-gram novelty of one source against the rest of the corpus (the
+    measurement complement of `contamination_pairs`): per eval doc, the
+    fraction of its k-grams NOT present anywhere in the other sources —
+    low novelty = the eval text largely reappears in training data.
+
+    100 TB shape: the eval side is benchmark-sized, so its distinct gram
+    set broadcasts; the training corpus streams through ONE broadcast
+    semi-join (no corpus shuffle) to find which eval grams it contains,
+    and that matched set (<= eval grams) broadcasts back into the per-doc
+    coverage join. Returns (id, n_grams, n_seen, novelty_frac)."""
+    from spdb_spark.functions.text import tokens as _tokens, word_ngrams
+
+    staged = df.select(
+        F.col(id_col).alias("doc"),
+        F.col(source_col).alias("src"),
+        _tokens(F.col(text_col)).alias("_toks"),
+    )
+    grams = staged.select(
+        "doc",
+        "src",
+        F.greatest(F.size("_toks") - (k - 1), F.lit(0)).cast("long").alias("n_grams"),
+        F.explode(word_ngrams(F.col("_toks"), k)).alias("gram"),
+    )
+    eval_grams = grams.where(F.col("src") == F.lit(eval_source))
+    eval_gram_set = eval_grams.select("gram").distinct()
+    seen = (
+        grams.where(F.col("src") != F.lit(eval_source))
+        .join(F.broadcast(eval_gram_set), "gram", "left_semi")
+        .select("gram")
+        .distinct()
+    )
+    return (
+        eval_grams.join(F.broadcast(seen.withColumn("_seen", F.lit(1))), "gram", "left")
+        .groupBy("doc", "n_grams")
+        .agg(F.sum(F.coalesce(F.col("_seen"), F.lit(0))).alias("n_seen"))
+        .select(
+            F.col("doc").alias(id_col),
+            "n_grams",
+            F.col("n_seen").cast("long").alias("n_seen"),
+            (
+                F.lit(1.0)
+                - F.floor(F.col("n_seen") * 1000000 / F.col("n_grams")) / 1000000
+            ).alias("novelty_frac"),
+        )
+        .where(F.col("n_grams") > 0)
+    )

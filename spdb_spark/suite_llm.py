@@ -1723,6 +1723,38 @@ FROM documents d JOIN plan p ON d.source = p.domain
 WHERE {_MIX_BUCKET} < p.rate_ppm
 """
 
+
+def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per eval-source doc: fraction of its 3-grams absent from every
+    other source (low = eval text reappears in training data)."""
+    return D.cross_corpus_gram_novelty(
+        _docs(spark, sf_dir), "doc_id", "text", "source", "src13", k=3
+    )
+
+
+SQL_NGRAM_NOVELTY = f"""
+WITH g AS (
+  SELECT doc_id, source,
+         CAST(greatest(len(t) - 2, 0) AS BIGINT) AS n_grams,
+         unnest(list_transform(
+           range(1, greatest(len(t) - 1, 1)),
+           i -> concat_ws(' ', t[i], t[i+1], t[i+2])
+         )) AS gram
+  FROM (SELECT doc_id, source, {_TOKENS_SQL} AS t FROM documents)
+),
+seen AS (
+  SELECT DISTINCT gram FROM g WHERE source != 'src13'
+)
+SELECT e.doc_id, e.n_grams,
+       CAST(SUM(CASE WHEN s.gram IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_seen,
+       1.0 - FLOOR(SUM(CASE WHEN s.gram IS NOT NULL THEN 1 ELSE 0 END)
+                   * 1000000 / e.n_grams) / 1000000 AS novelty_frac
+FROM g e LEFT JOIN seen s ON e.gram = s.gram
+WHERE e.source = 'src13' AND e.n_grams > 0
+GROUP BY e.doc_id, e.n_grams
+"""
+
 QUERIES = {
     "llm_repetition": (q_repetition, SQL_REPETITION),
     "llm_approx_vocab": (q_approx_vocab, None),
@@ -1768,4 +1800,5 @@ QUERIES = {
     "llm_paragraph_provenance": (q_paragraph_provenance, SQL_PARAGRAPH_PROVENANCE),
     "llm_dedup_survivors": (q_dedup_survivors, SQL_DEDUP_SURVIVORS),
     "llm_mixture_apply": (q_mixture_apply, SQL_MIXTURE_APPLY),
+    "llm_ngram_novelty": (q_ngram_novelty, SQL_NGRAM_NOVELTY),
 }
