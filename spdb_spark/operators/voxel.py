@@ -934,3 +934,26 @@ def object_contacts(v: DataFrame) -> DataFrame:
         .groupBy("id_a", "id_b")
         .agg((F.count("*") / 2).cast("long").alias("n_contacts"))
     )
+
+
+def value_histogram(v: DataFrame, n_buckets: int = 64, bucket_width: int = 4) -> DataFrame:
+    """Intensity histogram of a channel: (bucket, lo, n_voxels) with
+    fixed-width buckets (uint8 default: 64 buckets x width 4; the
+    statistic auto-contrast windowing in a tile service is computed
+    from — cf. the Boss ecosystem's histogram service; spdb itself
+    stores but never aggregates intensities). Values beyond the last
+    bucket clamp into it. One partial/final aggregate: the shuffle
+    carries n_buckets rows per partition."""
+    b = F.least(
+        F.floor(F.col("value") / F.lit(bucket_width)).cast("long"),
+        F.lit(n_buckets - 1),
+    )
+    return (
+        v.groupBy(b.alias("bucket"))
+        .agg(F.count("*").alias("n_voxels"))
+        .select(
+            "bucket",
+            (F.col("bucket") * bucket_width).alias("lo"),
+            "n_voxels",
+        )
+    )

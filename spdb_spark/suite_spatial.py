@@ -858,6 +858,22 @@ WHERE n.value <> s.src_id
 GROUP BY 1, 2
 """
 
+
+def q_spatial_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Channel intensity histogram (auto-contrast statistic)."""
+    v = voxels_df(spark, sf_dir, value_expr=VALUE_IMAGE, dedup=True)
+    return V.value_histogram(v)
+
+
+SQL_SPATIAL_HISTOGRAM = f"""
+SELECT bucket, bucket * 4 AS lo, COUNT(*) AS n_voxels
+FROM (
+  SELECT LEAST(value // 4, 63) AS bucket
+  FROM {voxels_sql(value_expr=VALUE_IMAGE, dedup=True)} AS v
+)
+GROUP BY bucket
+"""
+
 QUERIES = {
     "spatial_cutout": (q_spatial_cutout, SQL_SPATIAL_CUTOUT),
     "spatial_tile_grid": (q_spatial_tile_grid, SQL_SPATIAL_TILE_GRID),
@@ -901,6 +917,7 @@ QUERIES = {
     "spatial_dilate": (q_spatial_dilate, SQL_SPATIAL_DILATE),
     "spatial_closing": (q_spatial_closing, SQL_SPATIAL_CLOSING),
     "spatial_object_contacts": (q_spatial_object_contacts, SQL_SPATIAL_OBJECT_CONTACTS),
+    "spatial_histogram": (q_spatial_histogram, SQL_SPATIAL_HISTOGRAM),
     "spatial_cross_channel_mask": (q_spatial_cross_channel_mask, SQL_SPATIAL_CROSS_CHANNEL_MASK),
     "spatial_object_intensity": (q_spatial_object_intensity, SQL_SPATIAL_OBJECT_INTENSITY),
     "spatial_smooth": (q_spatial_smooth, SQL_SPATIAL_SMOOTH),
