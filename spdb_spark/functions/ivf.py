@@ -12,7 +12,7 @@ corpus. All stages are DataFrame ops; the centroid table broadcasts.
 from __future__ import annotations
 
 import pandas as pd
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from spdb_spark.functions.hashing import md5_long
@@ -385,6 +385,7 @@ def save_index(
     n_centroids: int = 16,
     refine_iters: int = 0,
     quantize: bool = False,
+    meta_cols: list[str] | None = None,
 ) -> None:
     """Persist an IVF index: `<path>/centroids` (k rows) and
     `<path>/lists` — the inverted lists written PARTITIONED BY
@@ -422,8 +423,15 @@ def save_index(
             .parquet(path + "/lists")
         )
         return
+    # metadata columns ride inside the list rows so FILTERED search
+    # (metadata predicate + vector) prunes candidates in the same pruned
+    # scan — predicate pushdown on the list files, no second join
+    if meta_cols:
+        lists = lists.join(
+            corpus.select(F.col(id_col).alias("vid"), *meta_cols), "vid"
+        )
     (
-        lists.select("vid", "v", "centroid_id")
+        lists.select("vid", "v", "centroid_id", *(meta_cols or []))
         .write.mode("overwrite")
         .partitionBy("centroid_id")
         .parquet(path + "/lists")
@@ -483,6 +491,7 @@ def ivf_topk_indexed(
     vec_col: str = "embedding",
     k: int = 10,
     n_probe: int = 4,
+    where: Column | str | None = None,
 ) -> DataFrame:
     """Query a persisted IVF index. The probed centroid ids become a
     pushed-down partition filter on the lists table — only n_probe/k of
@@ -501,6 +510,12 @@ def ivf_topk_indexed(
     raw = spark.read.parquet(path + "/lists").where(
         F.col("centroid_id").isin(probe_ids)
     )
+    if where is not None:
+        # filtered vector search: the metadata predicate prunes
+        # candidates INSIDE the already-pruned list scan (pushed to
+        # parquet), before any scoring — pre-filtering semantics: top-k
+        # among vectors satisfying the predicate
+        raw = raw.where(F.expr(where) if isinstance(where, str) else where)
     if "qvec" in raw.columns:
         from spdb_spark.functions.quantize import quantize_embeddings, int_dot
 

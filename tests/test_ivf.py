@@ -188,3 +188,46 @@ def test_append_to_quantized_index_keeps_layout(spark, tmp_path):
     assert set(lists.columns) == {"vid", "qvec", "scale", "centroid_id"}
     assert lists.count() == embs.count()
     assert lists.select("vid").distinct().count() == embs.count()
+
+
+class TestFilteredSearch:
+    def test_filtered_equals_postfiltered_full_ranking_and_pushes_down(
+        self, spark, tables, tmp_path
+    ):
+        from pyspark.sql import functions as F
+
+        from spdb_spark.functions.ivf import ivf_topk_indexed, save_index
+
+        embs = tables["embeddings"]
+        path = str(tmp_path / "fidx")
+        save_index(embs, path, meta_cols=["label"])
+        queries = embs.where(F.col("vec_id") % 100 == 0)
+
+        got = ivf_topk_indexed(
+            spark, path, queries, k=5, where="label = 3"
+        ).collect()
+        # every hit satisfies the predicate
+        labels = {r.vec_id: r.label for r in embs.collect()}
+        assert got and all(labels[r.neighbor_id] == 3 for r in got)
+
+        # pre-filter top-5 == post-filter of the FULL candidate ranking
+        full = ivf_topk_indexed(spark, path, queries, k=10**6).collect()
+        expected = {}
+        for r in sorted(full, key=lambda r: (r.query_id, r.rank)):
+            if labels[r.neighbor_id] == 3:
+                expected.setdefault(r.query_id, [])
+                if len(expected[r.query_id]) < 5:
+                    expected[r.query_id].append((r.neighbor_id, r.cos_sim))
+        got_by_q = {}
+        for r in sorted(got, key=lambda r: (r.query_id, r.rank)):
+            got_by_q.setdefault(r.query_id, []).append((r.neighbor_id, r.cos_sim))
+        assert got_by_q == expected
+
+        # the label predicate reaches the parquet scan of the lists
+        plan = (
+            ivf_topk_indexed(spark, path, queries, k=5, where="label = 3")
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "PushedFilters" in plan and "EqualTo(label,3)" in plan
