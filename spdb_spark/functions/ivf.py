@@ -416,8 +416,12 @@ def save_index(
             lists.select("vid", "v"), id_col="vid", vec_col="v"
         ).withColumnRenamed("vec_id", "vid")
         lists = lists.select("vid", "centroid_id").join(q, "vid")
+        if meta_cols:
+            lists = lists.join(
+                corpus.select(F.col(id_col).alias("vid"), *meta_cols), "vid"
+            )
         (
-            lists.select("vid", "qvec", "scale", "centroid_id")
+            lists.select("vid", "qvec", "scale", "centroid_id", *(meta_cols or []))
             .write.mode("overwrite")
             .partitionBy("centroid_id")
             .parquet(path + "/lists")

@@ -231,3 +231,18 @@ class TestFilteredSearch:
             .toString()
         )
         assert "PushedFilters" in plan and "EqualTo(label,3)" in plan
+
+    def test_filtered_search_on_quantized_index(self, spark, tables, tmp_path):
+        from pyspark.sql import functions as F
+
+        from spdb_spark.functions.ivf import ivf_topk_indexed, save_index
+
+        embs = tables["embeddings"]
+        path = str(tmp_path / "fq")
+        save_index(embs, path, quantize=True, meta_cols=["label"])
+        queries = embs.where(F.col("vec_id") % 100 == 0)
+        got = ivf_topk_indexed(
+            spark, path, queries, k=5, where="label = 3"
+        ).collect()
+        labels = {r.vec_id: r.label for r in embs.collect()}
+        assert got and all(labels[r.neighbor_id] == 3 for r in got)
