@@ -957,3 +957,15 @@ def value_histogram(v: DataFrame, n_buckets: int = 64, bucket_width: int = 4) ->
             "n_voxels",
         )
     )
+
+
+def closing(v: DataFrame) -> DataFrame:
+    """Morphological closing: erode(dilate(v)), with the dilated
+    intermediate lazily localCheckpoint'ed. erode's scatter-union
+    references its input TWICE, and Spark's exchange reuse does not
+    recognize the two dilate subtrees as identical — without the
+    checkpoint the whole dilate pipeline executes twice (measured 2x
+    wall). The lazy checkpoint materializes on first use inside the same
+    action and the second branch reads the stored blocks; nothing runs
+    at plan-build time."""
+    return erode(dilate(v).localCheckpoint(eager=False))

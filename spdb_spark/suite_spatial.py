@@ -798,7 +798,7 @@ def q_spatial_closing(spark: SparkSession, sf_dir: str) -> DataFrame:
     sparse fixture has no interior voxels for a bare erosion to keep
     (plain erode's semantics are pinned by crafted-shape unit tests)."""
     v = voxels_df(spark, sf_dir, value_expr=VALUE_ANNO, dedup=True)
-    return V.erode(V.dilate(v))
+    return V.closing(v)
 
 
 SQL_SPATIAL_CLOSING = f"""
