@@ -314,6 +314,10 @@ def dup_clusters(
         if changed == 0:
             break
     edges.unpersist()
+    # truncate the RETURNED plan too: up to checkpoint_every-1 rounds of
+    # join tower (each doubling) otherwise ride along into every consumer
+    if checkpoint_every:
+        labels = labels.localCheckpoint(eager=True)
     return labels
 
 

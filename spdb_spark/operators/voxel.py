@@ -529,6 +529,8 @@ def connected_components(
         if changed == 0:
             break
     edges.unpersist()
+    if checkpoint_every:
+        labels = labels.localCheckpoint(eager=True)
     out = vox.join(labels, key).select("t", "x", "y", "z", "value", "component")
     vox.unpersist()
     return out
