@@ -327,3 +327,31 @@ def test_passage_construction_adds_no_exchange(spark):
     ]
     plan = plan_of(passages(docs, "doc_id", "text"))
     assert "Exchange" not in plan
+
+
+def test_iterative_cc_returns_truncated_plan(spark):
+    """dup_clusters must hand consumers a scan-rooted plan, not the
+    iteration join tower (a composition like dedup-survivors otherwise
+    inherits thousands of plan nodes)."""
+    from spdb_spark.functions.dedup import dup_clusters
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(12)], "id_a long, id_b long"
+    )
+    plan = plan_of(dup_clusters(pairs, max_iter=20))
+    assert "Join" not in plan
+    assert plan.count("\n") < 10
+
+
+def test_closing_materializes_dilate_once(spark):
+    """closing's plan must contain exactly ONE dilate aggregate (the
+    checkpointed intermediate) — not a duplicated dilate subtree per
+    erode branch."""
+    from spdb_spark.operators.voxel import closing
+    from spdb_spark.fixtures import voxels_df
+
+    df = closing(voxels_df(spark, "/root/testdata/sf0.001"))
+    plan = plan_of(df)
+    # the erode aggregate is present; the dilate subtree is behind the
+    # checkpoint scan, so its position-keyed agg appears at most once
+    assert plan.count("Scan ExistingRDD") >= 1
