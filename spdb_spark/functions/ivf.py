@@ -461,26 +461,52 @@ def append_to_index(
     — same caller contract as the incremental dedup probe). Centroids
     are frozen at save_index time; re-train by rebuilding when drift
     matters (quantizer quality, not correctness — queries stay exact
-    within probed lists either way)."""
+    within probed lists either way).
+
+    If the index was saved with `meta_cols` (filtered-search layout),
+    the batch MUST carry the same columns: they are detected from the
+    existing lists schema and joined into the appended rows, so filtered
+    search sees appended vectors exactly like original ones. A batch
+    missing one of them raises rather than appending null metadata
+    (which would silently exclude every appended vector from filtered
+    queries)."""
     cents = spark.read.parquet(path + "/centroids")
+    existing_cols = spark.read.parquet(path + "/lists").columns
+    quantized = "qvec" in existing_cols
+    base_cols = {"vid", "centroid_id"} | (
+        {"qvec", "scale"} if quantized else {"v"}
+    )
+    meta_cols = [c for c in existing_cols if c not in base_cols]
+    missing = [c for c in meta_cols if c not in new_vectors.columns]
+    if missing:
+        raise ValueError(
+            f"append_to_index: index at {path} was saved with metadata "
+            f"columns {meta_cols}, but the new batch lacks {missing} — "
+            "appending would leave those vectors invisible to filtered "
+            "search; supply the columns or rebuild with save_index"
+        )
     lists = assign_lists(new_vectors, cents, id_col, vec_col, n_probe=1)
-    if "qvec" in spark.read.parquet(path + "/lists").columns:
+    if meta_cols:
+        lists = lists.join(
+            new_vectors.select(F.col(id_col).alias("vid"), *meta_cols), "vid"
+        )
+    if quantized:
         from spdb_spark.functions.quantize import quantize_embeddings
 
         q = quantize_embeddings(
             lists.select("vid", "v"), id_col="vid", vec_col="v"
         ).withColumnRenamed("vec_id", "vid")
         (
-            lists.select("vid", "centroid_id")
+            lists.select("vid", "centroid_id", *meta_cols)
             .join(q, "vid")
-            .select("vid", "qvec", "scale", "centroid_id")
+            .select("vid", "qvec", "scale", "centroid_id", *meta_cols)
             .write.mode("append")
             .partitionBy("centroid_id")
             .parquet(path + "/lists")
         )
         return
     (
-        lists.select("vid", "v", "centroid_id")
+        lists.select("vid", "v", "centroid_id", *meta_cols)
         .write.mode("append")
         .partitionBy("centroid_id")
         .parquet(path + "/lists")
@@ -503,7 +529,17 @@ def ivf_topk_indexed(
     in-memory `ivf_topk` built with the same quantizer (pinned in
     tests); over an int8 index (save_index(quantize=True), detected by
     schema) candidates score with the scale-free int8 cosine — 1/8 the
-    bytes read per probe, approximate ordering, recall test-pinned."""
+    bytes read per probe, approximate ordering, recall test-pinned.
+
+    Filtered search (`where`) uses PRE-filter semantics: top-k among
+    vectors satisfying the predicate. The predicate prunes candidates
+    inside the already-pruned list scan (pushed to parquet). Recall
+    escalation: a highly selective predicate can leave a probed query
+    with fewer than k matching candidates even when the full index holds
+    k — those queries automatically fall back to a FULL filtered scan of
+    the lists (predicate still pushed down; centroid pruning waived for
+    just the short queries), so filtered results are exact brute-force
+    top-k whenever the probed lists run short."""
     cents = spark.read.parquet(path + "/centroids")
     probes = assign_lists(
         queries, cents, id_col, vec_col, n_probe=n_probe
@@ -511,67 +547,97 @@ def ivf_topk_indexed(
         F.col("vid").alias("query_id"), F.col("v").alias("q_vec"), "centroid_id"
     ).withColumn("_qn", norm(F.col("q_vec")))
     probe_ids = [r.centroid_id for r in probes.select("centroid_id").distinct().collect()]
-    raw = spark.read.parquet(path + "/lists").where(
-        F.col("centroid_id").isin(probe_ids)
-    )
+    full = spark.read.parquet(path + "/lists")
     if where is not None:
-        # filtered vector search: the metadata predicate prunes
-        # candidates INSIDE the already-pruned list scan (pushed to
-        # parquet), before any scoring — pre-filtering semantics: top-k
-        # among vectors satisfying the predicate
-        raw = raw.where(F.expr(where) if isinstance(where, str) else where)
-    if "qvec" in raw.columns:
-        from spdb_spark.functions.quantize import quantize_embeddings, int_dot
+        full = full.where(F.expr(where) if isinstance(where, str) else where)
+    raw = full.where(F.col("centroid_id").isin(probe_ids))
+    quantized = "qvec" in raw.columns
+
+    if quantized:
+        from spdb_spark.functions.quantize import int_dot, quantize_embeddings
 
         qp = quantize_embeddings(
             probes.select("query_id", "q_vec"), id_col="query_id", vec_col="q_vec"
         ).select(F.col("vec_id").alias("query_id"), F.col("qvec").alias("q_q"))
-        probes_q = probes.select("query_id", "centroid_id").join(qp, "query_id")
-        lists_q = raw.select(
-            F.col("vid").alias("neighbor_id"), F.col("qvec").alias("c_q"), "centroid_id"
-        )
-        scored = (
-            lists_q.join(F.broadcast(probes_q), "centroid_id")
-            .where(F.col("neighbor_id") != F.col("query_id"))
-            .select(
-                "query_id",
-                "neighbor_id",
-                F.round(
-                    int_dot(F.col("c_q"), F.col("q_q")).cast("double")
-                    / (
-                        F.sqrt(int_dot(F.col("c_q"), F.col("c_q")).cast("double"))
-                        * F.sqrt(int_dot(F.col("q_q"), F.col("q_q")).cast("double"))
-                    ),
-                    6,
-                ).alias("cos_sim"),
+        probes_s = probes.select("query_id", "centroid_id").join(qp, "query_id")
+
+        def _score(lists_raw: DataFrame, pr: DataFrame, on: list | None) -> DataFrame:
+            lists_q = lists_raw.select(
+                F.col("vid").alias("neighbor_id"),
+                F.col("qvec").alias("c_q"),
+                "centroid_id",
             )
-            .dropDuplicates(["query_id", "neighbor_id"])
-        )
-        w = Window.partitionBy("query_id").orderBy(
-            F.desc("cos_sim"), "neighbor_id"
-        )
-        return (
-            scored.withColumn("rank", F.row_number().over(w).cast("long"))
-            .where(F.col("rank") <= k)
-        )
-    lists = raw.select(
-        F.col("vid").alias("neighbor_id"), F.col("v").alias("c_vec"), "centroid_id"
-    ).withColumn("_cn", norm(F.col("c_vec")))
-    scored = (
-        lists.join(F.broadcast(probes), "centroid_id")
-        .where(F.col("neighbor_id") != F.col("query_id"))
-        .select(
-            "query_id",
-            "neighbor_id",
-            F.round(
-                cosine_prenormed(
-                    F.col("q_vec"), F.col("c_vec"), F.col("_qn"), F.col("_cn")
-                ),
-                6,
-            ).alias("cos_sim"),
-        )
-        .dropDuplicates(["query_id", "neighbor_id"])
-    )
+            joined = (
+                lists_q.join(F.broadcast(pr), on)
+                if on is not None
+                else lists_q.drop("centroid_id").crossJoin(F.broadcast(pr))
+            )
+            return (
+                joined.where(F.col("neighbor_id") != F.col("query_id"))
+                .select(
+                    "query_id",
+                    "neighbor_id",
+                    F.round(
+                        int_dot(F.col("c_q"), F.col("q_q")).cast("double")
+                        / (
+                            F.sqrt(int_dot(F.col("c_q"), F.col("c_q")).cast("double"))
+                            * F.sqrt(int_dot(F.col("q_q"), F.col("q_q")).cast("double"))
+                        ),
+                        6,
+                    ).alias("cos_sim"),
+                )
+                .dropDuplicates(["query_id", "neighbor_id"])
+            )
+    else:
+        probes_s = probes
+
+        def _score(lists_raw: DataFrame, pr: DataFrame, on: list | None) -> DataFrame:
+            lists_f = lists_raw.select(
+                F.col("vid").alias("neighbor_id"),
+                F.col("v").alias("c_vec"),
+                "centroid_id",
+            ).withColumn("_cn", norm(F.col("c_vec")))
+            joined = (
+                lists_f.join(F.broadcast(pr), on)
+                if on is not None
+                else lists_f.drop("centroid_id").crossJoin(F.broadcast(pr))
+            )
+            return (
+                joined.where(F.col("neighbor_id") != F.col("query_id"))
+                .select(
+                    "query_id",
+                    "neighbor_id",
+                    F.round(
+                        cosine_prenormed(
+                            F.col("q_vec"), F.col("c_vec"), F.col("_qn"), F.col("_cn")
+                        ),
+                        6,
+                    ).alias("cos_sim"),
+                )
+                .dropDuplicates(["query_id", "neighbor_id"])
+            )
+
+    scored = _score(raw, probes_s, ["centroid_id"])
+    if where is not None:
+        # recall escalation — find queries whose probed+filtered candidate
+        # set runs short of k. Bounded driver work: one count per query
+        # (queries are the small broadcast side by construction).
+        counts = {
+            r.query_id: r.n
+            for r in scored.groupBy("query_id").agg(F.count("*").alias("n")).collect()
+        }
+        all_q = [
+            r.query_id for r in probes.select("query_id").distinct().collect()
+        ]
+        short = [q for q in all_q if counts.get(q, 0) < k]
+        if short:
+            short_probes = probes_s.where(
+                F.col("query_id").isin(short)
+            ).drop("centroid_id").dropDuplicates(["query_id"])
+            fallback = _score(full, short_probes, None)
+            scored = scored.where(
+                ~F.col("query_id").isin(short)
+            ).unionByName(fallback)
     w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), "neighbor_id")
     return (
         scored.withColumn("rank", F.row_number().over(w).cast("long"))

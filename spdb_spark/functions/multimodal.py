@@ -9,7 +9,9 @@ numpy + struct) into sample-exact RMS/zero-crossing/spectral-band frame
 features. Video decode is STUBBED with a deterministic fake (no practical
 pure-Python video codec; clearly marked), as are payloads in codecs the
 container can't parse (mp3/jpeg/synthetic text fixtures) — swap
-`_fake_decode` for pyav in production. Everything Spark-cares-about —
+`_fake_decode` for pyav in production. Stub-decoded rows are labeled
+status="stub" (real decodes say "ok") so downstream consumers can filter
+synthetic features from real signal. Everything Spark-cares-about —
 schema, binary payload handling, partitioning, mapInPandas batch shape,
 UDF signatures — is real and tested either way.
 """
@@ -110,27 +112,36 @@ def _image_frame_features(img: np.ndarray, n_frames: int, dim: int) -> np.ndarra
     return out
 
 
-def decode_features(payload: bytes, n_frames: int, dim: int) -> np.ndarray:
+def decode_features_status(
+    payload: bytes, n_frames: int, dim: int
+) -> tuple[np.ndarray, str]:
     """Dispatch by payload signature: PNG -> real decode + pixel-exact
     band features; RIFF/WAVE -> real PCM decode + sample-exact audio
     features (functions/audio.py); RIFF/AVI with PNG-compressed frames
     (MPNG) -> real container walk + frame sampling + per-frame PNG decode
     (functions/video.py). Only payloads in codecs pure Python can't parse
-    (H.264, mp3, jpeg, synthetic fixtures) fall to the stub."""
+    (H.264, mp3, jpeg, synthetic fixtures) fall to the stub — those rows
+    are labeled status="stub" so consumers can filter synthetic features
+    from real signal."""
     if payload[:8] == _PNG_SIG:
-        return _image_frame_features(decode_image(payload), n_frames, dim)
+        return _image_frame_features(decode_image(payload), n_frames, dim), "ok"
     if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
         from spdb_spark.functions.audio import audio_frame_features
 
-        return audio_frame_features(payload, n_frames, dim)
+        return audio_frame_features(payload, n_frames, dim), "ok"
     if payload[:4] == b"RIFF" and payload[8:12] == b"AVI ":
         from spdb_spark.functions.video import video_frame_features
 
         try:
-            return video_frame_features(payload, n_frames, dim)
+            return video_frame_features(payload, n_frames, dim), "ok"
         except ValueError:  # non-PNG frame codec: honest stub
-            return _fake_decode(payload, n_frames, dim)
-    return _fake_decode(payload, n_frames, dim)
+            return _fake_decode(payload, n_frames, dim), "stub"
+    return _fake_decode(payload, n_frames, dim), "stub"
+
+
+def decode_features(payload: bytes, n_frames: int, dim: int) -> np.ndarray:
+    """Back-compat wrapper around decode_features_status (drops status)."""
+    return decode_features_status(payload, n_frames, dim)[0]
 
 
 RESIZE_SCHEMA = StructType(
@@ -174,10 +185,10 @@ def resize_images(media: DataFrame, width: int = 224, height: int = 224) -> Data
                         resized = resize_image_array(
                             decode_image(payload), width, height
                         )
-                        blob = png_encode(resized)
+                        blob, status = png_encode(resized), "ok"
                     else:
-                        blob = _fake_resize(payload, width, height)
-                    out.append((int(row.media_id), width, height, blob, "ok"))
+                        blob, status = _fake_resize(payload, width, height), "stub"
+                    out.append((int(row.media_id), width, height, blob, status))
                 except Exception as e:
                     out.append((int(row.media_id), width, height, b"", f"error: {e}"))
             yield pd.DataFrame(
@@ -193,19 +204,22 @@ def extract_frame_features(
     """Frame-sample + featurize each payload via mapInPandas (Arrow batches;
     one Python invocation per batch of media rows, numpy per row).
 
-    PNG payloads get the real decode + pixel-exact band features
-    (`decode_features`); other payloads the deterministic stub. Output one
-    row per (media_id, frame_idx)."""
+    PNG/WAV/AVI-MPNG payloads get the real decode (status="ok"); payloads
+    in unparseable codecs get the deterministic stub and are labeled
+    status="stub" so consumers can filter them out. Output one row per
+    (media_id, frame_idx)."""
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = []
             for row in pdf.itertuples(index=False):
                 try:
-                    feats = decode_features(bytes(row.payload), n_frames, dim)
+                    feats, status = decode_features_status(
+                        bytes(row.payload), n_frames, dim
+                    )
                     for i in range(n_frames):
                         out.append(
-                            (int(row.media_id), i, feats[i].tolist(), "ok")
+                            (int(row.media_id), i, feats[i].tolist(), status)
                         )
                 except Exception as e:  # corrupt payloads must not kill the job
                     out.append((int(row.media_id), -1, None, f"error: {e}"))

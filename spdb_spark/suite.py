@@ -50,9 +50,8 @@ def _last_checked_round() -> dict[str, int]:
 
 def _rotated() -> dict:
     last = _last_checked_round()
-    ordered = sorted(
-        _BASE, key=lambda name: (last.get(name, 0), list(_BASE).index(name))
-    )
+    pos = {name: i for i, name in enumerate(_BASE)}
+    ordered = sorted(_BASE, key=lambda name: (last.get(name, 0), pos[name]))
     return {name: _BASE[name] for name in ordered}
 
 

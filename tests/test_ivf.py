@@ -246,3 +246,129 @@ class TestFilteredSearch:
         ).collect()
         labels = {r.vec_id: r.label for r in embs.collect()}
         assert got and all(labels[r.neighbor_id] == 3 for r in got)
+
+
+    def test_selective_filter_escalates_to_full_scan_recall(
+        self, spark, tables, tmp_path
+    ):
+        """VERDICT r4 'What's wrong' #3: with a selective predicate and a
+        single probed list, the probed candidates run short of k — the
+        escalation must fall back to a full filtered scan and return
+        exactly k neighbors per query, equal to filtered brute force."""
+        import numpy as np
+        from pyspark.sql import functions as F
+
+        from spdb_spark.functions.ivf import ivf_topk_indexed, save_index
+
+        embs = tables["embeddings"]
+        path = str(tmp_path / "fsel")
+        save_index(embs, path, n_centroids=16, meta_cols=["label"])
+        queries = embs.where(F.col("vec_id") % 100 == 0)
+
+        k = 5
+        got = ivf_topk_indexed(
+            spark, path, queries, k=k, n_probe=1, where="label = 6"
+        ).collect()
+        # label 6 holds 42 of 500 vectors; one probed list of 16 holds a
+        # couple — without escalation several queries return < k rows
+        by_q = {}
+        for r in got:
+            by_q.setdefault(r.query_id, []).append(r)
+        qids = [r.vec_id for r in queries.select("vec_id").collect()]
+        assert set(by_q) == set(qids)
+        assert all(len(v) == k for v in by_q.values())
+
+        # filtered brute-force oracle in numpy (same 6-dp rounding)
+        rows = embs.collect()
+        vecs = {r.vec_id: np.array(r.embedding, dtype=np.float64) for r in rows}
+        lab6 = [r.vec_id for r in rows if r.label == 6]
+        for qid in qids:
+            qv = vecs[qid]
+            sims = {}
+            for nid in lab6:
+                if nid == qid:
+                    continue
+                v = vecs[nid]
+                s = float(qv @ v / (np.linalg.norm(qv) * np.linalg.norm(v)))
+                sims[nid] = np.sign(s) * np.floor(abs(s) * 1e6 + 0.5) / 1e6
+            want = sorted(sims, key=lambda n: (-sims[n], n))[:k]
+            got_ids = [
+                r.neighbor_id for r in sorted(by_q[qid], key=lambda r: r.rank)
+            ]
+            assert got_ids == want
+
+    def test_unselective_filter_does_not_escalate(self, spark, tables, tmp_path):
+        """When every query already has >= k filtered candidates in its
+        probed lists, results must be unchanged by the escalation path
+        (pre-filter semantics within probed lists preserved)."""
+        from pyspark.sql import functions as F
+
+        from spdb_spark.functions.ivf import ivf_topk_indexed, save_index
+
+        embs = tables["embeddings"]
+        path = str(tmp_path / "funsel")
+        save_index(embs, path, meta_cols=["label"])
+        queries = embs.where(F.col("vec_id") % 100 == 0)
+        got = ivf_topk_indexed(
+            spark, path, queries, k=3, n_probe=8, where="label >= 0"
+        ).collect()
+        want = ivf_topk_indexed(spark, path, queries, k=3, n_probe=8).collect()
+        key = lambda rows: {(r.query_id, r.neighbor_id, r.rank) for r in rows}  # noqa: E731
+        assert key(got) == key(want)
+
+
+def test_append_to_index_carries_metadata_columns(spark, tables, tmp_path):
+    """ADVICE r4 (medium): appending to an index saved with meta_cols must
+    join the batch's metadata into the list rows — filtered search then
+    sees appended vectors; a batch lacking the columns raises."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from spdb_spark.functions.ivf import append_to_index, ivf_topk_indexed, save_index
+
+    embs = tables["embeddings"]
+    old = embs.where(F.col("vec_id") % 5 != 0)
+    new = embs.where(F.col("vec_id") % 5 == 0)
+
+    path = str(tmp_path / "meta_idx")
+    save_index(old, path, meta_cols=["label"])
+    append_to_index(spark, path, new)
+
+    lists = spark.read.parquet(path + "/lists")
+    assert "label" in lists.columns
+    # appended rows carry their real labels, not nulls
+    appended = {r.vec_id: r.label for r in new.select("vec_id", "label").collect()}
+    got = {
+        r.vid: r.label
+        for r in lists.where(F.col("vid").isin(list(appended))).collect()
+    }
+    assert got == appended
+
+    # filtered search surfaces appended vectors
+    queries = embs.where(F.col("vec_id") % 100 == 0)
+    res = ivf_topk_indexed(
+        spark, path, queries, k=10, n_probe=8, where="label = 3"
+    ).collect()
+    assert {r.neighbor_id for r in res} & {v for v in appended if appended[v] == 3}
+
+    # a batch missing the metadata column is rejected, not silently nulled
+    with pytest.raises(ValueError, match="label"):
+        append_to_index(spark, path, new.drop("label"))
+
+
+def test_append_to_quantized_index_carries_metadata(spark, tables, tmp_path):
+    from pyspark.sql import functions as F
+
+    from spdb_spark.functions.ivf import append_to_index, save_index
+
+    embs = tables["embeddings"]
+    old = embs.where(F.col("vec_id") % 5 != 0)
+    new = embs.where(F.col("vec_id") % 5 == 0)
+    path = str(tmp_path / "qmeta_idx")
+    save_index(old, path, quantize=True, meta_cols=["label"])
+    append_to_index(spark, path, new)
+    lists = spark.read.parquet(path + "/lists")
+    assert set(lists.columns) == {"vid", "qvec", "scale", "centroid_id", "label"}
+    want = {r.vec_id: r.label for r in embs.select("vec_id", "label").collect()}
+    got = {r.vid: r.label for r in lists.collect()}
+    assert got == want
