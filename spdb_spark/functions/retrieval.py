@@ -241,13 +241,20 @@ def bm25_search_indexed(
 
     Bit-parity with `bm25_scores`: the filtered tf rows pivot back to
     per-term columns (conditional agg), so the score is the SAME
-    fixed-order expression — no order-dependent float summation."""
+    fixed-order expression — no order-dependent float summation.
+
+    The pivoted df columns are renamed positionally (df0, df1, ...)
+    straight after the pivot: a query term that collides with a layout
+    column ("doc", "dl", "n_docs", "sum_dl", "tf0", ...) or contains
+    dots/backticks would otherwise make the raw-term column reference
+    ambiguous or unresolvable."""
     terms = list(terms)
+    df_dir, stats_dir = _resolve_bm25_dirs(path)
     tf = spark.read.parquet(f"{path}/tf").where(F.col("token").isin(terms))
     dfs = F.broadcast(
-        spark.read.parquet(f"{path}/df").where(F.col("token").isin(terms))
+        spark.read.parquet(df_dir).where(F.col("token").isin(terms))
     )
-    stats = F.broadcast(spark.read.parquet(f"{path}/stats"))
+    stats = F.broadcast(spark.read.parquet(stats_dir))
     per_doc = tf.groupBy("doc", "dl").agg(
         *[
             F.sum(F.when(F.col("token") == w, F.col("tf")).otherwise(0)).alias(
@@ -256,13 +263,20 @@ def bm25_search_indexed(
             for i, w in enumerate(terms)
         ]
     )
-    df_row = dfs.groupBy().pivot("token", terms).agg(F.first("df"))
+    # pivot("token", terms) emits one column per term IN `terms` ORDER;
+    # positional toDF sidesteps quoting raw term strings entirely
+    df_row = (
+        dfs.groupBy()
+        .pivot("token", terms)
+        .agg(F.first("df"))
+        .toDF(*[f"df{i}" for i in range(len(terms))])
+    )
     scored = per_doc.crossJoin(F.broadcast(df_row)).crossJoin(stats)
     avgdl = F.col("sum_dl") / F.col("n_docs")
     score = F.lit(0.0)
     for i, w in enumerate(terms):
         tf_c = F.col(f"tf{i}")
-        df_c = F.coalesce(F.col(w), F.lit(0)).cast("double")
+        df_c = F.coalesce(F.col(f"df{i}"), F.lit(0)).cast("double")
         idf = F.log(
             F.lit(1.0)
             + (F.col("n_docs") - df_c + F.lit(0.5)) / (df_c + F.lit(0.5))
@@ -274,49 +288,138 @@ def bm25_search_indexed(
     return scored.select(F.col("doc").alias("doc_id"), score.alias("score"))
 
 
+def _resolve_bm25_dirs(path: str) -> tuple[str, str]:
+    """Resolve the CURRENT df/stats dirs of a BM25 index: via the atomic
+    `_current.json` pointer when appends have versioned them, else the
+    original save_bm25_index layout."""
+    import json
+    import os
+
+    ptr = os.path.join(path, "_current.json")
+    if os.path.exists(ptr):
+        with open(ptr) as f:
+            cur = json.load(f)
+        return os.path.join(path, cur["df"]), os.path.join(path, cur["stats"])
+    return f"{path}/df", f"{path}/stats"
+
+
 def append_to_bm25_index(
-    new_docs: DataFrame, id_col: str, text_col: str, path: str
+    new_docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    path: str,
+    batch_id: str | None = None,
 ) -> None:
     """Incremental index growth: O(batch) work appends the new docs'
     posting rows and folds their counts into the vocabulary-sized df and
     1-row stats tables — the indexed corpus is never re-read (the ivf
     append_to_index pattern). `bm25_search_indexed` results equal a full
     rebuild (test-pinned; scores depend only on tf/df/stats totals, not
-    file layout)."""
+    file layout).
+
+    Crash safety (BatchLedgerSink's staged atomic-rename pattern): the
+    batch is first fully STAGED under `_staging/{batch_id}` (tf rows +
+    the merged df/stats computed against the pre-append base), sealed by
+    a `_STAGED` marker; only then does publish move the tf files in
+    (skip-if-present names), write versioned df/stats dirs, swing the
+    atomic `_current.json` pointer, and record `_appendlog/{batch_id}`.
+    A retry WITH THE SAME batch_id after a crash at ANY point is
+    idempotent: committed -> no-op; staged-but-unpublished -> republish
+    from the sealed staging (never recomputing against a half-appended
+    base); mid-staging -> restage from the untouched base. Readers only
+    ever resolve complete df/stats dirs through the pointer. Without a
+    caller batch_id the append still publishes safely, but a blind retry
+    is a NEW batch (double-append) — pass the upstream batch id (e.g.
+    foreachBatch's) for exactly-once.
+
+    Transient skew: a reader between the tf move and the pointer swing
+    sees new postings against old df/stats (slightly stale idf); the
+    window closes at the pointer rename. Full snapshot isolation is the
+    table format's job (Delta/Iceberg ACID append), the documented
+    production swap-point."""
+    import json
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
     spark = new_docs.sparkSession
-    tf = term_freqs(new_docs, id_col, text_col)
-    dl = tf.groupBy("doc").agg(F.sum("tf").alias("dl"))
-    (
-        tf.join(dl, "doc")
-        .repartition("token")
-        .sortWithinPartitions("token")
-        .write.mode("append")
-        .parquet(f"{path}/tf")
-    )
-    new_df = tf.groupBy("token").agg(F.count("*").alias("df"))
-    merged_df = (
-        spark.read.parquet(f"{path}/df")
-        .unionByName(new_df)
-        .groupBy("token")
-        .agg(F.sum("df").alias("df"))
-        .collect()
-    )
-    new_stats = dl.agg(
-        F.count("*").alias("n_docs"),
-        F.coalesce(F.sum("dl"), F.lit(0)).alias("sum_dl"),  # empty batch
-    ).collect()[0]
-    old_stats = spark.read.parquet(f"{path}/stats").collect()[0]
-    # vocab + stats are driver-small by construction; staging through the
-    # driver lets both tables swap atomically AFTER the tf append landed
-    spark.createDataFrame(merged_df).write.mode("overwrite").parquet(
-        f"{path}/df"
-    )
-    spark.createDataFrame(
-        [
-            (
-                int(old_stats.n_docs) + int(new_stats.n_docs),
-                int(old_stats.sum_dl) + int(new_stats.sum_dl),
-            )
-        ],
-        "n_docs bigint, sum_dl bigint",
-    ).write.mode("overwrite").parquet(f"{path}/stats")
+    if batch_id is None:
+        batch_id = uuid.uuid4().hex
+    batch_id = str(batch_id)
+    log_dir = os.path.join(path, "_appendlog")
+    os.makedirs(log_dir, exist_ok=True)
+    marker = os.path.join(log_dir, f"{batch_id}.json")
+    if os.path.exists(marker):
+        return  # committed earlier — idempotent retry
+    stage = os.path.join(path, "_staging", batch_id)
+    staged_flag = os.path.join(stage, "_STAGED")
+
+    if not os.path.exists(staged_flag):
+        # (re)stage from scratch — the base index is untouched until
+        # publish, so partial staging can always be thrown away
+        shutil.rmtree(stage, ignore_errors=True)
+        df_dir, stats_dir = _resolve_bm25_dirs(path)
+        tf = term_freqs(new_docs, id_col, text_col)
+        dl = tf.groupBy("doc").agg(F.sum("tf").alias("dl"))
+        (
+            tf.join(dl, "doc")
+            .repartition("token")
+            .sortWithinPartitions("token")
+            .write.mode("overwrite")
+            .parquet(os.path.join(stage, "tf"))
+        )
+        staged_tf = spark.read.parquet(os.path.join(stage, "tf"))
+        new_df = staged_tf.groupBy("token").agg(F.count("*").alias("df"))
+        (
+            spark.read.parquet(df_dir)
+            .unionByName(new_df)
+            .groupBy("token")
+            .agg(F.sum("df").alias("df"))
+            .write.mode("overwrite")
+            .parquet(os.path.join(stage, "df"))
+        )
+        new_stats = staged_tf.groupBy("doc").agg(
+            F.first("dl").alias("dl")
+        ).agg(
+            F.count("*").alias("n_docs"),
+            F.coalesce(F.sum("dl"), F.lit(0)).alias("sum_dl"),  # empty batch
+        ).collect()[0]
+        old_stats = spark.read.parquet(stats_dir).collect()[0]
+        spark.createDataFrame(
+            [
+                (
+                    int(old_stats.n_docs) + int(new_stats.n_docs),
+                    int(old_stats.sum_dl) + int(new_stats.sum_dl),
+                )
+            ],
+            "n_docs bigint, sum_dl bigint",
+        ).write.mode("overwrite").parquet(os.path.join(stage, "stats"))
+        fd, tmp = tempfile.mkstemp(dir=stage, suffix=".tmp")
+        os.close(fd)
+        os.rename(tmp, staged_flag)  # seal: staging is complete + reusable
+
+    # publish — every step idempotent under retry of the same batch_id
+    tf_dest = os.path.join(path, "tf")
+    for fname in sorted(os.listdir(os.path.join(stage, "tf"))):
+        if not fname.endswith(".parquet"):
+            continue
+        dest = os.path.join(tf_dest, f"a{batch_id}-{fname}")
+        if not os.path.exists(dest):
+            shutil.copyfile(os.path.join(stage, "tf", fname), dest)
+    for sub in ("df", "stats"):
+        vdir = os.path.join(path, f"{sub}_v{batch_id}")
+        if not os.path.exists(vdir):
+            tmpd = vdir + ".tmp"
+            shutil.rmtree(tmpd, ignore_errors=True)
+            shutil.copytree(os.path.join(stage, sub), tmpd)
+            os.rename(tmpd, vdir)  # dir rename: vdir appears complete or not at all
+    fd, tmp = tempfile.mkstemp(dir=path, suffix=".ptr.tmp")
+    with os.fdopen(fd, "w") as f:
+        json.dump({"df": f"df_v{batch_id}", "stats": f"stats_v{batch_id}"}, f)
+    os.rename(tmp, os.path.join(path, "_current.json"))  # linearization point
+    fd, tmp = tempfile.mkstemp(dir=log_dir, suffix=".tmp")
+    with os.fdopen(fd, "w") as f:
+        json.dump({"batch_id": batch_id}, f)
+    os.rename(tmp, marker)
+    shutil.rmtree(stage, ignore_errors=True)

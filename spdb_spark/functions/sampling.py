@@ -230,13 +230,23 @@ def apply_mixture(
     broadcasts; the corpus pass is one broadcast join + narrow filter, no
     corpus shuffle. Same hash discipline as `hash_split` /
     `stratified_sample`: membership is a pure function of the row key, so
-    re-runs and corpus growth never flip a kept doc."""
-    rates = F.broadcast(plan.select("domain", "rate_ppm"))
+    re-runs and corpus growth never flip a kept doc.
+
+    The plan's columns are aliased to underscore-prefixed names before the
+    join so a corpus whose `domain_col` is literally named "domain" (or
+    that carries its own "rate_ppm") keeps its columns — drop-by-name on
+    the shared name would silently remove both."""
+    rates = F.broadcast(
+        plan.select(
+            F.col("domain").alias("_mix_domain"),
+            F.col("rate_ppm").alias("_mix_rate_ppm"),
+        )
+    )
     bucket = md5_long(
         F.concat(F.lit(f"{salt}:"), F.col(id_col).cast("string"))
     ) % 1_000_000
     return (
-        df.join(rates, df[domain_col] == rates["domain"])
-        .where(bucket < F.col("rate_ppm"))
-        .drop("domain", "rate_ppm")
+        df.join(rates, df[domain_col] == rates["_mix_domain"])
+        .where(bucket < F.col("_mix_rate_ppm"))
+        .drop("_mix_domain", "_mix_rate_ppm")
     )

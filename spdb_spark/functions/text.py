@@ -327,13 +327,21 @@ def apply_bpe_merges(
             toks = _merge_adjacent(toks, a, b)
         return df.select(F.col(id_col), toks.alias("bpe_tokens"))
 
+    import re
+
     import pandas as pd
 
     def encode(batches):
         for pdf in batches:
             out = []
             for text in pdf[text_col]:
-                toks = str(text).strip().lower().split()
+                if text is None or text is pd.NA or text != text:
+                    # null text -> null tokens, matching tokens(col) = null
+                    out.append(None)
+                    continue
+                # exact tokens() semantics: split(lower(trim(s)), '\s+') —
+                # empty/whitespace-only text yields [''] in both engines
+                toks = re.split(r"\s+", str(text).strip().lower())
                 for a, b in order:
                     res: list[str] = []
                     for x in toks:

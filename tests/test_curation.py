@@ -563,3 +563,28 @@ def test_deterministic_shuffle_positions_invariant_to_bucket_width(spark):
             ).collect()
         }
         assert got == base, pc
+
+
+def test_apply_bpe_merges_engines_agree_on_null_and_empty_text(spark):
+    """ADVICE r4: the arrow engine must replicate tokens() semantics —
+    empty/whitespace text yields [''], null text yields null — instead of
+    str()-coercing (which produced [] and the literal token 'none')."""
+    from spdb_spark.functions.text import apply_bpe_merges
+
+    df = spark.createDataFrame(
+        [(0, ""), (1, "   "), (2, None), (3, "a b a b")],
+        "doc_id long, text string",
+    )
+    merges = [("a", "b")]
+    col = {
+        r.doc_id: r.bpe_tokens
+        for r in apply_bpe_merges(df, "doc_id", "text", merges, engine="column").collect()
+    }
+    arw = {
+        r.doc_id: r.bpe_tokens
+        for r in apply_bpe_merges(df, "doc_id", "text", merges, engine="arrow").collect()
+    }
+    assert col == arw
+    assert arw[0] == [""] and arw[1] == [""]
+    assert arw[2] is None
+    assert arw[3] == ["a b", "a b"]

@@ -139,3 +139,113 @@ class TestPersistedBM25Index:
         a = {r.doc_id: r.score for r in bm25_search_indexed(spark, inc, terms).collect()}
         b = {r.doc_id: r.score for r in bm25_search_indexed(spark, full, terms).collect()}
         assert a == b
+
+
+class TestBM25IndexRobustness:
+    def test_query_term_colliding_with_layout_columns(self, spark, tmp_path):
+        """ADVICE r4: a query term named like a layout column ("doc",
+        "dl", "tf0") or containing dots must not break or silently
+        mis-score — the pivoted df columns are positional now."""
+        from spdb_spark.functions.retrieval import (
+            bm25_scores,
+            bm25_search_indexed,
+            save_bm25_index,
+        )
+
+        docs = spark.createDataFrame(
+            [
+                (1, "doc dl scan tf0 n_docs"),
+                (2, "doc doc merge sum_dl"),
+                (3, "scan merge stream a.b"),
+            ],
+            "doc_id long, text string",
+        )
+        path = str(tmp_path / "bm25c")
+        save_bm25_index(docs, "doc_id", "text", path)
+        terms = ("doc", "dl", "tf0", "sum_dl", "a.b")
+        got = {
+            r.doc_id: r.score
+            for r in bm25_search_indexed(spark, path, terms).collect()
+        }
+        full = {
+            r.doc_id: r.score
+            for r in bm25_scores(docs, "doc_id", "text", terms).collect()
+            if r.score > 0.0
+        }
+        assert got == full
+
+    def test_append_same_batch_id_is_idempotent(self, spark, tables, tmp_path):
+        from pyspark.sql import functions as F
+
+        from spdb_spark.functions.retrieval import (
+            append_to_bm25_index,
+            bm25_search_indexed,
+            save_bm25_index,
+        )
+
+        docs = tables["documents"]
+        terms = ("scan", "merge", "stream")
+        first = docs.where(F.col("doc_id") % 2 == 0)
+        rest = docs.where(F.col("doc_id") % 2 == 1)
+
+        inc = str(tmp_path / "inc_idem")
+        save_bm25_index(first, "doc_id", "text", inc)
+        append_to_bm25_index(rest, "doc_id", "text", inc, batch_id="b1")
+        # blind redelivery of the same batch: must be a no-op
+        append_to_bm25_index(rest, "doc_id", "text", inc, batch_id="b1")
+
+        full = str(tmp_path / "full_idem")
+        save_bm25_index(docs, "doc_id", "text", full)
+        a = {r.doc_id: r.score for r in bm25_search_indexed(spark, inc, terms).collect()}
+        b = {r.doc_id: r.score for r in bm25_search_indexed(spark, full, terms).collect()}
+        assert a == b
+
+    def test_append_crash_mid_publish_recovers_on_retry(
+        self, spark, tables, tmp_path, monkeypatch
+    ):
+        """ADVICE r4: kill the append between the tf copy and the df/stats
+        publish — the retry with the same batch_id must converge to
+        exactly the rebuilt index (no uncounted postings, no doubles)."""
+        import shutil as _shutil
+
+        from pyspark.sql import functions as F
+
+        from spdb_spark.functions.retrieval import (
+            append_to_bm25_index,
+            bm25_search_indexed,
+            save_bm25_index,
+        )
+
+        docs = tables["documents"]
+        terms = ("scan", "merge", "stream")
+        first = docs.where(F.col("doc_id") % 2 == 0)
+        rest = docs.where(F.col("doc_id") % 2 == 1)
+
+        inc = str(tmp_path / "inc_crash")
+        save_bm25_index(first, "doc_id", "text", inc)
+
+        real_copytree = _shutil.copytree
+        calls = {"n": 0}
+
+        def crashing_copytree(src, dst, **kw):
+            calls["n"] += 1
+            if calls["n"] == 1:
+                raise OSError("injected crash mid-publish")
+            return real_copytree(src, dst, **kw)
+
+        # retrieval imports shutil inside the function; patch the module
+        monkeypatch.setattr(_shutil, "copytree", crashing_copytree)
+        try:
+            append_to_bm25_index(rest, "doc_id", "text", inc, batch_id="b9")
+            raised = False
+        except OSError:
+            raised = True
+        assert raised  # the injected crash fired after the tf files landed
+        # retry with the SAME batch_id: republish from sealed staging
+        append_to_bm25_index(rest, "doc_id", "text", inc, batch_id="b9")
+
+        full = str(tmp_path / "full_crash")
+        save_bm25_index(docs, "doc_id", "text", full)
+        a = {r.doc_id: r.score for r in bm25_search_indexed(spark, inc, terms).collect()}
+        b = {r.doc_id: r.score for r in bm25_search_indexed(spark, full, terms).collect()}
+        assert a == b

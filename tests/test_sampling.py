@@ -87,3 +87,23 @@ class TestReservoirPerGroup:
         # every sampled row of the grown corpus that existed before was
         # already sampled before (new rows can displace, never promote)
         assert (b & set(range(50))) <= a
+
+
+def test_apply_mixture_preserves_corpus_column_named_domain(spark):
+    """ADVICE r4: a corpus whose domain column is literally named "domain"
+    (or that carries its own "rate_ppm") must keep its columns — the
+    plan's join columns are aliased, never dropped by shared name."""
+    from spdb_spark.functions.sampling import apply_mixture
+
+    corpus = spark.createDataFrame(
+        [(i, "web" if i % 2 else "code", 7) for i in range(100)],
+        "id long, domain string, rate_ppm int",
+    )
+    plan = spark.createDataFrame(
+        [("web", 1_000_000), ("code", 1_000_000)], "domain string, rate_ppm long"
+    )
+    out = apply_mixture(corpus, "domain", "id", plan)
+    assert set(out.columns) == {"id", "domain", "rate_ppm"}
+    rows = out.collect()
+    assert len(rows) == 100  # rate 1e6 keeps everything
+    assert all(r.domain in ("web", "code") and r.rate_ppm == 7 for r in rows)
