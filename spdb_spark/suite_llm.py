@@ -1193,27 +1193,52 @@ def q_approx_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     HLL sketches of the token vocabulary, merged (hll_union_agg) into a
     corpus-wide estimate row. Sketches are fixed-size and mergeable, so
     the shuffle carries KBs per partition regardless of corpus size —
-    the pattern that replaces COUNT(DISTINCT) at scale. Rows-only gate
-    (sketch internals are engine-specific by construction);
-    tests/test_curation.py pins the estimate against the exact distinct
-    count at small SF."""
+    the pattern that replaces COUNT(DISTINCT) at scale.
+
+    Tolerance-protocol oracle (r4 ask #8): sketch internals are
+    engine-specific, so instead of hashing the estimate itself the query
+    emits `within_tol` = [the HLL estimate is within 10% of the exact
+    per-language (and merged corpus-wide) distinct count, computed in the
+    same plan] — lgK=12 gives ~1.6% relative std error, so 10% is >5
+    sigma. The oracle asserts the same columns with within_tol=1, making
+    the bound a driver-hashable exact check; n_tokens stays an exact
+    cross-engine value check. tests/test_curation.py additionally pins
+    the raw estimate."""
     docs = _docs(spark, sf_dir)
     toks = docs.select(
         "lang", F.explode(T.tokens(F.col("text"))).alias("tok")
     )
     per_lang = toks.groupBy("lang").agg(
-        F.hll_sketch_agg("tok", 12).alias("sk"), F.count("*").alias("n_tokens")
+        F.hll_sketch_agg("tok", 12).alias("sk"),
+        F.count("*").alias("n_tokens"),
+        F.count_distinct("tok").alias("exact_distinct"),
     )
     union = per_lang.agg(
         F.lit("ALL").alias("lang"),
         F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("approx_distinct"),
         F.sum("n_tokens").alias("n_tokens"),
+    ).crossJoin(
+        toks.agg(F.count_distinct("tok").alias("exact_distinct"))
     )
-    return per_lang.select(
+    both = per_lang.select(
         "lang",
         F.hll_sketch_estimate("sk").alias("approx_distinct"),
         "n_tokens",
-    ).unionByName(union)
+        "exact_distinct",
+    ).unionByName(union.select("lang", "approx_distinct", "n_tokens", "exact_distinct"))
+    return both.select(
+        "lang",
+        "n_tokens",
+        (
+            (
+                F.abs(F.col("approx_distinct") - F.col("exact_distinct"))
+                / F.col("exact_distinct")
+            )
+            <= 0.10
+        )
+        .cast("long")
+        .alias("within_tol"),
+    )
 
 
 def q_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1755,9 +1780,23 @@ WHERE e.source = 'src13' AND e.n_grams > 0
 GROUP BY e.doc_id, e.n_grams
 """
 
+SQL_APPROX_VOCAB = f"""
+WITH toks AS (
+  SELECT lang, unnest({_TOKENS_SQL}) AS tok FROM documents
+),
+per AS (
+  SELECT lang, COUNT(*) AS n_tokens, CAST(1 AS BIGINT) AS within_tol
+  FROM toks GROUP BY lang
+)
+SELECT * FROM per
+UNION ALL
+SELECT 'ALL' AS lang, COUNT(*) AS n_tokens, CAST(1 AS BIGINT) AS within_tol
+FROM toks
+"""
+
 QUERIES = {
     "llm_repetition": (q_repetition, SQL_REPETITION),
-    "llm_approx_vocab": (q_approx_vocab, None),
+    "llm_approx_vocab": (q_approx_vocab, SQL_APPROX_VOCAB),
     "llm_exact_substr": (q_exact_substr, SQL_EXACT_SUBSTR),
     "llm_bpe_pairs": (q_bpe_pairs, SQL_BPE_PAIRS),
     "llm_pack_sequences": (q_pack_sequences, SQL_PACK_SEQUENCES),

@@ -14,7 +14,7 @@ Per-row scalar math needs no such care (deterministic in both).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from spdb_spark.operators.relational import asof_join_backward, range_join_buckets
@@ -885,16 +885,55 @@ def q_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The 100 TB quantile path: `approx_percentile` (Greenwald-Khanna
     sketch, mergeable across partitions — one partial-agg shuffle of
     fixed-size sketches instead of sorting the column). Guaranteed rank
-    error <= n/accuracy; tests/test_operators.py pins that bound against
-    the exact percentiles. Rows-only gate: sketch internals differ across
-    engines, so no value-hash oracle exists by construction."""
+    error <= n/accuracy.
+
+    Tolerance-protocol oracle (r4 ask #8): sketch values differ across
+    engines, so the query emits per-percentile `pXX_ok` = [the GK
+    estimate lies between the exact interpolated percentiles at p +/-
+    0.005, computed in the same plan] — accuracy=1000 documents rank
+    error 0.001, so the 0.005 value-bracket is a 5x margin that also
+    absorbs interpolation between ranks. The oracle asserts the same
+    columns with ok=1, making the sketch bound a driver-hashable exact
+    check; n stays an exact cross-engine value check.
+    tests/test_operators.py additionally pins the raw rank-error bound."""
     (li,) = _t(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.expr(
-            "approx_percentile(l_extendedprice, array(0.5, 0.9, 0.99), 1000)"
-        ).alias("approx_p"),
-        F.count("*").alias("n"),
+
+    def ok(i: int) -> Column:
+        return (
+            (F.col("approx_p")[i] >= F.col("exact_p")[2 * i])
+            & (F.col("approx_p")[i] <= F.col("exact_p")[2 * i + 1])
+        ).cast("long")
+
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.expr(
+                "approx_percentile(l_extendedprice, array(0.5, 0.9, 0.99), 1000)"
+            ).alias("approx_p"),
+            F.expr(
+                "percentile(l_extendedprice,"
+                " array(0.495, 0.505, 0.895, 0.905, 0.985, 0.995))"
+            ).alias("exact_p"),
+            F.count("*").alias("n"),
+        )
+        .select(
+            "l_returnflag",
+            "n",
+            ok(0).alias("p50_ok"),
+            ok(1).alias("p90_ok"),
+            ok(2).alias("p99_ok"),
+        )
     )
+
+
+SQL_APPROX_QUANTILES = """
+SELECT l_returnflag,
+       COUNT(*) AS n,
+       CAST(1 AS BIGINT) AS p50_ok,
+       CAST(1 AS BIGINT) AS p90_ok,
+       CAST(1 AS BIGINT) AS p99_ok
+FROM lineitem GROUP BY l_returnflag
+"""
 
 
 SQL_QUANTILES = """
@@ -1977,7 +2016,7 @@ QUERIES = {
     "q8_brand_share": (q8_brand_share, SQL_Q8_BRAND_SHARE),
     "q10_returned_revenue": (q10_returned_revenue, SQL_Q10_RETURNED),
     "q_quantiles": (q_quantiles, SQL_QUANTILES),
-    "q_approx_quantiles": (q_approx_quantiles, None),
+    "q_approx_quantiles": (q_approx_quantiles, SQL_APPROX_QUANTILES),
     "q_cube": (q_cube, SQL_CUBE),
     "q_collect_sorted": (q_collect_sorted, SQL_COLLECT_SORTED),
     "q3_top_orders": (q3_top_orders, SQL_Q3),
