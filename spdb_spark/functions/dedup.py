@@ -17,6 +17,7 @@ from pyspark.sql import functions as F
 
 from spdb_spark.functions.hashing import md5_long
 from spdb_spark.functions.text import tokens
+from spdb_spark.session import truncate_lineage
 
 
 def exact_dup_groups(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
@@ -262,13 +263,14 @@ def dup_clusters(
     max_iter. Iterative by nature — not SQL-expressible in one query.
 
     Every `checkpoint_every` iterations the label lineage is truncated
-    with localCheckpoint: without it each iteration's plan nests the
-    previous one, so Catalyst re-analyzes an ever-deeper tree every round
-    (quadratic planning on high-diameter graphs — exactly the graphs that
-    need many iterations). localCheckpoint materializes to executor
-    storage; on a cluster with executor churn, point
-    `spark.sparkContext.setCheckpointDir` at durable storage and swap in
-    `.checkpoint()` — the loop structure is unchanged.
+    (session.truncate_lineage): without it each iteration's plan nests
+    the previous one, so Catalyst re-analyzes an ever-deeper tree every
+    round (quadratic planning on high-diameter graphs — exactly the
+    graphs that need many iterations). Truncation uses localCheckpoint
+    (executor blocks, fast) by default, or reliable `.checkpoint()`
+    automatically when the session has
+    `spark.sparkContext.setCheckpointDir` pointed at durable storage —
+    the executor-loss posture for dynamic-allocation clusters.
 
     Input: (id_a, id_b) pairs. Output: (id, cluster_id) for every id that
     appears in a pair, cluster_id = min id of its component."""
@@ -299,7 +301,7 @@ def dup_clusters(
             ).alias("cluster_id"),
         )
         if checkpoint_every and (it + 1) % checkpoint_every == 0:
-            new_labels = new_labels.localCheckpoint(eager=True)
+            new_labels = truncate_lineage(new_labels, eager=True)
         else:
             new_labels = new_labels.persist()
         changed = (
@@ -317,7 +319,7 @@ def dup_clusters(
     # truncate the RETURNED plan too: up to checkpoint_every-1 rounds of
     # join tower (each doubling) otherwise ride along into every consumer
     if checkpoint_every:
-        labels = labels.localCheckpoint(eager=True)
+        labels = truncate_lineage(labels, eager=True)
     return labels
 
 

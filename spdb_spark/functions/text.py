@@ -11,6 +11,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from spdb_spark.functions.hashing import md5_long
+from spdb_spark.session import truncate_lineage
 
 # Marker stopwords per language for the n-gram/stopword language-ID
 # heuristic. Deterministic tie-break: lexicographically smallest language
@@ -293,7 +294,7 @@ def train_bpe_merges(
         merges.append((step, a, b, n))
         nxt = cur.select(_merge_adjacent(t, a, b).alias("_toks"))
         if (step + 1) % 3 == 0:
-            nxt = nxt.localCheckpoint(eager=True)
+            nxt = truncate_lineage(nxt, eager=True)
         else:
             nxt = nxt.persist()
         cur.unpersist()

@@ -18,6 +18,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from spdb_spark.constants import CUBOID_X, CUBOID_Y, CUBOID_Z
+from spdb_spark.session import truncate_lineage
 
 VOXEL_KEY = ["t", "x", "y", "z"]
 
@@ -514,7 +515,7 @@ def connected_components(
         # nest the plan O(diameter) deep and Catalyst re-analyzes the whole
         # tree each round (see dedup.dup_clusters for the cluster-mode note)
         if checkpoint_every and (it + 1) % checkpoint_every == 0:
-            new_labels = new_labels.localCheckpoint(eager=True)
+            new_labels = truncate_lineage(new_labels, eager=True)
         else:
             new_labels = new_labels.persist()
         changed = (
@@ -530,7 +531,7 @@ def connected_components(
             break
     edges.unpersist()
     if checkpoint_every:
-        labels = labels.localCheckpoint(eager=True)
+        labels = truncate_lineage(labels, eager=True)
     out = vox.join(labels, key).select("t", "x", "y", "z", "value", "component")
     vox.unpersist()
     return out
@@ -969,5 +970,6 @@ def closing(v: DataFrame) -> DataFrame:
     checkpoint the whole dilate pipeline executes twice (measured 2x
     wall). The lazy checkpoint materializes on first use inside the same
     action and the second branch reads the stored blocks; nothing runs
-    at plan-build time."""
-    return erode(dilate(v).localCheckpoint(eager=False))
+    at plan-build time. Durable when the session has a reliable
+    checkpoint dir configured (session.truncate_lineage)."""
+    return erode(truncate_lineage(dilate(v), eager=False))

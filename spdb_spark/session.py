@@ -117,3 +117,24 @@ def _restore_nano_timestamps(df, path: str):
                 F.timestamp_micros(F.expr(f"`{c}` div 1000")).cast("timestamp_ntz"),
             )
     return df
+
+
+def truncate_lineage(df, eager: bool = True):
+    """Checkpoint `df` to truncate its lineage, choosing durability by
+    session configuration: when a RELIABLE checkpoint dir is set
+    (``spark.sparkContext.setCheckpointDir(...)`` — HDFS/S3 in
+    production), use ``checkpoint()``, whose blocks live in fault-
+    tolerant storage and survive executor loss; otherwise fall back to
+    ``localCheckpoint()``, whose blocks live on executors (faster, fine
+    for local mode, but a lost executor kills the job mid-iteration on a
+    dynamic-allocation cluster).
+
+    All iterative operators (connected_components, dup_clusters,
+    closing, BPE training) route their lineage truncation through here,
+    so a caller opts an entire pipeline into cluster-durable
+    checkpointing with one ``setCheckpointDir`` call. See SCALE.md
+    ("Checkpoint durability") for when to use which."""
+    sc = df.sparkSession.sparkContext
+    if sc.getCheckpointDir() is not None:
+        return df.checkpoint(eager=eager)
+    return df.localCheckpoint(eager=eager)
