@@ -45,6 +45,18 @@ def _embs(spark, sf_dir):
     return load_tables(spark, sf_dir, names=("embeddings",))["embeddings"]
 
 
+def _docs_rowcount(sf_dir: str) -> int:
+    """Row count of the documents table from the parquet FOOTER — the
+    'count the caller already has' that sizes the distributed-enumeration
+    fan-outs (sampling.enumeration_width) without a Spark counting job.
+    At cluster scale this is catalog statistics / a manifest count."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    return pq.ParquetFile(os.path.join(sf_dir, "documents.parquet")).metadata.num_rows
+
+
 # --- exact + fingerprint dedup --------------------------------------------
 
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1380,10 +1392,14 @@ FROM totals t LEFT JOIN reasm r USING (doc_id)
 
 def q_corpus_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic epoch-ordering shuffle: exact global positions via
-    bucketed distributed enumeration (no single-partition sort)."""
-    return SP.deterministic_shuffle(_docs(spark, sf_dir), "doc_id", seed="42").select(
-        "doc_id", "shuffle_key", "position"
-    )
+    bucketed distributed enumeration (no single-partition sort). The
+    bucket width is DERIVED from the table's footer row count
+    (enumeration_width policy — a non-default width at the gate SFs,
+    exercising the invariance the tests pin)."""
+    docs = _docs(spark, sf_dir)
+    return SP.deterministic_shuffle(
+        docs, "doc_id", seed="42", n_rows=_docs_rowcount(sf_dir)
+    ).select("doc_id", "shuffle_key", "position")
 
 
 SQL_CORPUS_SHUFFLE = """
@@ -1632,9 +1648,16 @@ _RSV_K = 5
 
 def q_reservoir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic k-per-language sample (hash-reservoir): balanced
-    eval-subset construction that survives reprocessing and growth."""
+    eval-subset construction that survives reprocessing and growth.
+    Subgroup width derived from the footer row count (non-default at the
+    gate SFs — pins width-invariance in the driver gate)."""
     return SP.reservoir_per_group(
-        _docs(spark, sf_dir), "lang", "doc_id", _RSV_K, salt="rsv"
+        _docs(spark, sf_dir),
+        "lang",
+        "doc_id",
+        _RSV_K,
+        salt="rsv",
+        n_rows=_docs_rowcount(sf_dir),
     ).select("lang", "doc_id")
 
 
