@@ -35,6 +35,13 @@ HEADLINE = [
     "q_event_funnel",
     "llm_repetition",
     "llm_pack_sequences",
+    # promoted from the supplementary section in round 5 (r4 verdict #6):
+    # the most expensive paths now regress the gated headline. Their r4
+    # reference numbers live in BENCH_r04.json's extra_queries.
+    "spatial_closing",
+    "spatial_object_contacts",
+    "llm_dedup_survivors",
+    "llm_curation_pipeline",
 ]
 
 
@@ -42,13 +49,9 @@ HEADLINE = [
 EXTRA = [
     "llm_paragraph_dedup",
     "llm_corpus_shuffle",
-    "llm_curation_pipeline",
     "llm_passage_search",
     "llm_hybrid_search",
-    "llm_dedup_survivors",
     "spatial_dilate",
-    "spatial_closing",
-    "spatial_object_contacts",
 ]
 
 

@@ -820,11 +820,20 @@ def object_moments(v: DataFrame) -> DataFrame:
 
 def _scatter_union(v: DataFrame) -> DataFrame:
     """Shared union-scatter for 6-neighborhood morphology: every voxel
-    contributes itself (present=1) and its id scattered to the 6 face
-    positions (nbr=1). One narrow explode — the single groupBy a consumer
-    runs on top is the only shuffle."""
-    offs = [(1, 0, 0), (-1, 0, 0), (0, 1, 0), (0, -1, 0), (0, 0, 1), (0, 0, -1)]
-    nbrs = v.select(
+    contributes itself (present=1, offset 0) and its id scattered to the
+    6 face positions (nbr=1) — ONE 7-element explode, so the input
+    subtree is referenced exactly ONCE. (The earlier self-UNION-neighbors
+    form referenced the input twice; Spark's exchange reuse does not
+    unify the duplicated subtrees, so any non-trivial input — e.g.
+    closing's dilate stage — executed twice unless checkpointed.) The
+    single groupBy a consumer runs on top is the only shuffle."""
+    offs = [
+        (0, 0, 0, 1, 0),  # self
+        (1, 0, 0, 0, 1), (-1, 0, 0, 0, 1),
+        (0, 1, 0, 0, 1), (0, -1, 0, 0, 1),
+        (0, 0, 1, 0, 1), (0, 0, -1, 0, 1),
+    ]
+    return v.select(
         "t", "x", "y", "z", "value",
         F.explode(
             F.array(
@@ -833,8 +842,10 @@ def _scatter_union(v: DataFrame) -> DataFrame:
                         F.lit(dx).alias("dx"),
                         F.lit(dy).alias("dy"),
                         F.lit(dz).alias("dz"),
+                        F.lit(p).alias("present"),
+                        F.lit(n).alias("nbr"),
                     )
-                    for dx, dy, dz in offs
+                    for dx, dy, dz, p, n in offs
                 ]
             )
         ).alias("o"),
@@ -844,13 +855,9 @@ def _scatter_union(v: DataFrame) -> DataFrame:
         (F.col("y") + F.col("o.dy")).alias("y"),
         (F.col("z") + F.col("o.dz")).alias("z"),
         "value",
-        F.lit(0).alias("present"),
-        F.lit(1).alias("nbr"),
+        F.col("o.present").alias("present"),
+        F.col("o.nbr").alias("nbr"),
     )
-    selfs = v.select(
-        "t", "x", "y", "z", "value", F.lit(1).alias("present"), F.lit(0).alias("nbr")
-    )
-    return selfs.unionByName(nbrs)
 
 
 def dilate(v: DataFrame) -> DataFrame:
@@ -963,13 +970,14 @@ def value_histogram(v: DataFrame, n_buckets: int = 64, bucket_width: int = 4) ->
 
 
 def closing(v: DataFrame) -> DataFrame:
-    """Morphological closing: erode(dilate(v)), with the dilated
-    intermediate lazily localCheckpoint'ed. erode's scatter-union
-    references its input TWICE, and Spark's exchange reuse does not
-    recognize the two dilate subtrees as identical — without the
-    checkpoint the whole dilate pipeline executes twice (measured 2x
-    wall). The lazy checkpoint materializes on first use inside the same
-    action and the second branch reads the stored blocks; nothing runs
-    at plan-build time. Durable when the session has a reliable
-    checkpoint dir configured (session.truncate_lineage)."""
-    return erode(truncate_lineage(dilate(v), eager=False))
+    """Morphological closing: erode(dilate(v)) as ONE straight-line plan
+    — scan -> 7-way scatter -> position agg (dilate) -> 7-way scatter ->
+    position agg (erode): two position-keyed shuffles, one input scan,
+    nothing executed twice. The single-explode _scatter_union references
+    the dilate stage exactly once, which removed the checkpoint this
+    operator previously needed (the old self-union scatter referenced
+    its input twice and re-executed the whole dilate pipeline; measured
+    2x wall). No checkpoint also means nothing to lose with executor
+    churn — the plan is a plain two-stage pipeline Spark can retry per
+    task."""
+    return erode(dilate(v))

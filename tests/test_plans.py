@@ -343,15 +343,17 @@ def test_iterative_cc_returns_truncated_plan(spark):
     assert plan.count("\n") < 10
 
 
-def test_closing_materializes_dilate_once(spark):
-    """closing's plan must contain exactly ONE dilate aggregate (the
-    checkpointed intermediate) — not a duplicated dilate subtree per
-    erode branch."""
-    from spdb_spark.operators.voxel import closing
+def test_closing_is_one_straight_line_pipeline(spark):
+    """closing must be scan -> scatter -> dilate agg -> scatter -> erode
+    agg: ONE input scan, exactly TWO position-keyed exchanges, no
+    checkpoint RDD, no duplicated dilate subtree (the single-explode
+    _scatter_union references its input once)."""
     from spdb_spark.fixtures import voxels_df
+    from spdb_spark.operators.voxel import closing
 
     df = closing(voxels_df(spark, "/root/testdata/sf0.001"))
     plan = plan_of(df)
-    # the erode aggregate is present; the dilate subtree is behind the
-    # checkpoint scan, so its position-keyed agg appears at most once
-    assert plan.count("Scan ExistingRDD") >= 1
+    assert "Scan ExistingRDD" not in plan  # no checkpoint needed anymore
+    assert plan.count("Scan parquet") == 1  # dilate runs once, from one scan
+    assert plan.count("Exchange hashpartitioning") == 2
+    assert plan.count("Generate explode") == 2
