@@ -749,3 +749,68 @@ def cross_corpus_gram_novelty(
         )
         .where(F.col("n_grams") > 0)
     )
+
+
+def simhash_neardup_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    bits: int = 32,
+    bands: int = 4,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """SimHash near-duplicate PAIRS at scale: banded candidate generation
+    over the per-doc signatures (text.simhash), then exact Hamming verify
+    — completing the SimHash dedup story (the per-doc signature query is
+    `llm_dedup_simhash`; this is its pair-generation stage).
+
+    Pigeonhole guarantee: with `bands` equal-width bands of the `bits`-bit
+    signature, any pair within Hamming distance <= bands - 1 shares at
+    least one identical band, so max_hamming <= bands - 1 gives EXACT
+    recall (every qualifying pair is a candidate); the default (4 bands,
+    max_hamming 3) is the classic 64/32-bit near-dup configuration.
+
+    Scale shape: candidates come from a band-keyed equi-join (never
+    all-pairs) — the same posture as MinHash LSH banding
+    (minhash_lsh_dedup); the verify is a narrow bit_count(xor) on the
+    already-joined pair rows. Band-bucket sizes are bounded by signature
+    uniformity; at corpus scale use wider signatures (bits=64) so each
+    band carries 16 bits. Returns (id_a, id_b, hamming), id_a < id_b,
+    exact distances, deduplicated."""
+    from spdb_spark.functions.text import simhash
+
+    if bits % bands:
+        raise ValueError("simhash_neardup_pairs: bands must divide bits")
+    width = bits // bands
+    mask = (1 << width) - 1
+    sig = simhash(df, id_col, text_col, bits)
+    banded = sig.select(
+        F.col(id_col).alias("id"),
+        "simhash",
+        F.explode(F.sequence(F.lit(0), F.lit(bands - 1)).cast("array<int>")).alias(
+            "band"
+        ),
+    ).withColumn(
+        "band_key", F.expr(f"shiftright(simhash, band * {width})") % F.lit(mask + 1)
+    )
+    a = banded.select(
+        "band", "band_key", F.col("id").alias("id_a"), F.col("simhash").alias("sig_a")
+    )
+    b = banded.select(
+        "band", "band_key", F.col("id").alias("id_b"), F.col("simhash").alias("sig_b")
+    )
+    cand = (
+        a.join(b, ["band", "band_key"])
+        .where(F.col("id_a") < F.col("id_b"))
+        # a pair sharing multiple bands appears once per shared band with
+        # identical signatures — dedup the scalar rows before the verify
+        .select("id_a", "id_b", "sig_a", "sig_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return (
+        cand.withColumn(
+            "hamming", F.expr("bit_count(sig_a ^ sig_b)").cast("int")
+        )
+        .where(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )

@@ -358,3 +358,13 @@ def apply_bpe_merges(
     return df.select(id_col, text_col).mapInPandas(
         encode, schema=f"{id_col} {id_type}, bpe_tokens array<string>"
     )
+
+
+def normalize_text(c: Column) -> Column:
+    """Portable text normalization for matching/dedup keys: lowercase,
+    every run of non-alphanumerics (punctuation, control chars,
+    whitespace) collapsed to a single space, trimmed. The regex uses only
+    explicit classes shared by Java regex and RE2, so the DuckDB oracle
+    reproduces it byte-for-byte — the normalization a fuzzy-dedup or
+    URL/boilerplate pipeline applies before hashing."""
+    return F.trim(F.regexp_replace(F.lower(c), "[^a-z0-9]+", " "))

@@ -171,25 +171,27 @@ class TestBpePairs:
 
 class TestApproxVocab:
     def test_estimate_within_hll_error_of_exact(self, spark):
-        from spdb_spark.suite_llm import q_approx_vocab
-
-        sf = "/root/testdata/sf0.001"
-        rows = {r.lang: r for r in q_approx_vocab(spark, sf).collect()}
+        """Pins the RAW HLL estimate against the exact distinct count (the
+        gate query q_approx_vocab now emits only the tolerance flag)."""
         from spdb_spark.session import load_tables
-
-        docs = load_tables(spark, sf, names=("documents",))["documents"]
         from spdb_spark.functions.text import tokens
 
-        exact = (
-            docs.select(F.explode(tokens(F.col("text"))).alias("tok"))
-            .agg(F.count_distinct("tok"))
-            .collect()[0][0]
-        )
-        est = rows["ALL"].approx_distinct
+        sf = "/root/testdata/sf0.001"
+        docs = load_tables(spark, sf, names=("documents",))["documents"]
+        toks = docs.select(F.explode(tokens(F.col("text"))).alias("tok"))
+        est, exact = toks.agg(
+            F.hll_sketch_estimate(F.hll_sketch_agg("tok", 12)),
+            F.count_distinct("tok"),
+        ).collect()[0]
         # lgK=12 -> relative standard error ~1.6%; allow 5 sigma
         assert abs(est - exact) / exact < 0.08
-        # per-lang estimates sum to >= union estimate (sketch union dedups)
-        assert sum(r.approx_distinct for k, r in rows.items() if k != "ALL") >= est
+
+    def test_gate_query_reports_within_tolerance(self, spark):
+        from spdb_spark.suite_llm import q_approx_vocab
+
+        rows = q_approx_vocab(spark, "/root/testdata/sf0.001").collect()
+        assert rows and all(r.within_tol == 1 for r in rows)
+        assert {r.lang for r in rows} >= {"ALL"}
 
 
 class TestSemanticDedup:
@@ -588,3 +590,48 @@ def test_apply_bpe_merges_engines_agree_on_null_and_empty_text(spark):
     assert arw[0] == [""] and arw[1] == [""]
     assert arw[2] is None
     assert arw[3] == ["a b", "a b"]
+
+
+class TestSimhashPairs:
+    def test_exact_recall_within_pigeonhole_bound(self, spark, tables):
+        """bands=4, max_hamming=3: pigeonhole guarantees EVERY pair with
+        Hamming distance <= 3 shares a band — the banded join must find
+        exactly the brute-force pair set, with exact distances."""
+        from spdb_spark.functions.dedup import simhash_neardup_pairs
+        from spdb_spark.functions.text import simhash
+
+        docs = tables["documents"].limit(120)
+        got = {
+            (r.id_a, r.id_b): r.hamming
+            for r in simhash_neardup_pairs(
+                docs, "doc_id", "text", bits=32, bands=4, max_hamming=3
+            ).collect()
+        }
+        sigs = {r.doc_id: r.simhash for r in simhash(docs, "doc_id", "text", 32).collect()}
+        ids = sorted(sigs)
+        want = {}
+        for i, a in enumerate(ids):
+            for b in ids[i + 1:]:
+                h = bin(sigs[a] ^ sigs[b]).count("1")
+                if h <= 3:
+                    want[(a, b)] = h
+        assert got == want
+
+    def test_bands_must_divide_bits(self, spark, tables):
+        import pytest
+
+        from spdb_spark.functions.dedup import simhash_neardup_pairs
+
+        with pytest.raises(ValueError):
+            simhash_neardup_pairs(tables["documents"], "doc_id", "text", bits=32, bands=5)
+
+
+def test_normalize_text_semantics(spark):
+    from spdb_spark.functions.text import normalize_text
+
+    df = spark.createDataFrame(
+        [(1, "Hello,   World!!"), (2, "  a-b_c  "), (3, ""), (4, "123 GO")],
+        "id long, s string",
+    )
+    got = {r.id: r.n for r in df.select("id", normalize_text(F.col("s")).alias("n")).collect()}
+    assert got == {1: "hello world", 2: "a b c", 3: "", 4: "123 go"}

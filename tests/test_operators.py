@@ -528,16 +528,28 @@ def test_connected_components_out_of_range_raises(spark):
 
 def test_approx_quantiles_rank_error_bound(spark):
     """approx_percentile(accuracy=1000) guarantees rank error <= n/1000;
-    check each sketch output's true rank against its target rank."""
+    check each sketch output's true rank against its target rank. (The
+    gate query q_approx_quantiles now emits only the tolerance flags, so
+    the raw sketch values are computed here directly.)"""
     import bisect
 
-    from spdb_spark.suite_relational import q_approx_quantiles
+    from pyspark.sql import functions as F
 
-    approx = {
-        r.l_returnflag: (r.approx_p, r.n)
-        for r in q_approx_quantiles(spark, "/root/testdata/sf0.001").collect()
-    }
     from spdb_spark.session import load_tables
+
+    raw = (
+        load_tables(spark, "/root/testdata/sf0.001", names=("lineitem",))[
+            "lineitem"
+        ]
+        .groupBy("l_returnflag")
+        .agg(
+            F.expr(
+                "approx_percentile(l_extendedprice, array(0.5, 0.9, 0.99), 1000)"
+            ).alias("approx_p"),
+            F.count("*").alias("n"),
+        )
+    )
+    approx = {r.l_returnflag: (r.approx_p, r.n) for r in raw.collect()}
 
     li = load_tables(spark, "/root/testdata/sf0.001", names=("lineitem",))[
         "lineitem"
@@ -561,6 +573,14 @@ def test_approx_quantiles_rank_error_bound(spark):
             target = q * n
             dist = max(lo - target, target - hi, 0)
             assert dist <= n / 1000 + 1
+
+    # and the gate query's tolerance flags all hold
+    from spdb_spark.suite_relational import q_approx_quantiles
+
+    rows = q_approx_quantiles(spark, "/root/testdata/sf0.001").collect()
+    assert rows and all(
+        r.p50_ok == 1 and r.p90_ok == 1 and r.p99_ok == 1 for r in rows
+    )
 
 
 def test_isotropic_build_f32_non_truncating(spark):
