@@ -223,7 +223,10 @@ def save_bm25_index(
         "overwrite"
     ).parquet(f"{path}/df")
     dl.agg(
-        F.count("*").alias("n_docs"), F.sum("dl").alias("sum_dl")
+        F.count("*").alias("n_docs"),
+        # coalesce: an EMPTY corpus (streaming sinks initialize the index
+        # before the first batch) must write (0, 0), not (0, null)
+        F.coalesce(F.sum("dl"), F.lit(0)).alias("sum_dl"),
     ).write.mode("overwrite").parquet(f"{path}/stats")
 
 
