@@ -357,3 +357,35 @@ def test_closing_is_one_straight_line_pipeline(spark):
     assert plan.count("Scan parquet") == 1  # dilate runs once, from one scan
     assert plan.count("Exchange hashpartitioning") == 2
     assert plan.count("Generate explode") == 2
+
+
+def test_simhash_pairs_candidates_are_equi_join(spark):
+    """Banded SimHash pair generation must be a band-keyed EQUI-join
+    (broadcast or shuffled by (band, band_key)) — never a cartesian /
+    nested-loop pair enumeration."""
+    from spdb_spark.functions.dedup import simhash_neardup_pairs
+    from spdb_spark.session import load_tables
+
+    docs = load_tables(spark, "/root/testdata/sf0.001", names=("documents",))[
+        "documents"
+    ]
+    plan = plan_of(simhash_neardup_pairs(docs, "doc_id", "text"))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "band_key" in plan  # the join really keys on the band bucket
+
+
+def test_ann_filtered_query_prunes_and_pushes_down(spark, tmp_path):
+    """The gated filtered-ANN query: centroid partition pruning AND the
+    label predicate both reach the parquet scan of the lists."""
+    import os
+    import shutil
+
+    from spdb_spark.suite_llm import _cache_dir, q_ann_filtered
+
+    sf = "/root/testdata/sf0.001"
+    shutil.rmtree(os.path.dirname(_cache_dir(sf, "ivf_label")), ignore_errors=True)
+    plan = plan_of(q_ann_filtered(spark, sf))
+    assert "PartitionFilters: [centroid_id" in plan or "centroid_id#" in plan
+    assert "EqualTo(label,6)" in plan
+    assert "CartesianProduct" not in plan
