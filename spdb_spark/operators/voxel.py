@@ -909,7 +909,15 @@ def object_contacts(v: DataFrame) -> DataFrame:
     explode), equi-join the scattered stream against the voxels ON
     POSITION (one uniform position-keyed shuffle per side — no id-keyed
     skew even for huge objects), keep different-id hits. Each touching
-    face is seen once from each side, so the pair count halves exactly."""
+    face is seen once from each side, so the pair count halves exactly.
+
+    Measured note (round 5): a join-free variant — _scatter_union into
+    one position-keyed collect_list aggregate — was tried and ran 3x
+    SLOWER at sf0.1 (12.5 s vs 4.3 s): collect_list forces
+    ObjectHashAggregate (no whole-stage codegen, object allocation per
+    row, sort-based fallback under pressure), which loses far more than
+    the second exchange costs. The codegen'd equi-join + count agg is
+    the right plan."""
     nz = v.where(F.col("value") != 0)
     offs = [(1, 0, 0), (-1, 0, 0), (0, 1, 0), (0, -1, 0), (0, 0, 1), (0, 0, -1)]
     scattered = nz.select(
