@@ -814,3 +814,56 @@ def simhash_neardup_pairs(
         .where(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
+
+
+def containment_pairs(
+    sh: DataFrame,
+    id_col: str,
+    threshold: float = 0.5,
+    max_doc_freq: int | None = None,
+) -> DataFrame:
+    """Shingle CONTAINMENT C(A->B) = |A∩B| / |A| — the asymmetric
+    near-dup measure that catches partial copies (a short doc quoted
+    inside a long one), which symmetric Jaccard under-scores (the union
+    in its denominator is dominated by the longer doc). The standard
+    companion to Jaccard in pretraining dedup (quote/boilerplate
+    containment sweeps).
+
+    Same scale shape as `jaccard_pairs`: pair generation is a
+    shingle-keyed equi-join with optional stop-shingle capping BEFORE
+    the join (`max_doc_freq` — the guard that keeps the join linear at
+    corpus scale). Emits one row per unordered pair with BOTH
+    directions: (id_a, id_b, containment_a, containment_b), id_a < id_b,
+    kept when either direction >= threshold."""
+    sh = sh.select(F.col(id_col).alias("doc"), "shingle")
+    if max_doc_freq is not None:
+        keep = (
+            sh.groupBy("shingle")
+            .agg(F.count("*").alias("df"))
+            .where(F.col("df") <= max_doc_freq)
+            .select("shingle")
+        )
+        sh = sh.join(keep, "shingle", "left_semi")
+    sizes = sh.groupBy("doc").agg(F.count("*").alias("sz"))
+    a = sh.toDF("doc_a", "shingle")
+    b = sh.toDF("doc_b", "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("inter"))
+    )
+    return (
+        inter.join(sizes.toDF("doc_a", "sz_a"), "doc_a")
+        .join(sizes.toDF("doc_b", "sz_b"), "doc_b")
+        .select(
+            F.col("doc_a").alias("id_a"),
+            F.col("doc_b").alias("id_b"),
+            (F.col("inter") / F.col("sz_a")).alias("containment_a"),
+            (F.col("inter") / F.col("sz_b")).alias("containment_b"),
+        )
+        .where(
+            (F.col("containment_a") >= threshold)
+            | (F.col("containment_b") >= threshold)
+        )
+    )

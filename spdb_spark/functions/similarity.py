@@ -188,3 +188,51 @@ def lsh_topk(
         scored.withColumn("rank", F.row_number().over(w).cast("long"))
         .where(F.col("rank") <= k)
     )
+
+
+def knn_classify(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    label_col: str,
+    k: int = 10,
+    neighbors: DataFrame | None = None,
+) -> DataFrame:
+    """Majority-vote kNN classification over an embedding column:
+    (query_id, pred_label, votes) — the label most frequent among the
+    query's k nearest corpus vectors, ties broken toward the smallest
+    label (deterministic).
+
+    By default neighbors come from `brute_force_topk` (the exact
+    baseline the oracle replays); at corpus scale pass `neighbors` from
+    `ivf.ivf_topk`/`ivf_topk_indexed` — any (query_id, neighbor_id)
+    table with the same contract drops in, making this the standard
+    label-propagation / weak-labeling consumer of the ANN stack. The
+    vote is one count aggregate plus a struct-max argmax (map-side
+    partials, no window)."""
+    nn = (
+        neighbors
+        if neighbors is not None
+        else brute_force_topk(corpus, queries, id_col, vec_col, k=k)
+    )
+    labels = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(label_col).alias("nbr_label")
+    )
+    votes = (
+        nn.join(labels, "neighbor_id")
+        .groupBy("query_id", "nbr_label")
+        .agg(F.count("*").alias("votes"))
+    )
+    best = votes.groupBy("query_id").agg(
+        F.max(
+            F.struct(
+                F.col("votes"), (-F.col("nbr_label")).alias("neg_label")
+            )
+        ).alias("m")
+    )
+    return best.select(
+        "query_id",
+        (-F.col("m.neg_label")).alias("pred_label"),
+        F.col("m.votes").alias("votes"),
+    )

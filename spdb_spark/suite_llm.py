@@ -2060,6 +2060,85 @@ def q_bm25_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric shingle containment (|A∩B|/|A|) — catches partial
+    copies symmetric Jaccard under-scores. Floor-scaled for the hash
+    gate; threshold applied on the exact unscaled ratio in both
+    engines."""
+    sh = D.shingles(_docs(spark, sf_dir), "doc_id", "text", k=3)
+    pairs = D.containment_pairs(sh, "doc_id", threshold=0.5)
+    return pairs.select(
+        "id_a",
+        "id_b",
+        (F.floor(F.col("containment_a") * 1000000) / 1000000).alias("containment_a"),
+        (F.floor(F.col("containment_b") * 1000000) / 1000000).alias("containment_b"),
+    )
+
+
+SQL_DEDUP_CONTAINMENT = f"""
+WITH sh AS ({_SHINGLES_SQL}),
+sizes AS (SELECT doc, COUNT(*) AS sz FROM sh GROUP BY doc),
+inter AS (
+  SELECT a.doc AS doc_a, b.doc AS doc_b, COUNT(*) AS inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc < b.doc
+  GROUP BY a.doc, b.doc
+)
+SELECT i.doc_a AS id_a, i.doc_b AS id_b,
+       FLOOR(CAST(i.inter AS DOUBLE) / sa.sz * 1000000) / 1000000 AS containment_a,
+       FLOOR(CAST(i.inter AS DOUBLE) / sb.sz * 1000000) / 1000000 AS containment_b
+FROM inter i
+JOIN sizes sa ON sa.doc = i.doc_a
+JOIN sizes sb ON sb.doc = i.doc_b
+WHERE CAST(i.inter AS DOUBLE) / sa.sz >= 0.5
+   OR CAST(i.inter AS DOUBLE) / sb.sz >= 0.5
+"""
+
+
+def q_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Majority-vote kNN label prediction over the embedding table — the
+    label-propagation / weak-labeling consumer of the ANN stack
+    (similarity.knn_classify; exact neighbors here, IVF neighbors drop
+    in at scale via the `neighbors` parameter)."""
+    from spdb_spark.functions.similarity import knn_classify
+
+    embs = _embs(spark, sf_dir)
+    queries = embs.where(F.col("vec_id") % 50 == 0)
+    return knn_classify(embs, queries, "vec_id", "embedding", "label", k=10)
+
+
+SQL_KNN_CLASSIFY = """
+WITH q AS (
+  SELECT vec_id AS query_id, embedding::DOUBLE[] AS q_vec
+  FROM embeddings WHERE vec_id % 50 = 0
+),
+c AS (
+  SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS c_vec, label
+  FROM embeddings
+),
+scored AS (
+  SELECT query_id, neighbor_id, label,
+         ROUND(list_dot_product(q_vec, c_vec)
+               / (sqrt(list_dot_product(q_vec, q_vec))
+                  * sqrt(list_dot_product(c_vec, c_vec))), 6) AS cos_sim
+  FROM c CROSS JOIN q
+  WHERE neighbor_id <> query_id
+),
+top AS (
+  SELECT query_id, label
+  FROM scored
+  QUALIFY ROW_NUMBER() OVER (
+    PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) <= 10
+),
+votes AS (
+  SELECT query_id, label, COUNT(*) AS votes FROM top GROUP BY query_id, label
+)
+SELECT query_id, label AS pred_label, votes
+FROM votes
+QUALIFY ROW_NUMBER() OVER (
+  PARTITION BY query_id ORDER BY votes DESC, label) = 1
+"""
+
+
 SQL_APPROX_VOCAB = f"""
 WITH toks AS (
   SELECT lang, unnest({_TOKENS_SQL}) AS tok FROM documents
@@ -2129,4 +2208,6 @@ QUERIES = {
     "llm_text_normalize": (q_text_normalize, SQL_TEXT_NORMALIZE),
     "llm_ann_filtered": (q_ann_filtered, SQL_ANN_FILTERED),
     "llm_bm25_indexed": (q_bm25_indexed, SQL_BM25_SEARCH),
+    "llm_dedup_containment": (q_dedup_containment, SQL_DEDUP_CONTAINMENT),
+    "llm_knn_classify": (q_knn_classify, SQL_KNN_CLASSIFY),
 }

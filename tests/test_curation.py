@@ -635,3 +635,57 @@ def test_normalize_text_semantics(spark):
     )
     got = {r.id: r.n for r in df.select("id", normalize_text(F.col("s")).alias("n")).collect()}
     assert got == {1: "hello world", 2: "a b c", 3: "", 4: "123 go"}
+
+
+def test_containment_catches_partial_copy_jaccard_misses(spark):
+    """A short doc fully quoted inside a long one: containment_a = 1.0
+    while Jaccard stays below a typical threshold."""
+    from spdb_spark.functions.dedup import containment_pairs, jaccard_pairs, shingles
+
+    short = "alpha beta gamma delta epsilon zeta"
+    long = short + " " + " ".join(f"filler{i} pad{i} word{i}" for i in range(12))
+    df = _docs_df(spark, [(1, short), (2, long)])
+    sh = shingles(df, "doc_id", "text", k=3)
+    (pair,) = containment_pairs(sh, "doc_id", threshold=0.9).collect()
+    assert (pair.id_a, pair.id_b) == (1, 2)
+    assert pair.containment_a == 1.0 and pair.containment_b < 0.2
+    assert jaccard_pairs(sh, "doc_id", threshold=0.5).count() == 0
+
+
+def test_knn_classify_majority_and_tiebreak(spark):
+    import numpy as np
+
+    from spdb_spark.functions.similarity import knn_classify
+
+    rng = np.random.default_rng(5)
+    # two well-separated clusters with labels 0 and 1; a query near each
+    rows = []
+    for i in range(20):
+        base = np.zeros(8)
+        base[0 if i < 10 else 1] = 10.0
+        rows.append((i, (base + rng.normal(0, 0.1, 8)).tolist(), 0 if i < 10 else 1))
+    rows.append((100, [10.0] + [0.0] * 7, -1))
+    rows.append((101, [0.0, 10.0] + [0.0] * 6, -1))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>, label int")
+    corpus = df.where(F.col("vec_id") < 100)
+    queries = df.where(F.col("vec_id") >= 100)
+    got = {
+        r.query_id: (r.pred_label, r.votes)
+        for r in knn_classify(corpus, queries, "vec_id", "embedding", "label", k=5).collect()
+    }
+    assert got == {100: (0, 5), 101: (1, 5)}
+
+    # tie at k=2 between labels from the two clusters is impossible here;
+    # craft an exact tie: two neighbors each of labels 3 and 7
+    tie = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0], 7),
+            (2, [0.98, 0.2], 7),
+            (3, [1.0, 0.01], 3),
+            (4, [0.97, 0.24], 3),
+        ],
+        "vec_id long, embedding array<double>, label int",
+    )
+    q = spark.createDataFrame([(9, [1.0, 0.1])], "vec_id long, embedding array<double>")
+    (r,) = knn_classify(tie, q.withColumn("label", F.lit(-1)), "vec_id", "embedding", "label", k=4).collect()
+    assert r.pred_label == 3 and r.votes == 2  # tie -> smallest label
