@@ -867,3 +867,38 @@ def containment_pairs(
             | (F.col("containment_b") >= threshold)
         )
     )
+
+
+def incremental_dup_clusters(
+    labels: DataFrame,
+    new_pairs: DataFrame,
+    max_iter: int = 20,
+    checkpoint_every: int | None = 5,
+) -> DataFrame:
+    """Incremental transitive-closure maintenance: fold NEW near-dup
+    pairs into an EXISTING (id, cluster_id) labeling without revisiting
+    the original candidate-pair set — the cluster-level counterpart of
+    `incremental_minhash_dedup` (which produces the new pairs from a
+    persisted band index).
+
+    The existing clustering collapses to its star graph (every id joined
+    to its cluster representative), which is connectivity-equivalent to
+    the original pair set but only O(ids) edges with diameter 2; the
+    min-label propagation then runs over star + new edges. A batch of
+    new pairs therefore costs O(labeled ids + batch) per round with
+    round count tracking how many old clusters the batch CHAINS together
+    — not the size or diameter of the historical pair set. Output
+    contract matches `dup_clusters` (cluster_id = min member id), so
+    incremental == full recompute on the union (test-pinned)."""
+    star = labels.select(
+        F.col("id").alias("id_a"), F.col("cluster_id").alias("id_b")
+    )
+    edges = star.unionByName(
+        new_pairs.select(
+            F.col("id_a").cast(star.schema["id_a"].dataType),
+            F.col("id_b").cast(star.schema["id_b"].dataType),
+        )
+    )
+    return dup_clusters(
+        edges, max_iter=max_iter, checkpoint_every=checkpoint_every
+    )

@@ -87,3 +87,50 @@ def test_shuffle_verify_equals_broadcast_verify(spark):
     }
     assert bc == sh
     assert bc  # non-trivial fixture
+
+
+class TestIncrementalClusters:
+    def test_incremental_equals_full_recompute(self, spark):
+        """Chaining batches of pairs through incremental_dup_clusters
+        must give exactly the labels of one full dup_clusters run on the
+        union — including batches that MERGE previously separate
+        clusters."""
+        import random
+
+        from pyspark.sql import functions as F
+
+        from spdb_spark.functions.dedup import dup_clusters, incremental_dup_clusters
+
+        rng = random.Random(7)
+        ids = list(range(200))
+        pairs = [
+            (min(a, b), max(a, b))
+            for a, b in (
+                (rng.choice(ids), rng.choice(ids)) for _ in range(220)
+            )
+            if a != b
+        ]
+        half = len(pairs) // 2
+        df = lambda rows: spark.createDataFrame(rows, "id_a long, id_b long")  # noqa: E731
+
+        full = {
+            (r.id, r.cluster_id)
+            for r in dup_clusters(df(pairs)).collect()
+        }
+        base = dup_clusters(df(pairs[:half]))
+        inc = {
+            (r.id, r.cluster_id)
+            for r in incremental_dup_clusters(base, df(pairs[half:])).collect()
+        }
+        assert inc == full
+
+    def test_batch_that_bridges_two_clusters(self, spark):
+        from spdb_spark.functions.dedup import dup_clusters, incremental_dup_clusters
+
+        df = lambda rows: spark.createDataFrame(rows, "id_a long, id_b long")  # noqa: E731
+        base = dup_clusters(df([(1, 2), (2, 3), (10, 11)]))
+        got = {
+            (r.id, r.cluster_id)
+            for r in incremental_dup_clusters(base, df([(3, 10)])).collect()
+        }
+        assert got == {(1, 1), (2, 1), (3, 1), (10, 1), (11, 1)}
