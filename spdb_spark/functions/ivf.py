@@ -442,6 +442,70 @@ def save_index(
     )
 
 
+def _lists_dir(path: str) -> str:
+    """Resolve the CURRENT inverted-lists dir: via the atomic
+    `_lists.json` pointer once `compact_index` has versioned it, else
+    the original `<path>/lists` layout."""
+    import json
+    import os
+
+    ptr = os.path.join(path, "_lists.json")
+    if os.path.exists(ptr):
+        with open(ptr) as f:
+            return os.path.join(path, json.load(f)["lists"])
+    return path + "/lists"
+
+
+def compact_index(spark, path: str) -> None:
+    """OPTIMIZE for the persisted IVF index: every `append_to_index`
+    lands new parquet files inside the centroid partition dirs, so after
+    thousands of micro-batch appends a probe pays file-listing + footer
+    reads proportional to APPEND COUNT, not list size (the same
+    small-file failure mode streaming/ledger.py compacts away). This
+    rewrites the current lists into a fresh generation dir with one file
+    per centroid partition, then atomically swings the `_lists.json`
+    pointer — readers (`ivf_topk_indexed`, `append_to_index`) resolve
+    through the pointer and never see a half-written generation. Call
+    `vacuum_index` afterwards to reclaim superseded generations.
+
+    Single-maintainer contract (same as Delta OPTIMIZE): don't run
+    concurrently with appends — an append into the old generation during
+    the rewrite would be dropped by the pointer swing. At cluster scale
+    this whole layout is the table format's ACID append + OPTIMIZE, the
+    documented swap-point."""
+    import json
+    import os
+    import tempfile
+
+    cur = _lists_dir(path)
+    base = os.path.basename(cur)
+    gen = int(base.rsplit("_g", 1)[1]) + 1 if "_g" in base else 1
+    dest = f"lists_g{gen}"
+    (
+        spark.read.parquet(cur)
+        .repartition("centroid_id")
+        .write.mode("overwrite")
+        .partitionBy("centroid_id")
+        .parquet(os.path.join(path, dest))
+    )
+    fd, tmp = tempfile.mkstemp(dir=path, suffix=".lists.tmp")
+    with os.fdopen(fd, "w") as f:
+        json.dump({"lists": dest}, f)
+    os.rename(tmp, os.path.join(path, "_lists.json"))
+
+
+def vacuum_index(path: str) -> None:
+    """Remove superseded lists generations (safe any time after
+    `compact_index`: only dirs the pointer no longer references)."""
+    import os
+    import shutil
+
+    current = os.path.basename(_lists_dir(path))
+    for d in os.listdir(path):
+        if (d == "lists" or d.startswith("lists_g")) and d != current:
+            shutil.rmtree(os.path.join(path, d), ignore_errors=True)
+
+
 def append_to_index(
     spark,
     path: str,
@@ -471,7 +535,8 @@ def append_to_index(
     (which would silently exclude every appended vector from filtered
     queries)."""
     cents = spark.read.parquet(path + "/centroids")
-    existing_cols = spark.read.parquet(path + "/lists").columns
+    lists_dir = _lists_dir(path)
+    existing_cols = spark.read.parquet(lists_dir).columns
     quantized = "qvec" in existing_cols
     base_cols = {"vid", "centroid_id"} | (
         {"qvec", "scale"} if quantized else {"v"}
@@ -502,14 +567,14 @@ def append_to_index(
             .select("vid", "qvec", "scale", "centroid_id", *meta_cols)
             .write.mode("append")
             .partitionBy("centroid_id")
-            .parquet(path + "/lists")
+            .parquet(lists_dir)
         )
         return
     (
         lists.select("vid", "v", "centroid_id", *meta_cols)
         .write.mode("append")
         .partitionBy("centroid_id")
-        .parquet(path + "/lists")
+        .parquet(lists_dir)
     )
 
 
@@ -547,7 +612,7 @@ def ivf_topk_indexed(
         F.col("vid").alias("query_id"), F.col("v").alias("q_vec"), "centroid_id"
     ).withColumn("_qn", norm(F.col("q_vec")))
     probe_ids = [r.centroid_id for r in probes.select("centroid_id").distinct().collect()]
-    full = spark.read.parquet(path + "/lists")
+    full = spark.read.parquet(_lists_dir(path))
     if where is not None:
         full = full.where(F.expr(where) if isinstance(where, str) else where)
     raw = full.where(F.col("centroid_id").isin(probe_ids))

@@ -372,3 +372,72 @@ def test_append_to_quantized_index_carries_metadata(spark, tables, tmp_path):
     want = {r.vec_id: r.label for r in embs.select("vec_id", "label").collect()}
     got = {r.vid: r.label for r in lists.collect()}
     assert got == want
+
+
+def test_compact_index_collapses_small_files_and_preserves_results(spark, tmp_path):
+    """Micro-batch appends accumulate small files per centroid partition;
+    compact_index must collapse them to one file per partition, swing the
+    atomic pointer, keep query results identical (pruning included), and
+    route subsequent appends into the new generation. vacuum reclaims the
+    old dirs."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from spdb_spark.functions.ivf import (
+        append_to_index,
+        compact_index,
+        ivf_topk_indexed,
+        save_index,
+        vacuum_index,
+        _lists_dir,
+    )
+    from spdb_spark.session import load_tables
+
+    embs = load_tables(spark, "/root/testdata/sf0.001", names=("embeddings",))[
+        "embeddings"
+    ]
+    path = str(tmp_path / "cidx")
+    save_index(embs.where(F.col("vec_id") % 4 == 0), path, n_centroids=8)
+    for i in (1, 2, 3):
+        append_to_index(spark, path, embs.where(F.col("vec_id") % 4 == i))
+
+    queries = embs.where(F.col("vec_id") % 100 == 0)
+    key = lambda df: {(r.query_id, r.neighbor_id, r.rank) for r in df.collect()}  # noqa: E731
+    before = key(ivf_topk_indexed(spark, path, queries, k=5, n_probe=2))
+
+    def files_per_partition(d):
+        out = {}
+        for sub in os.listdir(d):
+            if sub.startswith("centroid_id="):
+                out[sub] = len(
+                    [f for f in os.listdir(os.path.join(d, sub)) if f.endswith(".parquet")]
+                )
+        return out
+
+    assert max(files_per_partition(_lists_dir(path)).values()) >= 4  # small files
+
+    compact_index(spark, path)
+    after_dir = _lists_dir(path)
+    assert os.path.basename(after_dir) == "lists_g1"
+    assert max(files_per_partition(after_dir).values()) == 1
+    assert key(ivf_topk_indexed(spark, path, queries, k=5, n_probe=2)) == before
+    # partition pruning still active through the pointer
+    plan = (
+        ivf_topk_indexed(spark, path, queries, k=5, n_probe=2)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "PartitionFilters: [centroid_id" in plan or "centroid_id#" in plan
+
+    vacuum_index(path)
+    assert not os.path.exists(os.path.join(path, "lists"))
+
+    # appends after compaction land in the new generation
+    extra = embs.where(F.col("vec_id") % 100 == 7).withColumn(
+        "vec_id", F.col("vec_id") + 100000
+    )
+    append_to_index(spark, path, extra)
+    lists = spark.read.parquet(after_dir)
+    assert lists.where(F.col("vid") >= 100000).count() == extra.count()
