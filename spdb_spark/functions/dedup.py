@@ -783,7 +783,12 @@ def simhash_neardup_pairs(
         raise ValueError("simhash_neardup_pairs: bands must divide bits")
     width = bits // bands
     mask = (1 << width) - 1
-    sig = simhash(df, id_col, text_col, bits)
+    # both join sides derive from the signatures; without truncation the
+    # token-aggregation pipeline executes once PER SIDE (exchange reuse
+    # does not unify the duplicated subtrees — the closing() lesson).
+    # Signatures are one row per doc, so the checkpoint is tiny; lazy so
+    # plan construction stays action-free.
+    sig = truncate_lineage(simhash(df, id_col, text_col, bits), eager=False)
     banded = sig.select(
         F.col(id_col).alias("id"),
         "simhash",
