@@ -3,10 +3,13 @@
 - ``entry(spark)``: flagship query at sf0.001 (smoke check).
 - ``queries()``: one entry per implemented operator from SURVEY.md §2 plus
   the LLM-pipeline extensions — see spdb_spark/suite*.py.
-- ``oracle_sql()``: DuckDB-equivalent SQL per query (omitted only for the
-  two genuinely sketch-based ops: the HLL vocabulary estimate and GK
-  approximate quantiles — every other query, including the LSH/IVF/
-  quantized ANN scale paths, carries an exact oracle).
+- ``oracle_sql()``: DuckDB-equivalent SQL for EVERY query. The two
+  genuinely sketch-based ops (HLL vocabulary estimate, GK approximate
+  quantiles) use tolerance-protocol oracles: the Spark query emits an
+  in-plan bound check (estimate within the sketch's documented error of
+  the exact value computed in the same plan) that the SQL asserts
+  exactly — so the driver records a value-hash match rather than a
+  rows-only row.
 """
 
 from __future__ import annotations
