@@ -70,5 +70,14 @@ class StreamingBM25Index:
     def foreach_batch(self):
         return lambda df, batch_id: self.process_batch(df, batch_id)
 
+    def start(self, stream: DataFrame, checkpoint: str, **trigger_kwargs):
+        return (
+            stream.writeStream.foreachBatch(self.process_batch)
+            .option("checkpointLocation", checkpoint)
+            .outputMode("append")
+            .trigger(**(trigger_kwargs or {"availableNow": True}))
+            .start()
+        )
+
     def search(self, terms, k1: float = 1.2, b: float = 0.75) -> DataFrame:
         return bm25_search_indexed(self.spark, self.path, terms, k1=k1, b=b)

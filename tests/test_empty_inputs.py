@@ -118,3 +118,56 @@ def test_deterministic_shuffle_empty_and_singleton(spark):
     one = spark.createDataFrame([(7, "x")], "doc_id long, text string")
     rows = SP.deterministic_shuffle(one, "doc_id").collect()
     assert len(rows) == 1 and rows[0].position == 1
+
+
+def test_simhash_pairs_empty_and_single_doc(spark):
+    from spdb_spark.functions.dedup import simhash_neardup_pairs
+
+    out = simhash_neardup_pairs(_empty_docs(spark), "doc_id", "text")
+    assert out.count() == 0
+    assert out.columns == ["id_a", "id_b", "hamming"]
+    one = spark.createDataFrame([(1, "hello world")], "doc_id long, text string")
+    assert simhash_neardup_pairs(one, "doc_id", "text").count() == 0
+
+
+def test_containment_pairs_empty(spark):
+    from spdb_spark.functions.dedup import containment_pairs, shingles
+
+    sh = shingles(_empty_docs(spark), "doc_id", "text")
+    out = containment_pairs(sh, "doc_id")
+    assert out.count() == 0
+    assert out.columns == ["id_a", "id_b", "containment_a", "containment_b"]
+
+
+def test_knn_classify_empty_queries(spark, tables):
+    from pyspark.sql import functions as F
+
+    from spdb_spark.functions.similarity import knn_classify
+
+    embs = tables["embeddings"]
+    out = knn_classify(
+        embs, embs.where(F.lit(False)), "vec_id", "embedding", "label", k=3
+    )
+    assert out.count() == 0
+
+
+def test_incremental_clusters_empty_batch_is_identity(spark):
+    from spdb_spark.functions.dedup import dup_clusters, incremental_dup_clusters
+
+    pairs = spark.createDataFrame([(1, 2), (2, 3)], "id_a long, id_b long")
+    base = dup_clusters(pairs)
+    got = {
+        (r.id, r.cluster_id)
+        for r in incremental_dup_clusters(
+            base, spark.createDataFrame([], "id_a long, id_b long")
+        ).collect()
+    }
+    assert got == {(r.id, r.cluster_id) for r in base.collect()}
+
+
+def test_normalize_text_null_passthrough(spark):
+    from spdb_spark.functions.text import normalize_text
+
+    df = spark.createDataFrame([(1, None)], "id long, s string")
+    (row,) = df.select(normalize_text(F.col("s")).alias("n")).collect()
+    assert row.n is None

@@ -86,3 +86,21 @@ def test_crash_mid_append_converges_on_retry(spark, tmp_path, monkeypatch):
     assert _scores(sink.search(TERMS)) == _scores(
         bm25_search_indexed(spark, full, TERMS)
     )
+
+
+def test_readstream_drive_end_to_end(spark, tmp_path):
+    """Real Structured Streaming drive: readStream -> foreachBatch append
+    -> search equals a batch rebuild of the same corpus."""
+    docs = _docs(spark).limit(200)
+    src = str(tmp_path / "src")
+    docs.write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(docs.schema).parquet(src)
+    sink = StreamingBM25Index(spark, str(tmp_path / "sidx4"))
+    q = sink.start(stream, str(tmp_path / "ckpt"))
+    q.awaitTermination(120)
+
+    full = str(tmp_path / "full4")
+    save_bm25_index(docs, "doc_id", "text", full)
+    assert _scores(sink.search(TERMS)) == _scores(
+        bm25_search_indexed(spark, full, TERMS)
+    )
