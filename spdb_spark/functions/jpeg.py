@@ -1,0 +1,503 @@
+"""Dependency-free baseline JPEG (JFIF) codec — numpy only.
+
+Makes JPEG payloads a REAL decode path in the multimodal pipeline
+(functions/multimodal.py) instead of a stub: parse markers, Huffman-decode
+the entropy stream, dequantize, inverse-DCT (exact orthonormal 8x8 matrix
+form), undo level shift and chroma subsampling, convert YCbCr -> RGB.
+
+Scope (honest about it):
+- DECODE: baseline sequential DCT (SOF0), grayscale or YCbCr with 4:4:4,
+  4:2:2, or 4:2:0 subsampling, restart markers supported. Progressive
+  (SOF2), arithmetic coding, and 12-bit precision raise ValueError — the
+  caller (multimodal.decode_features_status) falls back to the labeled
+  stub for those.
+- ENCODE: baseline grayscale / YCbCr 4:4:4 with the Annex-K example
+  quantization (quality-scaled) and Huffman tables — enough to build
+  test fixtures and round-trip within quantization error. Production
+  swaps in libjpeg-turbo; the Spark-side plumbing is unchanged.
+
+The JPEG format itself is public (ITU-T T.81); tables below are the
+standard's own Annex-K examples.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+# --- constants (ITU-T T.81 Annex K) ----------------------------------------
+
+ZIGZAG = np.array([
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+])
+
+QUANT_LUMA = np.array([
+    16, 11, 10, 16, 24, 40, 51, 61,
+    12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56,
+    14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77,
+    24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101,
+    72, 92, 95, 98, 112, 100, 103, 99,
+], dtype=np.int32)
+
+QUANT_CHROMA = np.array([
+    17, 18, 24, 47, 99, 99, 99, 99,
+    18, 21, 26, 66, 99, 99, 99, 99,
+    24, 26, 56, 99, 99, 99, 99, 99,
+    47, 66, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+], dtype=np.int32)
+
+# Annex K Huffman table specs: (bits[1..16] counts, values)
+DC_LUMA_BITS = [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0]
+DC_LUMA_VALS = list(range(12))
+DC_CHROMA_BITS = [0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0]
+DC_CHROMA_VALS = list(range(12))
+AC_LUMA_BITS = [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D]
+AC_LUMA_VALS = [
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41, 0x06,
+    0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xA1, 0x08,
+    0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24, 0x33, 0x62, 0x72,
+    0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A, 0x25, 0x26, 0x27, 0x28,
+    0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39, 0x3A, 0x43, 0x44, 0x45,
+    0x46, 0x47, 0x48, 0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+    0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75,
+    0x76, 0x77, 0x78, 0x79, 0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+    0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3,
+    0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6,
+    0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
+    0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1, 0xE2,
+    0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2, 0xF3, 0xF4,
+    0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+]
+AC_CHROMA_BITS = [0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77]
+AC_CHROMA_VALS = [
+    0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21, 0x31, 0x06, 0x12, 0x41,
+    0x51, 0x07, 0x61, 0x71, 0x13, 0x22, 0x32, 0x81, 0x08, 0x14, 0x42, 0x91,
+    0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0, 0x15, 0x62, 0x72, 0xD1,
+    0x0A, 0x16, 0x24, 0x34, 0xE1, 0x25, 0xF1, 0x17, 0x18, 0x19, 0x1A, 0x26,
+    0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37, 0x38, 0x39, 0x3A, 0x43, 0x44,
+    0x45, 0x46, 0x47, 0x48, 0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58,
+    0x59, 0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74,
+    0x75, 0x76, 0x77, 0x78, 0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87,
+    0x88, 0x89, 0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A,
+    0xA2, 0xA3, 0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4,
+    0xB5, 0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7,
+    0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA,
+    0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF2, 0xF3, 0xF4,
+    0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+]
+
+# orthonormal 8x8 DCT-II matrix: block_dct = D @ B @ D.T (exact float64)
+_D = np.zeros((8, 8))
+for _k in range(8):
+    for _n in range(8):
+        _D[_k, _n] = np.cos(np.pi * (2 * _n + 1) * _k / 16) * (
+            np.sqrt(0.25) if _k else np.sqrt(0.125)
+        )
+
+
+def _quality_tables(quality: int) -> tuple[np.ndarray, np.ndarray]:
+    quality = max(1, min(100, quality))
+    scale = 5000 // quality if quality < 50 else 200 - 2 * quality
+    ql = np.clip((QUANT_LUMA * scale + 50) // 100, 1, 255)
+    qc = np.clip((QUANT_CHROMA * scale + 50) // 100, 1, 255)
+    return ql.astype(np.int32), qc.astype(np.int32)
+
+
+# --- Huffman helpers --------------------------------------------------------
+
+
+def _build_codes(bits: list[int], vals: list[int]) -> dict[int, tuple[int, int]]:
+    """value -> (code, length), canonical JPEG assignment."""
+    codes = {}
+    code = 0
+    i = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            codes[vals[i]] = (code, length)
+            code += 1
+            i += 1
+        code <<= 1
+    return codes
+
+
+def _build_decoder(bits: list[int], vals: list[int]) -> dict[tuple[int, int], int]:
+    """(length, code) -> value."""
+    table = {}
+    code = 0
+    i = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            table[(length, code)] = vals[i]
+            code += 1
+            i += 1
+        code <<= 1
+    return table
+
+
+class _BitWriter:
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, code: int, length: int) -> None:
+        self.acc = (self.acc << length) | (code & ((1 << length) - 1))
+        self.nbits += length
+        while self.nbits >= 8:
+            byte = (self.acc >> (self.nbits - 8)) & 0xFF
+            self.out.append(byte)
+            if byte == 0xFF:
+                self.out.append(0x00)  # byte stuffing
+            self.nbits -= 8
+        self.acc &= (1 << self.nbits) - 1
+
+    def flush(self) -> None:
+        if self.nbits:
+            pad = 8 - self.nbits
+            self.write((1 << pad) - 1, pad)
+
+
+class _BitReader:
+    def __init__(self, data: bytes):
+        self.data = data
+        self.pos = 0
+        self.acc = 0
+        self.nbits = 0
+
+    def _fill(self) -> None:
+        while self.nbits <= 24 and self.pos < len(self.data):
+            byte = self.data[self.pos]
+            self.pos += 1
+            if byte == 0xFF:
+                nxt = self.data[self.pos] if self.pos < len(self.data) else 0
+                if nxt == 0x00:
+                    self.pos += 1  # stuffed
+                else:
+                    # marker: rewind so the caller can see it; feed zeros
+                    self.pos -= 1
+                    self.acc = (self.acc << 8)
+                    self.nbits += 8
+                    continue
+            self.acc = (self.acc << 8) | byte
+            self.nbits += 8
+
+    def read_bits(self, n: int) -> int:
+        if n == 0:
+            return 0
+        self._fill()
+        if self.nbits < n:
+            raise ValueError("jpeg: truncated entropy stream")
+        v = (self.acc >> (self.nbits - n)) & ((1 << n) - 1)
+        self.nbits -= n
+        self.acc &= (1 << self.nbits) - 1
+        return v
+
+    def read_code(self, table: dict[tuple[int, int], int]) -> int:
+        code = 0
+        for length in range(1, 17):
+            code = (code << 1) | self.read_bits(1)
+            if (length, code) in table:
+                return table[(length, code)]
+        raise ValueError("jpeg: bad Huffman code")
+
+    def align_restart(self) -> None:
+        """Drop buffered bits and consume an RSTn marker from the byte
+        stream (restart intervals reset bit alignment + DC predictors)."""
+        self.acc = 0
+        self.nbits = 0
+        while self.pos + 1 < len(self.data):
+            if self.data[self.pos] == 0xFF and 0xD0 <= self.data[self.pos + 1] <= 0xD7:
+                self.pos += 2
+                return
+            self.pos += 1
+        raise ValueError("jpeg: missing restart marker")
+
+
+def _magnitude(v: int) -> tuple[int, int]:
+    """JPEG magnitude coding: value -> (size, amplitude bits)."""
+    if v == 0:
+        return 0, 0
+    a = abs(v)
+    size = a.bit_length()
+    bits = v if v > 0 else v + (1 << size) - 1
+    return size, bits
+
+
+def _extend(bits: int, size: int) -> int:
+    if size == 0:
+        return 0
+    return bits if bits >= (1 << (size - 1)) else bits - (1 << size) + 1
+
+
+# --- encoder ----------------------------------------------------------------
+
+
+def jpeg_encode(img: np.ndarray, quality: int = 85) -> bytes:
+    """Baseline JFIF encode: (h, w) uint8 grayscale or (h, w, 3) uint8
+    RGB (4:4:4, no subsampling)."""
+    if img.dtype != np.uint8:
+        raise ValueError("jpeg_encode: uint8 only")
+    gray = img.ndim == 2
+    if not gray and (img.ndim != 3 or img.shape[2] != 3):
+        raise ValueError("jpeg_encode: (h,w) or (h,w,3)")
+    h, w = img.shape[:2]
+    ql, qc = _quality_tables(quality)
+
+    if gray:
+        planes = [img.astype(np.float64) - 128.0]
+    else:
+        r = img[:, :, 0].astype(np.float64)
+        g = img[:, :, 1].astype(np.float64)
+        b = img[:, :, 2].astype(np.float64)
+        y = 0.299 * r + 0.587 * g + 0.114 * b
+        cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+        cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+        planes = [y - 128.0, cb - 128.0, cr - 128.0]
+
+    dc_l, ac_l = _build_codes(DC_LUMA_BITS, DC_LUMA_VALS), _build_codes(
+        AC_LUMA_BITS, AC_LUMA_VALS
+    )
+    dc_c, ac_c = _build_codes(DC_CHROMA_BITS, DC_CHROMA_VALS), _build_codes(
+        AC_CHROMA_BITS, AC_CHROMA_VALS
+    )
+
+    bw = _BitWriter()
+    preds = [0] * len(planes)
+    bh, bwid = (h + 7) // 8, (w + 7) // 8
+    padded = []
+    for p in planes:
+        pp = np.zeros((bh * 8, bwid * 8))
+        pp[:h, :w] = p
+        if w < bwid * 8:
+            pp[:h, w:] = p[:, -1:]
+        if h < bh * 8:
+            pp[h:, :] = pp[h - 1 : h, :]
+        padded.append(pp)
+
+    for by in range(bh):
+        for bx in range(bwid):
+            for ci, p in enumerate(padded):
+                luma = ci == 0 or gray
+                q = ql if luma else qc
+                dct = _D @ p[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] @ _D.T
+                coef = np.round(dct.flatten() / q.reshape(8, 8).flatten()).astype(
+                    np.int32
+                )
+                zz = coef[ZIGZAG]
+                diff = int(zz[0]) - preds[ci]
+                preds[ci] = int(zz[0])
+                size, bits = _magnitude(diff)
+                code, length = (dc_l if luma else dc_c)[size]
+                bw.write(code, length)
+                if size:
+                    bw.write(bits, size)
+                act = ac_l if luma else ac_c
+                run = 0
+                last_nz = max(np.nonzero(zz[1:])[0]) + 1 if np.any(zz[1:]) else 0
+                for k in range(1, last_nz + 1):
+                    v = int(zz[k])
+                    if v == 0:
+                        run += 1
+                        continue
+                    while run > 15:
+                        code, length = act[0xF0]
+                        bw.write(code, length)
+                        run -= 16
+                    size, bits = _magnitude(v)
+                    code, length = act[(run << 4) | size]
+                    bw.write(code, length)
+                    bw.write(bits, size)
+                    run = 0
+                if last_nz < 63:
+                    code, length = act[0x00]  # EOB
+                    bw.write(code, length)
+    bw.flush()
+
+    out = bytearray(b"\xff\xd8")  # SOI
+    out += b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
+
+    def dqt(tid, table):
+        zz = table.reshape(8, 8).flatten()[ZIGZAG]
+        return b"\xff\xdb" + struct.pack(">HB", 67, tid) + bytes(int(x) for x in zz)
+
+    out += dqt(0, ql)
+    if not gray:
+        out += dqt(1, qc)
+
+    ncomp = 1 if gray else 3
+    sof = struct.pack(">HBHHB", 8 + 3 * ncomp, 8, h, w, ncomp)
+    for ci in range(ncomp):
+        sof += bytes([ci + 1, 0x11, 0 if ci == 0 else 1])
+    out += b"\xff\xc0" + sof
+
+    def dht(cls, tid, bits, vals):
+        payload = bytes([(cls << 4) | tid]) + bytes(bits) + bytes(vals)
+        return b"\xff\xc4" + struct.pack(">H", 2 + len(payload)) + payload
+
+    out += dht(0, 0, DC_LUMA_BITS, DC_LUMA_VALS)
+    out += dht(1, 0, AC_LUMA_BITS, AC_LUMA_VALS)
+    if not gray:
+        out += dht(0, 1, DC_CHROMA_BITS, DC_CHROMA_VALS)
+        out += dht(1, 1, AC_CHROMA_BITS, AC_CHROMA_VALS)
+
+    sos = struct.pack(">HB", 6 + 2 * ncomp, ncomp)
+    for ci in range(ncomp):
+        sos += bytes([ci + 1, 0x00 if ci == 0 else 0x11])
+    sos += b"\x00\x3f\x00"
+    out += b"\xff\xda" + sos
+    out += bw.out
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+# --- decoder ----------------------------------------------------------------
+
+
+def jpeg_decode(payload: bytes) -> np.ndarray:
+    """Decode a baseline JFIF payload: returns (h, w) uint8 for grayscale
+    or (h, w, 3) uint8 RGB. Raises ValueError for progressive/arithmetic/
+    unsupported streams (callers fall back to the labeled stub)."""
+    if payload[:2] != b"\xff\xd8":
+        raise ValueError("jpeg: missing SOI")
+    pos = 2
+    qtables: dict[int, np.ndarray] = {}
+    htables: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
+    frame = None
+    restart_interval = 0
+    while pos + 4 <= len(payload):
+        if payload[pos] != 0xFF:
+            raise ValueError("jpeg: bad marker sync")
+        marker = payload[pos + 1]
+        if marker == 0xD9:  # EOI
+            break
+        seg_len = struct.unpack(">H", payload[pos + 2 : pos + 4])[0]
+        seg = payload[pos + 4 : pos + 2 + seg_len]
+        if marker == 0xDB:  # DQT
+            p = 0
+            while p < len(seg):
+                prec, tid = seg[p] >> 4, seg[p] & 0x0F
+                p += 1
+                n = 64 * (2 if prec else 1)
+                raw = seg[p : p + n]
+                p += n
+                vals = (
+                    np.frombuffer(raw, dtype=">u2").astype(np.int32)
+                    if prec
+                    else np.frombuffer(raw, dtype=np.uint8).astype(np.int32)
+                )
+                table = np.zeros(64, dtype=np.int32)
+                table[ZIGZAG] = vals
+                qtables[tid] = table
+        elif marker == 0xC4:  # DHT
+            p = 0
+            while p < len(seg):
+                cls, tid = seg[p] >> 4, seg[p] & 0x0F
+                bits = list(seg[p + 1 : p + 17])
+                n = sum(bits)
+                vals = list(seg[p + 17 : p + 17 + n])
+                htables[(cls, tid)] = _build_decoder(bits, vals)
+                p += 17 + n
+        elif marker == 0xC0 or marker == 0xC1:  # SOF0/1 baseline
+            prec, h, w, ncomp = seg[0], *struct.unpack(">HH", seg[1:5]), seg[5]
+            if prec != 8:
+                raise ValueError("jpeg: only 8-bit precision")
+            comps = []
+            for ci in range(ncomp):
+                cid, samp, qid = seg[6 + 3 * ci : 9 + 3 * ci]
+                comps.append({"id": cid, "h": samp >> 4, "v": samp & 0x0F, "q": qid})
+            frame = {"h": h, "w": w, "comps": comps}
+        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise ValueError("jpeg: only baseline sequential supported")
+        elif marker == 0xDD:  # DRI
+            restart_interval = struct.unpack(">H", seg[:2])[0]
+        elif marker == 0xDA:  # SOS
+            if frame is None:
+                raise ValueError("jpeg: SOS before SOF")
+            ns = seg[0]
+            scan = []
+            for ci in range(ns):
+                cid, tt = seg[1 + 2 * ci], seg[2 + 2 * ci]
+                comp = next(c for c in frame["comps"] if c["id"] == cid)
+                scan.append((comp, tt >> 4, tt & 0x0F))
+            data = payload[pos + 2 + seg_len :]
+            return _decode_scan(frame, scan, qtables, htables, data, restart_interval)
+        pos += 2 + seg_len
+    raise ValueError("jpeg: no scan found")
+
+
+def _decode_scan(frame, scan, qtables, htables, data, restart_interval):
+    h, w = frame["h"], frame["w"]
+    hmax = max(c["h"] for c, _, _ in scan)
+    vmax = max(c["v"] for c, _, _ in scan)
+    mcux = (w + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+    planes = []
+    for c, _, _ in scan:
+        planes.append(
+            np.zeros((mcuy * c["v"] * 8, mcux * c["h"] * 8), dtype=np.float64)
+        )
+    br = _BitReader(data)
+    preds = [0] * len(scan)
+    mcu_count = 0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if restart_interval and mcu_count and mcu_count % restart_interval == 0:
+                br.align_restart()
+                preds = [0] * len(scan)
+            for si, (c, dc_id, ac_id) in enumerate(scan):
+                q = qtables[c["q"]].reshape(8, 8)
+                dct_t = htables[(0, dc_id)]
+                act_t = htables[(1, ac_id)]
+                for by in range(c["v"]):
+                    for bx in range(c["h"]):
+                        zz = np.zeros(64, dtype=np.int32)
+                        size = br.read_code(dct_t)
+                        diff = _extend(br.read_bits(size), size)
+                        preds[si] += diff
+                        zz[0] = preds[si]
+                        k = 1
+                        while k < 64:
+                            rs = br.read_code(act_t)
+                            run, size = rs >> 4, rs & 0x0F
+                            if size == 0:
+                                if run == 15:
+                                    k += 16
+                                    continue
+                                break  # EOB
+                            k += run
+                            if k > 63:
+                                raise ValueError("jpeg: AC overflow")
+                            zz[k] = _extend(br.read_bits(size), size)
+                            k += 1
+                        coef = np.zeros(64, dtype=np.float64)
+                        coef[ZIGZAG] = zz
+                        block = _D.T @ (coef.reshape(8, 8) * q) @ _D
+                        y0 = (my * c["v"] + by) * 8
+                        x0 = (mx * c["h"] + bx) * 8
+                        planes[si][y0 : y0 + 8, x0 : x0 + 8] = block
+            mcu_count += 1
+    # upsample subsampled planes to full resolution (replication)
+    out_planes = []
+    for (c, _, _), p in zip(scan, planes):
+        ry, rx = vmax // c["v"], hmax // c["h"]
+        if ry > 1 or rx > 1:
+            p = np.repeat(np.repeat(p, ry, axis=0), rx, axis=1)
+        out_planes.append(p[:h, :w] + 128.0)
+    if len(out_planes) == 1:
+        return np.clip(np.round(out_planes[0]), 0, 255).astype(np.uint8)
+    y, cb, cr = out_planes[0], out_planes[1] - 128.0, out_planes[2] - 128.0
+    r = y + 1.402 * cr
+    g = y - 0.344136 * cb - 0.714136 * cr
+    b = y + 1.772 * cb
+    return np.clip(np.round(np.stack([r, g, b], axis=2)), 0, 255).astype(np.uint8)

@@ -1,15 +1,16 @@
 """Multimodal column plumbing: image/audio/video as opaque binary columns
 with typed metadata, processed by Arrow-batched kernels.
 
-Image decode is REAL: PNG payloads (signature-detected) decode through the
-repo's dependency-free codec (operators/render.py png_decode — gray8/16 +
-RGBA) and produce pixel-exact features / real resizes. Audio decode is
-REAL: RIFF/WAVE PCM payloads decode through functions/audio.py (pure
-numpy + struct) into sample-exact RMS/zero-crossing/spectral-band frame
-features. Video decode is STUBBED with a deterministic fake (no practical
-pure-Python video codec; clearly marked), as are payloads in codecs the
-container can't parse (mp3/jpeg/synthetic text fixtures) — swap
-`_fake_decode` for pyav in production. Stub-decoded rows are labeled
+Image decode is REAL for PNG (operators/render.py png_decode — gray8/16 +
+RGBA) and for baseline JPEG (functions/jpeg.py — Huffman + exact matrix
+IDCT, grayscale/YCbCr with subsampling and restart markers); both produce
+pixel-exact features / real resizes. Audio decode is REAL: RIFF/WAVE PCM
+payloads decode through functions/audio.py (pure numpy + struct) into
+sample-exact RMS/zero-crossing/spectral-band frame features. Video with
+PNG-compressed frames (AVI/MPNG) is REAL via functions/video.py. Only
+payloads pure Python genuinely can't parse (H.264, mp3, progressive/
+arithmetic JPEG, synthetic text fixtures) fall to a deterministic fake —
+swap `_fake_decode` for pyav in production. Stub-decoded rows are labeled
 status="stub" (real decodes say "ok") so downstream consumers can filter
 synthetic features from real signal. Everything Spark-cares-about —
 schema, binary payload handling, partitioning, mapInPandas batch shape,
@@ -136,6 +137,16 @@ def decode_features_status(
             return video_frame_features(payload, n_frames, dim), "ok"
         except ValueError:  # non-PNG frame codec: honest stub
             return _fake_decode(payload, n_frames, dim), "stub"
+    if payload[:2] == b"\xff\xd8":
+        from spdb_spark.functions.jpeg import jpeg_decode
+
+        try:
+            return (
+                _image_frame_features(jpeg_decode(payload), n_frames, dim),
+                "ok",
+            )
+        except ValueError:  # progressive/arithmetic: honest stub
+            return _fake_decode(payload, n_frames, dim), "stub"
     return _fake_decode(payload, n_frames, dim), "stub"
 
 
@@ -174,6 +185,7 @@ def resize_images(media: DataFrame, width: int = 224, height: int = 224) -> Data
         return hashlib.md5(payload + f":{w}x{h}".encode()).hexdigest().encode()
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from spdb_spark.functions.jpeg import jpeg_decode, jpeg_encode
         from spdb_spark.operators.render import png_encode
 
         for pdf in batches:
@@ -186,6 +198,15 @@ def resize_images(media: DataFrame, width: int = 224, height: int = 224) -> Data
                             decode_image(payload), width, height
                         )
                         blob, status = png_encode(resized), "ok"
+                    elif payload[:2] == b"\xff\xd8":
+                        try:
+                            resized = resize_image_array(
+                                jpeg_decode(payload), width, height
+                            )
+                            blob, status = jpeg_encode(resized), "ok"
+                        except ValueError:  # progressive/arithmetic
+                            blob = _fake_resize(payload, width, height)
+                            status = "stub"
                     else:
                         blob, status = _fake_resize(payload, width, height), "stub"
                     out.append((int(row.media_id), width, height, blob, status))

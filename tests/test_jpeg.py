@@ -1,0 +1,112 @@
+"""Baseline JPEG codec (functions/jpeg.py): encode/decode round-trips
+within quantization error, edge shapes, unsupported-stream rejection, and
+the multimodal pipeline treating JPEG as a REAL decode (status='ok')."""
+
+import numpy as np
+import pytest
+
+from spdb_spark.functions.jpeg import jpeg_decode, jpeg_encode
+
+
+def _smooth_gray(h, w):
+    x = np.linspace(0, 4 * np.pi, w)
+    y = np.linspace(0, 3 * np.pi, h)
+    return ((np.sin(y)[:, None] * np.cos(x)[None, :]) * 100 + 128).astype(np.uint8)
+
+
+class TestCodec:
+    def test_gray_roundtrip_within_quant_error(self):
+        img = _smooth_gray(64, 64)
+        out = jpeg_decode(jpeg_encode(img, quality=90))
+        assert out.shape == img.shape and out.dtype == np.uint8
+        assert np.abs(out.astype(int) - img.astype(int)).max() <= 8
+
+    def test_rgb_roundtrip_within_quant_error(self):
+        r = np.tile(np.linspace(0, 255, 48, dtype=np.uint8), (40, 1))
+        g = np.tile(np.linspace(255, 0, 48, dtype=np.uint8), (40, 1))
+        b = ((r.astype(int) + g.astype(int)) // 2).astype(np.uint8)
+        rgb = np.stack([r, g, b], axis=2)
+        out = jpeg_decode(jpeg_encode(rgb, quality=90))
+        assert out.shape == rgb.shape
+        assert np.abs(out.astype(int) - rgb.astype(int)).max() <= 12
+
+    def test_non_multiple_of_8_dims(self):
+        img = _smooth_gray(37, 45)
+        out = jpeg_decode(jpeg_encode(img, quality=95))
+        assert out.shape == (37, 45)
+        assert np.abs(out.astype(int) - img.astype(int)).mean() < 3
+
+    def test_quality_tradeoff(self):
+        img = _smooth_gray(64, 64)
+        small = jpeg_encode(img, quality=30)
+        big = jpeg_encode(img, quality=95)
+        assert len(small) < len(big)
+        err_small = np.abs(
+            jpeg_decode(small).astype(int) - img.astype(int)
+        ).mean()
+        err_big = np.abs(jpeg_decode(big).astype(int) - img.astype(int)).mean()
+        assert err_big <= err_small
+
+    def test_deterministic(self):
+        img = _smooth_gray(32, 32)
+        assert jpeg_encode(img) == jpeg_encode(img)
+
+    def test_progressive_rejected(self):
+        # take a valid stream and flip SOF0 (FFC0) to SOF2 (FFC2)
+        blob = bytearray(jpeg_encode(_smooth_gray(16, 16)))
+        idx = bytes(blob).find(b"\xff\xc0")
+        blob[idx + 1] = 0xC2
+        with pytest.raises(ValueError, match="baseline"):
+            jpeg_decode(bytes(blob))
+
+    def test_garbage_rejected(self):
+        with pytest.raises(ValueError):
+            jpeg_decode(b"\xff\xd8not a real jpeg stream at all")
+
+
+class TestMultimodalJpeg:
+    def test_frame_features_real_and_ok(self, spark):
+        from spdb_spark.functions.multimodal import (
+            _image_frame_features,
+            extract_frame_features,
+        )
+
+        img = _smooth_gray(32, 48)
+        blob = jpeg_encode(img, quality=95)
+        media = spark.createDataFrame(
+            [(1, bytearray(blob))], "media_id long, payload binary"
+        )
+        rows = extract_frame_features(media, n_frames=4, dim=8).collect()
+        assert len(rows) == 4 and all(r.status == "ok" for r in rows)
+        got = np.array(
+            [r.feature for r in sorted(rows, key=lambda r: r.frame_idx)]
+        )
+        expect = _image_frame_features(jpeg_decode(blob), 4, 8)
+        np.testing.assert_array_equal(got.astype(np.float32), expect)
+
+    def test_resize_emits_real_jpeg(self, spark):
+        from spdb_spark.functions.multimodal import resize_image_array, resize_images
+
+        img = _smooth_gray(40, 56)
+        blob = jpeg_encode(img, quality=95)
+        media = spark.createDataFrame(
+            [(9, bytearray(blob))], "media_id long, payload binary"
+        )
+        (row,) = resize_images(media, 16, 12).collect()
+        assert row.status == "ok"
+        out = jpeg_decode(bytes(row.payload))
+        assert out.shape == (12, 16)
+        want = resize_image_array(jpeg_decode(blob), 16, 12)
+        assert np.abs(out.astype(int) - want.astype(int)).max() <= 8
+
+    def test_progressive_payload_labeled_stub(self, spark):
+        from spdb_spark.functions.multimodal import extract_frame_features
+
+        blob = bytearray(jpeg_encode(_smooth_gray(16, 16)))
+        idx = bytes(blob).find(b"\xff\xc0")
+        blob[idx + 1] = 0xC2  # SOF2: progressive -> honest stub
+        media = spark.createDataFrame(
+            [(1, bytearray(bytes(blob)))], "media_id long, payload binary"
+        )
+        rows = extract_frame_features(media, n_frames=2, dim=4).collect()
+        assert rows and all(r.status == "stub" for r in rows)
