@@ -94,9 +94,12 @@ def sample_frame_indices(n_available: int, n_wanted: int) -> list[int]:
 
 def video_frame_features(payload: bytes, n_frames: int, dim: int) -> np.ndarray:
     """(n_frames, dim) features: sample n_frames evenly from the AVI
-    stream; PNG-compressed frames (MPNG) get the repo's real PNG decode +
-    the same band features as still images; a non-PNG frame raises (the
-    caller's dispatch keeps such payloads on the stub path)."""
+    stream; PNG-compressed frames (MPNG) decode through the repo's PNG
+    codec and JPEG-compressed frames (MJPG — the Motion-JPEG FourCC
+    every OpenCV writer emits) through functions/jpeg.py; both get the
+    same band features as still images. A frame in any other codec
+    (H.264/VP9/...) raises and the caller's dispatch keeps the payload
+    on the labeled stub path."""
     from spdb_spark.functions.multimodal import _PNG_SIG, _image_frame_features
     from spdb_spark.operators.render import png_decode
 
@@ -104,7 +107,15 @@ def video_frame_features(payload: bytes, n_frames: int, dim: int) -> np.ndarray:
     out = np.zeros((n_frames, dim), dtype=np.float32)
     for row, idx in enumerate(sample_frame_indices(len(frames), n_frames)):
         blob = frames[idx]
-        if blob[:8] != _PNG_SIG:
-            raise ValueError("non-PNG frame codec — pure-Python decode unavailable")
-        out[row] = _image_frame_features(png_decode(blob), 1, dim)[0]
+        if blob[:8] == _PNG_SIG:
+            img = png_decode(blob)
+        elif blob[:2] == b"\xff\xd8":
+            from spdb_spark.functions.jpeg import jpeg_decode
+
+            img = jpeg_decode(blob)
+        else:
+            raise ValueError(
+                "non-PNG/JPEG frame codec — pure-Python decode unavailable"
+            )
+        out[row] = _image_frame_features(img, 1, dim)[0]
     return out

@@ -110,3 +110,31 @@ class TestMultimodalJpeg:
         )
         rows = extract_frame_features(media, n_frames=2, dim=4).collect()
         assert rows and all(r.status == "stub" for r in rows)
+
+
+def test_avi_mjpeg_video_decodes_for_real(spark):
+    """AVI carrying Motion-JPEG frames (what OpenCV's 'MJPG' writer
+    emits): the video leg must decode the sampled frames for real and
+    report status='ok'."""
+    from spdb_spark.functions.multimodal import (
+        _image_frame_features,
+        extract_frame_features,
+    )
+    from spdb_spark.functions.video import avi_encode_mpng
+
+    frames = []
+    for i in range(6):
+        img = ((_smooth_gray(24, 24).astype(int) + 7 * i) % 256).astype(np.uint8)
+        frames.append(jpeg_encode(img, quality=95))
+    payload = avi_encode_mpng(frames, 24, 24)  # container is codec-agnostic
+    media = spark.createDataFrame(
+        [(1, bytearray(payload))], "media_id long, payload binary"
+    )
+    rows = extract_frame_features(media, n_frames=3, dim=4).collect()
+    assert len(rows) == 3 and all(r.status == "ok" for r in rows)
+    # frame 0 features equal the directly-decoded first frame's
+    got0 = np.array(
+        [r.feature for r in rows if r.frame_idx == 0][0], dtype=np.float32
+    )
+    want0 = _image_frame_features(jpeg_decode(frames[0]), 1, 4)[0]
+    np.testing.assert_array_equal(got0, want0)
