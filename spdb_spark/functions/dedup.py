@@ -773,10 +773,15 @@ def simhash_neardup_pairs(
     Scale shape: candidates come from a band-keyed equi-join (never
     all-pairs) — the same posture as MinHash LSH banding
     (minhash_lsh_dedup); the verify is a narrow bit_count(xor) on the
-    already-joined pair rows. Band-bucket sizes are bounded by signature
-    uniformity; at corpus scale use wider signatures (bits=64) so each
-    band carries 16 bits. Returns (id_a, id_b, hamming), id_a < id_b,
-    exact distances, deduplicated."""
+    already-joined pair rows. CAPACITY IS THE BAND WIDTH: each band has
+    2^(bits/bands) possible keys, so expected bucket size is
+    n / 2^(bits/bands) and candidate volume grows as n^2 / 2^(bits/bands)
+    once buckets saturate. Measured: the 32-bit/8-bit-band default hit
+    479 s at 100k docs (256 keys/band -> ~400-doc buckets), while
+    bits=64, bands=4 (16-bit bands, 65536 keys) runs the same corpus in
+    seconds — use 64-bit signatures beyond ~10k docs (tools/
+    stress_docs.py measures both). Returns (id_a, id_b, hamming),
+    id_a < id_b, exact distances, deduplicated."""
     from spdb_spark.functions.text import simhash
 
     if bits % bands:
@@ -796,7 +801,14 @@ def simhash_neardup_pairs(
             "band"
         ),
     ).withColumn(
-        "band_key", F.expr(f"shiftright(simhash, band * {width})") % F.lit(mask + 1)
+        # LOGICAL shift + AND: a 64-bit signature with bit 63 set is a
+        # negative long, and arithmetic shiftright would sign-extend into
+        # the band bits (and % would go negative) — unsigned shift keeps
+        # band keys equal iff the band bits are equal, for any width
+        "band_key",
+        F.expr(f"shiftrightunsigned(simhash, band * {width})").bitwiseAND(
+            F.lit(mask)
+        ),
     )
     a = banded.select(
         "band", "band_key", F.col("id").alias("id_a"), F.col("simhash").alias("sig_a")

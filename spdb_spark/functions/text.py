@@ -123,10 +123,24 @@ def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 32) -> DataFr
     toks = df.select(
         id_col, F.explode(tokens(F.col(text_col))).alias("tok")
     ).withColumn("h", md5_long(F.col("tok")))
+    if bits > 60:
+        # md5_long is 60-bit; a second independently-salted hash supplies
+        # bits 60+ so a 64-bit signature has full entropy (without this,
+        # the top 4 bits would be constant zero and the top band of a
+        # 4x16 split would lose discrimination)
+        toks = toks.withColumn(
+            "h2", md5_long(F.concat(F.lit("simhash-hi:"), F.col("tok")))
+        )
     aggs = [
         F.sum(
             F.when(
-                F.expr(f"shiftright(h, {k})").bitwiseAND(1) == 1, 1
+                (
+                    F.expr(f"shiftright(h, {k})")
+                    if k < 60
+                    else F.expr(f"shiftright(h2, {k - 60})")
+                ).bitwiseAND(1)
+                == 1,
+                1,
             ).otherwise(-1)
         ).alias(f"s{k}")
         for k in range(bits)
@@ -134,8 +148,13 @@ def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 32) -> DataFr
     per = toks.groupBy(id_col).agg(*aggs)
     sig = F.lit(0).cast("long")
     for k in range(bits):
+        # bit 63 is the long sign bit: setting it equals ADDING -2^63 in
+        # two's complement (1 << 63 itself does not fit a signed long) —
+        # this is what makes bits=64 signatures (the corpus-scale
+        # configuration: 16-bit bands) representable in one long column
+        contrib = -(1 << 63) if k == 63 else (1 << k)
         sig = sig + F.when(
-            F.col(f"s{k}") > 0, F.lit(1 << k).cast("long")
+            F.col(f"s{k}") > 0, F.lit(contrib).cast("long")
         ).otherwise(F.lit(0).cast("long"))
     return per.select(id_col, sig.alias("simhash"))
 

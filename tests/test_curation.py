@@ -689,3 +689,36 @@ def test_knn_classify_majority_and_tiebreak(spark):
     q = spark.createDataFrame([(9, [1.0, 0.1])], "vec_id long, embedding array<double>")
     (r,) = knn_classify(tie, q.withColumn("label", F.lit(-1)), "vec_id", "embedding", "label", k=4).collect()
     assert r.pred_label == 3 and r.votes == 2  # tie -> smallest label
+
+
+def test_simhash_64bit_signature_and_pairs(spark):
+    """bits=64 (the corpus-scale configuration, 16-bit bands): bit 63
+    lives in the long sign bit via two's complement; banding must still
+    bucket equal band-bits together and Hamming must stay exact."""
+    from spdb_spark.functions.dedup import simhash_neardup_pairs
+    from spdb_spark.functions.text import simhash
+
+    # single-token docs: bit 63 of the signature is exactly bit 3 of the
+    # token's high-half hash, so ~half the signatures go negative
+    df = _docs_df(
+        spark,
+        [(i, f"alpha beta gamma delta w{i % 3}") for i in range(30)]
+        + [(100 + i, f"solo{i}") for i in range(16)],
+    )
+    sigs = {r.doc_id: r.simhash for r in simhash(df, "doc_id", "text", 64).collect()}
+    assert any(s < 0 for s in sigs.values())  # bit 63 exercised
+
+    got = {
+        (r.id_a, r.id_b): r.hamming
+        for r in simhash_neardup_pairs(
+            df, "doc_id", "text", bits=64, bands=4, max_hamming=3
+        ).collect()
+    }
+    ids = sorted(sigs)
+    want = {}
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            h = bin((sigs[a] ^ sigs[b]) & ((1 << 64) - 1)).count("1")
+            if h <= 3:
+                want[(a, b)] = h
+    assert got == want and got  # non-empty: w{i%3} families collide

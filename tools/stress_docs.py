@@ -1,0 +1,95 @@
+"""Document-corpus stress harness: synthesize an N-replica corpus from the
+sf0.1 documents table (each replica keeps the text's shingle structure but
+gets a distinct marker token, so near-dup families of size N exist by
+construction) and time the curation operators on it.
+
+This is the LLM-side counterpart of tools/stress_scale.py (voxels): the
+point is measured evidence that the dedup/shuffle/retrieval plans hold
+when the corpus is 20-100x the bench fixture.
+
+Usage: python tools/stress_docs.py [replicas=20]
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+
+def main() -> None:
+    replicas = int(sys.argv[1]) if len(sys.argv) > 1 else 20
+    from spdb_spark.session import get_spark, load_tables
+
+    spark = get_spark("stress_docs")
+    spark.sparkContext.setLogLevel("ERROR")
+    base = load_tables(spark, "/root/testdata/sf0.1", names=("documents",))[
+        "documents"
+    ].select("doc_id", "text", "lang", "source")
+
+    n_base = base.count()
+    rep = F.explode(F.sequence(F.lit(0), F.lit(replicas - 1))).alias("rep")
+    corpus = (
+        base.select("doc_id", "text", "lang", "source", rep)
+        .select(
+            (F.col("doc_id") + F.col("rep") * (n_base * 10)).alias("doc_id"),
+            # distinct marker token per replica: replicas are NEAR dups
+            # (high Jaccard, not exact), the realistic worst case
+            F.concat_ws(" ", F.col("text"), F.concat(F.lit("rep"), F.col("rep"))).alias(
+                "text"
+            ),
+            "lang",
+            "source",
+        )
+        .repartition(64)
+        .persist()
+    )
+    n = corpus.count()
+    print(f"corpus: {n} docs ({replicas}x sf0.1)")
+
+    def timed(name, df):
+        t0 = time.perf_counter()
+        df.write.format("noop").mode("overwrite").save()
+        print(f"{name}: {time.perf_counter() - t0:.2f} s")
+
+    from spdb_spark.functions import dedup as D
+    from spdb_spark.functions import sampling as SP
+    from spdb_spark.functions import text as T
+
+    timed("exact_dedup", D.exact_dup_groups(corpus, "doc_id", "text"))
+    timed(
+        "minhash_lsh (near-dup families of size %d)" % replicas,
+        D.minhash_lsh_dedup(corpus, "doc_id", "text"),
+    )
+    timed(
+        "simhash_pairs (64-bit, 16-bit bands)",
+        D.simhash_neardup_pairs(corpus, "doc_id", "text", bits=64, bands=4, max_hamming=3),
+    )
+    timed(
+        "deterministic_shuffle (derived width)",
+        SP.deterministic_shuffle(corpus, "doc_id", n_rows=n),
+    )
+    timed(
+        "reservoir_per_group k=100",
+        SP.reservoir_per_group(corpus, "lang", "doc_id", 100, n_rows=n),
+    )
+    paras = D.word_chunk_paragraphs(corpus, "doc_id", "text", 40)
+    timed("paragraph_dedup", D.paragraph_dedup(paras, min_df=2))
+    timed("quality+langid scan", corpus.select(
+        "doc_id",
+        T.lang_id(F.col("text")).alias("lang_pred"),
+        T.quality_score(F.col("text")).alias("q"),
+    ))
+    from spdb_spark.functions.retrieval import bm25_scores
+
+    timed("bm25 full-scan", bm25_scores(corpus, "doc_id", "text", ("scan", "merge")))
+    corpus.unpersist()
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
