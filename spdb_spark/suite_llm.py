@@ -575,6 +575,21 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.dup_clusters(pairs)
 
 
+def q_dedup_clusters_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental cluster maintenance driven end-to-end in the gate:
+    the near-dup pairs split into a 'historical' half (clustered first)
+    and a 'new batch' folded in with dedup.incremental_dup_clusters
+    (existing labels collapse to their star graph; the historical pair
+    set is never revisited). The result provably equals the full
+    recompute — so the oracle is the UNCHANGED recursive-CTE
+    reachability of SQL_DEDUP_CLUSTERS."""
+    sh = D.shingles(_docs(spark, sf_dir), "doc_id", "text", k=3)
+    pairs = D.jaccard_pairs(sh, "doc_id", threshold=_JACC_THRESHOLD)
+    hist = pairs.where((F.col("id_a") + F.col("id_b")) % 2 == 0)
+    new = pairs.where((F.col("id_a") + F.col("id_b")) % 2 == 1)
+    return D.incremental_dup_clusters(D.dup_clusters(hist), new)
+
+
 # Reachability closure over the symmetric near-dup edge set; cluster_id =
 # MIN(reachable id) — identical to dup_clusters' converged min-label.
 SQL_DEDUP_CLUSTERS = f"""
@@ -2210,4 +2225,8 @@ QUERIES = {
     "llm_bm25_indexed": (q_bm25_indexed, SQL_BM25_SEARCH),
     "llm_dedup_containment": (q_dedup_containment, SQL_DEDUP_CONTAINMENT),
     "llm_knn_classify": (q_knn_classify, SQL_KNN_CLASSIFY),
+    "llm_dedup_clusters_incremental": (
+        q_dedup_clusters_incremental,
+        SQL_DEDUP_CLUSTERS,
+    ),
 }
