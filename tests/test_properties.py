@@ -268,3 +268,67 @@ def test_single_object_closing_is_extensive(coords):
     )
     closed = {(r.x, r.y, r.z) for r in erode(dilate(df)).collect()}
     assert coords <= closed
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    st.integers(1, 3),
+    st.integers(0, 2**31),
+)
+def test_jpeg_roundtrip_bounded_error_random(channels, seed):
+    """Random smooth-ish images: decode(encode(img)) stays within a loose
+    quantization bound at q95 and shapes/dtypes round-trip exactly."""
+    from spdb_spark.functions.jpeg import jpeg_decode, jpeg_encode
+
+    rng = np.random.default_rng(seed)
+    h, w = int(rng.integers(8, 40)), int(rng.integers(8, 40))
+    # low-frequency content: random coarse grid upsampled (JPEG's regime)
+    coarse = rng.integers(30, 226, size=(max(h // 8, 1), max(w // 8, 1)))
+    base = np.kron(coarse, np.ones((8, 8)))[:h, :w]
+    if channels == 1:
+        img = base.astype(np.uint8)
+    else:
+        img = np.stack(
+            [np.clip(base + 10 * c, 0, 255) for c in range(3)], axis=2
+        ).astype(np.uint8)
+    out = jpeg_decode(jpeg_encode(img, quality=95))
+    assert out.shape == img.shape and out.dtype == np.uint8
+    assert np.abs(out.astype(int) - img.astype(int)).max() <= 16
+
+
+@settings(max_examples=15, deadline=None)
+@given(st.integers(0, 2**31))
+def test_simhash_pairs_recall_equals_bruteforce_random(seed):
+    """Pigeonhole recall property on random corpora: the banded candidate
+    join finds EXACTLY the brute-force pair set at max_hamming=bands-1,
+    for both 32- and 64-bit signatures."""
+    rng = np.random.default_rng(seed)
+    vocab = [f"w{i}" for i in range(30)]
+    docs = [
+        (i, " ".join(rng.choice(vocab, size=rng.integers(3, 9))))
+        for i in range(25)
+    ]
+    spark = _spark()
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    from spdb_spark.functions.dedup import simhash_neardup_pairs
+    from spdb_spark.functions.text import simhash
+
+    for bits, bands in ((32, 4), (64, 4)):
+        sigs = {
+            r.doc_id: r.simhash for r in simhash(df, "doc_id", "text", bits).collect()
+        }
+        got = {
+            (r.id_a, r.id_b): r.hamming
+            for r in simhash_neardup_pairs(
+                df, "doc_id", "text", bits=bits, bands=bands, max_hamming=bands - 1
+            ).collect()
+        }
+        ids = sorted(sigs)
+        want = {}
+        m = (1 << bits) - 1
+        for i, a in enumerate(ids):
+            for b in ids[i + 1:]:
+                hd = bin((sigs[a] ^ sigs[b]) & m).count("1")
+                if hd <= bands - 1:
+                    want[(a, b)] = hd
+        assert got == want, (bits, bands)
