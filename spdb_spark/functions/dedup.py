@@ -755,7 +755,7 @@ def simhash_neardup_pairs(
     df: DataFrame,
     id_col: str,
     text_col: str,
-    bits: int = 32,
+    bits: int = 64,
     bands: int = 4,
     max_hamming: int = 3,
 ) -> DataFrame:
@@ -767,8 +767,11 @@ def simhash_neardup_pairs(
     Pigeonhole guarantee: with `bands` equal-width bands of the `bits`-bit
     signature, any pair within Hamming distance <= bands - 1 shares at
     least one identical band, so max_hamming <= bands - 1 gives EXACT
-    recall (every qualifying pair is a candidate); the default (4 bands,
-    max_hamming 3) is the classic 64/32-bit near-dup configuration.
+    recall (every qualifying pair is a candidate); the default (64 bits,
+    4 bands, max_hamming 3) is the classic near-dup configuration AND
+    the scale-safe one — 16-bit bands give 65536 keys per band, so the
+    32-bit default's 479 s bucket-saturation cliff at 100k docs can't
+    happen until ~10M docs.
 
     Scale shape: candidates come from a band-keyed equi-join (never
     all-pairs) — the same posture as MinHash LSH banding

@@ -209,7 +209,28 @@ def save_bm25_index(
 
     At cluster scale the tf table would be bucketed by token; on plain
     parquet the in-file token sort gives the same skip behavior for the
-    few-term point lookups BM25 queries are."""
+    few-term point lookups BM25 queries are.
+
+    Rebuilding over a previously-appended index resets the append
+    protocol's state first (_current.json pointer, df_v*/stats_v*
+    generations, _appendlog markers, _staging): otherwise the fresh tf
+    would resolve against stale versioned df/stats, and a replayed batch
+    id from the old log would silently no-op against the new index."""
+    import os
+    import shutil
+
+    if os.path.isdir(path):
+        for entry in os.listdir(path):
+            full = os.path.join(path, entry)
+            if (
+                entry in ("_current.json", "_appendlog", "_staging")
+                or entry.startswith("df_v")
+                or entry.startswith("stats_v")
+            ):
+                if os.path.isdir(full):
+                    shutil.rmtree(full, ignore_errors=True)
+                else:
+                    os.remove(full)
     tf = term_freqs(docs, id_col, text_col)
     dl = tf.groupBy("doc").agg(F.sum("tf").alias("dl"))
     (
@@ -409,7 +430,18 @@ def append_to_bm25_index(
             continue
         dest = os.path.join(tf_dest, f"a{batch_id}-{fname}")
         if not os.path.exists(dest):
-            shutil.copyfile(os.path.join(stage, "tf", fname), dest)
+            # copy to a temp name in the DESTINATION dir then rename: a
+            # crash mid-copy must never leave a truncated parquet visible
+            # under the final name (the skip-if-present retry guard would
+            # otherwise freeze the corruption in forever)
+            # "_" prefix: a crash-orphaned temp is invisible to Spark's
+            # parquet reader (default PathFilter skips _*/.* files)
+            fd, tmp = tempfile.mkstemp(
+                dir=tf_dest, prefix="_tfcopy-", suffix=".tmp"
+            )
+            os.close(fd)
+            shutil.copyfile(os.path.join(stage, "tf", fname), tmp)
+            os.rename(tmp, dest)
     for sub in ("df", "stats"):
         vdir = os.path.join(path, f"{sub}_v{batch_id}")
         if not os.path.exists(vdir):

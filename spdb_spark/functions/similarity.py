@@ -209,8 +209,13 @@ def knn_classify(
     `ivf.ivf_topk`/`ivf_topk_indexed` — any (query_id, neighbor_id)
     table with the same contract drops in, making this the standard
     label-propagation / weak-labeling consumer of the ANN stack. The
-    vote is one count aggregate plus a struct-max argmax (map-side
-    partials, no window)."""
+    vote is one count aggregate plus a row_number argmax ordered
+    (votes DESC, label ASC) — type-agnostic, so string labels tie-break
+    correctly too (the earlier struct-max form negated the label, which
+    silently null-casts non-numeric labels and made ties
+    nondeterministic)."""
+    from pyspark.sql import Window
+
     nn = (
         neighbors
         if neighbors is not None
@@ -224,15 +229,15 @@ def knn_classify(
         .groupBy("query_id", "nbr_label")
         .agg(F.count("*").alias("votes"))
     )
-    best = votes.groupBy("query_id").agg(
-        F.max(
-            F.struct(
-                F.col("votes"), (-F.col("nbr_label")).alias("neg_label")
-            )
-        ).alias("m")
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("votes").desc(), F.col("nbr_label").asc()
     )
-    return best.select(
-        "query_id",
-        (-F.col("m.neg_label")).alias("pred_label"),
-        F.col("m.votes").alias("votes"),
+    return (
+        votes.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(
+            "query_id",
+            F.col("nbr_label").alias("pred_label"),
+            F.col("votes"),
+        )
     )

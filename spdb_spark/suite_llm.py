@@ -1991,12 +1991,28 @@ FROM n
 
 def _cache_dir(sf_dir: str, name: str) -> str:
     """Per-sf_dir cache location for persisted index fixtures built by
-    gate queries (deterministic content — safe to reuse across calls)."""
+    gate queries (deterministic content — safe to reuse across calls).
+
+    The key includes a CONTENT fingerprint of the source parquet
+    (per-file sizes + mtimes of documents/ and embeddings/), not just
+    the path: regenerating the fixture data at the same path must miss
+    the cache, never silently reuse an index built from the old data."""
     import hashlib
     import os
     import tempfile
 
-    key = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:10]
+    h = hashlib.md5(os.path.abspath(sf_dir).encode())
+    for table in ("documents.parquet", "embeddings.parquet"):
+        src = os.path.join(sf_dir, table)
+        entries = sorted(os.listdir(src)) if os.path.isdir(src) else [""]
+        for entry in entries:
+            full = os.path.join(src, entry) if entry else src
+            try:
+                st = os.stat(full)
+            except OSError:
+                continue
+            h.update(f"{entry}:{st.st_size}:{st.st_mtime_ns}".encode())
+    key = h.hexdigest()[:12]
     return os.path.join(tempfile.gettempdir(), f"spdb_spark_cache_{key}", name)
 
 

@@ -691,6 +691,31 @@ def test_knn_classify_majority_and_tiebreak(spark):
     assert r.pred_label == 3 and r.votes == 2  # tie -> smallest label
 
 
+def test_knn_classify_string_labels_tiebreak(spark):
+    """ADVICE r5: the old struct-max argmax negated the label, which
+    null-casts non-numeric labels and made ties nondeterministic; the
+    row_number form must tie-break toward the lexicographically smallest
+    string label."""
+    from pyspark.sql import functions as F
+
+    from spdb_spark.functions.similarity import knn_classify
+
+    tie = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0], "zebra"),
+            (2, [0.98, 0.2], "zebra"),
+            (3, [1.0, 0.01], "aardvark"),
+            (4, [0.97, 0.24], "aardvark"),
+        ],
+        "vec_id long, embedding array<double>, label string",
+    )
+    q = spark.createDataFrame([(9, [1.0, 0.1])], "vec_id long, embedding array<double>")
+    (r,) = knn_classify(
+        tie, q.withColumn("label", F.lit("x")), "vec_id", "embedding", "label", k=4
+    ).collect()
+    assert r.pred_label == "aardvark" and r.votes == 2
+
+
 def test_simhash_64bit_signature_and_pairs(spark):
     """bits=64 (the corpus-scale configuration, 16-bit bands): bit 63
     lives in the long sign bit via two's complement; banding must still

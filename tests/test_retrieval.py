@@ -249,3 +249,104 @@ class TestBM25IndexRobustness:
         a = {r.doc_id: r.score for r in bm25_search_indexed(spark, inc, terms).collect()}
         b = {r.doc_id: r.score for r in bm25_search_indexed(spark, full, terms).collect()}
         assert a == b
+
+    def test_append_crash_mid_tf_copy_is_atomic(
+        self, spark, tables, tmp_path, monkeypatch
+    ):
+        """ADVICE r5: kill the publish MID-TF-FILE-COPY — the partial copy
+        must never be visible under the final name (it lands at a _-prefixed
+        temp Spark ignores), so the same-batch retry re-copies instead of
+        skipping a truncated parquet, and the index stays readable."""
+        import os
+        import shutil as _shutil
+
+        from pyspark.sql import functions as F
+
+        from spdb_spark.functions.retrieval import (
+            append_to_bm25_index,
+            bm25_search_indexed,
+            save_bm25_index,
+        )
+
+        docs = tables["documents"]
+        terms = ("scan", "merge", "stream")
+        first = docs.where(F.col("doc_id") % 2 == 0)
+        rest = docs.where(F.col("doc_id") % 2 == 1)
+
+        inc = str(tmp_path / "inc_tfcrash")
+        save_bm25_index(first, "doc_id", "text", inc)
+
+        real_copyfile = _shutil.copyfile
+        state = {"crashed": False}
+
+        def crashing_copyfile(src, dst, **kw):
+            # only sabotage tf publishes (staging writes go via Spark)
+            if not state["crashed"] and os.sep + "tf" + os.sep in dst:
+                state["crashed"] = True
+                with open(dst, "wb") as f:
+                    f.write(b"partial garbage")  # truncated copy
+                raise OSError("injected crash mid-tf-copy")
+            return real_copyfile(src, dst, **kw)
+
+        monkeypatch.setattr(_shutil, "copyfile", crashing_copyfile)
+        try:
+            append_to_bm25_index(rest, "doc_id", "text", inc, batch_id="b7")
+            raised = False
+        except OSError:
+            raised = True
+        assert raised
+        # no partial file visible under a final (non _/. prefixed) name
+        tf_dir = os.path.join(inc, "tf")
+        for fname in os.listdir(tf_dir):
+            if fname.startswith(("a" + "b7-",)):
+                raise AssertionError(f"partial publish visible: {fname}")
+        # retry with the SAME batch_id converges to the rebuilt index
+        append_to_bm25_index(rest, "doc_id", "text", inc, batch_id="b7")
+
+        full = str(tmp_path / "full_tfcrash")
+        save_bm25_index(docs, "doc_id", "text", full)
+        a = {r.doc_id: r.score for r in bm25_search_indexed(spark, inc, terms).collect()}
+        b = {r.doc_id: r.score for r in bm25_search_indexed(spark, full, terms).collect()}
+        assert a == b
+
+    def test_rebuild_over_appended_index_resets_protocol_state(
+        self, spark, tables, tmp_path
+    ):
+        """ADVICE r5: save_bm25_index over a previously-appended path must
+        reset the append protocol (_current.json, df_v*/stats_v*,
+        _appendlog) — otherwise search resolves stale versioned df/stats
+        against the fresh tf, and a replayed old batch_id silently no-ops
+        and drops data."""
+        import os
+
+        from pyspark.sql import functions as F
+
+        from spdb_spark.functions.retrieval import (
+            append_to_bm25_index,
+            bm25_search_indexed,
+            save_bm25_index,
+        )
+
+        docs = tables["documents"]
+        terms = ("scan", "merge", "stream")
+        first = docs.where(F.col("doc_id") % 2 == 0)
+        rest = docs.where(F.col("doc_id") % 2 == 1)
+
+        path = str(tmp_path / "rebuilt")
+        save_bm25_index(docs, "doc_id", "text", path)
+        append_to_bm25_index(rest, "doc_id", "text", path, batch_id="b1")
+
+        # rebuild from scratch over the same path
+        save_bm25_index(first, "doc_id", "text", path)
+        assert not os.path.exists(os.path.join(path, "_current.json"))
+        assert not os.path.exists(os.path.join(path, "_appendlog"))
+        assert not [e for e in os.listdir(path) if e.startswith("df_v")]
+
+        # replaying the OLD batch id must actually apply, not no-op
+        append_to_bm25_index(rest, "doc_id", "text", path, batch_id="b1")
+
+        full = str(tmp_path / "full_rebuilt")
+        save_bm25_index(docs, "doc_id", "text", full)
+        a = {r.doc_id: r.score for r in bm25_search_indexed(spark, path, terms).collect()}
+        b = {r.doc_id: r.score for r in bm25_search_indexed(spark, full, terms).collect()}
+        assert a == b
