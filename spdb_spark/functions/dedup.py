@@ -120,7 +120,9 @@ def jaccard_pairs(
             .where(F.col("df") <= max_doc_freq)
             .select("shingle")
         )
-        sh = sh.join(keep, "shingle", "left_semi")
+        # re-select: the USING join puts the join column FIRST, and the
+        # positional toDF renames below would silently swap doc<->shingle
+        sh = sh.join(keep, "shingle", "left_semi").select("doc", "shingle")
     sizes = sh.groupBy("doc").agg(F.count("*").alias("sz"))
     a = sh.toDF("doc_a", "shingle")
     b = sh.toDF("doc_b", "shingle")
@@ -867,7 +869,9 @@ def containment_pairs(
             .where(F.col("df") <= max_doc_freq)
             .select("shingle")
         )
-        sh = sh.join(keep, "shingle", "left_semi")
+        # re-select: the USING join puts the join column FIRST, and the
+        # positional toDF renames below would silently swap doc<->shingle
+        sh = sh.join(keep, "shingle", "left_semi").select("doc", "shingle")
     sizes = sh.groupBy("doc").agg(F.count("*").alias("sz"))
     a = sh.toDF("doc_a", "shingle")
     b = sh.toDF("doc_b", "shingle")

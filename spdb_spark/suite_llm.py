@@ -86,22 +86,44 @@ GROUP BY md5(array_to_string(list_sort(list_distinct({_TOKENS_SQL})), ' '))
 
 _JACC_THRESHOLD = 0.5
 
+# Stop-shingle cap run by EVERY gated pair query (r5 'What's wrong #1'):
+# at 100 TB one boilerplate shingle (page header, license text) makes the
+# uncapped shingle equi-join quadratic in that shingle's doc frequency, so
+# the guard must be ON in the shipped configuration, not an opt-in knob.
+# 100 drops nothing at the gate SFs (max df is 7 at sf0.01 / 25 at sf0.1),
+# so values are unchanged there while the plan always carries the guard;
+# the low-cap query `llm_dedup_jaccard_capped` pins the dropping path.
+_JACC_MAX_DF = 100
+
+
+def _capped_sh_sql(cap: int) -> str:
+    """Oracle-side mirror of jaccard_pairs/containment_pairs' max_doc_freq:
+    df-filter the shingle set BEFORE sizes/inter, exactly as Spark does."""
+    return f"""kept_sh AS (
+  SELECT shingle FROM sh GROUP BY shingle HAVING COUNT(*) <= {cap}
+),
+shc AS (SELECT doc, shingle FROM sh JOIN kept_sh USING (shingle))"""
+
 
 def q_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = D.shingles(_docs(spark, sf_dir), "doc_id", "text", k=3)
-    pairs = D.jaccard_pairs(sh, "doc_id", threshold=_JACC_THRESHOLD)
+    pairs = D.jaccard_pairs(
+        sh, "doc_id", threshold=_JACC_THRESHOLD, max_doc_freq=_JACC_MAX_DF
+    )
     return pairs.select(
         "id_a", "id_b",
         (F.floor(F.col("jaccard") * 1000000) / 1000000).alias("jaccard"),
     )
 
 
-SQL_DEDUP_JACCARD = f"""
+def _jaccard_pairs_sql(cap: int, threshold: float) -> str:
+    return f"""
 WITH sh AS ({_SHINGLES_SQL}),
-sizes AS (SELECT doc, COUNT(*) AS sz FROM sh GROUP BY doc),
+{_capped_sh_sql(cap)},
+sizes AS (SELECT doc, COUNT(*) AS sz FROM shc GROUP BY doc),
 inter AS (
   SELECT a.doc AS doc_a, b.doc AS doc_b, COUNT(*) AS inter
-  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc < b.doc
+  FROM shc a JOIN shc b ON a.shingle = b.shingle AND a.doc < b.doc
   GROUP BY a.doc, b.doc
 )
 SELECT i.doc_a AS id_a, i.doc_b AS id_b,
@@ -109,8 +131,11 @@ SELECT i.doc_a AS id_a, i.doc_b AS id_b,
 FROM inter i
 JOIN sizes sa ON sa.doc = i.doc_a
 JOIN sizes sb ON sb.doc = i.doc_b
-WHERE CAST(i.inter AS DOUBLE) / (sa.sz + sb.sz - i.inter) >= {_JACC_THRESHOLD}
+WHERE CAST(i.inter AS DOUBLE) / (sa.sz + sb.sz - i.inter) >= {threshold}
 """
+
+
+SQL_DEDUP_JACCARD = _jaccard_pairs_sql(_JACC_MAX_DF, _JACC_THRESHOLD)
 
 
 # --- MinHash + LSH ---------------------------------------------------------
@@ -571,7 +596,9 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     recursive-CTE reachability oracle below reproduces exactly (same
     pattern as spatial_connected_components)."""
     sh = D.shingles(_docs(spark, sf_dir), "doc_id", "text", k=3)
-    pairs = D.jaccard_pairs(sh, "doc_id", threshold=_JACC_THRESHOLD)
+    pairs = D.jaccard_pairs(
+        sh, "doc_id", threshold=_JACC_THRESHOLD, max_doc_freq=_JACC_MAX_DF
+    )
     return D.dup_clusters(pairs)
 
 
@@ -584,7 +611,9 @@ def q_dedup_clusters_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     recompute — so the oracle is the UNCHANGED recursive-CTE
     reachability of SQL_DEDUP_CLUSTERS."""
     sh = D.shingles(_docs(spark, sf_dir), "doc_id", "text", k=3)
-    pairs = D.jaccard_pairs(sh, "doc_id", threshold=_JACC_THRESHOLD)
+    pairs = D.jaccard_pairs(
+        sh, "doc_id", threshold=_JACC_THRESHOLD, max_doc_freq=_JACC_MAX_DF
+    )
     hist = pairs.where((F.col("id_a") + F.col("id_b")) % 2 == 0)
     new = pairs.where((F.col("id_a") + F.col("id_b")) % 2 == 1)
     return D.incremental_dup_clusters(D.dup_clusters(hist), new)
@@ -594,10 +623,11 @@ def q_dedup_clusters_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 # MIN(reachable id) — identical to dup_clusters' converged min-label.
 SQL_DEDUP_CLUSTERS = f"""
 WITH RECURSIVE sh AS ({_SHINGLES_SQL}),
-sizes AS (SELECT doc, COUNT(*) AS sz FROM sh GROUP BY doc),
+{_capped_sh_sql(_JACC_MAX_DF)},
+sizes AS (SELECT doc, COUNT(*) AS sz FROM shc GROUP BY doc),
 inter AS (
   SELECT a.doc AS doc_a, b.doc AS doc_b, COUNT(*) AS inter
-  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc < b.doc
+  FROM shc a JOIN shc b ON a.shingle = b.shingle AND a.doc < b.doc
   GROUP BY a.doc, b.doc
 ),
 pairs AS (
@@ -1724,7 +1754,9 @@ def q_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     no window over the corpus."""
     docs = _docs(spark, sf_dir)
     sh = D.shingles(docs, "doc_id", "text", k=3)
-    pairs = D.jaccard_pairs(sh, "doc_id", threshold=_JACC_THRESHOLD).select(
+    pairs = D.jaccard_pairs(
+        sh, "doc_id", threshold=_JACC_THRESHOLD, max_doc_freq=_JACC_MAX_DF
+    ).select(
         "id_a", "id_b"
     )
     labels = D.dup_clusters(pairs)
@@ -2097,7 +2129,9 @@ def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     gate; threshold applied on the exact unscaled ratio in both
     engines."""
     sh = D.shingles(_docs(spark, sf_dir), "doc_id", "text", k=3)
-    pairs = D.containment_pairs(sh, "doc_id", threshold=0.5)
+    pairs = D.containment_pairs(
+        sh, "doc_id", threshold=0.5, max_doc_freq=_JACC_MAX_DF
+    )
     return pairs.select(
         "id_a",
         "id_b",
@@ -2108,10 +2142,11 @@ def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_DEDUP_CONTAINMENT = f"""
 WITH sh AS ({_SHINGLES_SQL}),
-sizes AS (SELECT doc, COUNT(*) AS sz FROM sh GROUP BY doc),
+{_capped_sh_sql(_JACC_MAX_DF)},
+sizes AS (SELECT doc, COUNT(*) AS sz FROM shc GROUP BY doc),
 inter AS (
   SELECT a.doc AS doc_a, b.doc AS doc_b, COUNT(*) AS inter
-  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc < b.doc
+  FROM shc a JOIN shc b ON a.shingle = b.shingle AND a.doc < b.doc
   GROUP BY a.doc, b.doc
 )
 SELECT i.doc_a AS id_a, i.doc_b AS id_b,
@@ -2123,6 +2158,24 @@ JOIN sizes sb ON sb.doc = i.doc_b
 WHERE CAST(i.inter AS DOUBLE) / sa.sz >= 0.5
    OR CAST(i.inter AS DOUBLE) / sb.sz >= 0.5
 """
+
+
+def q_dedup_jaccard_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jaccard pairs with a LOW stop-shingle cap (max_doc_freq=3) that
+    actually drops shingles at the gate SFs (df reaches 7 at sf0.01 / 25
+    at sf0.1) — pinning the dropping path end-to-end against a capped
+    oracle, where the production-cap queries run with headroom. Lower
+    threshold (0.3) so pairs whose estimates the cap shifts stay
+    visible."""
+    sh = D.shingles(_docs(spark, sf_dir), "doc_id", "text", k=3)
+    pairs = D.jaccard_pairs(sh, "doc_id", threshold=0.3, max_doc_freq=3)
+    return pairs.select(
+        "id_a", "id_b",
+        (F.floor(F.col("jaccard") * 1000000) / 1000000).alias("jaccard"),
+    )
+
+
+SQL_DEDUP_JACCARD_CAPPED = _jaccard_pairs_sql(3, 0.3)
 
 
 def q_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2245,4 +2298,6 @@ QUERIES = {
         q_dedup_clusters_incremental,
         SQL_DEDUP_CLUSTERS,
     ),
+    # --- round-6 additions (append-only: rotation window headroom) ---------
+    "llm_dedup_jaccard_capped": (q_dedup_jaccard_capped, SQL_DEDUP_JACCARD_CAPPED),
 }

@@ -747,3 +747,100 @@ def test_simhash_64bit_signature_and_pairs(spark):
             if h <= 3:
                 want[(a, b)] = h
     assert got == want and got  # non-empty: w{i%3} families collide
+
+
+def test_max_doc_freq_cap_semantics_and_equivalence(spark):
+    """r5 'What's wrong #1': the stop-shingle cap had zero tests (and was
+    in fact broken — the USING semi-join reordered columns under the
+    positional toDF rename, swapping doc<->shingle). Pin:
+    (a) capped results == brute-force Jaccard over the capped shingle
+        universe (sizes recomputed post-cap),
+    (b) on a corpus where the cap removes only an all-docs boilerplate
+        shingle set, the qualifying PAIR SET is unchanged (near-dups keep
+        qualifying, unrelated docs stay below threshold),
+    (c) a permissive cap (>= ndocs) is exactly the uncapped result."""
+    from pyspark.sql import functions as F
+
+    from spdb_spark.functions.dedup import jaccard_pairs, containment_pairs, shingles
+
+    # 3 near-dup pairs + 4 unrelated docs; every doc shares one boilerplate
+    # sentence ("copyright footer text here") -> its shingles have df=10
+    boiler = "copyright footer text here"
+    rows = []
+    for i, (a, b) in enumerate([(0, 1), (2, 3), (4, 5)]):
+        body = f"alpha{i} beta{i} gamma{i} delta{i} eps{i} zeta{i} eta{i}"
+        rows.append((a, f"{body} {boiler}"))
+        rows.append((b, f"{body} extra{i} {boiler}"))
+    for j in range(6, 10):
+        rows.append((j, f"unique{j} words{j} only{j} appear{j} once{j} {boiler}"))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    sh = shingles(docs, "doc_id", "text", k=3)
+
+    # brute force over the capped universe
+    rows_sh = [(r.doc_id, r.shingle) for r in sh.collect()]
+    from collections import Counter, defaultdict
+
+    df_count = Counter(s for _, s in rows_sh)
+    for cap in (3, 100):
+        kept = {s for s, c in df_count.items() if c <= cap}
+        sets = defaultdict(set)
+        for d, s in rows_sh:
+            if s in kept:
+                sets[d].add(s)
+        want = {}
+        ids = sorted(sets)
+        for x in range(len(ids)):
+            for y in range(x + 1, len(ids)):
+                A, B = sets[ids[x]], sets[ids[y]]
+                inter = len(A & B)
+                if inter and inter / len(A | B) >= 0.5:
+                    want[(ids[x], ids[y])] = round(inter / len(A | B), 9)
+        got = {
+            (r.id_a, r.id_b): round(r.jaccard, 9)
+            for r in jaccard_pairs(sh, "doc_id", threshold=0.5, max_doc_freq=cap).collect()
+        }
+        assert got == want, f"cap={cap}"
+
+    uncapped = {
+        (r.id_a, r.id_b)
+        for r in jaccard_pairs(sh, "doc_id", threshold=0.5).collect()
+    }
+    capped = {
+        (r.id_a, r.id_b)
+        for r in jaccard_pairs(sh, "doc_id", threshold=0.5, max_doc_freq=3).collect()
+    }
+    assert capped == uncapped == {(0, 1), (2, 3), (4, 5)}  # (b)
+
+    # (c) permissive cap is bitwise the uncapped result
+    perm = {
+        (r.id_a, r.id_b, r.jaccard)
+        for r in jaccard_pairs(sh, "doc_id", threshold=0.5, max_doc_freq=1000).collect()
+    }
+    base = {
+        (r.id_a, r.id_b, r.jaccard)
+        for r in jaccard_pairs(sh, "doc_id", threshold=0.5).collect()
+    }
+    assert perm == base
+
+    # containment: same column-order hazard, same capped-universe contract
+    got_c = {
+        (r.id_a, r.id_b): (round(r.containment_a, 9), round(r.containment_b, 9))
+        for r in containment_pairs(sh, "doc_id", threshold=0.5, max_doc_freq=3).collect()
+    }
+    kept3 = {s for s, c in df_count.items() if c <= 3}
+    sets3 = defaultdict(set)
+    for d, s in rows_sh:
+        if s in kept3:
+            sets3[d].add(s)
+    want_c = {}
+    ids = sorted(sets3)
+    for x in range(len(ids)):
+        for y in range(x + 1, len(ids)):
+            A, B = sets3[ids[x]], sets3[ids[y]]
+            inter = len(A & B)
+            if inter and (inter / len(A) >= 0.5 or inter / len(B) >= 0.5):
+                want_c[(ids[x], ids[y])] = (
+                    round(inter / len(A), 9),
+                    round(inter / len(B), 9),
+                )
+    assert got_c == want_c
