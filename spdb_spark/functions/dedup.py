@@ -325,6 +325,24 @@ def dup_clusters(
     return labels
 
 
+_VERIFY_BROADCAST_MAX_DOCS = 1_000_000
+
+
+def minhash_verify_mode(n_docs: int | None) -> str:
+    """Verify-stage selection policy (r5 'What's wrong #2'): broadcast
+    verify ships every doc's shingle set to every executor — O(corpus)
+    memory — so it is only legal when the corpus is KNOWN small. The
+    crossover is a count the caller already has (catalog stats, parquet
+    footer, manifest — the `enumeration_width` pattern): <= 1M docs
+    (~1 KB of set per doc -> ~1 GB broadcast) stays broadcast (measured
+    6.6x faster at 500k docs, SCALE.md); above it, or with NO hint, the
+    scale-safe shuffle form — an unknown corpus size must never default
+    into an executor OOM at cluster scale."""
+    if n_docs is not None and n_docs <= _VERIFY_BROADCAST_MAX_DOCS:
+        return "broadcast"
+    return "shuffle"
+
+
 def minhash_lsh_dedup(
     df: DataFrame,
     id_col: str,
@@ -334,14 +352,18 @@ def minhash_lsh_dedup(
     bands: int = 8,
     rows: int = 2,
     threshold: float = 0.2,
-    verify: str = "broadcast",
+    verify: str = "auto",
+    n_docs: int | None = None,
 ) -> DataFrame:
     """Full MinHash-LSH near-dup pipeline: shingle -> minhash -> band ->
     bucket-join candidates -> exact-Jaccard verify. Output
     (id_a, id_b, jaccard) for verified pairs.
 
     `verify` picks the exact-Jaccard stage's physical form:
-    - "broadcast" (default): per-doc shingle SETS broadcast, two map-side
+    - "auto" (default): `minhash_verify_mode(n_docs)` — broadcast when
+      the optional corpus-size hint says the set table fits executors,
+      the scale-safe shuffle otherwise (including hint absent).
+    - "broadcast": per-doc shingle SETS broadcast, two map-side
       lookups + array_intersect. Right while the set table fits the
       broadcast budget.
     - "shuffle": the 100 TB form — candidates join the flat (doc,
@@ -349,6 +371,8 @@ def minhash_lsh_dedup(
       shingles on (doc_b, shingle) (second shuffle), count matches.
       No broadcast of anything corpus-sized; identical output
       (test-pinned)."""
+    if verify == "auto":
+        verify = minhash_verify_mode(n_docs)
     # Signatures stay the EXPLODED groupBy form on purpose: map-side
     # partial aggregation collapses each partition to 16 longs per doc
     # before the exchange (near-zero shuffle), and the min-agg runs in

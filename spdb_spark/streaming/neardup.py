@@ -115,6 +115,9 @@ class StreamingNearDup(BatchLedgerSink):
                 bands=self.bands,
                 rows=self.rows,
                 threshold=self.threshold,
+                # a micro-batch is bounded by the trigger size, never the
+                # corpus — broadcast verify is always legal here
+                verify="broadcast",
             ).select("id_a", "id_b", "jaccard")
             idx = self._read("bands", _BAND_SCHEMA, committed)
             if idx is not None:

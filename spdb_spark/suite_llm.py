@@ -153,6 +153,9 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         bands=_MH_BANDS,
         rows=_MH_ROWS,
         threshold=_MH_THRESH,
+        # footer-count hint -> verify="auto" resolves to broadcast at the
+        # gate SFs and to the shuffle form past 1M docs (policy-tested)
+        n_docs=_docs_rowcount(sf_dir),
     )
     return pairs.select(
         "id_a", "id_b",
@@ -907,7 +910,9 @@ _QF_KW = dict(
 
 def _qf_verdicts(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir)
-    drops = D.minhash_lsh_dedup(docs, "doc_id", "text").select(
+    drops = D.minhash_lsh_dedup(
+        docs, "doc_id", "text", n_docs=_docs_rowcount(sf_dir)
+    ).select(
         F.col("id_b").alias("doc_id")
     )
     return PL.quality_filter(docs, drop_ids=drops, **_QF_KW)

@@ -134,3 +134,47 @@ class TestIncrementalClusters:
             for r in incremental_dup_clusters(base, df([(3, 10)])).collect()
         }
         assert got == {(1, 1), (2, 1), (3, 1), (10, 1), (11, 1)}
+
+
+def test_minhash_verify_mode_policy(spark):
+    """r5 'What's wrong #2': verify-mode selection derives from the
+    corpus-size hint; no hint must resolve scale-safe (shuffle), never
+    a corpus-sized broadcast."""
+    from spdb_spark.functions.dedup import (
+        _VERIFY_BROADCAST_MAX_DOCS,
+        minhash_lsh_dedup,
+        minhash_verify_mode,
+    )
+
+    assert minhash_verify_mode(500) == "broadcast"
+    assert minhash_verify_mode(_VERIFY_BROADCAST_MAX_DOCS) == "broadcast"
+    assert minhash_verify_mode(_VERIFY_BROADCAST_MAX_DOCS + 1) == "shuffle"
+    assert minhash_verify_mode(None) == "shuffle"
+
+    docs = spark.createDataFrame(
+        [(i, f"alpha beta gamma delta word{i} tail{i%3}") for i in range(30)],
+        "doc_id long, text string",
+    )
+    # auto + small hint -> broadcast verify (array_intersect in the plan)
+    plan_b = minhash_lsh_dedup(
+        docs, "doc_id", "text", n_docs=30
+    )._jdf.queryExecution().optimizedPlan().toString()
+    assert "array_intersect" in plan_b
+    # auto + huge hint (and no hint) -> shuffle verify, no set broadcast
+    for hint in (10_000_000, None):
+        plan_s = minhash_lsh_dedup(
+            docs, "doc_id", "text", n_docs=hint
+        )._jdf.queryExecution().optimizedPlan().toString()
+        assert "array_intersect" not in plan_s
+
+    # both resolutions produce identical pairs (the existing equivalence,
+    # re-pinned through the auto path)
+    a = sorted(
+        (r.id_a, r.id_b, round(r.jaccard, 9))
+        for r in minhash_lsh_dedup(docs, "doc_id", "text", n_docs=30).collect()
+    )
+    b = sorted(
+        (r.id_a, r.id_b, round(r.jaccard, 9))
+        for r in minhash_lsh_dedup(docs, "doc_id", "text", n_docs=None).collect()
+    )
+    assert a == b
