@@ -684,25 +684,31 @@ def ivf_topk_indexed(
 
     scored = _score(raw, probes_s, ["centroid_id"])
     if where is not None:
-        # recall escalation — find queries whose probed+filtered candidate
-        # set runs short of k. Bounded driver work: one count per query
-        # (queries are the small broadcast side by construction).
-        counts = {
-            r.query_id: r.n
-            for r in scored.groupBy("query_id").agg(F.count("*").alias("n")).collect()
-        }
-        all_q = [
-            r.query_id for r in probes.select("query_id").distinct().collect()
-        ]
-        short = [q for q in all_q if counts.get(q, 0) < k]
-        if short:
-            short_probes = probes_s.where(
-                F.col("query_id").isin(short)
-            ).drop("centroid_id").dropDuplicates(["query_id"])
-            fallback = _score(full, short_probes, None)
-            scored = scored.where(
-                ~F.col("query_id").isin(short)
-            ).unionByName(fallback)
+        # recall escalation — queries whose probed+filtered candidate set
+        # runs short of k fall back to the full filtered scan. The short
+        # set stays a DATAFRAME end-to-end (r5 'What's wrong #3'): no
+        # per-query driver dict / isin literal list, so a million-query
+        # batch join escalates without driver-side bookkeeping. When no
+        # query is short, AQE sees the empty broadcast side and collapses
+        # the fallback subtree to an empty relation — the full-lists scan
+        # never runs.
+        counts = scored.groupBy("query_id").agg(F.count("*").alias("_n"))
+        short_q = (
+            probes_s.select("query_id")
+            .distinct()
+            .join(counts, "query_id", "left")
+            .where(F.coalesce(F.col("_n"), F.lit(0)) < k)
+            .select("query_id")
+        )
+        short_probes = (
+            probes_s.join(F.broadcast(short_q), "query_id", "left_semi")
+            .drop("centroid_id")
+            .dropDuplicates(["query_id"])
+        )
+        fallback = _score(full, short_probes, None)
+        scored = scored.join(
+            F.broadcast(short_q), "query_id", "left_anti"
+        ).unionByName(fallback)
     w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), "neighbor_id")
     return (
         scored.withColumn("rank", F.row_number().over(w).cast("long"))

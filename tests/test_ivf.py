@@ -297,6 +297,55 @@ class TestFilteredSearch:
             ]
             assert got_ids == want
 
+    def test_escalation_with_many_queries_no_driver_bookkeeping(
+        self, spark, tables, tmp_path
+    ):
+        """r5 'What's wrong' #3: the short-query set is a DataFrame
+        anti-join, not a driver dict + isin literal — a large query batch
+        (all 500 vectors, mixed short/non-short under a selective filter)
+        must return exactly k filtered-brute-force neighbors per query."""
+        import numpy as np
+        from pyspark.sql import functions as F
+
+        from spdb_spark.functions.ivf import ivf_topk_indexed, save_index
+
+        embs = tables["embeddings"]
+        path = str(tmp_path / "fmany")
+        save_index(embs, path, n_centroids=16, meta_cols=["label"])
+        queries = embs  # the WHOLE table queries itself
+
+        # k=6 > the max per-list label-6 count (5), so EVERY query runs
+        # short in its probed list and escalates -> global filtered
+        # brute force is the exact oracle for all 500 queries
+        k = 6
+        got = ivf_topk_indexed(
+            spark, path, queries, k=k, n_probe=1, where="label = 6"
+        ).collect()
+        by_q = {}
+        for r in got:
+            by_q.setdefault(r.query_id, []).append(r)
+        rows = embs.collect()
+        assert set(by_q) == {r.vec_id for r in rows}
+        assert all(len(v) == k for v in by_q.values())
+
+        vecs = {r.vec_id: np.array(r.embedding, dtype=np.float64) for r in rows}
+        lab6 = [r.vec_id for r in rows if r.label == 6]
+        rng_qids = [r.vec_id for r in rows][:25]  # spot-check a prefix
+        for qid in rng_qids:
+            qv = vecs[qid]
+            sims = {}
+            for nid in lab6:
+                if nid == qid:
+                    continue
+                v = vecs[nid]
+                s = float(qv @ v / (np.linalg.norm(qv) * np.linalg.norm(v)))
+                sims[nid] = np.sign(s) * np.floor(abs(s) * 1e6 + 0.5) / 1e6
+            want = sorted(sims, key=lambda n: (-sims[n], n))[:k]
+            got_ids = [
+                r.neighbor_id for r in sorted(by_q[qid], key=lambda r: r.rank)
+            ]
+            assert got_ids == want
+
     def test_unselective_filter_does_not_escalate(self, spark, tables, tmp_path):
         """When every query already has >= k filtered candidates in its
         probed lists, results must be unchanged by the escalation path
