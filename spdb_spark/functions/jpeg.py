@@ -6,15 +6,20 @@ the entropy stream, dequantize, inverse-DCT (exact orthonormal 8x8 matrix
 form), undo level shift and chroma subsampling, convert YCbCr -> RGB.
 
 Scope (honest about it):
-- DECODE: baseline sequential DCT (SOF0), grayscale or YCbCr with 4:4:4,
-  4:2:2, or 4:2:0 subsampling, restart markers supported. Progressive
-  (SOF2), arithmetic coding, and 12-bit precision raise ValueError — the
-  caller (multimodal.decode_features_status) falls back to the labeled
-  stub for those.
+- DECODE: baseline sequential DCT (SOF0/1) AND progressive DCT (SOF2 —
+  spectral selection + successive approximation, DC/AC first and
+  refinement scans, EOB runs), grayscale or YCbCr with 4:4:4, 4:2:2, or
+  4:2:0 subsampling, restart markers supported. Arithmetic coding and
+  12-bit precision raise ValueError — the caller
+  (multimodal.decode_features_status) falls back to the labeled stub
+  for those.
 - ENCODE: baseline grayscale / YCbCr 4:4:4 with the Annex-K example
-  quantization (quality-scaled) and Huffman tables — enough to build
-  test fixtures and round-trip within quantization error. Production
-  swaps in libjpeg-turbo; the Spark-side plumbing is unchanged.
+  quantization (quality-scaled) and Huffman tables, plus a progressive
+  mode (DC first+refine, banded AC first+refine) used to build SOF2
+  test fixtures — both modes quantize identically, so progressive
+  decode is pinned PIXEL-EXACT against the baseline decode of the same
+  image. Production swaps in libjpeg-turbo; the Spark-side plumbing is
+  unchanged.
 
 The JPEG format itself is public (ITU-T T.81); tables below are the
 standard's own Annex-K examples.
@@ -243,9 +248,14 @@ def _extend(bits: int, size: int) -> int:
 # --- encoder ----------------------------------------------------------------
 
 
-def jpeg_encode(img: np.ndarray, quality: int = 85) -> bytes:
-    """Baseline JFIF encode: (h, w) uint8 grayscale or (h, w, 3) uint8
-    RGB (4:4:4, no subsampling)."""
+def jpeg_encode(
+    img: np.ndarray, quality: int = 85, progressive: bool = False
+) -> bytes:
+    """JFIF encode: (h, w) uint8 grayscale or (h, w, 3) uint8 RGB
+    (4:4:4, no subsampling). `progressive=True` emits an SOF2 stream
+    (DC first + refinement, banded AC first + refinement) built from the
+    SAME quantized coefficients as the baseline mode — so both decode to
+    identical pixels, which is what the SOF2 tests pin."""
     if img.dtype != np.uint8:
         raise ValueError("jpeg_encode: uint8 only")
     gray = img.ndim == 2
@@ -284,6 +294,9 @@ def jpeg_encode(img: np.ndarray, quality: int = 85) -> bytes:
         if h < bh * 8:
             pp[h:, :] = pp[h - 1 : h, :]
         padded.append(pp)
+
+    if progressive:
+        return _encode_progressive(padded, gray, h, w, ql, qc)
 
     for by in range(bh):
         for bx in range(bwid):
@@ -361,19 +374,206 @@ def jpeg_encode(img: np.ndarray, quality: int = 85) -> bytes:
     return bytes(out)
 
 
+def _encode_progressive(padded, gray, h, w, ql, qc) -> bytes:
+    """SOF2 entropy emission. Scan script: interleaved DC first (Al=1),
+    banded AC first passes (Al=1), banded AC refinements (Ah=1->Al=0),
+    interleaved DC refinement — exercising spectral selection, successive
+    approximation, ZRL-in-refinement, and per-block EOB paths. The AC
+    refinement ordering (ZRL/code, sign bit, then buffered correction
+    bits) follows T.81 G.1.2.3; corrections buffer at most 15 preceding
+    zero-history positions by construction, so every buffered bit lands
+    inside the next emitted symbol's crossing."""
+    bh, bwid = padded[0].shape[0] // 8, padded[0].shape[1] // 8
+    ncomp = len(padded)
+    coef_arrays = []
+    for ci, p in enumerate(padded):
+        q = (ql if ci == 0 else qc).reshape(8, 8)
+        arr = np.zeros((bh, bwid, 64), dtype=np.int32)
+        for by in range(bh):
+            for bx in range(bwid):
+                dct = _D @ p[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] @ _D.T
+                coef = np.round(dct / q).astype(np.int32)
+                arr[by, bx] = coef.flatten()[ZIGZAG]
+        coef_arrays.append(arr)
+
+    dc_codes = [
+        _build_codes(DC_LUMA_BITS, DC_LUMA_VALS),
+        _build_codes(DC_CHROMA_BITS, DC_CHROMA_VALS),
+    ]
+    ac_codes = [
+        _build_codes(AC_LUMA_BITS, AC_LUMA_VALS),
+        _build_codes(AC_CHROMA_BITS, AC_CHROMA_VALS),
+    ]
+
+    def tsel(ci):
+        return 0 if ci == 0 else 1
+
+    def dc_scan(ah, al):
+        bw_ = _BitWriter()
+        preds = [0] * ncomp
+        for by in range(bh):
+            for bx in range(bwid):
+                for ci in range(ncomp):
+                    v = int(coef_arrays[ci][by, bx, 0]) >> al  # arithmetic shift
+                    if ah == 0:
+                        diff = v - preds[ci]
+                        preds[ci] = v
+                        size, bits = _magnitude(diff)
+                        code, length = dc_codes[tsel(ci)][size]
+                        bw_.write(code, length)
+                        if size:
+                            bw_.write(bits, size)
+                    else:
+                        bw_.write(v & 1, 1)
+        bw_.flush()
+        return bw_.out
+
+    def ac_first_scan(ci, ss, se, al):
+        act = ac_codes[tsel(ci)]
+        bw_ = _BitWriter()
+        for by in range(bh):
+            for bx in range(bwid):
+                zz = coef_arrays[ci][by, bx]
+                vals = []
+                for k in range(ss, se + 1):
+                    v = int(zz[k])
+                    av = abs(v) >> al  # magnitude shift (toward zero)
+                    vals.append(-av if v < 0 else av)
+                nz = [i for i, v in enumerate(vals) if v]
+                last = nz[-1] if nz else -1
+                run = 0
+                for i in range(last + 1):
+                    v = vals[i]
+                    if v == 0:
+                        run += 1
+                        continue
+                    while run > 15:
+                        c0, l0 = act[0xF0]
+                        bw_.write(c0, l0)
+                        run -= 16
+                    size, bits = _magnitude(v)
+                    c0, l0 = act[(run << 4) | size]
+                    bw_.write(c0, l0)
+                    bw_.write(bits, size)
+                    run = 0
+                if last < se - ss:
+                    c0, l0 = act[0x00]  # per-block EOB (EOBRUN=1)
+                    bw_.write(c0, l0)
+        bw_.flush()
+        return bw_.out
+
+    def ac_refine_scan(ci, ss, se, al):
+        act = ac_codes[tsel(ci)]
+        bw_ = _BitWriter()
+        for by in range(bh):
+            for bx in range(bwid):
+                zz = coef_arrays[ci][by, bx]
+                absv = [abs(int(zz[k])) >> al for k in range(ss, se + 1)]
+                signs = [int(zz[k]) >= 0 for k in range(ss, se + 1)]
+                newly = [i for i, a in enumerate(absv) if a == 1]
+                last_new = newly[-1] if newly else -1
+                r = 0
+                pending: list[int] = []
+                for i in range(last_new + 1):
+                    a = absv[i]
+                    if a == 0:
+                        r += 1
+                        continue
+                    while r > 15:
+                        c0, l0 = act[0xF0]
+                        bw_.write(c0, l0)
+                        r -= 16
+                        for b in pending:
+                            bw_.write(b, 1)
+                        pending = []
+                    if a > 1:  # already significant: buffer correction bit
+                        pending.append(a & 1)
+                        continue
+                    c0, l0 = act[(r << 4) | 1]  # newly significant
+                    bw_.write(c0, l0)
+                    bw_.write(1 if signs[i] else 0, 1)
+                    for b in pending:
+                        bw_.write(b, 1)
+                    pending = []
+                    r = 0
+                if last_new < len(absv) - 1:
+                    c0, l0 = act[0x00]  # EOB, then the tail corrections
+                    bw_.write(c0, l0)
+                    for i in range(last_new + 1, len(absv)):
+                        if absv[i] > 1:
+                            bw_.write(absv[i] & 1, 1)
+        bw_.flush()
+        return bw_.out
+
+    out = bytearray(b"\xff\xd8")
+    out += b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
+
+    def dqt(tid, table):
+        zz = table.reshape(8, 8).flatten()[ZIGZAG]
+        return b"\xff\xdb" + struct.pack(">HB", 67, tid) + bytes(int(x) for x in zz)
+
+    out += dqt(0, ql)
+    if not gray:
+        out += dqt(1, qc)
+
+    sof = struct.pack(">HBHHB", 8 + 3 * ncomp, 8, h, w, ncomp)
+    for ci in range(ncomp):
+        sof += bytes([ci + 1, 0x11, 0 if ci == 0 else 1])
+    out += b"\xff\xc2" + sof  # SOF2: progressive DCT
+
+    def dht(cls, tid, bits, vals):
+        payload = bytes([(cls << 4) | tid]) + bytes(bits) + bytes(vals)
+        return b"\xff\xc4" + struct.pack(">H", 2 + len(payload)) + payload
+
+    out += dht(0, 0, DC_LUMA_BITS, DC_LUMA_VALS)
+    out += dht(1, 0, AC_LUMA_BITS, AC_LUMA_VALS)
+    if not gray:
+        out += dht(0, 1, DC_CHROMA_BITS, DC_CHROMA_VALS)
+        out += dht(1, 1, AC_CHROMA_BITS, AC_CHROMA_VALS)
+
+    def sos(comp_idxs, ss, se, ah, al):
+        seg = struct.pack(">HB", 6 + 2 * len(comp_idxs), len(comp_idxs))
+        for ci in comp_idxs:
+            t = tsel(ci)
+            seg += bytes([ci + 1, (t << 4) | t])
+        seg += bytes([ss, se, (ah << 4) | al])
+        return b"\xff\xda" + seg
+
+    all_comps = list(range(ncomp))
+    # DC first, interleaved
+    out += sos(all_comps, 0, 0, 0, 1) + dc_scan(0, 1)
+    # AC first passes (luma in two spectral bands; chroma full band)
+    out += sos([0], 1, 5, 0, 1) + ac_first_scan(0, 1, 5, 1)
+    for ci in range(1, ncomp):
+        out += sos([ci], 1, 63, 0, 1) + ac_first_scan(ci, 1, 63, 1)
+    out += sos([0], 6, 63, 0, 1) + ac_first_scan(0, 6, 63, 1)
+    # AC refinements (Ah=1 -> Al=0)
+    out += sos([0], 1, 5, 1, 0) + ac_refine_scan(0, 1, 5, 0)
+    for ci in range(1, ncomp):
+        out += sos([ci], 1, 63, 1, 0) + ac_refine_scan(ci, 1, 63, 0)
+    out += sos([0], 6, 63, 1, 0) + ac_refine_scan(0, 6, 63, 0)
+    # DC refinement, interleaved
+    out += sos(all_comps, 0, 0, 1, 0) + dc_scan(1, 0)
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
 # --- decoder ----------------------------------------------------------------
 
 
 def jpeg_decode(payload: bytes) -> np.ndarray:
-    """Decode a baseline JFIF payload: returns (h, w) uint8 for grayscale
-    or (h, w, 3) uint8 RGB. Raises ValueError for progressive/arithmetic/
-    unsupported streams (callers fall back to the labeled stub)."""
+    """Decode a baseline (SOF0/1) or progressive (SOF2) JFIF payload:
+    returns (h, w) uint8 for grayscale or (h, w, 3) uint8 RGB. Raises
+    ValueError for arithmetic-coded/12-bit/hierarchical streams (callers
+    fall back to the labeled stub)."""
     if payload[:2] != b"\xff\xd8":
         raise ValueError("jpeg: missing SOI")
     pos = 2
     qtables: dict[int, np.ndarray] = {}
     htables: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
     frame = None
+    progressive = False
+    coefs = None  # per-component zigzag coefficient store (progressive)
     restart_interval = 0
     while pos + 4 <= len(payload):
         if payload[pos] != 0xFF:
@@ -408,7 +608,7 @@ def jpeg_decode(payload: bytes) -> np.ndarray:
                 vals = list(seg[p + 17 : p + 17 + n])
                 htables[(cls, tid)] = _build_decoder(bits, vals)
                 p += 17 + n
-        elif marker == 0xC0 or marker == 0xC1:  # SOF0/1 baseline
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 baseline, SOF2 progressive
             prec, h, w, ncomp = seg[0], *struct.unpack(">HH", seg[1:5]), seg[5]
             if prec != 8:
                 raise ValueError("jpeg: only 8-bit precision")
@@ -417,8 +617,20 @@ def jpeg_decode(payload: bytes) -> np.ndarray:
                 cid, samp, qid = seg[6 + 3 * ci : 9 + 3 * ci]
                 comps.append({"id": cid, "h": samp >> 4, "v": samp & 0x0F, "q": qid})
             frame = {"h": h, "w": w, "comps": comps}
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
-            raise ValueError("jpeg: only baseline sequential supported")
+            progressive = marker == 0xC2
+            if progressive:
+                hmax = max(c["h"] for c in comps)
+                vmax = max(c["v"] for c in comps)
+                mcux = (w + 8 * hmax - 1) // (8 * hmax)
+                mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+                frame["hmax"], frame["vmax"] = hmax, vmax
+                frame["mcux"], frame["mcuy"] = mcux, mcuy
+                coefs = [
+                    np.zeros((mcuy * c["v"], mcux * c["h"], 64), dtype=np.int32)
+                    for c in comps
+                ]
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise ValueError("jpeg: only baseline/progressive DCT supported")
         elif marker == 0xDD:  # DRI
             restart_interval = struct.unpack(">H", seg[:2])[0]
         elif marker == 0xDA:  # SOS
@@ -428,12 +640,63 @@ def jpeg_decode(payload: bytes) -> np.ndarray:
             scan = []
             for ci in range(ns):
                 cid, tt = seg[1 + 2 * ci], seg[2 + 2 * ci]
-                comp = next(c for c in frame["comps"] if c["id"] == cid)
-                scan.append((comp, tt >> 4, tt & 0x0F))
-            data = payload[pos + 2 + seg_len :]
-            return _decode_scan(frame, scan, qtables, htables, data, restart_interval)
+                idx, comp = next(
+                    (i, c) for i, c in enumerate(frame["comps"]) if c["id"] == cid
+                )
+                scan.append((idx, comp, tt >> 4, tt & 0x0F))
+            if not progressive:
+                data = payload[pos + 2 + seg_len :]
+                return _decode_scan(
+                    frame,
+                    [(c, d, a) for _i, c, d, a in scan],
+                    qtables,
+                    htables,
+                    data,
+                    restart_interval,
+                )
+            ss, se = seg[1 + 2 * ns], seg[2 + 2 * ns]
+            ahal = seg[3 + 2 * ns]
+            ah, al = ahal >> 4, ahal & 0x0F
+            start = pos + 2 + seg_len
+            end = _entropy_end(payload, start)
+            _progressive_scan(
+                frame,
+                scan,
+                htables,
+                payload[start:end],
+                restart_interval,
+                ss,
+                se,
+                ah,
+                al,
+                coefs,
+            )
+            pos = end
+            continue
         pos += 2 + seg_len
+    if progressive and coefs is not None:
+        return _assemble_progressive(frame, qtables, coefs)
     raise ValueError("jpeg: no scan found")
+
+
+def _entropy_end(payload: bytes, start: int) -> int:
+    """Index of the first marker after `start` that terminates an
+    entropy-coded segment (anything but stuffed 0x00, RSTn, or 0xFF
+    fill bytes)."""
+    i = start
+    n = len(payload)
+    while i + 1 < n:
+        if payload[i] != 0xFF:
+            i += 1
+            continue
+        nxt = payload[i + 1]
+        if nxt == 0x00 or 0xD0 <= nxt <= 0xD7:
+            i += 2
+        elif nxt == 0xFF:
+            i += 1  # fill byte
+        else:
+            return i
+    return n
 
 
 def _decode_scan(frame, scan, qtables, htables, data, restart_interval):
@@ -494,6 +757,10 @@ def _decode_scan(frame, scan, qtables, htables, data, restart_interval):
         if ry > 1 or rx > 1:
             p = np.repeat(np.repeat(p, ry, axis=0), rx, axis=1)
         out_planes.append(p[:h, :w] + 128.0)
+    return _color_out(out_planes)
+
+
+def _color_out(out_planes: list) -> np.ndarray:
     if len(out_planes) == 1:
         return np.clip(np.round(out_planes[0]), 0, 255).astype(np.uint8)
     y, cb, cr = out_planes[0], out_planes[1] - 128.0, out_planes[2] - 128.0
@@ -501,3 +768,162 @@ def _decode_scan(frame, scan, qtables, htables, data, restart_interval):
     g = y - 0.344136 * cb - 0.714136 * cr
     b = y + 1.772 * cb
     return np.clip(np.round(np.stack([r, g, b], axis=2)), 0, 255).astype(np.uint8)
+
+
+# --- progressive (SOF2) decode ----------------------------------------------
+# Spectral selection + successive approximation per ITU-T T.81 Annex G:
+# every scan REFINES the per-component zigzag coefficient store; pixels
+# exist only after all scans are folded in (_assemble_progressive). The
+# AC refinement control flow mirrors the spec's G.1.2.3 procedure (the
+# same structure libjpeg's phuff codec implements).
+
+
+def _comp_grid(frame, c) -> tuple[int, int]:
+    """Non-interleaved block grid (rows, cols) of a component: ceil of
+    the component's OWN sample dimensions — not MCU-padded (T.81 A.2.2)."""
+    cw = (frame["w"] * c["h"] + frame["hmax"] - 1) // frame["hmax"]
+    ch = (frame["h"] * c["v"] + frame["vmax"] - 1) // frame["vmax"]
+    return (ch + 7) // 8, (cw + 7) // 8
+
+
+def _progressive_scan(
+    frame, scan, htables, data, ri, ss, se, ah, al, coefs
+) -> None:
+    br = _BitReader(data)
+    if ss == 0:  # DC scan (the only kind that may be interleaved)
+        if se != 0:
+            raise ValueError("jpeg: DC scan must have Se=0")
+        preds = [0] * len(scan)
+        if len(scan) > 1:
+            blocks = []  # (coef_row_view) per MCU in order
+            for my in range(frame["mcuy"]):
+                for mx in range(frame["mcux"]):
+                    mcu = []
+                    for si, (idx, c, dc_id, _ac) in enumerate(scan):
+                        for by in range(c["v"]):
+                            for bx in range(c["h"]):
+                                mcu.append(
+                                    (si, dc_id, coefs[idx][my * c["v"] + by, mx * c["h"] + bx])
+                                )
+                    blocks.append(mcu)
+        else:
+            idx, c, dc_id, _ac = scan[0]
+            rows, cols = _comp_grid(frame, c)
+            blocks = [
+                [(0, dc_id, coefs[idx][by, bx])]
+                for by in range(rows)
+                for bx in range(cols)
+            ]
+        for count, mcu in enumerate(blocks):
+            if ri and count and count % ri == 0:
+                br.align_restart()
+                preds = [0] * len(scan)
+            for si, dc_id, zz in mcu:
+                if ah == 0:
+                    size = br.read_code(htables[(0, dc_id)])
+                    preds[si] += _extend(br.read_bits(size), size)
+                    zz[0] = preds[si] << al
+                elif br.read_bits(1):
+                    zz[0] |= 1 << al  # two's complement: works for negatives
+        return
+    if len(scan) != 1:
+        raise ValueError("jpeg: progressive AC scan must be single-component")
+    idx, c, _dc, ac_id = scan[0]
+    act = htables[(1, ac_id)]
+    rows, cols = _comp_grid(frame, c)
+    eobrun = 0
+    count = 0
+    for by in range(rows):
+        for bx in range(cols):
+            if ri and count and count % ri == 0:
+                br.align_restart()
+                eobrun = 0
+            zz = coefs[idx][by, bx]
+            if ah == 0:
+                eobrun = _ac_first_block(br, act, zz, ss, se, al, eobrun)
+            else:
+                eobrun = _ac_refine_block(br, act, zz, ss, se, al, eobrun)
+            count += 1
+
+
+def _ac_first_block(br, act, zz, ss, se, al, eobrun) -> int:
+    if eobrun > 0:
+        return eobrun - 1
+    k = ss
+    while k <= se:
+        rs = br.read_code(act)
+        r, s = rs >> 4, rs & 0x0F
+        if s == 0:
+            if r == 15:  # ZRL
+                k += 16
+                continue
+            eobrun = (1 << r) - 1
+            if r:
+                eobrun += br.read_bits(r)
+            break
+        k += r
+        if k > se:
+            raise ValueError("jpeg: AC band overflow")
+        zz[k] = _extend(br.read_bits(s), s) << al
+        k += 1
+    return eobrun
+
+
+def _ac_refine_block(br, act, zz, ss, se, al, eobrun) -> int:
+    p1 = 1 << al
+    k = ss
+    if eobrun == 0:
+        while k <= se:
+            rs = br.read_code(act)
+            r, s = rs >> 4, rs & 0x0F
+            newval = 0
+            if s == 0:
+                if r < 15:
+                    eobrun = 1 << r
+                    if r:
+                        eobrun += br.read_bits(r)
+                    break
+                # r == 15 (ZRL): skip 16 zero-history positions below
+            else:
+                # s is 1 by construction in refinement scans
+                newval = p1 if br.read_bits(1) else -p1
+            while k <= se:
+                if zz[k] != 0:
+                    # correction bit for an already-significant coefficient
+                    if br.read_bits(1) and (zz[k] & p1) == 0:
+                        zz[k] += p1 if zz[k] >= 0 else -p1
+                else:
+                    if r == 0:
+                        break
+                    r -= 1
+                k += 1
+            if newval and k <= se:
+                zz[k] = newval
+            k += 1
+    if eobrun > 0:
+        while k <= se:
+            if zz[k] != 0:
+                if br.read_bits(1) and (zz[k] & p1) == 0:
+                    zz[k] += p1 if zz[k] >= 0 else -p1
+            k += 1
+        eobrun -= 1
+    return eobrun
+
+
+def _assemble_progressive(frame, qtables, coefs) -> np.ndarray:
+    h, w = frame["h"], frame["w"]
+    hmax, vmax = frame["hmax"], frame["vmax"]
+    out_planes = []
+    for c, cz in zip(frame["comps"], coefs):
+        bh, bw, _ = cz.shape
+        nat = np.zeros(cz.shape, dtype=np.float64)
+        nat[..., ZIGZAG] = cz  # zigzag -> natural order
+        nat *= qtables[c["q"]].astype(np.float64)
+        blocks = nat.reshape(bh, bw, 8, 8)
+        px = np.einsum("ij,abjk,kl->abil", _D.T, blocks, _D)
+        plane = px.transpose(0, 2, 1, 3).reshape(bh * 8, bw * 8)
+        ry, rx = vmax // c["v"], hmax // c["h"]
+        if ry > 1 or rx > 1:
+            plane = np.repeat(np.repeat(plane, ry, axis=0), rx, axis=1)
+        out_planes.append(plane[:h, :w] + 128.0)
+    return _color_out(out_planes)

@@ -2,14 +2,15 @@
 with typed metadata, processed by Arrow-batched kernels.
 
 Image decode is REAL for PNG (operators/render.py png_decode — gray8/16 +
-RGBA) and for baseline JPEG (functions/jpeg.py — Huffman + exact matrix
-IDCT, grayscale/YCbCr with subsampling and restart markers); both produce
+RGBA) and for JPEG — baseline AND progressive/SOF2 (functions/jpeg.py —
+Huffman + exact matrix IDCT, grayscale/YCbCr with subsampling, restart
+markers, spectral selection + successive approximation); both produce
 pixel-exact features / real resizes. Audio decode is REAL: RIFF/WAVE PCM
 payloads decode through functions/audio.py (pure numpy + struct) into
 sample-exact RMS/zero-crossing/spectral-band frame features. Video with
 PNG-compressed frames (AVI/MPNG) is REAL via functions/video.py. Only
-payloads pure Python genuinely can't parse (H.264, mp3, progressive/
-arithmetic JPEG, synthetic text fixtures) fall to a deterministic fake —
+payloads pure Python genuinely can't parse (H.264, mp3, arithmetic-coded
+JPEG, synthetic text fixtures) fall to a deterministic fake —
 swap `_fake_decode` for pyav in production. Stub-decoded rows are labeled
 status="stub" (real decodes say "ok") so downstream consumers can filter
 synthetic features from real signal. Everything Spark-cares-about —
@@ -75,6 +76,47 @@ def with_media_columns(df: DataFrame, id_col: str, payload_col: str) -> DataFram
 
 _PNG_SIG = b"\x89PNG\r\n\x1a\n"
 
+MEDIA_BUILD_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("payload", BinaryType(), False),
+    ]
+)
+
+
+def synthetic_media_payloads(df: DataFrame, id_col: str) -> DataFrame:
+    """Deterministic mixed-codec IMAGE payloads for the decode gate and
+    bench: a 16x16 constant-gray image (v = id % 256) encoded as PNG
+    (id % 3 == 0), baseline JPEG (== 1), or progressive SOF2 JPEG (== 2)
+    at quality 95. All three decode PIXEL-EXACT — PNG is lossless and a
+    flat block is lossless through the DC-only JPEG path (Q_DC = 2
+    divides 8*(v-128); test-pinned) — so the downstream band features
+    have the closed form v/255 that an external SQL oracle can replay.
+    Arrow-batched (mapInPandas): at corpus scale payload construction is
+    the same per-partition kernel shape as real ingest."""
+    from spdb_spark.functions.jpeg import jpeg_encode
+    from spdb_spark.operators.render import png_encode
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for mid in pdf["media_id"]:
+                mid = int(mid)
+                img = np.full((16, 16), mid % 256, np.uint8)
+                sel = mid % 3
+                if sel == 0:
+                    blob = png_encode(img)
+                elif sel == 1:
+                    blob = jpeg_encode(img, quality=95)
+                else:
+                    blob = jpeg_encode(img, quality=95, progressive=True)
+                out.append((mid, blob))
+            yield pd.DataFrame(out, columns=["media_id", "payload"])
+
+    return df.select(F.col(id_col).alias("media_id")).mapInPandas(
+        kernel, MEDIA_BUILD_SCHEMA
+    )
+
 
 def _fake_decode(payload: bytes, n_frames: int, dim: int) -> np.ndarray:
     """STUB — deterministic fake feature extraction for the modalities the
@@ -121,7 +163,7 @@ def decode_features_status(
     features (functions/audio.py); RIFF/AVI with PNG-compressed frames
     (MPNG) -> real container walk + frame sampling + per-frame PNG decode
     (functions/video.py). Only payloads in codecs pure Python can't parse
-    (H.264, mp3, jpeg, synthetic fixtures) fall to the stub — those rows
+    (H.264, mp3, arithmetic JPEG, synthetic fixtures) fall to the stub — those rows
     are labeled status="stub" so consumers can filter synthetic features
     from real signal."""
     if payload[:8] == _PNG_SIG:
@@ -145,7 +187,7 @@ def decode_features_status(
                 _image_frame_features(jpeg_decode(payload), n_frames, dim),
                 "ok",
             )
-        except ValueError:  # progressive/arithmetic: honest stub
+        except ValueError:  # arithmetic-coded/12-bit: honest stub
             return _fake_decode(payload, n_frames, dim), "stub"
     return _fake_decode(payload, n_frames, dim), "stub"
 
@@ -204,7 +246,7 @@ def resize_images(media: DataFrame, width: int = 224, height: int = 224) -> Data
                                 jpeg_decode(payload), width, height
                             )
                             blob, status = jpeg_encode(resized), "ok"
-                        except ValueError:  # progressive/arithmetic
+                        except ValueError:  # arithmetic-coded/12-bit
                             blob = _fake_resize(payload, width, height)
                             status = "stub"
                     else:

@@ -2183,6 +2183,40 @@ def q_dedup_jaccard_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_DEDUP_JACCARD_CAPPED = _jaccard_pairs_sql(3, 0.3)
 
 
+def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL mixed-codec decode driven end-to-end (round 6): deterministic
+    PNG / baseline-JPEG / progressive-SOF2-JPEG payloads built per doc
+    (multimodal.synthetic_media_payloads), decoded through the Arrow
+    extract_frame_features kernel. Every codec is lossless on these
+    payloads, so the band feature has the closed form (doc_id%256)/255
+    the DuckDB oracle replays — a decoder regression flips status to
+    'stub' or shifts f0 and the hash check fails."""
+    from spdb_spark.functions.multimodal import (
+        extract_frame_features,
+        synthetic_media_payloads,
+    )
+
+    docs = _docs(spark, sf_dir).select("doc_id")
+    media = synthetic_media_payloads(docs, "doc_id")
+    feats = extract_frame_features(media, n_frames=2, dim=4)
+    return feats.select(
+        "media_id",
+        F.col("frame_idx").cast("long").alias("frame_idx"),
+        "status",
+        (F.floor(F.element_at("feature", 1).cast("double") * 10000) / 10000).alias(
+            "f0"
+        ),
+    )
+
+
+SQL_MULTIMODAL_DECODE = """
+SELECT doc_id AS media_id, f.frame_idx, 'ok' AS status,
+       FLOOR(CAST(doc_id % 256 AS DOUBLE) / 255 * 10000) / 10000 AS f0
+FROM documents
+CROSS JOIN (VALUES (CAST(0 AS BIGINT)), (CAST(1 AS BIGINT))) f(frame_idx)
+"""
+
+
 def q_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Majority-vote kNN label prediction over the embedding table — the
     label-propagation / weak-labeling consumer of the ANN stack
@@ -2305,4 +2339,5 @@ QUERIES = {
     ),
     # --- round-6 additions (append-only: rotation window headroom) ---------
     "llm_dedup_jaccard_capped": (q_dedup_jaccard_capped, SQL_DEDUP_JACCARD_CAPPED),
+    "llm_multimodal_decode": (q_multimodal_decode, SQL_MULTIMODAL_DECODE),
 }

@@ -51,12 +51,46 @@ class TestCodec:
         img = _smooth_gray(32, 32)
         assert jpeg_encode(img) == jpeg_encode(img)
 
-    def test_progressive_rejected(self):
-        # take a valid stream and flip SOF0 (FFC0) to SOF2 (FFC2)
+    def test_progressive_gray_pixel_exact_vs_baseline(self):
+        """SOF2 is a REAL decode now (round-6): progressive encode uses
+        the same quantized coefficients as baseline, so both streams
+        must decode to IDENTICAL pixels."""
+        for h, w in ((64, 64), (37, 45), (8, 8), (1, 1), (9, 70)):
+            img = _smooth_gray(h, w)
+            base = jpeg_decode(jpeg_encode(img, quality=85))
+            prog = jpeg_decode(jpeg_encode(img, quality=85, progressive=True))
+            assert np.array_equal(base, prog), (h, w)
+
+    def test_progressive_rgb_pixel_exact_vs_baseline(self):
+        rng = np.random.default_rng(3)
+        for q in (10, 50, 85, 95):
+            img = rng.integers(0, 256, (33, 47, 3), dtype=np.uint8)
+            base = jpeg_decode(jpeg_encode(img, quality=q))
+            prog = jpeg_decode(jpeg_encode(img, quality=q, progressive=True))
+            assert np.array_equal(base, prog), q
+
+    def test_progressive_stream_is_sof2_with_multiple_scans(self):
+        blob = jpeg_encode(_smooth_gray(24, 24), progressive=True)
+        assert b"\xff\xc2" in blob and b"\xff\xc0" not in blob
+        assert blob.count(b"\xff\xda") >= 5  # DC first/refine + banded AC
+
+    def test_sparse_and_dense_spectra_roundtrip(self):
+        """Flat blocks (pure EOB paths) and noise (dense refinement with
+        ZRL + correction bits) both survive the progressive round-trip."""
+        rng = np.random.default_rng(5)
+        flat = np.full((48, 40), 130, np.uint8)
+        noise = rng.integers(0, 256, (48, 40), dtype=np.uint8)
+        for img in (flat, noise):
+            base = jpeg_decode(jpeg_encode(img, quality=30))
+            prog = jpeg_decode(jpeg_encode(img, quality=30, progressive=True))
+            assert np.array_equal(base, prog)
+
+    def test_arithmetic_coded_rejected(self):
+        # flip SOF0 (FFC0) to SOF9 (FFC9, arithmetic sequential)
         blob = bytearray(jpeg_encode(_smooth_gray(16, 16)))
         idx = bytes(blob).find(b"\xff\xc0")
-        blob[idx + 1] = 0xC2
-        with pytest.raises(ValueError, match="baseline"):
+        blob[idx + 1] = 0xC9
+        with pytest.raises(ValueError, match="baseline/progressive"):
             jpeg_decode(bytes(blob))
 
     def test_garbage_rejected(self):
@@ -99,12 +133,33 @@ class TestMultimodalJpeg:
         want = resize_image_array(jpeg_decode(blob), 16, 12)
         assert np.abs(out.astype(int) - want.astype(int)).max() <= 8
 
-    def test_progressive_payload_labeled_stub(self, spark):
+    def test_progressive_payload_decodes_real_ok(self, spark):
+        """SOF2 payloads flow through the pipeline as REAL decodes now:
+        same features as the baseline encoding of the same image,
+        status='ok'."""
+        from spdb_spark.functions.multimodal import extract_frame_features
+
+        img = _smooth_gray(32, 48)
+        media = spark.createDataFrame(
+            [
+                (1, bytearray(jpeg_encode(img, quality=95))),
+                (2, bytearray(jpeg_encode(img, quality=95, progressive=True))),
+            ],
+            "media_id long, payload binary",
+        )
+        rows = extract_frame_features(media, n_frames=3, dim=8).collect()
+        assert len(rows) == 6 and all(r.status == "ok" for r in rows)
+        by_id = {}
+        for r in rows:
+            by_id.setdefault(r.media_id, {})[r.frame_idx] = list(r.feature)
+        assert by_id[1] == by_id[2]  # identical pixels -> identical features
+
+    def test_arithmetic_payload_labeled_stub(self, spark):
         from spdb_spark.functions.multimodal import extract_frame_features
 
         blob = bytearray(jpeg_encode(_smooth_gray(16, 16)))
         idx = bytes(blob).find(b"\xff\xc0")
-        blob[idx + 1] = 0xC2  # SOF2: progressive -> honest stub
+        blob[idx + 1] = 0xC9  # SOF9: arithmetic -> honest stub
         media = spark.createDataFrame(
             [(1, bytearray(bytes(blob)))], "media_id long, payload binary"
         )
