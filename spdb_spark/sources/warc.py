@@ -1,0 +1,223 @@
+"""WARC source: read web-archive files (ISO 28500 — the Common Crawl
+format, the canonical raw input of an LLM pretraining pipeline) into
+typed DataFrames, and produce them for fixtures.
+
+Scale shape: WARC members are per-record gzip streams concatenated into
+~1 GB files, which are NOT block-splittable — the unit of parallelism is
+the FILE (exactly how production crawl processing shards: one task per
+warc file, thousands of files in flight). `ingest_warc` therefore reads
+via the binaryFile source (one row per file) and parses records inside an
+Arrow-batched mapInPandas kernel; a 1000-executor cluster streams a
+100 TB crawl as ~100k independent file tasks with zero shuffles before
+the first curation operator.
+
+The parser handles plain and gzip (multi-member) WARC, tolerates
+malformed records by skipping to the next record boundary, and never
+materializes more than one file per task. HTTP response payloads split
+into headers/body with a permissive regex-based HTML->text for the
+curation entry point (production swaps a real extractor like trafilatura;
+the Spark-side contract is unchanged).
+"""
+
+from __future__ import annotations
+
+import gzip
+import zlib
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BinaryType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+WARC_SCHEMA = StructType(
+    [
+        StructField("file", StringType(), False),
+        StructField("record_idx", LongType(), False),
+        StructField("warc_type", StringType(), True),
+        StructField("record_id", StringType(), True),
+        StructField("target_uri", StringType(), True),
+        StructField("warc_date", StringType(), True),
+        StructField("content_type", StringType(), True),
+        StructField("payload", BinaryType(), True),
+        StructField("n_bytes", LongType(), False),
+    ]
+)
+
+
+def warc_encode(records: list[dict], compress: bool = True) -> bytes:
+    """Build a WARC file for fixtures/tests. Each record dict:
+    {"warc_type", "record_id", "target_uri", "warc_date", "content_type",
+    "payload" (bytes)}. `compress=True` emits one gzip member per record
+    (the Common Crawl convention); False emits plain WARC."""
+    out = bytearray()
+    for rec in records:
+        payload = rec.get("payload", b"")
+        head = [
+            "WARC/1.0",
+            f"WARC-Type: {rec.get('warc_type', 'response')}",
+            f"WARC-Record-ID: {rec.get('record_id', '<urn:uuid:fixture>')}",
+            f"WARC-Date: {rec.get('warc_date', '2026-01-01T00:00:00Z')}",
+        ]
+        if rec.get("target_uri"):
+            head.append(f"WARC-Target-URI: {rec['target_uri']}")
+        if rec.get("content_type"):
+            head.append(f"Content-Type: {rec['content_type']}")
+        head.append(f"Content-Length: {len(payload)}")
+        member = (
+            "\r\n".join(head).encode() + b"\r\n\r\n" + payload + b"\r\n\r\n"
+        )
+        out += gzip.compress(member) if compress else member
+    return bytes(out)
+
+
+def parse_warc_bytes(data: bytes) -> list[dict]:
+    """Parse one WARC file's bytes into record dicts. Handles plain and
+    multi-member-gzip files; a malformed record skips forward to the next
+    'WARC/' boundary instead of failing the whole file (crawl archives
+    are dirty by nature)."""
+    if data[:2] == b"\x1f\x8b":
+        # member-by-member (zlib keeps unused_data at member boundaries):
+        # a truncated/corrupt final member drops ONLY itself, every
+        # complete member before it survives
+        chunks = []
+        rest = data
+        while rest[:2] == b"\x1f\x8b":
+            d = zlib.decompressobj(31)
+            try:
+                chunk = d.decompress(rest)
+                if not d.eof:  # truncated member
+                    break
+                chunks.append(chunk)
+            except zlib.error:
+                break
+            rest = d.unused_data
+        data = b"".join(chunks)
+    records = []
+    pos = 0
+    n = len(data)
+    while pos < n:
+        head_start = data.find(b"WARC/", pos)
+        if head_start < 0:
+            break
+        head_end = data.find(b"\r\n\r\n", head_start)
+        if head_end < 0:
+            break
+        headers: dict[str, str] = {}
+        for line in data[head_start:head_end].decode("latin-1").split("\r\n")[1:]:
+            if ":" in line:
+                k, v = line.split(":", 1)
+                headers[k.strip().lower()] = v.strip()
+        try:
+            length = int(headers.get("content-length", ""))
+        except ValueError:
+            pos = head_end + 4  # malformed: resync at next boundary
+            continue
+        body_start = head_end + 4
+        payload = data[body_start : body_start + length]
+        records.append(
+            {
+                "warc_type": headers.get("warc-type"),
+                "record_id": headers.get("warc-record-id"),
+                "target_uri": headers.get("warc-target-uri"),
+                "warc_date": headers.get("warc-date"),
+                "content_type": headers.get("content-type"),
+                "payload": payload,
+            }
+        )
+        pos = body_start + length
+    return records
+
+
+def ingest_warc(spark: SparkSession, path: str) -> DataFrame:
+    """Distributed WARC scan: one binaryFile row per .warc[.gz] file, one
+    Arrow kernel invocation per file, one output row per record. No
+    shuffle — downstream operators decide the partitioning."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for row in pdf.itertuples(index=False):
+                for i, rec in enumerate(parse_warc_bytes(bytes(row.content))):
+                    out.append(
+                        (
+                            row.path,
+                            i,
+                            rec["warc_type"],
+                            rec["record_id"],
+                            rec["target_uri"],
+                            rec["warc_date"],
+                            rec["content_type"],
+                            rec["payload"],
+                            len(rec["payload"]),
+                        )
+                    )
+            yield pd.DataFrame(out, columns=[f.name for f in WARC_SCHEMA.fields])
+
+    raw = spark.read.format("binaryFile").load(path).select("path", "content")
+    return raw.mapInPandas(kernel, WARC_SCHEMA)
+
+
+def http_response_body(payload: F.Column | str) -> F.Column:
+    """Split an HTTP response payload (status line + headers + body) at
+    the first blank line and return the BODY as a string — a Column
+    expression (JVM-side split with limit=2, no UDF); payloads without
+    headers pass through unchanged."""
+    col = F.col(payload) if isinstance(payload, str) else payload
+    s = col.cast("string")
+    return F.coalesce(F.split(s, r"\r\n\r\n", 2).getItem(1), s)
+
+
+def html_to_text(col: F.Column) -> F.Column:
+    """Permissive HTML -> text: drop script/style blocks, strip tags,
+    unescape the common entities, collapse whitespace. Pure Column
+    expressions (regexp_replace chains stay in codegen); production swaps
+    a real extractor, the contract (string -> string) is unchanged."""
+    s = F.regexp_replace(col, r"(?is)<(script|style)[^>]*>.*?</\1>", " ")
+    s = F.regexp_replace(s, r"(?s)<[^>]+>", " ")
+    for ent, rep in (
+        ("&amp;", "&"),
+        ("&lt;", "<"),
+        ("&gt;", ">"),
+        ("&quot;", '"'),
+        ("&#39;", "'"),
+        ("&nbsp;", " "),
+    ):
+        s = F.replace(s, F.lit(ent), F.lit(rep))
+    return F.trim(F.regexp_replace(s, r"\s+", " "))
+
+
+def warc_responses_to_docs(warc: DataFrame) -> DataFrame:
+    """The curation entry point: WARC response records -> the documents
+    schema (doc_id, text, lang, source, n_chars) every curation operator
+    consumes. Ids are content-addressed like sources/corpus.py (pure
+    function of uri+content, partitioning-invariant)."""
+    from spdb_spark.functions.hashing import md5_long
+    from spdb_spark.functions.text import lang_id
+
+    body = http_response_body(F.col("payload"))
+    text = html_to_text(body)
+    return (
+        warc.where(F.col("warc_type") == "response")
+        .select(
+            md5_long(
+                F.concat_ws("\x1f", F.col("target_uri"), F.md5(F.col("payload")))
+            ).alias("doc_id"),
+            text.alias("text"),
+            F.col("target_uri").alias("source"),
+        )
+        .where(F.length("text") > 0)
+        .select(
+            "doc_id",
+            "text",
+            lang_id(F.col("text")).alias("lang"),
+            "source",
+            F.length("text").cast("int").alias("n_chars"),
+        )
+    )
