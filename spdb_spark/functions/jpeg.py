@@ -172,6 +172,11 @@ class _BitWriter:
             pad = 8 - self.nbits
             self.write((1 << pad) - 1, pad)
 
+    def restart(self, n: int) -> None:
+        """Pad to a byte boundary and emit RSTn (no stuffing after FF)."""
+        self.flush()
+        self.out += bytes((0xFF, 0xD0 + (n & 7)))
+
 
 class _BitReader:
     def __init__(self, data: bytes):
@@ -249,13 +254,19 @@ def _extend(bits: int, size: int) -> int:
 
 
 def jpeg_encode(
-    img: np.ndarray, quality: int = 85, progressive: bool = False
+    img: np.ndarray,
+    quality: int = 85,
+    progressive: bool = False,
+    restart_interval: int = 0,
 ) -> bytes:
     """JFIF encode: (h, w) uint8 grayscale or (h, w, 3) uint8 RGB
     (4:4:4, no subsampling). `progressive=True` emits an SOF2 stream
     (DC first + refinement, banded AC first + refinement) built from the
     SAME quantized coefficients as the baseline mode — so both decode to
-    identical pixels, which is what the SOF2 tests pin."""
+    identical pixels, which is what the SOF2 tests pin.
+    `restart_interval` > 0 emits a DRI segment and RSTn markers every
+    that many MCUs in every progressive scan (predictor/EOB state
+    resets) — exercising the decoder's progressive restart path."""
     if img.dtype != np.uint8:
         raise ValueError("jpeg_encode: uint8 only")
     gray = img.ndim == 2
@@ -296,7 +307,7 @@ def jpeg_encode(
         padded.append(pp)
 
     if progressive:
-        return _encode_progressive(padded, gray, h, w, ql, qc)
+        return _encode_progressive(padded, gray, h, w, ql, qc, restart_interval)
 
     for by in range(bh):
         for bx in range(bwid):
@@ -374,7 +385,7 @@ def jpeg_encode(
     return bytes(out)
 
 
-def _encode_progressive(padded, gray, h, w, ql, qc) -> bytes:
+def _encode_progressive(padded, gray, h, w, ql, qc, ri: int = 0) -> bytes:
     """SOF2 entropy emission. Scan script: interleaved DC first (Al=1),
     banded AC first passes (Al=1), banded AC refinements (Ah=1->Al=0),
     interleaved DC refinement — exercising spectral selection, successive
@@ -411,8 +422,14 @@ def _encode_progressive(padded, gray, h, w, ql, qc) -> bytes:
     def dc_scan(ah, al):
         bw_ = _BitWriter()
         preds = [0] * ncomp
+        count = 0
+        rst = 0
         for by in range(bh):
             for bx in range(bwid):
+                if ri and count and count % ri == 0:
+                    bw_.restart(rst)
+                    rst = (rst + 1) & 7
+                    preds = [0] * ncomp
                 for ci in range(ncomp):
                     v = int(coef_arrays[ci][by, bx, 0]) >> al  # arithmetic shift
                     if ah == 0:
@@ -425,14 +442,21 @@ def _encode_progressive(padded, gray, h, w, ql, qc) -> bytes:
                             bw_.write(bits, size)
                     else:
                         bw_.write(v & 1, 1)
+                count += 1
         bw_.flush()
         return bw_.out
 
     def ac_first_scan(ci, ss, se, al):
         act = ac_codes[tsel(ci)]
         bw_ = _BitWriter()
+        count = 0
+        rst = 0
         for by in range(bh):
             for bx in range(bwid):
+                if ri and count and count % ri == 0:
+                    bw_.restart(rst)
+                    rst = (rst + 1) & 7
+                count += 1
                 zz = coef_arrays[ci][by, bx]
                 vals = []
                 for k in range(ss, se + 1):
@@ -465,8 +489,14 @@ def _encode_progressive(padded, gray, h, w, ql, qc) -> bytes:
     def ac_refine_scan(ci, ss, se, al):
         act = ac_codes[tsel(ci)]
         bw_ = _BitWriter()
+        count = 0
+        rst = 0
         for by in range(bh):
             for bx in range(bwid):
+                if ri and count and count % ri == 0:
+                    bw_.restart(rst)
+                    rst = (rst + 1) & 7
+                count += 1
                 zz = coef_arrays[ci][by, bx]
                 absv = [abs(int(zz[k])) >> al for k in range(ss, se + 1)]
                 signs = [int(zz[k]) >= 0 for k in range(ss, se + 1)]
@@ -538,6 +568,9 @@ def _encode_progressive(padded, gray, h, w, ql, qc) -> bytes:
             seg += bytes([ci + 1, (t << 4) | t])
         seg += bytes([ss, se, (ah << 4) | al])
         return b"\xff\xda" + seg
+
+    if ri:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, ri)  # DRI
 
     all_comps = list(range(ncomp))
     # DC first, interleaved

@@ -85,6 +85,21 @@ class TestCodec:
             prog = jpeg_decode(jpeg_encode(img, quality=30, progressive=True))
             assert np.array_equal(base, prog)
 
+    def test_progressive_restart_markers_pixel_exact(self):
+        """DRI + RSTn in every progressive scan (predictor/EOB-state
+        resets + bit realignment) — the decoder restart path, exercised
+        at aggressive intervals down to every MCU."""
+        rng = np.random.default_rng(17)
+        img = rng.integers(0, 256, (40, 56, 3), dtype=np.uint8)
+        base = jpeg_decode(jpeg_encode(img, quality=80))
+        for ri in (1, 3, 7):
+            blob = jpeg_encode(
+                img, quality=80, progressive=True, restart_interval=ri
+            )
+            assert b"\xff\xdd" in blob  # DRI present
+            assert any(bytes([0xFF, 0xD0 + n]) in blob for n in range(8))
+            assert np.array_equal(jpeg_decode(blob), base), ri
+
     def test_arithmetic_coded_rejected(self):
         # flip SOF0 (FFC0) to SOF9 (FFC9, arithmetic sequential)
         blob = bytearray(jpeg_encode(_smooth_gray(16, 16)))
