@@ -258,112 +258,147 @@ def jpeg_encode(
     quality: int = 85,
     progressive: bool = False,
     restart_interval: int = 0,
+    subsampling: str = "4:4:4",
 ) -> bytes:
-    """JFIF encode: (h, w) uint8 grayscale or (h, w, 3) uint8 RGB
-    (4:4:4, no subsampling). `progressive=True` emits an SOF2 stream
+    """JFIF encode: (h, w) uint8 grayscale or (h, w, 3) uint8 RGB.
+    `subsampling` is "4:4:4" or "4:2:0" (color only — 2x2-mean chroma
+    downsampling, 16x16 MCUs). `progressive=True` emits an SOF2 stream
     (DC first + refinement, banded AC first + refinement) built from the
     SAME quantized coefficients as the baseline mode — so both decode to
     identical pixels, which is what the SOF2 tests pin.
     `restart_interval` > 0 emits a DRI segment and RSTn markers every
-    that many MCUs in every progressive scan (predictor/EOB state
-    resets) — exercising the decoder's progressive restart path."""
+    that many MCUs (baseline) / in every scan (progressive) — exercising
+    the decoders' restart paths."""
     if img.dtype != np.uint8:
         raise ValueError("jpeg_encode: uint8 only")
     gray = img.ndim == 2
     if not gray and (img.ndim != 3 or img.shape[2] != 3):
         raise ValueError("jpeg_encode: (h,w) or (h,w,3)")
+    if subsampling not in ("4:4:4", "4:2:0"):
+        raise ValueError("jpeg_encode: subsampling must be 4:4:4 or 4:2:0")
     h, w = img.shape[:2]
     ql, qc = _quality_tables(quality)
 
+    # components: (level-shifted plane, sv, sh, tsel) — tsel picks the
+    # luma/chroma quant + Huffman table pair
     if gray:
-        planes = [img.astype(np.float64) - 128.0]
+        comps = [(img.astype(np.float64) - 128.0, 1, 1, 0)]
     else:
         r = img[:, :, 0].astype(np.float64)
         g = img[:, :, 1].astype(np.float64)
         b = img[:, :, 2].astype(np.float64)
-        y = 0.299 * r + 0.587 * g + 0.114 * b
-        cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
-        cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
-        planes = [y - 128.0, cb - 128.0, cr - 128.0]
+        y = 0.299 * r + 0.587 * g + 0.114 * b - 128.0
+        cb = -0.168736 * r - 0.331264 * g + 0.5 * b
+        cr = 0.5 * r - 0.418688 * g - 0.081312 * b
+        if subsampling == "4:2:0":
+            comps = [
+                (y, 2, 2, 0),
+                (_down2(cb), 1, 1, 1),
+                (_down2(cr), 1, 1, 1),
+            ]
+        else:
+            comps = [(y, 1, 1, 0), (cb, 1, 1, 1), (cr, 1, 1, 1)]
 
-    dc_l, ac_l = _build_codes(DC_LUMA_BITS, DC_LUMA_VALS), _build_codes(
-        AC_LUMA_BITS, AC_LUMA_VALS
+    hmax = max(sh for _p, _sv, sh, _t in comps)
+    vmax = max(sv for _p, sv, _sh, _t in comps)
+    mcux = (w + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+
+    meta = []
+    for plane, sv, sh, t in comps:
+        pp = _pad_plane(plane, mcuy * sv * 8, mcux * sh * 8)
+        arr = _quantize_plane(pp, (ql if t == 0 else qc))
+        comp_w = (w * sh + hmax - 1) // hmax
+        comp_h = (h * sv + vmax - 1) // vmax
+        meta.append(
+            {
+                "arr": arr,
+                "sv": sv,
+                "sh": sh,
+                "tsel": t,
+                "grid": ((comp_h + 7) // 8, (comp_w + 7) // 8),
+            }
+        )
+
+    head = _jpeg_headers(
+        h, w, meta, ql, qc, 0xC2 if progressive else 0xC0, restart_interval
     )
-    dc_c, ac_c = _build_codes(DC_CHROMA_BITS, DC_CHROMA_VALS), _build_codes(
-        AC_CHROMA_BITS, AC_CHROMA_VALS
-    )
-
-    bw = _BitWriter()
-    preds = [0] * len(planes)
-    bh, bwid = (h + 7) // 8, (w + 7) // 8
-    padded = []
-    for p in planes:
-        pp = np.zeros((bh * 8, bwid * 8))
-        pp[:h, :w] = p
-        if w < bwid * 8:
-            pp[:h, w:] = p[:, -1:]
-        if h < bh * 8:
-            pp[h:, :] = pp[h - 1 : h, :]
-        padded.append(pp)
-
     if progressive:
-        return _encode_progressive(padded, gray, h, w, ql, qc, restart_interval)
+        body = _emit_progressive_scans(meta, mcux, mcuy, restart_interval)
+    else:
+        body = _sos_header(meta, list(range(len(meta))), 0, 63, 0, 0)
+        body += _emit_baseline_scan(meta, mcux, mcuy, restart_interval)
+    return head + body + b"\xff\xd9"
 
-    for by in range(bh):
-        for bx in range(bwid):
-            for ci, p in enumerate(padded):
-                luma = ci == 0 or gray
-                q = ql if luma else qc
-                dct = _D @ p[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] @ _D.T
-                coef = np.round(dct.flatten() / q.reshape(8, 8).flatten()).astype(
-                    np.int32
-                )
-                zz = coef[ZIGZAG]
-                diff = int(zz[0]) - preds[ci]
-                preds[ci] = int(zz[0])
-                size, bits = _magnitude(diff)
-                code, length = (dc_l if luma else dc_c)[size]
-                bw.write(code, length)
-                if size:
-                    bw.write(bits, size)
-                act = ac_l if luma else ac_c
-                run = 0
-                last_nz = max(np.nonzero(zz[1:])[0]) + 1 if np.any(zz[1:]) else 0
-                for k in range(1, last_nz + 1):
-                    v = int(zz[k])
-                    if v == 0:
-                        run += 1
-                        continue
-                    while run > 15:
-                        code, length = act[0xF0]
-                        bw.write(code, length)
-                        run -= 16
-                    size, bits = _magnitude(v)
-                    code, length = act[(run << 4) | size]
-                    bw.write(code, length)
-                    bw.write(bits, size)
-                    run = 0
-                if last_nz < 63:
-                    code, length = act[0x00]  # EOB
-                    bw.write(code, length)
-    bw.flush()
 
+def _down2(p: np.ndarray) -> np.ndarray:
+    """2x2-mean chroma downsample; odd dims edge-replicate first."""
+    h, w = p.shape
+    if h % 2 or w % 2:
+        p = _pad_plane(p, h + h % 2, w + w % 2)
+    return (p[0::2, 0::2] + p[0::2, 1::2] + p[1::2, 0::2] + p[1::2, 1::2]) / 4.0
+
+
+def _pad_plane(p: np.ndarray, ph: int, pw: int) -> np.ndarray:
+    h, w = p.shape
+    pp = np.zeros((ph, pw))
+    pp[:h, :w] = p
+    if w < pw:
+        pp[:h, w:] = p[:, -1:]
+    if h < ph:
+        pp[h:, :] = pp[h - 1 : h, :]
+    return pp
+
+
+def _quantize_plane(pp: np.ndarray, q: np.ndarray) -> np.ndarray:
+    """(bh, bw, 64) zigzag-order quantized coefficients, vectorized."""
+    bh, bw = pp.shape[0] // 8, pp.shape[1] // 8
+    blocks = pp.reshape(bh, 8, bw, 8).transpose(0, 2, 1, 3)
+    dct = np.einsum("ij,abjk,kl->abil", _D, blocks, _D.T)
+    coef = np.round(dct.reshape(bh, bw, 64) / q[None, None, :].astype(np.float64))
+    return coef.astype(np.int32)[..., ZIGZAG]
+
+
+_DC_CODES = None
+_AC_CODES = None
+
+
+def _huff_codes():
+    global _DC_CODES, _AC_CODES
+    if _DC_CODES is None:
+        _DC_CODES = [
+            _build_codes(DC_LUMA_BITS, DC_LUMA_VALS),
+            _build_codes(DC_CHROMA_BITS, DC_CHROMA_VALS),
+        ]
+        _AC_CODES = [
+            _build_codes(AC_LUMA_BITS, AC_LUMA_VALS),
+            _build_codes(AC_CHROMA_BITS, AC_CHROMA_VALS),
+        ]
+    return _DC_CODES, _AC_CODES
+
+
+def _jpeg_headers(h, w, meta, ql, qc, sof_marker, ri) -> bytes:
     out = bytearray(b"\xff\xd8")  # SOI
-    out += b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
+    out += (
+        b"\xff\xe0"
+        + struct.pack(">H", 16)
+        + b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
+    )
 
     def dqt(tid, table):
         zz = table.reshape(8, 8).flatten()[ZIGZAG]
         return b"\xff\xdb" + struct.pack(">HB", 67, tid) + bytes(int(x) for x in zz)
 
+    gray = len(meta) == 1
     out += dqt(0, ql)
     if not gray:
         out += dqt(1, qc)
 
-    ncomp = 1 if gray else 3
+    ncomp = len(meta)
     sof = struct.pack(">HBHHB", 8 + 3 * ncomp, 8, h, w, ncomp)
-    for ci in range(ncomp):
-        sof += bytes([ci + 1, 0x11, 0 if ci == 0 else 1])
-    out += b"\xff\xc0" + sof
+    for ci, m in enumerate(meta):
+        sof += bytes([ci + 1, (m["sh"] << 4) | m["sv"], m["tsel"]])
+    out += bytes([0xFF, sof_marker]) + sof
 
     def dht(cls, tid, bits, vals):
         payload = bytes([(cls << 4) | tid]) + bytes(bits) + bytes(vals)
@@ -374,18 +409,75 @@ def jpeg_encode(
     if not gray:
         out += dht(0, 1, DC_CHROMA_BITS, DC_CHROMA_VALS)
         out += dht(1, 1, AC_CHROMA_BITS, AC_CHROMA_VALS)
-
-    sos = struct.pack(">HB", 6 + 2 * ncomp, ncomp)
-    for ci in range(ncomp):
-        sos += bytes([ci + 1, 0x00 if ci == 0 else 0x11])
-    sos += b"\x00\x3f\x00"
-    out += b"\xff\xda" + sos
-    out += bw.out
-    out += b"\xff\xd9"  # EOI
+    if ri:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, ri)  # DRI
     return bytes(out)
 
 
-def _encode_progressive(padded, gray, h, w, ql, qc, ri: int = 0) -> bytes:
+def _sos_header(meta, comp_idxs, ss, se, ah, al) -> bytes:
+    seg = struct.pack(">HB", 6 + 2 * len(comp_idxs), len(comp_idxs))
+    for ci in comp_idxs:
+        t = meta[ci]["tsel"]
+        seg += bytes([ci + 1, (t << 4) | t])
+    seg += bytes([ss, se, (ah << 4) | al])
+    return b"\xff\xda" + seg
+
+
+def _emit_block_baseline(bw_, zz, pred, dct, act) -> int:
+    diff = int(zz[0]) - pred
+    pred = int(zz[0])
+    size, bits = _magnitude(diff)
+    code, length = dct[size]
+    bw_.write(code, length)
+    if size:
+        bw_.write(bits, size)
+    run = 0
+    last_nz = max(np.nonzero(zz[1:])[0]) + 1 if np.any(zz[1:]) else 0
+    for k in range(1, last_nz + 1):
+        v = int(zz[k])
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            code, length = act[0xF0]
+            bw_.write(code, length)
+            run -= 16
+        size, bits = _magnitude(v)
+        code, length = act[(run << 4) | size]
+        bw_.write(code, length)
+        bw_.write(bits, size)
+        run = 0
+    if last_nz < 63:
+        code, length = act[0x00]  # EOB
+        bw_.write(code, length)
+    return pred
+
+
+def _emit_baseline_scan(meta, mcux, mcuy, ri) -> bytes:
+    dc_codes, ac_codes = _huff_codes()
+    bw_ = _BitWriter()
+    preds = [0] * len(meta)
+    count = 0
+    rst = 0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if ri and count and count % ri == 0:
+                bw_.restart(rst)
+                rst = (rst + 1) & 7
+                preds = [0] * len(meta)
+            for ci, m in enumerate(meta):
+                for by in range(m["sv"]):
+                    for bx in range(m["sh"]):
+                        zz = m["arr"][my * m["sv"] + by, mx * m["sh"] + bx]
+                        preds[ci] = _emit_block_baseline(
+                            bw_, zz, preds[ci], dc_codes[m["tsel"]], ac_codes[m["tsel"]]
+                        )
+            count += 1
+    bw_.flush()
+    return bytes(bw_.out)
+
+
+def _emit_progressive_scans(meta, mcux, mcuy, ri) -> bytes:
     """SOF2 entropy emission. Scan script: interleaved DC first (Al=1),
     banded AC first passes (Al=1), banded AC refinements (Ah=1->Al=0),
     interleaved DC refinement — exercising spectral selection, successive
@@ -393,71 +485,55 @@ def _encode_progressive(padded, gray, h, w, ql, qc, ri: int = 0) -> bytes:
     refinement ordering (ZRL/code, sign bit, then buffered correction
     bits) follows T.81 G.1.2.3; corrections buffer at most 15 preceding
     zero-history positions by construction, so every buffered bit lands
-    inside the next emitted symbol's crossing."""
-    bh, bwid = padded[0].shape[0] // 8, padded[0].shape[1] // 8
-    ncomp = len(padded)
-    coef_arrays = []
-    for ci, p in enumerate(padded):
-        q = (ql if ci == 0 else qc).reshape(8, 8)
-        arr = np.zeros((bh, bwid, 64), dtype=np.int32)
-        for by in range(bh):
-            for bx in range(bwid):
-                dct = _D @ p[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] @ _D.T
-                coef = np.round(dct / q).astype(np.int32)
-                arr[by, bx] = coef.flatten()[ZIGZAG]
-        coef_arrays.append(arr)
-
-    dc_codes = [
-        _build_codes(DC_LUMA_BITS, DC_LUMA_VALS),
-        _build_codes(DC_CHROMA_BITS, DC_CHROMA_VALS),
-    ]
-    ac_codes = [
-        _build_codes(AC_LUMA_BITS, AC_LUMA_VALS),
-        _build_codes(AC_CHROMA_BITS, AC_CHROMA_VALS),
-    ]
-
-    def tsel(ci):
-        return 0 if ci == 0 else 1
+    inside the next emitted symbol's crossing. AC scans iterate each
+    component's NON-INTERLEAVED grid (T.81 A.2.2 — not the MCU-padded
+    grid, which differs under subsampling)."""
+    dc_codes, ac_codes = _huff_codes()
+    ncomp = len(meta)
 
     def dc_scan(ah, al):
         bw_ = _BitWriter()
         preds = [0] * ncomp
         count = 0
         rst = 0
-        for by in range(bh):
-            for bx in range(bwid):
+        for my in range(mcuy):
+            for mx in range(mcux):
                 if ri and count and count % ri == 0:
                     bw_.restart(rst)
                     rst = (rst + 1) & 7
                     preds = [0] * ncomp
-                for ci in range(ncomp):
-                    v = int(coef_arrays[ci][by, bx, 0]) >> al  # arithmetic shift
-                    if ah == 0:
-                        diff = v - preds[ci]
-                        preds[ci] = v
-                        size, bits = _magnitude(diff)
-                        code, length = dc_codes[tsel(ci)][size]
-                        bw_.write(code, length)
-                        if size:
-                            bw_.write(bits, size)
-                    else:
-                        bw_.write(v & 1, 1)
+                for ci, m in enumerate(meta):
+                    for by in range(m["sv"]):
+                        for bx in range(m["sh"]):
+                            v = int(m["arr"][my * m["sv"] + by, mx * m["sh"] + bx, 0]) >> al
+                            if ah == 0:
+                                diff = v - preds[ci]
+                                preds[ci] = v
+                                size, bits = _magnitude(diff)
+                                code, length = dc_codes[m["tsel"]][size]
+                                bw_.write(code, length)
+                                if size:
+                                    bw_.write(bits, size)
+                            else:
+                                bw_.write(v & 1, 1)
                 count += 1
         bw_.flush()
         return bw_.out
 
     def ac_first_scan(ci, ss, se, al):
-        act = ac_codes[tsel(ci)]
+        m = meta[ci]
+        act = ac_codes[m["tsel"]]
         bw_ = _BitWriter()
+        rows, cols = m["grid"]
         count = 0
         rst = 0
-        for by in range(bh):
-            for bx in range(bwid):
+        for by in range(rows):
+            for bx in range(cols):
                 if ri and count and count % ri == 0:
                     bw_.restart(rst)
                     rst = (rst + 1) & 7
                 count += 1
-                zz = coef_arrays[ci][by, bx]
+                zz = m["arr"][by, bx]
                 vals = []
                 for k in range(ss, se + 1):
                     v = int(zz[k])
@@ -487,17 +563,19 @@ def _encode_progressive(padded, gray, h, w, ql, qc, ri: int = 0) -> bytes:
         return bw_.out
 
     def ac_refine_scan(ci, ss, se, al):
-        act = ac_codes[tsel(ci)]
+        m = meta[ci]
+        act = ac_codes[m["tsel"]]
         bw_ = _BitWriter()
+        rows, cols = m["grid"]
         count = 0
         rst = 0
-        for by in range(bh):
-            for bx in range(bwid):
+        for by in range(rows):
+            for bx in range(cols):
                 if ri and count and count % ri == 0:
                     bw_.restart(rst)
                     rst = (rst + 1) & 7
                 count += 1
-                zz = coef_arrays[ci][by, bx]
+                zz = m["arr"][by, bx]
                 absv = [abs(int(zz[k])) >> al for k in range(ss, se + 1)]
                 signs = [int(zz[k]) >= 0 for k in range(ss, se + 1)]
                 newly = [i for i, a in enumerate(absv) if a == 1]
@@ -535,59 +613,22 @@ def _encode_progressive(padded, gray, h, w, ql, qc, ri: int = 0) -> bytes:
         bw_.flush()
         return bw_.out
 
-    out = bytearray(b"\xff\xd8")
-    out += b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
-
-    def dqt(tid, table):
-        zz = table.reshape(8, 8).flatten()[ZIGZAG]
-        return b"\xff\xdb" + struct.pack(">HB", 67, tid) + bytes(int(x) for x in zz)
-
-    out += dqt(0, ql)
-    if not gray:
-        out += dqt(1, qc)
-
-    sof = struct.pack(">HBHHB", 8 + 3 * ncomp, 8, h, w, ncomp)
-    for ci in range(ncomp):
-        sof += bytes([ci + 1, 0x11, 0 if ci == 0 else 1])
-    out += b"\xff\xc2" + sof  # SOF2: progressive DCT
-
-    def dht(cls, tid, bits, vals):
-        payload = bytes([(cls << 4) | tid]) + bytes(bits) + bytes(vals)
-        return b"\xff\xc4" + struct.pack(">H", 2 + len(payload)) + payload
-
-    out += dht(0, 0, DC_LUMA_BITS, DC_LUMA_VALS)
-    out += dht(1, 0, AC_LUMA_BITS, AC_LUMA_VALS)
-    if not gray:
-        out += dht(0, 1, DC_CHROMA_BITS, DC_CHROMA_VALS)
-        out += dht(1, 1, AC_CHROMA_BITS, AC_CHROMA_VALS)
-
-    def sos(comp_idxs, ss, se, ah, al):
-        seg = struct.pack(">HB", 6 + 2 * len(comp_idxs), len(comp_idxs))
-        for ci in comp_idxs:
-            t = tsel(ci)
-            seg += bytes([ci + 1, (t << 4) | t])
-        seg += bytes([ss, se, (ah << 4) | al])
-        return b"\xff\xda" + seg
-
-    if ri:
-        out += b"\xff\xdd" + struct.pack(">HH", 4, ri)  # DRI
-
+    out = bytearray()
     all_comps = list(range(ncomp))
     # DC first, interleaved
-    out += sos(all_comps, 0, 0, 0, 1) + dc_scan(0, 1)
+    out += _sos_header(meta, all_comps, 0, 0, 0, 1) + dc_scan(0, 1)
     # AC first passes (luma in two spectral bands; chroma full band)
-    out += sos([0], 1, 5, 0, 1) + ac_first_scan(0, 1, 5, 1)
+    out += _sos_header(meta, [0], 1, 5, 0, 1) + ac_first_scan(0, 1, 5, 1)
     for ci in range(1, ncomp):
-        out += sos([ci], 1, 63, 0, 1) + ac_first_scan(ci, 1, 63, 1)
-    out += sos([0], 6, 63, 0, 1) + ac_first_scan(0, 6, 63, 1)
+        out += _sos_header(meta, [ci], 1, 63, 0, 1) + ac_first_scan(ci, 1, 63, 1)
+    out += _sos_header(meta, [0], 6, 63, 0, 1) + ac_first_scan(0, 6, 63, 1)
     # AC refinements (Ah=1 -> Al=0)
-    out += sos([0], 1, 5, 1, 0) + ac_refine_scan(0, 1, 5, 0)
+    out += _sos_header(meta, [0], 1, 5, 1, 0) + ac_refine_scan(0, 1, 5, 0)
     for ci in range(1, ncomp):
-        out += sos([ci], 1, 63, 1, 0) + ac_refine_scan(ci, 1, 63, 0)
-    out += sos([0], 6, 63, 1, 0) + ac_refine_scan(0, 6, 63, 0)
+        out += _sos_header(meta, [ci], 1, 63, 1, 0) + ac_refine_scan(ci, 1, 63, 0)
+    out += _sos_header(meta, [0], 6, 63, 1, 0) + ac_refine_scan(0, 6, 63, 0)
     # DC refinement, interleaved
-    out += sos(all_comps, 0, 0, 1, 0) + dc_scan(1, 0)
-    out += b"\xff\xd9"
+    out += _sos_header(meta, all_comps, 0, 0, 1, 0) + dc_scan(1, 0)
     return bytes(out)
 
 

@@ -100,6 +100,38 @@ class TestCodec:
             assert any(bytes([0xFF, 0xD0 + n]) in blob for n in range(8))
             assert np.array_equal(jpeg_decode(blob), base), ri
 
+    def test_420_subsampling_baseline_and_progressive(self):
+        """4:2:0 (what real-world JPEGs actually use): both decoders'
+        subsampled paths — MCU-structured baseline scan, interleaved
+        2x2+1+1 progressive DC, non-interleaved chroma grids that DIFFER
+        from the MCU-padded grid — cross-pinned pixel-exact against each
+        other, and close to the source on smooth input."""
+        rng = np.random.default_rng(23)
+        for h, w in ((48, 64), (33, 47), (17, 15), (8, 8)):
+            img = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+            blob_b = jpeg_encode(img, quality=85, subsampling="4:2:0")
+            blob_p = jpeg_encode(
+                img, quality=85, subsampling="4:2:0", progressive=True
+            )
+            db, dp = jpeg_decode(blob_b), jpeg_decode(blob_p)
+            assert db.shape == img.shape
+            assert np.array_equal(db, dp), (h, w)
+        # smooth gradient: 4:2:0 loses only chroma detail
+        x, y = np.meshgrid(np.arange(64), np.arange(48))
+        img = np.stack([(x * 3) % 256, (y * 3) % 256, np.full_like(x, 128)], 2).astype(
+            np.uint8
+        )
+        d = jpeg_decode(jpeg_encode(img, quality=95, subsampling="4:2:0"))
+        assert np.abs(d.astype(int) - img.astype(int)).mean() < 3
+
+    def test_baseline_restart_markers(self):
+        rng = np.random.default_rng(29)
+        img = rng.integers(0, 256, (40, 56, 3), dtype=np.uint8)
+        plain = jpeg_decode(jpeg_encode(img, quality=80))
+        blob = jpeg_encode(img, quality=80, restart_interval=3)
+        assert b"\xff\xdd" in blob
+        assert np.array_equal(jpeg_decode(blob), plain)
+
     def test_arithmetic_coded_rejected(self):
         # flip SOF0 (FFC0) to SOF9 (FFC9, arithmetic sequential)
         blob = bytearray(jpeg_encode(_smooth_gray(16, 16)))
