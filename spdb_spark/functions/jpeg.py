@@ -261,8 +261,8 @@ def jpeg_encode(
     subsampling: str = "4:4:4",
 ) -> bytes:
     """JFIF encode: (h, w) uint8 grayscale or (h, w, 3) uint8 RGB.
-    `subsampling` is "4:4:4" or "4:2:0" (color only — 2x2-mean chroma
-    downsampling, 16x16 MCUs). `progressive=True` emits an SOF2 stream
+    `subsampling` is "4:4:4", "4:2:2" (2x1-mean chroma, 16x8 MCUs) or
+    "4:2:0" (2x2-mean chroma, 16x16 MCUs) — color only. `progressive=True` emits an SOF2 stream
     (DC first + refinement, banded AC first + refinement) built from the
     SAME quantized coefficients as the baseline mode — so both decode to
     identical pixels, which is what the SOF2 tests pin.
@@ -274,8 +274,8 @@ def jpeg_encode(
     gray = img.ndim == 2
     if not gray and (img.ndim != 3 or img.shape[2] != 3):
         raise ValueError("jpeg_encode: (h,w) or (h,w,3)")
-    if subsampling not in ("4:4:4", "4:2:0"):
-        raise ValueError("jpeg_encode: subsampling must be 4:4:4 or 4:2:0")
+    if subsampling not in ("4:4:4", "4:2:2", "4:2:0"):
+        raise ValueError("jpeg_encode: subsampling must be 4:4:4, 4:2:2, or 4:2:0")
     h, w = img.shape[:2]
     ql, qc = _quality_tables(quality)
 
@@ -295,6 +295,12 @@ def jpeg_encode(
                 (y, 2, 2, 0),
                 (_down2(cb), 1, 1, 1),
                 (_down2(cr), 1, 1, 1),
+            ]
+        elif subsampling == "4:2:2":
+            comps = [
+                (y, 1, 2, 0),
+                (_down_h(cb), 1, 1, 1),
+                (_down_h(cr), 1, 1, 1),
             ]
         else:
             comps = [(y, 1, 1, 0), (cb, 1, 1, 1), (cr, 1, 1, 1)]
@@ -329,6 +335,14 @@ def jpeg_encode(
         body = _sos_header(meta, list(range(len(meta))), 0, 63, 0, 0)
         body += _emit_baseline_scan(meta, mcux, mcuy, restart_interval)
     return head + body + b"\xff\xd9"
+
+
+def _down_h(p: np.ndarray) -> np.ndarray:
+    """2x1-mean horizontal chroma downsample (4:2:2)."""
+    h, w = p.shape
+    if w % 2:
+        p = _pad_plane(p, h, w + 1)
+    return (p[:, 0::2] + p[:, 1::2]) / 2.0
 
 
 def _down2(p: np.ndarray) -> np.ndarray:

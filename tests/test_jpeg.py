@@ -124,6 +124,16 @@ class TestCodec:
         d = jpeg_decode(jpeg_encode(img, quality=95, subsampling="4:2:0"))
         assert np.abs(d.astype(int) - img.astype(int)).mean() < 3
 
+    def test_422_subsampling_baseline_and_progressive(self):
+        rng = np.random.default_rng(27)
+        for h, w in ((48, 64), (33, 47), (9, 9)):
+            img = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+            db = jpeg_decode(jpeg_encode(img, quality=85, subsampling="4:2:2"))
+            dp = jpeg_decode(
+                jpeg_encode(img, quality=85, subsampling="4:2:2", progressive=True)
+            )
+            assert db.shape == img.shape and np.array_equal(db, dp), (h, w)
+
     def test_baseline_restart_markers(self):
         rng = np.random.default_rng(29)
         img = rng.integers(0, 256, (40, 56, 3), dtype=np.uint8)
