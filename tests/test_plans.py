@@ -389,3 +389,36 @@ def test_ann_filtered_query_prunes_and_pushes_down(spark, tmp_path):
     assert "PartitionFilters: [centroid_id" in plan or "centroid_id#" in plan
     assert "EqualTo(label,6)" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_capped_jaccard_plan_shape(spark):
+    """The stop-shingle cap (r6, run by every gated pair query): the df
+    filter is a partial-aggregated groupBy feeding a LEFT-SEMI join —
+    map-side combine, streaming probe, AQE-splittable (the measured
+    window alternative buffers the hot shingle's rows in one task and is
+    rejected in the jaccard_pairs docstring). No cartesian products, and
+    the doc<->shingle column order survives the USING join (the r6 bug)."""
+    from spdb_spark.functions.dedup import jaccard_pairs, shingles
+    from spdb_spark.session import load_tables
+
+    docs = load_tables(spark, "/root/testdata/sf0.001", names=("documents",))[
+        "documents"
+    ]
+    sh = shingles(docs, "doc_id", "text", k=3)
+    df = jaccard_pairs(sh, "doc_id", threshold=0.5, max_doc_freq=100)
+    plan = plan_of(df)
+    assert "LeftSemi" in plan
+    assert "partial_count" in plan  # df computed with map-side partials
+    assert "CartesianProduct" not in plan
+    assert [f.name for f in df.schema.fields] == ["id_a", "id_b", "jaccard"]
+
+
+def test_multimodal_decode_gate_plan(spark):
+    """llm_multimodal_decode: two Arrow kernels (payload build + frame
+    features), no shuffle anywhere — decode parallelism is pure scan
+    parallelism."""
+    from spdb_spark.suite_llm import q_multimodal_decode
+
+    plan = plan_of(q_multimodal_decode(spark, "/root/testdata/sf0.001"))
+    assert plan.count("MapInPandas") == 2
+    assert "Exchange" not in plan
