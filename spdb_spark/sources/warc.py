@@ -196,8 +196,12 @@ def html_to_text(col: F.Column) -> F.Column:
 def warc_responses_to_docs(warc: DataFrame) -> DataFrame:
     """The curation entry point: WARC response records -> the documents
     schema (doc_id, text, lang, source, n_chars) every curation operator
-    consumes. Ids are content-addressed like sources/corpus.py (pure
-    function of uri+content, partitioning-invariant)."""
+    consumes. Ids are content-addressed (pure function of uri+content,
+    partitioning-invariant); EXACT re-fetches — the same payload captured
+    again at the same URI, what WARC revisit records model — collapse to
+    one document here, while same-content-different-URI and near-dup
+    copies survive for the dedup operators to judge by policy (matching
+    sources/corpus.py)."""
     from spdb_spark.functions.hashing import md5_long
     from spdb_spark.functions.text import lang_id
 
@@ -212,6 +216,7 @@ def warc_responses_to_docs(warc: DataFrame) -> DataFrame:
             text.alias("text"),
             F.col("target_uri").alias("source"),
         )
+        .dropDuplicates(["doc_id"])
         .where(F.length("text") > 0)
         .select(
             "doc_id",

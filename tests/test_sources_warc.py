@@ -171,3 +171,47 @@ class TestIngest:
             .toString()
         )
         assert "Exchange" not in plan  # one task per file, no shuffle
+
+    def test_warc_feeds_curation_operators_end_to_end(self, spark, tmp_path):
+        """The point of the source: crawl -> documents -> the existing
+        curation stack with no adaptation. Exact dup of the same page
+        fetched twice collapses; quality filtering and minhash run over
+        the extracted text unchanged."""
+        from spdb_spark.functions.dedup import exact_dup_groups, minhash_lsh_dedup
+
+        page = _http(
+            "<html><body>"
+            + " ".join(f"word{i} common filler text body" for i in range(12))
+            + "</body></html>"
+        )
+        recs = [
+            {
+                "warc_type": "response",
+                "record_id": f"<urn:uuid:r{i}>",
+                "target_uri": f"http://example.org/dup{i % 2}",  # 2 distinct URIs
+                "content_type": "application/http; msgtype=response",
+                "payload": page,  # IDENTICAL content fetched at both
+            }
+            for i in range(4)
+        ] + [
+            {
+                "warc_type": "response",
+                "record_id": "<urn:uuid:u>",
+                "target_uri": "http://example.org/unique",
+                "content_type": "application/http; msgtype=response",
+                "payload": _http("<p>totally different short page</p>"),
+            }
+        ]
+        p = tmp_path / "crawlc"
+        p.mkdir()
+        (p / "f.warc.gz").write_bytes(warc_encode(recs, compress=True))
+        docs = warc_responses_to_docs(ingest_warc(spark, str(p)))
+        # same (uri, payload) -> same id: the 4 fetches collapse to 2 docs
+        assert docs.count() == 3
+        groups = exact_dup_groups(docs, "doc_id", "text").collect()
+        by_n = sorted(g.n_docs for g in groups)
+        assert by_n == [1, 2]  # the two dup-URI docs share one content hash
+        pairs = minhash_lsh_dedup(
+            docs, "doc_id", "text", threshold=0.5, n_docs=3
+        ).collect()
+        assert len(pairs) == 1 and pairs[0].jaccard == 1.0
