@@ -296,6 +296,47 @@ def test_jpeg_roundtrip_bounded_error_random(channels, seed):
     assert np.abs(out.astype(int) - img.astype(int)).max() <= 16
 
 
+@settings(max_examples=20, deadline=None)
+@given(
+    st.integers(0, 2**31),
+    st.sampled_from(["4:4:4", "4:2:2", "4:2:0"]),
+    st.sampled_from([10, 50, 85, 95]),
+    st.sampled_from([0, 2, 5]),
+)
+def test_progressive_equals_baseline_random(seed, sub, quality, ri):
+    """THE SOF2 invariant, fuzzed: for any image/subsampling/quality/
+    restart-interval configuration, the progressive stream decodes to
+    EXACTLY the pixels of the baseline stream (both encode the same
+    quantized coefficients)."""
+    from spdb_spark.functions.jpeg import jpeg_decode, jpeg_encode
+
+    rng = np.random.default_rng(seed)
+    h, w = int(rng.integers(1, 50)), int(rng.integers(1, 50))
+    color = sub != "4:4:4" or bool(rng.integers(0, 2))
+    shape = (h, w, 3) if color else (h, w)
+    kind = int(rng.integers(0, 3))
+    if kind == 0:
+        img = rng.integers(0, 256, shape, dtype=np.uint8)
+    elif kind == 1:
+        img = np.full(shape, int(rng.integers(0, 256)), np.uint8)
+    else:
+        img = (rng.integers(0, 256, shape) // 16 * 16).astype(np.uint8)
+    sub_eff = sub if color else "4:4:4"
+    base = jpeg_decode(
+        jpeg_encode(img, quality=quality, subsampling=sub_eff, restart_interval=ri)
+    )
+    prog = jpeg_decode(
+        jpeg_encode(
+            img,
+            quality=quality,
+            subsampling=sub_eff,
+            restart_interval=ri,
+            progressive=True,
+        )
+    )
+    assert np.array_equal(base, prog)
+
+
 @settings(max_examples=15, deadline=None)
 @given(st.integers(0, 2**31))
 def test_simhash_pairs_recall_equals_bruteforce_random(seed):
