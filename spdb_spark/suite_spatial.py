@@ -247,6 +247,28 @@ def q_spatial_exception_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     return V.exception_merge_union(old, new)
 
 
+def q_spatial_to_black(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """cutout-to-black erase (reference cube.py:264-291, write path
+    spatialdb.py:793-801): zero old voxels wherever the mask holds 1 —
+    the merge mode that previously had only a byte-identity test. The
+    mask here is PARTIAL (new value parity), so the result differs from
+    shave's erase-everywhere-nonzero and pins the ==1 mask contract."""
+    old, new = _old_new(spark, sf_dir)
+    mask = new.withColumn(
+        "value", (F.col("value") % 2).cast(new.schema["value"].dataType)
+    )
+    return V.overwrite_to_black(old, mask)
+
+
+SQL_SPATIAL_TO_BLACK = f"""
+SELECT o.t, o.x, o.y, o.z, o.value FROM {_SQL_OLD} AS o
+WHERE NOT EXISTS (
+  SELECT 1 FROM {_SQL_NEW} AS n
+  WHERE n.value % 2 = 1 AND n.t = o.t AND n.x = o.x AND n.y = o.y AND n.z = o.z
+)
+"""
+
+
 def q_spatial_shave(spark: SparkSession, sf_dir: str) -> DataFrame:
     old, new = _old_new(spark, sf_dir)
     return V.shave_merge(old, new)
@@ -925,4 +947,6 @@ QUERIES = {
         q_spatial_connected_components,
         SQL_SPATIAL_CONNECTED_COMPONENTS,
     ),
+    # --- round-6 addition (append-only: rotation window headroom) ----------
+    "spatial_to_black": (q_spatial_to_black, SQL_SPATIAL_TO_BLACK),
 }
