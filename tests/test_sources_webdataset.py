@@ -1,0 +1,119 @@
+"""WebDataset source (sources/webdataset.py): shard round-trips (plain +
+gzip), multi-dot keys, truncated-tail survival, sample assembly, the
+documents entry point, and the multimodal composition — a .tar shard of
+JPEG+txt pairs flowing into the REAL image decode kernel."""
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from spdb_spark.sources.webdataset import (
+    ingest_webdataset,
+    parse_wds_bytes,
+    wds_encode,
+    webdataset_samples,
+    webdataset_to_docs,
+)
+
+
+def _samples():
+    return {
+        "000000": {"txt": b"a caption about a cat", "json": b'{"id": 0}'},
+        "000001": {"txt": b"a caption about a dog", "json": b'{"id": 1}'},
+        "sub/000002": {"txt": b"nested sample text", "seg.png": b"\x89PNGfake"},
+    }
+
+
+class TestParser:
+    def test_roundtrip_plain_and_gzip(self):
+        want = _samples()
+        for compress in (False, True):
+            got = parse_wds_bytes(wds_encode(want, compress=compress))
+            as_dict = {}
+            for key, ext, payload in got:
+                as_dict.setdefault(key, {})[ext] = payload
+            assert as_dict == want
+
+    def test_multidot_ext_splits_at_first_dot(self):
+        got = parse_wds_bytes(wds_encode(_samples()))
+        exts = {ext for _k, ext, _p in got}
+        assert "seg.png" in exts  # ext keeps everything after the FIRST dot
+        keys = {k for k, _e, _p in got}
+        assert "sub/000002" in keys  # directory prefix stays in the key
+
+    def test_truncated_tail_keeps_walked_members(self):
+        blob = wds_encode(_samples())
+        got = parse_wds_bytes(blob[: len(blob) // 2])
+        assert 0 < len(got) < 6  # prefix members survive, no exception
+
+
+class TestIngest:
+    def test_members_and_samples(self, spark, tmp_path):
+        p = tmp_path / "shards"
+        p.mkdir()
+        (p / "shard-0000.tar").write_bytes(wds_encode(_samples()))
+        (p / "shard-0001.tar.gz").write_bytes(
+            wds_encode({"x": {"txt": b"second shard"}}, compress=True)
+        )
+        members = ingest_webdataset(spark, str(p))
+        assert members.count() == 7
+        samples = webdataset_samples(members)
+        rows = {r.key: r for r in samples.collect()}
+        assert len(rows) == 4
+        assert rows["000000"].exts == ["json", "txt"]
+        assert bytes(rows["000000"].payloads["txt"]) == b"a caption about a cat"
+        assert rows["000000"].n_files == 2
+        # exactly ONE exchange in the assembly plan (final AQE section —
+        # the printed string repeats the pre-adaptive plan below it)
+        plan = samples._jdf.queryExecution().executedPlan().toString()
+        final = plan.split("== Initial Plan ==")[0]
+        assert final.count("Exchange") == 1
+
+    def test_to_docs_contract_and_id_invariance(self, spark, tmp_path):
+        p = tmp_path / "shards2"
+        p.mkdir()
+        (p / "s.tar").write_bytes(wds_encode(_samples()))
+        docs = webdataset_to_docs(ingest_webdataset(spark, str(p)))
+        rows = docs.collect()
+        assert {r.text for r in rows} == {
+            "a caption about a cat",
+            "a caption about a dog",
+            "nested sample text",
+        }
+        assert set(docs.columns) == {"doc_id", "text", "lang", "source", "n_chars"}
+        again = {
+            r.source: r.doc_id
+            for r in webdataset_to_docs(
+                ingest_webdataset(spark, str(p)).repartition(5)
+            ).collect()
+        }
+        assert again == {r.source: r.doc_id for r in rows}
+
+    def test_multimodal_shard_feeds_real_decode(self, spark, tmp_path):
+        """The actual WebDataset use case: image+caption shards. JPEG
+        payloads from the shard flow through extract_frame_features and
+        decode for REAL (status='ok'), keyed back to their captions."""
+        from spdb_spark.functions.jpeg import jpeg_encode
+        from spdb_spark.functions.multimodal import extract_frame_features
+
+        rng = np.random.default_rng(7)
+        shard = {}
+        for i in range(3):
+            img = rng.integers(0, 256, (24, 24), dtype=np.uint8)
+            shard[f"{i:06d}"] = {
+                "jpg": jpeg_encode(img, quality=90, progressive=bool(i % 2)),
+                "txt": f"caption {i}".encode(),
+            }
+        p = tmp_path / "shards3"
+        p.mkdir()
+        (p / "img.tar").write_bytes(wds_encode(shard))
+        members = ingest_webdataset(spark, str(p))
+        media = (
+            members.where(F.col("ext") == "jpg")
+            .select(
+                F.abs(F.xxhash64("key")).alias("media_id"),
+                F.col("payload"),
+            )
+        )
+        rows = extract_frame_features(media, n_frames=2, dim=4).collect()
+        assert len(rows) == 6
+        assert all(r.status == "ok" for r in rows)  # SOF0 and SOF2 both real
