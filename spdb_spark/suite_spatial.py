@@ -384,7 +384,11 @@ def q_spatial_downsample_anno(spark: SparkSession, sf_dir: str) -> DataFrame:
     return V.downsample_annotation(v, isotropic=False)
 
 
-def _pivot_sql(zdiv: bool, value_expr: str = VALUE_ANNO) -> str:
+def _pivot_sql(
+    zdiv: bool, value_expr: str = VALUE_ANNO, from_sql: str | None = None
+) -> str:
+    """`from_sql` overrides the source relation (default: the fixture
+    voxels) — pyramid levels pivot the PREVIOUS level's output."""
     zgrp = "(z // 2)" if zdiv else "z"
     zsel = "z % 2" if zdiv else ""
     corners = ",\n    ".join(
@@ -395,15 +399,38 @@ def _pivot_sql(zdiv: bool, value_expr: str = VALUE_ANNO) -> str:
         for ys in (0, 1)
         for xs in (0, 1)
     )
+    src = from_sql or voxels_sql(value_expr=value_expr, dedup=True)
     return f"""
   SELECT t, (x // 2) AS x, (y // 2) AS y, {zgrp} AS z,
     {corners}
-  FROM {voxels_sql(value_expr=value_expr, dedup=True)} AS v
+  FROM {src} AS v
   GROUP BY t, (x // 2), (y // 2), {zgrp}"""
 
 
 SQL_SPATIAL_DOWNSAMPLE_ANNO = f"""
 SELECT t, x, y, z, value FROM ({_ann_value_sql(_pivot_sql(zdiv=False))})
+WHERE value <> 0
+"""
+
+
+def q_spatial_pyramid_l2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resolution-pyramid LEVEL 2: the exact getAnnValue reduction applied
+    to its own level-1 output — the stacked-downsample math
+    `store.build_pyramid` materializes per level (reference addData.c's
+    addDataToStack pipeline). Pins that the reduction COMPOSES: corner
+    tie-breaking, the v10-on-zero quirk, and zero-drop all behave on a
+    reduced input exactly as the twice-applied oracle predicts."""
+    v = voxels_df(spark, sf_dir, value_expr=VALUE_ANNO, dedup=False)
+    return V.downsample_annotation(
+        V.downsample_annotation(v, isotropic=False), isotropic=False
+    )
+
+
+_L1_SQL = f"(SELECT t, x, y, z, value FROM ({_ann_value_sql(_pivot_sql(zdiv=False))}) WHERE value <> 0)"
+
+SQL_SPATIAL_PYRAMID_L2 = f"""
+SELECT t, x, y, z, value
+FROM ({_ann_value_sql(_pivot_sql(zdiv=False, from_sql=_L1_SQL))})
 WHERE value <> 0
 """
 
@@ -947,6 +974,7 @@ QUERIES = {
         q_spatial_connected_components,
         SQL_SPATIAL_CONNECTED_COMPONENTS,
     ),
-    # --- round-6 addition (append-only: rotation window headroom) ----------
+    # --- round-6 additions (append-only: rotation window headroom) ---------
     "spatial_to_black": (q_spatial_to_black, SQL_SPATIAL_TO_BLACK),
+    "spatial_pyramid_l2": (q_spatial_pyramid_l2, SQL_SPATIAL_PYRAMID_L2),
 }
