@@ -368,7 +368,11 @@ def _quantize_plane(pp: np.ndarray, q: np.ndarray) -> np.ndarray:
     """(bh, bw, 64) zigzag-order quantized coefficients, vectorized."""
     bh, bw = pp.shape[0] // 8, pp.shape[1] // 8
     blocks = pp.reshape(bh, 8, bw, 8).transpose(0, 2, 1, 3)
-    dct = np.einsum("ij,abjk,kl->abil", _D, blocks, _D.T)
+    # broadcasted matmul, NOT einsum: matmul runs one gemm per 8x8
+    # slice with the same summation order as the per-block form, so
+    # encode and the per-block decode stay bitwise consistent (einsum's
+    # different accumulation order can flip .5 rounding ties)
+    dct = _D @ blocks @ _D.T
     coef = np.round(dct.reshape(bh, bw, 64) / q[None, None, :].astype(np.float64))
     return coef.astype(np.int32)[..., ZIGZAG]
 
@@ -745,6 +749,10 @@ def jpeg_decode(payload: bytes) -> np.ndarray:
             ss, se = seg[1 + 2 * ns], seg[2 + 2 * ns]
             ahal = seg[3 + 2 * ns]
             ah, al = ahal >> 4, ahal & 0x0F
+            # corrupt scan headers must raise ValueError (the multimodal
+            # callers' stub-fallback contract), never index past a block
+            if not (ss <= se <= 63 and ah <= 13 and al <= 13):
+                raise ValueError("jpeg: invalid progressive scan header")
             start = pos + 2 + seg_len
             end = _entropy_end(payload, start)
             _progressive_scan(
@@ -1008,7 +1016,10 @@ def _assemble_progressive(frame, qtables, coefs) -> np.ndarray:
         nat[..., ZIGZAG] = cz  # zigzag -> natural order
         nat *= qtables[c["q"]].astype(np.float64)
         blocks = nat.reshape(bh, bw, 8, 8)
-        px = np.einsum("ij,abjk,kl->abil", _D.T, blocks, _D)
+        # broadcasted matmul for bitwise parity with _decode_scan's
+        # per-block IDCT (einsum's accumulation order differs ~1e-11,
+        # which crosses .5 rounding ties on some inputs)
+        px = _D.T @ blocks @ _D
         plane = px.transpose(0, 2, 1, 3).reshape(bh * 8, bw * 8)
         ry, rx = vmax // c["v"], hmax // c["h"]
         if ry > 1 or rx > 1:

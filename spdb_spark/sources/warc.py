@@ -117,9 +117,15 @@ def parse_warc_bytes(data: bytes) -> list[dict]:
         try:
             length = int(headers.get("content-length", ""))
         except ValueError:
-            pos = head_end + 4  # malformed: resync at next boundary
-            continue
+            length = -1
         body_start = head_end + 4
+        if length < 0 or body_start + length > n:
+            # malformed (non-numeric/negative) or overruns the file
+            # (bogus or truncated): never move pos backwards — a negative
+            # length would re-find the same header forever — and never
+            # trust the record; resync at the next boundary instead
+            pos = body_start
+            continue
         payload = data[body_start : body_start + length]
         records.append(
             {
@@ -181,13 +187,15 @@ def html_to_text(col: F.Column) -> F.Column:
     a real extractor, the contract (string -> string) is unchanged."""
     s = F.regexp_replace(col, r"(?is)<(script|style)[^>]*>.*?</\1>", " ")
     s = F.regexp_replace(s, r"(?s)<[^>]+>", " ")
+    # '&amp;' must unescape LAST: doing it first double-unescapes nested
+    # entities ('&amp;lt;' in source means literal '&lt;' text, not '<')
     for ent, rep in (
-        ("&amp;", "&"),
         ("&lt;", "<"),
         ("&gt;", ">"),
         ("&quot;", '"'),
         ("&#39;", "'"),
         ("&nbsp;", " "),
+        ("&amp;", "&"),
     ):
         s = F.replace(s, F.lit(ent), F.lit(rep))
     return F.trim(F.regexp_replace(s, r"\s+", " "))

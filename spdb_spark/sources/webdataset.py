@@ -72,7 +72,11 @@ def parse_wds_bytes(data: bytes) -> list[tuple[str, str, bytes]]:
             data = gzip.decompress(data)
         except (OSError, EOFError):
             return []
-    out = []
+    # dict keyed by (key, ext): tar legally allows duplicate member names
+    # (tar --append, restarted writes) and extraction semantics is LAST
+    # member wins — deduping here also keeps webdataset_samples'
+    # map_from_entries from aborting on a duplicated map key
+    out: dict[tuple[str, str], bytes] = {}
     try:
         with tarfile.open(fileobj=io.BytesIO(data), mode="r") as tf:
             for info in tf:
@@ -86,10 +90,10 @@ def parse_wds_bytes(data: bytes) -> list[tuple[str, str, bytes]]:
                 fh = tf.extractfile(info)
                 if fh is None:
                     continue
-                out.append((dirpart + stem, ext, fh.read()))
+                out[(dirpart + stem, ext)] = fh.read()
     except tarfile.TarError:
         pass  # truncated shard tail: keep the members already walked
-    return out
+    return [(key, ext, payload) for (key, ext), payload in out.items()]
 
 
 def ingest_webdataset(spark: SparkSession, path: str) -> DataFrame:

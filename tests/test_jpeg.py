@@ -250,3 +250,46 @@ def test_avi_mjpeg_video_decodes_for_real(spark):
     )
     want0 = _image_frame_features(jpeg_decode(frames[0]), 1, 4)[0]
     np.testing.assert_array_equal(got0, want0)
+
+
+def test_corrupt_progressive_scan_header_raises_valueerror():
+    """Review r6: a corrupt SOS Se byte must raise ValueError (the
+    multimodal stub-fallback contract), never IndexError."""
+    blob = bytearray(
+        jpeg_encode(_smooth_gray(16, 16), progressive=True)
+    )
+    # find the first AC SOS (ns=1) and corrupt its Se byte to 200
+    i = 0
+    found = False
+    while True:
+        i = bytes(blob).find(b"\xff\xda", i + 1)
+        if i < 0:
+            break
+        ns = blob[i + 4]
+        if ns == 1:
+            se_idx = i + 4 + 1 + 2 * ns + 1
+            blob[se_idx] = 200
+            found = True
+            break
+    assert found
+    with pytest.raises(ValueError, match="scan header"):
+        jpeg_decode(bytes(blob))
+    # and the pipeline labels it stub instead of dying
+    from spdb_spark.functions.multimodal import decode_features_status
+
+    _feats, status = decode_features_status(bytes(blob), 2, 4)
+    assert status == "stub"
+
+
+def test_idct_summation_order_parity_regression():
+    """Review r6: einsum's accumulation order differed ~1e-11 from the
+    per-block matmul and flipped .5 rounding ties (65x75, coarse values,
+    q5) — both decode paths now share the gemm-per-slice order."""
+    rng = np.random.default_rng(42)
+    img = (rng.integers(0, 256, (65, 75, 3)) // 32 * 32).astype(np.uint8)
+    for sub in ("4:4:4", "4:2:0", "4:2:2"):
+        b = jpeg_decode(jpeg_encode(img, quality=5, subsampling=sub))
+        p = jpeg_decode(
+            jpeg_encode(img, quality=5, subsampling=sub, progressive=True)
+        )
+        assert np.array_equal(b, p), sub

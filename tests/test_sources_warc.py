@@ -215,3 +215,27 @@ class TestIngest:
             docs, "doc_id", "text", threshold=0.5, n_docs=3
         ).collect()
         assert len(pairs) == 1 and pairs[0].jaccard == 1.0
+
+
+def test_negative_and_oversized_content_length_resync():
+    """Review r6: a negative Content-Length must never move the cursor
+    backwards (infinite loop), and an overrunning one must resync to the
+    next record instead of silently swallowing the rest of the file."""
+    recs = _records()
+    good_head = warc_encode(recs[:1], compress=False)
+    neg = b"WARC/1.0\r\nWARC-Record-ID: <urn:uuid:neg>\r\nContent-Length: -200\r\n\r\nx"
+    big = b"WARC/1.0\r\nWARC-Record-ID: <urn:uuid:big>\r\nContent-Length: 999999\r\n\r\nshort"
+    good_tail = warc_encode(recs[1:2], compress=False)
+    got = parse_warc_bytes(good_head + neg + good_tail + big + good_tail)
+    ids = [r["record_id"] for r in got]
+    assert "<urn:uuid:info>" in ids
+    assert ids.count("<urn:uuid:r1>") == 2  # both real records after junk
+    assert "<urn:uuid:neg>" not in ids and "<urn:uuid:big>" not in ids
+
+
+def test_nested_entities_not_double_unescaped(spark):
+    df = spark.createDataFrame(
+        [(1, "<p>a &amp;lt; b and x &amp; y</p>")], "id long, s string"
+    )
+    (r,) = df.select(html_to_text(F.col("s")).alias("t")).collect()
+    assert r.t == "a &lt; b and x & y"

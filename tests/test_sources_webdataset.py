@@ -117,3 +117,43 @@ class TestIngest:
         rows = extract_frame_features(media, n_frames=2, dim=4).collect()
         assert len(rows) == 6
         assert all(r.status == "ok" for r in rows)  # SOF0 and SOF2 both real
+
+
+def test_duplicate_members_last_wins():
+    """Review r6: tar legally repeats member names (tar --append); the
+    LAST member must win (tar extraction semantics) and the sample map
+    assembly must not abort on a duplicated map key."""
+    import io
+    import tarfile
+
+    buf = io.BytesIO()
+    with tarfile.open(fileobj=buf, mode="w") as tf:
+        for payload in (b"old caption", b"new caption"):
+            info = tarfile.TarInfo(name="000.txt")
+            info.size = len(payload)
+            tf.addfile(info, io.BytesIO(payload))
+    got = parse_wds_bytes(buf.getvalue())
+    assert got == [("000", "txt", b"new caption")]
+
+
+def test_duplicate_members_through_samples(spark, tmp_path):
+    import io
+    import tarfile
+
+    buf = io.BytesIO()
+    with tarfile.open(fileobj=buf, mode="w") as tf:
+        for name, payload in (
+            ("000.txt", b"v1"),
+            ("000.jpg", b"img"),
+            ("000.txt", b"v2"),
+        ):
+            info = tarfile.TarInfo(name=name)
+            info.size = len(payload)
+            tf.addfile(info, io.BytesIO(payload))
+    p = tmp_path / "dups"
+    p.mkdir()
+    (p / "s.tar").write_bytes(buf.getvalue())
+    rows = webdataset_samples(ingest_webdataset(spark, str(p))).collect()
+    assert len(rows) == 1
+    assert bytes(rows[0].payloads["txt"]) == b"v2"
+    assert rows[0].n_files == 2
