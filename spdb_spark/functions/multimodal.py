@@ -2,10 +2,12 @@
 with typed metadata, processed by Arrow-batched kernels.
 
 Image decode is REAL for PNG (operators/render.py png_decode — gray8/16 +
-RGBA) and for JPEG — baseline AND progressive/SOF2 (functions/jpeg.py —
+RGBA), for JPEG — baseline AND progressive/SOF2 (functions/jpeg.py —
 Huffman + exact matrix IDCT, grayscale/YCbCr with subsampling, restart
-markers, spectral selection + successive approximation); both produce
-pixel-exact features / real resizes. Audio decode is REAL: RIFF/WAVE PCM
+markers, spectral selection + successive approximation), and for GIF
+(functions/gif.py — LZW, interlace, transparency, animated multi-frame
+composition with all four disposal methods); all produce pixel-exact
+features / real resizes. Audio decode is REAL: RIFF/WAVE PCM
 payloads decode through functions/audio.py (pure numpy + struct) into
 sample-exact RMS/zero-crossing/spectral-band frame features. Video with
 PNG-compressed frames (AVI/MPNG) is REAL via functions/video.py. Only
@@ -162,7 +164,9 @@ def decode_features_status(
     band features; RIFF/WAVE -> real PCM decode + sample-exact audio
     features (functions/audio.py); RIFF/AVI with PNG-compressed frames
     (MPNG) -> real container walk + frame sampling + per-frame PNG decode
-    (functions/video.py). Only payloads in codecs pure Python can't parse
+    (functions/video.py); GIF -> real decode with animated frames sampled
+    on the video schedule (functions/gif.py). Only payloads in codecs
+    pure Python can't parse
     (H.264, mp3, arithmetic JPEG, synthetic fixtures) fall to the stub — those rows
     are labeled status="stub" so consumers can filter synthetic features
     from real signal."""
@@ -189,6 +193,12 @@ def decode_features_status(
             )
         except ValueError:  # arithmetic-coded/12-bit: honest stub
             return _fake_decode(payload, n_frames, dim), "stub"
+    if payload[:6] in (b"GIF87a", b"GIF89a"):
+        from spdb_spark.functions.gif import gif_frame_features
+
+        # Animated GIFs frame-sample like video; stills featurize like
+        # their PNG twins (bit-for-bit for gray payloads).
+        return gif_frame_features(payload, n_frames, dim), "ok"
     return _fake_decode(payload, n_frames, dim), "stub"
 
 
@@ -247,6 +257,19 @@ def resize_images(media: DataFrame, width: int = 224, height: int = 224) -> Data
                             )
                             blob, status = jpeg_encode(resized), "ok"
                         except ValueError:  # arithmetic-coded/12-bit
+                            blob = _fake_resize(payload, width, height)
+                            status = "stub"
+                    elif payload[:6] in (b"GIF87a", b"GIF89a"):
+                        from spdb_spark.functions.gif import gif_decode, gif_encode
+
+                        try:
+                            resized = resize_image_array(
+                                gif_decode(payload), width, height
+                            )
+                            # Nearest-neighbor keeps alpha binary and
+                            # cannot mint colors, so re-encode is lossless.
+                            blob, status = gif_encode(resized), "ok"
+                        except ValueError:  # e.g. partial alpha upstream
                             blob = _fake_resize(payload, width, height)
                             status = "stub"
                     else:
