@@ -89,13 +89,14 @@ MEDIA_BUILD_SCHEMA = StructType(
 def synthetic_media_payloads(df: DataFrame, id_col: str) -> DataFrame:
     """Deterministic mixed-codec IMAGE payloads for the decode gate and
     bench: a 16x16 constant-gray image (v = id % 256) encoded as PNG
-    (id % 3 == 0), baseline JPEG (== 1), or progressive SOF2 JPEG (== 2)
-    at quality 95. All three decode PIXEL-EXACT — PNG is lossless and a
-    flat block is lossless through the DC-only JPEG path (Q_DC = 2
-    divides 8*(v-128); test-pinned) — so the downstream band features
-    have the closed form v/255 that an external SQL oracle can replay.
-    Arrow-batched (mapInPandas): at corpus scale payload construction is
-    the same per-partition kernel shape as real ingest."""
+    (id % 4 == 0), baseline JPEG (== 1), progressive SOF2 JPEG (== 2) at
+    quality 95, or GIF (== 3). All four decode PIXEL-EXACT — PNG/GIF are
+    lossless and a flat block is lossless through the DC-only JPEG path
+    (Q_DC = 2 divides 8*(v-128); test-pinned) — so the downstream band
+    features have the closed form v/255 that an external SQL oracle can
+    replay. Arrow-batched (mapInPandas): at corpus scale payload
+    construction is the same per-partition kernel shape as real ingest."""
+    from spdb_spark.functions.gif import gif_encode
     from spdb_spark.functions.jpeg import jpeg_encode
     from spdb_spark.operators.render import png_encode
 
@@ -105,13 +106,15 @@ def synthetic_media_payloads(df: DataFrame, id_col: str) -> DataFrame:
             for mid in pdf["media_id"]:
                 mid = int(mid)
                 img = np.full((16, 16), mid % 256, np.uint8)
-                sel = mid % 3
+                sel = mid % 4
                 if sel == 0:
                     blob = png_encode(img)
                 elif sel == 1:
                     blob = jpeg_encode(img, quality=95)
-                else:
+                elif sel == 2:
                     blob = jpeg_encode(img, quality=95, progressive=True)
+                else:
+                    blob = gif_encode(img)
                 out.append((mid, blob))
             yield pd.DataFrame(out, columns=["media_id", "payload"])
 
