@@ -1,7 +1,8 @@
 """Dependency-free WAV (RIFF PCM) codec + deterministic audio frame
-features, making the `kind='audio'` leg of the multimodal pipeline REAL
-(the image leg decodes PNG via operators/render.py; video remains the
-documented stub — no pure-Python video codec is practical).
+features, making the `kind='audio'` leg of the multimodal pipeline REAL.
+FLAC payloads decode through functions/flac.py into the same shared
+feature kernel (features_from_waveform), so lossless twins featurize
+bit-for-bit identically.
 
 Supports the PCM subset that covers training-data audio interchange:
 uint8 / int16 / int32 samples, any channel count, any sample rate.
@@ -99,7 +100,13 @@ def audio_frame_features(payload: bytes, n_frames: int, dim: int) -> np.ndarray:
     spectrum bands] — the classic cheap audio fingerprint, bit-stable
     across runs (plain numpy FFT, no randomness)."""
     samples, _rate = wav_decode(payload)
-    x = _to_float(samples)
+    return features_from_waveform(_to_float(samples), n_frames, dim)
+
+
+def features_from_waveform(x: np.ndarray, n_frames: int, dim: int) -> np.ndarray:
+    """The shared feature kernel over a [-1, 1] float mono waveform —
+    WAV and FLAC payloads route here so lossless twins featurize
+    bit-for-bit identically."""
     out = np.zeros((n_frames, dim), dtype=np.float32)
     if len(x) == 0:
         return out

@@ -8,7 +8,9 @@ markers, spectral selection + successive approximation), and for GIF
 (functions/gif.py — LZW, interlace, transparency, animated multi-frame
 composition with all four disposal methods); all produce pixel-exact
 features / real resizes. Audio decode is REAL: RIFF/WAVE PCM
-payloads decode through functions/audio.py (pure numpy + struct) into
+payloads decode through functions/audio.py (pure numpy + struct), and
+FLAC through functions/flac.py (fixed + LPC predictors, Rice residuals,
+all stereo decorrelation modes, CRC/MD5-verified), both into the same
 sample-exact RMS/zero-crossing/spectral-band frame features. Video with
 PNG-compressed frames (AVI/MPNG) is REAL via functions/video.py. Only
 payloads pure Python genuinely can't parse (H.264, mp3, arithmetic-coded
@@ -179,6 +181,10 @@ def decode_features_status(
         from spdb_spark.functions.audio import audio_frame_features
 
         return audio_frame_features(payload, n_frames, dim), "ok"
+    if payload[:4] == b"fLaC":
+        from spdb_spark.functions.flac import flac_frame_features
+
+        return flac_frame_features(payload, n_frames, dim), "ok"
     if payload[:4] == b"RIFF" and payload[8:12] == b"AVI ":
         from spdb_spark.functions.video import video_frame_features
 
