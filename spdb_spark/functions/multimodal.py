@@ -208,6 +208,13 @@ def decode_features_status(
         # Animated GIFs frame-sample like video; stills featurize like
         # their PNG twins (bit-for-bit for gray payloads).
         return gif_frame_features(payload, n_frames, dim), "ok"
+    if payload[:2] == b"BM":
+        from spdb_spark.functions.bmp import bmp_decode
+
+        try:
+            return _image_frame_features(bmp_decode(payload), n_frames, dim), "ok"
+        except ValueError:  # RLE/bitfields/1-4 bpp: honest stub
+            return _fake_decode(payload, n_frames, dim), "stub"
     return _fake_decode(payload, n_frames, dim), "stub"
 
 
@@ -279,6 +286,17 @@ def resize_images(media: DataFrame, width: int = 224, height: int = 224) -> Data
                             # cannot mint colors, so re-encode is lossless.
                             blob, status = gif_encode(resized), "ok"
                         except ValueError:  # e.g. partial alpha upstream
+                            blob = _fake_resize(payload, width, height)
+                            status = "stub"
+                    elif payload[:2] == b"BM":
+                        from spdb_spark.functions.bmp import bmp_decode, bmp_encode
+
+                        try:
+                            resized = resize_image_array(
+                                bmp_decode(payload), width, height
+                            )
+                            blob, status = bmp_encode(resized), "ok"
+                        except ValueError:  # RLE/bitfields/1-4 bpp
                             blob = _fake_resize(payload, width, height)
                             status = "stub"
                     else:
