@@ -24,6 +24,8 @@ import struct
 
 import numpy as np
 
+from spdb_spark.functions.limits import check_pixel_budget
+
 GIF_SIGS = (b"GIF87a", b"GIF89a")
 
 # Interlace pass schedule: (first row, row step) per GIF89a appendix E.
@@ -212,6 +214,7 @@ def gif_frames(payload: bytes) -> list[np.ndarray]:
     width, height, flags, bg_index, _aspect = struct.unpack_from(
         "<HHBBB", payload, 6
     )
+    check_pixel_budget(width, height, "GIF")
     pos = 13
     global_palette: np.ndarray | None = None
     if flags & 0x80:
@@ -252,6 +255,8 @@ def gif_frames(payload: bytes) -> list[np.ndarray]:
 
         left, top, fw, fh, iflags = struct.unpack_from("<HHHHB", payload, pos)
         pos += 9
+        if left + fw > width or top + fh > height:
+            raise ValueError("GIF: frame rectangle outside the logical screen")
         palette = global_palette
         if iflags & 0x80:
             n = 2 << (iflags & 0x07)

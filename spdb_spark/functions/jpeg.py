@@ -704,6 +704,9 @@ def jpeg_decode(payload: bytes) -> np.ndarray:
             prec, h, w, ncomp = seg[0], *struct.unpack(">HH", seg[1:5]), seg[5]
             if prec != 8:
                 raise ValueError("jpeg: only 8-bit precision")
+            from spdb_spark.functions.limits import check_pixel_budget
+
+            check_pixel_budget(w, h, "jpeg")
             comps = []
             for ci in range(ncomp):
                 cid, samp, qid = seg[6 + 3 * ci : 9 + 3 * ci]

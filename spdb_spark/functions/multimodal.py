@@ -31,6 +31,8 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+from spdb_spark.functions.limits import PixelBudgetError
 from pyspark.sql.types import (
     ArrayType,
     BinaryType,
@@ -190,6 +192,8 @@ def decode_features_status(
 
         try:
             return video_frame_features(payload, n_frames, dim), "ok"
+        except PixelBudgetError:
+            raise
         except ValueError:  # non-PNG frame codec: honest stub
             return _fake_decode(payload, n_frames, dim), "stub"
     if payload[:2] == b"\xff\xd8":
@@ -200,6 +204,8 @@ def decode_features_status(
                 _image_frame_features(jpeg_decode(payload), n_frames, dim),
                 "ok",
             )
+        except PixelBudgetError:
+            raise
         except ValueError:  # arithmetic-coded/12-bit: honest stub
             return _fake_decode(payload, n_frames, dim), "stub"
     if payload[:6] in (b"GIF87a", b"GIF89a"):
@@ -213,6 +219,8 @@ def decode_features_status(
 
         try:
             return _image_frame_features(bmp_decode(payload), n_frames, dim), "ok"
+        except PixelBudgetError:
+            raise
         except ValueError:  # RLE/bitfields/1-4 bpp: honest stub
             return _fake_decode(payload, n_frames, dim), "stub"
     return _fake_decode(payload, n_frames, dim), "stub"
@@ -272,6 +280,8 @@ def resize_images(media: DataFrame, width: int = 224, height: int = 224) -> Data
                                 jpeg_decode(payload), width, height
                             )
                             blob, status = jpeg_encode(resized), "ok"
+                        except PixelBudgetError:
+                            raise
                         except ValueError:  # arithmetic-coded/12-bit
                             blob = _fake_resize(payload, width, height)
                             status = "stub"
@@ -285,6 +295,8 @@ def resize_images(media: DataFrame, width: int = 224, height: int = 224) -> Data
                             # Nearest-neighbor keeps alpha binary and
                             # cannot mint colors, so re-encode is lossless.
                             blob, status = gif_encode(resized), "ok"
+                        except PixelBudgetError:
+                            raise
                         except ValueError:  # e.g. partial alpha upstream
                             blob = _fake_resize(payload, width, height)
                             status = "stub"
@@ -296,6 +308,8 @@ def resize_images(media: DataFrame, width: int = 224, height: int = 224) -> Data
                                 bmp_decode(payload), width, height
                             )
                             blob, status = bmp_encode(resized), "ok"
+                        except PixelBudgetError:
+                            raise
                         except ValueError:  # RLE/bitfields/1-4 bpp
                             blob = _fake_resize(payload, width, height)
                             status = "stub"

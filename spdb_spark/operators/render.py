@@ -216,30 +216,50 @@ def png_encode(arr: np.ndarray) -> bytes:
 
 
 def png_decode(data: bytes) -> np.ndarray:
-    """Inverse of png_encode (filter-0 streams it produces)."""
+    """Inverse of png_encode (filter-0 streams it produces). Malformed
+    streams raise ValueError (the Arrow kernels' error-row contract); the
+    inflate is capped at the header-declared size so a crafted IDAT
+    cannot decompression-bomb an executor."""
     import struct
     import zlib
 
-    assert data[:8] == _PNG_SIG, "not a PNG"
+    from spdb_spark.functions.limits import check_pixel_budget
+
+    if data[:8] != _PNG_SIG:
+        raise ValueError("not a PNG")
     pos, idat, ihdr = 8, b"", None
-    while pos < len(data):
+    while pos + 8 <= len(data):
         (length,) = struct.unpack(">I", data[pos : pos + 4])
         tag = data[pos + 4 : pos + 8]
         body = data[pos + 8 : pos + 8 + length]
         if tag == b"IHDR":
-            ihdr = struct.unpack(">IIBBBBB", body)
+            if len(body) < 13:
+                raise ValueError("png: truncated IHDR")
+            ihdr = struct.unpack(">IIBBBBB", body[:13])
         elif tag == b"IDAT":
             idat += body
         pos += 12 + length
+    if ihdr is None:
+        raise ValueError("png: missing IHDR")
     w, h, bit_depth, color_type, _, _, _ = ihdr
+    check_pixel_budget(w, h, "png")
+    if color_type not in (0, 6) or bit_depth not in (8, 16):
+        raise ValueError(f"png: unsupported color/depth {color_type}/{bit_depth}")
     channels = {0: 1, 6: 4}[color_type]
     sample_bytes = bit_depth // 8
     stride = w * channels * sample_bytes
-    raw = zlib.decompress(idat)
+    expected = h * (stride + 1)
+    try:
+        raw = zlib.decompressobj().decompress(idat, expected)
+    except zlib.error as e:
+        raise ValueError(f"png: bad IDAT stream ({e})") from None
+    if len(raw) < expected:
+        raise ValueError("png: pixel data truncated")
     rows = []
     for i in range(h):
         row = raw[i * (stride + 1) : (i + 1) * (stride + 1)]
-        assert row[0] == 0, "png_decode only handles filter type 0"
+        if row[0] != 0:
+            raise ValueError("png_decode only handles filter type 0")
         rows.append(row[1:])
     flat = np.frombuffer(b"".join(rows), dtype=">u2" if bit_depth == 16 else np.uint8)
     if color_type == 0:

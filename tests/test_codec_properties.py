@@ -1,0 +1,168 @@
+"""Property-based fuzzing (hypothesis) of the round-6 media codecs: GIF,
+FLAC, and BMP round-trips over randomized shapes/contents, plus the
+no-crash contract of the Arrow decode kernel on corrupted payloads —
+corrupt bytes must yield an error/stub row, never an exception."""
+
+import numpy as np
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from spdb_spark.functions.bmp import bmp_decode, bmp_encode
+from spdb_spark.functions.flac import flac_decode, flac_encode
+from spdb_spark.functions.gif import gif_decode, gif_encode, gif_frames
+
+dims = st.integers(min_value=1, max_value=40)
+
+
+@settings(max_examples=25, deadline=None)
+@given(dims, dims, st.booleans(), st.integers(0, 2**32 - 1))
+def test_gif_gray_roundtrip(h, w, interlace, seed):
+    img = np.random.default_rng(seed).integers(0, 256, (h, w), dtype=np.uint8)
+    assert (gif_decode(gif_encode(img, interlace=interlace)) == img).all()
+
+
+@settings(max_examples=25, deadline=None)
+@given(dims, dims, st.integers(2, 12), st.integers(0, 2**32 - 1))
+def test_gif_animation_roundtrip(h, w, n, seed):
+    rng = np.random.default_rng(seed)
+    frames = [rng.integers(0, 256, (h, w), dtype=np.uint8) for _ in range(n)]
+    decoded = gif_frames(gif_encode_frames_cached(frames))
+    assert len(decoded) == n
+    for orig, dec in zip(frames, decoded):
+        assert (dec[..., 0] == orig).all()
+
+
+def gif_encode_frames_cached(frames):
+    from spdb_spark.functions.gif import gif_encode_frames
+
+    return gif_encode_frames(frames)
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    st.integers(1, 3000),
+    st.sampled_from([1, 2, 3]),
+    st.sampled_from([np.int16, np.uint8]),
+    st.integers(0, 2**32 - 1),
+    st.sampled_from([192, 576, 1000, 4096]),
+)
+def test_flac_roundtrip(n, nch, dtype, seed, blocksize):
+    rng = np.random.default_rng(seed)
+    if dtype is np.int16:
+        x = rng.integers(-32768, 32768, (n, nch), dtype=np.int16)
+        expect = x
+    else:
+        x = rng.integers(0, 256, (n, nch), dtype=np.uint8)
+        expect = x.astype(np.int16) - 128
+    out, _ = flac_decode(flac_encode(x, blocksize=blocksize))
+    assert (out.astype(np.int16) == expect).all()
+
+
+@settings(max_examples=25, deadline=None)
+@given(dims, dims, st.sampled_from([2, 3, 4]), st.integers(0, 2**32 - 1))
+def test_bmp_roundtrip(h, w, depth, seed):
+    rng = np.random.default_rng(seed)
+    shape = (h, w) if depth == 2 else (h, w, depth)
+    img = rng.integers(0, 256, shape, dtype=np.uint8)
+    assert (bmp_decode(bmp_encode(img)) == img).all()
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.binary(min_size=0, max_size=200), st.integers(0, 2**32 - 1))
+def test_decode_kernel_never_raises_on_garbage(prefix_seed, seed):
+    """decode_features_status either decodes, stubs, or raises ValueError
+    (which the Arrow kernel converts to an error row) — any other
+    exception type would kill a 100TB ingest job on one bad payload."""
+    from spdb_spark.functions.multimodal import decode_features_status
+
+    rng = np.random.default_rng(seed)
+    # garbage wearing each codec's magic so every dispatch branch runs
+    for magic in (
+        b"GIF89a", b"fLaC", b"BM", b"\x89PNG\r\n\x1a\n", b"\xff\xd8",
+        b"RIFF" + b"\x10\x00\x00\x00" + b"WAVE",
+        b"RIFF" + b"\x10\x00\x00\x00" + b"AVI ",
+    ):
+        payload = magic + rng.bytes(100) + prefix_seed
+        try:
+            _feats, status = decode_features_status(payload, 2, 4)
+            assert status in ("ok", "stub")
+        except ValueError:
+            pass  # the kernel's contract: ValueError -> error row
+
+
+@settings(max_examples=25, deadline=None)
+@given(st.integers(1, 500), st.integers(0, 2**32 - 1), st.integers(0, 199))
+def test_flac_bitflip_never_passes_silently(n, seed, flip_at):
+    """Any single corrupted byte inside a FLAC stream either still decodes
+    to the EXACT original samples (flip hit padding) or raises — CRC-8,
+    CRC-16, and the stream MD5 leave no silent-corruption window."""
+    rng = np.random.default_rng(seed)
+    x = rng.integers(-32768, 32768, n, dtype=np.int16)
+    payload = bytearray(flac_encode(x))
+    payload[flip_at % len(payload)] ^= 1 + (seed % 255)
+    try:
+        out, _ = flac_decode(bytes(payload))
+        assert (out[:, 0] == x).all()
+    except ValueError:
+        pass
+
+
+def test_header_allocation_bombs_refused():
+    """A tiny payload whose header declares 65535x65535 must raise
+    ValueError BEFORE allocating the ~17 GB output buffer."""
+    import struct
+    import zlib
+
+    # GIF logical screen 65535x65535
+    gif = b"GIF89a" + struct.pack("<HHBBB", 65535, 65535, 0, 0, 0) + b"\x3b"
+    with pytest.raises(ValueError, match="pixel budget"):
+        gif_frames_import()(gif)
+    # PNG IHDR 65535x65535
+    ihdr = struct.pack(">IIBBBBB", 65535, 65535, 8, 0, 0, 0, 0)
+    png = (
+        b"\x89PNG\r\n\x1a\n"
+        + struct.pack(">I", 13) + b"IHDR" + ihdr + b"\x00" * 4
+    )
+    from spdb_spark.operators.render import png_decode
+    with pytest.raises(ValueError, match="pixel budget"):
+        png_decode(png)
+    # JPEG SOF0 65535x65535
+    sof = struct.pack(">BHHB", 8, 65535, 65535, 1) + bytes([1, 0x11, 0])
+    jpg = (
+        b"\xff\xd8" + b"\xff\xc0" + struct.pack(">H", 2 + len(sof)) + sof
+        + b"\xff\xd9"
+    )
+    from spdb_spark.functions.jpeg import jpeg_decode
+    with pytest.raises(ValueError, match="pixel budget"):
+        jpeg_decode(jpg)
+    # Dispatch must NOT downgrade a budget refusal to a stub row (the
+    # JPEG/BMP branches stub ordinary ValueErrors for unsupported
+    # variants): the refusal surfaces so the kernel emits an error row.
+    from spdb_spark.functions.limits import PixelBudgetError
+    from spdb_spark.functions.multimodal import decode_features_status
+    for bomb in (gif, png, jpg):
+        with pytest.raises(PixelBudgetError):
+            decode_features_status(bomb, 2, 3)
+
+
+def gif_frames_import():
+    return gif_frames
+
+
+def test_png_decompression_bomb_capped():
+    """An IDAT inflating far past the declared image size must not
+    materialize: the inflate is capped at the header-declared byte count."""
+    import struct
+    import zlib
+
+    ihdr = struct.pack(">IIBBBBB", 4, 4, 8, 0, 0, 0, 0)
+    bomb = zlib.compress(b"\x00" * 50_000_000, 9)  # ~48 KB compressed
+    png = (
+        b"\x89PNG\r\n\x1a\n"
+        + struct.pack(">I", 13) + b"IHDR" + ihdr + b"\x00" * 4
+        + struct.pack(">I", len(bomb)) + b"IDAT" + bomb + b"\x00" * 4
+    )
+    from spdb_spark.operators.render import png_decode
+    out = png_decode(png)  # decodes the declared 4x4, ignores the tail
+    assert out.shape == (4, 4) and (out == 0).all()
