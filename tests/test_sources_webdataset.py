@@ -157,3 +157,41 @@ def test_duplicate_members_through_samples(spark, tmp_path):
     assert len(rows) == 1
     assert bytes(rows[0].payloads["txt"]) == b"v2"
     assert rows[0].n_files == 2
+
+
+def test_mixed_codec_shard_feeds_all_new_decoders(spark, tmp_path):
+    """Round-6 codecs through the shard path: one .tar holding GIF, BMP,
+    FLAC, and WAV members all decode for REAL (status='ok'), and the
+    lossless twins (GIF/BMP vs PNG, FLAC vs WAV) featurize identically."""
+    from spdb_spark.functions.audio import wav_encode
+    from spdb_spark.functions.bmp import bmp_encode
+    from spdb_spark.functions.flac import flac_encode
+    from spdb_spark.functions.gif import gif_encode
+    from spdb_spark.functions.multimodal import extract_frame_features
+    from spdb_spark.operators.render import png_encode
+
+    rng = np.random.default_rng(13)
+    img = rng.integers(0, 256, (20, 20), dtype=np.uint8)
+    pcm = rng.integers(-32768, 32768, 1200, dtype=np.int16)
+    shard = {
+        "000000": {"gif": gif_encode(img), "png": png_encode(img),
+                   "bmp": bmp_encode(img)},
+        "000001": {"flac": flac_encode(pcm), "wav": wav_encode(pcm)},
+    }
+    p = tmp_path / "shards_mixed"
+    p.mkdir()
+    (p / "mixed.tar").write_bytes(wds_encode(shard))
+    members = ingest_webdataset(spark, str(p))
+    media = members.select(
+        F.abs(F.xxhash64("key", "ext")).alias("media_id"),
+        F.col("ext"),
+        F.col("payload"),
+    )
+    rows = extract_frame_features(media, n_frames=2, dim=4).collect()
+    assert len(rows) == 10 and all(r.status == "ok" for r in rows)
+    ext_of = {r.media_id: r.ext for r in media.collect()}
+    feats = {}
+    for r in rows:
+        feats.setdefault(ext_of[r.media_id], {})[r.frame_idx] = r.feature
+    assert feats["gif"] == feats["png"] == feats["bmp"]
+    assert feats["flac"] == feats["wav"]
