@@ -223,6 +223,15 @@ def decode_features_status(
             raise
         except ValueError:  # RLE/bitfields/1-4 bpp: honest stub
             return _fake_decode(payload, n_frames, dim), "stub"
+    if payload[:4] in (b"II*\x00", b"MM\x00*"):
+        from spdb_spark.functions.tiff import tiff_frame_features
+
+        try:
+            return tiff_frame_features(payload, n_frames, dim), "ok"
+        except PixelBudgetError:
+            raise
+        except ValueError:  # tiled/planar/JPEG-in-TIFF/bilevel: honest stub
+            return _fake_decode(payload, n_frames, dim), "stub"
     return _fake_decode(payload, n_frames, dim), "stub"
 
 
@@ -311,6 +320,22 @@ def resize_images(media: DataFrame, width: int = 224, height: int = 224) -> Data
                         except PixelBudgetError:
                             raise
                         except ValueError:  # RLE/bitfields/1-4 bpp
+                            blob = _fake_resize(payload, width, height)
+                            status = "stub"
+                    elif payload[:4] in (b"II*\x00", b"MM\x00*"):
+                        from spdb_spark.functions.tiff import (
+                            tiff_decode,
+                            tiff_encode,
+                        )
+
+                        try:
+                            resized = resize_image_array(
+                                tiff_decode(payload), width, height
+                            )
+                            blob, status = tiff_encode(resized), "ok"
+                        except PixelBudgetError:
+                            raise
+                        except ValueError:  # tiled/planar/JPEG-in-TIFF
                             blob = _fake_resize(payload, width, height)
                             status = "stub"
                     else:
