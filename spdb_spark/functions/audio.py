@@ -4,11 +4,14 @@ FLAC payloads decode through functions/flac.py into the same shared
 feature kernel (features_from_waveform), so lossless twins featurize
 bit-for-bit identically.
 
-Supports the PCM subset that covers training-data audio interchange:
-uint8 / int16 / int32 samples, any channel count, any sample rate.
-Encode writes canonical 44-byte-header PCM; decode accepts extra chunks
-(LIST/fact/...) by walking the RIFF chunk list, as real-world files
-require. numpy does all sample work — no per-sample Python.
+Supports the formats that cover training-data audio interchange: integer
+PCM (uint8 / int16 / int32), IEEE-float PCM (float32/float64, format
+code 3), and G.711 telephony companding (A-law code 6, µ-law code 7,
+expanded through functions/g711.py), any channel count, any sample rate.
+Encode writes canonical-header files for every decodable format; decode
+accepts extra chunks (LIST/fact/...) by walking the RIFF chunk list, as
+real-world files require. numpy does all sample work — no per-sample
+Python.
 """
 
 from __future__ import annotations
@@ -19,30 +22,50 @@ import numpy as np
 
 WAV_MAGIC = b"RIFF"
 _FMT_PCM = 1
+_FMT_FLOAT = 3
+_FMT_ALAW = 6
+_FMT_ULAW = 7
 
 _WIDTH_DTYPES = {1: np.uint8, 2: np.dtype("<i2"), 4: np.dtype("<i4")}
+_FLOAT_DTYPES = {4: np.dtype("<f4"), 8: np.dtype("<f8")}
 
 
-def wav_encode(samples: np.ndarray, sample_rate: int = 16000) -> bytes:
-    """samples: (n,) mono or (n, channels); dtype uint8/int16/int32."""
+def wav_encode(
+    samples: np.ndarray, sample_rate: int = 16000, companding: str | None = None
+) -> bytes:
+    """samples: (n,) mono or (n, channels). dtype uint8/int16/int32 writes
+    integer PCM; float32/float64 writes IEEE-float PCM (format 3).
+    companding='alaw'|'ulaw' (int16 input only) writes G.711 format 6/7."""
     arr = np.asarray(samples)
     if arr.ndim == 1:
         arr = arr[:, None]
     if arr.ndim != 2:
         raise ValueError(f"expected (n,) or (n, ch) samples, got {arr.shape}")
-    if arr.dtype == np.uint8:
+    if companding is not None:
+        if arr.dtype != np.int16:
+            raise ValueError("G.711 companding takes int16 samples")
+        from spdb_spark.functions.g711 import alaw_encode, ulaw_encode
+
+        fmt_code = _FMT_ALAW if companding == "alaw" else _FMT_ULAW
+        if companding not in ("alaw", "ulaw"):
+            raise ValueError(f"unknown companding {companding!r}")
+        arr = (alaw_encode if companding == "alaw" else ulaw_encode)(arr)
         width = 1
+    elif arr.dtype == np.uint8:
+        fmt_code, width = _FMT_PCM, 1
     elif arr.dtype == np.int16:
-        width = 2
+        fmt_code, width = _FMT_PCM, 2
     elif arr.dtype == np.int32:
-        width = 4
+        fmt_code, width = _FMT_PCM, 4
+    elif arr.dtype in (np.float32, np.float64):
+        fmt_code, width = _FMT_FLOAT, arr.dtype.itemsize
     else:
         raise ValueError(f"unsupported sample dtype {arr.dtype}")
     n, ch = arr.shape
     data = np.ascontiguousarray(arr.astype(arr.dtype.newbyteorder("<"))).tobytes()
     fmt = struct.pack(
         "<HHIIHH",
-        _FMT_PCM,
+        fmt_code,
         ch,
         sample_rate,
         sample_rate * ch * width,  # byte rate
@@ -73,12 +96,27 @@ def wav_decode(payload: bytes) -> tuple[np.ndarray, int]:
     if fmt is None or data is None:
         raise ValueError("missing fmt/data chunk")
     audio_fmt, ch, rate, _br, _ba, bits = struct.unpack("<HHIIHH", fmt[:16])
-    if audio_fmt != _FMT_PCM:
-        raise ValueError(f"unsupported WAV format code {audio_fmt} (PCM only)")
     width = bits // 8
-    if width not in _WIDTH_DTYPES:
-        raise ValueError(f"unsupported sample width {bits} bits")
-    flat = np.frombuffer(data, dtype=_WIDTH_DTYPES[width])
+    if audio_fmt == _FMT_PCM:
+        if width not in _WIDTH_DTYPES:
+            raise ValueError(f"unsupported sample width {bits} bits")
+        flat = np.frombuffer(data, dtype=_WIDTH_DTYPES[width])
+    elif audio_fmt == _FMT_FLOAT:
+        if width not in _FLOAT_DTYPES:
+            raise ValueError(f"unsupported float width {bits} bits")
+        flat = np.frombuffer(data, dtype=_FLOAT_DTYPES[width])
+    elif audio_fmt in (_FMT_ALAW, _FMT_ULAW):
+        if width != 1:
+            raise ValueError("G.711 WAV must be 8 bits per sample")
+        from spdb_spark.functions.g711 import alaw_decode, ulaw_decode
+
+        codes = np.frombuffer(data, dtype=np.uint8)
+        flat = (alaw_decode if audio_fmt == _FMT_ALAW else ulaw_decode)(codes)
+    else:
+        raise ValueError(
+            f"unsupported WAV format code {audio_fmt} "
+            "(PCM/IEEE-float/A-law/mu-law only)"
+        )
     return flat.reshape(-1, ch), rate
 
 
@@ -86,6 +124,8 @@ def _to_float(arr: np.ndarray) -> np.ndarray:
     """Samples -> [-1, 1] float64 mono mix."""
     if arr.dtype == np.uint8:
         x = (arr.astype(np.float64) - 128.0) / 128.0
+    elif arr.dtype.kind == "f":
+        x = arr.astype(np.float64)  # IEEE-float WAV is already normalized
     else:
         x = arr.astype(np.float64) / float(
             np.iinfo(arr.dtype).max + 1
