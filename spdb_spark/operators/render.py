@@ -188,8 +188,8 @@ def _png_chunk(tag: bytes, data: bytes) -> bytes:
 
 
 def png_encode(arr: np.ndarray) -> bytes:
-    """PNG bytes for a 2D uint8 (gray8), 2D uint16 (gray16) or (H, W, 4)
-    uint8 (RGBA) array."""
+    """PNG bytes for a 2D uint8 (gray8), 2D uint16 (gray16), (H, W, 3)
+    uint8 (RGB) or (H, W, 4) uint8 (RGBA) array."""
     import struct
     import zlib
 
@@ -198,6 +198,8 @@ def png_encode(arr: np.ndarray) -> bytes:
     elif arr.ndim == 2 and arr.dtype == np.uint16:
         color_type, bit_depth = 0, 16
         row_bytes = arr.astype(">u2")  # PNG sample order is big-endian
+    elif arr.ndim == 3 and arr.shape[2] == 3 and arr.dtype == np.uint8:
+        color_type, bit_depth, row_bytes = 2, 8, arr
     elif arr.ndim == 3 and arr.shape[2] == 4 and arr.dtype == np.uint8:
         color_type, bit_depth, row_bytes = 6, 8, arr
     else:
@@ -215,11 +217,88 @@ def png_encode(arr: np.ndarray) -> bytes:
     )
 
 
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+
+# Adam7 pass grid: (x0, y0, dx, dy) per PNG spec section on interlacing.
+_ADAM7 = (
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 1, 2), (0, 1, 1, 1),
+)
+
+
+def _png_unfilter(raw: bytes, h: int, stride: int, bpp: int) -> bytearray:
+    """Reverse the five PNG scanline filters (None/Sub/Up/Average/Paeth).
+    Sequential per the spec: Sub/Average/Paeth reference the RECONSTRUCTED
+    left neighbor, so those rows walk byte-by-byte."""
+    out = bytearray(h * stride)
+    prev = bytes(stride)
+    for r in range(h):
+        off = r * (stride + 1)
+        ftype = raw[off]
+        cur = bytearray(raw[off + 1 : off + 1 + stride])
+        if ftype == 0:
+            pass
+        elif ftype == 1:  # Sub
+            for i in range(bpp, stride):
+                cur[i] = (cur[i] + cur[i - bpp]) & 0xFF
+        elif ftype == 2:  # Up
+            for i in range(stride):
+                cur[i] = (cur[i] + prev[i]) & 0xFF
+        elif ftype == 3:  # Average
+            for i in range(stride):
+                a = cur[i - bpp] if i >= bpp else 0
+                cur[i] = (cur[i] + ((a + prev[i]) >> 1)) & 0xFF
+        elif ftype == 4:  # Paeth
+            for i in range(stride):
+                a = cur[i - bpp] if i >= bpp else 0
+                b = prev[i]
+                c = prev[i - bpp] if i >= bpp else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                if pa <= pb and pa <= pc:
+                    pred = a
+                elif pb <= pc:
+                    pred = b
+                else:
+                    pred = c
+                cur[i] = (cur[i] + pred) & 0xFF
+        else:
+            raise ValueError(f"png: unknown filter type {ftype}")
+        out[r * stride : (r + 1) * stride] = cur
+        prev = cur
+    return out
+
+
+def _png_samples(
+    rows: bytearray, h: int, w: int, channels: int, depth: int
+) -> np.ndarray:
+    """Unfiltered scanline bytes -> (h, w, channels) sample array in the
+    stream's native precision (uint8 for depth<=8, uint16 for 16)."""
+    if depth == 16:
+        arr = np.frombuffer(bytes(rows), ">u2").reshape(h, w, channels)
+        return arr.astype(np.uint16)
+    if depth == 8:
+        return np.frombuffer(bytes(rows), np.uint8).reshape(h, w, channels).copy()
+    # 1/2/4-bit (gray or palette indices), packed MSB-first per scanline
+    stride = (w * channels * depth + 7) // 8
+    bits = np.unpackbits(
+        np.frombuffer(bytes(rows), np.uint8).reshape(h, stride), axis=1
+    )[:, : w * depth]
+    vals = np.zeros((h, w), np.uint8)
+    for b in range(depth):
+        vals = (vals << 1) | bits[:, b::depth]
+    return vals[:, :, None]
+
+
 def png_decode(data: bytes) -> np.ndarray:
-    """Inverse of png_encode (filter-0 streams it produces). Malformed
-    streams raise ValueError (the Arrow kernels' error-row contract); the
-    inflate is capped at the header-declared size so a crafted IDAT
-    cannot decompression-bomb an executor."""
+    """Full-web PNG decode: color types 0 (gray), 2 (RGB), 3 (palette,
+    with tRNS alpha), 4 (gray+alpha, expanded to RGBA), 6 (RGBA); bit
+    depths 1/2/4/8/16; all five scanline filters; Adam7 interlace.
+    Returns (h,w) gray, (h,w,3) RGB, or (h,w,4) RGBA in the stream's
+    precision (uint8/uint16). tRNS on gray/RGB (color-keyed transparency)
+    is ignored. Malformed streams raise ValueError (the Arrow kernels'
+    error-row contract); the inflate is capped at the header-declared
+    size so a crafted IDAT cannot decompression-bomb an executor."""
     import struct
     import zlib
 
@@ -227,7 +306,7 @@ def png_decode(data: bytes) -> np.ndarray:
 
     if data[:8] != _PNG_SIG:
         raise ValueError("not a PNG")
-    pos, idat, ihdr = 8, b"", None
+    pos, idat, ihdr, plte, trns = 8, b"", None, None, None
     while pos + 8 <= len(data):
         (length,) = struct.unpack(">I", data[pos : pos + 4])
         tag = data[pos + 4 : pos + 8]
@@ -238,34 +317,94 @@ def png_decode(data: bytes) -> np.ndarray:
             ihdr = struct.unpack(">IIBBBBB", body[:13])
         elif tag == b"IDAT":
             idat += body
+        elif tag == b"PLTE":
+            plte = body
+        elif tag == b"tRNS":
+            trns = body
         pos += 12 + length
     if ihdr is None:
         raise ValueError("png: missing IHDR")
-    w, h, bit_depth, color_type, _, _, _ = ihdr
+    w, h, depth, color_type, comp, filt, interlace = ihdr
     check_pixel_budget(w, h, "png")
-    if color_type not in (0, 6) or bit_depth not in (8, 16):
-        raise ValueError(f"png: unsupported color/depth {color_type}/{bit_depth}")
-    channels = {0: 1, 6: 4}[color_type]
-    sample_bytes = bit_depth // 8
-    stride = w * channels * sample_bytes
-    expected = h * (stride + 1)
+    if comp != 0 or filt != 0:
+        raise ValueError("png: unknown compression/filter method")
+    if color_type not in _PNG_CHANNELS:
+        raise ValueError(f"png: bad color type {color_type}")
+    valid_depths = {
+        0: (1, 2, 4, 8, 16), 2: (8, 16), 3: (1, 2, 4, 8),
+        4: (8, 16), 6: (8, 16),
+    }[color_type]
+    if depth not in valid_depths:
+        raise ValueError(f"png: depth {depth} invalid for color type {color_type}")
+    channels = _PNG_CHANNELS[color_type]
+    bpp = max(1, channels * depth // 8)
+
+    if interlace == 0:
+        passes = [(0, 0, 1, 1)]
+    elif interlace == 1:
+        passes = list(_ADAM7)
+    else:
+        raise ValueError("png: unknown interlace method")
+
+    def pass_dims(x0, y0, dx, dy):
+        return (w - x0 + dx - 1) // dx, (h - y0 + dy - 1) // dy
+
+    def pass_stride(wp):
+        return (wp * channels * depth + 7) // 8
+
+    expected = sum(
+        hp * (1 + pass_stride(wp))
+        for wp, hp in (pass_dims(*p) for p in passes)
+        if wp and hp
+    )
     try:
         raw = zlib.decompressobj().decompress(idat, expected)
     except zlib.error as e:
         raise ValueError(f"png: bad IDAT stream ({e})") from None
     if len(raw) < expected:
         raise ValueError("png: pixel data truncated")
-    rows = []
-    for i in range(h):
-        row = raw[i * (stride + 1) : (i + 1) * (stride + 1)]
-        if row[0] != 0:
-            raise ValueError("png_decode only handles filter type 0")
-        rows.append(row[1:])
-    flat = np.frombuffer(b"".join(rows), dtype=">u2" if bit_depth == 16 else np.uint8)
+
+    out = np.zeros((h, w, channels), np.uint16 if depth == 16 else np.uint8)
+    off = 0
+    for x0, y0, dx, dy in passes:
+        wp, hp = pass_dims(x0, y0, dx, dy)
+        if not wp or not hp:
+            continue
+        stride = pass_stride(wp)
+        rows = _png_unfilter(raw[off : off + hp * (stride + 1)], hp, stride, bpp)
+        off += hp * (stride + 1)
+        out[y0::dy, x0::dx] = _png_samples(rows, hp, wp, channels, depth)
+
+    if color_type == 3:
+        if plte is None:
+            raise ValueError("png: palette image missing PLTE")
+        pal = np.frombuffer(plte, np.uint8)
+        n = len(pal) // 3
+        pal = pal[: n * 3].reshape(n, 3)
+        idx = out[:, :, 0]
+        if idx.max(initial=0) >= n:
+            raise ValueError("png: palette index out of range")
+        if trns is None:
+            return pal[idx]
+        alpha = np.full(n, 255, np.uint8)
+        alpha[: min(n, len(trns))] = np.frombuffer(trns[:n], np.uint8)
+        rgba = np.empty((h, w, 4), np.uint8)
+        rgba[..., :3] = pal[idx]
+        rgba[..., 3] = alpha[idx]
+        return rgba
     if color_type == 0:
-        out = flat.reshape(h, w)
-        return out.astype(np.uint16) if bit_depth == 16 else out
-    return flat.reshape(h, w, 4)
+        gray = out[:, :, 0]
+        if depth < 8:  # scale to full 8-bit range per the spec's guidance
+            gray = (gray.astype(np.uint16) * 255 // ((1 << depth) - 1)).astype(
+                np.uint8
+            )
+        return gray
+    if color_type == 4:  # gray+alpha -> RGBA
+        rgba = np.empty((h, w, 4), out.dtype)
+        rgba[..., 0] = rgba[..., 1] = rgba[..., 2] = out[:, :, 0]
+        rgba[..., 3] = out[:, :, 1]
+        return rgba
+    return out  # RGB (h,w,3) or RGBA (h,w,4)
 
 
 def _palette_array() -> np.ndarray:
