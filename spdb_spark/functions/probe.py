@@ -320,3 +320,46 @@ def probe_media(media: DataFrame) -> DataFrame:
             yield pd.DataFrame(rows, columns=[x.name for x in PROBE_SCHEMA])
 
     return media.select("media_id", "payload").mapInPandas(kernel, PROBE_SCHEMA)
+
+
+def synthetic_probe_payloads(df: DataFrame, id_col: str) -> DataFrame:
+    """Deterministic mixed-container payloads whose PROBE fields have
+    closed forms an external SQL oracle can replay: per id d, an image of
+    width 8 + d%16 and height 8 + (d//2)%8 encoded as PNG / baseline JPEG
+    / GIF / BMP / TIFF-PackBits (d%6 in 0..4), or a mono 1 kHz int16 WAV
+    of 100 + d%50 samples (d%6 == 5, so duration_ms == n_frames ==
+    100 + d%50). Arrow-batched like real ingest."""
+    from spdb_spark.functions.audio import wav_encode
+    from spdb_spark.functions.bmp import bmp_encode
+    from spdb_spark.functions.gif import gif_encode
+    from spdb_spark.functions.jpeg import jpeg_encode
+    from spdb_spark.functions.multimodal import MEDIA_BUILD_SCHEMA
+    from spdb_spark.functions.tiff import tiff_encode
+    from spdb_spark.operators.render import png_encode
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for mid in pdf["media_id"]:
+                mid = int(mid)
+                cls = mid % 6
+                if cls == 5:
+                    blob = wav_encode(
+                        np.zeros(100 + mid % 50, np.int16), sample_rate=1000
+                    )
+                else:
+                    img = np.full((8 + (mid // 2) % 8, 8 + mid % 16), 7, np.uint8)
+                    enc = (
+                        png_encode,
+                        lambda x: jpeg_encode(x, quality=90),
+                        gif_encode,
+                        bmp_encode,
+                        lambda x: tiff_encode(x, compression="packbits"),
+                    )[cls]
+                    blob = enc(img)
+                out.append((mid, blob))
+            yield pd.DataFrame(out, columns=["media_id", "payload"])
+
+    return df.select(F.col(id_col).alias("media_id")).mapInPandas(
+        kernel, MEDIA_BUILD_SCHEMA
+    )

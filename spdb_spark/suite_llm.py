@@ -2217,6 +2217,56 @@ CROSS JOIN (VALUES (CAST(0 AS BIGINT)), (CAST(1 AS BIGINT))) f(frame_idx)
 """
 
 
+def q_multimodal_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Header-only metadata probe driven end-to-end (round 6): per-doc
+    payloads across six containers (PNG/JPEG/GIF/BMP/TIFF/WAV,
+    probe.synthetic_probe_payloads) probed WITHOUT decoding through the
+    Arrow kernel (functions/probe.py). Every probed field has the closed
+    form the DuckDB oracle replays; nulls (e.g. image duration, audio
+    width) are coalesced to -1 on both sides so the integer columns
+    compare exactly. At 100 TB this is the prune-before-decode stage."""
+    from spdb_spark.functions.probe import probe_media, synthetic_probe_payloads
+
+    docs = _docs(spark, sf_dir).select("doc_id")
+    media = synthetic_probe_payloads(docs, "doc_id")
+    probed = probe_media(media)
+    neg1 = F.lit(-1).cast("long")
+    return probed.select(
+        "media_id",
+        "container",
+        "codec",
+        F.coalesce(F.col("width").cast("long"), neg1).alias("width"),
+        F.coalesce(F.col("height").cast("long"), neg1).alias("height"),
+        F.coalesce(F.col("duration_ms").cast("long"), neg1).alias("duration_ms"),
+        F.coalesce(F.col("n_frames").cast("long"), neg1).alias("n_frames"),
+        F.coalesce(F.col("sample_rate").cast("long"), neg1).alias("sample_rate"),
+        F.coalesce(F.col("channels").cast("long"), neg1).alias("channels"),
+    )
+
+
+SQL_MULTIMODAL_PROBE = """
+SELECT doc_id AS media_id,
+  CASE doc_id % 6 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg' WHEN 2 THEN 'gif'
+                  WHEN 3 THEN 'bmp' WHEN 4 THEN 'tiff' ELSE 'wav' END
+    AS container,
+  CASE doc_id % 6 WHEN 0 THEN 'png/gray8' WHEN 1 THEN 'jpeg/baseline'
+                  WHEN 2 THEN 'gif' WHEN 3 THEN 'bmp/8'
+                  WHEN 4 THEN 'tiff/packbits' ELSE 'wav/pcm16' END AS codec,
+  CAST(CASE WHEN doc_id % 6 = 5 THEN -1 ELSE 8 + doc_id % 16 END AS BIGINT)
+    AS width,
+  CAST(CASE WHEN doc_id % 6 = 5 THEN -1 ELSE 8 + (doc_id // 2) % 8 END
+    AS BIGINT) AS height,
+  CAST(CASE WHEN doc_id % 6 = 5 THEN 100 + doc_id % 50 ELSE -1 END AS BIGINT)
+    AS duration_ms,
+  CAST(CASE WHEN doc_id % 6 = 5 THEN 100 + doc_id % 50 ELSE 1 END AS BIGINT)
+    AS n_frames,
+  CAST(CASE WHEN doc_id % 6 = 5 THEN 1000 ELSE -1 END AS BIGINT)
+    AS sample_rate,
+  CAST(CASE WHEN doc_id % 6 = 5 THEN 1 ELSE -1 END AS BIGINT) AS channels
+FROM documents
+"""
+
+
 def q_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Majority-vote kNN label prediction over the embedding table — the
     label-propagation / weak-labeling consumer of the ANN stack
@@ -2340,4 +2390,5 @@ QUERIES = {
     # --- round-6 additions (append-only: rotation window headroom) ---------
     "llm_dedup_jaccard_capped": (q_dedup_jaccard_capped, SQL_DEDUP_JACCARD_CAPPED),
     "llm_multimodal_decode": (q_multimodal_decode, SQL_MULTIMODAL_DECODE),
+    "llm_multimodal_probe": (q_multimodal_probe, SQL_MULTIMODAL_PROBE),
 }

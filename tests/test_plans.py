@@ -422,3 +422,13 @@ def test_multimodal_decode_gate_plan(spark):
     plan = plan_of(q_multimodal_decode(spark, "/root/testdata/sf0.001"))
     assert plan.count("MapInPandas") == 2
     assert "Exchange" not in plan
+
+
+def test_multimodal_probe_gate_plan(spark):
+    """llm_multimodal_probe: two Arrow kernels (payload build + header
+    probe), no shuffle — prune-before-decode runs at scan parallelism."""
+    from spdb_spark.suite_llm import q_multimodal_probe
+
+    plan = plan_of(q_multimodal_probe(spark, "/root/testdata/sf0.001"))
+    assert plan.count("MapInPandas") == 2
+    assert "Exchange" not in plan
