@@ -96,11 +96,11 @@ def parse_wds_bytes(data: bytes) -> list[tuple[str, str, bytes]]:
     return [(key, ext, payload) for (key, ext), payload in out.items()]
 
 
-def ingest_webdataset(spark: SparkSession, path: str) -> DataFrame:
-    """Distributed shard scan: one binaryFile row per .tar[.gz] shard,
-    one Arrow kernel walk per shard, one output row per member file.
-    No shuffle — `webdataset_samples` adds the single sample-assembly
-    exchange when the consumer wants sample rows."""
+def webdataset_members(raw: DataFrame) -> DataFrame:
+    """(path, content) shard rows -> one row per member file, via one
+    Arrow kernel walk per shard. Works on batch AND streaming inputs
+    (stateless mapInPandas), so the incremental shard-watcher pipeline
+    (streaming/media.py) shares this exact kernel with ingest."""
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -110,8 +110,16 @@ def ingest_webdataset(spark: SparkSession, path: str) -> DataFrame:
                     out.append((row.path, key, ext, payload, len(payload)))
             yield pd.DataFrame(out, columns=[f.name for f in WDS_SCHEMA.fields])
 
+    return raw.select("path", "content").mapInPandas(kernel, WDS_SCHEMA)
+
+
+def ingest_webdataset(spark: SparkSession, path: str) -> DataFrame:
+    """Distributed shard scan: one binaryFile row per .tar[.gz] shard,
+    one Arrow kernel walk per shard, one output row per member file.
+    No shuffle — `webdataset_samples` adds the single sample-assembly
+    exchange when the consumer wants sample rows."""
     raw = spark.read.format("binaryFile").load(path).select("path", "content")
-    return raw.mapInPandas(kernel, WDS_SCHEMA)
+    return webdataset_members(raw)
 
 
 def webdataset_samples(members: DataFrame) -> DataFrame:
