@@ -73,6 +73,8 @@ def _probe_jpeg(p: bytes) -> dict:
             pos += 2
             continue
         (seglen,) = struct.unpack_from(">H", p, pos + 2)
+        if marker == 0xDA:  # SOS without a prior SOF: stop, don't walk
+            break           # into entropy-coded data
         if marker in (0xC0, 0xC1, 0xC2, 0xC3, 0xC9, 0xCA, 0xCB):
             h, w = struct.unpack_from(">HH", p, pos + 5)
             kind = {0xC0: "baseline", 0xC1: "extended", 0xC2: "progressive",
@@ -295,6 +297,14 @@ def probe_payload(payload: bytes) -> tuple[str, dict]:
         return "avi", _probe_avi(payload)
     if len(payload) >= 12 and payload[4:8] == b"ftyp":
         return "mp4", _probe_mp4(payload)
+    if payload[:4] == b"OggS":
+        return "ogg", _probe_ogg(payload)
+    if payload[:3] == b"ID3" or (
+        len(payload) >= 4
+        and payload[0] == 0xFF
+        and (payload[1] & 0xE0) == 0xE0
+    ):
+        return "mp3", _probe_mp3(payload)
     raise ValueError("unrecognized container")
 
 
@@ -363,3 +373,92 @@ def synthetic_probe_payloads(df: DataFrame, id_col: str) -> DataFrame:
     return df.select(F.col(id_col).alias("media_id")).mapInPandas(
         kernel, MEDIA_BUILD_SCHEMA
     )
+
+
+_MP3_BITRATES_V1L3 = (
+    0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320,
+)
+_MP3_BITRATES_V2L3 = (
+    0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160,
+)
+_MP3_RATES_V1 = (44100, 48000, 32000)
+
+
+def _probe_mp3(p: bytes) -> dict:
+    """MPEG-1/2/2.5 Layer III frame-header probe (decode stays stubbed —
+    the synthesis filterbank isn't in pure-Python reach, but the header
+    fields are). Skips ID3v2, reads the first frame header, and prefers
+    the Xing/Info frame count (exact even for VBR) over the CBR
+    size/bitrate estimate."""
+    pos = 0
+    if p[:3] == b"ID3" and len(p) > 10:
+        size = ((p[6] & 0x7F) << 21) | ((p[7] & 0x7F) << 14) \
+            | ((p[8] & 0x7F) << 7) | (p[9] & 0x7F)
+        pos = 10 + size
+    n = len(p)
+    while pos + 4 <= n:
+        if p[pos] == 0xFF and (p[pos + 1] & 0xE0) == 0xE0:
+            break
+        pos += 1
+    else:
+        raise ValueError("mp3: no frame sync")
+    b1, b2, b3 = p[pos + 1], p[pos + 2], p[pos + 3]
+    version = (b1 >> 3) & 0x03  # 3=MPEG1, 2=MPEG2, 0=MPEG2.5
+    layer = (b1 >> 1) & 0x03    # 1 = Layer III
+    if version == 1 or layer != 1:
+        raise ValueError("mp3: reserved version or not layer III")
+    br_idx = (b2 >> 4) & 0x0F
+    sr_idx = (b2 >> 2) & 0x03
+    if br_idx in (0, 15) or sr_idx == 3:
+        raise ValueError("mp3: free-form/reserved header")
+    kbps = (_MP3_BITRATES_V1L3 if version == 3 else _MP3_BITRATES_V2L3)[br_idx]
+    rate = _MP3_RATES_V1[sr_idx] >> {3: 0, 2: 1, 0: 2}[version]
+    mono = ((b3 >> 6) & 0x03) == 3
+    samples_per_frame = 1152 if version == 3 else 576
+    dur = None
+    frames = None
+    # Xing/Info header: exact frame count for VBR streams
+    side_info = (17 if mono else 32) if version == 3 else (9 if mono else 17)
+    tag_at = pos + 4 + side_info
+    if p[tag_at : tag_at + 4] in (b"Xing", b"Info"):
+        flags = struct.unpack_from(">I", p, tag_at + 4)[0]
+        if flags & 1:
+            frames = struct.unpack_from(">I", p, tag_at + 8)[0]
+            dur = frames * samples_per_frame * 1000 // rate
+    if dur is None:
+        dur = (n - pos) * 8 // (kbps * 1000) * 1000 if kbps else None
+        frames = (dur * rate // (samples_per_frame * 1000)) if dur else None
+    return {**_EMPTY, "codec": f"mp3/v{ {3: 1, 2: 2, 0: 2.5}[version] }l3",
+            "duration_ms": dur, "n_frames": frames, "sample_rate": rate,
+            "channels": 1 if mono else 2}
+
+
+def _probe_ogg(p: bytes) -> dict:
+    """Ogg container probe: first-packet codec id (Vorbis / Opus /
+    Theora), channels + rate from the id header, duration from the last
+    page's granule position (Vorbis: PCM samples; Opus: 48 kHz ticks)."""
+    if p[:4] != b"OggS":
+        raise ValueError("ogg: bad capture pattern")
+    nsegs = p[26]
+    first = p[27 + nsegs : 27 + nsegs + 64]
+    out = {**_EMPTY, "codec": "ogg"}
+    gran_rate = None
+    if first[:7] == b"\x01vorbis":
+        out["codec"] = "ogg/vorbis"
+        out["channels"] = first[11]
+        out["sample_rate"] = struct.unpack_from("<I", first, 12)[0]
+        gran_rate = out["sample_rate"]
+    elif first[:8] == b"OpusHead":
+        out["codec"] = "ogg/opus"
+        out["channels"] = first[9]
+        out["sample_rate"] = struct.unpack_from("<I", first, 12)[0]
+        gran_rate = 48000  # Opus granules are always 48 kHz ticks
+    elif first[1:7] == b"theora":
+        out["codec"] = "ogg/theora"
+    last = p.rfind(b"OggS")
+    if gran_rate and last >= 0 and last + 14 <= len(p):
+        granule = struct.unpack_from("<q", p, last + 6)[0]
+        if granule > 0:
+            out["duration_ms"] = granule * 1000 // gran_rate
+            out["n_frames"] = granule
+    return out

@@ -166,3 +166,67 @@ def test_probe_kernel_prunes_without_decode(spark):
     assert got[5].container == "unknown" and got[5].codec is None
     big = probed.where("width >= 100").select("media_id")
     assert {r.media_id for r in big.collect()} == {0, 2, 3}
+
+
+def _box_mp3_frame_v1l3(bitrate_idx=9, sr_idx=0, mono=True) -> bytes:
+    """Hand-assembled MPEG-1 Layer III header: sync, version 3, layer 1,
+    no CRC, then bitrate/samplerate/channel fields per the public frame
+    layout."""
+    b1 = 0xE0 | (3 << 3) | (1 << 1) | 1  # version MPEG1, layer III, no CRC
+    b2 = (bitrate_idx << 4) | (sr_idx << 2)
+    b3 = 0xC0 if mono else 0x00
+    return bytes([0xFF, b1, b2, b3])
+
+
+def test_mp3_probe_cbr_and_xing():
+    # CBR estimate: 128 kbps -> 1 second of payload is 16000 bytes
+    frame = _box_mp3_frame_v1l3(bitrate_idx=9, sr_idx=0, mono=True)  # 128k, 44100
+    payload = frame + b"\x00" * (16000 - 4)
+    container, f = probe_payload(payload)
+    assert container == "mp3" and f["codec"] == "mp3/v1l3"
+    assert f["sample_rate"] == 44100 and f["channels"] == 1
+    assert f["duration_ms"] == 1000
+    # Xing header overrides with the exact frame count (mono MPEG1:
+    # side info 17 bytes after the 4-byte header)
+    xing = frame + b"\x00" * 17 + b"Xing" + struct.pack(">II", 1, 100)
+    payload = xing + b"\x00" * 4000
+    _, f = probe_payload(payload)
+    assert f["n_frames"] == 100
+    assert f["duration_ms"] == 100 * 1152 * 1000 // 44100
+    # ID3v2 tag is skipped (syncsafe size)
+    id3 = b"ID3\x04\x00\x00" + bytes([0, 0, 0, 10]) + b"\x00" * 10
+    _, f = probe_payload(id3 + payload)
+    assert f["n_frames"] == 100
+
+
+def _ogg_page(packet: bytes, granule: int = 0, header_type: int = 2) -> bytes:
+    segs = []
+    n = len(packet)
+    while n >= 255:
+        segs.append(255)
+        n -= 255
+    segs.append(n)
+    return (
+        b"OggS\x00" + bytes([header_type]) + struct.pack("<q", granule)
+        + struct.pack("<III", 1, 0, 0) + bytes([len(segs)]) + bytes(segs)
+        + packet
+    )
+
+
+def test_ogg_probe_vorbis_and_opus():
+    vorbis_id = (
+        b"\x01vorbis" + struct.pack("<IB", 0, 2) + struct.pack("<I", 44100)
+        + b"\x00" * 16
+    )
+    payload = _ogg_page(vorbis_id) + _ogg_page(b"\x05data", granule=44100 * 3)
+    container, f = probe_payload(payload)
+    assert container == "ogg" and f["codec"] == "ogg/vorbis"
+    assert f["channels"] == 2 and f["sample_rate"] == 44100
+    assert f["duration_ms"] == 3000
+
+    opus_id = b"OpusHead\x01" + bytes([1]) + struct.pack("<HI", 312, 16000) + b"\x00\x00"
+    payload = _ogg_page(opus_id) + _ogg_page(b"x", granule=96000)
+    _, f = probe_payload(payload)
+    assert f["codec"] == "ogg/opus" and f["channels"] == 1
+    assert f["sample_rate"] == 16000
+    assert f["duration_ms"] == 2000  # granules are 48 kHz ticks
