@@ -230,3 +230,32 @@ def test_ogg_probe_vorbis_and_opus():
     assert f["codec"] == "ogg/opus" and f["channels"] == 1
     assert f["sample_rate"] == 16000
     assert f["duration_ms"] == 2000  # granules are 48 kHz ticks
+
+
+def test_avi_dib_frames_decode_and_probe():
+    """Uncompressed (BI_RGB) AVI: raw gray and RGB frames decode through
+    the DIB path with pixel-exact features; probe labels codec avi/dib."""
+    import numpy as np
+
+    from spdb_spark.functions.multimodal import (
+        _image_frame_features,
+        decode_features_status,
+    )
+    from spdb_spark.functions.video import avi_encode_dib
+
+    rng = np.random.default_rng(11)
+    gray = [rng.integers(0, 256, (9, 13), dtype=np.uint8) for _ in range(4)]
+    payload = avi_encode_dib(gray, fps=5)
+    feats, status = decode_features_status(payload, 4, 6)
+    assert status == "ok"
+    for i in range(4):
+        assert (feats[i] == _image_frame_features(gray[i], 1, 6)[0]).all()
+    _, f = probe_payload(payload)
+    assert f["codec"] == "avi/dib" and f["n_frames"] == 4
+    assert f["duration_ms"] == 800
+
+    rgb = [rng.integers(0, 256, (6, 7, 3), dtype=np.uint8) for _ in range(3)]
+    feats, status = decode_features_status(avi_encode_dib(rgb), 3, 4)
+    assert status == "ok"
+    for i in range(3):
+        assert (feats[i] == _image_frame_features(rgb[i], 1, 4)[0]).all()
