@@ -449,12 +449,17 @@ def flac_decode(payload: bytes) -> tuple[np.ndarray, int]:
     total = si.read(36)
     md5 = streaminfo[18:34]
 
-    chans: list[list[int]] = [[] for _ in range(si_nch)]
+    from spdb_spark.functions.limits import check_total_budget
+
+    check_total_budget(total * si_nch, "FLAC", "samples")
+    # per-channel per-frame numpy chunks: a few bytes per decoded sample
+    # instead of a Python int object each
+    out_dtype = np.int8 if si_bps <= 8 else np.int16 if si_bps <= 16 else np.int32
+    chans: list[list[np.ndarray]] = [[] for _ in range(si_nch)]
+    n_out = 0
     r = _BitReader(payload, pos)
     rate = si_rate
-    while (total == 0 and r.pos < len(payload)) or (
-        total and len(chans[0]) < total
-    ):
+    while (total == 0 and r.pos < len(payload)) or (total and n_out < total):
         frame_start = r.byte_pos()
         if r.read(14) != 0x3FFE:
             raise ValueError("FLAC: lost frame sync")
@@ -524,13 +529,29 @@ def flac_decode(payload: bytes) -> tuple[np.ndarray, int]:
         frame_end = r.byte_pos()
         if r.read(16) != crc16(payload[frame_start:frame_end]):
             raise ValueError("FLAC: frame CRC-16 mismatch")
+        n_out += bs
+        # tiny frames can claim huge blocksizes: budget the CUMULATIVE
+        # decoded output, not just the declared total (total=0 streams
+        # would otherwise amplify unboundedly)
+        check_total_budget(n_out * si_nch, "FLAC", "samples")
+        info = np.iinfo(out_dtype)
         for c in range(nch):
-            chans[c].extend(sub[c])
+            try:
+                a = np.asarray(sub[c], dtype=np.int64)
+            except OverflowError:
+                raise ValueError("FLAC: decoded sample overflows") from None
+            if len(a) and (a.max() > info.max or a.min() < info.min):
+                raise ValueError("FLAC: decoded sample out of range for bps")
+            chans[c].append(a.astype(out_dtype))
 
     # dtype follows bit depth so downstream float normalization (divide by
     # iinfo(dtype).max + 1) agrees bit-for-bit with the WAV twin.
-    dtype = np.int8 if si_bps <= 8 else np.int16 if si_bps <= 16 else np.int32
-    arr = np.asarray(chans, dtype=dtype).T
+    arr = np.stack(
+        [
+            np.concatenate(ch) if ch else np.empty(0, out_dtype)
+            for ch in chans
+        ]
+    ).T
     if total:
         arr = arr[:total]
     if md5 != b"\x00" * 16:

@@ -24,7 +24,7 @@ import struct
 
 import numpy as np
 
-from spdb_spark.functions.limits import check_pixel_budget
+from spdb_spark.functions.limits import check_pixel_budget, check_total_budget
 
 GIF_SIGS = (b"GIF87a", b"GIF89a")
 
@@ -290,6 +290,9 @@ def gif_frames(payload: bytes) -> list[np.ndarray]:
         before = canvas.copy() if disposal == 3 else None
         region = canvas[top : top + fh, left : left + fw]
         region[opaque] = rgba[opaque]
+        # each frame snapshot is a full canvas: budget the CUMULATIVE
+        # output, or a few-KB animation amplifies to gigabytes
+        check_total_budget((len(frames) + 1) * width * height, "GIF")
         frames.append(canvas.copy())
         if disposal == 2:
             canvas[top : top + fh, left : left + fw] = 0
@@ -308,11 +311,8 @@ def gif_decode(payload: bytes) -> np.ndarray:
     png_decode returns for gray images, so band features agree across
     codecs); otherwise (H, W, 4) RGBA uint8."""
     frame = gif_frames(payload)[0]
-    if (frame[..., 3] == 255).all():
-        r, g, b = frame[..., 0], frame[..., 1], frame[..., 2]
-        if (r == g).all() and (g == b).all():
-            return r.copy()
-    return frame
+    out = _collapse_gray(frame)
+    return out.copy() if out.ndim == 2 else frame
 
 
 # ---------------------------------------------------------------------------

@@ -32,3 +32,14 @@ def check_pixel_budget(width: int, height: int, codec: str) -> None:
             f"{codec}: declared dimensions {width}x{height} exceed the "
             f"decode pixel budget ({MAX_PIXELS}); refusing to allocate"
         )
+
+
+def check_total_budget(total_units: int, codec: str, what: str = "pixels") -> None:
+    """Cap CUMULATIVE decode output (animation frames x canvas, audio
+    samples x channels) — per-image caps don't stop a tiny payload from
+    amplifying through many frames/blocks."""
+    if total_units > MAX_PIXELS:
+        raise PixelBudgetError(
+            f"{codec}: decoded output exceeds the budget of {MAX_PIXELS} "
+            f"{what}; refusing to amplify further"
+        )

@@ -225,55 +225,83 @@ def _mp4_boxes(p: bytes, start: int, end: int):
 
 
 def _probe_mp4(p: bytes) -> dict:
-    """Real ISO-BMFF box walk: mvhd duration, video trak dims + stsz
-    sample count, stsd codec fourcc — no codec decode needed."""
+    """Real ISO-BMFF box walk, scoped PER TRACK so multi-track files
+    don't mix fields: mvhd movie duration; the VIDEO track (hdlr 'vide')
+    supplies codec/dims/frame count; the first AUDIO track (hdlr 'soun')
+    supplies sample_rate from its mdhd timescale. No codec decode."""
     out = {**_EMPTY, "codec": "mp4"}
 
-    def walk(start, end, path):
-        nonlocal out
-        for btype, body, bend in _mp4_boxes(p, start, end):
-            t = btype.decode("latin1")
-            if t in ("moov", "trak", "mdia", "minf", "stbl"):
-                walk(body, bend, path + "/" + t)
-            elif t == "mvhd":
-                ver = p[body]
+    def parse_trak(start, end) -> dict:
+        trk = {"handler": None, "fourcc": None, "w": None, "h": None,
+               "count": None, "timescale": None}
+
+        def walk(s, e):
+            for btype, body, bend in _mp4_boxes(p, s, e):
+                t = btype.decode("latin1")
+                if t in ("mdia", "minf", "stbl"):
+                    walk(body, bend)
+                elif t == "hdlr":
+                    trk["handler"] = p[body + 8 : body + 12].decode("latin1")
+                elif t == "tkhd":
+                    ver = p[body]
+                    # after version+flags and the v0/v1 times/id/duration
+                    # run, 52 fixed bytes (reserved/layer/volume/matrix)
+                    # precede the 16.16 width/height
+                    base = body + (24 if ver == 0 else 36)
+                    w16, h16 = struct.unpack_from(">II", p, base + 52)
+                    if w16 and h16:
+                        trk["w"], trk["h"] = w16 >> 16, h16 >> 16
+                elif t == "stsd":
+                    n = struct.unpack_from(">I", p, body + 4)[0]
+                    if n:
+                        trk["fourcc"] = p[body + 12 : body + 16].decode(
+                            "latin1"
+                        )
+                        # a video sample entry carries dims at offset 32
+                        if bend - body >= 44 and trk["w"] is None:
+                            w, h = struct.unpack_from(">HH", p, body + 8 + 32)
+                            if w and h:
+                                trk["w"], trk["h"] = w, h
+                elif t == "stsz":
+                    trk["count"] = struct.unpack_from(">I", p, body + 8)[0]
+                elif t == "mdhd":
+                    ver = p[body]
+                    off = 20 if ver == 1 else 12
+                    trk["timescale"] = struct.unpack_from(">I", p, body + off)[0]
+
+        walk(start, end)
+        return trk
+
+    traks = []
+    for btype, body, bend in _mp4_boxes(p, 0, len(p)):
+        if btype != b"moov":
+            continue
+        for ityp, ibody, ibend in _mp4_boxes(p, body, bend):
+            if ityp == b"mvhd":
+                ver = p[ibody]
                 if ver == 1:
-                    ts, dur = struct.unpack_from(">IQ", p, body + 20)
+                    ts, dur = struct.unpack_from(">IQ", p, ibody + 20)
                 else:
-                    ts, dur = struct.unpack_from(">II", p, body + 12)
+                    ts, dur = struct.unpack_from(">II", p, ibody + 12)
                 if ts:
                     out["duration_ms"] = dur * 1000 // ts
-            elif t == "tkhd":
-                ver = p[body]
-                # after version+flags and the v0/v1 times/id/duration run,
-                # 52 fixed bytes (reserved/layer/volume/matrix) precede the
-                # 16.16 width/height
-                base = body + (24 if ver == 0 else 36)
-                w16, h16 = struct.unpack_from(">II", p, base + 52)
-                if w16 and h16:
-                    out["width"], out["height"] = w16 >> 16, h16 >> 16
-            elif t == "stsd":
-                n = struct.unpack_from(">I", p, body + 4)[0]
-                if n:
-                    four = p[body + 12 : body + 16].decode("latin1")
-                    out["codec"] = f"mp4/{four}"
-                    # a video sample entry carries dims at entry offset 32
-                    if bend - body >= 44:
-                        w, h = struct.unpack_from(">HH", p, body + 8 + 32)
-                        if w and h and out["width"] is None:
-                            out["width"], out["height"] = w, h
-            elif t == "stsz":
-                cnt = struct.unpack_from(">I", p, body + 8)[0]
-                out["n_frames"] = max(out["n_frames"] or 0, cnt)
-            elif t == "mdhd":
-                ver = p[body]
-                if ver == 1:
-                    ts = struct.unpack_from(">I", p, body + 20)[0]
-                else:
-                    ts = struct.unpack_from(">I", p, body + 12)[0]
-                out["sample_rate"] = out["sample_rate"] or ts
+            elif ityp == b"trak":
+                traks.append(parse_trak(ibody, ibend))
 
-    walk(0, len(p), "")
+    video = next(
+        (t for t in traks if t["handler"] == "vide" or t["w"] is not None), None
+    )
+    audio = next((t for t in traks if t["handler"] == "soun"), None)
+    if video:
+        if video["fourcc"]:
+            out["codec"] = f"mp4/{video['fourcc']}"
+        out["width"], out["height"] = video["w"], video["h"]
+        out["n_frames"] = video["count"]
+    elif traks and traks[0]["fourcc"]:
+        out["codec"] = f"mp4/{traks[0]['fourcc']}"
+        out["n_frames"] = traks[0]["count"]
+    if audio:
+        out["sample_rate"] = audio["timescale"]
     return out
 
 
@@ -426,7 +454,7 @@ def _probe_mp3(p: bytes) -> dict:
             frames = struct.unpack_from(">I", p, tag_at + 8)[0]
             dur = frames * samples_per_frame * 1000 // rate
     if dur is None:
-        dur = (n - pos) * 8 // (kbps * 1000) * 1000 if kbps else None
+        dur = (n - pos) * 8 // kbps if kbps else None  # bytes*8/kbps == ms
         frames = (dur * rate // (samples_per_frame * 1000)) if dur else None
     return {**_EMPTY, "codec": f"mp3/v{ {3: 1, 2: 2, 0: 2.5}[version] }l3",
             "duration_ms": dur, "n_frames": frames, "sample_rate": rate,

@@ -109,7 +109,8 @@ def avi_encode_dib(images: list[np.ndarray], fps: int = 10) -> bytes:
 def avi_stream_format(payload: bytes) -> tuple[int, int, int, bytes, bytes]:
     """-> (width, height, bits_per_pixel, compression fourcc, palette
     bytes) from the strf BITMAPINFOHEADER (BI_RGB fourcc normalized to
-    b'DIB ')."""
+    b'DIB '). Height keeps its SIGN: negative means top-down row order,
+    and dropping it would silently flip every decoded frame."""
     idx = payload.find(b"strf")
     if idx < 0 or idx + 48 > len(payload):
         raise ValueError("avi: missing strf")
@@ -121,12 +122,13 @@ def avi_stream_format(payload: bytes) -> tuple[int, int, int, bytes, bytes]:
     if bpp == 8:
         n_colors = n_colors or 256
         palette = payload[base + 40 : base + 40 + 4 * n_colors]
-    return w, abs(h), bpp, fourcc, palette
+    return w, h, bpp, fourcc, palette
 
 
 def _dib_frame_decode(blob: bytes, w: int, h: int, bpp: int, palette: bytes) -> np.ndarray:
     """Decode one raw DIB frame by wrapping it as a BMP and reusing the
-    tested bmp_decode path (same row order, stride, palette rules)."""
+    tested bmp_decode path (same row order incl. the top-down negative
+    height, stride, palette rules)."""
     from spdb_spark.functions.bmp import bmp_decode
 
     offset = 14 + 40 + len(palette)

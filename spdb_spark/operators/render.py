@@ -228,22 +228,27 @@ _ADAM7 = (
 
 def _png_unfilter(raw: bytes, h: int, stride: int, bpp: int) -> bytearray:
     """Reverse the five PNG scanline filters (None/Sub/Up/Average/Paeth).
-    Sequential per the spec: Sub/Average/Paeth reference the RECONSTRUCTED
-    left neighbor, so those rows walk byte-by-byte."""
+    Sub is a per-lane modular prefix sum and Up a modular add (numpy);
+    Average/Paeth reference the reconstructed left neighbor through a
+    nonlinear predictor, so those rows genuinely walk byte-by-byte."""
     out = bytearray(h * stride)
-    prev = bytes(stride)
+    prev = bytearray(stride)
     for r in range(h):
         off = r * (stride + 1)
         ftype = raw[off]
         cur = bytearray(raw[off + 1 : off + 1 + stride])
         if ftype == 0:
             pass
-        elif ftype == 1:  # Sub
-            for i in range(bpp, stride):
-                cur[i] = (cur[i] + cur[i - bpp]) & 0xFF
-        elif ftype == 2:  # Up
-            for i in range(stride):
-                cur[i] = (cur[i] + prev[i]) & 0xFF
+        elif ftype == 1:  # Sub: per-lane modular prefix sum (vectorized)
+            arr = np.frombuffer(bytes(cur), np.uint8).copy()
+            for lane in range(bpp):
+                np.cumsum(arr[lane::bpp], dtype=np.uint8, out=arr[lane::bpp])
+            cur = bytearray(arr.tobytes())
+        elif ftype == 2:  # Up: one modular add (vectorized)
+            arr = np.frombuffer(bytes(cur), np.uint8) + np.frombuffer(
+                bytes(prev), np.uint8
+            )
+            cur = bytearray(arr.tobytes())
         elif ftype == 3:  # Average
             for i in range(stride):
                 a = cur[i - bpp] if i >= bpp else 0
@@ -325,6 +330,11 @@ def png_decode(data: bytes) -> np.ndarray:
     if ihdr is None:
         raise ValueError("png: missing IHDR")
     w, h, depth, color_type, comp, filt, interlace = ihdr
+    if w == 0 or h == 0:
+        # PNG requires nonzero dims — and expected=0 below would turn the
+        # capped decompress into an UNCAPPED one (max_length=0 means
+        # unlimited), reopening the zlib-bomb hole.
+        raise ValueError("png: zero width or height")
     check_pixel_budget(w, h, "png")
     if comp != 0 or filt != 0:
         raise ValueError("png: unknown compression/filter method")

@@ -166,3 +166,84 @@ def test_png_decompression_bomb_capped():
     from spdb_spark.operators.render import png_decode
     out = png_decode(png)  # decodes the declared 4x4, ignores the tail
     assert out.shape == (4, 4) and (out == 0).all()
+
+
+def test_png_zero_dim_does_not_uncap_inflate():
+    """Review r6b: w=0 made expected=0, and zlib max_length=0 means
+    UNLIMITED — the bomb guard must refuse zero dims outright."""
+    import struct
+    import zlib
+
+    ihdr = struct.pack(">IIBBBBB", 0, 4, 8, 0, 0, 0, 0)
+    bomb = zlib.compress(b"\x00" * 50_000_000, 9)
+    png = (
+        b"\x89PNG\r\n\x1a\n"
+        + struct.pack(">I", 13) + b"IHDR" + ihdr + b"\x00" * 4
+        + struct.pack(">I", len(bomb)) + b"IDAT" + bomb + b"\x00" * 4
+    )
+    from spdb_spark.operators.render import png_decode
+    with pytest.raises(ValueError, match="zero width"):
+        png_decode(png)
+
+
+def test_gif_animation_amplification_refused():
+    """Review r6b: per-frame canvas snapshots amplify a tiny payload;
+    the cumulative budget must stop it."""
+    import struct
+
+    from spdb_spark.functions.gif import lzw_encode
+
+    w = h = 600
+    out = bytearray(b"GIF89a" + struct.pack("<HHBBB", w, h, 0x80, 0, 0))
+    out += bytes(6)  # 2-entry global palette
+    one = bytes([2]) + bytes([len(x := lzw_encode(b"\x00", 2))]) + x + b"\x00"
+    frame = b"\x2c" + struct.pack("<HHHHB", 0, 0, 1, 1, 0) + one
+    payload = bytes(out) + frame * 2000 + b"\x3b"
+    assert len(payload) < 35_000
+    from spdb_spark.functions.gif import gif_frames
+    from spdb_spark.functions.limits import PixelBudgetError
+    with pytest.raises(PixelBudgetError):
+        gif_frames(payload)  # 2000 x 600x600 RGBA would be ~2.8 GB
+
+
+def test_flac_sample_amplification_refused():
+    """Review r6b: CONSTANT subframes expand ~15 bytes to 65536 samples;
+    the cumulative sample budget must stop a total=0 stream."""
+    import struct
+
+    from spdb_spark.functions.flac import (
+        _BitWriter,
+        _utf8_code,
+        crc8,
+        crc16,
+        flac_decode,
+    )
+    from spdb_spark.functions.limits import PixelBudgetError
+
+    si = _BitWriter()
+    si.write(65535, 16); si.write(65535, 16)
+    si.write(0, 24); si.write(0, 24)
+    si.write(8000, 20); si.write(0, 3); si.write(15, 5)
+    si.write(0, 36)  # total=0: unbounded stream
+    info = si.bytes() + b"\x00" * 16
+
+    def frame(idx):
+        w = _BitWriter()
+        w.write(0x3FFE, 14); w.write(0, 2)
+        w.write(0b0111, 4); w.write(0, 4); w.write(0, 4)
+        w.write(0b100, 3); w.write(0, 1)
+        for b in _utf8_code(idx):
+            w.write(b, 8)
+        w.write(65535, 16)
+        w.write(crc8(bytes(w.buf)), 8)
+        w.write(0, 1); w.write(0, 6); w.write(0, 1)  # CONSTANT
+        w.write(0, 16)
+        w.align()
+        fr = bytes(w.buf)
+        return fr + struct.pack(">H", crc16(fr))
+
+    payload = (b"fLaC" + bytes([0x80]) + struct.pack(">I", len(info))[1:]
+               + info + b"".join(frame(i) for i in range(4000)))
+    assert len(payload) < 80_000
+    with pytest.raises(PixelBudgetError):
+        flac_decode(payload)  # would be 262M samples

@@ -259,3 +259,82 @@ def test_avi_dib_frames_decode_and_probe():
     assert status == "ok"
     for i in range(3):
         assert (feats[i] == _image_frame_features(rgb[i], 1, 4)[0]).all()
+
+
+def test_mp3_subsecond_duration_not_truncated():
+    # review r6b: duration was floored to whole seconds
+    frame = _box_mp3_frame_v1l3(bitrate_idx=9, sr_idx=0, mono=True)  # 128 kbps
+    payload = frame + b"\x00" * (46400 - 4)  # 2.9 s at 128 kbps
+    _, f = probe_payload(payload)
+    assert f["duration_ms"] == 2900
+
+
+def test_mp4_multitrack_scoping():
+    """Review r6b: a video+audio MP4 must take n_frames from the video
+    track and sample_rate from the audio track's mdhd, not mix them."""
+    def trak(handler, fourcc, count, timescale, dims=None):
+        tkhd_body = (
+            b"\x00\x00\x00\x07" + struct.pack(">IIIII", 0, 0, 1, 0, 0)
+            + b"\x00" * 52
+            + struct.pack(">II", (dims[0] << 16) if dims else 0,
+                          (dims[1] << 16) if dims else 0)
+        )
+        hdlr = _box(b"hdlr", b"\x00" * 8 + handler + b"\x00" * 12)
+        mdhd = _box(
+            b"mdhd",
+            b"\x00\x00\x00\x00" + struct.pack(">II", 0, 0)
+            + struct.pack(">II", timescale, timescale * 4)
+            + struct.pack(">HH", 0x55C4, 0),
+        )
+        entry_body = b"\x00" * 6 + struct.pack(">H", 1) + b"\x00" * 16 + (
+            struct.pack(">HH", *dims) if dims else b"\x00" * 4
+        ) + b"\x00" * 50
+        stsd = _box(b"stsd", b"\x00" * 4 + struct.pack(">I", 1)
+                    + _box(fourcc, entry_body))
+        stsz = _box(b"stsz", b"\x00" * 4 + struct.pack(">II", 0, count))
+        stbl = _box(b"stbl", stsd + stsz)
+        return _box(
+            b"trak",
+            _box(b"tkhd", tkhd_body)
+            + _box(b"mdia", mdhd + hdlr + _box(b"minf", stbl)),
+        )
+
+    mvhd = _box(b"mvhd", b"\x00" * 4 + struct.pack(">II", 0, 0)
+                + struct.pack(">II", 1000, 12000) + b"\x00" * 80)
+    moov = _box(b"moov", mvhd
+                + trak(b"vide", b"avc1", 300, 90000, dims=(1280, 720))
+                + trak(b"soun", b"mp4a", 4000, 44100))
+    ftyp = _box(b"ftyp", b"isom" + struct.pack(">I", 512) + b"isomavc1")
+    _, f = probe_payload(ftyp + moov)
+    assert f["codec"] == "mp4/avc1"
+    assert (f["width"], f["height"]) == (1280, 720)
+    assert f["n_frames"] == 300          # video frames, not audio packets
+    assert f["sample_rate"] == 44100     # audio timescale, not video's
+    assert f["duration_ms"] == 12000
+
+
+def test_avi_topdown_dib_not_flipped():
+    """Review r6b: negative strf biHeight (top-down raw capture) must not
+    decode vertically flipped."""
+    import numpy as np
+
+    from spdb_spark.functions.multimodal import (
+        _image_frame_features,
+        decode_features_status,
+    )
+    from spdb_spark.functions.video import avi_encode_dib
+
+    rng = np.random.default_rng(12)
+    img = rng.integers(0, 256, (10, 8), dtype=np.uint8)
+    payload = bytearray(avi_encode_dib([img], fps=5))
+    # flip the stored rows to TOP-DOWN order and negate strf biHeight
+    idx = bytes(payload).find(b"strf")
+    struct.pack_into("<i", payload, idx + 8 + 8, -10)
+    movi = bytes(payload).find(b"00db")
+    stride = 8
+    rows = [bytes(payload[movi + 8 + r * stride : movi + 8 + (r + 1) * stride])
+            for r in range(10)]
+    payload[movi + 8 : movi + 8 + 10 * stride] = b"".join(reversed(rows))
+    feats, status = decode_features_status(bytes(payload), 1, 4)
+    assert status == "ok"
+    assert (feats[0] == _image_frame_features(img, 1, 4)[0]).all()
