@@ -247,3 +247,70 @@ def test_flac_sample_amplification_refused():
     assert len(payload) < 80_000
     with pytest.raises(PixelBudgetError):
         flac_decode(payload)  # would be 262M samples
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    dims, dims,
+    st.sampled_from(["none", "packbits", "lzw"]),
+    st.booleans(),
+    st.integers(1, 9),
+    st.integers(0, 2**32 - 1),
+)
+def test_tiff_roundtrip_fuzz(h, w, compression, predictor, rps, seed):
+    from spdb_spark.functions.tiff import tiff_decode, tiff_encode
+
+    if predictor and compression != "lzw":
+        predictor = False
+    img = np.random.default_rng(seed).integers(0, 256, (h, w), dtype=np.uint8)
+    out = tiff_decode(
+        tiff_encode(img, compression=compression, predictor=predictor,
+                    rows_per_strip=rps)
+    )
+    assert (out == img).all()
+
+
+@settings(max_examples=20, deadline=None)
+@given(dims, dims, st.sampled_from([0, 1, 2, 3, 4]), st.integers(0, 2**32 - 1))
+def test_png_unfilter_fuzz(h, w, ftype, seed):
+    """Forward-filter random scanlines per the spec definition and decode
+    — every filter type, every shape."""
+    import struct
+    import zlib
+
+    from spdb_spark.operators.render import png_decode
+
+    rng = np.random.default_rng(seed)
+    img = rng.integers(0, 256, (h, w), dtype=np.uint8)
+    raw = bytearray()
+    prev = np.zeros(w, np.int32)
+    for r in range(h):
+        cur = img[r].astype(np.int32)
+        a = np.concatenate([[0], cur[:-1]]) if w > 1 else np.zeros(w, np.int32)
+        c = np.concatenate([[0], prev[:-1]]) if w > 1 else np.zeros(w, np.int32)
+        if ftype == 0:
+            filt = cur
+        elif ftype == 1:
+            filt = cur - a
+        elif ftype == 2:
+            filt = cur - prev
+        elif ftype == 3:
+            filt = cur - ((a + prev) >> 1)
+        else:
+            p = a + prev - c
+            pa, pb, pc = np.abs(p - a), np.abs(p - prev), np.abs(p - c)
+            pred = np.where((pa <= pb) & (pa <= pc), a,
+                            np.where(pb <= pc, prev, c))
+            filt = cur - pred
+        raw += bytes([ftype]) + ((filt & 0xFF).astype(np.uint8).tobytes())
+        prev = cur
+
+    def chunk(tag, body):
+        return (struct.pack(">I", len(body)) + tag + body
+                + struct.pack(">I", zlib.crc32(tag + body)))
+
+    payload = (b"\x89PNG\r\n\x1a\n"
+               + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0))
+               + chunk(b"IDAT", zlib.compress(bytes(raw)))
+               + chunk(b"IEND", b""))
+    assert (png_decode(payload) == img).all()
