@@ -232,6 +232,15 @@ def decode_features_status(
             raise
         except ValueError:  # tiled/planar/JPEG-in-TIFF/bilevel: honest stub
             return _fake_decode(payload, n_frames, dim), "stub"
+    if payload[:4] == b"\x00\x00\x01\x00":  # ICO (weak magic: checked last)
+        from spdb_spark.functions.ico import ico_decode
+
+        try:
+            return _image_frame_features(ico_decode(payload), n_frames, dim), "ok"
+        except PixelBudgetError:
+            raise
+        except ValueError:
+            return _fake_decode(payload, n_frames, dim), "stub"
     return _fake_decode(payload, n_frames, dim), "stub"
 
 

@@ -327,6 +327,13 @@ def probe_payload(payload: bytes) -> tuple[str, dict]:
         return "mp4", _probe_mp4(payload)
     if payload[:4] == b"OggS":
         return "ogg", _probe_ogg(payload)
+    if payload[:4] == b"\x00\x00\x01\x00":
+        from spdb_spark.functions.ico import ico_entries
+
+        entries = ico_entries(payload)
+        w, h, _o, _s = max(entries, key=lambda e: e[0] * e[1])
+        return "ico", {**_EMPTY, "codec": "ico", "width": w, "height": h,
+                       "n_frames": len(entries)}
     if payload[:3] == b"ID3" or (
         len(payload) >= 4
         and payload[0] == 0xFF
