@@ -323,6 +323,8 @@ def probe_payload(payload: bytes) -> tuple[str, dict]:
         return "flac", _probe_flac(payload)
     if payload[:4] == b"RIFF" and payload[8:12] == b"AVI ":
         return "avi", _probe_avi(payload)
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WEBP":
+        return "webp", _probe_webp(payload)
     if len(payload) >= 12 and payload[4:8] == b"ftyp":
         return "mp4", _probe_mp4(payload)
     if payload[:4] == b"OggS":
@@ -497,3 +499,37 @@ def _probe_ogg(p: bytes) -> dict:
             out["duration_ms"] = granule * 1000 // gran_rate
             out["n_frames"] = granule
     return out
+
+
+def _probe_webp(p: bytes) -> dict:
+    """WebP dims from the public chunk layouts — VP8X canvas (24-bit
+    minus-one fields), VP8L (14-bit minus-one pairs after the 0x2F
+    signature byte), lossy VP8 (sync 9D 01 2A then 14-bit LE dims).
+    Pixel decode stays stubbed (VP8 entropy tables are out of reach);
+    the metadata is real so resolution pruning covers WebP too."""
+    out = {**_EMPTY, "codec": "webp", "n_frames": 1}
+    pos, end = 12, min(8 + struct.unpack_from("<I", p, 4)[0], len(p))
+    while pos + 8 <= end:
+        cid = p[pos : pos + 4]
+        size = struct.unpack_from("<I", p, pos + 4)[0]
+        body = p[pos + 8 : pos + 8 + size]
+        if cid == b"VP8X" and len(body) >= 10:
+            out["codec"] = "webp/vp8x"
+            out["width"] = 1 + int.from_bytes(body[4:7], "little")
+            out["height"] = 1 + int.from_bytes(body[7:10], "little")
+            if body[0] & 0x02:  # animation flag
+                out["n_frames"] = None  # count lives in ANMF chunks
+            return out
+        if cid == b"VP8L" and len(body) >= 5 and body[0] == 0x2F:
+            bits = int.from_bytes(body[1:5], "little")
+            out["codec"] = "webp/lossless"
+            out["width"] = (bits & 0x3FFF) + 1
+            out["height"] = ((bits >> 14) & 0x3FFF) + 1
+            return out
+        if cid == b"VP8 " and len(body) >= 10 and body[3:6] == b"\x9d\x01\x2a":
+            out["codec"] = "webp/lossy"
+            out["width"] = struct.unpack_from("<H", body, 6)[0] & 0x3FFF
+            out["height"] = struct.unpack_from("<H", body, 8)[0] & 0x3FFF
+            return out
+        pos += 8 + size + (size & 1)
+    raise ValueError("webp: no image chunk")

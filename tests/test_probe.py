@@ -338,3 +338,35 @@ def test_avi_topdown_dib_not_flipped():
     feats, status = decode_features_status(bytes(payload), 1, 4)
     assert status == "ok"
     assert (feats[0] == _image_frame_features(img, 1, 4)[0]).all()
+
+
+def test_webp_probe_all_three_chunk_forms():
+    """WebP dims from hand-assembled VP8X / VP8L / lossy-VP8 chunks per
+    the public bit layouts; decode for all three stays the labeled stub."""
+    def riff(chunk):
+        body = b"WEBP" + chunk
+        return b"RIFF" + struct.pack("<I", len(body)) + body
+
+    def chunk(cid, body):
+        return cid + struct.pack("<I", len(body)) + body + (
+            b"\x00" if len(body) & 1 else b""
+        )
+
+    vp8x = chunk(b"VP8X", bytes([0, 0, 0, 0])
+                 + (639).to_bytes(3, "little") + (359).to_bytes(3, "little"))
+    _, f = probe_payload(riff(vp8x))
+    assert f["codec"] == "webp/vp8x" and (f["width"], f["height"]) == (640, 360)
+
+    bits = (99) | (49 << 14)  # 100x50 minus-one fields
+    vp8l = chunk(b"VP8L", bytes([0x2F]) + struct.pack("<I", bits))
+    _, f = probe_payload(riff(vp8l))
+    assert f["codec"] == "webp/lossless" and (f["width"], f["height"]) == (100, 50)
+
+    vp8 = chunk(b"VP8 ", b"\x00\x00\x00\x9d\x01\x2a"
+                + struct.pack("<HH", 320, 240) + b"\x00" * 4)
+    _, f = probe_payload(riff(vp8))
+    assert f["codec"] == "webp/lossy" and (f["width"], f["height"]) == (320, 240)
+
+    from spdb_spark.functions.multimodal import decode_features_status
+    _feats, status = decode_features_status(riff(vp8), 2, 3)
+    assert status == "stub"  # honest: no pure-Python VP8 pixel decode
