@@ -61,8 +61,9 @@ EXTRA = [
     "llm_dedup_simhash_pairs",
     "llm_bigram_logprob",
     "llm_knn_classify",
-    "llm_multimodal_decode",  # r6: real PNG/JPEG/SOF2 Arrow decode kernel
+    "llm_multimodal_decode",  # r6: real PNG/JPEG/SOF2/GIF Arrow decode kernel
     "llm_dedup_jaccard_capped",  # r6: stop-shingle-capped pair join
+    "llm_multimodal_probe",  # r6: header-only prune-before-decode kernel
 ]
 
 
