@@ -136,8 +136,25 @@ def _build_codes(bits: list[int], vals: list[int]) -> dict[int, tuple[int, int]]
     return codes
 
 
-def _build_decoder(bits: list[int], vals: list[int]) -> dict[tuple[int, int], int]:
-    """(length, code) -> value."""
+class _HuffDecoder:
+    """Huffman decode tables: a canonical (length, code) -> value map plus
+    an 8-bit-peek fast table resolving every code of length <= 8 in one
+    lookup (the common case — DC sizes and the hot AC run/size symbols are
+    short by construction), worth ~3x on the entropy-decode hot loop."""
+
+    __slots__ = ("map", "fast")
+
+    def __init__(self, table: dict[tuple[int, int], int]):
+        self.map = table
+        self.fast: list[tuple[int, int] | None] = [None] * 256
+        for (length, code), val in table.items():
+            if length <= 8:
+                base = code << (8 - length)
+                for suffix in range(1 << (8 - length)):
+                    self.fast[base | suffix] = (val, length)
+
+
+def _build_decoder(bits: list[int], vals: list[int]) -> _HuffDecoder:
     table = {}
     code = 0
     i = 0
@@ -147,7 +164,7 @@ def _build_decoder(bits: list[int], vals: list[int]) -> dict[tuple[int, int], in
             code += 1
             i += 1
         code <<= 1
-    return table
+    return _HuffDecoder(table)
 
 
 class _BitWriter:
@@ -213,7 +230,17 @@ class _BitReader:
         self.acc &= (1 << self.nbits) - 1
         return v
 
-    def read_code(self, table: dict[tuple[int, int], int]) -> int:
+    def read_code(self, dec: "_HuffDecoder") -> int:
+        self._fill()
+        if self.nbits >= 8:
+            hit = dec.fast[(self.acc >> (self.nbits - 8)) & 0xFF]
+            if hit is not None:
+                val, length = hit
+                self.nbits -= length
+                self.acc &= (1 << self.nbits) - 1
+                return val
+        # long codes (9..16 bits) and short tails: bit-by-bit canonical walk
+        table = dec.map
         code = 0
         for length in range(1, 17):
             code = (code << 1) | self.read_bits(1)
@@ -662,7 +689,7 @@ def jpeg_decode(payload: bytes) -> np.ndarray:
         raise ValueError("jpeg: missing SOI")
     pos = 2
     qtables: dict[int, np.ndarray] = {}
-    htables: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
+    htables: dict[tuple[int, int], _HuffDecoder] = {}
     frame = None
     progressive = False
     coefs = None  # per-component zigzag coefficient store (progressive)
