@@ -449,9 +449,9 @@ def flac_decode(payload: bytes) -> tuple[np.ndarray, int]:
     total = si.read(36)
     md5 = streaminfo[18:34]
 
-    from spdb_spark.functions.limits import check_total_budget
+    from spdb_spark.functions.limits import MAX_AUDIO_SAMPLES, check_total_budget
 
-    check_total_budget(total * si_nch, "FLAC", "samples")
+    check_total_budget(total * si_nch, "FLAC", "samples", MAX_AUDIO_SAMPLES)
     # per-channel per-frame numpy chunks: a few bytes per decoded sample
     # instead of a Python int object each
     out_dtype = np.int8 if si_bps <= 8 else np.int16 if si_bps <= 16 else np.int32
@@ -533,7 +533,7 @@ def flac_decode(payload: bytes) -> tuple[np.ndarray, int]:
         # tiny frames can claim huge blocksizes: budget the CUMULATIVE
         # decoded output, not just the declared total (total=0 streams
         # would otherwise amplify unboundedly)
-        check_total_budget(n_out * si_nch, "FLAC", "samples")
+        check_total_budget(n_out * si_nch, "FLAC", "samples", MAX_AUDIO_SAMPLES)
         info = np.iinfo(out_dtype)
         for c in range(nch):
             try:

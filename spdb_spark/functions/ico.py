@@ -60,7 +60,9 @@ def _decode_dib_member(blob: bytes) -> np.ndarray:
     check_pixel_budget(w, h, "ico")
     if bpp == 8 and not n_colors:
         n_colors = 256
-    palette_len = 4 * n_colors if bpp <= 8 else 0
+    # biClrUsed may carry an optimization color table even for bpp > 8 —
+    # it must be SKIPPED or the pixel rows shift by its length
+    palette_len = 4 * n_colors
     xor_stride = (w * bpp // 8 + 3) & ~3
     and_stride = ((w + 7) // 8 + 3) & ~3
     xor_end = 40 + palette_len + xor_stride * h

@@ -160,6 +160,9 @@ def _build_decoder(bits: list[int], vals: list[int]) -> _HuffDecoder:
     i = 0
     for length in range(1, 17):
         for _ in range(bits[length - 1]):
+            if code >= (1 << length) or i >= len(vals):
+                # oversubscribed DHT: canonical codes overflow the length
+                raise ValueError("jpeg: invalid Huffman table")
             table[(length, code)] = vals[i]
             code += 1
             i += 1

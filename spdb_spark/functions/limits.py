@@ -34,12 +34,22 @@ def check_pixel_budget(width: int, height: int, codec: str) -> None:
         )
 
 
-def check_total_budget(total_units: int, codec: str, what: str = "pixels") -> None:
+# Audio gets its own (larger) budget: samples are 2 bytes, not 4-byte
+# RGBA pixels, and legitimate corpus audio runs long — 2^28 samples is
+# ~50 min of stereo 44.1 kHz (536 MB as int16), far above real training
+# clips but still refusing the KB->GB amplification bombs. Raise it
+# process-wide for pipelines that genuinely ingest long-form audio.
+MAX_AUDIO_SAMPLES = 1 << 28
+
+
+def check_total_budget(
+    total_units: int, codec: str, what: str = "pixels", budget: int = MAX_PIXELS
+) -> None:
     """Cap CUMULATIVE decode output (animation frames x canvas, audio
     samples x channels) — per-image caps don't stop a tiny payload from
     amplifying through many frames/blocks."""
-    if total_units > MAX_PIXELS:
+    if total_units > budget:
         raise PixelBudgetError(
-            f"{codec}: decoded output exceeds the budget of {MAX_PIXELS} "
+            f"{codec}: decoded output exceeds the budget of {budget} "
             f"{what}; refusing to amplify further"
         )

@@ -291,7 +291,16 @@ def _probe_mp4(p: bytes) -> dict:
     video = next(
         (t for t in traks if t["handler"] == "vide" or t["w"] is not None), None
     )
-    audio = next((t for t in traks if t["handler"] == "soun"), None)
+    # audio: prefer the declared handler, but fall back to a dimensionless
+    # trak with a timescale (some muxers omit the spec-required hdlr)
+    audio = next((t for t in traks if t["handler"] == "soun"), None) or next(
+        (
+            t
+            for t in traks
+            if t is not video and t["w"] is None and t["timescale"]
+        ),
+        None,
+    )
     if video:
         if video["fourcc"]:
             out["codec"] = f"mp4/{video['fourcc']}"

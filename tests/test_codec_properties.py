@@ -243,10 +243,10 @@ def test_flac_sample_amplification_refused():
         return fr + struct.pack(">H", crc16(fr))
 
     payload = (b"fLaC" + bytes([0x80]) + struct.pack(">I", len(info))[1:]
-               + info + b"".join(frame(i) for i in range(4000)))
-    assert len(payload) < 80_000
+               + info + b"".join(frame(i) for i in range(8000)))
+    assert len(payload) < 160_000
     with pytest.raises(PixelBudgetError):
-        flac_decode(payload)  # would be 262M samples
+        flac_decode(payload)  # would be 524M samples > MAX_AUDIO_SAMPLES
 
 
 @settings(max_examples=20, deadline=None)
@@ -314,3 +314,24 @@ def test_png_unfilter_fuzz(h, w, ftype, seed):
                + chunk(b"IDAT", zlib.compress(bytes(raw)))
                + chunk(b"IEND", b""))
     assert (png_decode(payload) == img).all()
+
+
+def test_oversubscribed_dht_raises_valueerror():
+    """Review r6b-2: a DHT claiming more codes than a length holds must
+    raise ValueError (the malformed-JPEG contract), not IndexError."""
+    from spdb_spark.functions.jpeg import _build_decoder
+
+    with pytest.raises(ValueError, match="Huffman table"):
+        _build_decoder([0, 5] + [0] * 14, [1, 2, 3, 4, 5])
+    with pytest.raises(ValueError, match="Huffman table"):
+        _build_decoder([0, 2] + [0] * 14, [1])  # vals shorter than bits
+
+
+def test_flac_long_audio_within_budget():
+    """Review r6b-2: legitimate long audio must decode — the audio budget
+    is 2^28 samples, far above real clips (~50 min stereo 44.1 kHz)."""
+    from spdb_spark.functions.flac import flac_decode, flac_encode
+
+    x = np.zeros((2_000_000, 2), np.int16)  # ~45 s stereo: compresses tiny
+    out, _ = flac_decode(flac_encode(x))
+    assert out.shape == x.shape

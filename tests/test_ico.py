@@ -94,3 +94,18 @@ def test_dispatch_and_probe():
 def test_size_limit():
     with pytest.raises(ValueError, match="256"):
         ico_encode(np.zeros((300, 300), np.uint8))
+
+
+def test_dib_member_with_optimization_palette_for_24bpp():
+    """Review r6b-2: biClrUsed may carry a color table even at 24bpp —
+    its bytes must be skipped or pixels shift."""
+    rng = np.random.default_rng(4)
+    img = rng.integers(0, 256, (6, 5, 3), dtype=np.uint8)
+    mask = np.zeros((6, 5), bool)
+    blob = bytearray(_dib_member(img, mask))
+    # declare a 16-entry optimization palette and splice it in
+    struct.pack_into("<I", blob, 32, 16)
+    blob[40:40] = bytes(range(64))
+    payload = _ico([(5, 6, bytes(blob))])
+    out = ico_decode(payload)
+    assert (out[..., :3] == img).all() and (out[..., 3] == 255).all()

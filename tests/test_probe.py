@@ -370,3 +370,27 @@ def test_webp_probe_all_three_chunk_forms():
     from spdb_spark.functions.multimodal import decode_features_status
     _feats, status = decode_features_status(riff(vp8), 2, 3)
     assert status == "stub"  # honest: no pure-Python VP8 pixel decode
+
+
+def test_mp4_audio_without_hdlr_still_yields_sample_rate():
+    """Review r6b-2: some muxers omit hdlr; a dimensionless trak with a
+    timescale still supplies sample_rate."""
+    def trak_no_hdlr(fourcc, count, timescale):
+        tkhd_body = (b"\x00\x00\x00\x07" + struct.pack(">IIIII", 0, 0, 1, 0, 0)
+                     + b"\x00" * 52 + struct.pack(">II", 0, 0))
+        mdhd = _box(b"mdhd", b"\x00" * 4 + struct.pack(">II", 0, 0)
+                    + struct.pack(">II", timescale, timescale)
+                    + struct.pack(">HH", 0, 0))
+        entry = b"\x00" * 6 + struct.pack(">H", 1) + b"\x00" * 70
+        stsd = _box(b"stsd", b"\x00" * 4 + struct.pack(">I", 1)
+                    + _box(fourcc, entry))
+        stsz = _box(b"stsz", b"\x00" * 4 + struct.pack(">II", 0, count))
+        return _box(b"trak", _box(b"tkhd", tkhd_body)
+                    + _box(b"mdia", mdhd + _box(b"minf", _box(b"stbl", stsd + stsz))))
+
+    mvhd = _box(b"mvhd", b"\x00" * 4 + struct.pack(">II", 0, 0)
+                + struct.pack(">II", 1000, 5000) + b"\x00" * 80)
+    moov = _box(b"moov", mvhd + trak_no_hdlr(b"mp4a", 2000, 22050))
+    ftyp = _box(b"ftyp", b"isom" + struct.pack(">I", 512) + b"isomavc1")
+    _, f = probe_payload(ftyp + moov)
+    assert f["sample_rate"] == 22050 and f["duration_ms"] == 5000
