@@ -120,10 +120,27 @@ class _BitReader:
         return v - (1 << bits) if v & (1 << (bits - 1)) else v
 
     def read_unary(self) -> int:
+        # count leading zeros a buffered word at a time (bit_length finds
+        # the first set bit) instead of read(1) per zero — the Rice
+        # quotient loop is the decode hot path
         q = 0
-        while self.read(1) == 0:
-            q += 1
-        return q
+        while True:
+            if self._n == 0:
+                if self.pos >= len(self.data):
+                    raise ValueError("FLAC: bitstream truncated")
+                self._acc = self.data[self.pos]
+                self.pos += 1
+                self._n = 8
+            top = self._acc.bit_length()
+            if top == 0:  # all buffered bits are zeros
+                q += self._n
+                self._n = 0
+                continue
+            zeros = self._n - top
+            q += zeros
+            self._n = top - 1  # consume the zeros AND the terminating one
+            self._acc &= (1 << self._n) - 1
+            return q
 
     def align(self) -> None:
         self._n = 0
@@ -359,10 +376,40 @@ def _read_residual(r: _BitReader, bs: int, order: int) -> list[int]:
             for _ in range(n):
                 out.append(r.read_signed(raw) if raw else 0)
             continue
+        # hot path: the whole Rice loop runs on locals (one method call
+        # per PARTITION, not three per sample) — ~2x on real audio
+        acc, nb, pos, data = r._acc, r._n, r.pos, r.data
+        data_len = len(data)
+        append = out.append
         for _ in range(n):
-            q = r.read_unary()
-            u = (q << param) | (r.read(param) if param else 0)
-            out.append((u >> 1) ^ -(u & 1))
+            q = 0
+            while True:
+                if nb == 0:
+                    if pos >= data_len:
+                        raise ValueError("FLAC: bitstream truncated")
+                    acc = data[pos]
+                    pos += 1
+                    nb = 8
+                top = acc.bit_length()
+                if top == 0:
+                    q += nb
+                    nb = 0
+                    continue
+                q += nb - top
+                nb = top - 1
+                acc &= (1 << nb) - 1
+                break
+            while nb < param:
+                if pos >= data_len:
+                    raise ValueError("FLAC: bitstream truncated")
+                acc = (acc << 8) | data[pos]
+                pos += 1
+                nb += 8
+            nb -= param
+            u = (q << param) | (acc >> nb)
+            acc &= (1 << nb) - 1
+            append((u >> 1) ^ -(u & 1))
+        r._acc, r._n, r.pos = acc, nb, pos
     return out
 
 
@@ -380,14 +427,25 @@ def _decode_subframe(r: _BitReader, bs: int, bps: int) -> list[int]:
     elif ftype == 0b000001:  # VERBATIM
         out = [r.read_signed(bps) for _ in range(bs)]
     elif (ftype & 0b111000) == 0b001000 and (ftype & 0b000111) <= 4:  # FIXED
+        from itertools import accumulate
+
         order = ftype & 0b000111
-        out = [r.read_signed(bps) for _ in range(order)]
+        warmup = [r.read_signed(bps) for _ in range(order)]
         resid = _read_residual(r, bs, order)
-        coefs = _FIXED_COEFS[order]
-        for i, e in enumerate(resid):
-            pos = order + i
-            pred = sum(c * out[pos - 1 - j] for j, c in enumerate(coefs))
-            out.append(e + pred)
+        # fixed-order prediction is exactly k-fold integration: the
+        # residual is the order-th forward difference, so reconstruct by
+        # repeated prefix sums (C-speed accumulate on exact Python ints),
+        # seeded from the warmup's difference triangle
+        tri = [list(warmup)]
+        for j in range(1, order + 1):
+            prev_lvl = tri[j - 1]
+            tri.append(
+                [prev_lvl[i + 1] - prev_lvl[i] for i in range(len(prev_lvl) - 1)]
+            )
+        seq = resid
+        for j in range(order - 1, -1, -1):
+            seq = list(accumulate(seq, initial=tri[j][-1]))[1:]
+        out = warmup + seq
     elif ftype & 0b100000:  # LPC
         order = (ftype & 0b011111) + 1
         out = [r.read_signed(bps) for _ in range(order)]
