@@ -30,6 +30,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     BinaryType,
+    IntegerType,
     LongType,
     StringType,
     StructField,
@@ -233,4 +234,69 @@ def warc_responses_to_docs(warc: DataFrame) -> DataFrame:
             "source",
             F.length("text").cast("int").alias("n_chars"),
         )
+    )
+
+
+WARC_MEDIA_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("source", StringType(), True),
+        StructField("container", StringType(), False),
+        StructField("codec", StringType(), True),
+        StructField("width", IntegerType(), True),
+        StructField("height", IntegerType(), True),
+        StructField("duration_ms", LongType(), True),
+        StructField("n_frames", LongType(), True),
+        StructField("payload", BinaryType(), False),
+    ]
+)
+
+
+def warc_media(warc: DataFrame) -> DataFrame:
+    """WARC response records -> media rows: the crawl-side twin of
+    warc_responses_to_docs for IMAGES/AUDIO/VIDEO. One Arrow kernel
+    splits the HTTP payload at the header boundary IN BYTES (the string
+    cast html extraction uses would corrupt binary bodies), SNIFFS the
+    body with the header-only probe (crawl Content-Type headers lie;
+    magic bytes don't), and emits probe metadata next to the body so
+    consumers prune by resolution/duration before any decode
+    (functions/multimodal.extract_frame_features on the survivors).
+    Rows whose bodies match no known container are dropped here — text
+    responses belong to warc_responses_to_docs. Ids are content-addressed
+    like the documents path, so exact re-fetches collapse."""
+    import hashlib
+
+    from spdb_spark.functions.probe import probe_payload
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = [f.name for f in WARC_MEDIA_SCHEMA.fields]
+        for pdf in batches:
+            out = []
+            for row in pdf.itertuples(index=False):
+                if row.warc_type != "response" or row.payload is None:
+                    continue
+                payload = bytes(row.payload)
+                split = payload.find(b"\r\n\r\n")
+                body = payload[split + 4 :] if split >= 0 else payload
+                if not body:
+                    continue
+                try:
+                    container, f = probe_payload(body)
+                except Exception:
+                    continue  # not media (html/text/unknown)
+                digest = hashlib.md5(
+                    (row.target_uri or "").encode() + b"\x1f" + body
+                ).digest()
+                media_id = int.from_bytes(digest[:8], "big") >> 1
+                out.append(
+                    (media_id, row.target_uri, container, f["codec"],
+                     f["width"], f["height"], f["duration_ms"],
+                     f["n_frames"], body)
+                )
+            yield pd.DataFrame(out, columns=cols)
+
+    return (
+        warc.select("warc_type", "target_uri", "payload")
+        .mapInPandas(kernel, WARC_MEDIA_SCHEMA)
+        .dropDuplicates(["media_id"])
     )

@@ -239,3 +239,65 @@ def test_nested_entities_not_double_unescaped(spark):
     )
     (r,) = df.select(html_to_text(F.col("s")).alias("t")).collect()
     assert r.t == "a &lt; b and x & y"
+
+
+def test_warc_media_extracts_and_sniffs(spark, tmp_path):
+    """The crawl media path: image/audio response bodies are split from
+    their HTTP headers IN BYTES, sniffed by magic (the declared
+    Content-Type lies on purpose here), probed, and flow into the real
+    decode kernel; html/text/garbage responses are left to the docs
+    path."""
+    import numpy as np
+
+    from spdb_spark.functions.audio import wav_encode
+    from spdb_spark.functions.jpeg import jpeg_encode
+    from spdb_spark.functions.multimodal import extract_frame_features
+    from spdb_spark.operators.render import png_encode
+    from spdb_spark.sources.warc import ingest_warc, warc_encode, warc_media
+
+    rng = np.random.default_rng(5)
+    img = rng.integers(0, 256, (20, 30), dtype=np.uint8)
+    pcm = rng.integers(-500, 500, 1200, dtype=np.int16)
+
+    def http(body, ctype):
+        return (f"HTTP/1.1 200 OK\r\nContent-Type: {ctype}\r\n"
+                f"Content-Length: {len(body)}\r\n\r\n").encode() + body
+
+    records = [
+        {"warc_type": "response", "record_id": "a", "target_uri": "http://x/1",
+         "warc_date": "2026-01-01", "content_type": "application/http",
+         "payload": http(png_encode(img), "text/plain")},  # lying mime
+        {"warc_type": "response", "record_id": "b", "target_uri": "http://x/2",
+         "warc_date": "2026-01-01", "content_type": "application/http",
+         "payload": http(jpeg_encode(img, quality=90), "image/jpeg")},
+        {"warc_type": "response", "record_id": "c", "target_uri": "http://x/3",
+         "warc_date": "2026-01-01", "content_type": "application/http",
+         "payload": http(wav_encode(pcm), "audio/wav")},
+        {"warc_type": "response", "record_id": "d", "target_uri": "http://x/4",
+         "warc_date": "2026-01-01", "content_type": "application/http",
+         "payload": http(b"<html><body>hi</body></html>", "text/html")},
+        {"warc_type": "request", "record_id": "e", "target_uri": "http://x/1",
+         "warc_date": "2026-01-01", "content_type": "application/http",
+         "payload": b"GET / HTTP/1.1\r\n\r\n"},
+        # exact re-fetch of the PNG: collapses by content-addressed id
+        {"warc_type": "response", "record_id": "f", "target_uri": "http://x/1",
+         "warc_date": "2026-01-02", "content_type": "application/http",
+         "payload": http(png_encode(img), "image/png")},
+    ]
+    p = tmp_path / "warcs"
+    p.mkdir()
+    (p / "crawl.warc.gz").write_bytes(warc_encode(records))
+
+    media = warc_media(ingest_warc(spark, str(p)))
+    rows = {r.source: r for r in media.collect()}
+    assert set(rows) == {"http://x/1", "http://x/2", "http://x/3"}
+    assert rows["http://x/1"].container == "png"  # sniffed, not the lying mime
+    assert (rows["http://x/1"].width, rows["http://x/1"].height) == (30, 20)
+    assert rows["http://x/2"].codec == "jpeg/baseline"
+    assert rows["http://x/3"].container == "wav"
+    assert rows["http://x/3"].duration_ms == 1200 * 1000 // 16000
+
+    feats = extract_frame_features(
+        media.select("media_id", "payload"), n_frames=2, dim=4
+    ).collect()
+    assert len(feats) == 3 * 2 and all(r.status == "ok" for r in feats)
