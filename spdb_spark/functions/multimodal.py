@@ -221,7 +221,7 @@ def decode_features_status(
             return _image_frame_features(bmp_decode(payload), n_frames, dim), "ok"
         except PixelBudgetError:
             raise
-        except ValueError:  # RLE/bitfields/1-4 bpp: honest stub
+        except ValueError:  # OS/2 core header / BI_JPEG|PNG: honest stub
             return _fake_decode(payload, n_frames, dim), "stub"
     if payload[:4] in (b"II*\x00", b"MM\x00*"):
         from spdb_spark.functions.tiff import tiff_frame_features
