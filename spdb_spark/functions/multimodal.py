@@ -230,7 +230,7 @@ def decode_features_status(
             return tiff_frame_features(payload, n_frames, dim), "ok"
         except PixelBudgetError:
             raise
-        except ValueError:  # tiled/planar/JPEG-in-TIFF/bilevel: honest stub
+        except ValueError:  # JPEG-in-TIFF/CCITT/bilevel: honest stub
             return _fake_decode(payload, n_frames, dim), "stub"
     if payload[:4] == b"\x00\x00\x01\x00":  # ICO (weak magic: checked last)
         from spdb_spark.functions.ico import ico_decode
@@ -344,7 +344,7 @@ def resize_images(media: DataFrame, width: int = 224, height: int = 224) -> Data
                             blob, status = tiff_encode(resized), "ok"
                         except PixelBudgetError:
                             raise
-                        except ValueError:  # tiled/planar/JPEG-in-TIFF
+                        except ValueError:  # JPEG-in-TIFF/CCITT/bilevel
                             blob = _fake_resize(payload, width, height)
                             status = "stub"
                     else:

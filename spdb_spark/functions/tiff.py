@@ -1,10 +1,11 @@
 """Dependency-free baseline TIFF 6.0 codec.
 
 Decode: gray 8/16-bit, RGB, RGBA, and palette-color images; both byte
-orders (II/MM); multi-strip layouts; Compression 1 (none), 32773
-(PackBits), and 5 (LZW, with Predictor 2 horizontal differencing); chunky
-planar configuration. Encode is lossless: gray8/16 / RGB / RGBA with
-selectable compression (none | packbits | lzw) and optional predictor.
+orders (II/MM); stripped AND tiled layouts; chunky and planar (separate
+plane) sample order; Compression 1 (none), 32773 (PackBits), and 5 (LZW,
+with Predictor 2 horizontal differencing). Encode is lossless: gray8/16 / RGB / RGBA with
+selectable compression (none | packbits | lzw), optional predictor,
+strip/tile layout, and chunky/planar order.
 
 Built from the public TIFF 6.0 specification (Adobe, 1992): IFD walk,
 the PackBits scheme (anchored in tests to the spec's own worked
@@ -226,7 +227,11 @@ def _read_ifd(payload: bytes, bo: str) -> dict[int, tuple[int, list[int]]]:
 
 def tiff_decode(payload: bytes) -> np.ndarray:
     """-> (H,W) gray uint8/uint16, (H,W,3) RGB, or (H,W,4) RGBA uint8
-    (palette images expand to RGB via the ColorMap)."""
+    (palette images expand to RGB via the ColorMap). Handles stripped AND
+    tiled layouts (TIFF 6.0 section 15: tiles left-to-right, top-to-bottom,
+    right/bottom edge tiles padded to full tile size) in both chunky and
+    planar (PlanarConfiguration 2: one plane's segments after another)
+    sample orders."""
     if payload[:4] not in TIFF_MAGICS:
         raise ValueError("not a TIFF payload")
     bo = "<" if payload[:2] == b"II" else ">"
@@ -247,8 +252,8 @@ def tiff_decode(payload: bytes) -> np.ndarray:
     photometric = one(262)
     predictor = one(317, 1)
     planar = one(284, 1)
-    if planar != 1:
-        raise ValueError("tiff: planar configuration 2 unsupported")
+    if planar not in (1, 2):
+        raise ValueError(f"tiff: planar configuration {planar} unsupported")
     if compression not in (1, 5, 32773):
         raise ValueError(f"tiff: compression {compression} unsupported")
     if len(set(bits_list)) != 1 or bits_list[0] not in (8, 16):
@@ -256,49 +261,100 @@ def tiff_decode(payload: bytes) -> np.ndarray:
     depth = bits_list[0]
     if depth == 16 and (spp != 1 or photometric not in (0, 1)):
         raise ValueError("tiff: 16-bit supported for grayscale only")
+    if predictor not in (1, 2):
+        raise ValueError(f"tiff: predictor {predictor} unsupported")
+    if predictor == 2 and depth != 8:
+        raise ValueError("tiff: predictor 2 on 16-bit samples unsupported")
 
-    offsets = tags.get(273, (None, []))[1]
-    counts = tags.get(279, (None, []))[1]
-    if not offsets:
-        raise ValueError("tiff: missing strip offsets")
-    if not counts:
-        if compression != 1 or len(offsets) != 1:
-            raise ValueError("tiff: missing strip byte counts")
-        counts = [h * w * spp * (depth // 8)]
-    rows_per_strip = one(278, h)
+    unit = depth // 8
+    planes = spp if planar == 2 else 1
+    seg_spp = 1 if planar == 2 else spp  # samples per pixel in one segment
 
-    stride = w * spp * (depth // 8)
-    raw = bytearray()
-    rows_done = 0
-    for off, cnt in zip(offsets, counts):
+    def decode_seg(off: int, cnt: int, expected: int) -> bytes:
         if off + cnt > len(payload):
-            raise ValueError("tiff: strip out of range")
-        strip = payload[off : off + cnt]
-        rows_here = min(rows_per_strip, h - rows_done)
-        expected = rows_here * stride
+            raise ValueError("tiff: segment out of range")
+        seg = payload[off : off + cnt]
         if compression == 1:
-            if len(strip) < expected:
-                raise ValueError("tiff: strip truncated")
-            data = strip[:expected]
-        elif compression == 32773:
-            data = packbits_decode(strip, expected)
-        else:
-            data = tiff_lzw_decode(strip, expected)
-        if predictor == 2:
-            arr = np.frombuffer(data, np.uint8).reshape(rows_here, w, spp)
-            data = np.cumsum(arr, axis=1, dtype=np.uint8).tobytes()
-        elif predictor != 1:
-            raise ValueError(f"tiff: predictor {predictor} unsupported")
-        raw += data
-        rows_done += rows_here
-    if rows_done < h:
-        raise ValueError("tiff: strips cover fewer rows than ImageLength")
+            if len(seg) < expected:
+                raise ValueError("tiff: segment truncated")
+            return seg[:expected]
+        if compression == 32773:
+            return packbits_decode(seg, expected)
+        return tiff_lzw_decode(seg, expected)
+
+    def unpredict(data: bytes, rows: int, width: int) -> bytes:
+        if predictor == 1:
+            return data
+        arr = np.frombuffer(data, np.uint8).reshape(rows, width, seg_spp)
+        return np.cumsum(arr, axis=1, dtype=np.uint8).tobytes()
+
+    dtype = np.uint8 if depth == 8 else np.dtype(bo + "u2")
+    out = np.zeros((h, w, spp), np.uint8 if depth == 8 else np.uint16)
+
+    if 322 in tags:  # tiled layout
+        tw, th = one(322), one(323)
+        if tw <= 0 or th <= 0:
+            raise ValueError("tiff: bad tile dimensions")
+        tiles_x = (w + tw - 1) // tw
+        tiles_y = (h + th - 1) // th
+        # edge padding can amplify well past ImageWidth x ImageLength
+        check_pixel_budget(tiles_x * tw, tiles_y * th, "tiff")
+        offsets = tags.get(324, (None, []))[1]
+        counts = tags.get(325, (None, []))[1]
+        n_tiles = tiles_x * tiles_y * planes
+        if len(offsets) < n_tiles or len(counts) < n_tiles:
+            raise ValueError("tiff: tile offsets/counts incomplete")
+        expected = th * tw * seg_spp * unit
+        i = 0
+        for p in range(planes):
+            for ty in range(tiles_y):
+                for tx in range(tiles_x):
+                    data = unpredict(
+                        decode_seg(offsets[i], counts[i], expected), th, tw
+                    )
+                    tile = np.frombuffer(data, dtype).reshape(th, tw, seg_spp)
+                    ys, xs = ty * th, tx * tw
+                    ye, xe = min(ys + th, h), min(xs + tw, w)
+                    sel = tile[: ye - ys, : xe - xs]
+                    if planar == 2:
+                        out[ys:ye, xs:xe, p] = sel[..., 0]
+                    else:
+                        out[ys:ye, xs:xe] = sel
+                    i += 1
+    else:  # stripped layout
+        offsets = tags.get(273, (None, []))[1]
+        counts = tags.get(279, (None, []))[1]
+        if not offsets:
+            raise ValueError("tiff: missing strip offsets")
+        if not counts:
+            if compression != 1 or len(offsets) != 1:
+                raise ValueError("tiff: missing strip byte counts")
+            counts = [h * w * seg_spp * unit]
+        rows_per_strip = one(278, h)
+        strips_per_plane = (h + rows_per_strip - 1) // rows_per_strip
+        if len(offsets) < strips_per_plane * planes:
+            raise ValueError("tiff: strips cover fewer rows than ImageLength")
+        i = 0
+        for p in range(planes):
+            rows_done = 0
+            for _s in range(strips_per_plane):
+                rows_here = min(rows_per_strip, h - rows_done)
+                expected = rows_here * w * seg_spp * unit
+                data = unpredict(
+                    decode_seg(offsets[i], counts[i], expected), rows_here, w
+                )
+                strip = np.frombuffer(data, dtype).reshape(rows_here, w, seg_spp)
+                if planar == 2:
+                    out[rows_done : rows_done + rows_here, :, p] = strip[..., 0]
+                else:
+                    out[rows_done : rows_done + rows_here] = strip
+                rows_done += rows_here
+                i += 1
 
     if depth == 16:
-        arr16 = np.frombuffer(bytes(raw), bo + "u2").reshape(h, w)
-        out16 = arr16.astype(np.uint16)
+        out16 = out[..., 0]
         return (65535 - out16) if photometric == 0 else out16
-    arr = np.frombuffer(bytes(raw), np.uint8).reshape(h, w, spp)
+    arr = out
     if photometric == 3:  # palette
         if spp != 1 or 320 not in tags:
             raise ValueError("tiff: palette image missing ColorMap")
@@ -335,10 +391,15 @@ def tiff_encode(
     compression: str = "none",
     predictor: bool = False,
     rows_per_strip: int | None = None,
+    planar: bool = False,
+    tile: tuple[int, int] | None = None,
 ) -> bytes:
     """Encode gray (H,W) uint8/uint16, RGB (H,W,3) or RGBA (H,W,4) uint8
     losslessly as little-endian TIFF. compression: none|packbits|lzw;
-    predictor applies horizontal differencing (LZW only, 8-bit only)."""
+    predictor applies horizontal differencing (LZW only, 8-bit only);
+    planar=True writes PlanarConfiguration 2 (plane-contiguous segments);
+    tile=(tw, th) writes the tiled layout (edge tiles zero-padded) instead
+    of strips."""
     if img.ndim == 2 and img.dtype in (np.uint8, np.uint16):
         spp, depth = 1, 8 * img.dtype.itemsize
         photometric = 1
@@ -354,23 +415,40 @@ def tiff_encode(
     h, w = img.shape[:2]
     rps = rows_per_strip or h
     px = img.reshape(h, w, spp)
+    planes = spp if planar else 1
+    seg_spp = 1 if planar else spp
 
-    strips: list[bytes] = []
-    for r0 in range(0, h, rps):
-        rows = px[r0 : r0 + rps]
+    def finish(rows: np.ndarray) -> bytes:
+        """One segment (rows, width, seg_spp) -> predicted+compressed bytes."""
         if predictor:
             rows = np.diff(
-                rows, axis=1, prepend=np.zeros((rows.shape[0], 1, spp), rows.dtype)
+                rows,
+                axis=1,
+                prepend=np.zeros((rows.shape[0], 1, seg_spp), rows.dtype),
             ).astype(np.uint8)
-        data = (
-            rows.astype("<u2").tobytes() if depth == 16 else rows.tobytes()
-        )
+        data = rows.astype("<u2").tobytes() if depth == 16 else rows.tobytes()
         if comp_code == 1:
-            strips.append(data)
-        elif comp_code == 32773:
-            strips.append(packbits_encode(data))
-        else:
-            strips.append(tiff_lzw_encode(data))
+            return data
+        if comp_code == 32773:
+            return packbits_encode(data)
+        return tiff_lzw_encode(data)
+
+    strips: list[bytes] = []
+    if tile is not None:
+        tw, th = tile
+        for p in range(planes):
+            plane = px[..., p : p + 1] if planar else px
+            for y0 in range(0, h, th):
+                for x0 in range(0, w, tw):
+                    t = np.zeros((th, tw, seg_spp), px.dtype)
+                    block = plane[y0 : y0 + th, x0 : x0 + tw]
+                    t[: block.shape[0], : block.shape[1]] = block
+                    strips.append(finish(t))
+    else:
+        for p in range(planes):
+            plane = px[..., p : p + 1] if planar else px
+            for r0 in range(0, h, rps):
+                strips.append(finish(plane[r0 : r0 + rps]))
 
     bo = "<"
     ifd_off = 8
@@ -391,14 +469,23 @@ def tiff_encode(
         add(258, _T_SHORT, [depth] * spp)
         add(259, _T_SHORT, [comp_code])
         add(262, _T_SHORT, [photometric])
-        add(273, _T_LONG, strip_offs)
+        if tile is None:
+            add(273, _T_LONG, strip_offs)
         add(277, _T_SHORT, [spp])
-        add(278, _T_LONG, [rps])
-        add(279, _T_LONG, counts)
-        if spp == 4:
-            add(338, _T_SHORT, [2])  # unassociated alpha
+        if tile is None:
+            add(278, _T_LONG, [rps])
+            add(279, _T_LONG, counts)
+        if planar:
+            add(284, _T_SHORT, [2])
         if predictor:
             add(317, _T_SHORT, [2])
+        if tile is not None:
+            add(322, _T_LONG, [tile[0]])
+            add(323, _T_LONG, [tile[1]])
+            add(324, _T_LONG, strip_offs)
+            add(325, _T_LONG, counts)
+        if spp == 4:
+            add(338, _T_SHORT, [2])  # unassociated alpha
         return entries, heap
 
     entries, heap = build([0] * len(strips), 0)

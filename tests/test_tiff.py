@@ -189,3 +189,112 @@ def test_dispatch_feature_identity_and_resize():
     assert st == "ok" and (via_tif == via_png).all()
     resized = resize_image_array(tiff_decode(tiff_encode(img)), 12, 12)
     assert (resized == img[::2, ::2]).all()
+
+
+# --- round-2 surface: tiled layout + planar configuration 2 ---------------
+
+
+def _hand_tiled_gray() -> tuple[bytes, np.ndarray]:
+    """4x3 gray8, 2x2 tiles, assembled field-by-field from TIFF 6.0 §15:
+    tiles run left-to-right then top-to-bottom; bottom edge tiles carry
+    padding rows that must be cropped, not rendered."""
+    img = np.arange(1, 13, dtype=np.uint8).reshape(3, 4)
+    tiles = [
+        bytes([1, 2, 5, 6]), bytes([3, 4, 7, 8]),
+        bytes([9, 10, 0, 0]), bytes([11, 12, 0, 0]),
+    ]
+    entries = [
+        (256, 3, 1, 4), (257, 3, 1, 3), (258, 3, 1, 8), (259, 3, 1, 1),
+        (262, 3, 1, 1), (277, 3, 1, 1), (322, 4, 1, 2), (323, 4, 1, 2),
+        (324, 4, 4, "offs"), (325, 4, 4, "cnts"),
+    ]
+    ifd_off = 8
+    heap_off = ifd_off + 2 + 12 * len(entries) + 4
+    data_off = heap_off + 32  # two 4-LONG arrays
+    out = bytearray(b"II*\x00" + struct.pack("<I", ifd_off))
+    out += struct.pack("<H", len(entries))
+    for tag, typ, cnt, val in entries:
+        if val == "offs":
+            val = heap_off
+        elif val == "cnts":
+            val = heap_off + 16
+        if typ == 3 and cnt == 1:
+            out += struct.pack("<HHIHH", tag, typ, cnt, val, 0)
+        else:
+            out += struct.pack("<HHII", tag, typ, cnt, val)
+    out += struct.pack("<I", 0)
+    out += struct.pack("<4I", *(data_off + 4 * i for i in range(4)))
+    out += struct.pack("<4I", 4, 4, 4, 4)
+    for t in tiles:
+        out += t
+    return bytes(out), img
+
+
+def test_hand_assembled_tiled_gray():
+    payload, img = _hand_tiled_gray()
+    out = tiff_decode(payload)
+    assert out.shape == (3, 4) and (out == img).all()
+
+
+def test_tiled_roundtrips():
+    rng = np.random.default_rng(6)
+    img = rng.integers(0, 256, (37, 51), dtype=np.uint8)
+    for kwargs in (
+        {"tile": (16, 16)},
+        {"tile": (16, 16), "compression": "packbits"},
+        {"tile": (32, 16), "compression": "lzw", "predictor": True},
+        {"tile": (64, 64)},  # single tile, all padding on two edges
+    ):
+        out = tiff_decode(tiff_encode(img, **kwargs))
+        assert out.shape == img.shape and (out == img).all(), kwargs
+    rgb = rng.integers(0, 256, (20, 19, 3), dtype=np.uint8)
+    assert (tiff_decode(tiff_encode(rgb, tile=(16, 16), compression="lzw")) == rgb).all()
+    g16 = rng.integers(0, 65536, (18, 23), dtype=np.uint16)
+    assert (tiff_decode(tiff_encode(g16, tile=(16, 16))) == g16).all()
+
+
+def test_planar_roundtrips():
+    rng = np.random.default_rng(7)
+    rgb = rng.integers(0, 256, (21, 13, 3), dtype=np.uint8)
+    for kwargs in (
+        {"planar": True},
+        {"planar": True, "rows_per_strip": 5},
+        {"planar": True, "compression": "lzw", "predictor": True},
+        {"planar": True, "compression": "packbits", "rows_per_strip": 4},
+    ):
+        out = tiff_decode(tiff_encode(rgb, **kwargs))
+        assert out.shape == rgb.shape and (out == rgb).all(), kwargs
+    rgba = rng.integers(0, 256, (9, 16, 4), dtype=np.uint8)
+    assert (tiff_decode(tiff_encode(rgba, planar=True, rows_per_strip=3)) == rgba).all()
+    # planar + tiled combined
+    assert (
+        tiff_decode(tiff_encode(rgb, planar=True, tile=(16, 16), compression="lzw"))
+        == rgb
+    ).all()
+
+
+def test_planar_matches_chunky_decode():
+    rng = np.random.default_rng(8)
+    rgb = rng.integers(0, 256, (14, 14, 3), dtype=np.uint8)
+    a = tiff_decode(tiff_encode(rgb, planar=True))
+    b = tiff_decode(tiff_encode(rgb))
+    assert (a == b).all()
+
+
+def test_tile_grid_amplification_refused():
+    # w*h passes the budget, but a hostile TileWidth/TileLength pads the
+    # grid to ~10^10 pixels: must refuse before allocating
+    payload = bytearray(tiff_encode(np.zeros((4, 4), np.uint8), tile=(16, 16)))
+    # tags: 256,257,258,259,262,277,322,323,324,325 -> 322 is entry idx 6
+    struct.pack_into("<I", payload, 8 + 2 + 12 * 6 + 8, 100_000)
+    struct.pack_into("<I", payload, 8 + 2 + 12 * 7 + 8, 100_000)
+    with pytest.raises(ValueError, match="pixel budget"):
+        tiff_decode(bytes(payload))
+
+
+def test_incomplete_tiles_raise():
+    payload = bytearray(tiff_encode(np.zeros((40, 40), np.uint8), tile=(16, 16)))
+    # shrink the declared tile count arrays by claiming a bigger image
+    struct.pack_into("<H", payload, 8 + 2 + 12 * 0 + 8, 200)
+    with pytest.raises(ValueError, match="incomplete"):
+        tiff_decode(bytes(payload))
