@@ -202,7 +202,7 @@ def html_to_text(col: F.Column) -> F.Column:
     return F.trim(F.regexp_replace(s, r"\s+", " "))
 
 
-def warc_responses_to_docs(warc: DataFrame) -> DataFrame:
+def warc_responses_to_docs(warc: DataFrame, main_content: bool = False) -> DataFrame:
     """The curation entry point: WARC response records -> the documents
     schema (doc_id, text, lang, source, n_chars) every curation operator
     consumes. Ids are content-addressed (pure function of uri+content,
@@ -210,12 +210,22 @@ def warc_responses_to_docs(warc: DataFrame) -> DataFrame:
     again at the same URI, what WARC revisit records model — collapse to
     one document here, while same-content-different-URI and near-dup
     copies survive for the dedup operators to judge by policy (matching
-    sources/corpus.py)."""
+    sources/corpus.py).
+
+    main_content=True swaps the flat tag-strip for the boilerplate-aware
+    block classifier (functions/html.py): nav/footer/chrome blocks are
+    dropped before the text reaches dedup and quality scoring — still a
+    pure projection, so the plan shape is unchanged."""
     from spdb_spark.functions.hashing import md5_long
     from spdb_spark.functions.text import lang_id
 
     body = http_response_body(F.col("payload"))
-    text = html_to_text(body)
+    if main_content:
+        from spdb_spark.functions.html import html_main_text
+
+        text = html_main_text(body)
+    else:
+        text = html_to_text(body)
     return (
         warc.where(F.col("warc_type") == "response")
         .select(
