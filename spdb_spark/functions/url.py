@@ -1,0 +1,85 @@
+"""URL normalization and host extraction for crawl curation.
+
+Web-crawl corpora carry the same page under many URL spellings: mixed-
+case scheme/host, default ports, fragments, and tracking parameters
+(utm_*, fbclid, gclid, ...). Normalizing before the URI enters the
+content-addressed doc_id collapses those spellings so exact-refetch
+dedup actually fires; host extraction feeds per-domain quotas and
+blocklists.
+
+Spark-first shape: every function is a pure Column expression
+(regexp_replace/regexp_extract chains — JVM-side, codegen, zero
+exchanges). Every regex is RE2-compatible (no lookahead/backreferences)
+and each function has a *_sql twin emitting the equivalent DuckDB
+expression so gate oracles replay the normalization exactly. DuckDB's
+regexp_replace needs the explicit 'g' option where Spark replaces
+globally by default — the twins encode that.
+
+No reference-repo counterpart (jhuapl-boss/spdb is voxel-only); part of
+the LLM training-data pipeline surface (SURVEY.md north-star).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Tracking parameters stripped by normalization: the industry-common set.
+_TRACKING = "utm_[a-z]+|fbclid|gclid|msclkid|dclid|mc_eid|igshid|ref|ref_src"
+
+# scheme://authority prefix (case-insensitive match; group 0 is lowercased)
+_PREFIX = r"^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*"
+
+
+def url_normalize(c: Column) -> Column:
+    """Canonical URL spelling: drop the fragment, strip tracking params,
+    collapse the leftover ?/& separators, drop http:80 / https:443
+    default ports, lowercase scheme+host (path/query case preserved —
+    paths are case-significant), and drop a bare trailing '?'."""
+    s = F.regexp_replace(c, r"#.*$", "")  # fragment
+    # keep the captured separator: replacing with a literal '&' would eat
+    # the '?' of a leading tracking param, and consuming the FOLLOWING
+    # '&' instead would skip the second of two consecutive tracking
+    # params (global replace scans on, it does not re-scan replacements)
+    s = F.regexp_replace(s, rf"([?&])({_TRACKING})=[^&#]*", "$1")
+    s = F.regexp_replace(s, r"\?&+", "?")  # '?&x' -> '?x'
+    s = F.regexp_replace(s, r"&&+", "&")
+    s = F.regexp_replace(s, r"[?&]+$", "")
+    # lowercase scheme+host BEFORE port stripping so 'HTTP://H:80' matches
+    prefix = F.regexp_extract(s, _PREFIX, 0)
+    rest = F.substring(s, F.length(prefix) + F.lit(1), F.length(s))
+    s = F.when(prefix == "", s).otherwise(F.concat(F.lower(prefix), rest))
+    s = F.regexp_replace(s, r"^(http://[^/:?#]*):80([/?#].*)?$", "$1$2")
+    s = F.regexp_replace(s, r"^(https://[^/:?#]*):443([/?#].*)?$", "$1$2")
+    return s
+
+
+def url_host(c: Column) -> Column:
+    """Lowercased host (no port, no userinfo); '' for non-URL strings."""
+    return F.lower(
+        F.regexp_extract(c, r"^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/?#@]*@)?([^/:?#]+)", 1)
+    )
+
+
+def url_normalize_sql(expr: str) -> str:
+    """DuckDB SQL computing exactly url_normalize(expr)."""
+    s = f"regexp_replace({expr}, '#.*$', '', 'g')"
+    s = f"regexp_replace({s}, '([?&])({_TRACKING})=[^&#]*', '\\1', 'g')"
+    s = f"regexp_replace({s}, '\\?&+', '?', 'g')"
+    s = f"regexp_replace({s}, '&&+', '&', 'g')"
+    s = f"regexp_replace({s}, '[?&]+$', '', 'g')"
+    prefix = f"regexp_extract({s}, '{_PREFIX}', 0)"
+    s = (
+        f"(CASE WHEN {prefix} = '' THEN {s} "
+        f"ELSE lower({prefix}) || substring({s}, length({prefix}) + 1) END)"
+    )
+    s = f"regexp_replace({s}, '^(http://[^/:?#]*):80([/?#].*)?$', '\\1\\2', 'g')"
+    return f"regexp_replace({s}, '^(https://[^/:?#]*):443([/?#].*)?$', '\\1\\2', 'g')"
+
+
+def url_host_sql(expr: str) -> str:
+    """DuckDB SQL computing exactly url_host(expr)."""
+    return (
+        f"lower(regexp_extract({expr},"
+        f" '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#@]*@)?([^/:?#]+)', 2))"
+    )

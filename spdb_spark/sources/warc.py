@@ -202,7 +202,9 @@ def html_to_text(col: F.Column) -> F.Column:
     return F.trim(F.regexp_replace(s, r"\s+", " "))
 
 
-def warc_responses_to_docs(warc: DataFrame, main_content: bool = False) -> DataFrame:
+def warc_responses_to_docs(
+    warc: DataFrame, main_content: bool = False, normalize_urls: bool = False
+) -> DataFrame:
     """The curation entry point: WARC response records -> the documents
     schema (doc_id, text, lang, source, n_chars) every curation operator
     consumes. Ids are content-addressed (pure function of uri+content,
@@ -215,10 +217,20 @@ def warc_responses_to_docs(warc: DataFrame, main_content: bool = False) -> DataF
     main_content=True swaps the flat tag-strip for the boilerplate-aware
     block classifier (functions/html.py): nav/footer/chrome blocks are
     dropped before the text reaches dedup and quality scoring — still a
-    pure projection, so the plan shape is unchanged."""
+    pure projection, so the plan shape is unchanged.
+
+    normalize_urls=True canonicalizes target_uri (functions/url.py:
+    fragment/tracking-param/default-port/case) BEFORE it enters the
+    content-addressed id, so the same payload refetched under spelling
+    variants of one URL collapses like an exact revisit."""
     from spdb_spark.functions.hashing import md5_long
     from spdb_spark.functions.text import lang_id
 
+    uri = F.col("target_uri")
+    if normalize_urls:
+        from spdb_spark.functions.url import url_normalize
+
+        uri = url_normalize(uri)
     body = http_response_body(F.col("payload"))
     if main_content:
         from spdb_spark.functions.html import html_main_text
@@ -230,10 +242,10 @@ def warc_responses_to_docs(warc: DataFrame, main_content: bool = False) -> DataF
         warc.where(F.col("warc_type") == "response")
         .select(
             md5_long(
-                F.concat_ws("\x1f", F.col("target_uri"), F.md5(F.col("payload")))
+                F.concat_ws("\x1f", uri, F.md5(F.col("payload")))
             ).alias("doc_id"),
             text.alias("text"),
-            F.col("target_uri").alias("source"),
+            uri.alias("source"),
         )
         .dropDuplicates(["doc_id"])
         .where(F.length("text") > 0)
