@@ -178,6 +178,10 @@ def decode_features_status(
     are labeled status="stub" so consumers can filter synthetic features
     from real signal."""
     if payload[:8] == _PNG_SIG:
+        from spdb_spark.functions.apng import apng_frame_features, is_apng
+
+        if is_apng(payload):  # animated: sample on the video schedule
+            return apng_frame_features(payload, n_frames, dim), "ok"
         return _image_frame_features(decode_image(payload), n_frames, dim), "ok"
     if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
         from spdb_spark.functions.audio import audio_frame_features

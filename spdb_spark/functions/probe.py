@@ -58,8 +58,21 @@ def _probe_png(p: bytes) -> dict:
     codec = {0: "gray", 2: "rgb", 3: "palette", 4: "gray+alpha", 6: "rgba"}.get(
         ctype, f"type{ctype}"
     )
+    # APNG: acTL before IDAT declares frame count — still header-only
+    # (the chunk walk reads lengths, never inflates pixel data)
+    n_frames = 1
+    pos = 8
+    while pos + 8 <= len(p):
+        (length,) = struct.unpack_from(">I", p, pos)
+        tag = p[pos + 4 : pos + 8]
+        if tag == b"acTL" and length >= 8:
+            n_frames = struct.unpack_from(">I", p, pos + 8)[0]
+            break
+        if tag in (b"IDAT", b"IEND"):
+            break
+        pos += 12 + length
     return {**_EMPTY, "codec": f"png/{codec}{depth}", "width": w, "height": h,
-            "n_frames": 1}
+            "n_frames": n_frames}
 
 
 def _probe_jpeg(p: bytes) -> dict:
