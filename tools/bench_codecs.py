@@ -66,6 +66,16 @@ def main():
          [wav_encode(pcm)]),
         ("flac decode", lambda p: flac_decode(p), [flac_encode(pcm)]),
     ]
+    from spdb_spark.functions.apng import apng_encode, apng_frames
+    from spdb_spark.functions.bmp import bmp_encode_rle8
+
+    frames = [np.roll(smooth, i, axis=1) for i in range(4)]
+    cases += [
+        ("bmp/rle8 smooth", bmp_decode, [bmp_encode_rle8(smooth)]),
+        ("tiff/tiled lzw", tiff_decode,
+         [tiff_encode(smooth, tile=(64, 64), compression="lzw")]),
+        ("apng 4-frame", apng_frames, [apng_encode(frames)]),
+    ]
     all_payloads = [ps[0] for _, _, ps in cases]
     cases.append(("probe (all of the above)", lambda p: probe_payload(p), all_payloads))
 
