@@ -143,17 +143,20 @@ def _probe_bmp(p: bytes) -> dict:
 
 
 def _probe_tiff(p: bytes) -> dict:
-    from spdb_spark.functions.tiff import _read_ifd
+    from spdb_spark.functions.tiff import ifd_chain
 
     bo = "<" if p[:2] == b"II" else ">"
-    tags = _read_ifd(p, bo)
+    chain = ifd_chain(p, bo)
+    if not chain:
+        raise ValueError("tiff: no IFDs")
+    tags = chain[0]
     w = tags.get(256, (0, [None]))[1][0]
     h = tags.get(257, (0, [None]))[1][0]
     comp = {1: "none", 5: "lzw", 6: "jpeg", 7: "jpeg", 32773: "packbits"}.get(
         tags.get(259, (0, [1]))[1][0], "other"
     )
     return {**_EMPTY, "codec": f"tiff/{comp}", "width": w, "height": h,
-            "n_frames": 1}
+            "n_frames": len(chain)}
 
 
 def _probe_wav(p: bytes) -> dict:

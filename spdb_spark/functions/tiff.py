@@ -195,7 +195,28 @@ _TYPE_SIZE = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8}
 
 
 def _read_ifd(payload: bytes, bo: str) -> dict[int, tuple[int, list[int]]]:
+    """First IFD's entries (header-pointer follow)."""
     (ifd_off,) = struct.unpack_from(bo + "I", payload, 4)
+    return _read_ifd_at(payload, bo, ifd_off)[0]
+
+
+def ifd_chain(payload: bytes, bo: str, limit: int = 4096) -> list[dict]:
+    """Every IFD's entries, following next-IFD pointers. Cycle-proof (a
+    crafted chain that revisits an offset stops) and capped at `limit`
+    directories so a pointer loop variant can't spin forever."""
+    (off,) = struct.unpack_from(bo + "I", payload, 4)
+    seen: set[int] = set()
+    out: list[dict] = []
+    while off and off not in seen and len(out) < limit:
+        seen.add(off)
+        tags, off = _read_ifd_at(payload, bo, off)
+        out.append(tags)
+    return out
+
+
+def _read_ifd_at(
+    payload: bytes, bo: str, ifd_off: int
+) -> tuple[dict[int, tuple[int, list[int]]], int]:
     if ifd_off + 2 > len(payload):
         raise ValueError("tiff: IFD offset out of range")
     (count,) = struct.unpack_from(bo + "H", payload, ifd_off)
@@ -222,7 +243,12 @@ def _read_ifd(payload: bytes, bo: str) -> dict[int, tuple[int, list[int]]]:
         else:  # RATIONAL: keep numerators (unused here)
             vals = list(struct.unpack(bo + f"{2*cnt}I", raw))[::2]
         entries[tag] = (typ, vals)
-    return entries
+    next_pos = ifd_off + 2 + 12 * count
+    if next_pos + 4 <= len(payload):
+        (next_off,) = struct.unpack_from(bo + "I", payload, next_pos)
+    else:
+        next_off = 0
+    return entries, next_off
 
 
 def tiff_decode(payload: bytes) -> np.ndarray:
@@ -235,8 +261,33 @@ def tiff_decode(payload: bytes) -> np.ndarray:
     if payload[:4] not in TIFF_MAGICS:
         raise ValueError("not a TIFF payload")
     bo = "<" if payload[:2] == b"II" else ">"
-    tags = _read_ifd(payload, bo)
+    return _decode_page(payload, bo, _read_ifd(payload, bo))
 
+
+def tiff_pages(payload: bytes) -> list[np.ndarray]:
+    """Multi-page decode: one array per IFD in the chain (scanned-
+    document TIFFs, burst captures). Cumulative pages x pixels is
+    budget-checked from the headers before any page decodes."""
+    if payload[:4] not in TIFF_MAGICS:
+        raise ValueError("not a TIFF payload")
+    bo = "<" if payload[:2] == b"II" else ">"
+    chain = ifd_chain(payload, bo)
+    if not chain:
+        raise ValueError("tiff: no IFDs")
+    from spdb_spark.functions.limits import check_total_budget
+
+    total = 0
+    for tags in chain:
+        if 256 not in tags or 257 not in tags:
+            raise ValueError("tiff: page missing dimensions")
+        total += tags[256][1][0] * tags[257][1][0]
+    check_total_budget(total, "tiff")
+    return [_decode_page(payload, bo, tags) for tags in chain]
+
+
+def _decode_page(
+    payload: bytes, bo: str, tags: dict[int, tuple[int, list[int]]]
+) -> np.ndarray:
     def one(tag: int, default=None) -> int:
         if tag not in tags:
             if default is None:
@@ -393,13 +444,16 @@ def tiff_encode(
     rows_per_strip: int | None = None,
     planar: bool = False,
     tile: tuple[int, int] | None = None,
+    _base: int = 8,
+    _next_off: int = 0,
 ) -> bytes:
     """Encode gray (H,W) uint8/uint16, RGB (H,W,3) or RGBA (H,W,4) uint8
     losslessly as little-endian TIFF. compression: none|packbits|lzw;
     predictor applies horizontal differencing (LZW only, 8-bit only);
     planar=True writes PlanarConfiguration 2 (plane-contiguous segments);
     tile=(tw, th) writes the tiled layout (edge tiles zero-padded) instead
-    of strips."""
+    of strips. _base/_next_off position one page inside a multi-page
+    chain (tiff_encode_pages); the defaults produce a standalone file."""
     if img.ndim == 2 and img.dtype in (np.uint8, np.uint16):
         spp, depth = 1, 8 * img.dtype.itemsize
         photometric = 1
@@ -451,7 +505,7 @@ def tiff_encode(
                 strips.append(finish(plane[r0 : r0 + rps]))
 
     bo = "<"
-    ifd_off = 8
+    ifd_off = _base
     counts = [len(s) for s in strips]
 
     def build(strip_offs: list[int], heap_base: int):
@@ -498,18 +552,56 @@ def tiff_encode(
     entries, heap = build(offs, heap_base)
 
     out = bytearray()
-    out += b"II*\x00" + struct.pack(bo + "I", ifd_off)
+    if _base == 8:  # standalone file (or first page of a chain)
+        out += b"II*\x00" + struct.pack(bo + "I", ifd_off)
     out += struct.pack(bo + "H", len(entries))
     for e in entries:
         out += e
-    out += struct.pack(bo + "I", 0)  # no next IFD
+    out += struct.pack(bo + "I", _next_off)
     out += heap
     for s in strips:
         out += s
     return bytes(out)
 
 
-def tiff_frame_features(payload: bytes, n_frames: int, dim: int) -> np.ndarray:
-    from spdb_spark.functions.multimodal import _image_frame_features
+def tiff_encode_pages(imgs: list[np.ndarray], **opts) -> bytes:
+    """Multi-page TIFF: each image becomes one IFD in the chain (same
+    encode options applied to every page). Two passes: page sizes are
+    offset-independent, so a first pass with zero next-pointers measures
+    the layout and the second writes the real chain."""
+    if not imgs:
+        raise ValueError("tiff: need at least one page")
+    sizes = []
+    base = 8
+    for img in imgs:
+        blob = tiff_encode(img, **opts, _base=base, _next_off=0)
+        if base == 8:
+            blob = blob[8:]  # drop the measured header; re-added below
+        sizes.append(len(blob))
+        base += len(blob)
+    out = bytearray(b"II*\x00" + struct.pack("<I", 8))
+    base = 8
+    for i, img in enumerate(imgs):
+        next_off = base + sizes[i] if i + 1 < len(imgs) else 0
+        blob = tiff_encode(img, **opts, _base=base, _next_off=next_off)
+        if base == 8:
+            blob = blob[8:]
+        out += blob
+        base += len(blob)
+    return bytes(out)
 
-    return _image_frame_features(tiff_decode(payload), n_frames, dim)
+
+def tiff_frame_features(payload: bytes, n_frames: int, dim: int) -> np.ndarray:
+    """(n_frames, dim) band features: a single-page TIFF featurizes as a
+    still (bit-for-bit its PNG twin); a multi-page document samples
+    n_frames pages evenly on the video schedule, one band each."""
+    from spdb_spark.functions.multimodal import _image_frame_features
+    from spdb_spark.functions.video import sample_frame_indices
+
+    pages = tiff_pages(payload)
+    if len(pages) == 1:
+        return _image_frame_features(pages[0], n_frames, dim)
+    out = np.zeros((n_frames, dim), dtype=np.float32)
+    for row, i in enumerate(sample_frame_indices(len(pages), n_frames)):
+        out[row] = _image_frame_features(pages[i], 1, dim)[0]
+    return out

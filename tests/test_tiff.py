@@ -171,7 +171,7 @@ def test_unsupported_variants_raise_and_stub():
     bomb = bytearray(tiff_encode(img))
     struct.pack_into("<I", bomb, 8 + 2 + 12 * 0 + 8, 2_000_000)
     struct.pack_into("<I", bomb, 8 + 2 + 12 * 1 + 8, 2_000_000)
-    with pytest.raises(ValueError, match="pixel budget"):
+    with pytest.raises(ValueError, match="budget"):
         decode_features_status(bytes(bomb), 2, 3)
 
 
@@ -298,3 +298,76 @@ def test_incomplete_tiles_raise():
     struct.pack_into("<H", payload, 8 + 2 + 12 * 0 + 8, 200)
     with pytest.raises(ValueError, match="incomplete"):
         tiff_decode(bytes(payload))
+
+
+# --- round-3 surface: multi-page IFD chains -------------------------------
+
+from spdb_spark.functions.tiff import tiff_encode_pages, tiff_pages  # noqa: E402
+
+
+def test_multipage_roundtrip_mixed_options():
+    rng = np.random.default_rng(9)
+    pages = [rng.integers(0, 256, (10 + i, 12), dtype=np.uint8) for i in range(4)]
+    for opts in ({}, {"compression": "lzw"}, {"tile": (16, 16)}):
+        payload = tiff_encode_pages(pages, **opts)
+        got = tiff_pages(payload)
+        assert len(got) == 4
+        for g, p in zip(got, pages):
+            assert g.shape == p.shape and (g == p).all(), opts
+    # first page == tiff_decode (single-page API unchanged)
+    assert (tiff_decode(tiff_encode_pages(pages)) == pages[0]).all()
+
+
+def test_multipage_features_sample_pages():
+    from spdb_spark.functions.multimodal import decode_features_status
+    from spdb_spark.functions.tiff import tiff_frame_features
+
+    rng = np.random.default_rng(10)
+    pages = [rng.integers(0, 256, (8, 8), dtype=np.uint8) for _ in range(5)]
+    payload = tiff_encode_pages(pages)
+    feats, st = decode_features_status(payload, 3, 4)
+    assert st == "ok"
+    assert (feats == tiff_frame_features(payload, 3, 4)).all()
+    # single page still featurizes like its PNG twin
+    from spdb_spark.operators.render import png_encode
+
+    one = tiff_encode_pages(pages[:1])
+    a, _ = decode_features_status(one, 3, 4)
+    b, _ = decode_features_status(png_encode(pages[0]), 3, 4)
+    assert (a == b).all()
+
+
+def test_multipage_probe_and_cycle_safety():
+    from spdb_spark.functions.probe import probe_payload
+
+    pages = [np.zeros((6, 6), np.uint8)] * 3
+    payload = tiff_encode_pages(pages)
+    container, meta = probe_payload(payload)
+    assert container == "tiff" and meta["n_frames"] == 3
+    # craft a next-IFD pointer cycle: point the last IFD back at the first
+    data = bytearray(payload)
+    (first_ifd,) = struct.unpack_from("<I", data, 4)
+    (count,) = struct.unpack_from("<H", data, first_ifd)
+    # walk to the last IFD
+    off = first_ifd
+    while True:
+        (c,) = struct.unpack_from("<H", data, off)
+        nxt_pos = off + 2 + 12 * c
+        (nxt,) = struct.unpack_from("<I", data, nxt_pos)
+        if nxt == 0:
+            break
+        off = nxt
+    struct.pack_into("<I", data, nxt_pos, first_ifd)  # cycle!
+    _, meta = probe_payload(bytes(data))
+    assert meta["n_frames"] == 3  # cycle stops, no hang
+    assert len(tiff_pages(bytes(data))) == 3
+
+
+def test_multipage_budget_is_cumulative():
+    from spdb_spark.functions.limits import PixelBudgetError
+
+    # each page is fine alone; 40 x 2048^2 = 168M > 2^27 cumulative
+    pages = [np.zeros((2048, 2048), np.uint8)] * 40
+    payload = tiff_encode_pages(pages)
+    with pytest.raises(PixelBudgetError):
+        tiff_pages(payload)
