@@ -115,6 +115,7 @@ def parse_zip_bytes(
     """One shard's bytes -> [(key, ext, payload)], last duplicate wins
     (extraction semantics, matching the tar walk)."""
     out: dict[tuple[str, str], bytes] = {}
+    read_failures = False
     try:
         with zipfile.ZipFile(io.BytesIO(data)) as zf:
             for info in zf.infolist():
@@ -127,12 +128,34 @@ def parse_zip_bytes(
                     continue
                 try:
                     out[ke] = zf.read(info)
-                except (zipfile.BadZipFile, zlib.error, NotImplementedError):
+                except (
+                    zipfile.BadZipFile,
+                    zlib.error,
+                    NotImplementedError,
+                    # corrupt directory offsets surface as plain
+                    # ValueError ("negative seek value") / OSError from
+                    # the underlying seek, not BadZipFile (fuzz-found)
+                    ValueError,
+                    OSError,
+                    struct.error,
+                ):
+                    read_failures = True
                     continue
-    except zipfile.BadZipFile:
-        # central directory missing/corrupt (truncated upload): recover
-        # what the local headers can prove complete
+    except (zipfile.BadZipFile, ValueError, OSError, struct.error):
+        # central directory missing/corrupt (truncated upload, flipped
+        # offset bytes): recover what the local headers can prove complete
         return _scan_local_headers(data, max_member_bytes)
+    if read_failures:
+        # a flipped EOCD field can leave a PARTIAL directory that still
+        # opens (fuzz-found: 1 of 4 entries visible, that one unreadable)
+        # — merge in whatever the local headers prove complete, with
+        # directory-read members taking precedence
+        merged = {
+            (k, e): p
+            for k, e, p in _scan_local_headers(data, max_member_bytes)
+        }
+        merged.update(out)
+        out = merged
     return [(k, e, p) for (k, e), p in out.items()]
 
 

@@ -80,6 +80,7 @@ def test_decode_kernel_never_raises_on_garbage(prefix_seed, seed):
     # garbage wearing each codec's magic so every dispatch branch runs
     for magic in (
         b"GIF89a", b"fLaC", b"BM", b"\x89PNG\r\n\x1a\n", b"\xff\xd8",
+        b"II*\x00", b"MM\x00*", b"\x00\x00\x01\x00",
         b"RIFF" + b"\x10\x00\x00\x00" + b"WAVE",
         b"RIFF" + b"\x10\x00\x00\x00" + b"AVI ",
     ):
@@ -335,3 +336,96 @@ def test_flac_long_audio_within_budget():
     x = np.zeros((2_000_000, 2), np.int16)  # ~45 s stereo: compresses tiny
     out, _ = flac_decode(flac_encode(x))
     assert out.shape == x.shape
+
+
+# --- round-6 session-3 additions: RLE BMP, tiled/planar TIFF, APNG, zip ---
+
+
+@settings(max_examples=25, deadline=None)
+@given(dims, dims, st.integers(0, 2**32 - 1), st.booleans())
+def test_bmp_rle_roundtrip(h, w, seed, four_bit):
+    from spdb_spark.functions.bmp import (
+        bmp_decode,
+        bmp_encode_rle4,
+        bmp_encode_rle8,
+    )
+
+    rng = np.random.default_rng(seed)
+    if four_bit:
+        idx = rng.integers(0, 16, (h, w), dtype=np.uint8)
+        assert (bmp_decode(bmp_encode_rle4(idx)) == idx * 17).all()
+    else:
+        img = rng.choice(np.array([0, 3, 200], np.uint8), size=(h, w))
+        assert (bmp_decode(bmp_encode_rle8(img)) == img).all()
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    dims, dims,
+    st.sampled_from(["none", "packbits", "lzw"]),
+    st.booleans(),
+    st.sampled_from([None, (16, 16), (32, 16)]),
+    st.integers(0, 2**32 - 1),
+)
+def test_tiff_layouts_roundtrip(h, w, compression, planar, tile, seed):
+    from spdb_spark.functions.tiff import tiff_decode, tiff_encode
+
+    rng = np.random.default_rng(seed)
+    img = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+    out = tiff_decode(
+        tiff_encode(img, compression=compression, planar=planar, tile=tile)
+    )
+    assert (out == img).all()
+
+
+@settings(max_examples=25, deadline=None)
+@given(dims, dims, st.integers(1, 5), st.integers(0, 2**32 - 1))
+def test_apng_roundtrip(h, w, n, seed):
+    from spdb_spark.functions.apng import apng_encode, apng_frames
+
+    rng = np.random.default_rng(seed)
+    frames = [rng.integers(0, 256, (h, w), dtype=np.uint8) for _ in range(n)]
+    got = apng_frames(apng_encode(frames))
+    assert len(got) == n
+    for g, f in zip(got, frames):
+        assert (g[..., 0] == f).all() and (g[..., 3] == 255).all()
+
+
+@settings(max_examples=50, deadline=None)
+@given(st.integers(0, 2**32 - 1), st.integers(0, 400), st.integers(0, 255))
+def test_bitflip_rle_bmp_and_apng_contract(seed, pos, val):
+    """One corrupted byte in a valid compressed payload either still
+    decodes or raises ValueError — never IndexError/struct.error/hang."""
+    from spdb_spark.functions.apng import apng_encode, apng_frames
+    from spdb_spark.functions.bmp import bmp_decode, bmp_encode_rle8
+
+    rng = np.random.default_rng(seed)
+    img = rng.choice(np.array([0, 7, 99], np.uint8), size=(9, 11))
+    for payload, decode in (
+        (bmp_encode_rle8(img), bmp_decode),
+        (apng_encode([img, img[::-1]]), apng_frames),
+    ):
+        data = bytearray(payload)
+        data[pos % len(data)] ^= val or 1
+        try:
+            decode(bytes(data))
+        except ValueError:
+            pass
+
+
+@settings(max_examples=50, deadline=None)
+@given(st.integers(0, 2**32 - 1), st.integers(0, 2000), st.integers(0, 255))
+def test_zip_parse_never_raises(seed, pos, val):
+    """parse_zip_bytes returns a (possibly empty) list on ANY input —
+    truncated, bit-flipped, or garbage; a raise would fail a shard task."""
+    from spdb_spark.sources.zipshard import parse_zip_bytes, zip_encode
+
+    rng = np.random.default_rng(seed)
+    payload = bytearray(
+        zip_encode({f"k{i}": {"txt": rng.bytes(40)} for i in range(3)})
+    )
+    payload[pos % len(payload)] ^= val or 1
+    cut = pos % (len(payload) + 1)
+    for data in (bytes(payload), bytes(payload[:cut])):
+        out = parse_zip_bytes(data)
+        assert isinstance(out, list)

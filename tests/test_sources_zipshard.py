@@ -120,3 +120,14 @@ def test_spark_ingest_feeds_webdataset_assembly(spark, tmp_path):
         "a first document with words",
         "from the second shard",
     }
+
+
+def test_partial_directory_merges_local_header_recovery():
+    # a flipped EOCD size field leaves a 1-entry directory that opens but
+    # whose entry is unreadable — recovery must still yield all members
+    data = bytearray(
+        zip_encode({f"{i}": {"txt": b"doc %d words" % i} for i in range(4)})
+    )
+    data[-10] ^= 0xFF  # cd_size byte in the end-of-central-directory
+    got = parse_zip_bytes(bytes(data))
+    assert sorted(k for k, _, _ in got) == ["0", "1", "2", "3"]
