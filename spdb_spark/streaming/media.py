@@ -24,18 +24,23 @@ _BINARYFILE_SCHEMA = (
 )
 
 
-def stream_webdataset_members(spark: SparkSession, shard_dir: str) -> DataFrame:
+def stream_webdataset_members(
+    spark: SparkSession, shard_dir: str, container: str = "tar"
+) -> DataFrame:
     """readStream over a shard directory: one row per member of each
-    newly-arrived .tar[.gz] shard. The binaryFile source needs its fixed
-    schema spelled out when streaming."""
+    newly-arrived shard. The binaryFile source needs its fixed schema
+    spelled out when streaming. container: "tar" (WebDataset) or "zip" —
+    both member walks are stateless kernels emitting the same schema, so
+    everything downstream is container-agnostic."""
     from spdb_spark.sources.webdataset import webdataset_members
+    from spdb_spark.sources.zipshard import zip_members
 
     raw = (
         spark.readStream.format("binaryFile")
         .schema(_BINARYFILE_SCHEMA)
         .load(shard_dir)
     )
-    return webdataset_members(raw)
+    return {"tar": webdataset_members, "zip": zip_members}[container](raw)
 
 
 MEDIA_FEATURE_SCHEMA = (
@@ -99,12 +104,13 @@ def start_media_feature_stream(
     min_width: int = 0,
     n_frames: int = 2,
     dim: int = 4,
+    container: str = "tar",
 ):
     """Start (availableNow) the shard-watcher: decode features for every
     not-yet-processed shard, append to the parquet sink, stop when the
     backlog drains. Call again after more shards land — the checkpoint
     carries the processed-shard set, so work is incremental."""
-    members = stream_webdataset_members(spark, shard_dir)
+    members = stream_webdataset_members(spark, shard_dir, container)
     rows = media_feature_rows(members, min_width, n_frames, dim)
     return (
         rows.writeStream.format("parquet")

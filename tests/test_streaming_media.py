@@ -88,3 +88,38 @@ def test_stream_equals_batch_and_incremental(spark, tmp_path):
     q.awaitTermination(120)
     got3 = _collect_sorted(spark.read.parquet(sink))
     assert got3 == got2
+
+
+def test_zip_shards_through_the_watcher(spark, tmp_path):
+    """The zip member walk is the same stateless kernel shape, so the
+    watcher consumes zip shard directories with container='zip'."""
+    import numpy as np
+
+    from spdb_spark.operators.render import png_encode
+    from spdb_spark.sources.zipshard import zip_encode
+    from spdb_spark.streaming.media import start_media_feature_stream
+
+    rng = np.random.default_rng(20)
+    samples = {
+        f"{i:03d}": {"png": png_encode(rng.integers(0, 256, (12, 12), dtype=np.uint8))}
+        for i in range(6)
+    }
+    shard_dir = tmp_path / "shards"; shard_dir.mkdir()
+    (shard_dir / "s0.zip").write_bytes(zip_encode(samples))
+    sink = str(tmp_path / "sink"); ckpt = str(tmp_path / "ckpt")
+    q = start_media_feature_stream(
+        spark, str(shard_dir), sink, ckpt, n_frames=2, dim=3, container="zip"
+    )
+    q.awaitTermination(120)
+    out = spark.read.parquet(sink)
+    assert out.count() == 12  # 6 members x 2 frames
+    assert {r["status"] for r in out.collect()} == {"ok"}
+    # incremental: a second zip shard adds only its own rows
+    (shard_dir / "s1.zip").write_bytes(
+        zip_encode({"x": {"png": png_encode(np.zeros((8, 8), np.uint8))}})
+    )
+    q2 = start_media_feature_stream(
+        spark, str(shard_dir), sink, ckpt, n_frames=2, dim=3, container="zip"
+    )
+    q2.awaitTermination(120)
+    assert spark.read.parquet(sink).count() == 14
