@@ -59,7 +59,9 @@ def wds_encode(samples: dict[str, dict[str, bytes]], compress: bool = False) -> 
                 info.size = len(data)
                 tf.addfile(info, io.BytesIO(data))
     raw = buf.getvalue()
-    return gzip.compress(raw) if compress else raw
+    # mtime=0 keeps compressed shards byte-deterministic across runs
+    # (the export path diffs re-runs by md5)
+    return gzip.compress(raw, mtime=0) if compress else raw
 
 
 def parse_wds_bytes(data: bytes) -> list[tuple[str, str, bytes]]:

@@ -48,7 +48,11 @@ def zip_encode(
     with zipfile.ZipFile(buf, "w", method) as zf:
         for key in sorted(samples):
             for ext in sorted(samples[key]):
-                zf.writestr(f"{key}.{ext}", samples[key][ext])
+                # fixed timestamp: writestr would stamp NOW, breaking the
+                # export path's byte-deterministic re-run contract
+                info = zipfile.ZipInfo(f"{key}.{ext}", (1980, 1, 1, 0, 0, 0))
+                info.compress_type = method
+                zf.writestr(info, samples[key][ext])
     return buf.getvalue()
 
 
