@@ -240,6 +240,35 @@ def _mp4_boxes(p: bytes, start: int, end: int):
         pos += size
 
 
+def _probe_avif(p: bytes, brand: str) -> dict:
+    """AVIF/HEIF still images: same ISO-BMFF walk, but dimensions live in
+    item properties — meta (a FullBox: 4 bytes of version/flags precede
+    its children) -> iprp -> ipco -> ispe (FullBox: image_width,
+    image_height as 32-bit). Files carry one ispe per item including
+    alpha planes and thumbnails; without parsing ipma associations the
+    max-area ispe is the primary image in practice (thumbs/alpha are
+    never larger)."""
+    out = {**_EMPTY, "codec": brand, "n_frames": None if brand == "avis" else 1}
+    best = None
+
+    def walk(s, e):
+        nonlocal best
+        for t, b, be in _mp4_boxes(p, s, e):
+            if t in (b"iprp", b"ipco"):
+                walk(b, be)
+            elif t == b"ispe":
+                w, h = struct.unpack_from(">II", p, b + 4)
+                if best is None or w * h > best[0] * best[1]:
+                    best = (w, h)
+
+    for btype, body, bend in _mp4_boxes(p, 0, len(p)):
+        if btype == b"meta":
+            walk(body + 4, bend)
+    if best:
+        out["width"], out["height"] = best
+    return out
+
+
 def _probe_mp4(p: bytes) -> dict:
     """Real ISO-BMFF box walk, scoped PER TRACK so multi-track files
     don't mix fields: mvhd movie duration; the VIDEO track (hdlr 'vide')
@@ -351,6 +380,11 @@ def probe_payload(payload: bytes) -> tuple[str, dict]:
     if payload[:4] == b"RIFF" and payload[8:12] == b"WEBP":
         return "webp", _probe_webp(payload)
     if len(payload) >= 12 and payload[4:8] == b"ftyp":
+        brand = payload[8:12].decode("latin1")
+        if brand in ("avif", "avis"):
+            return "avif", _probe_avif(payload, brand)
+        if brand in ("heic", "heix", "mif1", "msf1"):
+            return "heif", _probe_avif(payload, brand)
         return "mp4", _probe_mp4(payload)
     if payload[:4] == b"OggS":
         return "ogg", _probe_ogg(payload)

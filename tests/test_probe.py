@@ -394,3 +394,33 @@ def test_mp4_audio_without_hdlr_still_yields_sample_rate():
     ftyp = _box(b"ftyp", b"isom" + struct.pack(">I", 512) + b"isomavc1")
     _, f = probe_payload(ftyp + moov)
     assert f["sample_rate"] == 22050 and f["duration_ms"] == 5000
+
+
+def test_avif_heif_probe():
+    """Fixtures hand-assembled from the ISO-BMFF layout (meta and ispe
+    are FullBoxes — the 4 version/flags bytes are the classic trap)."""
+    import struct
+
+    from spdb_spark.functions.probe import probe_payload
+
+    def box(tag, body):
+        return struct.pack(">I", 8 + len(body)) + tag + body
+
+    ispe_main = box(b"ispe", b"\x00\x00\x00\x00" + struct.pack(">II", 640, 480))
+    ispe_alpha = box(b"ispe", b"\x00\x00\x00\x00" + struct.pack(">II", 640, 480))
+    ispe_thumb = box(b"ispe", b"\x00\x00\x00\x00" + struct.pack(">II", 64, 48))
+    ipco = box(b"ipco", ispe_thumb + ispe_main + ispe_alpha)
+    meta = box(b"meta", b"\x00\x00\x00\x00" + box(b"iprp", ipco))
+    ftyp = box(b"ftyp", b"avif" + b"\x00\x00\x00\x00" + b"avifmif1")
+    container, m = probe_payload(ftyp + meta)
+    assert container == "avif" and m["codec"] == "avif"
+    assert (m["width"], m["height"]) == (640, 480)
+    assert m["n_frames"] == 1
+    # heic brand routes to heif; animated avis leaves frame count unknown
+    heic = box(b"ftyp", b"heic" + b"\x00\x00\x00\x00") + meta
+    assert probe_payload(heic)[0] == "heif"
+    avis = box(b"ftyp", b"avis" + b"\x00\x00\x00\x00") + meta
+    assert probe_payload(avis)[1]["n_frames"] is None
+    # plain mp4 brands still take the movie path
+    mp4 = box(b"ftyp", b"isom" + b"\x00\x00\x00\x00")
+    assert probe_payload(mp4)[0] == "mp4"
