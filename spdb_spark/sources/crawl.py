@@ -1,0 +1,61 @@
+"""Crawl-to-corpus: the end-to-end WARC -> curated training corpus
+composition, wiring the round-6 curation operators into one call.
+
+One function composes what a crawl-processing job actually runs:
+
+    WARC shards
+      -> warc_responses_to_docs     (main-content extraction, URL
+                                     normalization: functions/html.py,
+                                     functions/url.py)
+      -> gopher_filter              (published hard rules:
+                                     functions/quality.py)
+      -> exact + minhash dedup      (functions/dedup.py keep-one policy)
+      -> documents DataFrame        (ready for write_jsonl_shards)
+
+Plan shape: extraction/quality are projections inside the WARC scan
+stage (zero added exchanges); dedup contributes its banded-join
+exchanges; nothing else shuffles. A 1000-executor crawl job is
+file-parallel until the dedup joins, exactly like the standalone
+operators the gates verify.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def crawl_to_corpus(
+    warc: DataFrame,
+    main_content: bool = True,
+    normalize_urls: bool = True,
+    quality: bool = True,
+    near_dedup: bool = True,
+    minhash_threshold: float = 0.8,
+) -> DataFrame:
+    """WARC record rows (sources/warc.ingest_warc) -> curated documents.
+
+    Every stage is optional so corpora with external curation can skip
+    pieces; defaults are the full treatment. Near-dedup keeps the
+    smallest doc_id of each duplicate pair's cluster side (the same
+    keep-first policy the gated dedup queries verify)."""
+    from spdb_spark.functions.quality import gopher_filter
+    from spdb_spark.sources.warc import warc_responses_to_docs
+
+    docs = warc_responses_to_docs(
+        warc, main_content=main_content, normalize_urls=normalize_urls
+    )
+    if quality:
+        docs = docs.where(gopher_filter(F.col("text")))
+    docs = docs.dropDuplicates(["text"])  # exact dup: one content survives
+    if near_dedup:
+        from spdb_spark.functions.dedup import minhash_lsh_dedup
+
+        pairs = minhash_lsh_dedup(
+            docs, "doc_id", "text", threshold=minhash_threshold
+        )
+        losers = pairs.select(
+            F.greatest("id_a", "id_b").alias("doc_id")
+        ).distinct()
+        docs = docs.join(losers, "doc_id", "left_anti")
+    return docs

@@ -145,3 +145,39 @@ def test_warc_main_content_option(spark, tmp_path):
     assert "Home" in flat and "Privacy" in flat
     assert "Throughput doubled" in main
     assert "Home" not in main and "Privacy" not in main
+
+
+def test_crawl_to_corpus_composition(spark, tmp_path):
+    """WARC -> extracted+normalized+filtered+deduped docs in one call."""
+    from spdb_spark.sources.crawl import crawl_to_corpus
+    from spdb_spark.sources.warc import ingest_warc, warc_encode
+
+    prose = ("The quarterly migration to the new storage layout is complete "
+             "and every pipeline that used to write to the old bucket now "
+             "streams records through the unified ingestion service which "
+             "we have verified to be stable with costs down by a third and "
+             "fewer pages for the on-call rotation than any month this year.")
+    page = ("<html><body><nav><a href='/'>Home</a> <a href='/a'>About</a> "
+            f"<a href='/c'>Contact</a></nav><p>{prose}</p>"
+            "<footer><a href='/p'>Privacy</a></footer></body></html>")
+    resp = ("HTTP/1.1 200 OK\r\n\r\n" + page).encode()
+    junk = b"HTTP/1.1 200 OK\r\n\r\n<p># # # # # # #</p>"
+    recs = (
+        # same page under two URL spellings: collapses via normalization
+        [{"warc_type": "response", "target_uri": u, "payload": resp}
+         for u in ("http://X.org/a?utm_source=s", "HTTP://x.ORG:80/a")]
+        # same content at a different URL: exact-text dedup catches it
+        + [{"warc_type": "response", "target_uri": "http://y.org/b",
+            "payload": resp}]
+        + [{"warc_type": "response", "target_uri": "http://x.org/junk",
+            "payload": junk}]
+    )
+    (tmp_path / "c.warc.gz").write_bytes(warc_encode(recs))
+    warc = ingest_warc(spark, str(tmp_path))
+    docs = crawl_to_corpus(warc).collect()
+    assert len(docs) == 1  # one survivor: normalized+deduped+quality-passed
+    assert "quarterly migration" in docs[0]["text"]
+    assert "Home" not in docs[0]["text"]  # chrome stripped
+    # with quality off, the junk page survives
+    from spdb_spark.sources.crawl import crawl_to_corpus as c2c
+    assert len(c2c(warc, quality=False).collect()) == 2
