@@ -1,0 +1,130 @@
+"""Round-7 STAGED gate queries — NOT registered in suite.py.
+
+The round-6 rotation window's last slot is `llm_approx_vocab`'s final
+driver-green row; any new registry entry would sort ahead of it (never-
+checked entries rotate first) and push it out. So these queries are
+fully built and oracle-paired here, exercised by
+tests/test_suite_staging.py under the exact driver-gate comparison
+(row count + schema + column-sorted value hash), and round 7 only adds
+the dict entries (see PLANS.md, "Round-7 registration plan").
+
+Each query wraps the fixture corpus in a DETERMINISTIC structure shared
+character-for-character by both engines (chrome around documents.text,
+URL spellings derived from doc_id), so the oracle replays the exact
+operator semantics, not a lookalike.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from spdb_spark.functions.html import html_main_text, main_text_sql
+from spdb_spark.functions.quality import (
+    gopher_filter,
+    gopher_filter_sql,
+    gopher_flags_sql,
+    gopher_quality_flags,
+)
+from spdb_spark.functions.url import (
+    url_host,
+    url_host_sql,
+    url_normalize,
+    url_normalize_sql,
+)
+from spdb_spark.session import load_tables
+
+_CHROME_PRE = (
+    '<html><body><nav><a href="/">Home</a> <a href="/about">About</a>'
+    ' <a href="/contact">Contact</a></nav><p>'
+)
+_CHROME_POST = (
+    '</p><footer><a href="/p">Privacy</a> - <a href="/t">Terms</a>'
+    "</footer></body></html>"
+)
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_tables(spark, sf_dir)["documents"]
+
+
+def q_html_main_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    html = F.concat(F.lit(_CHROME_PRE), F.col("text"), F.lit(_CHROME_POST))
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        html_main_text(html).alias("main_text"),
+        F.length(html_main_text(html)).cast("long").alias("n_chars"),
+    )
+
+
+def _sql_quote(s: str) -> str:
+    return "'" + s.replace("'", "''") + "'"
+
+
+SQL_HTML_MAIN_TEXT = (
+    "SELECT doc_id, "
+    f"{main_text_sql(f'({_sql_quote(_CHROME_PRE)} || text || {_sql_quote(_CHROME_POST)})')}"
+    " AS main_text, "
+    f"length({main_text_sql(f'({_sql_quote(_CHROME_PRE)} || text || {_sql_quote(_CHROME_POST)})')})"
+    "::BIGINT AS n_chars FROM documents"
+)
+
+
+def q_url_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    url = F.concat(
+        F.lit("HTTP://Example"),
+        (F.col("doc_id") % 7).cast("string"),
+        F.lit(".COM:80/Path/"),
+        F.col("doc_id").cast("string"),
+        F.lit("?utm_source=x&q="),
+        (F.col("doc_id") % 13).cast("string"),
+        F.lit("#frag"),
+    )
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        url_normalize(url).alias("url_norm"),
+        url_host(url).alias("host"),
+    )
+
+
+_URL_SQL = (
+    "('HTTP://Example' || (doc_id % 7)::VARCHAR || '.COM:80/Path/' ||"
+    " doc_id::VARCHAR || '?utm_source=x&q=' || (doc_id % 13)::VARCHAR || '#frag')"
+)
+
+SQL_URL_NORMALIZE = (
+    f"SELECT doc_id, {url_normalize_sql(_URL_SQL)} AS url_norm, "
+    f"{url_host_sql(_URL_SQL)} AS host FROM documents"
+)
+
+
+def q_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = gopher_quality_flags(F.col("text"))
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        s["word_count"].alias("word_count"),
+        s["mean_word_len"].alias("mean_word_len"),
+        s["symbol_ratio"].alias("symbol_ratio"),
+        s["alpha_frac"].alias("alpha_frac"),
+        s["stop_hits"].alias("stop_hits"),
+        s["dup_line_frac"].alias("dup_line_frac"),
+        gopher_filter(F.col("text")).alias("passes"),
+    )
+
+
+SQL_GOPHER_QUALITY = (
+    f"SELECT doc_id, ({gopher_flags_sql('text')}).word_count AS word_count, "
+    f"({gopher_flags_sql('text')}).mean_word_len AS mean_word_len, "
+    f"({gopher_flags_sql('text')}).symbol_ratio AS symbol_ratio, "
+    f"({gopher_flags_sql('text')}).alpha_frac AS alpha_frac, "
+    f"({gopher_flags_sql('text')}).stop_hits AS stop_hits, "
+    f"({gopher_flags_sql('text')}).dup_line_frac AS dup_line_frac, "
+    f"{gopher_filter_sql('text')} AS passes FROM documents"
+)
+
+
+STAGED: dict = {
+    "llm_html_main_text": (q_html_main_text, SQL_HTML_MAIN_TEXT),
+    "llm_url_normalize": (q_url_normalize, SQL_URL_NORMALIZE),
+    "llm_gopher_quality": (q_gopher_quality, SQL_GOPHER_QUALITY),
+}
