@@ -59,3 +59,32 @@ def crawl_to_corpus(
         ).distinct()
         docs = docs.join(losers, "doc_id", "left_anti")
     return docs
+
+
+def cap_per_host(
+    docs: DataFrame,
+    max_docs: int,
+    url_col: str = "source",
+) -> DataFrame:
+    """Per-domain quota: keep at most `max_docs` documents per host,
+    deterministically — ranked by a content-derived hash so the kept set
+    is a pure function of the corpus (re-runs and repartitioning cannot
+    change which docs survive), not whichever rows a scan met first.
+
+    One window shuffle keyed by host. Crawl hosts are Zipfian, so the
+    hot-host partitions carry more rows, but the state per row is one
+    rank counter and AQE skew-split handles the giants; the alternative
+    (groupBy host + collect_list) would buffer a whole host in one task."""
+    from spdb_spark.functions.hashing import md5_long
+    from spdb_spark.functions.url import url_host
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy(url_host(F.col(url_col)))
+        .orderBy(md5_long(F.col("doc_id").cast("string")), "doc_id")
+    )
+    return (
+        docs.withColumn("_rk", F.row_number().over(w))
+        .where(F.col("_rk") <= max_docs)
+        .drop("_rk")
+    )

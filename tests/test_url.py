@@ -111,3 +111,25 @@ def test_warc_normalize_urls_option(spark, tmp_path):
     rows = docs.collect()
     assert len(rows) == 1  # collapsed like an exact revisit
     assert rows[0]["source"] == "http://example.com/a"
+
+
+def test_cap_per_host_deterministic(spark):
+    from spdb_spark.sources.crawl import cap_per_host
+
+    rows = [
+        (i, f"doc body {i}", f"http://host{i % 3}.org/p{i}") for i in range(30)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    capped = cap_per_host(docs, 4)
+    by_host = (
+        capped.groupBy(F.expr("regexp_extract(source, 'host\\\\d', 0)"))
+        .count()
+        .collect()
+    )
+    assert sorted(r["count"] for r in by_host) == [4, 4, 4]
+    # pure function of the corpus: repartitioning keeps the same survivors
+    a = {r["doc_id"] for r in capped.collect()}
+    b = {r["doc_id"] for r in cap_per_host(docs.repartition(7), 4).collect()}
+    assert a == b
+    # under-quota hosts keep everything
+    assert cap_per_host(docs, 100).count() == 30
