@@ -236,6 +236,15 @@ def decode_features_status(
             raise
         except ValueError:  # JPEG-in-TIFF/CCITT/bilevel: honest stub
             return _fake_decode(payload, n_frames, dim), "stub"
+    if payload[:2] in (b"P4", b"P5", b"P6") and payload[2:3].isspace():
+        from spdb_spark.functions.pnm import pnm_decode
+
+        try:
+            return _image_frame_features(pnm_decode(payload), n_frames, dim), "ok"
+        except PixelBudgetError:
+            raise
+        except ValueError:  # ASCII P1-P3 / malformed: honest stub
+            return _fake_decode(payload, n_frames, dim), "stub"
     if payload[:4] == b"\x00\x00\x01\x00":  # ICO (weak magic: checked last)
         from spdb_spark.functions.ico import ico_decode
 

@@ -388,6 +388,15 @@ def probe_payload(payload: bytes) -> tuple[str, dict]:
         return "mp4", _probe_mp4(payload)
     if payload[:4] == b"OggS":
         return "ogg", _probe_ogg(payload)
+    if payload[:2] in (b"P4", b"P5", b"P6") and payload[2:3].isspace():
+        from spdb_spark.functions.pnm import _header_tokens
+
+        n = 2 if payload[:2] == b"P4" else 3
+        vals, _ = _header_tokens(payload, n)
+        depth = 1 if payload[:2] == b"P4" else (16 if vals[2] > 255 else 8)
+        kind = {b"P4": "bitmap", b"P5": "gray", b"P6": "rgb"}[payload[:2]]
+        return "pnm", {**_EMPTY, "codec": f"pnm/{kind}{depth}",
+                       "width": vals[0], "height": vals[1], "n_frames": 1}
     if payload[:4] == b"\x00\x00\x01\x00":
         from spdb_spark.functions.ico import ico_entries
 

@@ -64,16 +64,65 @@ def wds_encode(samples: dict[str, dict[str, bytes]], compress: bool = False) -> 
     return gzip.compress(raw, mtime=0) if compress else raw
 
 
+# Whole-shard decompressed cap: real shards run ~1-4 GiB uncompressed;
+# a crafted single-layer xz reaches ~10^8:1, so a KB-sized hostile shard
+# could claim hundreds of GB without this.
+MAX_SHARD_BYTES = 8 << 30
+
+
+def _decompress_shard(data: bytes) -> bytes | None:
+    """Transparent gzip (multi-member) / xz / bz2 shard decompression
+    with a total-output cap. None = ratio bomb (skip the whole shard);
+    truncated/corrupt members keep the complete prefix (the tar walk
+    already survives a cut tail)."""
+    if data[:2] == b"\x1f\x8b":
+        import zlib
+
+        chunks: list[bytes] = []
+        rest, total = data, 0
+        while rest[:2] == b"\x1f\x8b":
+            d = zlib.decompressobj(31)
+            try:
+                chunk = d.decompress(rest, MAX_SHARD_BYTES + 1 - total)
+            except zlib.error:
+                break
+            chunks.append(chunk)
+            total += len(chunk)
+            if total > MAX_SHARD_BYTES:
+                return None
+            if not d.eof:  # truncated member
+                break
+            rest = d.unused_data
+        return b"".join(chunks)
+    if data[:6] == b"\xfd7zXZ\x00":
+        import lzma
+
+        try:
+            out = lzma.LZMADecompressor().decompress(data, MAX_SHARD_BYTES + 1)
+        except lzma.LZMAError:
+            return b""
+        return None if len(out) > MAX_SHARD_BYTES else out
+    if data[:3] == b"BZh":
+        import bz2
+
+        try:
+            out = bz2.BZ2Decompressor().decompress(data, MAX_SHARD_BYTES + 1)
+        except (OSError, ValueError, EOFError):
+            return b""
+        return None if len(out) > MAX_SHARD_BYTES else out
+    return data
+
+
 def parse_wds_bytes(data: bytes) -> list[tuple[str, str, bytes]]:
     """One shard's bytes -> [(key, ext, payload)]. `key` is the member
     name up to the FIRST dot of its basename (WebDataset convention, so
     `a/b/000123.seg.png` has key `a/b/000123` and ext `seg.png`);
-    directories and unreadable members are skipped."""
-    if data[:2] == b"\x1f\x8b":
-        try:
-            data = gzip.decompress(data)
-        except (OSError, EOFError):
-            return []
+    directories and unreadable members are skipped. Shards may be plain
+    tar or gzip/xz/bz2-compressed (capped: see _decompress_shard)."""
+    maybe = _decompress_shard(data)
+    if maybe is None or maybe == b"":
+        return []
+    data = maybe
     # dict keyed by (key, ext): tar legally allows duplicate member names
     # (tar --append, restarted writes) and extraction semantics is LAST
     # member wins — deduping here also keeps webdataset_samples'

@@ -195,3 +195,34 @@ def test_mixed_codec_shard_feeds_all_new_decoders(spark, tmp_path):
         feats.setdefault(ext_of[r.media_id], {})[r.frame_idx] = r.feature
     assert feats["gif"] == feats["png"] == feats["bmp"]
     assert feats["flac"] == feats["wav"]
+
+
+def test_xz_and_bz2_shards():
+    import bz2
+    import lzma
+
+    from spdb_spark.sources.webdataset import parse_wds_bytes, wds_encode
+
+    samples = {"a": {"txt": b"alpha"}, "b": {"txt": b"beta"}}
+    raw = wds_encode(samples)
+    want = sorted(parse_wds_bytes(raw))
+    assert sorted(parse_wds_bytes(lzma.compress(raw))) == want
+    assert sorted(parse_wds_bytes(bz2.compress(raw))) == want
+    # corrupt compressed shards skip, never raise
+    assert parse_wds_bytes(b"\xfd7zXZ\x00" + b"junk") == []
+    assert parse_wds_bytes(b"BZhjunk") == []
+
+
+def test_shard_ratio_bomb_skipped(monkeypatch):
+    import lzma
+
+    import spdb_spark.sources.webdataset as wds
+
+    bomb = lzma.compress(b"\x00" * (4 << 20))  # 4 MiB of zeros, ~KB payload
+    monkeypatch.setattr(wds, "MAX_SHARD_BYTES", 1 << 20)
+    assert wds.parse_wds_bytes(bomb) == []
+    # gzip flavor through the member loop
+    import gzip as _gzip
+
+    gz = _gzip.compress(b"\x00" * (4 << 20))
+    assert wds.parse_wds_bytes(gz) == []
