@@ -145,7 +145,16 @@ def parse_zip_bytes(
                 ):
                     read_failures = True
                     continue
-    except (zipfile.BadZipFile, ValueError, OSError, struct.error):
+    except (
+        zipfile.BadZipFile,
+        ValueError,
+        OSError,
+        struct.error,
+        # a flipped extract_version byte in a central-directory entry
+        # makes open() itself raise NotImplementedError ("zip file
+        # version 8.4") before any member read (fuzz-found)
+        NotImplementedError,
+    ):
         # central directory missing/corrupt (truncated upload, flipped
         # offset bytes): recover what the local headers can prove complete
         return _scan_local_headers(data, max_member_bytes)
