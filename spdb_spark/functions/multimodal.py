@@ -245,6 +245,15 @@ def decode_features_status(
             raise
         except ValueError:  # ASCII P1-P3 / malformed: honest stub
             return _fake_decode(payload, n_frames, dim), "stub"
+    if payload[:4] == b"qoif":
+        from spdb_spark.functions.qoi import qoi_decode
+
+        try:
+            return _image_frame_features(qoi_decode(payload), n_frames, dim), "ok"
+        except PixelBudgetError:
+            raise
+        except ValueError:  # truncated stream / bad header: honest stub
+            return _fake_decode(payload, n_frames, dim), "stub"
     if payload[:4] == b"\x00\x00\x01\x00":  # ICO (weak magic: checked last)
         from spdb_spark.functions.ico import ico_decode
 
@@ -253,6 +262,16 @@ def decode_features_status(
         except PixelBudgetError:
             raise
         except ValueError:
+            return _fake_decode(payload, n_frames, dim), "stub"
+    # TGA has no leading magic; its 2.0 footer is the signature
+    from spdb_spark.functions.tga import tga_decode, tga_sniff
+
+    if tga_sniff(payload):
+        try:
+            return _image_frame_features(tga_decode(payload), n_frames, dim), "ok"
+        except PixelBudgetError:
+            raise
+        except ValueError:  # unsupported depth/type: honest stub
             return _fake_decode(payload, n_frames, dim), "stub"
     return _fake_decode(payload, n_frames, dim), "stub"
 
@@ -360,8 +379,40 @@ def resize_images(media: DataFrame, width: int = 224, height: int = 224) -> Data
                         except ValueError:  # JPEG-in-TIFF/CCITT/bilevel
                             blob = _fake_resize(payload, width, height)
                             status = "stub"
+                    elif payload[:4] == b"qoif":
+                        from spdb_spark.functions.qoi import qoi_decode, qoi_encode
+
+                        try:
+                            resized = resize_image_array(
+                                qoi_decode(payload), width, height
+                            )
+                            blob, status = qoi_encode(resized), "ok"
+                        except PixelBudgetError:
+                            raise
+                        except ValueError:  # truncated stream
+                            blob = _fake_resize(payload, width, height)
+                            status = "stub"
                     else:
-                        blob, status = _fake_resize(payload, width, height), "stub"
+                        from spdb_spark.functions.tga import (
+                            tga_decode,
+                            tga_encode,
+                            tga_sniff,
+                        )
+
+                        if tga_sniff(payload):
+                            try:
+                                resized = resize_image_array(
+                                    tga_decode(payload), width, height
+                                )
+                                blob, status = tga_encode(resized), "ok"
+                            except PixelBudgetError:
+                                raise
+                            except ValueError:  # unsupported depth/type
+                                blob = _fake_resize(payload, width, height)
+                                status = "stub"
+                        else:
+                            blob = _fake_resize(payload, width, height)
+                            status = "stub"
                     out.append((int(row.media_id), width, height, blob, status))
                 except Exception as e:
                     out.append((int(row.media_id), width, height, b"", f"error: {e}"))

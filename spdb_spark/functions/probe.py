@@ -397,6 +397,12 @@ def probe_payload(payload: bytes) -> tuple[str, dict]:
         kind = {b"P4": "bitmap", b"P5": "gray", b"P6": "rgb"}[payload[:2]]
         return "pnm", {**_EMPTY, "codec": f"pnm/{kind}{depth}",
                        "width": vals[0], "height": vals[1], "n_frames": 1}
+    if payload[:4] == b"qoif" and len(payload) >= 14:
+        import struct as _struct
+
+        w, h = _struct.unpack(">II", payload[4:12])
+        return "qoi", {**_EMPTY, "codec": f"qoi/rgb{'a' if payload[12] == 4 else ''}",
+                       "width": w, "height": h, "n_frames": 1}
     if payload[:4] == b"\x00\x00\x01\x00":
         from spdb_spark.functions.ico import ico_entries
 
@@ -410,6 +416,21 @@ def probe_payload(payload: bytes) -> tuple[str, dict]:
         and (payload[1] & 0xE0) == 0xE0
     ):
         return "mp3", _probe_mp3(payload)
+    # TGA carries no leading magic; its 2.0 footer is the signature
+    # (checked last, like other weak-magic formats)
+    from spdb_spark.functions.tga import tga_sniff
+
+    if tga_sniff(payload):
+        import struct as _struct
+
+        img_type, w, h, depth = (
+            payload[2],
+            _struct.unpack("<H", payload[12:14])[0],
+            _struct.unpack("<H", payload[14:16])[0],
+            payload[16],
+        )
+        return "tga", {**_EMPTY, "codec": f"tga/{img_type}-{depth}",
+                       "width": w, "height": h, "n_frames": 1}
     raise ValueError("unrecognized container")
 
 

@@ -136,6 +136,9 @@ def parse_zip_bytes(
                     zipfile.BadZipFile,
                     zlib.error,
                     NotImplementedError,
+                    # a corrupted compress_size can exhaust the raw
+                    # stream mid-member: EOFError (fuzz-found)
+                    EOFError,
                     # corrupt directory offsets surface as plain
                     # ValueError ("negative seek value") / OSError from
                     # the underlying seek, not BadZipFile (fuzz-found)
@@ -150,6 +153,7 @@ def parse_zip_bytes(
         ValueError,
         OSError,
         struct.error,
+        EOFError,
         # a flipped extract_version byte in a central-directory entry
         # makes open() itself raise NotImplementedError ("zip file
         # version 8.4") before any member read (fuzz-found)

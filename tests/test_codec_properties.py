@@ -78,13 +78,22 @@ def test_decode_kernel_never_raises_on_garbage(prefix_seed, seed):
 
     rng = np.random.default_rng(seed)
     # garbage wearing each codec's magic so every dispatch branch runs
+    from spdb_spark.functions.tga import TGA_FOOTER_SIG
+
     for magic in (
         b"GIF89a", b"fLaC", b"BM", b"\x89PNG\r\n\x1a\n", b"\xff\xd8",
-        b"II*\x00", b"MM\x00*", b"\x00\x00\x01\x00",
+        b"II*\x00", b"MM\x00*", b"\x00\x00\x01\x00", b"qoif",
         b"RIFF" + b"\x10\x00\x00\x00" + b"WAVE",
         b"RIFF" + b"\x10\x00\x00\x00" + b"AVI ",
     ):
         payload = magic + rng.bytes(100) + prefix_seed
+        try:
+            _feats, status = decode_features_status(payload, 2, 4)
+            assert status in ("ok", "stub")
+        except ValueError:
+            pass  # the kernel's contract: ValueError -> error row
+    # TGA sniffs from the TRAILING footer signature, not a leading magic
+    for payload in (rng.bytes(60) + b"\x00" * 8 + TGA_FOOTER_SIG,):
         try:
             _feats, status = decode_features_status(payload, 2, 4)
             assert status in ("ok", "stub")
@@ -429,3 +438,52 @@ def test_zip_parse_never_raises(seed, pos, val):
     for data in (bytes(payload), bytes(payload[:cut])):
         out = parse_zip_bytes(data)
         assert isinstance(out, list)
+
+
+@settings(max_examples=25, deadline=None)
+@given(dims, dims, st.sampled_from([2, 3, 4]), st.integers(0, 2**32 - 1))
+def test_qoi_roundtrip(h, w, depth, seed):
+    from spdb_spark.functions.qoi import qoi_decode, qoi_encode
+
+    rng = np.random.default_rng(seed)
+    shape = (h, w) if depth == 2 else (h, w, depth)
+    # low-cardinality values exercise INDEX/RUN; offsets exercise DIFF/LUMA
+    img = (rng.integers(0, 6, shape) * 47 % 256).astype(np.uint8)
+    want = np.repeat(img[:, :, None], 3, axis=2) if depth == 2 else img
+    assert (qoi_decode(qoi_encode(img)) == want).all()
+
+
+@settings(max_examples=25, deadline=None)
+@given(dims, dims, st.sampled_from([2, 3, 4]), st.booleans(),
+       st.integers(0, 2**32 - 1))
+def test_tga_roundtrip(h, w, depth, rle, seed):
+    from spdb_spark.functions.tga import tga_decode, tga_encode
+
+    rng = np.random.default_rng(seed)
+    shape = (h, w) if depth == 2 else (h, w, depth)
+    img = (rng.integers(0, 5, shape) * 61 % 256).astype(np.uint8)
+    assert (tga_decode(tga_encode(img, rle=rle)) == img).all()
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.integers(0, 2**32 - 1), st.integers(0, 2000), st.integers(1, 255))
+def test_qoi_tga_bitflip_never_crashes(seed, pos, val):
+    """A corrupted QOI/TGA payload must decode, stub, or ValueError —
+    never index out of range or return a wrong-shaped array silently."""
+    from spdb_spark.functions.qoi import qoi_decode, qoi_encode
+    from spdb_spark.functions.tga import tga_decode, tga_encode
+
+    rng = np.random.default_rng(seed)
+    img = (rng.integers(0, 6, (9, 11, 3)) * 43 % 256).astype(np.uint8)
+    for enc, dec in ((qoi_encode, qoi_decode), (tga_encode, tga_decode)):
+        payload = bytearray(enc(img))
+        payload[pos % len(payload)] ^= val
+        cut = pos % (len(payload) + 1)
+        for data in (bytes(payload), bytes(payload[:cut])):
+            try:
+                out = dec(data)
+                assert out.ndim in (2, 3)
+            except ValueError:
+                pass
+            except OverflowError:
+                pass  # header field corrupted to an absurd size
