@@ -68,6 +68,22 @@ def _shard_count(n_keys: int, per_shard: int) -> int:
     return max(1, (n_keys + per_shard - 1) // per_shard)
 
 
+
+def shard_assignment(key, n_shards: int):
+    """Content-addressed shard id for a string key Column: md5-derived,
+    uniform by construction, independent of row order and partitioning —
+    the single expression both shard writers key their groupBy on (and
+    the gate query replays against a DuckDB twin)."""
+    return F.pmod(md5_long(key), F.lit(n_shards))
+
+
+def shard_assignment_sql(expr: str, n_shards: int) -> str:
+    """DuckDB SQL computing the identical shard id."""
+    from spdb_spark.functions.hashing import md5_long_sql
+
+    return f"({md5_long_sql(expr)} % {n_shards})"
+
+
 def write_webdataset_shards(
     members: DataFrame,
     out_dir: str,
@@ -118,7 +134,7 @@ def write_webdataset_shards(
         )
 
     assigned = members.withColumn(
-        "shard_id", F.pmod(md5_long(F.col("key")), F.lit(n_shards))
+        "shard_id", shard_assignment(F.col("key"), n_shards)
     )
     rows = (
         assigned.groupBy("shard_id")
@@ -177,7 +193,7 @@ def write_jsonl_shards(
 
     assigned = docs.withColumn(
         "shard_id",
-        F.pmod(md5_long(F.col(id_col).cast("string")), F.lit(n_shards)),
+        shard_assignment(F.col(id_col).cast("string"), n_shards),
     )
     rows = (
         assigned.groupBy("shard_id").applyInPandas(kernel, MANIFEST_SCHEMA).collect()

@@ -123,8 +123,90 @@ SQL_GOPHER_QUALITY = (
 )
 
 
+def q_cap_per_host(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-host document quota (sources/crawl.cap_per_host): 37 synthetic
+    hosts derived from doc_id, keep the 5 content-hash-ranked docs per
+    host. The kept SET is a pure function of the corpus — the exact
+    property the oracle replays."""
+    from spdb_spark.sources.crawl import cap_per_host
+
+    docs = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.concat(
+            F.lit("https://host"),
+            (F.col("doc_id") % 37).cast("string"),
+            F.lit(".example.com/doc/"),
+            F.col("doc_id").cast("string"),
+        ).alias("source"),
+    )
+    return cap_per_host(docs, 5, "source").select(
+        "doc_id", url_host(F.col("source")).alias("host")
+    )
+
+
+_CAP_URL_SQL = (
+    "('https://host' || (doc_id % 37)::VARCHAR || '.example.com/doc/' ||"
+    " doc_id::VARCHAR)"
+)
+
+
+def _sql_cap_per_host() -> str:
+    from spdb_spark.functions.hashing import md5_long_sql
+
+    host = url_host_sql(_CAP_URL_SQL)
+    rank = md5_long_sql("doc_id::VARCHAR")
+    return (
+        f"WITH u AS (SELECT doc_id, {host} AS host FROM documents), "
+        "r AS (SELECT doc_id, host, ROW_NUMBER() OVER ("
+        f"PARTITION BY host ORDER BY {rank}, doc_id) AS rk FROM u) "
+        "SELECT doc_id, host FROM r WHERE rk <= 5"
+    )
+
+
+SQL_CAP_PER_HOST = _sql_cap_per_host()
+
+
+def q_shard_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-shard export assignment (sources/shards.shard_assignment —
+    the expression write_jsonl_shards groups on): per-shard doc count,
+    total text chars, and id range for a 16-shard layout."""
+    from spdb_spark.sources.shards import shard_assignment
+
+    docs = _docs(spark, sf_dir)
+    return (
+        docs.withColumn(
+            "shard_id", shard_assignment(F.col("doc_id").cast("string"), 16)
+        )
+        .groupBy("shard_id")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum(F.length("text")).cast("long").alias("n_chars"),
+            F.min("doc_id").alias("min_doc"),
+            F.max("doc_id").alias("max_doc"),
+        )
+    )
+
+
+def _sql_shard_assignment() -> str:
+    from spdb_spark.sources.shards import shard_assignment_sql
+
+    sid = shard_assignment_sql("doc_id::VARCHAR", 16)
+    return (
+        f"WITH a AS (SELECT doc_id, length(text) AS lc, {sid} AS shard_id"
+        " FROM documents) "
+        "SELECT shard_id, COUNT(*)::BIGINT AS n_docs, SUM(lc)::BIGINT AS"
+        " n_chars, MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc"
+        " FROM a GROUP BY shard_id"
+    )
+
+
+SQL_SHARD_ASSIGNMENT = _sql_shard_assignment()
+
+
 STAGED: dict = {
     "llm_html_main_text": (q_html_main_text, SQL_HTML_MAIN_TEXT),
     "llm_url_normalize": (q_url_normalize, SQL_URL_NORMALIZE),
     "llm_gopher_quality": (q_gopher_quality, SQL_GOPHER_QUALITY),
+    "llm_cap_per_host": (q_cap_per_host, SQL_CAP_PER_HOST),
+    "llm_shard_assignment": (q_shard_assignment, SQL_SHARD_ASSIGNMENT),
 }
