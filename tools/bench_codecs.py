@@ -76,6 +76,15 @@ def main():
          [tiff_encode(smooth, tile=(64, 64), compression="lzw")]),
         ("apng 4-frame", apng_frames, [apng_encode(frames)]),
     ]
+    from spdb_spark.functions.qoi import qoi_decode, qoi_encode
+    from spdb_spark.functions.tga import tga_decode, tga_encode
+
+    rgb_smooth = np.stack([smooth, np.roll(smooth, 1, 1), smooth.T], axis=2)
+    cases += [
+        ("qoi/rgb smooth", qoi_decode, [qoi_encode(rgb_smooth)]),
+        ("tga/rgb raw", tga_decode, [tga_encode(rgb_smooth)]),
+        ("tga/rgb rle", tga_decode, [tga_encode(rgb_smooth, rle=True)]),
+    ]
     all_payloads = [ps[0] for _, _, ps in cases]
     cases.append(("probe (all of the above)", lambda p: probe_payload(p), all_payloads))
 
