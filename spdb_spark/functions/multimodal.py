@@ -254,6 +254,18 @@ def decode_features_status(
             raise
         except ValueError:  # truncated stream / bad header: honest stub
             return _fake_decode(payload, n_frames, dim), "stub"
+    if payload[:8] == b"farbfeld":
+        from spdb_spark.functions.farbfeld import farbfeld_decode
+
+        try:
+            return (
+                _image_frame_features(farbfeld_decode(payload), n_frames, dim),
+                "ok",
+            )
+        except PixelBudgetError:
+            raise
+        except ValueError:  # truncated raster: honest stub
+            return _fake_decode(payload, n_frames, dim), "stub"
     if payload[:4] == b"\x00\x00\x01\x00":  # ICO (weak magic: checked last)
         from spdb_spark.functions.ico import ico_decode
 

@@ -403,6 +403,12 @@ def probe_payload(payload: bytes) -> tuple[str, dict]:
         w, h = _struct.unpack(">II", payload[4:12])
         return "qoi", {**_EMPTY, "codec": f"qoi/rgb{'a' if payload[12] == 4 else ''}",
                        "width": w, "height": h, "n_frames": 1}
+    if payload[:8] == b"farbfeld" and len(payload) >= 16:
+        import struct as _struct
+
+        w, h = _struct.unpack(">II", payload[8:16])
+        return "farbfeld", {**_EMPTY, "codec": "farbfeld/rgba16",
+                            "width": w, "height": h, "n_frames": 1}
     if payload[:4] == b"\x00\x00\x01\x00":
         from spdb_spark.functions.ico import ico_entries
 

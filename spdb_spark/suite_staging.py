@@ -203,10 +203,66 @@ def _sql_shard_assignment() -> str:
 SQL_SHARD_ASSIGNMENT = _sql_shard_assignment()
 
 
+def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weights (functions/dsir.py): target = every 10th
+    document, raw = the full corpus, 512 hashed unigram+bigram buckets,
+    add-one smoothing. Output: per-doc log importance weight (6-dp
+    floor-scaled, the suite's float protocol) + gram count."""
+    from spdb_spark.functions.dsir import dsir_bucket_logratio, dsir_weights
+
+    docs = _docs(spark, sf_dir)
+    target = docs.where(F.col("doc_id") % 10 == 0)
+    lr = dsir_bucket_logratio(docs, target, n_buckets=512)
+    w = dsir_weights(docs, lr, n_buckets=512)
+    return w.select(
+        "doc_id",
+        (F.floor(F.col("log_weight") * 1000000) / 1000000).alias("log_weight"),
+        F.col("n_grams").cast("long").alias("n_grams"),
+    )
+
+
+def _sql_dsir_weights() -> str:
+    from spdb_spark.functions.hashing import md5_long_sql
+
+    toks = "regexp_split_to_array(lower(trim(text)), '\\s+')"
+    return f"""
+WITH t AS (SELECT doc_id, {toks} AS t FROM documents),
+g AS (
+  SELECT doc_id, unnest(t) AS gram FROM t
+  UNION ALL
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(t)),
+                i -> concat_ws(' ', t[i], t[i+1]))) AS gram
+  FROM t WHERE len(t) >= 2
+),
+b AS (SELECT doc_id, ({md5_long_sql('gram')} % 512) AS bucket FROM g),
+craw AS (SELECT bucket, COUNT(*) AS c_r FROM b GROUP BY bucket),
+ctgt AS (SELECT bucket, COUNT(*) AS c_t FROM b WHERE doc_id % 10 = 0
+         GROUP BY bucket),
+tot AS (SELECT (SELECT COUNT(*) FROM b) AS t_r,
+               (SELECT COUNT(*) FROM b WHERE doc_id % 10 = 0) AS t_t),
+lr AS (
+  SELECT COALESCE(craw.bucket, ctgt.bucket) AS bucket,
+         ln((COALESCE(c_t, 0) + 1.0) / (t_t + 512.0))
+         - ln((COALESCE(c_r, 0) + 1.0) / (t_r + 512.0)) AS logratio
+  FROM craw FULL OUTER JOIN ctgt ON craw.bucket = ctgt.bucket
+  CROSS JOIN tot
+)
+SELECT b.doc_id,
+       FLOOR(SUM(lr.logratio) * 1000000) / 1000000 AS log_weight,
+       COUNT(*)::BIGINT AS n_grams
+FROM b JOIN lr USING (bucket) GROUP BY b.doc_id
+"""
+
+
+SQL_DSIR_WEIGHTS = _sql_dsir_weights()
+
+
 STAGED: dict = {
     "llm_html_main_text": (q_html_main_text, SQL_HTML_MAIN_TEXT),
     "llm_url_normalize": (q_url_normalize, SQL_URL_NORMALIZE),
     "llm_gopher_quality": (q_gopher_quality, SQL_GOPHER_QUALITY),
     "llm_cap_per_host": (q_cap_per_host, SQL_CAP_PER_HOST),
     "llm_shard_assignment": (q_shard_assignment, SQL_SHARD_ASSIGNMENT),
+    "llm_dsir_weights": (q_dsir_weights, SQL_DSIR_WEIGHTS),
 }
