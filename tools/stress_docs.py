@@ -172,6 +172,16 @@ def main() -> None:
     from spdb_spark.functions.retrieval import bm25_scores
 
     timed("bm25 full-scan", bm25_scores(corpus, "doc_id", "text", ("scan", "merge")))
+
+    from spdb_spark.functions import dsir
+
+    target = corpus.where(F.col("doc_id") % 100 == 0)
+    lr = dsir.dsir_bucket_logratio(corpus, target, n_buckets=10_000).persist()
+    timed("dsir fit (10k buckets)", lr)
+    w = dsir.dsir_weights(corpus, lr, n_buckets=10_000)
+    timed("dsir weights", w)
+    timed("dsir resample k=10k", dsir.dsir_resample(w, 10_000))
+    lr.unpersist()
     corpus.unpersist()
     spark.stop()
 
