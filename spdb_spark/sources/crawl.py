@@ -32,13 +32,24 @@ def crawl_to_corpus(
     quality: bool = True,
     near_dedup: bool = True,
     minhash_threshold: float = 0.8,
+    select_target: DataFrame | None = None,
+    select_k: int | None = None,
+    select_buckets: int = 10_000,
+    select_seed: int = 0,
 ) -> DataFrame:
     """WARC record rows (sources/warc.ingest_warc) -> curated documents.
 
     Every stage is optional so corpora with external curation can skip
     pieces; defaults are the full treatment. Near-dedup keeps the
     smallest doc_id of each duplicate pair's cluster side (the same
-    keep-first policy the gated dedup queries verify)."""
+    keep-first policy the gated dedup queries verify).
+
+    Passing `select_target` (a documents DataFrame exemplifying the
+    desired distribution) AND `select_k` appends DSIR importance
+    resampling (functions/dsir.py) after dedup: fit target/raw hashed
+    n-gram log-ratios, weight the survivors, keep a deterministic
+    Gumbel top-k sample of `select_k` docs — the full
+    crawl -> curate -> select path ahead of write_jsonl_shards."""
     from spdb_spark.functions.quality import gopher_filter
     from spdb_spark.sources.warc import warc_responses_to_docs
 
@@ -58,6 +69,19 @@ def crawl_to_corpus(
             F.greatest("id_a", "id_b").alias("doc_id")
         ).distinct()
         docs = docs.join(losers, "doc_id", "left_anti")
+    if select_target is not None and select_k is not None:
+        from spdb_spark.functions.dsir import (
+            dsir_bucket_logratio,
+            dsir_resample,
+            dsir_weights,
+        )
+
+        lr = dsir_bucket_logratio(
+            docs, select_target, n_buckets=select_buckets
+        )
+        w = dsir_weights(docs, lr, n_buckets=select_buckets)
+        chosen = dsir_resample(w, select_k, seed=select_seed).select("doc_id")
+        docs = docs.join(F.broadcast(chosen), "doc_id", "left_semi")
     return docs
 
 

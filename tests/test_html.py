@@ -181,3 +181,54 @@ def test_crawl_to_corpus_composition(spark, tmp_path):
     # with quality off, the junk page survives
     from spdb_spark.sources.crawl import crawl_to_corpus as c2c
     assert len(c2c(warc, quality=False).collect()) == 2
+
+
+def test_crawl_to_corpus_with_dsir_selection(spark, tmp_path):
+    """The optional selection stage: curate, then keep a deterministic
+    DSIR sample of k docs biased toward the target distribution."""
+    from spdb_spark.sources.crawl import crawl_to_corpus
+    from spdb_spark.sources.warc import ingest_warc, warc_encode
+
+    def page(body: str) -> bytes:
+        html = f"<html><body><p>{body}</p></body></html>"
+        return ("HTTP/1.1 200 OK\r\n\r\n" + html).encode()
+
+    finance = ("the market closed higher today with bank shares leading "
+               "gains while analysts said rates and earnings will drive "
+               "the next quarter as investors weigh inflation data and "
+               "the outlook for credit across regional lenders this year")
+    cooking = ("simmer the onions in butter until golden then fold in the "
+               "rice and stock a ladle at a time stirring gently while the "
+               "grains soften and season with cheese and pepper before "
+               "serving the risotto warm with a crisp salad on the side")
+    recs = []
+    for i in range(6):
+        recs.append({"warc_type": "response",
+                     "target_uri": f"http://f{i}.org/m",
+                     "payload": page(f"{finance} item {i}")})
+        recs.append({"warc_type": "response",
+                     "target_uri": f"http://c{i}.org/m",
+                     "payload": page(f"{cooking} item {i}")})
+    (tmp_path / "d.warc.gz").write_bytes(warc_encode(recs))
+    warc = ingest_warc(spark, str(tmp_path))
+
+    target = spark.createDataFrame(
+        [(1000, finance + " trading desks")], "doc_id long, text string"
+    )
+    # quality off: the fixture pages are shorter than the Gopher
+    # word-count floor, and selection is the stage under test
+    picked = crawl_to_corpus(
+        warc, quality=False, near_dedup=False,
+        select_target=target, select_k=4,
+    )
+    rows = picked.collect()
+    again = crawl_to_corpus(
+        warc, quality=False, near_dedup=False,
+        select_target=target, select_k=4,
+    ).collect()
+    assert len(rows) == 4
+    assert sorted(r["doc_id"] for r in rows) == sorted(
+        r["doc_id"] for r in again
+    )  # deterministic
+    n_finance = sum("market" in r["text"] for r in rows)
+    assert n_finance >= 3  # selection skews hard toward the target
