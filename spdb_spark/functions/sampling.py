@@ -289,3 +289,41 @@ def apply_mixture(
         .where(bucket < F.col("_mix_rate_ppm"))
         .drop("_mix_domain", "_mix_rate_ppm")
     )
+
+
+def quantile_buckets(
+    scores: DataFrame,
+    score_col: str,
+    probs: tuple[float, ...] = (1 / 3, 2 / 3),
+    labels: tuple[str, ...] = ("tail", "middle", "head"),
+    approx: bool = False,
+) -> DataFrame:
+    """CCNet-style quantile bucketing: label each row by which corpus
+    quantile band its score falls in (ascending — with the defaults and
+    a language-model logprob score, "head" is the best-scoring third).
+
+    Thresholds are ONE 1-row aggregate broadcast back over the corpus;
+    labeling is a narrow projection — no corpus shuffle. `approx=True`
+    swaps exact `percentile` for the mergeable `approx_percentile`
+    sketch (the 100 TB path: fixed-size partials instead of a full
+    sort-based exact percentile); boundary rows may then land one band
+    off, which is immaterial for corpus bucketing.
+
+    Exactness note for the gated form: feed scores already floor-scaled
+    to the 1e-6 grid (the suite's float protocol) so threshold
+    comparisons are engine-stable."""
+    if len(labels) != len(probs) + 1:
+        raise ValueError("need exactly len(probs)+1 labels")
+    pct = (F.approx_percentile if approx else F.percentile)(
+        F.col(score_col), F.array(*[F.lit(float(p)) for p in probs])
+    )
+    thr = scores.agg(*[pct[i].alias(f"_t{i}") for i in range(len(probs))])
+    out = scores.crossJoin(F.broadcast(thr))
+    label = F.lit(labels[-1])
+    for i in range(len(probs) - 1, -1, -1):
+        label = F.when(
+            F.col(score_col) < F.col(f"_t{i}"), F.lit(labels[i])
+        ).otherwise(label)
+    return out.withColumn("bucket", label).drop(
+        *[f"_t{i}" for i in range(len(probs))]
+    )

@@ -258,6 +258,39 @@ FROM b JOIN lr USING (bucket) GROUP BY b.doc_id
 SQL_DSIR_WEIGHTS = _sql_dsir_weights()
 
 
+def q_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style perplexity bucketing: the corpus unigram-LM score
+    (the registered llm_text_unigram_logprob gate's exact expression,
+    already 6-dp floor-scaled) terciled into head/middle/tail via
+    sampling.quantile_buckets (1-row exact-percentile broadcast, no
+    corpus shuffle)."""
+    from spdb_spark.functions.sampling import quantile_buckets
+    from spdb_spark.suite_llm import q_text_unigram_logprob
+
+    scores = q_text_unigram_logprob(spark, sf_dir)
+    return quantile_buckets(scores, "mean_logprob").select(
+        "doc_id", "mean_logprob", "bucket"
+    )
+
+
+def _sql_ccnet_buckets() -> str:
+    from spdb_spark.suite_llm import SQL_TEXT_UNIGRAM_LOGPROB
+
+    p1, p2 = repr(1 / 3), repr(2 / 3)
+    return f"""
+WITH scores AS ({SQL_TEXT_UNIGRAM_LOGPROB}),
+thr AS (SELECT quantile_cont(mean_logprob, [{p1}, {p2}]) AS t FROM scores)
+SELECT doc_id, mean_logprob,
+       CASE WHEN mean_logprob < t[1] THEN 'tail'
+            WHEN mean_logprob < t[2] THEN 'middle'
+            ELSE 'head' END AS bucket
+FROM scores CROSS JOIN thr
+"""
+
+
+SQL_CCNET_BUCKETS = _sql_ccnet_buckets()
+
+
 STAGED: dict = {
     "llm_html_main_text": (q_html_main_text, SQL_HTML_MAIN_TEXT),
     "llm_url_normalize": (q_url_normalize, SQL_URL_NORMALIZE),
@@ -265,4 +298,5 @@ STAGED: dict = {
     "llm_cap_per_host": (q_cap_per_host, SQL_CAP_PER_HOST),
     "llm_shard_assignment": (q_shard_assignment, SQL_SHARD_ASSIGNMENT),
     "llm_dsir_weights": (q_dsir_weights, SQL_DSIR_WEIGHTS),
+    "llm_ccnet_buckets": (q_ccnet_buckets, SQL_CCNET_BUCKETS),
 }

@@ -161,3 +161,27 @@ def test_enumeration_width_policy():
     for n in (10**6, 10**9, 10**12):
         w = enumeration_width(n)
         assert n / (16 ** w) <= TARGET_BUCKET_ROWS or w == 8
+
+
+def test_quantile_buckets_exact_and_approx(spark):
+    from spdb_spark.functions.sampling import quantile_buckets
+
+    rows = [(i, float(i)) for i in range(90)]
+    df = spark.createDataFrame(rows, "id long, score double")
+    out = {r["id"]: r["bucket"] for r in
+           quantile_buckets(df, "score").collect()}
+    assert len(out) == 90
+    # ascending labels: first third tail, last third head
+    assert out[0] == "tail" and out[45] == "middle" and out[89] == "head"
+    n = {}
+    for b in out.values():
+        n[b] = n.get(b, 0) + 1
+    assert abs(n["tail"] - 30) <= 1 and abs(n["head"] - 30) <= 1
+    # approx path: same labels away from the boundaries
+    ap = {r["id"]: r["bucket"] for r in
+          quantile_buckets(df, "score", approx=True).collect()}
+    assert ap[0] == "tail" and ap[45] == "middle" and ap[89] == "head"
+    # label/prob arity is validated
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        quantile_buckets(df, "score", probs=(0.5,), labels=("a", "b", "c"))
