@@ -837,9 +837,30 @@ def simhash_neardup_pairs(
     # Signatures are one row per doc, so the checkpoint is tiny; lazy so
     # plan construction stays action-free.
     sig = truncate_lineage(simhash(df, id_col, text_col, bits), eager=False)
+    return hamming_neardup_pairs(
+        sig, id_col, "simhash", bits=bits, bands=bands, max_hamming=max_hamming
+    )
+
+
+def hamming_neardup_pairs(
+    sig: DataFrame,
+    id_col: str,
+    sig_col: str,
+    bits: int = 64,
+    bands: int = 4,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Banded Hamming near-dup pairs over PRECOMPUTED bit signatures —
+    the engine under simhash_neardup_pairs, shared by any 64-bit
+    fingerprint (text SimHash, image pHash). Same pigeonhole guarantee
+    and band-capacity economics as documented there."""
+    if bits % bands:
+        raise ValueError("hamming_neardup_pairs: bands must divide bits")
+    width = bits // bands
+    mask = (1 << width) - 1
     banded = sig.select(
         F.col(id_col).alias("id"),
-        "simhash",
+        F.col(sig_col).alias("_sig"),
         F.explode(F.sequence(F.lit(0), F.lit(bands - 1)).cast("array<int>")).alias(
             "band"
         ),
@@ -849,15 +870,15 @@ def simhash_neardup_pairs(
         # the band bits (and % would go negative) — unsigned shift keeps
         # band keys equal iff the band bits are equal, for any width
         "band_key",
-        F.expr(f"shiftrightunsigned(simhash, band * {width})").bitwiseAND(
+        F.expr(f"shiftrightunsigned(_sig, band * {width})").bitwiseAND(
             F.lit(mask)
         ),
     )
     a = banded.select(
-        "band", "band_key", F.col("id").alias("id_a"), F.col("simhash").alias("sig_a")
+        "band", "band_key", F.col("id").alias("id_a"), F.col("_sig").alias("sig_a")
     )
     b = banded.select(
-        "band", "band_key", F.col("id").alias("id_b"), F.col("simhash").alias("sig_b")
+        "band", "band_key", F.col("id").alias("id_b"), F.col("_sig").alias("sig_b")
     )
     # verify INSIDE the join projection, dedup the surviving scalars (the
     # score-in-join lesson from the semantic-dedup pair scoring): the

@@ -291,6 +291,32 @@ FROM scores CROSS JOIN thr
 SQL_CCNET_BUCKETS = _sql_ccnet_buckets()
 
 
+def q_image_phash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image near-duplicate pairs end-to-end (functions/phash.py):
+    per-doc lossless payloads with KNOWN duplicate structure (class =
+    doc_id % 17, format rotated PNG/QOI/TGA) -> decode -> DCT pHash ->
+    banded Hamming pair join. Classes are >= 24 bits apart and same-class
+    images are pixel-identical across formats, so the true pair set is
+    exactly `id_a % 17 == id_b % 17` at Hamming 0 — the closed form the
+    oracle replays. A decoder, hash, or band-join regression breaks it."""
+    from spdb_spark.functions.phash import (
+        image_phash,
+        phash_neardup_pairs,
+        synthetic_image_dup_payloads,
+    )
+
+    docs = _docs(spark, sf_dir).select("doc_id")
+    media = synthetic_image_dup_payloads(docs, "doc_id", n_classes=17)
+    return phash_neardup_pairs(image_phash(media), max_hamming=3)
+
+
+SQL_IMAGE_PHASH_PAIRS = """
+SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(0 AS INTEGER) AS hamming
+FROM documents a JOIN documents b
+  ON a.doc_id < b.doc_id AND a.doc_id % 17 = b.doc_id % 17
+"""
+
+
 STAGED: dict = {
     "llm_html_main_text": (q_html_main_text, SQL_HTML_MAIN_TEXT),
     "llm_url_normalize": (q_url_normalize, SQL_URL_NORMALIZE),
@@ -299,4 +325,5 @@ STAGED: dict = {
     "llm_shard_assignment": (q_shard_assignment, SQL_SHARD_ASSIGNMENT),
     "llm_dsir_weights": (q_dsir_weights, SQL_DSIR_WEIGHTS),
     "llm_ccnet_buckets": (q_ccnet_buckets, SQL_CCNET_BUCKETS),
+    "llm_image_phash_pairs": (q_image_phash_pairs, SQL_IMAGE_PHASH_PAIRS),
 }

@@ -1,0 +1,102 @@
+"""Perceptual hash tests: format-invariance (same pixels, different
+codecs -> identical hash), robustness to mild edits, discrimination of
+unrelated images, and the Spark kernel + banded pair join."""
+
+import numpy as np
+import pytest
+
+from spdb_spark.functions.phash import (
+    decode_image_any,
+    image_phash,
+    phash64,
+    phash_neardup_pairs,
+)
+
+
+def _hamming(a: int, b: int) -> int:
+    return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+
+
+def _photo(seed: int) -> np.ndarray:
+    """Smooth 'natural' image: random low-frequency fields upsampled."""
+    rng = np.random.default_rng(seed)
+    coarse = rng.integers(0, 256, (8, 8)).astype(np.float64)
+    rows = np.repeat(coarse, 12, axis=0)
+    img = np.repeat(rows, 12, axis=1)
+    return img.clip(0, 255).astype(np.uint8)
+
+
+def test_format_invariance():
+    from spdb_spark.functions.bmp import bmp_encode
+    from spdb_spark.functions.qoi import qoi_encode
+    from spdb_spark.functions.tga import tga_encode
+    from spdb_spark.operators.render import png_encode
+
+    img = _photo(1)
+    hashes = {
+        phash64(decode_image_any(enc(img)))
+        for enc in (png_encode, bmp_encode, qoi_encode, tga_encode)
+    }
+    assert len(hashes) == 1  # identical pixels -> identical hash
+
+
+def test_robust_to_mild_edits_discriminates_unrelated():
+    img = _photo(2)
+    base = phash64(img)
+    brighter = (img.astype(np.int32) + 14).clip(0, 255).astype(np.uint8)
+    assert _hamming(base, phash64(brighter)) <= 3
+    noisy = (
+        img.astype(np.int32)
+        + np.random.default_rng(0).integers(-4, 5, img.shape)
+    ).clip(0, 255).astype(np.uint8)
+    assert _hamming(base, phash64(noisy)) <= 6
+    dists = [_hamming(base, phash64(_photo(s))) for s in range(10, 30)]
+    assert min(dists) > 12  # unrelated images live far away
+
+
+def test_uint16_matches_uint8_source():
+    img = _photo(3)
+    assert phash64(img) == phash64(img.astype(np.uint16) * 257)
+
+
+def test_spark_kernel_and_pairs(spark):
+    from spdb_spark.functions.qoi import qoi_encode
+    from spdb_spark.operators.render import png_encode
+
+    img_a, img_b = _photo(4), _photo(5)
+    bright_a = (img_a.astype(np.int32) + 10).clip(0, 255).astype(np.uint8)
+    rows = [
+        (1, bytearray(png_encode(img_a))),
+        (2, bytearray(qoi_encode(img_a))),      # exact re-encode of 1
+        (3, bytearray(png_encode(bright_a))),   # mild edit of 1
+        (4, bytearray(png_encode(img_b))),      # unrelated
+        (5, bytearray(b"\x00\x01garbage" * 5)),  # undecodable
+    ]
+    media = spark.createDataFrame(rows, "media_id long, payload binary")
+    hashed = image_phash(media)
+    got = {r["media_id"]: (r["phash"], r["status"]) for r in hashed.collect()}
+    assert got[5][1] == "stub" and got[5][0] is None
+    assert all(got[i][1] == "ok" for i in (1, 2, 3, 4))
+    assert got[1][0] == got[2][0]
+
+    pairs = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in phash_neardup_pairs(hashed, max_hamming=3).collect()
+    }
+    assert pairs[(1, 2)] == 0
+    assert (1, 3) in pairs and pairs[(1, 3)] <= 3
+    assert not any(4 in p or 5 in p for p in pairs)
+
+
+def test_bomb_payload_is_error_row(spark):
+    import struct
+
+    bomb = (
+        b"qoif" + struct.pack(">II", 1 << 16, 1 << 16) + bytes((3, 0))
+        + b"\x00" * 7 + b"\x01"
+    )
+    media = spark.createDataFrame(
+        [(9, bytearray(bomb))], "media_id long, payload binary"
+    )
+    row = image_phash(media).collect()[0]
+    assert row["phash"] is None and row["status"].startswith("error")
