@@ -228,3 +228,53 @@ def synthetic_image_dup_payloads(
         ]
     )
     return docs.select(F.col(id_col)).mapInPandas(kernel, schema)
+
+
+def cross_hamming_pairs(
+    new_sigs: DataFrame,
+    corpus_sigs: DataFrame,
+    id_col: str = "media_id",
+    sig_col: str = "phash",
+    bits: int = 64,
+    bands: int = 4,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Hamming pairs BETWEEN two signature sets (new batch x existing
+    corpus) — the incremental probe under streaming image dedup. The
+    corpus is never re-paired with itself: only (corpus_id, new_id)
+    pairs emerge, via the same banded equi-join + verify-in-join shape
+    as `dedup.hamming_neardup_pairs`. The new side is batch-bounded and
+    broadcast; the corpus side never shuffles."""
+    if bits % bands:
+        raise ValueError("cross_hamming_pairs: bands must divide bits")
+    width = bits // bands
+    mask = (1 << width) - 1
+
+    def banded(df: DataFrame, out_id: str, out_sig: str) -> DataFrame:
+        return df.select(
+            F.col(id_col).alias(out_id),
+            F.col(sig_col).alias(out_sig),
+            F.explode(
+                F.sequence(F.lit(0), F.lit(bands - 1)).cast("array<int>")
+            ).alias("band"),
+        ).withColumn(
+            "band_key",
+            F.expr(f"shiftrightunsigned({out_sig}, band * {width})").bitwiseAND(
+                F.lit(mask)
+            ),
+        )
+
+    corpus = banded(
+        corpus_sigs.where(F.col(sig_col).isNotNull()), "corpus_id", "sig_a"
+    )
+    new = banded(new_sigs.where(F.col(sig_col).isNotNull()), "new_id", "sig_b")
+    return (
+        corpus.join(F.broadcast(new), ["band", "band_key"])
+        .select(
+            "corpus_id",
+            "new_id",
+            F.expr("bit_count(sig_a ^ sig_b)").cast("int").alias("hamming"),
+        )
+        .where(F.col("hamming") <= max_hamming)
+        .dropDuplicates(["corpus_id", "new_id"])
+    )
