@@ -43,3 +43,30 @@ def test_staged_gate_exact(spark, name):
             )  # EXACT float equality — the gate hashes values
         else:
             assert (a.values == b.values).all(), (name, c)
+
+
+def test_registration_readiness():
+    """Round-7 registration is 'copy STAGED into suite_llm.QUERIES':
+    simulate it against the rotation logic and the driver contract so
+    the one-line change cannot surprise.
+
+    Pins: (a) no staged name collides with a registered one, (b) every
+    staged entry is (callable, SQL string), (c) after a simulated merge
+    the rotation puts all never-checked (staged) names inside the next
+    50-query window, and no currently-registered name is lost."""
+    import spdb_spark.suite as suite
+
+    merged = dict(suite._BASE)
+    for name, (fn, sql) in STAGED.items():
+        assert name not in merged, f"name collision: {name}"
+        assert callable(fn) and isinstance(sql, str) and sql.strip()
+        merged[name] = (fn, sql)
+
+    last = suite._last_checked_round()
+    pos = {name: i for i, name in enumerate(merged)}
+    ordered = sorted(merged, key=lambda n: (last.get(n, 0), pos[n]))
+    window = ordered[:50]
+    assert len(STAGED) <= 50
+    for name in STAGED:
+        assert name in window, f"{name} missed the next rotation window"
+    assert set(merged) == set(suite._BASE) | set(STAGED)
