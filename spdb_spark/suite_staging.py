@@ -317,6 +317,32 @@ FROM documents a JOIN documents b
 """
 
 
+def q_audio_afp_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio near-duplicate pairs end-to-end (functions/afp.py):
+    per-doc lossless audio with KNOWN duplicate structure (class melody
+    = doc_id % 11, codec alternating WAV/FLAC) -> decode -> band-energy
+    fingerprint -> banded Hamming pair join. Classes are >= 11 signature
+    bits apart and same-class clips are sample-identical across codecs,
+    so the true pair set is exactly `id_a % 11 == id_b % 11` at Hamming
+    0 — the closed form the oracle replays."""
+    from spdb_spark.functions.afp import (
+        audio_fingerprints,
+        audio_neardup_pairs,
+        synthetic_audio_dup_payloads,
+    )
+
+    docs = _docs(spark, sf_dir).select("doc_id")
+    media = synthetic_audio_dup_payloads(docs, "doc_id", n_classes=11)
+    return audio_neardup_pairs(audio_fingerprints(media), max_hamming=3)
+
+
+SQL_AUDIO_AFP_PAIRS = """
+SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(0 AS INTEGER) AS hamming
+FROM documents a JOIN documents b
+  ON a.doc_id < b.doc_id AND a.doc_id % 11 = b.doc_id % 11
+"""
+
+
 STAGED: dict = {
     "llm_html_main_text": (q_html_main_text, SQL_HTML_MAIN_TEXT),
     "llm_url_normalize": (q_url_normalize, SQL_URL_NORMALIZE),
@@ -326,4 +352,5 @@ STAGED: dict = {
     "llm_dsir_weights": (q_dsir_weights, SQL_DSIR_WEIGHTS),
     "llm_ccnet_buckets": (q_ccnet_buckets, SQL_CCNET_BUCKETS),
     "llm_image_phash_pairs": (q_image_phash_pairs, SQL_IMAGE_PHASH_PAIRS),
+    "llm_audio_afp_pairs": (q_audio_afp_pairs, SQL_AUDIO_AFP_PAIRS),
 }
