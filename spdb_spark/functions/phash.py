@@ -278,3 +278,140 @@ def cross_hamming_pairs(
         .where(F.col("hamming") <= max_hamming)
         .dropDuplicates(["corpus_id", "new_id"])
     )
+
+
+def video_phash_frames(payload: bytes, n_samples: int = 8) -> list[int]:
+    """AVI payload -> per-sampled-frame pHashes (evenly sampled via the
+    video feature schedule; PNG/MJPG/DIB frame codecs — the same decode
+    set as video_frame_features). ValueError on foreign frame codecs."""
+    from spdb_spark.functions.jpeg import jpeg_decode
+    from spdb_spark.functions.video import (
+        _dib_frame_decode,
+        avi_frames,
+        avi_stream_format,
+        sample_frame_indices,
+    )
+    from spdb_spark.operators.render import png_decode
+
+    frames = avi_frames(payload)
+    if not frames:
+        raise ValueError("video: no frames")
+    dib = None
+    out = []
+    for idx in sample_frame_indices(len(frames), min(n_samples, len(frames))):
+        blob = frames[idx]
+        if blob[:8] == b"\x89PNG\r\n\x1a\n":
+            img = png_decode(blob)
+        elif blob[:2] == b"\xff\xd8":
+            img = jpeg_decode(blob)
+        else:
+            if dib is None:
+                dib = avi_stream_format(payload)
+            w, h, bpp, fourcc, palette = dib
+            if fourcc != b"DIB " or bpp not in (8, 24, 32):
+                raise ValueError("non-PNG/JPEG/DIB frame codec")
+            img = _dib_frame_decode(blob, w, h, bpp, palette)
+        out.append(phash64(img))
+    return out
+
+
+def video_signature(frame_hashes: list[int]) -> int | None:
+    """64-bit video signature: per-bit MAJORITY over the sampled frame
+    pHashes. Frame pHashes are stable bits (unlike raw audio sign bits),
+    so voting is the right aggregator here: a lossless container
+    re-encode votes identically (Hamming 0), per-frame edits flip only
+    the bits they win. None when no frames."""
+    if not frame_hashes:
+        return None
+    u = [h & ((1 << 64) - 1) for h in frame_hashes]
+    n = len(u)
+    val = 0
+    for k in range(64):
+        if sum((h >> k) & 1 for h in u) * 2 > n:
+            val |= 1 << k
+    return val - (1 << 64) if val >= (1 << 63) else val
+
+
+def video_phashes(
+    media: DataFrame,
+    id_col: str = "media_id",
+    payload_col: str = "payload",
+    n_samples: int = 8,
+) -> DataFrame:
+    """(id, payload) -> (media_id, phash, status) for AVI videos — the
+    video analogue of image_phash, so `phash_neardup_pairs` serves both
+    modalities unchanged."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from spdb_spark.functions.limits import PixelBudgetError
+
+        cols = [f.name for f in PHASH_SCHEMA.fields]
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                mid = int(getattr(r, id_col))
+                try:
+                    fh = video_phash_frames(
+                        bytes(getattr(r, payload_col)), n_samples
+                    )
+                    rows.append((mid, video_signature(fh), "ok"))
+                except PixelBudgetError as e:
+                    rows.append((mid, None, f"error: {e}"))
+                except ValueError:
+                    rows.append((mid, None, "stub"))
+                except Exception as e:
+                    rows.append((mid, None, f"error: {e}"))
+            yield pd.DataFrame(rows, columns=cols)
+
+    return media.select(id_col, payload_col).mapInPandas(kernel, PHASH_SCHEMA)
+
+
+def synthetic_video_dup_payloads(
+    docs: DataFrame, id_col: str = "doc_id", n_classes: int = 7
+) -> DataFrame:
+    """Deterministic video fixtures with KNOWN duplicate structure: each
+    doc renders the 4-frame class clip seeded by doc_id % n_classes,
+    packed in a container alternating MPNG / uncompressed-DIB AVI by
+    doc_id parity (measured min pairwise signature distance across the
+    classes: 19 bits; same class -> identical pixels -> Hamming 0
+    across containers)."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from spdb_spark.functions.video import avi_encode_dib, avi_encode_mpng
+        from spdb_spark.operators.render import png_encode
+
+        cache: dict[int, list[np.ndarray]] = {}
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                did = int(getattr(r, id_col))
+                cls = did % n_classes
+                frames = cache.get(cls)
+                if frames is None:
+                    rng = np.random.default_rng(1000 + cls)
+                    frames = []
+                    for _ in range(4):
+                        coarse = rng.integers(0, 256, (8, 8)).astype(np.float64)
+                        frames.append(
+                            np.repeat(np.repeat(coarse, 12, 0), 12, 1)
+                            .clip(0, 255)
+                            .astype(np.uint8)
+                        )
+                    cache[cls] = frames
+                if did % 2 == 0:
+                    h, w = frames[0].shape[:2]
+                    payload = avi_encode_mpng(
+                        [png_encode(f) for f in frames], w, h
+                    )
+                else:
+                    payload = avi_encode_dib(frames)
+                rows.append((did, payload))
+            yield pd.DataFrame(rows, columns=["media_id", "payload"])
+
+    schema = StructType(
+        [
+            StructField("media_id", LongType(), False),
+            StructField("payload", BinaryType(), False),
+        ]
+    )
+    return docs.select(F.col(id_col)).mapInPandas(kernel, schema)

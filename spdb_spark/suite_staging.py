@@ -343,6 +343,32 @@ FROM documents a JOIN documents b
 """
 
 
+def q_video_phash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video near-duplicate pairs end-to-end (functions/phash.py video
+    form): per-doc AVI clips with KNOWN duplicate structure (class clip
+    = doc_id % 7, container alternating MPNG/DIB) -> frame-sampled
+    pHash -> majority signature -> banded Hamming pair join. Classes
+    are >= 19 signature bits apart and same-class clips are
+    pixel-identical across containers, so the true pair set is exactly
+    `id_a % 7 == id_b % 7` at Hamming 0."""
+    from spdb_spark.functions.phash import (
+        phash_neardup_pairs,
+        synthetic_video_dup_payloads,
+        video_phashes,
+    )
+
+    docs = _docs(spark, sf_dir).select("doc_id")
+    media = synthetic_video_dup_payloads(docs, "doc_id", n_classes=7)
+    return phash_neardup_pairs(video_phashes(media), max_hamming=3)
+
+
+SQL_VIDEO_PHASH_PAIRS = """
+SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(0 AS INTEGER) AS hamming
+FROM documents a JOIN documents b
+  ON a.doc_id < b.doc_id AND a.doc_id % 7 = b.doc_id % 7
+"""
+
+
 STAGED: dict = {
     "llm_html_main_text": (q_html_main_text, SQL_HTML_MAIN_TEXT),
     "llm_url_normalize": (q_url_normalize, SQL_URL_NORMALIZE),
@@ -353,4 +379,5 @@ STAGED: dict = {
     "llm_ccnet_buckets": (q_ccnet_buckets, SQL_CCNET_BUCKETS),
     "llm_image_phash_pairs": (q_image_phash_pairs, SQL_IMAGE_PHASH_PAIRS),
     "llm_audio_afp_pairs": (q_audio_afp_pairs, SQL_AUDIO_AFP_PAIRS),
+    "llm_video_phash_pairs": (q_video_phash_pairs, SQL_VIDEO_PHASH_PAIRS),
 }

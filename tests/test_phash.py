@@ -100,3 +100,52 @@ def test_bomb_payload_is_error_row(spark):
     )
     row = image_phash(media).collect()[0]
     assert row["phash"] is None and row["status"].startswith("error")
+
+
+def _clip(cls, n=4):
+    rng = np.random.default_rng(1000 + cls)
+    out = []
+    for _ in range(n):
+        coarse = rng.integers(0, 256, (8, 8)).astype(np.float64)
+        out.append(
+            np.repeat(np.repeat(coarse, 12, 0), 12, 1).clip(0, 255).astype(np.uint8)
+        )
+    return out
+
+
+def test_video_signature_container_invariance_and_pairs(spark):
+    from spdb_spark.functions.phash import (
+        video_phash_frames,
+        video_phashes,
+        video_signature,
+    )
+    from spdb_spark.functions.video import avi_encode_dib, avi_encode_mpng
+    from spdb_spark.operators.render import png_encode
+
+    def mpng(frames):
+        h, w = frames[0].shape[:2]
+        return avi_encode_mpng([png_encode(f) for f in frames], w, h)
+
+    fr = _clip(0)
+    s1 = video_signature(video_phash_frames(mpng(fr)))
+    s2 = video_signature(video_phash_frames(avi_encode_dib(fr)))
+    assert s1 == s2  # same pixels, different container
+
+    rows = [
+        (1, bytearray(mpng(_clip(1)))),
+        (2, bytearray(avi_encode_dib(_clip(1)))),   # container twin of 1
+        (3, bytearray(mpng(_clip(2)))),             # unrelated clip
+        (4, bytearray(b"RIFF\x10\x00\x00\x00AVI " + b"\x07" * 24)),  # corrupt
+    ]
+    media = spark.createDataFrame(rows, "media_id long, payload binary")
+    hashed = video_phashes(media)
+    got = {r["media_id"]: (r["phash"], r["status"]) for r in hashed.collect()}
+    assert got[1][1] == got[2][1] == got[3][1] == "ok"
+    assert got[1][0] == got[2][0]
+    assert got[4][1] == "stub" and got[4][0] is None
+
+    pairs = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in phash_neardup_pairs(hashed).collect()
+    }
+    assert pairs == {(1, 2): 0}
