@@ -53,12 +53,20 @@ class StreamingImageDedup(BatchLedgerSink):
         payload_col: str = "payload",
         bands: int = 4,
         max_hamming: int = 3,
+        hasher=None,
     ):
+        """`hasher` maps a (id, payload) DataFrame to PHASH_SCHEMA rows
+        (media_id, phash, status) — default `phash.image_phash`; pass
+        `phash.video_phashes` or an `afp.audio_fingerprints` wrapper
+        (select afp_sig as phash) to dedup those modalities through the
+        identical sink: the index/pair machinery only sees 64-bit
+        signatures."""
         super().__init__(spark, base_path)
         self.id_col = id_col
         self.payload_col = payload_col
         self.bands = bands
         self.max_hamming = max_hamming
+        self.hasher = hasher
 
     def pairs(self) -> DataFrame:
         """All committed near-dup pairs."""
@@ -78,8 +86,9 @@ class StreamingImageDedup(BatchLedgerSink):
         committed = self._committed()
         if batch_id in committed:
             return  # redelivery after a crash: already done
+        hash_fn = self.hasher or image_phash
         hashed = (
-            image_phash(batch, self.id_col, self.payload_col)
+            hash_fn(batch, self.id_col, self.payload_col)
             .where(F.col("phash").isNotNull())
             .persist()
         )

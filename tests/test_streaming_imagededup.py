@@ -68,3 +68,35 @@ def test_real_stream_file_source(spark, tmp_path):
         phash_neardup_pairs(image_phash(_media(spark, 0, 18))).collect()
     )
     assert _unordered(sink.pairs().collect()) == expected2
+
+
+def test_pluggable_hasher_dedups_audio(spark, tmp_path):
+    """The same sink dedups audio when handed the fingerprint kernel:
+    signatures are just 64-bit longs to the index/pair machinery."""
+    from spdb_spark.functions.afp import (
+        audio_fingerprints,
+        synthetic_audio_dup_payloads,
+    )
+
+    def audio_hasher(df, id_col, payload_col):
+        return audio_fingerprints(df, id_col, payload_col).select(
+            F.col(id_col), F.col("afp_sig").alias("phash"), "status"
+        )
+
+    def media(lo, hi):
+        ids = spark.range(lo, hi).select(F.col("id").alias("media_id"))
+        return synthetic_audio_dup_payloads(ids, "media_id", n_classes=3)
+
+    sink = StreamingImageDedup(
+        spark, str(tmp_path / "aidx"), hasher=audio_hasher
+    )
+    sink.process_batch(media(0, 6), 0)
+    sink.process_batch(media(6, 12), 1)
+    got = _unordered(sink.pairs().collect())
+    want = {
+        (a, b): 0
+        for a in range(12)
+        for b in range(a + 1, 12)
+        if a % 3 == b % 3
+    }
+    assert got == want
