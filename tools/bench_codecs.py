@@ -85,6 +85,19 @@ def main():
         ("tga/rgb raw", tga_decode, [tga_encode(rgb_smooth)]),
         ("tga/rgb rle", tga_decode, [tga_encode(rgb_smooth, rle=True)]),
     ]
+    from spdb_spark.functions.afp import afp_doc_signature, band_energies
+    from spdb_spark.functions.audio import wav_decode
+    from spdb_spark.functions.phash import decode_image_any, phash64
+
+    def _afp(p):
+        samples, sr = wav_decode(p)
+        return afp_doc_signature(band_energies(samples, sr))
+
+    cases += [
+        ("phash (png decode + DCT)", lambda p: phash64(decode_image_any(p)),
+         [png_encode(smooth)]),
+        ("audio fingerprint (wav)", _afp, [wav_encode(pcm)]),
+    ]
     all_payloads = [ps[0] for _, _, ps in cases]
     cases.append(("probe (all of the above)", lambda p: probe_payload(p), all_payloads))
 
