@@ -487,3 +487,45 @@ def test_qoi_tga_bitflip_never_crashes(seed, pos, val):
                 pass
             except OverflowError:
                 pass  # header field corrupted to an absurd size
+
+
+def test_fingerprint_kernels_rowsify_corrupt_payloads(spark):
+    """image_phash / video_phashes / audio_fingerprints consume corrupt
+    payloads as stub/error ROWS through the actual Spark kernels — one
+    output row per input, never an exception that would fail a whole
+    Arrow batch of good media on one bad payload."""
+    from spdb_spark.functions.afp import audio_fingerprints
+    from spdb_spark.functions.audio import wav_encode
+    from spdb_spark.functions.phash import image_phash, video_phashes
+    from spdb_spark.functions.qoi import qoi_encode
+    from spdb_spark.functions.video import avi_encode_dib
+
+    rng = np.random.default_rng(3)
+    img = (rng.integers(0, 6, (9, 11, 3)) * 43 % 256).astype(np.uint8)
+    pcm = rng.integers(-2000, 2000, 4096).astype(np.int16)
+    bases = [
+        qoi_encode(img),
+        avi_encode_dib([img[:, :, 0], img[:, :, 1]]),
+        wav_encode(pcm, sample_rate=8000),
+    ]
+    payloads = []
+    for base in bases:
+        payloads.append(base)  # intact
+        for k in range(8):  # bit flips across the payload
+            data = bytearray(base)
+            data[(k * len(data)) // 8] ^= 0x40 | k
+            payloads.append(bytes(data))
+        for k in range(1, 5):  # truncations
+            payloads.append(base[: (k * len(base)) // 5])
+    payloads += [rng.bytes(n) for n in (0, 1, 13, 300)]  # pure garbage
+
+    rows = [(i, bytearray(p)) for i, p in enumerate(payloads)]
+    media = spark.createDataFrame(rows, "media_id long, payload binary")
+    n = len(payloads)
+    for kernel in (image_phash, video_phashes, audio_fingerprints):
+        out = kernel(media).collect()
+        assert len(out) == n, kernel.__name__
+        for r in out:
+            assert r["status"] == "ok" or r["status"] == "stub" or r[
+                "status"
+            ].startswith("error"), (kernel.__name__, r["status"])
