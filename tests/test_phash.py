@@ -149,3 +149,28 @@ def test_video_signature_container_invariance_and_pairs(spark):
         for r in phash_neardup_pairs(hashed).collect()
     }
     assert pairs == {(1, 2): 0}
+
+
+def test_media_clusters_compose_with_text_machinery(spark):
+    """Perceptual pairs feed the SAME transitive-closure clustering as
+    text dedup (dup_clusters is pair-generic): a class duplicated across
+    formats collapses to one cluster keyed by its min media_id."""
+    from spdb_spark.functions.dedup import dup_clusters
+    from spdb_spark.functions.phash import (
+        image_phash,
+        phash_neardup_pairs,
+        synthetic_image_dup_payloads,
+    )
+    from pyspark.sql import functions as F
+
+    ids = spark.range(0, 12).select(F.col("id").alias("doc_id"))
+    media = synthetic_image_dup_payloads(ids, "doc_id", n_classes=3)
+    pairs = phash_neardup_pairs(image_phash(media))
+    clusters = {
+        r["id"]: r["cluster_id"] for r in dup_clusters(pairs).collect()
+    }
+    assert len(clusters) == 12
+    for i in range(12):
+        assert clusters[i] == i % 3  # min member of each class
+    keepers = {v for v in clusters.values()}
+    assert keepers == {0, 1, 2}
