@@ -23,11 +23,19 @@ import os
 from spdb_spark.suite_llm import QUERIES as LLM
 from spdb_spark.suite_relational import QUERIES as RELATIONAL
 from spdb_spark.suite_spatial import QUERIES as SPATIAL
+from spdb_spark.suite_staging import STAGED as LLM_R7
 
 _BASE: dict = {}
 _BASE.update(LLM)
 _BASE.update(RELATIONAL)
 _BASE.update(SPATIAL)
+# Round-7 registration of the ten staged gate queries (see PLANS.md,
+# "Round-7 registration plan"). Merged here rather than into
+# suite_llm.QUERIES because suite_staging imports suite_llm at module
+# level (SQL_CCNET_BUCKETS composes SQL_TEXT_UNIGRAM_LOGPROB); all ten
+# are never driver-checked, so the rotation puts them at the head of the
+# round-7 window regardless of dict position.
+_BASE.update(LLM_R7)
 
 
 def _last_checked_round() -> dict[str, int]:

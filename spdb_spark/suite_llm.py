@@ -2392,3 +2392,8 @@ QUERIES = {
     "llm_multimodal_decode": (q_multimodal_decode, SQL_MULTIMODAL_DECODE),
     "llm_multimodal_probe": (q_multimodal_probe, SQL_MULTIMODAL_PROBE),
 }
+
+# The round-7 gate queries (suite_staging.STAGED) are registered in
+# spdb_spark/suite.py, not here: suite_staging imports this module at
+# import time (SQL_CCNET_BUCKETS composes SQL_TEXT_UNIGRAM_LOGPROB), so
+# merging STAGED into QUERIES here would be a circular import.

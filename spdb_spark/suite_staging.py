@@ -1,12 +1,13 @@
-"""Round-7 STAGED gate queries — NOT registered in suite.py.
+"""Round-7 gate queries — REGISTERED as of round 7.
 
-The round-6 rotation window's last slot is `llm_approx_vocab`'s final
-driver-green row; any new registry entry would sort ahead of it (never-
-checked entries rotate first) and push it out. So these queries are
-fully built and oracle-paired here, exercised by
-tests/test_suite_staging.py under the exact driver-gate comparison
-(row count + schema + column-sorted value hash), and round 7 only adds
-the dict entries (see PLANS.md, "Round-7 registration plan").
+Built and oracle-paired during round 6 but held out of the registry so
+the r6 rotation window could land `llm_approx_vocab`'s final
+driver-green row (never-checked entries rotate first and would have
+pushed it out). Round 7 registered them: suite_llm.QUERIES imports
+STAGED and appends it, so all ten sort to the head of the r7 rotation
+window. This module remains the implementation home; the exact
+driver-gate comparison (row count + schema + column-sorted value hash)
+lives in tests/test_suite_staging.py.
 
 Each query wraps the fixture corpus in a DETERMINISTIC structure shared
 character-for-character by both engines (chrome around documents.text,

@@ -45,28 +45,19 @@ def test_staged_gate_exact(spark, name):
             assert (a.values == b.values).all(), (name, c)
 
 
-def test_registration_readiness():
-    """Round-7 registration is 'copy STAGED into suite_llm.QUERIES':
-    simulate it against the rotation logic and the driver contract so
-    the one-line change cannot surprise.
-
-    Pins: (a) no staged name collides with a registered one, (b) every
-    staged entry is (callable, SQL string), (c) after a simulated merge
-    the rotation puts all never-checked (staged) names inside the next
-    50-query window, and no currently-registered name is lost."""
+def test_registration_landed():
+    """Round-7 registration happened: every staged entry is live in the
+    registry with its exact (fn, sql) pair, and — until a CORRECTNESS
+    file records them — the rotation places all ten inside the driver's
+    next 50-query window."""
     import spdb_spark.suite as suite
 
-    merged = dict(suite._BASE)
     for name, (fn, sql) in STAGED.items():
-        assert name not in merged, f"name collision: {name}"
+        assert suite._BASE.get(name) == (fn, sql), f"not registered: {name}"
         assert callable(fn) and isinstance(sql, str) and sql.strip()
-        merged[name] = (fn, sql)
 
     last = suite._last_checked_round()
-    pos = {name: i for i, name in enumerate(merged)}
-    ordered = sorted(merged, key=lambda n: (last.get(n, 0), pos[n]))
-    window = ordered[:50]
-    assert len(STAGED) <= 50
+    window = list(suite.REGISTRY)[:50]
     for name in STAGED:
-        assert name in window, f"{name} missed the next rotation window"
-    assert set(merged) == set(suite._BASE) | set(STAGED)
+        if last.get(name, 0) == 0:
+            assert name in window, f"{name} missed the next rotation window"
