@@ -155,6 +155,8 @@ def audio_fingerprints(
     samples produce identical rows."""
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from spdb_spark.functions.limits import PixelBudgetError
+
         cols = [f.name for f in AFP_SCHEMA.fields]
         for pdf in batches:
             rows = []
@@ -178,6 +180,9 @@ def audio_fingerprints(
                             "ok",
                         )
                     )
+                except PixelBudgetError as e:
+                    # a ValueError subclass — must not downgrade to stub
+                    rows.append((mid, None, None, 0, f"error: {e}"))
                 except ValueError:
                     rows.append((mid, None, None, 0, "stub"))
                 except Exception as e:

@@ -58,7 +58,19 @@ def crawl_to_corpus(
     )
     if quality:
         docs = docs.where(gopher_filter(F.col("text")))
-    docs = docs.dropDuplicates(["text"])  # exact dup: one content survives
+    # Exact dedup keeps the MIN doc_id per content group (the same
+    # canonical-id policy as exact_dup_groups / SQL_DEDUP_EXACT).
+    # dropDuplicates(["text"]) would keep an arbitrary row per group —
+    # the survivor would depend on partitioning and scan order, breaking
+    # the pipeline's determinism (content-addressed ids, deterministic
+    # Gumbel resampling, byte-identical shard export). Joining on the
+    # md5 hash instead of the full text keeps the shuffle key small.
+    keep = (
+        docs.groupBy(F.md5("text").alias("_th"))
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    docs = docs.join(keep, "doc_id", "left_semi")
     if near_dedup:
         from spdb_spark.functions.dedup import minhash_lsh_dedup
 

@@ -103,3 +103,38 @@ def test_spark_kernel_codec_invariance_and_pairs(spark):
     assert pairs[(1, 2)] == 0
     assert (1, 3) in pairs and pairs[(1, 3)] <= 3
     assert not any(4 in p or 5 in p for p in pairs)
+
+
+def _hostile_flac() -> bytes:
+    """Valid fLaC + STREAMINFO declaring 2^36-1 total samples x 8
+    channels: flac_decode's check_total_budget refuses before any
+    amplification."""
+    bits = []
+
+    def w(v, n):
+        bits.extend(((v >> (n - 1 - i)) & 1) for i in range(n))
+
+    w(4096, 16), w(4096, 16), w(0, 24), w(0, 24)
+    w(44100, 20), w(7, 3), w(15, 5)
+    w((1 << 36) - 1, 36)
+    body = bytearray()
+    for i in range(0, len(bits), 8):
+        byte = 0
+        for b in bits[i : i + 8]:
+            byte = (byte << 1) | b
+        body.append(byte)
+    body += b"\x00" * 16
+    return b"fLaC" + bytes([0x80]) + len(body).to_bytes(3, "big") + bytes(body)
+
+
+def test_budget_refusal_is_error_not_stub(spark):
+    """PixelBudgetError subclasses ValueError; the kernel must record a
+    budget refusal as an error row, never downgrade it to 'stub'
+    (mirrors image_phash/video_phashes)."""
+    media = spark.createDataFrame(
+        [(1, bytearray(_hostile_flac()))], "media_id long, payload binary"
+    )
+    row = audio_fingerprints(media).collect()[0]
+    assert row["status"].startswith("error:"), row["status"]
+    assert "budget" in row["status"]
+    assert row["afp_sig"] is None and row["n_frames"] == 0

@@ -232,3 +232,36 @@ def test_crawl_to_corpus_with_dsir_selection(spark, tmp_path):
     )  # deterministic
     n_finance = sum("market" in r["text"] for r in rows)
     assert n_finance >= 3  # selection skews hard toward the target
+
+
+def test_crawl_exact_dedup_keeps_min_doc_id(spark, tmp_path):
+    """Exact dedup must keep the MINIMUM doc_id per text group (the
+    exact_dup_groups/SQL_DEDUP_EXACT canonical-id policy), not whichever
+    row a scan met first — survivors are a pure function of the corpus."""
+    from spdb_spark.sources.crawl import crawl_to_corpus
+    from spdb_spark.sources.warc import ingest_warc, warc_encode
+
+    prose = ("The quarterly migration to the new storage layout is complete "
+             "and every pipeline that used to write to the old bucket now "
+             "streams records through the unified ingestion service which "
+             "we have verified to be stable with costs down by a third and "
+             "fewer pages for the on-call rotation than any month this year.")
+    page = f"<html><body><p>{prose}</p></body></html>"
+    resp = ("HTTP/1.1 200 OK\r\n\r\n" + page).encode()
+    recs = [
+        {"warc_type": "response", "target_uri": f"http://h{i}.org/p",
+         "payload": resp}
+        for i in range(5)
+    ]
+    (tmp_path / "e.warc.gz").write_bytes(warc_encode(recs))
+    warc = ingest_warc(spark, str(tmp_path))
+
+    from spdb_spark.sources.warc import warc_responses_to_docs
+
+    all_ids = sorted(
+        r["doc_id"] for r in warc_responses_to_docs(warc).collect()
+    )
+    assert len(all_ids) == 5
+    survivors = crawl_to_corpus(warc, near_dedup=False).collect()
+    assert len(survivors) == 1
+    assert survivors[0]["doc_id"] == all_ids[0]
