@@ -101,24 +101,39 @@ def cap_per_host(
     docs: DataFrame,
     max_docs: int,
     url_col: str = "source",
+    salt: int = 16,
 ) -> DataFrame:
     """Per-domain quota: keep at most `max_docs` documents per host,
     deterministically — ranked by a content-derived hash so the kept set
     is a pure function of the corpus (re-runs and repartitioning cannot
     change which docs survive), not whichever rows a scan met first.
 
-    One window shuffle keyed by host. Crawl hosts are Zipfian, so the
-    hot-host partitions carry more rows, but the state per row is one
-    rank counter and AQE skew-split handles the giants; the alternative
-    (groupBy host + collect_list) would buffer a whole host in one task."""
+    Salted two-phase top-k, because crawl hosts are Zipfian and AQE does
+    NOT split window partitions — a single hot host's every row would
+    land in one task. Phase 1 ranks within (host, hash(doc_id) % salt)
+    and keeps each bucket's local top-`max_docs`; phase 2 re-ranks the
+    survivors (at most salt * max_docs rows per host) within host alone.
+    The global top-k of a key is a subset of the union of its buckets'
+    local top-ks, so the keep set is IDENTICAL to a single host-keyed
+    window — but the widest phase-1 partition is ~1/salt of the hottest
+    host, and phase 2's per-host input is bounded by salt * max_docs
+    regardless of corpus size. salt=1 degenerates to the single-window
+    form for tiny inputs."""
     from spdb_spark.functions.hashing import md5_long
     from spdb_spark.functions.url import url_host
     from pyspark.sql import Window
 
-    w = (
-        Window.partitionBy(url_host(F.col(url_col)))
-        .orderBy(md5_long(F.col("doc_id").cast("string")), "doc_id")
-    )
+    rank_key = [md5_long(F.col("doc_id").cast("string")), F.col("doc_id")]
+    host = url_host(F.col(url_col))
+    if salt > 1:
+        bucket = F.pmod(F.xxhash64(F.col("doc_id")), F.lit(salt))
+        w1 = Window.partitionBy(host, bucket).orderBy(*rank_key)
+        docs = (
+            docs.withColumn("_rk", F.row_number().over(w1))
+            .where(F.col("_rk") <= max_docs)
+            .drop("_rk")
+        )
+    w = Window.partitionBy(host).orderBy(*rank_key)
     return (
         docs.withColumn("_rk", F.row_number().over(w))
         .where(F.col("_rk") <= max_docs)

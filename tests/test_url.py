@@ -133,3 +133,23 @@ def test_cap_per_host_deterministic(spark):
     assert a == b
     # under-quota hosts keep everything
     assert cap_per_host(docs, 100).count() == 30
+
+
+def test_cap_per_host_salted_equals_single_window(spark):
+    """The salted two-phase top-k keeps EXACTLY the same set as the
+    salt=1 single-window form (global top-k per key is a subset of the
+    union of local bucket top-ks), for several salts and cap sizes."""
+    from spdb_spark.sources.crawl import cap_per_host
+
+    rows = [
+        (i, f"doc body {i}", f"http://host{i % 3}.org/p{i}")
+        for i in range(200)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    for cap in (1, 4, 37):
+        want = {r["doc_id"] for r in cap_per_host(docs, cap, salt=1).collect()}
+        for s in (2, 16, 64):
+            got = {
+                r["doc_id"] for r in cap_per_host(docs, cap, salt=s).collect()
+            }
+            assert got == want, (cap, s)
