@@ -382,3 +382,109 @@ STAGED: dict = {
     "llm_audio_afp_pairs": (q_audio_afp_pairs, SQL_AUDIO_AFP_PAIRS),
     "llm_video_phash_pairs": (q_video_phash_pairs, SQL_VIDEO_PHASH_PAIRS),
 }
+
+
+# ---------------------------------------------------------------------------
+# Round-7-built gate queries (same pattern: deterministic chrome shared
+# character-for-character with the oracle so DuckDB replays the exact
+# operator semantics).
+# ---------------------------------------------------------------------------
+
+_C4_LOREM = "lorem ipsum dolor sit amet filler text here."
+_C4_BRACE = "var f = function() { return 1; }"
+
+
+def _c4_page_col() -> "F.Column":
+    return F.concat_ws(
+        "\n",
+        F.concat(
+            F.lit("The quick data pipeline processes "),
+            F.substring("text", 1, 24),
+            F.lit(" now."),
+        ),
+        F.concat(F.lit("raw fragment "), F.substring("text", 25, 20)),
+        F.concat(
+            F.lit("Please enable javascript to view item "),
+            (F.col("doc_id") % 5).cast("string"),
+            F.lit("."),
+        ),
+        F.lit("We updated our privacy policy for you today."),
+        F.concat(
+            F.lit("Is the "), F.substring("text", 1, 12), F.lit(" batch correct?")
+        ),
+        F.lit("Short line here."),
+        F.lit("Every shard completes the merge cleanly tonight."),
+        F.when(F.col("doc_id") % 3 == 0, F.lit(_C4_LOREM)),
+        F.when(F.col("doc_id") % 7 == 0, F.lit(_C4_BRACE)),
+    )
+
+
+def q_c4_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4 cleaning rules (functions/c4.py) over synthetic multi-line
+    pages built from documents.text: per-line terminal-punctuation /
+    min-words / javascript / policy-boilerplate filtering, page-level
+    lorem-ipsum + curly-brace + min-sentence rules. Line mix per page:
+    3 keepers, 1 unpunctuated fragment, 1 javascript line, 1 policy
+    line, 1 short line, plus a lorem line on doc_id%3==0 and a brace
+    line on doc_id%7==0 — so clean_text, every signal, and the keep bit
+    are all discriminative."""
+    from spdb_spark.functions.c4 import c4_clean_lines, c4_filter, c4_page_flags
+
+    page = F.col("page")
+    return (
+        _docs(spark, sf_dir)
+        .select("doc_id", _c4_page_col().alias("page"))
+        .select(
+            "doc_id",
+            c4_clean_lines(page).alias("clean_text"),
+            c4_page_flags(page).alias("s"),
+            c4_filter(page).alias("keep"),
+        )
+        .select(
+            "doc_id",
+            "clean_text",
+            F.col("s.kept_lines").alias("kept_lines"),
+            F.col("s.kept_words").alias("kept_words"),
+            F.col("s.n_sentences").alias("n_sentences"),
+            F.col("s.has_lorem").alias("has_lorem"),
+            F.col("s.has_brace").alias("has_brace"),
+            "keep",
+        )
+    )
+
+
+def _sql_c4_rules() -> str:
+    from spdb_spark.functions.c4 import (
+        c4_clean_lines_sql,
+        c4_filter_sql,
+        c4_page_flags_sql,
+    )
+
+    page = (
+        "concat_ws(chr(10), "
+        "'The quick data pipeline processes ' || substr(text, 1, 24) || ' now.', "
+        "'raw fragment ' || substr(text, 25, 20), "
+        "'Please enable javascript to view item ' || (doc_id % 5)::VARCHAR || '.', "
+        "'We updated our privacy policy for you today.', "
+        "'Is the ' || substr(text, 1, 12) || ' batch correct?', "
+        "'Short line here.', "
+        "'Every shard completes the merge cleanly tonight.', "
+        f"CASE WHEN doc_id % 3 = 0 THEN {_sql_quote(_C4_LOREM)} END, "
+        f"CASE WHEN doc_id % 7 = 0 THEN {_sql_quote(_C4_BRACE)} END)"
+    )
+    return f"""
+WITH p AS (SELECT doc_id, {page} AS page FROM documents),
+t AS (SELECT doc_id, {c4_clean_lines_sql('page')} AS clean_text,
+             {c4_page_flags_sql('page')} AS s,
+             {c4_filter_sql('page')} AS keep FROM p)
+SELECT doc_id, clean_text,
+       s.kept_lines AS kept_lines, s.kept_words AS kept_words,
+       s.n_sentences AS n_sentences, s.has_lorem AS has_lorem,
+       s.has_brace AS has_brace, keep
+FROM t
+"""
+
+
+SQL_C4_RULES = _sql_c4_rules()
+
+STAGED["llm_c4_rules"] = (q_c4_rules, SQL_C4_RULES)
