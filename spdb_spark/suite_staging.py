@@ -488,3 +488,65 @@ FROM t
 SQL_C4_RULES = _sql_c4_rules()
 
 STAGED["llm_c4_rules"] = (q_c4_rules, SQL_C4_RULES)
+
+
+def _psl_host_col() -> "F.Column":
+    k = (F.col("doc_id") % 23).cast("string")
+    m = F.col("doc_id") % 8
+    site = F.concat(F.lit("site"), k)
+    return (
+        F.when(m == 0, F.concat(F.lit("www."), site, F.lit(".com")))
+        .when(m == 1, F.concat(F.lit("a.b."), site, F.lit(".co.uk")))
+        .when(m == 2, F.concat(site, F.lit(".ck")))
+        .when(m == 3, F.concat(F.lit("x."), site, F.lit(".ck")))
+        .when(m == 4, F.lit("www.ck"))
+        .when(m == 5, F.lit("sub.www.ck"))
+        .when(m == 6, F.concat(site, F.lit(".org")))
+        .otherwise(F.concat(F.lit("deep."), site, F.lit(".zz")))
+    )
+
+
+def q_registered_domain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered-domain (eTLD+1) extraction (functions/domains.py):
+    synthetic hosts derived from doc_id exercise every public-suffix
+    rule class — exact (com/org), multi-label (co.uk), wildcard (*.ck:
+    site.ck is itself public), exception (!www.ck beats the wildcard),
+    and the implicit default rule (unknown .zz). The corpus side is
+    broadcast-joined against the distinct-host domain map, never
+    shuffled — the property the plan gate in tests/test_domains.py
+    pins."""
+    from spdb_spark.functions.domains import host_registered_domains
+
+    d = _docs(spark, sf_dir).select("doc_id", _psl_host_col().alias("host"))
+    mapping = host_registered_domains(d.select("host").distinct())
+    return d.join(F.broadcast(mapping), "host").select(
+        "doc_id", "host", "public_suffix", "domain"
+    )
+
+
+def _sql_registered_domain() -> str:
+    from spdb_spark.functions.domains import registered_domain_sql
+
+    host = (
+        "CASE doc_id % 8 "
+        "WHEN 0 THEN 'www.site' || (doc_id % 23)::VARCHAR || '.com' "
+        "WHEN 1 THEN 'a.b.site' || (doc_id % 23)::VARCHAR || '.co.uk' "
+        "WHEN 2 THEN 'site' || (doc_id % 23)::VARCHAR || '.ck' "
+        "WHEN 3 THEN 'x.site' || (doc_id % 23)::VARCHAR || '.ck' "
+        "WHEN 4 THEN 'www.ck' "
+        "WHEN 5 THEN 'sub.www.ck' "
+        "WHEN 6 THEN 'site' || (doc_id % 23)::VARCHAR || '.org' "
+        "ELSE 'deep.site' || (doc_id % 23)::VARCHAR || '.zz' END"
+    )
+    rd = registered_domain_sql("(SELECT DISTINCT host FROM d)")
+    return f"""
+WITH d AS (SELECT doc_id, {host} AS host FROM documents),
+rd AS (SELECT * FROM {rd})
+SELECT d.doc_id, d.host, rd.public_suffix, rd.domain
+FROM d JOIN rd USING (host)
+"""
+
+
+SQL_REGISTERED_DOMAIN = _sql_registered_domain()
+
+STAGED["llm_registered_domain"] = (q_registered_domain, SQL_REGISTERED_DOMAIN)

@@ -1,0 +1,100 @@
+"""Registered-domain extraction (functions/domains.py): public-suffix
+algorithm semantics per rule class, DuckDB twin parity, and the
+no-corpus-shuffle plan shape of with_registered_domain."""
+
+import duckdb
+from pyspark.sql import functions as F
+
+from spdb_spark.functions.domains import (
+    host_registered_domains,
+    registered_domain_sql,
+    with_registered_domain,
+)
+
+CASES = {
+    # exact single-label rule
+    "www.site.com": ("com", "site.com"),
+    "site.com": ("com", "site.com"),
+    "com": ("com", None),  # host IS a public suffix
+    # longest match wins: co.uk over uk
+    "a.b.site.co.uk": ("co.uk", "site.co.uk"),
+    "site.co.uk": ("co.uk", "site.co.uk"),
+    "co.uk": ("co.uk", None),
+    "site.uk": ("uk", "site.uk"),
+    # wildcard *.ck: any one extra label is public
+    "foo.ck": ("foo.ck", None),
+    "x.foo.ck": ("foo.ck", "x.foo.ck"),
+    # exception !www.ck beats the wildcard
+    "www.ck": ("ck", "www.ck"),
+    "sub.www.ck": ("ck", "www.ck"),
+    # implicit default rule '*': unknown TLD's top label is public
+    "site.zz": ("zz", "site.zz"),
+    "deep.site.zz": ("zz", "site.zz"),
+    "zz": ("zz", None),
+    # case folding
+    "WWW.Site.COM": ("com", "site.com"),
+    # degenerate
+    "": (None, None),
+}
+
+
+def test_psl_semantics(spark):
+    hosts = spark.createDataFrame([(h,) for h in CASES], "host string")
+    got = {
+        r["host"]: (r["public_suffix"], r["domain"])
+        for r in host_registered_domains(hosts).collect()
+    }
+    assert got == CASES
+
+
+def test_duckdb_twin_parity(spark):
+    hosts = list(CASES)
+    df = spark.createDataFrame([(h,) for h in hosts], "host string")
+    got = {
+        r["host"]: (r["public_suffix"], r["domain"])
+        for r in host_registered_domains(df).collect()
+    }
+    con = duckdb.connect()
+    con.execute("CREATE TABLE hosts(host VARCHAR)")
+    con.executemany("INSERT INTO hosts VALUES (?)", [(h,) for h in hosts])
+    want = {
+        h: (p, d)
+        for h, p, d in con.execute(
+            f"SELECT * FROM {registered_domain_sql('hosts')}"
+        ).fetchall()
+    }
+    assert got == want
+
+
+def test_corpus_is_broadcast_joined_not_shuffled(spark):
+    docs = spark.createDataFrame(
+        [(i, f"www.site{i % 5}.co.uk", f"text {i}") for i in range(100)],
+        "doc_id long, host string, text string",
+    )
+    out = with_registered_domain(docs)
+    rows = out.collect()
+    assert all(r["domain"] == f"site{r['doc_id'] % 5}.co.uk" for r in rows)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # the corpus side reaches the final join via broadcast, never via a
+    # doc-keyed exchange: every Exchange in the plan belongs to the
+    # distinct-host subtree (host column only)
+    assert "BroadcastHashJoin" in plan
+    import re
+
+    for m in re.finditer(r"Exchange hashpartitioning\(([^)]*)\)", plan):
+        assert "doc_id" not in m.group(1), plan
+
+
+def test_full_rule_table_pluggable(spark):
+    rules = spark.createDataFrame(
+        [("dev", False, 1), ("pages.dev", False, 2)],
+        "suffix string, is_exception boolean, level int",
+    )
+    hosts = spark.createDataFrame(
+        [("proj.pages.dev",), ("pages.dev",)], "host string"
+    )
+    got = {
+        r["host"]: r["domain"]
+        for r in host_registered_domains(hosts, rules=rules).collect()
+    }
+    assert got == {"proj.pages.dev": "proj.pages.dev", "pages.dev": None}
