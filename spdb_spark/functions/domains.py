@@ -72,8 +72,16 @@ def suffix_rules_df(
     )
 
 
+def _norm_host(host) -> F.Column:
+    """Lowercase and strip one trailing dot: a fully-qualified spelling
+    ('site.com.') names the same host as 'site.com'; without the strip
+    every candidate would miss the rule table (trailing empty label) and
+    degrade to the default rule, yielding domain = 'com.'."""
+    return F.regexp_replace(F.lower(host), r"\.$", "")
+
+
 def _labels(host) -> F.Column:
-    return F.split(F.lower(host), r"\.")
+    return F.split(_norm_host(host), r"\.")
 
 
 def host_registered_domains(
@@ -134,15 +142,16 @@ def host_registered_domains(
     )
     labels_o = _labels(F.col(host_col))
     n_o = F.size(labels_o)
+    nonempty = F.length(_norm_host(F.col(host_col))) > 0
     p = F.col("ps_level")
     return out.select(
         host_col,
         F.when(
-            (F.length(F.col(host_col)) > 0) & (n_o >= p),
+            nonempty & (n_o >= p),
             F.array_join(F.slice(labels_o, n_o - p + 1, p), "."),
         ).alias("public_suffix"),
         F.when(
-            (F.length(F.col(host_col)) > 0) & (n_o > p),
+            nonempty & (n_o > p),
             F.array_join(F.slice(labels_o, n_o - p, p + 1), "."),
         ).alias("domain"),
     )
@@ -181,11 +190,15 @@ def registered_domain_sql(
         )
         for r in rules
     )
+    # regexp_replace without 'g': strips exactly ONE trailing dot, the
+    # FQDN spelling — matching the Spark path's _norm_host.
     return f"""(
 WITH psl_rules(suffix, is_exception) AS (VALUES {vals}),
-h AS (SELECT host, string_split(lower(host), '.') AS ls,
-             length(string_split(lower(host), '.')) AS n
-      FROM {hosts_cte}),
+hn AS (SELECT host, regexp_replace(lower(host), '\\.$', '') AS nh
+       FROM {hosts_cte}),
+h AS (SELECT host, nh, string_split(nh, '.') AS ls,
+             length(string_split(nh, '.')) AS n
+      FROM hn),
 cand AS (
   SELECT host, n, ls, lv.level,
          array_to_string(ls[n - lv.level + 1 : n], '.') AS cand,
@@ -207,13 +220,13 @@ ps AS (
   FROM m GROUP BY host
 ),
 j AS (
-  SELECT h.host, h.ls, h.n, coalesce(ps.ps_level, 1) AS p
+  SELECT h.host, h.nh, h.ls, h.n, coalesce(ps.ps_level, 1) AS p
   FROM h LEFT JOIN ps ON h.host = ps.host
 )
 SELECT host,
-       CASE WHEN length(host) > 0 AND n >= p
+       CASE WHEN length(nh) > 0 AND n >= p
             THEN array_to_string(ls[n - p + 1 : n], '.') END AS public_suffix,
-       CASE WHEN length(host) > 0 AND n > p
+       CASE WHEN length(nh) > 0 AND n > p
             THEN array_to_string(ls[n - p : n], '.') END AS domain
 FROM j
 )"""

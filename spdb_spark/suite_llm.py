@@ -318,26 +318,33 @@ FROM (
 """
 
 
+# Past this corpus size the vocab table may blow the executor broadcast
+# budget (web-scale vocab under this whitespace tokenizer is 1e8-1e9
+# distinct tokens): the tok join falls back to a plain shuffle join.
+_UNIGRAM_BROADCAST_MAX_DOCS = 1_000_000
+
+
 def q_text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Perplexity proxy: mean log-probability of each document under the
     corpus unigram LM (token frequencies / total tokens). Low scores flag
-    outlier/garbage docs — a standard cheap quality signal. Corpus freq
-    table is a broadcast join; per-doc mean floor-scaled."""
+    outlier/garbage docs — a standard cheap quality signal. Per-doc mean
+    floor-scaled.
+
+    Scale shape: the corpus total is a 1-row aggregate crossJoined back
+    onto the freq table (the sampling.py CCNet pattern) — NEVER a
+    single-partition window over the vocab table, which web-scale vocab
+    (1e8+ tokens) would break. The tok-frequency join broadcasts the
+    vocab table only below _UNIGRAM_BROADCAST_MAX_DOCS (footer-count
+    hint, same policy as minhash_verify_mode); above it, a plain
+    vocab-keyed shuffle join — uniform keys, AQE-splittable."""
     docs = _docs(spark, sf_dir)
     toks = docs.select("doc_id", F.explode(T.tokens(F.col("text"))).alias("tok"))
-    # Corpus total as an unpartitioned window over the vocabulary-sized
-    # freq table INSIDE the plan — the previous toks.count() was an eager
-    # third scan+tokenize of documents at DataFrame-build time. The window
-    # runs on the (broadcastable, hence small) freq table, so the single
-    # partition is not a bottleneck at corpus scale.
-    from pyspark.sql import Window as _W
-
-    freq = (
-        toks.groupBy("tok")
-        .agg(F.count("*").alias("tf"))
-        .withColumn("total", F.sum("tf").over(_W.partitionBy()))
-    )
-    scored = toks.join(F.broadcast(freq), "tok").select(
+    freq = toks.groupBy("tok").agg(F.count("*").alias("tf"))
+    total = freq.agg(F.sum("tf").alias("total"))
+    freq = freq.crossJoin(F.broadcast(total))
+    if _docs_rowcount(sf_dir) <= _UNIGRAM_BROADCAST_MAX_DOCS:
+        freq = F.broadcast(freq)
+    scored = toks.join(freq, "tok").select(
         "doc_id", F.log(F.col("tf") / F.col("total")).alias("lp")
     )
     return scored.groupBy("doc_id").agg(

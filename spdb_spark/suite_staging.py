@@ -3,11 +3,13 @@
 Built and oracle-paired during round 6 but held out of the registry so
 the r6 rotation window could land `llm_approx_vocab`'s final
 driver-green row (never-checked entries rotate first and would have
-pushed it out). Round 7 registered them: suite_llm.QUERIES imports
-STAGED and appends it, so all ten sort to the head of the r7 rotation
-window. This module remains the implementation home; the exact
-driver-gate comparison (row count + schema + column-sorted value hash)
-lives in tests/test_suite_staging.py.
+pushed it out). Registration lives in suite.py (it merges STAGED into
+the master registry — twelve entries: the ten r6-built gates plus
+`llm_c4_rules` and `llm_registered_domain`, added mid-round-7); merging
+there rather than into suite_llm.QUERIES avoids a circular import
+(this module imports suite_llm at module level). This module remains
+the implementation home; the exact driver-gate comparison (row count +
+schema + column-sorted value hash) lives in tests/test_suite_staging.py.
 
 Each query wraps the fixture corpus in a DETERMINISTIC structure shared
 character-for-character by both engines (chrome around documents.text,
@@ -494,8 +496,9 @@ def _psl_host_col() -> "F.Column":
     k = (F.col("doc_id") % 23).cast("string")
     m = F.col("doc_id") % 8
     site = F.concat(F.lit("site"), k)
+    # m==0 uses the FQDN trailing-dot spelling: eTLD+1 must strip it
     return (
-        F.when(m == 0, F.concat(F.lit("www."), site, F.lit(".com")))
+        F.when(m == 0, F.concat(F.lit("www."), site, F.lit(".com.")))
         .when(m == 1, F.concat(F.lit("a.b."), site, F.lit(".co.uk")))
         .when(m == 2, F.concat(site, F.lit(".ck")))
         .when(m == 3, F.concat(F.lit("x."), site, F.lit(".ck")))
@@ -529,7 +532,7 @@ def _sql_registered_domain() -> str:
 
     host = (
         "CASE doc_id % 8 "
-        "WHEN 0 THEN 'www.site' || (doc_id % 23)::VARCHAR || '.com' "
+        "WHEN 0 THEN 'www.site' || (doc_id % 23)::VARCHAR || '.com.' "
         "WHEN 1 THEN 'a.b.site' || (doc_id % 23)::VARCHAR || '.co.uk' "
         "WHEN 2 THEN 'site' || (doc_id % 23)::VARCHAR || '.ck' "
         "WHEN 3 THEN 'x.site' || (doc_id % 23)::VARCHAR || '.ck' "

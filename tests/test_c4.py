@@ -17,7 +17,12 @@ from spdb_spark.functions.c4 import (
 KEPT_A = "The quick data pipeline processes every shard tonight."
 KEPT_B = "Is the second batch of records correct?"
 KEPT_C = 'He said "the merge is finally done."'
+KEPT_D = "Every replica caught up before the deadline!"
+KEPT_E = 'They shouted "ready for the rollout now"'  # bare end quote: terminal
+KEPT_F = "All ingest queues drained cleanly overnight."
 NO_PUNCT = "raw fragment without any terminal mark"
+ELLIPSIS = "the page kept loading more results..."  # terminal '.' but dropped
+APOS = "He whispered 'the cache is warm now.'"  # straight ' not in _END_MARKS
 JS = "Please enable javascript to view this page."
 POLICY = "We updated our privacy policy for you today."
 SHORT = "Short line here."
@@ -30,26 +35,30 @@ def _page(*lines):
 
 
 def test_line_rules(spark):
-    page = _page(KEPT_A, NO_PUNCT, JS, POLICY, KEPT_B, SHORT, KEPT_C)
+    page = _page(
+        KEPT_A, NO_PUNCT, JS, POLICY, KEPT_B, SHORT, KEPT_C,
+        KEPT_D, KEPT_E, KEPT_F, ELLIPSIS, APOS,
+    )
     df = spark.range(1).select(
         c4_clean_lines(F.lit(page)).alias("t"),
         c4_filter(F.lit(page)).alias("keep"),
         c4_page_flags(F.lit(page)).alias("s"),
     )
     r = df.collect()[0]
-    assert r["t"].split("\n") == [KEPT_A, KEPT_B, KEPT_C]
-    assert r["s"]["kept_lines"] == 3
-    assert r["s"]["n_sentences"] == 3  # one terminal mark per kept line
+    assert r["t"].split("\n") == [KEPT_A, KEPT_B, KEPT_C, KEPT_D, KEPT_E, KEPT_F]
+    assert r["s"]["kept_lines"] == 6
+    # one terminal mark per kept line except the bare-quote line (0)
+    assert r["s"]["n_sentences"] == 5
     assert r["keep"] is True
 
 
 def test_page_rules(spark):
-    ok = _page(KEPT_A, KEPT_B, KEPT_C)
+    ok = _page(KEPT_A, KEPT_B, KEPT_C, KEPT_D, KEPT_F)  # 5 sentences
     rows = {
         "ok": ok,
-        "lorem": _page(KEPT_A, KEPT_B, KEPT_C, LOREM),
-        "brace": _page(KEPT_A, KEPT_B, KEPT_C, BRACE),
-        "thin": _page(KEPT_A, KEPT_B),  # only 2 sentences survive
+        "lorem": _page(KEPT_A, KEPT_B, KEPT_C, KEPT_D, KEPT_F, LOREM),
+        "brace": _page(KEPT_A, KEPT_B, KEPT_C, KEPT_D, KEPT_F, BRACE),
+        "thin": _page(KEPT_A, KEPT_B, KEPT_C, KEPT_D),  # only 4 sentences
     }
     df = spark.createDataFrame(
         [(k, v) for k, v in rows.items()], "name string, text string"
@@ -59,7 +68,8 @@ def test_page_rules(spark):
 
 
 def test_badwords_pluggable(spark):
-    page = _page(KEPT_A, KEPT_B, KEPT_C, "The gnarly widget arrived late today.")
+    page = _page(KEPT_A, KEPT_B, KEPT_C, KEPT_D, KEPT_F,
+                 "The gnarly widget arrived late today.")
     base = spark.range(1).select(
         c4_filter(F.lit(page)).alias("keep"),
         c4_clean_lines(F.lit(page)).alias("t"),
@@ -77,10 +87,12 @@ def test_badwords_pluggable(spark):
 def test_duckdb_twin_parity(spark, badwords):
     pages = [
         _page(KEPT_A, NO_PUNCT, JS, POLICY, KEPT_B, SHORT, KEPT_C),
-        _page(KEPT_A, KEPT_B, KEPT_C, LOREM),
-        _page(KEPT_A, KEPT_B, KEPT_C, BRACE),
+        _page(KEPT_A, KEPT_B, KEPT_C, KEPT_D, KEPT_F, LOREM),
+        _page(KEPT_A, KEPT_B, KEPT_C, KEPT_D, KEPT_F, BRACE),
         _page(KEPT_A, KEPT_B),
-        _page(KEPT_A, KEPT_B, KEPT_C, "The gnarly widget arrived late today."),
+        _page(KEPT_A, KEPT_B, KEPT_C, KEPT_D, KEPT_F,
+              "The gnarly widget arrived late today."),
+        _page(KEPT_E, ELLIPSIS, APOS, KEPT_A, KEPT_B, KEPT_C, KEPT_D, KEPT_F),
         "",
         "   ",
         "no newline and no punctuation at all",

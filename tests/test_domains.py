@@ -33,8 +33,13 @@ CASES = {
     "zz": ("zz", None),
     # case folding
     "WWW.Site.COM": ("com", "site.com"),
+    # FQDN trailing dot names the same host: stripped before matching
+    "site.com.": ("com", "site.com"),
+    "a.b.site.co.uk.": ("co.uk", "site.co.uk"),
+    "com.": ("com", None),
     # degenerate
     "": (None, None),
+    ".": (None, None),
 }
 
 

@@ -251,6 +251,21 @@ def test_scalar_stats_are_in_plan_not_eager_jobs(spark):
         assert len(jobs) <= 1, f"{fn.__name__} ran {len(jobs)} jobs at build"
 
 
+def test_unigram_total_is_one_row_agg_not_window(spark):
+    """The unigram-LM corpus total must be a 1-row global aggregate
+    (map-side partials, broadcast crossJoin back) — never a
+    single-partition Window over the vocab-sized freq table, which
+    web-scale vocab (1e8+ distinct tokens) would break.
+    llm_ccnet_buckets composes on this query and inherits the shape."""
+    from spdb_spark.suite_llm import q_text_unigram_logprob
+
+    plan = plan_of(q_text_unigram_logprob(spark, "/root/testdata/sf0.001"))
+    assert "Window" not in plan
+    # the only single-partition exchange feeds the scalar total, and its
+    # input is the pre-aggregated partial sums, not vocab rows
+    assert plan.count("Exchange SinglePartition") <= 1
+
+
 def test_semantic_dedup_ships_lists_not_pairs(spark):
     """The semantic-dedup suite entry must keep the bucket-GEMM shape:
     lists grouped per centroid into an Arrow task (FlatMapGroupsInPandas),
