@@ -13,10 +13,19 @@ three properties that matter at corpus scale:
 - **One exchange.** The only shuffle is the groupBy(shard_id); each
   shard is then assembled and written by ONE Arrow kernel invocation
   (`applyInPandas`), bounded in memory by the shard size you chose.
-- **Atomic files.** Kernels write `.tmp-` names and os.rename() into
-  place, so a killed job never leaves a half-written shard under a
-  final name; a manifest (one row per shard: path, counts, bytes, md5)
-  is returned and written beside the shards.
+- **Atomic files.** Kernels write `.tmp-` names and rename into place,
+  so a killed job never leaves a half-written shard under a final name;
+  a manifest (one row per shard: path, counts, bytes, md5) is returned
+  and written beside the shards.
+- **Shared-storage writes.** Shard kernels run ON EXECUTORS, so the
+  output path must be visible to every executor AND the reader. A
+  scheme'd URI (`s3://…`, `hdfs://…`, `file:///mnt/shared/…`) routes
+  through `pyarrow.fs.FileSystem.from_uri` — the write lands in the
+  shared store no matter which machine ran the kernel. A bare OS path
+  uses plain local I/O and is correct ONLY when executors share a
+  filesystem with the driver (local mode, NFS/Lustre clusters); on a
+  cluster with executor-local disks a bare path scatters shards across
+  machines — use a URI there.
 
 Round-trips close the loop with the ingest surface: tar/zip shards read
 back via sources/webdataset.py / zipshard.py, JSONL via
@@ -29,6 +38,7 @@ import gzip
 import hashlib
 import json
 import os
+import re
 from collections.abc import Iterator
 
 import pandas as pd
@@ -55,13 +65,41 @@ MANIFEST_SCHEMA = StructType(
 )
 
 
+_URI_SCHEME_RE = re.compile(r"^[a-zA-Z][a-zA-Z0-9+.-]*://")
+
+
 def _atomic_write(path: str, data: bytes) -> None:
+    """Write-then-rename so a killed task never leaves a half-written
+    shard under a final name. Scheme'd URIs go through pyarrow.fs (the
+    executor writes to SHARED storage: object store close() completes
+    the upload atomically, HDFS move() is atomic); bare paths use local
+    I/O (valid only on a shared filesystem — module docstring)."""
+    if _URI_SCHEME_RE.match(path):
+        import pyarrow.fs as pafs
+
+        fs, p = pafs.FileSystem.from_uri(path)
+        d, b = p.rsplit("/", 1) if "/" in p else ("", p)
+        tmp = f"{d}/.tmp-{b}-{os.getpid()}" if d else f".tmp-{b}-{os.getpid()}"
+        with fs.open_output_stream(tmp) as f:
+            f.write(data)
+        fs.move(tmp, p)
+        return
     tmp = os.path.join(
         os.path.dirname(path), f".tmp-{os.path.basename(path)}-{os.getpid()}"
     )
     with open(tmp, "wb") as f:
         f.write(data)
     os.rename(tmp, path)
+
+
+def _ensure_dir(out_dir: str) -> None:
+    if _URI_SCHEME_RE.match(out_dir):
+        import pyarrow.fs as pafs
+
+        fs, p = pafs.FileSystem.from_uri(out_dir)
+        fs.create_dir(p, recursive=True)
+    else:
+        os.makedirs(out_dir, exist_ok=True)
 
 
 def _shard_count(n_keys: int, per_shard: int) -> int:
@@ -101,7 +139,7 @@ def write_webdataset_shards(
     spark = members.sparkSession
     n_keys = members.select("key").distinct().count()
     n_shards = _shard_count(n_keys, samples_per_shard)
-    os.makedirs(out_dir, exist_ok=True)
+    _ensure_dir(out_dir)
     ext = ("tar.gz" if compress else "tar") if container == "tar" else "zip"
 
     def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -161,7 +199,7 @@ def write_jsonl_shards(
     spark = docs.sparkSession
     n_docs = docs.count()
     n_shards = _shard_count(n_docs, docs_per_shard)
-    os.makedirs(out_dir, exist_ok=True)
+    _ensure_dir(out_dir)
     cols = docs.columns
 
     def kernel(pdf: pd.DataFrame) -> pd.DataFrame:

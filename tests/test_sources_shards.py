@@ -159,3 +159,37 @@ def test_crawl_select_export_end_to_end(spark, tmp_path):
             texts.append(json.loads(line)["text"])
     assert len(texts) == 4
     assert sum("market" in t for t in texts) >= 3
+
+
+def test_uri_output_path_writes_via_pyarrow_fs(spark, tmp_path):
+    """A scheme'd out_dir (here file://) routes executor-side shard
+    writes through pyarrow.fs — the path an object store / HDFS takes on
+    a real cluster, where executors must write to SHARED storage rather
+    than their local disks. Bytes must be identical to the bare-path
+    form (same deterministic layout)."""
+    members = _members_df(spark, 11)
+    bare = str(tmp_path / "bare")
+    uri_dir = tmp_path / "uri"
+    uri = "file://" + str(uri_dir)
+    write_webdataset_shards(members, bare, samples_per_shard=4)
+    manifest = write_webdataset_shards(members, uri, samples_per_shard=4)
+    rows = manifest.collect()
+    assert all(r["path"].startswith("file://") for r in rows)
+    got = {
+        os.path.basename(p): hashlib.md5(open(p, "rb").read()).hexdigest()
+        for p in glob.glob(str(uri_dir / "shard-*.tar"))
+    }
+    want = {
+        os.path.basename(p): hashlib.md5(open(p, "rb").read()).hexdigest()
+        for p in glob.glob(os.path.join(bare, "shard-*.tar"))
+    }
+    assert got == want and got
+    assert not glob.glob(str(uri_dir / ".tmp-*"))
+
+    docs = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(9)], "doc_id long, text string"
+    )
+    juri = "file://" + str(tmp_path / "juri")
+    jm = write_jsonl_shards(docs, juri, docs_per_shard=4)
+    assert jm.count() == 3
+    assert glob.glob(str(tmp_path / "juri" / "shard-*.jsonl.gz"))
