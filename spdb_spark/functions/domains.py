@@ -56,6 +56,59 @@ DEFAULT_SUFFIX_RULES: tuple[str, ...] = (
 # deeper candidates; 8 covers the list with slack.
 MAX_RULE_LABELS = 8
 
+_SECTION_BEGIN_PRIVATE = "===BEGIN PRIVATE DOMAINS==="
+_SECTION_END_PRIVATE = "===END PRIVATE DOMAINS==="
+
+
+def parse_public_suffix_list(
+    text: str, include_private: bool = True
+) -> tuple[str, ...]:
+    """Parse the published `public_suffix_list.dat` format
+    (publicsuffix.org/list/) into the rule-tuple `suffix_rules_df`
+    consumes. Per the published format definition:
+
+    - each line is only read up to the first whitespace;
+    - lines starting with `//` are comments (and carry the
+      `===BEGIN/END PRIVATE DOMAINS===` section markers);
+    - blank / whitespace-only lines are ignored;
+    - `!` prefixes an exception rule, `*` labels are wildcards — both
+      kept verbatim (the matcher interprets them);
+    - the file is UTF-8 with IDN rules in Unicode form (`中国` etc.),
+      kept as-is and lowercased — hosts must be supplied in the same
+      form (Unicode, not punycode), or pre-converted by the caller.
+
+    `include_private=False` keeps only the ICANN section — deployments
+    that treat `github.io`-style private registries as ordinary domains
+    drop the PRIVATE section."""
+    rules: list[str] = []
+    in_private = False
+    for raw in text.splitlines():
+        line = raw.strip()
+        if not line:
+            continue
+        if line.startswith("//"):
+            if _SECTION_BEGIN_PRIVATE in line:
+                in_private = True
+            elif _SECTION_END_PRIVATE in line:
+                in_private = False
+            continue
+        if in_private and not include_private:
+            continue
+        rules.append(line.split()[0].lower())
+    return tuple(rules)
+
+
+def load_suffix_rules(
+    spark: SparkSession, dat_text: str, include_private: bool = True
+) -> DataFrame:
+    """`public_suffix_list.dat` text -> the broadcast-sized rule
+    DataFrame every extractor here joins against. The list is ~10k
+    rules (a few hundred KB) — loaded once on the driver, broadcast
+    thereafter; corpus data never touches the parse."""
+    return suffix_rules_df(
+        spark, parse_public_suffix_list(dat_text, include_private)
+    )
+
 
 def suffix_rules_df(
     spark: SparkSession, rules: tuple[str, ...] = DEFAULT_SUFFIX_RULES

@@ -103,3 +103,97 @@ def test_full_rule_table_pluggable(spark):
         for r in host_registered_domains(hosts, rules=rules).collect()
     }
     assert got == {"proj.pages.dev": "proj.pages.dev", "pages.dev": None}
+
+
+# A faithful excerpt of the published public_suffix_list.dat format:
+# license header comments, ICANN/PRIVATE section markers, exact rules,
+# wildcards, exceptions, IDN (Unicode) rules, and trailing commentary
+# after whitespace on a rule line (the format reads up to the first
+# whitespace).
+PSL_SNAPSHOT = """\
+// This Source Code Form is subject to the terms of the Mozilla Public
+// License, v. 2.0. If a copy of the MPL was not distributed with this
+// file, You can obtain one at https://mozilla.org/MPL/2.0/.
+
+// ===BEGIN ICANN DOMAINS===
+
+// ac : https://en.wikipedia.org/wiki/.ac
+ac
+com.ac
+
+// ck : https://en.wikipedia.org/wiki/.ck
+*.ck
+!www.ck
+
+// jp : https://en.wikipedia.org/wiki/.jp
+jp
+co.jp
+*.kawasaki.jp
+!city.kawasaki.jp
+
+// uk : https://en.wikipedia.org/wiki/.uk
+uk
+co.uk
+
+com
+
+// xn--fiqs8s ("China", Simplified) : CN
+中国
+
+// ===END ICANN DOMAINS===
+// ===BEGIN PRIVATE DOMAINS===
+
+// GitHub, Inc.
+github.io
+
+// Amazon S3 : https://aws.amazon.com/s3/
+s3.amazonaws.com
+
+// ===END PRIVATE DOMAINS===
+"""
+
+
+def test_psl_loader_parses_published_format():
+    from spdb_spark.functions.domains import parse_public_suffix_list
+
+    rules = parse_public_suffix_list(PSL_SNAPSHOT)
+    assert rules == (
+        "ac", "com.ac", "*.ck", "!www.ck", "jp", "co.jp",
+        "*.kawasaki.jp", "!city.kawasaki.jp", "uk", "co.uk", "com",
+        "中国", "github.io", "s3.amazonaws.com",
+    )
+    icann = parse_public_suffix_list(PSL_SNAPSHOT, include_private=False)
+    assert "github.io" not in icann and "com" in icann
+    assert icann == rules[:-2]
+
+
+def test_psl_loader_drives_the_extractor(spark):
+    from spdb_spark.functions.domains import (
+        host_registered_domains,
+        load_suffix_rules,
+    )
+
+    rules = load_suffix_rules(spark, PSL_SNAPSHOT)
+    cases = {
+        # private-section rule: github.io is a public suffix
+        "a.foo.github.io": ("github.io", "foo.github.io"),
+        # wildcard + exception inside a real TLD block
+        "x.net.kawasaki.jp": ("net.kawasaki.jp", "x.net.kawasaki.jp"),
+        "sub.city.kawasaki.jp": ("kawasaki.jp", "city.kawasaki.jp"),
+        # IDN rule kept in Unicode form
+        "example.中国": ("中国", "example.中国"),
+        # plain exact rules still work through the loader
+        "www.site.co.uk": ("co.uk", "site.co.uk"),
+    }
+    hosts = spark.createDataFrame([(h,) for h in cases], "host string")
+    got = {
+        r["host"]: (r["public_suffix"], r["domain"])
+        for r in host_registered_domains(hosts, rules=rules).collect()
+    }
+    assert got == cases
+
+    # ICANN-only: github.io becomes an ordinary registrable domain
+    icann = load_suffix_rules(spark, PSL_SNAPSHOT, include_private=False)
+    hosts2 = spark.createDataFrame([("a.foo.github.io",)], "host string")
+    r = host_registered_domains(hosts2, rules=icann).collect()[0]
+    assert (r["public_suffix"], r["domain"]) == ("io", "github.io")
