@@ -20,6 +20,7 @@ import glob
 import json
 import os
 
+from spdb_spark.suite_crawl import STAGED_R9 as CRAWL_R9
 from spdb_spark.suite_llm import QUERIES as LLM
 from spdb_spark.suite_relational import QUERIES as RELATIONAL
 from spdb_spark.suite_spatial import QUERIES as SPATIAL
@@ -36,6 +37,11 @@ _BASE.update(SPATIAL)
 # are never driver-checked, so the rotation puts them at the head of the
 # round-7 window regardless of dict position.
 _BASE.update(LLM_R7)
+# Round-9 registration: the crawl-composition flagship
+# (crawl_to_corpus) and the zip-shard ingest round-trip. Never
+# driver-checked, so the rotation puts them at the head of the round-9
+# window.
+_BASE.update(CRAWL_R9)
 
 
 def _last_checked_round() -> dict[str, int]:

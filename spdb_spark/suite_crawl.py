@@ -1,0 +1,271 @@
+"""Round-9 gate queries: the crawl-composition entry points.
+
+`llm_crawl_corpus` gates `sources/crawl.crawl_to_corpus` — the curation
+tier's flagship composition (WARC responses -> main-content extraction
++ URL normalization -> Gopher quality -> exact dedup -> MinHash
+near-dedup) — end-to-end against ONE DuckDB oracle composed from the
+already-gated stage twins (functions/url.url_normalize_sql,
+functions/html.main_text_sql, functions/quality.gopher_filter_sql, the
+suite_llm minhash fragments). The fixture builds synthetic WARC records
+from `documents` with KNOWN collapse structure so every stage is
+discriminative:
+
+- every doc: one response under a tracking-param URL spelling;
+- doc_id%4==0: the SAME payload under a case/port/fragment respelling —
+  collapses via URL normalization inside the content-addressed doc_id;
+- doc_id%5==0: the same payload at a different URL — exact-text dedup
+  keeps the min doc_id;
+- doc_id%7==0: a near-duplicate copy (short appended sentence) whose
+  3-shingle jaccard STRADDLES the 0.8 threshold across the corpus's
+  length distribution — some copies drop, some survive;
+- doc_id%7==3: a longer-divergence copy that stays below threshold;
+- doc_id%3==0: a non-response (request) record the type filter drops;
+- quality discriminates on word count: the prose chrome contributes the
+  Gopher stopword floor, so pages pass iff the doc is long enough.
+
+`llm_zipshard_ingest` gates the zip-shard source round-trip
+(sources/zipshard.zip_encode -> zip_members) with a full value oracle:
+member key/ext/bytes/md5 are pure functions of `documents`.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from spdb_spark.functions.hashing import md5_long_sql
+from spdb_spark.functions.html import main_text_sql
+from spdb_spark.functions.quality import gopher_filter_sql
+from spdb_spark.functions.url import url_normalize_sql
+from spdb_spark.session import load_tables
+from spdb_spark.suite_llm import _bands_sql, _minhash_pivot_sql
+from spdb_spark.suite_staging import _CHROME_POST, _CHROME_PRE, _sql_quote
+
+_HDR = "HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n"
+# Stopword-bearing prose chrome: contributes the Gopher stop-hit floor
+# (to/the/of/have/with) and ~20 words, so the quality stage keeps a page
+# iff the underlying doc clears the remaining word-count gap.
+_PROSE_PRE = "We agreed to publish the summary of this page today. "
+_PROSE_POST = " Crawlers have indexed it with the care of a librarian."
+_SUF_SHORT = " the mirror copy adds this one small sentence here."
+_SUF_LONG = (
+    " this divergent copy appends a much longer run of extra prose so the"
+    " shingle overlap with the original page falls well below the verify"
+    " threshold and the document survives as an independent entry."
+)
+_NEARDUP_THRESHOLD = 0.8
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_tables(spark, sf_dir)["documents"]
+
+
+def _crawl_warc_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synthetic WARC record rows (warc_type, target_uri, payload) built
+    from documents — the structure the module docstring describes."""
+    d = F.col("doc_id")
+    k = (d % 23).cast("string")
+    n = d.cast("string")
+    base_uri = F.concat(
+        F.lit("http://site"), k, F.lit(".example/d"), n, F.lit("?utm_source=feed")
+    )
+    alt_uri = F.concat(
+        F.lit("HTTP://SITE"), k, F.lit(".EXAMPLE:80/d"), n, F.lit("#top")
+    )
+    mirror_uri = F.concat(F.lit("http://mirror.example/d"), n)
+    copy_uri = F.concat(F.lit("http://copy.example/d"), n)
+
+    def pay(suffix: str) -> F.Column:
+        return F.concat(
+            F.lit(_HDR + _CHROME_PRE + _PROSE_PRE),
+            F.col("text"),
+            F.lit(suffix + _PROSE_POST + _CHROME_POST),
+        )
+
+    rec = lambda t, uri, p: F.struct(  # noqa: E731
+        F.lit(t).alias("warc_type"), uri.alias("target_uri"), p.alias("ptext")
+    )
+    recs = F.array_compact(
+        F.array(
+            rec("response", base_uri, pay("")),
+            F.when(d % 4 == 0, rec("response", alt_uri, pay(""))),
+            F.when(d % 5 == 0, rec("response", mirror_uri, pay(""))),
+            F.when(d % 7 == 0, rec("response", copy_uri, pay(_SUF_SHORT))),
+            F.when(d % 7 == 3, rec("response", copy_uri, pay(_SUF_LONG))),
+            F.when(d % 3 == 0, rec("request", base_uri, pay(""))),
+        )
+    )
+    return (
+        _docs(spark, sf_dir)
+        .select(F.explode(recs).alias("r"))
+        .select(
+            F.col("r.warc_type").alias("warc_type"),
+            F.col("r.target_uri").alias("target_uri"),
+            F.encode(F.col("r.ptext"), "UTF-8").alias("payload"),
+        )
+    )
+
+
+def q_crawl_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full crawl_to_corpus composition (sources/crawl.py) over the
+    synthetic WARC fixture. lang is excluded from the gate columns (the
+    language heuristic is gated separately by llm_text_normalize)."""
+    from spdb_spark.sources.crawl import crawl_to_corpus
+
+    warc = _crawl_warc_fixture(spark, sf_dir)
+    out = crawl_to_corpus(warc, minhash_threshold=_NEARDUP_THRESHOLD)
+    return out.select("doc_id", "text", "source", "n_chars")
+
+
+def _sql_crawl_corpus() -> str:
+    hdr_pre = _sql_quote(_HDR + _CHROME_PRE + _PROSE_PRE)
+    tail = _sql_quote(_PROSE_POST + _CHROME_POST)
+    tail_s = _sql_quote(_SUF_SHORT + _PROSE_POST + _CHROME_POST)
+    tail_l = _sql_quote(_SUF_LONG + _PROSE_POST + _CHROME_POST)
+    boundary = "chr(13)||chr(10)||chr(13)||chr(10)"
+    body = (
+        "(CASE WHEN strpos(pay, {b}) > 0"
+        " THEN substr(pay, strpos(pay, {b}) + 4) ELSE pay END)"
+    ).format(b=boundary)
+    return f"""
+WITH p AS (
+  SELECT doc_id,
+         'http://site' || (doc_id % 23) || '.example/d' || doc_id
+           || '?utm_source=feed' AS base_uri,
+         'HTTP://SITE' || (doc_id % 23) || '.EXAMPLE:80/d' || doc_id
+           || '#top' AS alt_uri,
+         'http://mirror.example/d' || doc_id AS mirror_uri,
+         'http://copy.example/d' || doc_id AS copy_uri,
+         {hdr_pre} || text || {tail} AS pay,
+         {hdr_pre} || text || {tail_s} AS pay_s,
+         {hdr_pre} || text || {tail_l} AS pay_l
+  FROM documents
+),
+recs AS (
+  SELECT base_uri AS uri, pay FROM p
+  UNION ALL SELECT alt_uri, pay FROM p WHERE doc_id % 4 = 0
+  UNION ALL SELECT mirror_uri, pay FROM p WHERE doc_id % 5 = 0
+  UNION ALL SELECT copy_uri, pay_s FROM p WHERE doc_id % 7 = 0
+  UNION ALL SELECT copy_uri, pay_l FROM p WHERE doc_id % 7 = 3
+  -- the doc_id%3 'request' records never enter: type-filtered
+),
+norm AS (SELECT {url_normalize_sql('uri')} AS src, pay FROM recs),
+-- MATERIALIZED: DuckDB inlines CTEs by default, and the minhash tail
+-- below references this chain many times (8 band branches x 2 join
+-- sides) — without materialization the extraction+quality stages
+-- re-evaluate exponentially.
+d0 AS MATERIALIZED (
+  SELECT DISTINCT
+         {md5_long_sql("src || chr(31) || md5(pay)")} AS doc_id,
+         {main_text_sql(body)} AS text,
+         src
+  FROM norm
+),
+d1 AS (SELECT * FROM d0 WHERE length(text) > 0),
+g AS MATERIALIZED (SELECT * FROM d1 WHERE {gopher_filter_sql('text')}),
+keep AS (SELECT MIN(doc_id) AS doc_id FROM g GROUP BY md5(text)),
+d2 AS MATERIALIZED (SELECT g.* FROM g JOIN keep USING (doc_id)),
+sh AS MATERIALIZED (
+  SELECT DISTINCT doc_id AS doc, shingle
+  FROM (
+    SELECT doc_id,
+           unnest(list_transform(
+             range(1, greatest(len(t) - 1, 1)),
+             i -> concat_ws(' ', t[i], t[i+1], t[i+2])
+           )) AS shingle
+    FROM (SELECT doc_id,
+                 regexp_split_to_array(lower(trim(text)), '\\s+') AS t
+          FROM d2)
+  )
+),
+sigs AS MATERIALIZED ({_minhash_pivot_sql()}),
+banded AS MATERIALIZED ({_bands_sql()}),
+cands AS (
+  SELECT DISTINCT a.doc AS doc_a, b.doc AS doc_b
+  FROM banded a JOIN banded b
+    ON a.band = b.band AND a.bucket = b.bucket AND a.doc < b.doc
+),
+sizes AS (SELECT doc, COUNT(*) AS sz FROM sh GROUP BY doc),
+inter AS (
+  SELECT c.doc_a, c.doc_b, COUNT(*) AS inter
+  FROM cands c
+  JOIN sh sa ON sa.doc = c.doc_a
+  JOIN sh sb ON sb.doc = c.doc_b AND sb.shingle = sa.shingle
+  GROUP BY c.doc_a, c.doc_b
+),
+losers AS (
+  SELECT DISTINCT i.doc_b AS doc_id
+  FROM inter i
+  JOIN sizes sa ON sa.doc = i.doc_a
+  JOIN sizes sb ON sb.doc = i.doc_b
+  WHERE CAST(i.inter AS DOUBLE) / (sa.sz + sb.sz - i.inter)
+        >= {_NEARDUP_THRESHOLD}
+)
+SELECT d2.doc_id, d2.text, d2.src AS source, length(d2.text)::INT AS n_chars
+FROM d2
+WHERE NOT EXISTS (SELECT 1 FROM losers l WHERE l.doc_id = d2.doc_id)
+"""
+
+
+SQL_CRAWL_CORPUS = _sql_crawl_corpus()
+
+
+_ZIP_SHARDS = 16
+
+
+def q_zipshard_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zip-shard source round-trip: documents grouped into synthetic
+    shards (one zip built per group by an Arrow kernel via zip_encode),
+    then parsed back through the REAL member scanner (zip_members).
+    Member key/ext/bytes/md5 are pure functions of the corpus, so the
+    oracle replays them without touching zip at all — the gate proves
+    encode+parse is lossless, distributed, and deterministic."""
+    import pandas as pd
+
+    from spdb_spark.sources.zipshard import zip_members
+
+    docs = _docs(spark, sf_dir).withColumn(
+        "shard_id", (F.col("doc_id") % _ZIP_SHARDS).cast("int")
+    )
+
+    def build(pdf: pd.DataFrame) -> pd.DataFrame:
+        from spdb_spark.sources.zipshard import zip_encode
+
+        sid = int(pdf["shard_id"].iloc[0])
+        samples = {
+            f"{int(r.doc_id):012d}": {"txt": str(r.text).encode("utf-8")}
+            for r in pdf.itertuples(index=False)
+        }
+        return pd.DataFrame(
+            [(f"mem://shard-{sid:04d}.zip", zip_encode(samples))],
+            columns=["path", "content"],
+        )
+
+    raw = docs.groupBy("shard_id").applyInPandas(
+        build, "path string, content binary"
+    )
+    members = zip_members(raw)
+    return members.select(
+        F.col("key"),
+        F.col("ext"),
+        F.col("n_bytes"),
+        F.md5(F.col("payload")).alias("payload_md5"),
+        F.col("shard"),
+    )
+
+
+SQL_ZIPSHARD_INGEST = f"""
+SELECT lpad(doc_id::VARCHAR, 12, '0') AS key,
+       'txt' AS ext,
+       strlen(text)::BIGINT AS n_bytes,
+       md5(text) AS payload_md5,
+       'mem://shard-' || lpad((doc_id % {_ZIP_SHARDS})::VARCHAR, 4, '0')
+         || '.zip' AS shard
+FROM documents
+"""
+
+
+STAGED_R9: dict = {
+    "llm_crawl_corpus": (q_crawl_corpus, SQL_CRAWL_CORPUS),
+    "llm_zipshard_ingest": (q_zipshard_ingest, SQL_ZIPSHARD_INGEST),
+}
