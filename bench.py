@@ -64,7 +64,22 @@ EXTRA = [
     "llm_multimodal_decode",  # r6: real PNG/JPEG/SOF2/GIF Arrow decode kernel
     "llm_dedup_jaccard_capped",  # r6: stop-shingle-capped pair join
     "llm_multimodal_probe",  # r6: header-only prune-before-decode kernel
+    "llm_crawl_corpus",  # r9: crawl_to_corpus end-to-end composition
+    "llm_zipshard_ingest",  # r9: zip shard encode/parse round-trip
 ]
+
+
+def _calibration_sec(spark) -> float:
+    """Fixed CPU-bound probe (shape-stable, data-independent): median of
+    3 runs of a 200M-row codegen sum. Reading this next to the headline
+    value separates engine regressions from ambient box load — round 8
+    measured +-12%% suite-level swings on byte-identical code."""
+    ts = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        spark.range(200_000_000).selectExpr("sum(id * 2 + 1)").collect()
+        ts.append(time.perf_counter() - t0)
+    return round(sorted(ts)[1], 3)
 
 
 def main() -> None:
@@ -77,6 +92,9 @@ def main() -> None:
 
     # JVM/codegen warmup outside timed region
     spark.range(1000).selectExpr("sum(id)").collect()
+    # Load markers: ambient machine state at start (repeated at end).
+    load_start = os.getloadavg()[0]
+    calib_start = _calibration_sec(spark)
     # input warmup: footer/metadata caches + OS page cache for every table
     # the headline queries scan — the timed region then measures compute,
     # not first-touch I/O (this was ~1.5s of run-to-run variance on the
@@ -150,6 +168,16 @@ def main() -> None:
                 "queries": timings,
                 "extra_queries": extra,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                # Ambient-noise markers (r8 measured +-12% suite swings on
+                # identical code): 1-min loadavg and a fixed CPU-bound
+                # calibration probe, sampled at start and end of the run.
+                # Compare rounds on value/calibration ratios, not raw walls.
+                "load": {
+                    "loadavg_start": round(load_start, 2),
+                    "loadavg_end": round(os.getloadavg()[0], 2),
+                    "calibration_sec_start": calib_start,
+                    "calibration_sec_end": _calibration_sec(spark),
+                },
             }
         )
     )
