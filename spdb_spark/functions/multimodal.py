@@ -93,8 +93,9 @@ MEDIA_BUILD_SCHEMA = StructType(
 def synthetic_media_payloads(df: DataFrame, id_col: str) -> DataFrame:
     """Deterministic mixed-codec IMAGE payloads for the decode gate and
     bench: a 16x16 constant-gray image (v = id % 256) encoded as PNG
-    (id % 4 == 0), baseline JPEG (== 1), progressive SOF2 JPEG (== 2) at
-    quality 95, or GIF (== 3). All four decode PIXEL-EXACT — PNG/GIF are
+    (id % 5 == 0), baseline JPEG (== 1), progressive SOF2 JPEG (== 2) at
+    quality 95, GIF (== 3), or lossless WebP VP8L with subtract-green +
+    LZ77 runs (== 4). All five decode PIXEL-EXACT — PNG/GIF/VP8L are
     lossless and a flat block is lossless through the DC-only JPEG path
     (Q_DC = 2 divides 8*(v-128); test-pinned) — so the downstream band
     features have the closed form v/255 that an external SQL oracle can
@@ -102,6 +103,7 @@ def synthetic_media_payloads(df: DataFrame, id_col: str) -> DataFrame:
     construction is the same per-partition kernel shape as real ingest."""
     from spdb_spark.functions.gif import gif_encode
     from spdb_spark.functions.jpeg import jpeg_encode
+    from spdb_spark.functions.webp import vp8l_encode
     from spdb_spark.operators.render import png_encode
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -110,15 +112,19 @@ def synthetic_media_payloads(df: DataFrame, id_col: str) -> DataFrame:
             for mid in pdf["media_id"]:
                 mid = int(mid)
                 img = np.full((16, 16), mid % 256, np.uint8)
-                sel = mid % 4
+                sel = mid % 5
                 if sel == 0:
                     blob = png_encode(img)
                 elif sel == 1:
                     blob = jpeg_encode(img, quality=95)
                 elif sel == 2:
                     blob = jpeg_encode(img, quality=95, progressive=True)
-                else:
+                elif sel == 3:
                     blob = gif_encode(img)
+                else:
+                    blob = vp8l_encode(
+                        img, subtract_green=True, lz77_runs=True
+                    )
                 out.append((mid, blob))
             yield pd.DataFrame(out, columns=["media_id", "payload"])
 
@@ -191,6 +197,18 @@ def decode_features_status(
         from spdb_spark.functions.flac import flac_frame_features
 
         return flac_frame_features(payload, n_frames, dim), "ok"
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WEBP":
+        from spdb_spark.functions.webp import webp_decode
+
+        try:
+            return (
+                _image_frame_features(webp_decode(payload), n_frames, dim),
+                "ok",
+            )
+        except PixelBudgetError:
+            raise
+        except ValueError:  # lossy VP8 / animation: honest stub
+            return _fake_decode(payload, n_frames, dim), "stub"
     if payload[:4] == b"RIFF" and payload[8:12] == b"AVI ":
         from spdb_spark.functions.video import video_frame_features
 

@@ -87,8 +87,8 @@ def phash64(img: np.ndarray) -> int:
 
 def decode_image_any(payload: bytes) -> np.ndarray:
     """Decode ANY in-repo image codec by magic (PNG/JPEG/GIF/BMP/TIFF/
-    PNM/QOI/farbfeld/ICO, TGA by its 2.0 footer) -> pixel array.
-    ValueError for non-image/undecodable payloads."""
+    PNM/QOI/farbfeld/ICO/WebP-lossless, TGA by its 2.0 footer) -> pixel
+    array. ValueError for non-image/undecodable payloads."""
     if payload[:8] == b"\x89PNG\r\n\x1a\n":
         from spdb_spark.operators.render import png_decode
 
@@ -121,6 +121,10 @@ def decode_image_any(payload: bytes) -> np.ndarray:
         from spdb_spark.functions.farbfeld import farbfeld_decode
 
         return farbfeld_decode(payload)
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WEBP":
+        from spdb_spark.functions.webp import webp_decode
+
+        return webp_decode(payload)
     if payload[:4] == b"\x00\x00\x01\x00":
         from spdb_spark.functions.ico import ico_decode
 

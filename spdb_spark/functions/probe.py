@@ -600,8 +600,9 @@ def _probe_webp(p: bytes) -> dict:
     """WebP dims from the public chunk layouts — VP8X canvas (24-bit
     minus-one fields), VP8L (14-bit minus-one pairs after the 0x2F
     signature byte), lossy VP8 (sync 9D 01 2A then 14-bit LE dims).
-    Pixel decode stays stubbed (VP8 entropy tables are out of reach);
-    the metadata is real so resolution pruning covers WebP too."""
+    Lossless (VP8L) pixels decode for real via functions/webp.py; lossy
+    VP8 pixels stay stubbed (the arithmetic coder is out of scope) —
+    the metadata is real either way so resolution pruning covers WebP."""
     out = {**_EMPTY, "codec": "webp", "n_frames": 1}
     pos, end = 12, min(8 + struct.unpack_from("<I", p, 4)[0], len(p))
     while pos + 8 <= end:

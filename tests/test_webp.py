@@ -1,0 +1,150 @@
+"""WebP VP8L codec (functions/webp.py): pixel-exact round-trips through
+every spec mechanism (transforms, color cache, LZ77 with both distance
+stylings, simple/normal prefix codes, pixel bundling), container
+dispatch, honest-stub behavior for lossy VP8, budget guard, and
+corruption fuzz."""
+
+import numpy as np
+import pytest
+
+from spdb_spark.functions.limits import PixelBudgetError
+from spdb_spark.functions.webp import (
+    BitWriter,
+    vp8l_decode,
+    vp8l_encode,
+    webp_decode,
+)
+
+
+def _rgba(img: np.ndarray) -> np.ndarray:
+    """Expected decode: RGB for fully-opaque inputs (qoi convention),
+    RGBA when any alpha < 255."""
+    if img.ndim == 2:
+        img = np.stack([img] * 3, axis=-1)
+    if img.shape[-1] == 4 and (img[..., 3] == 255).all():
+        img = img[..., :3]
+    return img
+
+
+def _roundtrip(img, **kw):
+    out = webp_decode(vp8l_encode(img, **kw))
+    assert np.array_equal(out, _rgba(np.asarray(img))), kw
+
+
+RNG = np.random.default_rng(1234)
+NOISE = RNG.integers(0, 256, (13, 17, 3), dtype=np.uint8)
+RUNS = np.repeat(RNG.integers(0, 256, (9, 4, 3), dtype=np.uint8), 7, axis=1)
+
+
+@pytest.mark.parametrize(
+    "kw",
+    [
+        {},
+        {"subtract_green": True},
+        {"cache_bits": 4},
+        {"color_elem": (40, 200, 17)},
+        {"subtract_green": True, "cache_bits": 6},
+    ],
+)
+def test_roundtrip_options(kw):
+    _roundtrip(NOISE, **kw)
+
+
+@pytest.mark.parametrize("mode", list(range(14)))
+def test_roundtrip_every_predictor_mode(mode):
+    _roundtrip(NOISE, predictor=mode)
+
+
+@pytest.mark.parametrize("style", ["map", "raw"])
+def test_roundtrip_lz77(style):
+    # runs exercise length/distance prefix-coded values; "map" goes
+    # through the 120-entry neighborhood table, "raw" through plain
+    # distances (code 120+d)
+    _roundtrip(RUNS, lz77_runs=True, dist_style=style)
+    _roundtrip(RUNS, lz77_runs=True, dist_style=style, cache_bits=5)
+
+
+@pytest.mark.parametrize("n_colors,width_bits", [(2, 3), (4, 2), (16, 1), (200, 0)])
+def test_roundtrip_palette_bundling(n_colors, width_bits):
+    # color-indexing transform incl. sub-byte pixel bundling for small
+    # palettes (8/4/2 indices per green byte)
+    vals = np.linspace(0, 255, n_colors).astype(np.uint8)
+    img = vals[RNG.integers(0, n_colors, (11, 29))]
+    _roundtrip(img, palette=True)
+
+
+def test_roundtrip_rgba_and_edge_sizes():
+    _roundtrip(RNG.integers(0, 256, (6, 6, 4), dtype=np.uint8))
+    _roundtrip(np.array([[[9, 8, 7]]], dtype=np.uint8))  # 1x1
+    _roundtrip(RNG.integers(0, 256, (1, 64, 3), dtype=np.uint8))  # single row
+    _roundtrip(RNG.integers(0, 256, (64, 1, 3), dtype=np.uint8))  # single col
+
+
+def test_long_runs_split_at_max_length():
+    # > 4096 identical pixels force multiple copy ops
+    img = np.full((70, 70, 3), 123, np.uint8)
+    _roundtrip(img, lz77_runs=True)
+
+
+def test_lossy_vp8_raises_and_stubs():
+    import struct
+
+    sync = b"\x00\x00\x00" + b"\x9d\x01\x2a" + struct.pack("<HH", 16, 16)
+    chunk = b"VP8 " + struct.pack("<I", len(sync)) + sync
+    payload = b"RIFF" + struct.pack("<I", 4 + len(chunk)) + b"WEBP" + chunk
+    with pytest.raises(ValueError):
+        webp_decode(payload)
+    from spdb_spark.functions.multimodal import decode_features_status
+
+    feats, status = decode_features_status(payload, 2, 4)
+    assert status == "stub" and feats.shape == (2, 4)
+
+
+def test_webp_feature_dispatch_is_real():
+    from spdb_spark.functions.multimodal import decode_features_status
+
+    img = np.full((16, 16), 200, np.uint8)
+    payload = vp8l_encode(img, subtract_green=True, lz77_runs=True)
+    feats, status = decode_features_status(payload, 2, 4)
+    assert status == "ok"
+    assert np.allclose(feats, 200 / 255)
+
+
+def test_phash_dispatch():
+    from spdb_spark.functions.phash import decode_image_any
+
+    img = RNG.integers(0, 256, (8, 8, 3), dtype=np.uint8)
+    out = decode_image_any(vp8l_encode(img))
+    assert np.array_equal(out, _rgba(img))
+
+
+def test_pixel_budget_guard():
+    bw = BitWriter()
+    bw.write(0x2F, 8)
+    bw.write(16383, 14)  # width 16384
+    bw.write(16383, 14)  # height 16384
+    bw.write(0, 1)
+    bw.write(0, 3)
+    data = bw.getvalue() + b"\x00" * 8
+    with pytest.raises(PixelBudgetError):
+        vp8l_decode(data)
+
+
+def test_corruption_never_hangs_or_crashes():
+    # bit flips and truncations must raise ValueError (or decode to
+    # SOME image), never crash with other exceptions
+    base = bytearray(vp8l_encode(NOISE, subtract_green=True, cache_bits=4))
+    rng = np.random.default_rng(7)
+    for _ in range(80):
+        buf = bytearray(base)
+        pos = int(rng.integers(20, len(buf)))  # keep RIFF header intact
+        buf[pos] ^= 1 << int(rng.integers(0, 8))
+        try:
+            webp_decode(bytes(buf))
+        except ValueError:
+            pass
+    for cut in (21, len(base) // 2, len(base) - 3):
+        try:
+            webp_decode(bytes(base[:cut]))
+        except ValueError:
+            pass
