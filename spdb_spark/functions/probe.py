@@ -613,8 +613,17 @@ def _probe_webp(p: bytes) -> dict:
             out["codec"] = "webp/vp8x"
             out["width"] = 1 + int.from_bytes(body[4:7], "little")
             out["height"] = 1 + int.from_bytes(body[7:10], "little")
-            if body[0] & 0x02:  # animation flag
-                out["n_frames"] = None  # count lives in ANMF chunks
+            if body[0] & 0x02:  # animation: count ANMF chunks, still
+                # header-only (frame payloads are skipped, not parsed)
+                n = 0
+                apos = pos + 8 + size + (size & 1)
+                while apos + 8 <= end:
+                    acid = p[apos : apos + 4]
+                    asize = struct.unpack_from("<I", p, apos + 4)[0]
+                    if acid == b"ANMF":
+                        n += 1
+                    apos += 8 + asize + (asize & 1)
+                out["n_frames"] = n if n else None
             return out
         if cid == b"VP8L" and len(body) >= 5 and body[0] == 0x2F:
             bits = int.from_bytes(body[1:5], "little")

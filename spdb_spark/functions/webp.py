@@ -804,13 +804,15 @@ def vp8l_encode(
     cache_bits: int = 0,
     lz77_runs: bool = False,
     dist_style: str = "map",
+    meta_split: bool = False,
 ) -> bytes:
     """(h, w[, 3|4]) uint8 -> a complete .webp file with a REAL VP8L
     stream. Options exercise each spec mechanism: one uniform transform
     (subtract-green / predictor mode / color-transform element /
-    palette with pixel bundling), an optional color cache, and optional
+    palette with pixel bundling), an optional color cache, optional
     run-length LZ77 via the distance map ("map": neighborhood code) or
-    plain distances ("raw": code 120+d)."""
+    plain distances ("raw": code 120+d), and meta prefix codes
+    (meta_split: two code groups selected through an entropy image)."""
     a = np.asarray(img)
     if a.ndim == 2:
         a = np.stack([a, a, a], axis=-1)
@@ -934,10 +936,58 @@ def vp8l_encode(
         bw.write(cache_bits, 4)
     else:
         bw.write(0, 1)
-    bw.write(0, 1)  # no meta prefix codes
-
-    _encode_lz77_body(bw, argb, cache_bits, lz77_runs, dist_style)
+    if meta_split:
+        if cache_bits or lz77_runs:
+            raise ValueError(
+                "vp8l encode: meta_split supports literal-only bodies"
+            )
+        _encode_meta_split_body(bw, argb, cur_w, h)
+    else:
+        bw.write(0, 1)  # no meta prefix codes
+        _encode_lz77_body(bw, argb, cache_bits, lz77_runs, dist_style)
     return _riff_wrap(bw.getvalue())
+
+
+def _encode_meta_split_body(
+    bw: BitWriter, argb: np.ndarray, width: int, height: int
+) -> None:
+    """Meta prefix codes: the image's left and right tile halves use two
+    DIFFERENT prefix-code groups, selected through an entropy image —
+    the decoder's per-pixel group lookup is the mechanism under test."""
+    hbits = 2  # 4-px tiles
+    bw.write(1, 1)  # meta prefix codes present
+    bw.write(hbits - 2, 3)
+    ew = _div_round_up(width, 1 << hbits)
+    eh = _div_round_up(height, 1 << hbits)
+    split = max(1, ew // 2)
+    ent = np.zeros(ew * eh, np.uint32)
+    for ty in range(eh):
+        for tx in range(ew):
+            group = 1 if tx >= split else 0
+            # meta index = (red << 8) | green -> green carries the id
+            ent[ty * ew + tx] = 0xFF000000 | (group << 8)
+    _encode_entropy_image(bw, ent)
+
+    def group_of(i: int) -> int:
+        return 1 if ((i % width) >> hbits) >= split else 0
+
+    encs = [_GroupEncoder(0), _GroupEncoder(0)]
+    for i in range(len(argb)):
+        px = int(argb[i])
+        enc = encs[group_of(i)]
+        enc._tally(0, (px >> 8) & 0xFF)
+        enc._tally(1, (px >> 16) & 0xFF)
+        enc._tally(2, px & 0xFF)
+        enc._tally(3, (px >> 24) & 0xFF)
+    for enc in encs:
+        enc.finalize(bw)
+    for i in range(len(argb)):
+        px = int(argb[i])
+        enc = encs[group_of(i)]
+        enc.emit(bw, 0, (px >> 8) & 0xFF)
+        enc.emit(bw, 1, (px >> 16) & 0xFF)
+        enc.emit(bw, 2, px & 0xFF)
+        enc.emit(bw, 3, (px >> 24) & 0xFF)
 
 
 def _sub_pixels(a: int, b: int) -> int:

@@ -32,6 +32,7 @@ def crawl_to_corpus(
     quality: bool = True,
     near_dedup: bool = True,
     minhash_threshold: float = 0.8,
+    n_docs: int | None = None,
     select_target: DataFrame | None = None,
     select_k: int | None = None,
     select_buckets: int = 10_000,
@@ -43,6 +44,12 @@ def crawl_to_corpus(
     pieces; defaults are the full treatment. Near-dedup keeps the
     smallest doc_id of each duplicate pair's cluster side (the same
     keep-first policy the gated dedup queries verify).
+
+    `n_docs` is an optional upper-bound hint on the corpus size (a
+    manifest count / catalog statistic the caller usually has) passed
+    to the minhash verify-mode policy: below the broadcast budget the
+    exact-jaccard stage uses the broadcast set-array form; with no hint
+    it stays on the scale-safe shuffle form.
 
     Passing `select_target` (a documents DataFrame exemplifying the
     desired distribution) AND `select_k` appends DSIR importance
@@ -75,7 +82,7 @@ def crawl_to_corpus(
         from spdb_spark.functions.dedup import minhash_lsh_dedup
 
         pairs = minhash_lsh_dedup(
-            docs, "doc_id", "text", threshold=minhash_threshold
+            docs, "doc_id", "text", threshold=minhash_threshold, n_docs=n_docs
         )
         losers = pairs.select(
             F.greatest("id_a", "id_b").alias("doc_id")

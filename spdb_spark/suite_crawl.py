@@ -109,11 +109,20 @@ def _crawl_warc_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_crawl_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full crawl_to_corpus composition (sources/crawl.py) over the
     synthetic WARC fixture. lang is excluded from the gate columns (the
-    language heuristic is gated separately by llm_text_normalize)."""
+    language heuristic is gated separately by llm_text_normalize). The
+    corpus-size hint (parquet footer count x the fixture's <=3 response
+    records per doc) routes the minhash verify stage to the broadcast
+    form at gate scale — output identical to the shuffle form by
+    construction (policy-tested in the dedup suite)."""
     from spdb_spark.sources.crawl import crawl_to_corpus
+    from spdb_spark.suite_llm import _docs_rowcount
 
     warc = _crawl_warc_fixture(spark, sf_dir)
-    out = crawl_to_corpus(warc, minhash_threshold=_NEARDUP_THRESHOLD)
+    out = crawl_to_corpus(
+        warc,
+        minhash_threshold=_NEARDUP_THRESHOLD,
+        n_docs=3 * _docs_rowcount(sf_dir),
+    )
     return out.select("doc_id", "text", "source", "n_chars")
 
 

@@ -342,7 +342,8 @@ def test_avi_topdown_dib_not_flipped():
 
 def test_webp_probe_all_three_chunk_forms():
     """WebP dims from hand-assembled VP8X / VP8L / lossy-VP8 chunks per
-    the public bit layouts; decode for all three stays the labeled stub."""
+    the public bit layouts; VP8L pixels decode for real (test_webp.py),
+    VP8X/lossy stay metadata-only."""
     def riff(chunk):
         body = b"WEBP" + chunk
         return b"RIFF" + struct.pack("<I", len(body)) + body
@@ -424,3 +425,21 @@ def test_avif_heif_probe():
     # plain mp4 brands still take the movie path
     mp4 = box(b"ftyp", b"isom" + b"\x00\x00\x00\x00")
     assert probe_payload(mp4)[0] == "mp4"
+
+
+def test_webp_probe_animated_frame_count():
+    """Animated VP8X: n_frames = ANMF chunk count, still header-only
+    (frame payloads are skipped, never parsed)."""
+    def chunk(cid, body):
+        return cid + struct.pack("<I", len(body)) + body + (
+            b"\x00" if len(body) & 1 else b""
+        )
+
+    vp8x = chunk(b"VP8X", bytes([0x02, 0, 0, 0])
+                 + (639).to_bytes(3, "little") + (359).to_bytes(3, "little"))
+    frames = b"".join(chunk(b"ANMF", b"\x00" * 16) for _ in range(3))
+    body = b"WEBP" + vp8x + frames
+    payload = b"RIFF" + struct.pack("<I", len(body)) + body
+    _, f = probe_payload(payload)
+    assert f["codec"] == "webp/vp8x"
+    assert f["n_frames"] == 3

@@ -148,3 +148,19 @@ def test_corruption_never_hangs_or_crashes():
             webp_decode(bytes(base[:cut]))
         except ValueError:
             pass
+
+
+def test_meta_prefix_codes_roundtrip():
+    # two prefix-code groups selected per tile through the entropy
+    # image; halves use disjoint value ranges so the groups' code
+    # tables genuinely differ
+    rng = np.random.default_rng(5)
+    img = np.concatenate(
+        [
+            rng.integers(0, 60, (12, 10, 3), dtype=np.uint8),
+            rng.integers(180, 256, (12, 11, 3), dtype=np.uint8),
+        ],
+        axis=1,
+    )
+    _roundtrip(img, meta_split=True)
+    _roundtrip(img, meta_split=True, subtract_green=True)
