@@ -56,6 +56,53 @@ DEFAULT_SUFFIX_RULES: tuple[str, ...] = (
 # deeper candidates; 8 covers the list with slack.
 MAX_RULE_LABELS = 8
 
+# A faithful, pinned excerpt of the published public_suffix_list.dat
+# (format: publicsuffix.org/list/) used by loader tests and the
+# driver gate: license-header comments, ICANN/PRIVATE section markers,
+# exact rules, wildcards, exceptions, and a Unicode IDN rule.
+# Deployments load the full published file through load_suffix_rules.
+PSL_SNAPSHOT = """\
+// This Source Code Form is subject to the terms of the Mozilla Public
+// License, v. 2.0. If a copy of the MPL was not distributed with this
+// file, You can obtain one at https://mozilla.org/MPL/2.0/.
+
+// ===BEGIN ICANN DOMAINS===
+
+// ac : https://en.wikipedia.org/wiki/.ac
+ac
+com.ac
+
+// ck : https://en.wikipedia.org/wiki/.ck
+*.ck
+!www.ck
+
+// jp : https://en.wikipedia.org/wiki/.jp
+jp
+co.jp
+*.kawasaki.jp
+!city.kawasaki.jp
+
+// uk : https://en.wikipedia.org/wiki/.uk
+uk
+co.uk
+
+com
+
+// xn--fiqs8s ("China", Simplified) : CN
+中国
+
+// ===END ICANN DOMAINS===
+// ===BEGIN PRIVATE DOMAINS===
+
+// GitHub, Inc.
+github.io
+
+// Amazon S3 : https://aws.amazon.com/s3/
+s3.amazonaws.com
+
+// ===END PRIVATE DOMAINS===
+"""
+
 _SECTION_BEGIN_PRIVATE = "===BEGIN PRIVATE DOMAINS==="
 _SECTION_END_PRIVATE = "===END PRIVATE DOMAINS==="
 

@@ -274,7 +274,164 @@ FROM documents
 """
 
 
+# ---------------------------------------------------------------------------
+# Registered-domain extraction through the FULL public-suffix-list
+# loader (functions/domains.py parse_public_suffix_list over the pinned
+# PSL_SNAPSHOT excerpt): the fixture hosts hit the loader-only rule
+# classes — a PRIVATE-section registry suffix (github.io), a real-TLD
+# wildcard (*.kawasaki.jp) and its exception (!city.kawasaki.jp), a
+# Unicode IDN rule, and a multi-label exact rule (com.ac).
+# ---------------------------------------------------------------------------
+
+
+def _psl_loader_host_col() -> "F.Column":
+    k = (F.col("doc_id") % 13).cast("string")
+    m = F.col("doc_id") % 6
+    return (
+        F.when(m == 0, F.concat(F.lit("a.site"), k, F.lit(".github.io")))
+        .when(m == 1, F.concat(F.lit("x.net"), k, F.lit(".kawasaki.jp")))
+        .when(m == 2, F.lit("sub.city.kawasaki.jp"))
+        .when(m == 3, F.concat(F.lit("site"), k, F.lit(".中国")))
+        .when(m == 4, F.concat(F.lit("www.site"), k, F.lit(".co.uk")))
+        .otherwise(F.concat(F.lit("cdn.site"), k, F.lit(".com.ac")))
+    )
+
+
+def q_registered_domain_psl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spdb_spark.functions.domains import (
+        PSL_SNAPSHOT,
+        host_registered_domains,
+        load_suffix_rules,
+    )
+
+    rules = load_suffix_rules(spark, PSL_SNAPSHOT)
+    d = _docs(spark, sf_dir).select(
+        "doc_id", _psl_loader_host_col().alias("host")
+    )
+    mapping = host_registered_domains(
+        d.select("host").distinct(), rules=rules
+    )
+    return d.join(F.broadcast(mapping), "host").select(
+        "doc_id", "host", "public_suffix", "domain"
+    )
+
+
+def _sql_registered_domain_psl() -> str:
+    from spdb_spark.functions.domains import (
+        PSL_SNAPSHOT,
+        parse_public_suffix_list,
+        registered_domain_sql,
+    )
+
+    host = (
+        "CASE doc_id % 6 "
+        "WHEN 0 THEN 'a.site' || (doc_id % 13)::VARCHAR || '.github.io' "
+        "WHEN 1 THEN 'x.net' || (doc_id % 13)::VARCHAR || '.kawasaki.jp' "
+        "WHEN 2 THEN 'sub.city.kawasaki.jp' "
+        "WHEN 3 THEN 'site' || (doc_id % 13)::VARCHAR || '.中国' "
+        "WHEN 4 THEN 'www.site' || (doc_id % 13)::VARCHAR || '.co.uk' "
+        "ELSE 'cdn.site' || (doc_id % 13)::VARCHAR || '.com.ac' END"
+    )
+    rd = registered_domain_sql(
+        "(SELECT DISTINCT host FROM d)",
+        rules=parse_public_suffix_list(PSL_SNAPSHOT),
+    )
+    return f"""
+WITH d AS (SELECT doc_id, {host} AS host FROM documents),
+rd AS (SELECT * FROM {rd})
+SELECT d.doc_id, d.host, rd.public_suffix, rd.domain
+FROM d JOIN rd USING (host)
+"""
+
+
+SQL_REGISTERED_DOMAIN_PSL = _sql_registered_domain_psl()
+
+
+# ---------------------------------------------------------------------------
+# WARC media extraction (sources/warc.warc_media) driven end-to-end:
+# synthetic crawl responses carrying REAL image payloads (PNG / GIF /
+# lossless WebP, dims derived from doc_id) under a LYING Content-Type
+# header — the kernel must sniff magic bytes and emit probe metadata.
+# The media_id is content-addressed (md5 over encoder bytes) so the
+# gate compares the metadata columns, which have closed forms.
+# ---------------------------------------------------------------------------
+
+
+def q_warc_media_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    from spdb_spark.sources.warc import WARC_SCHEMA, warc_media
+
+    docs = _docs(spark, sf_dir).select("doc_id")
+
+    def kernel(batches):
+        import numpy as np
+
+        from spdb_spark.functions.gif import gif_encode
+        from spdb_spark.functions.webp import vp8l_encode
+        from spdb_spark.operators.render import png_encode
+
+        cols = [f.name for f in WARC_SCHEMA.fields]
+        for pdf in batches:
+            out = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                img = np.full(
+                    (8 + did % 5, 8 + did % 7), did % 256, np.uint8
+                )
+                sel = did % 3
+                blob = (
+                    png_encode(img)
+                    if sel == 0
+                    else gif_encode(img)
+                    if sel == 1
+                    else vp8l_encode(img, lz77_runs=True)
+                )
+                payload = (
+                    b"HTTP/1.1 200 OK\r\nContent-Type: text/plain\r\n\r\n"
+                    + blob
+                )
+                out.append(
+                    (
+                        "mem://fixture",
+                        did,
+                        "response",
+                        None,
+                        f"http://img.example/d{did}",
+                        None,
+                        "text/plain",
+                        payload,
+                        len(payload),
+                    )
+                )
+            yield pd.DataFrame(out, columns=cols)
+
+    warc = docs.mapInPandas(kernel, WARC_SCHEMA)
+    media = warc_media(warc)
+    return media.select(
+        "source", "container", "codec", "width", "height", "n_frames"
+    )
+
+
+SQL_WARC_MEDIA_PROBE = """
+SELECT 'http://img.example/d' || doc_id AS source,
+       CASE doc_id % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'gif'
+            ELSE 'webp' END AS container,
+       CASE doc_id % 3 WHEN 0 THEN 'png/gray8' WHEN 1 THEN 'gif'
+            ELSE 'webp/lossless' END AS codec,
+       (8 + doc_id % 7)::INT AS width,
+       (8 + doc_id % 5)::INT AS height,
+       CAST(1 AS BIGINT) AS n_frames
+FROM documents
+"""
+
+
 STAGED_R9: dict = {
     "llm_crawl_corpus": (q_crawl_corpus, SQL_CRAWL_CORPUS),
     "llm_zipshard_ingest": (q_zipshard_ingest, SQL_ZIPSHARD_INGEST),
+    "llm_registered_domain_psl": (
+        q_registered_domain_psl,
+        SQL_REGISTERED_DOMAIN_PSL,
+    ),
+    "llm_warc_media_probe": (q_warc_media_probe, SQL_WARC_MEDIA_PROBE),
 }

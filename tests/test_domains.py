@@ -105,52 +105,7 @@ def test_full_rule_table_pluggable(spark):
     assert got == {"proj.pages.dev": "proj.pages.dev", "pages.dev": None}
 
 
-# A faithful excerpt of the published public_suffix_list.dat format:
-# license header comments, ICANN/PRIVATE section markers, exact rules,
-# wildcards, exceptions, IDN (Unicode) rules, and trailing commentary
-# after whitespace on a rule line (the format reads up to the first
-# whitespace).
-PSL_SNAPSHOT = """\
-// This Source Code Form is subject to the terms of the Mozilla Public
-// License, v. 2.0. If a copy of the MPL was not distributed with this
-// file, You can obtain one at https://mozilla.org/MPL/2.0/.
-
-// ===BEGIN ICANN DOMAINS===
-
-// ac : https://en.wikipedia.org/wiki/.ac
-ac
-com.ac
-
-// ck : https://en.wikipedia.org/wiki/.ck
-*.ck
-!www.ck
-
-// jp : https://en.wikipedia.org/wiki/.jp
-jp
-co.jp
-*.kawasaki.jp
-!city.kawasaki.jp
-
-// uk : https://en.wikipedia.org/wiki/.uk
-uk
-co.uk
-
-com
-
-// xn--fiqs8s ("China", Simplified) : CN
-中国
-
-// ===END ICANN DOMAINS===
-// ===BEGIN PRIVATE DOMAINS===
-
-// GitHub, Inc.
-github.io
-
-// Amazon S3 : https://aws.amazon.com/s3/
-s3.amazonaws.com
-
-// ===END PRIVATE DOMAINS===
-"""
+from spdb_spark.functions.domains import PSL_SNAPSHOT  # noqa: E402
 
 
 def test_psl_loader_parses_published_format():
