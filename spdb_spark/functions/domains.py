@@ -257,6 +257,62 @@ def host_registered_domains(
     )
 
 
+def registered_domain_expr(
+    host, rules: tuple[str, ...] = DEFAULT_SUFFIX_RULES
+) -> F.Column:
+    """Registered domain as a PURE Column expression — zero exchanges,
+    zero state: the rule table becomes a literal map in the plan and
+    the prevailing-rule fold runs as array ops inside the projection.
+
+    This is the STREAMING-SAFE form (with_registered_domain's
+    distinct-host + groupBy path is stateful on a stream) and a
+    zero-shuffle batch option. Trade-off: the rule map is inlined into
+    the plan, so it fits moderate rule sets (snapshots, per-deployment
+    allowlists — up to a few thousand rules); the full ~10k-rule
+    published list belongs on the broadcast-join path
+    (with_registered_domain), or per-micro-batch via foreachBatch.
+
+    Rule-map encoding: normal rule of L labels -> +L, exception rule ->
+    -L; both the exact and '*.parent' wildcard spellings are map keys,
+    a candidate probes both, exceptions prevail at (their level - 1),
+    else the longest normal match, else the implicit '*' rule."""
+    kv: list[F.Column] = []
+    for r in rules:
+        exc = r.startswith("!")
+        body = (r[1:] if exc else r).lower()
+        level = body.count(".") + 1
+        kv += [F.lit(body), F.lit(-level if exc else level)]
+    rule_map = F.create_map(*kv)
+
+    h = host if isinstance(host, F.Column) else F.col(host)
+    labels = _labels(h)
+    n = F.size(labels)
+    vals = F.flatten(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(F.least(n, F.lit(MAX_RULE_LABELS)), F.lit(1))),
+            lambda i: F.array(
+                F.try_element_at(
+                    rule_map, F.array_join(F.slice(labels, n - i + 1, i), ".")
+                ),
+                F.try_element_at(
+                    rule_map,
+                    F.concat(
+                        F.lit("*."),
+                        F.array_join(F.slice(labels, n - i + 2, i - 1), "."),
+                    ),
+                ),
+            ),
+        )
+    )
+    exc_level = -F.array_min(F.filter(vals, lambda v: v < 0))
+    norm_level = F.array_max(F.filter(vals, lambda v: v > 0))
+    p = F.coalesce(exc_level - 1, norm_level, F.lit(1))
+    return F.when(
+        (F.length(_norm_host(h)) > 0) & (n > p),
+        F.array_join(F.slice(labels, n - p, p + 1), "."),
+    )
+
+
 def with_registered_domain(
     docs: DataFrame,
     host_col: str = "host",

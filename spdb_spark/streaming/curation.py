@@ -66,3 +66,40 @@ def mixture_monitor(
             "tokens",
         )
     )
+
+
+def curate_crawl_stream(
+    df: DataFrame,
+    text_col: str = "text",
+    url_col: str = "source",
+    suffix_rules: tuple[str, ...] | None = None,
+) -> DataFrame:
+    """Stateless crawl-curation columns for an unbounded document
+    stream: the published C4 line/page verdict, the Gopher hard-rule
+    verdict, and the registered domain (eTLD+1) — each a pure Column
+    projection, so the stage adds ZERO streaming state and works
+    identically on batch and streaming frames.
+
+    The registered domain uses `domains.registered_domain_expr` (rule
+    table inlined as a literal map): the batch path's distinct-host +
+    broadcast map (`with_registered_domain`) is a stateful aggregation
+    on a stream. Full published-PSL deployments should attach domains
+    per micro-batch via foreachBatch(with_registered_domain) instead —
+    this inline form fits snapshot/allowlist-sized rule tables."""
+    from spdb_spark.functions.c4 import c4_filter
+    from spdb_spark.functions.domains import (
+        DEFAULT_SUFFIX_RULES,
+        registered_domain_expr,
+    )
+    from spdb_spark.functions.quality import gopher_filter
+    from spdb_spark.functions.url import url_host
+
+    c = F.col(text_col)
+    host = url_host(F.col(url_col))
+    rules = suffix_rules if suffix_rules is not None else DEFAULT_SUFFIX_RULES
+    return df.select(
+        "*",
+        c4_filter(c).alias("c4_keep"),
+        gopher_filter(c).alias("gopher_keep"),
+        registered_domain_expr(host, rules).alias("domain"),
+    )

@@ -152,3 +152,49 @@ def test_psl_loader_drives_the_extractor(spark):
     hosts2 = spark.createDataFrame([("a.foo.github.io",)], "host string")
     r = host_registered_domains(hosts2, rules=icann).collect()[0]
     assert (r["public_suffix"], r["domain"]) == ("io", "github.io")
+
+
+def test_expression_form_matches_join_form(spark):
+    """registered_domain_expr (stateless literal-map form) must agree
+    with host_registered_domains (distinct+broadcast join form) on
+    every rule class, for both the default rules and the PSL snapshot
+    loader rules — two independent implementations of the published
+    algorithm pinned against each other."""
+    from spdb_spark.functions.domains import (
+        host_registered_domains,
+        load_suffix_rules,
+        parse_public_suffix_list,
+        registered_domain_expr,
+    )
+
+    hosts = list(CASES) + [
+        "a.foo.github.io", "x.net.kawasaki.jp", "sub.city.kawasaki.jp",
+        "example.中国", "cdn.x.com.ac", "foo.github.io.",
+    ]
+    df = spark.createDataFrame([(h,) for h in hosts], "host string")
+
+    expr_default = {
+        r["host"]: r["d"]
+        for r in df.select(
+            "host", registered_domain_expr("host").alias("d")
+        ).collect()
+    }
+    join_default = {
+        r["host"]: r["domain"] for r in host_registered_domains(df).collect()
+    }
+    assert expr_default == join_default
+
+    rules = parse_public_suffix_list(PSL_SNAPSHOT)
+    expr_psl = {
+        r["host"]: r["d"]
+        for r in df.select(
+            "host", registered_domain_expr("host", rules).alias("d")
+        ).collect()
+    }
+    join_psl = {
+        r["host"]: r["domain"]
+        for r in host_registered_domains(
+            df, rules=load_suffix_rules(spark, PSL_SNAPSHOT)
+        ).collect()
+    }
+    assert expr_psl == join_psl

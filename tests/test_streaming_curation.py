@@ -71,3 +71,43 @@ def test_quality_stream_stateless_parity(spark, tmp_path):
         for r in spark.sql("SELECT * FROM q_out").collect()
     }
     assert streamed == batch
+
+
+def test_curate_crawl_stream_stateless_parity(spark, tmp_path):
+    """C4 + Gopher + eTLD+1 on a stream: pure projections, identical to
+    batch row-for-row, zero state (no aggregation in the plan)."""
+    from spdb_spark.streaming.curation import curate_crawl_stream
+
+    src = tmp_path / "docs_c"
+    src.mkdir()
+    rows = [
+        (i, f"http://sub{i % 4}.site{i % 3}.co.uk/p{i}",
+         ("We agreed to publish the full report today. " * (1 + i % 3))
+         + ("Short bit" if i % 5 == 0 else "Every line ends cleanly."))
+        for i in range(60)
+    ]
+    schema = "doc_id long, source string, text string"
+    df = spark.createDataFrame(rows, schema)
+    df.coalesce(1).write.parquet(str(src / "p1"))
+
+    batch = {
+        r.doc_id: (r.c4_keep, r.gopher_keep, r.domain)
+        for r in curate_crawl_stream(df).collect()
+    }
+    assert any(v[2] == "site0.co.uk" for v in batch.values())
+
+    stream = spark.readStream.schema(df.schema).parquet(str(src / "*"))
+    out = curate_crawl_stream(stream)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("crawl_curate_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    streamed = {
+        r.doc_id: (r.c4_keep, r.gopher_keep, r.domain)
+        for r in spark.sql("SELECT * FROM crawl_curate_out").collect()
+    }
+    assert streamed == batch
