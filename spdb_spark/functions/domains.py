@@ -328,6 +328,33 @@ def with_registered_domain(
     return docs.join(F.broadcast(mapping), host_col, "left")
 
 
+def domain_blocklist_filter(
+    docs: DataFrame,
+    blocked: tuple[str, ...],
+    host_col: str = "host",
+    rules: DataFrame | None = None,
+    keep_domain: bool = False,
+) -> DataFrame:
+    """Drop documents whose REGISTERED domain is on a blocklist — the
+    standard crawl-curation step (UT1-style category blocklists in the
+    public web-corpus recipes). Matching at eTLD+1 is the point:
+    blocking `badsite.co.uk` removes `a.b.badsite.co.uk` too, which
+    naive host matching misses, while `notbadsite.co.uk` survives.
+
+    Scale shape: the corpus is never shuffled — the domain map comes
+    from the distinct-host broadcast path (with_registered_domain) and
+    the blocklist filter is a plain predicate on the attached column
+    (an IN over the blocklist values), so the whole step rides the scan
+    stage plus the one distinct-hosts exchange."""
+    out = with_registered_domain(docs, host_col, rules, out_col="__rd")
+    kept = out.where(
+        F.col("__rd").isNull() | ~F.col("__rd").isin(*[b.lower() for b in blocked])
+    )
+    if keep_domain:
+        return kept.withColumnRenamed("__rd", "domain")
+    return kept.drop("__rd")
+
+
 # ---------------------------------------------------------------------------
 # DuckDB twin: the same algorithm over a VALUES rule table. `hosts_cte`
 # must be the name of a CTE/table with a `host` column (lowercased by

@@ -426,6 +426,66 @@ FROM documents
 """
 
 
+# ---------------------------------------------------------------------------
+# Domain blocklist filtering at eTLD+1 (functions/domains.py
+# domain_blocklist_filter): blocking a registered domain must remove its
+# subdomain spellings (a.site3.github.io) while sibling domains survive.
+# ---------------------------------------------------------------------------
+
+_BLOCKLIST = ("site3.github.io", "city.kawasaki.jp", "site5.co.uk")
+
+
+def q_domain_blocklist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spdb_spark.functions.domains import (
+        PSL_SNAPSHOT,
+        domain_blocklist_filter,
+        load_suffix_rules,
+    )
+
+    d = _docs(spark, sf_dir).select(
+        "doc_id", _psl_loader_host_col().alias("host")
+    )
+    return domain_blocklist_filter(
+        d,
+        _BLOCKLIST,
+        rules=load_suffix_rules(spark, PSL_SNAPSHOT),
+        keep_domain=True,
+    ).select("doc_id", "host", "domain")
+
+
+def _sql_domain_blocklist() -> str:
+    from spdb_spark.functions.domains import (
+        PSL_SNAPSHOT,
+        parse_public_suffix_list,
+        registered_domain_sql,
+    )
+
+    host = (
+        "CASE doc_id % 6 "
+        "WHEN 0 THEN 'a.site' || (doc_id % 13)::VARCHAR || '.github.io' "
+        "WHEN 1 THEN 'x.net' || (doc_id % 13)::VARCHAR || '.kawasaki.jp' "
+        "WHEN 2 THEN 'sub.city.kawasaki.jp' "
+        "WHEN 3 THEN 'site' || (doc_id % 13)::VARCHAR || '.中国' "
+        "WHEN 4 THEN 'www.site' || (doc_id % 13)::VARCHAR || '.co.uk' "
+        "ELSE 'cdn.site' || (doc_id % 13)::VARCHAR || '.com.ac' END"
+    )
+    rd = registered_domain_sql(
+        "(SELECT DISTINCT host FROM d)",
+        rules=parse_public_suffix_list(PSL_SNAPSHOT),
+    )
+    blocked = ", ".join(f"'{b}'" for b in _BLOCKLIST)
+    return f"""
+WITH d AS (SELECT doc_id, {host} AS host FROM documents),
+rd AS (SELECT * FROM {rd})
+SELECT d.doc_id, d.host, rd.domain
+FROM d JOIN rd USING (host)
+WHERE rd.domain IS NULL OR rd.domain NOT IN ({blocked})
+"""
+
+
+SQL_DOMAIN_BLOCKLIST = _sql_domain_blocklist()
+
+
 STAGED_R9: dict = {
     "llm_crawl_corpus": (q_crawl_corpus, SQL_CRAWL_CORPUS),
     "llm_zipshard_ingest": (q_zipshard_ingest, SQL_ZIPSHARD_INGEST),
@@ -434,4 +494,5 @@ STAGED_R9: dict = {
         SQL_REGISTERED_DOMAIN_PSL,
     ),
     "llm_warc_media_probe": (q_warc_media_probe, SQL_WARC_MEDIA_PROBE),
+    "llm_domain_blocklist": (q_domain_blocklist, SQL_DOMAIN_BLOCKLIST),
 }

@@ -198,3 +198,21 @@ def test_expression_form_matches_join_form(spark):
         ).collect()
     }
     assert expr_psl == join_psl
+
+
+def test_domain_blocklist_blocks_at_etld_plus_one(spark):
+    from spdb_spark.functions.domains import domain_blocklist_filter
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a.b.badsite.co.uk"),   # subdomain of a blocked domain
+            (2, "badsite.co.uk"),        # the blocked domain itself
+            (3, "notbadsite.co.uk"),     # sibling: must survive
+            (4, "badsite.com"),          # different eTLD+1: survives
+            (5, ""),                     # no domain: survives
+        ],
+        "doc_id long, host string",
+    )
+    kept = domain_blocklist_filter(docs, ("badsite.co.uk",))
+    assert sorted(r["doc_id"] for r in kept.collect()) == [3, 4, 5]
+    assert sorted(kept.columns) == ["doc_id", "host"]  # helper col dropped
