@@ -447,3 +447,35 @@ def test_multimodal_probe_gate_plan(spark):
     plan = plan_of(q_multimodal_probe(spark, "/root/testdata/sf0.001"))
     assert plan.count("MapInPandas") == 2
     assert "Exchange" not in plan
+
+
+def test_crawl_suite_plan_shapes(spark):
+    """The r9 crawl gates keep the posture rules: no row-at-a-time UDFs,
+    no cartesian products; the crawl composition broadcasts its bounded
+    sides, and the zip round-trip is exactly two Arrow stages (build
+    kernel + member parse)."""
+    from spdb_spark.suite_crawl import (
+        q_crawl_corpus,
+        q_domain_blocklist,
+        q_warc_media_probe,
+        q_zipshard_ingest,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    for fn in (q_crawl_corpus, q_domain_blocklist, q_warc_media_probe):
+        plan = plan_of(fn(spark, sf))
+        assert "BatchEvalPython" not in plan, fn.__name__
+        assert "CartesianProduct" not in plan, fn.__name__
+
+    zplan = plan_of(q_zipshard_ingest(spark, sf))
+    assert "BatchEvalPython" not in zplan
+    assert zplan.count("FlatMapGroupsInPandas") == 1  # zip build kernel
+    assert zplan.count("MapInPandas") == 1  # member parse kernel
+
+    # blocklist: corpus side never exchanged on doc keys — every hash
+    # exchange belongs to the distinct-host subtree
+    import re
+
+    bplan = plan_of(q_domain_blocklist(spark, sf))
+    for m in re.finditer(r"Exchange hashpartitioning\(([^)]*)\)", bplan):
+        assert "doc_id" not in m.group(1), bplan
