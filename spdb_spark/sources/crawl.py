@@ -33,6 +33,7 @@ def crawl_to_corpus(
     near_dedup: bool = True,
     minhash_threshold: float = 0.8,
     n_docs: int | None = None,
+    materialize: bool = True,
     select_target: DataFrame | None = None,
     select_k: int | None = None,
     select_buckets: int = 10_000,
@@ -51,6 +52,18 @@ def crawl_to_corpus(
     exact-jaccard stage uses the broadcast set-array form; with no hint
     it stays on the scale-safe shuffle form.
 
+    `materialize` (default True) checkpoints the extracted+filtered
+    corpus before the dedup stages (session.truncate_lineage: reliable
+    checkpoint when a checkpoint dir is set, executor-local otherwise).
+    The dedup tail consumes the corpus several times (exact-dup groupBy
+    + semi join, minhash signatures, verify sets, final anti-join);
+    without materialization every consumer re-runs the WARC parse +
+    HTML extraction + quality regexes — measured 4x the whole pipeline
+    wall at sf0.1. This is exactly what production crawl jobs do: the
+    extraction stage writes the corpus once, dedup reads it. Pass False
+    to keep the pure-lineage form (e.g. when the caller materializes
+    itself).
+
     Passing `select_target` (a documents DataFrame exemplifying the
     desired distribution) AND `select_k` appends DSIR importance
     resampling (functions/dsir.py) after dedup: fit target/raw hashed
@@ -65,6 +78,10 @@ def crawl_to_corpus(
     )
     if quality:
         docs = docs.where(gopher_filter(F.col("text")))
+    if materialize:
+        from spdb_spark.session import truncate_lineage
+
+        docs = truncate_lineage(docs)
     # Exact dedup keeps the MIN doc_id per content group (the same
     # canonical-id policy as exact_dup_groups / SQL_DEDUP_EXACT).
     # dropDuplicates(["text"]) would keep an arbitrary row per group —

@@ -42,16 +42,24 @@ from spdb_spark.suite_llm import _bands_sql, _minhash_pivot_sql
 from spdb_spark.suite_staging import _CHROME_POST, _CHROME_PRE, _sql_quote
 
 _HDR = "HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n"
-# Stopword-bearing prose chrome: contributes the Gopher stop-hit floor
-# (to/the/of/have/with) and ~20 words, so the quality stage keeps a page
-# iff the underlying doc clears the remaining word-count gap.
-_PROSE_PRE = "We agreed to publish the summary of this page today. "
-_PROSE_POST = " Crawlers have indexed it with the care of a librarian."
-_SUF_SHORT = " the mirror copy adds this one small sentence here."
+# Stopword-bearing prose chrome, with a PER-DOC salt token ({S} ->
+# 'd<doc_id>') woven in every two words. The salt serves two purposes:
+# the plain words contribute the Gopher stop-hit floor (to/the/of/have/
+# with) and a word-count gap the quality stage discriminates on, while
+# the weaving guarantees no 3-shingle of the chrome is shared between
+# UNRELATED documents — constant chrome would make every doc pair an
+# LSH candidate (measured: ~1M candidate verifications at sf0.1, 67 s;
+# the exact cross-doc-boilerplate blowup main-content extraction exists
+# to prevent). A doc's own records share its salt, so base-vs-copy
+# similarity is unaffected.
+_PROSE_PRE = "we agreed {S} to publish {S} the summary {S} of this {S} page today {S} "
+_PROSE_POST = " crawlers {S} have indexed {S} it with {S} the care {S} of a {S} librarian"
+_SUF_SHORT = " the mirror {S} copy adds {S} this one {S} small sentence {S} here"
 _SUF_LONG = (
-    " this divergent copy appends a much longer run of extra prose so the"
-    " shingle overlap with the original page falls well below the verify"
-    " threshold and the document survives as an independent entry."
+    " this divergent {S} copy appends {S} a much {S} longer run {S} of"
+    " extra {S} prose so {S} the shingle {S} overlap with {S} the"
+    " original {S} page falls {S} well below {S} the verify {S}"
+    " threshold and {S} the document {S} survives independently"
 )
 _NEARDUP_THRESHOLD = 0.8
 
@@ -75,12 +83,17 @@ def _crawl_warc_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     mirror_uri = F.concat(F.lit("http://mirror.example/d"), n)
     copy_uri = F.concat(F.lit("http://copy.example/d"), n)
 
+    salt = F.concat(F.lit("d"), n)
+
+    def woven(template: str) -> F.Column:
+        return F.replace(F.lit(template), F.lit("{S}"), salt)
+
     def pay(suffix: str) -> F.Column:
-        return F.concat(
-            F.lit(_HDR + _CHROME_PRE + _PROSE_PRE),
-            F.col("text"),
-            F.lit(suffix + _PROSE_POST + _CHROME_POST),
-        )
+        parts = [F.lit(_HDR + _CHROME_PRE), woven(_PROSE_PRE), F.col("text")]
+        if suffix:
+            parts.append(woven(suffix))
+        parts += [woven(_PROSE_POST), F.lit(_CHROME_POST)]
+        return F.concat(*parts)
 
     rec = lambda t, uri, p: F.struct(  # noqa: E731
         F.lit(t).alias("warc_type"), uri.alias("target_uri"), p.alias("ptext")
@@ -127,10 +140,13 @@ def q_crawl_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _sql_crawl_corpus() -> str:
-    hdr_pre = _sql_quote(_HDR + _CHROME_PRE + _PROSE_PRE)
-    tail = _sql_quote(_PROSE_POST + _CHROME_POST)
-    tail_s = _sql_quote(_SUF_SHORT + _PROSE_POST + _CHROME_POST)
-    tail_l = _sql_quote(_SUF_LONG + _PROSE_POST + _CHROME_POST)
+    def woven(template: str) -> str:
+        return f"replace({_sql_quote(template)}, '{{S}}', 'd' || doc_id)"
+
+    hdr_pre = f"{_sql_quote(_HDR + _CHROME_PRE)} || {woven(_PROSE_PRE)}"
+    tail = f"{woven(_PROSE_POST)} || {_sql_quote(_CHROME_POST)}"
+    tail_s = f"{woven(_SUF_SHORT)} || {tail}"
+    tail_l = f"{woven(_SUF_LONG)} || {tail}"
     boundary = "chr(13)||chr(10)||chr(13)||chr(10)"
     body = (
         "(CASE WHEN strpos(pay, {b}) > 0"
