@@ -71,6 +71,13 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _crawl_warc_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Synthetic WARC record rows (warc_type, target_uri, payload) built
     from documents — the structure the module docstring describes."""
+    return warc_records_from_docs(_docs(spark, sf_dir))
+
+
+def warc_records_from_docs(docs: DataFrame) -> DataFrame:
+    """The fixture generator over an arbitrary (doc_id, text) frame —
+    shared by the gate (fixture = the documents table) and the scale
+    stress (tools/stress_crawl.py: replicated corpus)."""
     d = F.col("doc_id")
     k = (d % 23).cast("string")
     n = d.cast("string")
@@ -109,8 +116,7 @@ def _crawl_warc_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return (
-        _docs(spark, sf_dir)
-        .select(F.explode(recs).alias("r"))
+        docs.select(F.explode(recs).alias("r"))
         .select(
             F.col("r.warc_type").alias("warc_type"),
             F.col("r.target_uri").alias("target_uri"),
