@@ -508,6 +508,74 @@ WHERE rd.domain IS NULL OR rd.domain NOT IN ({blocked})
 SQL_DOMAIN_BLOCKLIST = _sql_domain_blocklist()
 
 
+# ---------------------------------------------------------------------------
+# fastText-style quality classifier (functions/classifier.py): one-pass
+# NB log-odds training on deterministic labels (doc_id % 10 < 3 plays
+# the "reference-like" class), mean-pooled linear inference. The oracle
+# replays hashed features, Laplace log-odds, and the per-doc mean.
+# ---------------------------------------------------------------------------
+
+_CLF_BUCKETS = 512
+
+
+def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spdb_spark.functions.classifier import (
+        linear_text_classifier,
+        nb_classifier_weights,
+    )
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    pos = docs.where(F.col("doc_id") % 10 < 3)
+    neg = docs.where(F.col("doc_id") % 10 >= 3)
+    w = nb_classifier_weights(pos, neg, n_buckets=_CLF_BUCKETS)
+    out = linear_text_classifier(docs, w, n_buckets=_CLF_BUCKETS)
+    return out.select(
+        "doc_id",
+        "n_grams",
+        (F.floor(F.col("score") * 1000000) / 1000000).alias("score"),
+    )
+
+
+def _sql_quality_classifier() -> str:
+    from spdb_spark.functions.hashing import md5_long_sql
+
+    toks = "regexp_split_to_array(lower(trim(text)), '\\s+')"
+    nb = _CLF_BUCKETS
+    return f"""
+WITH t AS (SELECT doc_id, {toks} AS t FROM documents),
+g AS (
+  SELECT doc_id, unnest(t) AS gram FROM t
+  UNION ALL
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(t)),
+                i -> concat_ws(' ', t[i], t[i+1]))) AS gram
+  FROM t WHERE len(t) >= 2
+),
+b AS (SELECT doc_id, ({md5_long_sql('gram')} % {nb}) AS bucket FROM g),
+cneg AS (SELECT bucket, COUNT(*) AS c_n FROM b WHERE doc_id % 10 >= 3
+         GROUP BY bucket),
+cpos AS (SELECT bucket, COUNT(*) AS c_p FROM b WHERE doc_id % 10 < 3
+         GROUP BY bucket),
+tot AS (SELECT (SELECT COUNT(*) FROM b WHERE doc_id % 10 >= 3) AS t_n,
+               (SELECT COUNT(*) FROM b WHERE doc_id % 10 < 3) AS t_p),
+w AS (
+  SELECT COALESCE(cneg.bucket, cpos.bucket) AS bucket,
+         ln((COALESCE(c_p, 0) + 1.0) / (t_p + {nb}.0))
+         - ln((COALESCE(c_n, 0) + 1.0) / (t_n + {nb}.0)) AS weight
+  FROM cneg FULL OUTER JOIN cpos ON cneg.bucket = cpos.bucket
+  CROSS JOIN tot
+)
+SELECT b.doc_id,
+       COUNT(*)::BIGINT AS n_grams,
+       FLOOR((SUM(COALESCE(w.weight, 0)) / COUNT(*)) * 1000000) / 1000000
+         AS score
+FROM b LEFT JOIN w USING (bucket) GROUP BY b.doc_id
+"""
+
+
+SQL_QUALITY_CLASSIFIER = _sql_quality_classifier()
+
+
 STAGED_R9: dict = {
     "llm_crawl_corpus": (q_crawl_corpus, SQL_CRAWL_CORPUS),
     "llm_zipshard_ingest": (q_zipshard_ingest, SQL_ZIPSHARD_INGEST),
@@ -517,4 +585,5 @@ STAGED_R9: dict = {
     ),
     "llm_warc_media_probe": (q_warc_media_probe, SQL_WARC_MEDIA_PROBE),
     "llm_domain_blocklist": (q_domain_blocklist, SQL_DOMAIN_BLOCKLIST),
+    "llm_quality_classifier": (q_quality_classifier, SQL_QUALITY_CLASSIFIER),
 }
