@@ -75,3 +75,56 @@ def test_inference_plan_shape(spark):
 
     for m in re.finditer(r"SortMergeJoin \[([^\]]*)\]", plan):
         assert "doc_id" not in m.group(1), plan
+
+
+def test_stream_scoring_matches_batch(spark, tmp_path):
+    """Frozen-LUT streaming scorer == batch scorer, exactly, on a real
+    file-source stream (the streaming/dsir.py protocol applied to the
+    classifier's left-join/mean semantics)."""
+    from spdb_spark.functions.classifier import (
+        linear_text_classifier,
+        nb_classifier_weights,
+    )
+    from spdb_spark.streaming.classifier import (
+        classifier_lut,
+        classifier_score_stream,
+    )
+
+    docs = _corpus(spark)
+    w = nb_classifier_weights(
+        docs.where(F.col("doc_id") % 2 == 0),
+        docs.where(F.col("doc_id") % 2 == 1),
+        n_buckets=512,
+    )
+    batch = {
+        r["doc_id"]: (r["n_grams"], r["score"], r["prob"])
+        for r in linear_text_classifier(docs, w, n_buckets=512).collect()
+    }
+
+    src = tmp_path / "docs_clf"
+    src.mkdir()
+    docs.coalesce(1).write.parquet(str(src / "p1"))
+    lut = classifier_lut(w, 512)
+    stream = spark.readStream.schema(docs.schema).parquet(str(src / "*"))
+    q = (
+        classifier_score_stream(stream, lut, 512)
+        .writeStream.format("memory")
+        .queryName("clf_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    streamed = {
+        r["doc_id"]: (r["n_grams"], r["score"], r["prob"])
+        for r in spark.sql(
+            "SELECT * FROM clf_out WHERE n_grams > 0"
+        ).collect()
+    }
+    assert set(streamed) == set(batch)
+    for k in batch:
+        # n_grams and score are EXACT; prob goes through exp(), where
+        # Python libm and the JVM differ in the last ulp
+        assert streamed[k][0] == batch[k][0]
+        assert streamed[k][1] == batch[k][1]
+        assert abs(streamed[k][2] - batch[k][2]) <= 1e-12
