@@ -1,0 +1,154 @@
+"""Exact duplicate-SPAN removal: substring-level deduplication in the
+style of Lee et al. 2022 ("Deduplicating Training Data Makes Language
+Models Better", ExactSubstr — public method). Document- and
+paragraph-level dedup miss long verbatim runs embedded in otherwise
+distinct pages (licenses, boilerplate disclaimers, quoted passages);
+span removal cuts the repeated run itself and keeps the rest of the
+document.
+
+Spark-first shape (the suffix-array of the reference implementation is
+a single-machine structure; the distributed equivalent is hashed token
+windows, the same trade minhash makes against exact all-pairs):
+
+1. slide a token window of `window` tokens, stride `stride`, over every
+   document — one projection + one explode, linear in tokens;
+2. a window is DUPLICATED iff its md5 hash occurs >= `min_count` times
+   corpus-wide (within- and cross-document occurrences both count) —
+   one hash-keyed groupBy + a semi join back, never an all-pairs
+   comparison and never a corpus-sized broadcast;
+3. per document, duplicated window starts merge into spans (equal-width
+   intervals, merged with one in-row array fold), and the kept tokens
+   reassemble — array ops inside the row, no token-level explode of the
+   corpus beyond the window hashing.
+
+POLICY NOTE: every occurrence of a duplicated span is removed,
+including the "first" — stricter than Lee et al.'s keep-one-copy
+repair. Keep-one needs a global occurrence order (a corpus-wide sort);
+pipelines that want one surviving copy run document-level dedup first,
+which this complements. Resolution is `stride` tokens: a duplicated run
+is detected when it covers at least one full window, so runs shorter
+than `window` tokens survive (Lee et al. use 50 BPE tokens; `window`
+plays that role here).
+
+RECALL NOTE: with stride > 1, two occurrences of a run are detected
+only when they contain an ALIGNED window (identical content at window
+starts on each side's stride grid) — occurrences offset by a non-stride
+phase can be missed. stride=1 recovers full exact-substring sensitivity
+at window-per-token cost (the suffix-array equivalent); larger strides
+are the recall-for-cost dial, exactly like LSH banding.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from spdb_spark.functions.hashing import md5_long
+from spdb_spark.functions.text import tokens
+
+
+def _window_structs(toks: Column, window: int, stride: int) -> Column:
+    n = F.size(toks)
+    n_wins = F.when(
+        n >= window, F.floor((n - window) / stride) + 1
+    ).otherwise(F.lit(0)).cast("int")
+    wins = F.transform(
+        F.sequence(F.lit(0), n_wins - 1),
+        lambda j: F.struct(
+            (j * stride).alias("start"),
+            md5_long(
+                F.array_join(F.slice(toks, j * stride + 1, window), " ")
+            ).alias("h"),
+        ),
+    )
+    # sequence(0, -1) DESCENDS ([0, -1]) — a doc shorter than the window
+    # must yield zero windows, not two bogus ones
+    return F.when(n_wins > 0, wins).otherwise(
+        F.array().cast("array<struct<start:int,h:bigint>>")
+    )
+
+
+def duplicate_windows(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window: int = 20,
+    stride: int = 10,
+    min_count: int = 2,
+) -> DataFrame:
+    """(id, start, h) for every window whose hash occurs >= min_count
+    times corpus-wide."""
+    toks = docs.select(F.col(id_col), tokens(F.col(text_col)).alias("_t"))
+    wins = toks.select(
+        id_col, F.explode(_window_structs(F.col("_t"), window, stride)).alias("w")
+    ).select(id_col, F.col("w.start").alias("start"), F.col("w.h").alias("h"))
+    dup_h = (
+        wins.groupBy("h")
+        .agg(F.count("*").alias("c"))
+        .where(F.col("c") >= min_count)
+        .select("h")
+    )
+    return wins.join(dup_h, "h", "left_semi")
+
+
+def remove_duplicate_spans(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window: int = 20,
+    stride: int = 10,
+    min_count: int = 2,
+) -> DataFrame:
+    """docs -> (id, clean_text, n_tokens, n_removed): duplicated spans
+    cut from every document (empty clean_text when the whole doc was
+    duplicated runs)."""
+    dups = duplicate_windows(docs, id_col, text_col, window, stride, min_count)
+    starts = dups.groupBy(id_col).agg(
+        F.sort_array(F.collect_list("start")).alias("_starts")
+    )
+    toks = docs.select(F.col(id_col), tokens(F.col(text_col)).alias("_t"))
+    j = toks.join(starts, id_col, "left")
+    t = F.col("_t")
+    n = F.size(t)
+    # merge equal-width intervals [s, s+window) over the sorted starts:
+    # extend the last span when the next start overlaps it, else append
+    spans = F.aggregate(
+        F.coalesce(F.col("_starts"), F.array().cast("array<int>")),
+        F.array().cast("array<struct<s:int,e:int>>"),
+        lambda acc, s: F.when(
+            (F.size(acc) > 0) & (s <= F.element_at(acc, -1)["e"]),
+            F.concat(
+                F.slice(acc, 1, F.size(acc) - 1),
+                F.array(
+                    F.struct(
+                        F.element_at(acc, -1)["s"].alias("s"),
+                        F.greatest(
+                            F.element_at(acc, -1)["e"], s + window
+                        ).alias("e"),
+                    )
+                ),
+            ),
+        ).otherwise(
+            F.concat(
+                acc,
+                F.array(
+                    F.struct(s.alias("s"), (s + window).alias("e"))
+                ),
+            )
+        ),
+    )
+    kept = F.filter(
+        F.sequence(F.lit(0), n - 1),
+        lambda i: ~F.exists(
+            spans, lambda sp: (i >= sp["s"]) & (i < sp["e"])
+        ),
+    )
+    kept = F.when(n > 0, kept).otherwise(F.array().cast("array<int>"))
+    return j.select(
+        id_col,
+        F.array_join(
+            F.transform(kept, lambda i: F.element_at(t, i + 1)), " "
+        ).alias("clean_text"),
+        n.cast("long").alias("n_tokens"),
+        (n - F.size(kept)).cast("long").alias("n_removed"),
+    )

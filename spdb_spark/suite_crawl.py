@@ -576,6 +576,83 @@ FROM b LEFT JOIN w USING (bucket) GROUP BY b.doc_id
 SQL_QUALITY_CLASSIFIER = _sql_quality_classifier()
 
 
+# ---------------------------------------------------------------------------
+# Duplicate-span removal (functions/spandedup.py, Lee-et-al-style exact
+# substring dedup): docs with doc_id%3==0 carry a shared 18-token tail
+# that must be cut from every carrier while the unique bodies survive;
+# stride=1 gives full exact-substring sensitivity at gate scale.
+# ---------------------------------------------------------------------------
+
+_SPAN_W = 12
+_SPAN_SHARED = (
+    "this exact licensing boilerplate sentence repeats verbatim across"
+    " many crawled pages and must be removed by span deduplication"
+)
+
+
+def q_dup_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spdb_spark.functions.spandedup import remove_duplicate_spans
+
+    d = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(F.col("text"), F.lit(" " + _SPAN_SHARED)),
+        ).otherwise(F.col("text")).alias("text"),
+    )
+    return remove_duplicate_spans(d, window=_SPAN_W, stride=1)
+
+
+def _sql_dup_span_removal() -> str:
+    from spdb_spark.functions.hashing import md5_long_sql
+
+    w = _SPAN_W
+    shared = _sql_quote(" " + _SPAN_SHARED)
+    return f"""
+WITH d AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 3 = 0 THEN text || {shared} ELSE text END AS text
+  FROM documents
+),
+t AS MATERIALIZED (
+  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS t FROM d
+),
+w AS MATERIALIZED (
+  SELECT doc_id, i - 1 AS start,
+         {md5_long_sql(f"array_to_string(t[i:i+{w - 1}], ' ')")} AS h
+  FROM t, unnest(range(1, len(t) - {w} + 2)) AS u(i)
+  WHERE len(t) >= {w}
+),
+dh AS (SELECT h FROM w GROUP BY h HAVING COUNT(*) >= 2),
+dw AS MATERIALIZED (SELECT w.* FROM w JOIN dh USING (h)),
+tok AS MATERIALIZED (
+  SELECT doc_id, i - 1 AS idx, t[i] AS tok
+  FROM t, unnest(range(1, len(t) + 1)) AS u(i)
+),
+kept AS (
+  SELECT k.doc_id, k.idx, k.tok FROM tok k
+  WHERE NOT EXISTS (
+    SELECT 1 FROM dw
+    WHERE dw.doc_id = k.doc_id
+      AND k.idx >= dw.start AND k.idx < dw.start + {w}
+  )
+),
+agg AS (
+  SELECT doc_id, string_agg(tok, ' ' ORDER BY idx) AS clean_text,
+         COUNT(*) AS n_kept
+  FROM kept GROUP BY doc_id
+)
+SELECT t.doc_id,
+       COALESCE(agg.clean_text, '') AS clean_text,
+       len(t.t)::BIGINT AS n_tokens,
+       (len(t.t) - COALESCE(agg.n_kept, 0))::BIGINT AS n_removed
+FROM t LEFT JOIN agg USING (doc_id)
+"""
+
+
+SQL_DUP_SPAN_REMOVAL = _sql_dup_span_removal()
+
+
 STAGED_R9: dict = {
     "llm_crawl_corpus": (q_crawl_corpus, SQL_CRAWL_CORPUS),
     "llm_zipshard_ingest": (q_zipshard_ingest, SQL_ZIPSHARD_INGEST),
@@ -586,4 +663,5 @@ STAGED_R9: dict = {
     "llm_warc_media_probe": (q_warc_media_probe, SQL_WARC_MEDIA_PROBE),
     "llm_domain_blocklist": (q_domain_blocklist, SQL_DOMAIN_BLOCKLIST),
     "llm_quality_classifier": (q_quality_classifier, SQL_QUALITY_CLASSIFIER),
+    "llm_dup_span_removal": (q_dup_span_removal, SQL_DUP_SPAN_REMOVAL),
 }

@@ -1,0 +1,80 @@
+"""Duplicate-span removal (functions/spandedup.py): cross- and
+within-document span cuts, short-run survival, stride-recall trade,
+and the no-token-explode plan shape."""
+
+from pyspark.sql import functions as F
+
+from spdb_spark.functions.spandedup import (
+    duplicate_windows,
+    remove_duplicate_spans,
+)
+
+SHARED = " ".join(f"shared{i}" for i in range(25))
+
+
+def _docs(spark):
+    rows = [
+        (1, "alpha one " + " ".join(f"u1w{i}" for i in range(30))),
+        (2, " ".join(f"u2w{i}" for i in range(10)) + " " + SHARED),
+        (3, SHARED + " " + " ".join(f"u3w{i}" for i in range(12))),
+        (4, " ".join(f"u4w{i}" for i in range(8))),  # short: untouched
+        (5, SHARED + " middle marker words here " + SHARED),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_cross_doc_spans_removed_uniques_survive(spark):
+    out = {
+        r["doc_id"]: (r["clean_text"], r["n_removed"])
+        for r in remove_duplicate_spans(
+            _docs(spark), window=20, stride=5
+        ).collect()
+    }
+    assert out[1][1] == 0 and out[4][1] == 0  # unique docs untouched
+    assert "shared0" not in out[2][0] and "u2w0" in out[2][0]
+    assert "shared0" not in out[3][0] and "u3w0" in out[3][0]
+    assert out[2][1] == 25 and out[3][1] == 25  # exactly the shared run
+
+
+def test_stride_one_catches_unaligned_within_doc_dup(spark):
+    # with stride 5 the second within-doc occurrence sits off-grid and
+    # survives; stride 1 (full exact-substring sensitivity) removes both
+    docs = _docs(spark)
+    coarse = {
+        r["doc_id"]: r["clean_text"]
+        for r in remove_duplicate_spans(docs, window=20, stride=5).collect()
+    }
+    assert "shared1" in coarse[5]  # off-grid occurrence missed
+    fine = {
+        r["doc_id"]: (r["clean_text"], r["n_removed"])
+        for r in remove_duplicate_spans(docs, window=20, stride=1).collect()
+    }
+    assert "shared1" not in fine[5]
+    assert "marker" in fine[5][0]  # unique middle survives
+    assert fine[5][1] == 50  # both 25-token occurrences cut
+
+
+def test_whole_doc_duplicated_yields_empty(spark):
+    docs = spark.createDataFrame(
+        [(1, SHARED), (2, SHARED)], "doc_id long, text string"
+    )
+    out = {
+        r["doc_id"]: r["clean_text"]
+        for r in remove_duplicate_spans(docs, window=20, stride=1).collect()
+    }
+    assert out == {1: "", 2: ""}
+
+
+def test_duplicate_windows_counts_and_plan(spark):
+    docs = _docs(spark)
+    dups = duplicate_windows(docs, window=20, stride=1)
+    assert dups.where(F.col("doc_id") == 1).count() == 0
+    plan = (
+        remove_duplicate_spans(docs, window=20, stride=5)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BatchEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    # the dup-hash filter is a semi join keyed on the window hash; the
+    # corpus is never broadcast
+    assert "LeftSemi" in plan
