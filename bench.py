@@ -66,6 +66,8 @@ EXTRA = [
     "llm_multimodal_probe",  # r6: header-only prune-before-decode kernel
     "llm_crawl_corpus",  # r9: crawl_to_corpus end-to-end composition
     "llm_zipshard_ingest",  # r9: zip shard encode/parse round-trip
+    "llm_quality_classifier",  # r9: fastText-style NB train + inference
+    "llm_dup_span_removal",  # r9: exact substring-level dedup
 ]
 
 
