@@ -529,3 +529,54 @@ def test_fingerprint_kernels_rowsify_corrupt_payloads(spark):
             assert r["status"] == "ok" or r["status"] == "stub" or r[
                 "status"
             ].startswith("error"), (kernel.__name__, r["status"])
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    dims,
+    dims,
+    st.sampled_from(
+        [
+            {},
+            {"subtract_green": True},
+            {"cache_bits": 4},
+            {"lz77_runs": True},
+            {"subtract_green": True, "cache_bits": 5, "lz77_runs": True},
+            {"predictor": 7},
+            {"palette": True},
+        ]
+    ),
+    st.integers(0, 2**32 - 1),
+)
+def test_webp_vp8l_roundtrip(h, w, kw, seed):
+    from spdb_spark.functions.webp import vp8l_encode, webp_decode
+
+    rng = np.random.default_rng(seed)
+    if kw.get("palette"):
+        vals = np.array([0, 90, 200, 255], np.uint8)
+        img = vals[rng.integers(0, 4, (h, w))]
+        img = np.stack([img, img // 2, 255 - img], axis=-1)
+    else:
+        img = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+    out = webp_decode(vp8l_encode(img, **kw))
+    assert np.array_equal(out, img)
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.integers(0, 2**32 - 1), st.integers(0, 10_000))
+def test_webp_bitflip_never_crashes(seed, flip_pos):
+    """A corrupted VP8L stream must raise ValueError or decode to SOME
+    array — never hang, never raise anything else (the kernel error-row
+    contract)."""
+    from spdb_spark.functions.limits import PixelBudgetError
+    from spdb_spark.functions.webp import vp8l_encode, webp_decode
+
+    rng = np.random.default_rng(seed)
+    img = rng.integers(0, 256, (11, 13, 3), dtype=np.uint8)
+    buf = bytearray(vp8l_encode(img, subtract_green=True, cache_bits=4))
+    pos = 12 + flip_pos % (len(buf) - 12)  # keep the RIFF magic intact
+    buf[pos] ^= 1 << (seed % 8)
+    try:
+        webp_decode(bytes(buf))
+    except (ValueError, PixelBudgetError):
+        pass
