@@ -171,3 +171,45 @@ def test_normalize_text_null_passthrough(spark):
     df = spark.createDataFrame([(1, None)], "id long, s string")
     (row,) = df.select(normalize_text(F.col("s")).alias("n")).collect()
     assert row.n is None
+
+
+def test_span_removal_on_empty_and_trivial_corpus(spark):
+    from spdb_spark.functions.spandedup import remove_duplicate_spans
+
+    out = remove_duplicate_spans(_empty_docs(spark))
+    assert out.count() == 0
+    assert out.columns == ["doc_id", "clean_text", "n_tokens", "n_removed"]
+    one = spark.createDataFrame([(1, "just a few words")], "doc_id long, text string")
+    r = remove_duplicate_spans(one, window=20).collect()[0]
+    assert r["clean_text"] == "just a few words" and r["n_removed"] == 0
+
+
+def test_classifier_on_empty_corpus(spark):
+    from spdb_spark.functions.classifier import (
+        linear_text_classifier,
+        nb_classifier_weights,
+    )
+
+    empty = _empty_docs(spark)
+    w = nb_classifier_weights(empty, empty)
+    assert w.count() == 0
+    out = linear_text_classifier(empty, w)
+    assert out.count() == 0
+    assert out.columns == ["doc_id", "n_grams", "score", "prob"]
+
+
+def test_crawl_to_corpus_on_empty_warc(spark):
+    from spdb_spark.sources.crawl import crawl_to_corpus
+
+    warc = spark.createDataFrame(
+        [], "warc_type string, target_uri string, payload binary"
+    )
+    out = crawl_to_corpus(warc)
+    assert out.count() == 0
+
+
+def test_blocklist_on_empty_corpus(spark):
+    from spdb_spark.functions.domains import domain_blocklist_filter
+
+    docs = spark.createDataFrame([], "doc_id long, host string")
+    assert domain_blocklist_filter(docs, ("x.com",)).count() == 0
