@@ -142,10 +142,11 @@ def parse_warc_bytes(data: bytes) -> list[dict]:
     return records
 
 
-def ingest_warc(spark: SparkSession, path: str) -> DataFrame:
-    """Distributed WARC scan: one binaryFile row per .warc[.gz] file, one
-    Arrow kernel invocation per file, one output row per record. No
-    shuffle — downstream operators decide the partitioning."""
+def warc_records(raw: DataFrame) -> DataFrame:
+    """(path, content) file rows -> one row per WARC record, via one
+    Arrow kernel invocation per file. Stateless: works identically on
+    batch and streaming frames (streaming/crawl.py feeds it a
+    binaryFile readStream)."""
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -167,8 +168,15 @@ def ingest_warc(spark: SparkSession, path: str) -> DataFrame:
                     )
             yield pd.DataFrame(out, columns=[f.name for f in WARC_SCHEMA.fields])
 
-    raw = spark.read.format("binaryFile").load(path).select("path", "content")
-    return raw.mapInPandas(kernel, WARC_SCHEMA)
+    return raw.select("path", "content").mapInPandas(kernel, WARC_SCHEMA)
+
+
+def ingest_warc(spark: SparkSession, path: str) -> DataFrame:
+    """Distributed WARC scan: one binaryFile row per .warc[.gz] file, one
+    Arrow kernel invocation per file, one output row per record. No
+    shuffle — downstream operators decide the partitioning."""
+    raw = spark.read.format("binaryFile").load(path)
+    return warc_records(raw)
 
 
 def http_response_body(payload: F.Column | str) -> F.Column:
@@ -203,7 +211,10 @@ def html_to_text(col: F.Column) -> F.Column:
 
 
 def warc_responses_to_docs(
-    warc: DataFrame, main_content: bool = False, normalize_urls: bool = False
+    warc: DataFrame,
+    main_content: bool = False,
+    normalize_urls: bool = False,
+    dedup: bool = True,
 ) -> DataFrame:
     """The curation entry point: WARC response records -> the documents
     schema (doc_id, text, lang, source, n_chars) every curation operator
@@ -238,24 +249,25 @@ def warc_responses_to_docs(
         text = html_main_text(body)
     else:
         text = html_to_text(body)
-    return (
-        warc.where(F.col("warc_type") == "response")
-        .select(
-            md5_long(
-                F.concat_ws("\x1f", uri, F.md5(F.col("payload")))
-            ).alias("doc_id"),
-            text.alias("text"),
-            uri.alias("source"),
-        )
-        .dropDuplicates(["doc_id"])
-        .where(F.length("text") > 0)
-        .select(
-            "doc_id",
-            "text",
-            lang_id(F.col("text")).alias("lang"),
-            "source",
-            F.length("text").cast("int").alias("n_chars"),
-        )
+    out = warc.where(F.col("warc_type") == "response").select(
+        md5_long(
+            F.concat_ws("\x1f", uri, F.md5(F.col("payload")))
+        ).alias("doc_id"),
+        text.alias("text"),
+        uri.alias("source"),
+    )
+    if dedup:
+        # exact-revisit collapse; STATEFUL on a stream (unbounded
+        # dropDuplicates) — streaming callers pass dedup=False and
+        # route exact dedup through the incremental ledger sinks
+        # (streaming/dedup.py) instead
+        out = out.dropDuplicates(["doc_id"])
+    return out.where(F.length("text") > 0).select(
+        "doc_id",
+        "text",
+        lang_id(F.col("text")).alias("lang"),
+        "source",
+        F.length("text").cast("int").alias("n_chars"),
     )
 
 
