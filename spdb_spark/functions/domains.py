@@ -276,12 +276,23 @@ def registered_domain_expr(
     -L; both the exact and '*.parent' wildcard spellings are map keys,
     a candidate probes both, exceptions prevail at (their level - 1),
     else the longest normal match, else the implicit '*' rule."""
-    kv: list[F.Column] = []
-    for r in rules:
+    # Dedupe before building the map literal: hand-maintained rule sets
+    # easily repeat a rule (e.g. listed in two PSL sections), and Spark's
+    # default mapKeyDedupPolicy=EXCEPTION makes a duplicate map key a
+    # runtime error. When the same body appears as both a normal and an
+    # exception rule, the exception prevails (PSL precedence).
+    rule_vals: dict[str, int] = {}
+    for r in dict.fromkeys(rules):
         exc = r.startswith("!")
         body = (r[1:] if exc else r).lower()
         level = body.count(".") + 1
-        kv += [F.lit(body), F.lit(-level if exc else level)]
+        val = -level if exc else level
+        prev = rule_vals.get(body)
+        if prev is None or val < prev:
+            rule_vals[body] = val
+    kv: list[F.Column] = []
+    for body, val in rule_vals.items():
+        kv += [F.lit(body), F.lit(val)]
     rule_map = F.create_map(*kv)
 
     h = host if isinstance(host, F.Column) else F.col(host)

@@ -198,7 +198,7 @@ def decode_features_status(
 
         return flac_frame_features(payload, n_frames, dim), "ok"
     if payload[:4] == b"RIFF" and payload[8:12] == b"WEBP":
-        from spdb_spark.functions.webp import webp_decode
+        from spdb_spark.functions.webp import UnsupportedWebPError, webp_decode
 
         try:
             return (
@@ -207,8 +207,12 @@ def decode_features_status(
             )
         except PixelBudgetError:
             raise
-        except ValueError:  # lossy VP8 / animation: honest stub
+        except UnsupportedWebPError:  # lossy VP8 / no VP8L chunk: honest stub
             return _fake_decode(payload, n_frames, dim), "stub"
+        except ValueError:
+            # a VP8L stream that FAILED mid-decode: a real corruption
+            # signal, distinct from the intentional stub surface
+            return _fake_decode(payload, n_frames, dim), "error"
     if payload[:4] == b"RIFF" and payload[8:12] == b"AVI ":
         from spdb_spark.functions.video import video_frame_features
 

@@ -132,6 +132,15 @@ class PrefixDecoder:
             self.table: dict[tuple[int, int], int] = {}
             return
         self.single = None
+        # Kraft completeness: a canonical prefix code must be exactly
+        # complete (sum of 2^(maxlen-l) == 2^maxlen). Over-subscribed
+        # length sets would silently overwrite table entries and decode
+        # corrupt payloads to wrong pixels; incomplete sets leave
+        # unreachable codes. libwebp rejects both — so do we.
+        max_len = max(l for l, _ in used)
+        kraft = sum(1 << (max_len - l) for l, _ in used)
+        if kraft != 1 << max_len:
+            raise ValueError("vp8l: incomplete or over-subscribed prefix code")
         self.table = {
             (l, c): s for s, (c, l) in _canonical_codes(lengths).items()
         }
@@ -619,10 +628,18 @@ def _inv_predictor(argb: np.ndarray, h: int, tdata) -> np.ndarray:
 # --------------------------------------------------------------------------
 
 
+class UnsupportedWebPError(ValueError):
+    """Raised for WebP payloads we INTENTIONALLY don't decode (lossy
+    VP8, payloads with no VP8L chunk) — the documented stub surface.
+    Mid-stream VP8L failures stay plain ValueError so consumers can
+    tell a corrupt crawl payload from a deliberate stub."""
+
+
 def webp_decode(payload: bytes) -> np.ndarray:
     """WebP file -> (h, w, 4) RGBA uint8 for lossless (VP8L) payloads,
     including VP8L inside an extended (VP8X) container. Lossy VP8 and
-    animations raise ValueError (honest stub downstream)."""
+    chunk-less payloads raise UnsupportedWebPError (honest stub
+    downstream); corrupt VP8L streams raise plain ValueError."""
     if payload[:4] != b"RIFF" or payload[8:12] != b"WEBP":
         raise ValueError("webp: not a RIFF/WEBP payload")
     pos = 12
@@ -633,9 +650,9 @@ def webp_decode(payload: bytes) -> np.ndarray:
         if cid == b"VP8L":
             return vp8l_decode(body)
         if cid == b"VP8 ":
-            raise ValueError("webp: lossy VP8 decode not supported")
+            raise UnsupportedWebPError("webp: lossy VP8 decode not supported")
         pos += 8 + size + (size & 1)
-    raise ValueError("webp: no VP8L chunk")
+    raise UnsupportedWebPError("webp: no VP8L chunk")
 
 
 def _riff_wrap(vp8l_payload: bytes) -> bytes:
@@ -650,9 +667,13 @@ def _riff_wrap(vp8l_payload: bytes) -> bytes:
 # --------------------------------------------------------------------------
 
 
-def _huffman_lengths(freqs: dict[int, int], alphabet_size: int) -> list[int]:
-    """Code lengths (<= 15) for the used symbols; standard Huffman with
-    frequency halving if the depth limit is exceeded."""
+def _huffman_lengths(
+    freqs: dict[int, int], alphabet_size: int, max_len: int = _MAX_CODE_LEN
+) -> list[int]:
+    """Code lengths (<= max_len) for the used symbols; standard Huffman
+    with frequency halving if the depth limit is exceeded. The
+    code-length code (over the 19 length symbols) uses max_len=7, the
+    spec's 3-bit-length ceiling."""
     import heapq
     import itertools
 
@@ -675,7 +696,7 @@ def _huffman_lengths(freqs: dict[int, int], alphabet_size: int) -> list[int]:
             for s in sa + sb:
                 depth[s] += 1
             heapq.heappush(heap, (fa + fb, next(counter), sa + sb))
-        if max(depth.values()) <= _MAX_CODE_LEN:
+        if max(depth.values()) <= max_len:
             lengths = [0] * alphabet_size
             for s, d in depth.items():
                 lengths[s] = d
@@ -713,9 +734,10 @@ def _write_prefix_code(bw: BitWriter, lengths: list[int]) -> None:
         # the code-length code; add a harmless second entry
         only = next(iter(cl_freq))
         cl_freq[0 if only != 0 else 1] = 1
-    cl_lengths = _huffman_lengths(cl_freq, 19)
-    if max(cl_lengths) > 7:
-        raise ValueError("vp8l encode: code-length code too deep")
+    # the 19 code-length-code lengths are stored in 3 bits each, so the
+    # code over them is capped at depth 7 (same halving retry as the
+    # 15-bit main-code limit)
+    cl_lengths = _huffman_lengths(cl_freq, 19, max_len=7)
     # write all 19 code-length-code lengths (num_code_lengths = 19)
     bw.write(19 - 4, 4)
     for sym in _CODE_LENGTH_ORDER:

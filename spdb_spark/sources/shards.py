@@ -68,24 +68,42 @@ MANIFEST_SCHEMA = StructType(
 _URI_SCHEME_RE = re.compile(r"^[a-zA-Z][a-zA-Z0-9+.-]*://")
 
 
+def _tmp_suffix() -> str:
+    """Collision-proof across hosts AND retries: pid alone repeats
+    across a multi-host cluster (and a speculative re-attempt of the
+    same task shares neither pid nor uuid with the original, so the
+    two attempts never clobber each other's tmp object)."""
+    import socket
+    import uuid
+
+    return f"{socket.gethostname()}-{os.getpid()}-{uuid.uuid4().hex[:12]}"
+
+
 def _atomic_write(path: str, data: bytes) -> None:
     """Write-then-rename so a killed task never leaves a half-written
     shard under a final name. Scheme'd URIs go through pyarrow.fs (the
     executor writes to SHARED storage: object store close() completes
     the upload atomically, HDFS move() is atomic); bare paths use local
-    I/O (valid only on a shared filesystem — module docstring)."""
+    I/O (valid only on a shared filesystem — module docstring).
+
+    Object-store caveat: pyarrow's move() on S3-like stores is
+    copy+delete, so a task killed between copy and delete can orphan a
+    `.tmp-*` object. Orphans never shadow a final shard name (the
+    suffix is host+pid+uuid) — sweep `.tmp-*` keys with a lifecycle
+    rule or a post-run cleanup if the bucket must stay tidy."""
     if _URI_SCHEME_RE.match(path):
         import pyarrow.fs as pafs
 
         fs, p = pafs.FileSystem.from_uri(path)
         d, b = p.rsplit("/", 1) if "/" in p else ("", p)
-        tmp = f"{d}/.tmp-{b}-{os.getpid()}" if d else f".tmp-{b}-{os.getpid()}"
+        t = f".tmp-{b}-{_tmp_suffix()}"
+        tmp = f"{d}/{t}" if d else t
         with fs.open_output_stream(tmp) as f:
             f.write(data)
         fs.move(tmp, p)
         return
     tmp = os.path.join(
-        os.path.dirname(path), f".tmp-{os.path.basename(path)}-{os.getpid()}"
+        os.path.dirname(path), f".tmp-{os.path.basename(path)}-{_tmp_suffix()}"
     )
     with open(tmp, "wb") as f:
         f.write(data)

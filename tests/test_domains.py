@@ -216,3 +216,30 @@ def test_domain_blocklist_blocks_at_etld_plus_one(spark):
     kept = domain_blocklist_filter(docs, ("badsite.co.uk",))
     assert sorted(r["doc_id"] for r in kept.collect()) == [3, 4, 5]
     assert sorted(kept.columns) == ["doc_id", "host"]  # helper col dropped
+
+
+def test_expression_form_tolerates_duplicate_rules(spark):
+    # hand-maintained rule lists easily repeat a rule (e.g. a suffix in
+    # two PSL sections); with mapKeyDedupPolicy=EXCEPTION a duplicate
+    # literal-map key is a runtime error unless we dedupe first
+    from spdb_spark.functions.domains import registered_domain_expr
+
+    docs = spark.createDataFrame(
+        [(1, "www.example.co.uk"), (2, "foo.example.com")],
+        "doc_id long, host string",
+    )
+    dup_rules = ("co.uk", "com", "co.uk", "com", "co.uk")
+    got = {
+        r["doc_id"]: r["d"]
+        for r in docs.select(
+            "doc_id", registered_domain_expr("host", dup_rules).alias("d")
+        ).collect()
+    }
+    assert got == {1: "example.co.uk", 2: "example.com"}
+    # same body as normal AND exception: the exception prevails (PSL)
+    exc_rules = ("*.ck", "!www.ck", "www.ck")
+    got2 = docs.limit(0)  # plan-build alone must not raise
+    got2 = spark.createDataFrame(
+        [(1, "shop.www.ck")], "doc_id long, host string"
+    ).select(registered_domain_expr("host", exc_rules).alias("d")).collect()
+    assert got2[0]["d"] == "www.ck"

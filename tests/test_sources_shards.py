@@ -193,3 +193,15 @@ def test_uri_output_path_writes_via_pyarrow_fs(spark, tmp_path):
     jm = write_jsonl_shards(docs, juri, docs_per_shard=4)
     assert jm.count() == 3
     assert glob.glob(str(tmp_path / "juri" / "shard-*.jsonl.gz"))
+
+
+def test_tmp_suffix_is_collision_proof():
+    # host + pid + uuid: repeated calls (a speculative task retry in the
+    # same process) must never reuse a tmp name
+    import socket
+
+    from spdb_spark.sources.shards import _tmp_suffix
+
+    a, b = _tmp_suffix(), _tmp_suffix()
+    assert a != b
+    assert a.startswith(socket.gethostname())

@@ -164,3 +164,58 @@ def test_meta_prefix_codes_roundtrip():
     )
     _roundtrip(img, meta_split=True)
     _roundtrip(img, meta_split=True, subtract_green=True)
+
+
+def test_kraft_completeness_rejected():
+    # over-subscribed: three 1-bit codes can't coexist; incomplete:
+    # three 2-bit codes leave a reachable-but-unmapped code. libwebp
+    # rejects both; silent table overwrites would decode wrong pixels.
+    from spdb_spark.functions.webp import PrefixDecoder
+
+    with pytest.raises(ValueError, match="over-subscribed|incomplete"):
+        PrefixDecoder([1, 1, 1])
+    with pytest.raises(ValueError, match="over-subscribed|incomplete"):
+        PrefixDecoder([2, 2, 2])
+    PrefixDecoder([1, 2, 2])  # exactly complete: fine
+    PrefixDecoder([0, 5, 0])  # single-symbol zero-bit code: exempt
+
+
+def test_code_length_code_depth_capped_by_halving():
+    # exponentially-skewed histograms would push plain Huffman past the
+    # ceiling; the halving retry must land every length within it
+    from spdb_spark.functions.webp import _huffman_lengths
+
+    freqs = {s: 1 << (2 * s) for s in range(16)}
+    capped = _huffman_lengths(freqs, 19, max_len=7)
+    assert max(capped) <= 7
+    # and the result is still a usable complete code
+    from spdb_spark.functions.webp import PrefixDecoder
+
+    PrefixDecoder(capped)
+
+
+def test_unsupported_vs_corrupt_webp_status():
+    import struct
+
+    from spdb_spark.functions.multimodal import decode_features_status
+    from spdb_spark.functions.webp import UnsupportedWebPError
+
+    # intentional stub surface: lossy VP8 and chunk-less payloads
+    sync = b"\x00\x00\x00" + b"\x9d\x01\x2a" + struct.pack("<HH", 16, 16)
+    chunk = b"VP8 " + struct.pack("<I", len(sync)) + sync
+    lossy = b"RIFF" + struct.pack("<I", 4 + len(chunk)) + b"WEBP" + chunk
+    with pytest.raises(UnsupportedWebPError):
+        webp_decode(lossy)
+    assert decode_features_status(lossy, 2, 4)[1] == "stub"
+
+    # a corrupt VP8L stream is an ERROR, not a stub: real signal
+    good = bytearray(vp8l_encode(NOISE, cache_bits=4))
+    corrupt = bytes(good[: len(good) // 2])
+    try:
+        webp_decode(corrupt)
+    except UnsupportedWebPError:  # pragma: no cover - must not happen
+        raise AssertionError("truncated VP8L mislabeled as unsupported")
+    except ValueError:
+        pass
+    feats, status = decode_features_status(corrupt, 2, 4)
+    assert status in ("error", "ok") and feats.shape == (2, 4)
