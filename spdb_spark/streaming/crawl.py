@@ -10,35 +10,49 @@ sinks. Exactly-once per WARC file comes from the file-source checkpoint
 (the ingest unit of a crawl feed IS the file — Common Crawl ships ~1 GB
 non-splittable .warc.gz segments).
 
-Statefulness policy: everything here is a stateless projection
+Statefulness policy: the ingest functions are stateless projections
 (stream == batch row-for-row, pinned in tests). The batch path's exact
 revisit collapse (dropDuplicates on the content-addressed doc_id) is a
 STATEFUL operator on an unbounded stream, so the streaming docs pass
-`dedup=False` and exact dedup runs through the ledger-backed
-incremental sinks (streaming/dedup.py), the same split every other
-streaming analogue in this repo makes.
+`dedup=False` — StreamingCrawlCorpus (below) carries ALL the stateful
+curation (quality -> exact dedup -> near-dedup) in a ledger-backed
+foreachBatch sink whose `corpus()` reader reproduces the batch
+`crawl_to_corpus` output exactly.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
+from spdb_spark.streaming.ledger import BatchLedgerSink
+
 _BINARYFILE_SCHEMA = (
     "path string, modificationTime timestamp, length long, content binary"
 )
 
 
-def stream_warc_records(spark: SparkSession, warc_dir: str) -> DataFrame:
+def stream_warc_records(
+    spark: SparkSession, warc_dir: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
     """readStream over a crawl-feed directory: one row per WARC record
-    of each newly-arrived file."""
+    of each newly-arrived file.
+
+    Memory shape / backpressure: the binaryFile source materializes ONE
+    ROW PER FILE — a whole .warc.gz segment (Common Crawl ships ~1 GB
+    non-splittable segments) lives in a single row until warc_records'
+    Arrow kernel fans it out, so each in-flight file costs about its
+    size in executor memory, and Arrow caps any single row at 2 GiB
+    (larger segments must be re-chunked upstream). Set
+    `max_files_per_trigger` so (files per trigger) x (segment size)
+    fits the executors comfortably; the default (unset) takes every
+    pending file in one micro-batch, which is only safe for small
+    feeds/tests."""
     from spdb_spark.sources.warc import warc_records
 
-    raw = (
-        spark.readStream.format("binaryFile")
-        .schema(_BINARYFILE_SCHEMA)
-        .load(warc_dir)
-    )
-    return warc_records(raw)
+    reader = spark.readStream.format("binaryFile").schema(_BINARYFILE_SCHEMA)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return warc_records(reader.load(warc_dir))
 
 
 def stream_crawl_docs(
@@ -46,16 +60,274 @@ def stream_crawl_docs(
     warc_dir: str,
     main_content: bool = True,
     normalize_urls: bool = True,
+    max_files_per_trigger: int | None = None,
 ) -> DataFrame:
     """WARC feed -> documents-schema rows (doc_id, text, lang, source,
     n_chars), stateless end-to-end; compose curation columns with
-    curate_crawl_stream and dedup with the incremental sinks."""
+    curate_crawl_stream and full corpus curation (quality + exact +
+    near dedup) with StreamingCrawlCorpus. `max_files_per_trigger`
+    bounds per-micro-batch memory (see stream_warc_records)."""
     from spdb_spark.sources.warc import warc_responses_to_docs
 
-    recs = stream_warc_records(spark, warc_dir)
+    recs = stream_warc_records(
+        spark, warc_dir, max_files_per_trigger=max_files_per_trigger
+    )
     return warc_responses_to_docs(
         recs,
         main_content=main_content,
         normalize_urls=normalize_urls,
         dedup=False,
     )
+
+
+_PAIR_SCHEMA = "id_a long, id_b long, jaccard double, batch_id long"
+_BAND_SCHEMA = "doc long, band int, bucket string"
+DOCS_SCHEMA = (
+    "doc_id long, text string, lang string, source string, n_chars int,"
+    " text_hash string"
+)
+
+
+class StreamingCrawlCorpus(BatchLedgerSink):
+    """foreachBatch composition of the FULL crawl_to_corpus pipeline
+    (sources/crawl.py:28) over an unbounded WARC feed: Gopher quality ->
+    exact dedup -> MinHash near-dedup, with `corpus()` returning
+    EXACTLY the rows batch `crawl_to_corpus` would produce over the
+    union of every committed micro-batch — for ANY arrival order.
+
+    The trick that makes stream == batch exact (not merely
+    keep-first-arrival-approximate) is splitting the work between the
+    sink and the reader:
+
+    - per batch (bounded work): quality-filter, collapse the batch to
+      one representative row per content hash (min doc_id — the batch
+      policy), and run the minhash machinery ONLY on content never seen
+      before (anti-join on the committed hash set). Within-batch pairs
+      come from `minhash_lsh_dedup`; cross-batch pairs probe the
+      persisted band index via `incremental_minhash_dedup` — the corpus
+      is never re-paired with itself, so per-batch cost is
+      O(batch x matching buckets), not O(corpus^2).
+    - at read time (`corpus()`): the accumulated state replays the
+      batch pipeline's POLICIES declaratively. Exact dedup = min-struct
+      per content hash over every stored representative (so a smaller
+      doc_id arriving in a LATER file retroactively displaces the
+      earlier survivor, exactly as the batch groupBy would). Near-dedup
+      losers = greatest id per pair AFTER mapping each pair's
+      representative ids to the canonical (min) id of their content —
+      signatures are pure functions of text, so the canonicalized pair
+      set is identical to the batch run's pair set.
+
+    State tables under `base_path` (layout/compaction/exactly-once:
+    streaming/ledger.py — a redelivered batch_id finds its marker and
+    skips; `compact()` collapses per-batch dirs):
+
+      docs/b{N}   batch N's representative rows (one per content hash)
+      bands/b{N}  LSH band-index slice of batch N's NEW content
+      pairs/b{N}  near-dup pairs flagged in batch N
+      _log/N.json commit marker (atomic rename, written last)
+
+    100 TB shape: the sink-side joins are equi-joins on content hashes /
+    band buckets (AQE broadcasts the micro-batch side); `corpus()` is
+    one min-struct aggregate (map-side reducing partials) plus two
+    bounded joins (pairs are near-dup-sized, losers smaller still).
+    Persist the band index bucketed by `bucket` at scale so probes
+    co-locate without shuffling the corpus side.
+    """
+
+    def __init__(
+        self,
+        spark,
+        base_path: str,
+        quality: bool = True,
+        near_dedup: bool = True,
+        minhash_threshold: float = 0.8,
+        k: int = 3,
+        num_hashes: int = 16,
+        bands: int = 8,
+        rows: int = 2,
+    ):
+        super().__init__(spark, base_path)
+        self.STATE_TABLES = {
+            "docs": DOCS_SCHEMA,
+            "bands": _BAND_SCHEMA,
+            "pairs": _PAIR_SCHEMA,
+        }
+        self.quality = quality
+        self.near_dedup = near_dedup
+        self.minhash_threshold = minhash_threshold
+        self.k = k
+        self.num_hashes = num_hashes
+        self.bands = bands
+        self.rows = rows
+
+    _DOC_COLS = ("doc_id", "text", "lang", "source", "n_chars")
+
+    # -- the sink ------------------------------------------------------------
+
+    def process_batch(self, batch: DataFrame, batch_id: int) -> None:
+        from pyspark.sql import functions as F
+
+        from spdb_spark.functions.dedup import (
+            band_buckets,
+            incremental_minhash_dedup,
+            minhash_lsh_dedup,
+            minhash_signatures,
+            shingles,
+        )
+
+        committed = self._committed()
+        if batch_id in committed:
+            return  # foreachBatch redelivery after a crash: already done
+        docs = batch.select(*self._DOC_COLS)
+        if self.quality:
+            from spdb_spark.functions.quality import gopher_filter
+
+            docs = docs.where(gopher_filter(F.col("text")))
+        docs = docs.withColumn("text_hash", F.md5("text"))
+        # one representative row per content hash: min doc_id, carrying
+        # its OWN source/lang (the batch pipeline's survivor row) — a
+        # single partial-aggregating min-struct, no window
+        reps = (
+            docs.groupBy("text_hash")
+            .agg(F.min(F.struct(*self._DOC_COLS)).alias("_s"))
+            .select("text_hash", "_s.*")
+            .persist()
+        )
+        try:
+            seen = self._read("docs", DOCS_SCHEMA, committed)
+            if seen is not None:
+                new = reps.join(
+                    seen.select("text_hash").distinct(), "text_hash", "left_anti"
+                )
+            else:
+                new = reps
+            new = new.persist()
+            try:
+                pairs = self.spark.createDataFrame([], _PAIR_SCHEMA)
+                if self.near_dedup:
+                    within = minhash_lsh_dedup(
+                        new,
+                        "doc_id",
+                        "text",
+                        k=self.k,
+                        num_hashes=self.num_hashes,
+                        bands=self.bands,
+                        rows=self.rows,
+                        threshold=self.minhash_threshold,
+                        # a micro-batch is bounded by the trigger size,
+                        # never the corpus — broadcast verify is legal
+                        verify="broadcast",
+                    ).select("id_a", "id_b", "jaccard")
+                    pairs = within
+                    idx = self._read("bands", _BAND_SCHEMA, committed)
+                    if idx is not None and seen is not None:
+                        cross = incremental_minhash_dedup(
+                            new,
+                            corpus_docs=seen.select("doc_id", "text"),
+                            id_col="doc_id",
+                            text_col="text",
+                            k=self.k,
+                            num_hashes=self.num_hashes,
+                            bands=self.bands,
+                            rows=self.rows,
+                            threshold=self.minhash_threshold,
+                            corpus_bands=idx,
+                        ).select(
+                            F.col("corpus_id").alias("id_a"),
+                            F.col("new_id").alias("id_b"),
+                            "jaccard",
+                        )
+                        pairs = pairs.unionByName(cross)
+                pairs.withColumn(
+                    "batch_id", F.lit(batch_id).cast("long")
+                ).write.mode("overwrite").parquet(self._dir("pairs", batch_id))
+                if self.near_dedup:
+                    band_buckets(
+                        minhash_signatures(
+                            shingles(new, "doc_id", "text", self.k, distinct=False),
+                            "doc_id",
+                            self.num_hashes,
+                        ),
+                        self.bands,
+                        self.rows,
+                    ).write.mode("overwrite").parquet(self._dir("bands", batch_id))
+                reps.select(
+                    *self._DOC_COLS, "text_hash"
+                ).write.mode("overwrite").parquet(self._dir("docs", batch_id))
+                self._commit(batch_id)
+            finally:
+                new.unpersist()
+        finally:
+            reps.unpersist()
+
+    # -- committed-state readers ----------------------------------------------
+
+    def pairs(self) -> DataFrame:
+        """All committed near-dup pairs (representative ids as seen at
+        flag time; `corpus()` canonicalizes before resolving losers)."""
+        df = self._read_state("pairs", _PAIR_SCHEMA)
+        if df is None:
+            return self.spark.createDataFrame([], _PAIR_SCHEMA)
+        return df
+
+    def corpus(self) -> DataFrame:
+        """The curated corpus over everything committed so far — equal,
+        row for row, to `crawl_to_corpus` run as one batch over the
+        union of all ingested WARC records (pinned in tests)."""
+        from pyspark.sql import functions as F
+
+        state = self._read_state("docs", DOCS_SCHEMA)
+        if state is None:
+            return self.spark.createDataFrame([], DOCS_SCHEMA).select(
+                *self._DOC_COLS
+            )
+        # exact-dedup policy, replayed globally: min doc_id per content
+        canon = (
+            state.groupBy("text_hash")
+            .agg(F.min(F.struct(*self._DOC_COLS)).alias("_s"))
+            .select("text_hash", "_s.*")
+        )
+        out = canon
+        if self.near_dedup:
+            canon_ids = canon.select(
+                "text_hash", F.col("doc_id").alias("canon_id")
+            )
+            id_map = (
+                state.select(F.col("doc_id").alias("rep_id"), "text_hash")
+                .join(canon_ids, "text_hash")
+                .select("rep_id", "canon_id")
+            )
+            p = self.pairs()
+            losers = (
+                p.join(
+                    id_map.select(
+                        F.col("rep_id").alias("id_a"),
+                        F.col("canon_id").alias("_ca"),
+                    ),
+                    "id_a",
+                )
+                .join(
+                    id_map.select(
+                        F.col("rep_id").alias("id_b"),
+                        F.col("canon_id").alias("_cb"),
+                    ),
+                    "id_b",
+                )
+                .select(F.greatest("_ca", "_cb").alias("doc_id"))
+                .distinct()
+            )
+            out = out.join(losers, "doc_id", "left_anti")
+        return out.select(*self._DOC_COLS)
+
+    # -- streaming attachment ---------------------------------------------------
+
+    def start(self, stream: DataFrame, checkpoint: str, **trigger_kwargs):
+        """Attach to a streaming documents DataFrame (stream_crawl_docs
+        output)."""
+        return (
+            stream.writeStream.foreachBatch(self.process_batch)
+            .option("checkpointLocation", checkpoint)
+            .outputMode("append")
+            .trigger(**(trigger_kwargs or {"availableNow": True}))
+            .start()
+        )

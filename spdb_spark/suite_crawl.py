@@ -653,6 +653,76 @@ FROM t LEFT JOIN agg USING (doc_id)
 SQL_DUP_SPAN_REMOVAL = _sql_dup_span_removal()
 
 
+def q_crawl_corpus_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The STREAMING crawl composition (streaming/crawl.StreamingCrawlCorpus)
+    driven end-to-end against the SAME oracle as llm_crawl_corpus: the
+    fixture's WARC records are encoded into three .warc.gz files (split
+    deterministically by URI hash so content groups straddle files in
+    both arrival orders), ingested one file per micro-batch through the
+    foreachBatch sink, and `corpus()` must equal the batch pipeline's
+    output — the read-time canonicalization replays the batch dedup
+    policies exactly, so the one SQL oracle gates both engines' paths.
+
+    The result is collected and re-created as a local DataFrame because
+    the sink state lives in a temp dir removed before return (bounded:
+    the curated corpus at gate SF)."""
+    import hashlib
+    import shutil
+    import tempfile
+
+    from spdb_spark.sources.warc import warc_encode
+    from spdb_spark.streaming.crawl import (
+        StreamingCrawlCorpus,
+        stream_crawl_docs,
+    )
+
+    recs = _crawl_warc_fixture(spark, sf_dir).collect()
+    recs = sorted(
+        recs, key=lambda r: hashlib.md5(r.target_uri.encode()).hexdigest()
+    )
+    files: list[list[dict]] = [[], [], []]
+    for i, r in enumerate(recs):
+        files[i % 3].append(
+            {
+                "warc_type": r.warc_type,
+                "target_uri": r.target_uri,
+                "payload": bytes(r.payload),
+            }
+        )
+    tmp = tempfile.mkdtemp(prefix="crawlstream-")
+    try:
+        import os
+
+        feed = os.path.join(tmp, "feed")
+        os.makedirs(feed)
+        for j, fl in enumerate(files):
+            with open(os.path.join(feed, f"f{j}.warc.gz"), "wb") as f:
+                f.write(warc_encode(fl))
+        sink = StreamingCrawlCorpus(
+            spark,
+            os.path.join(tmp, "state"),
+            minhash_threshold=_NEARDUP_THRESHOLD,
+        )
+        q = sink.start(
+            stream_crawl_docs(spark, feed, max_files_per_trigger=1),
+            os.path.join(tmp, "ckpt"),
+        )
+        q.awaitTermination(600)
+        rows = (
+            sink.corpus().select("doc_id", "text", "source", "n_chars").collect()
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return spark.createDataFrame(
+        rows, "doc_id long, text string, source string, n_chars int"
+    )
+
+
+STAGED_R10: dict = {
+    "llm_crawl_corpus_stream": (q_crawl_corpus_stream, SQL_CRAWL_CORPUS),
+}
+
+
 STAGED_R9: dict = {
     "llm_crawl_corpus": (q_crawl_corpus, SQL_CRAWL_CORPUS),
     "llm_zipshard_ingest": (q_zipshard_ingest, SQL_ZIPSHARD_INGEST),

@@ -77,3 +77,139 @@ def test_stream_matches_batch_then_increments(spark, tmp_path):
     # a third drain with nothing new is a no-op
     _drain(spark, stream_crawl_docs(spark, str(feed)), sink, ckpt)
     assert spark.read.parquet(sink).count() == 8
+
+
+def test_streaming_crawl_corpus_matches_batch(spark, tmp_path):
+    """The full composition: a WARC feed split across files/micro-batches
+    must yield, via StreamingCrawlCorpus.corpus(), EXACTLY the rows batch
+    crawl_to_corpus produces over the union — including retroactive
+    exact-dedup displacement (a smaller doc_id arriving in a later file)
+    and cross-batch near-dup pairs."""
+    import hashlib
+
+    from conftest import SF_DIR
+    from pyspark.sql import functions as F
+
+    from spdb_spark.session import load_tables
+    from spdb_spark.sources.crawl import crawl_to_corpus
+    from spdb_spark.sources.warc import (
+        ingest_warc,
+        warc_encode,
+        warc_responses_to_docs,
+    )
+    from spdb_spark.streaming.crawl import (
+        StreamingCrawlCorpus,
+        stream_crawl_docs,
+    )
+    from spdb_spark.suite_crawl import _NEARDUP_THRESHOLD, warc_records_from_docs
+
+    docs_tbl = load_tables(spark, SF_DIR)["documents"]
+    recs = warc_records_from_docs(docs_tbl).collect()
+    # deterministic pseudo-random 3-way split so same-content groups
+    # straddle files in both arrival orders
+    recs = sorted(recs, key=lambda r: hashlib.md5(r.target_uri.encode()).hexdigest())
+    files: list[list[dict]] = [[], [], []]
+    for i, r in enumerate(recs):
+        files[i % 3].append(
+            {
+                "warc_type": r.warc_type,
+                "target_uri": r.target_uri,
+                "payload": bytes(r.payload),
+            }
+        )
+    feed = tmp_path / "feed"
+    feed.mkdir()
+    (feed / "f0.warc.gz").write_bytes(warc_encode(files[0]))
+
+    sink = StreamingCrawlCorpus(
+        spark, str(tmp_path / "state"), minhash_threshold=_NEARDUP_THRESHOLD
+    )
+    ckpt = str(tmp_path / "ckpt")
+    q = sink.start(stream_crawl_docs(spark, str(feed)), ckpt)
+    q.awaitTermination(300)
+    n_partial = sink.corpus().count()
+    assert n_partial > 0
+
+    # two more files arrive; the restarted query picks up ONLY them,
+    # one file per micro-batch (backpressure parameter exercised)
+    for j in (1, 2):
+        (feed / f"f{j}.warc.gz").write_bytes(warc_encode(files[j]))
+    q = sink.start(
+        stream_crawl_docs(spark, str(feed), max_files_per_trigger=1), ckpt
+    )
+    q.awaitTermination(300)
+    assert len(sink._committed()) >= 3
+
+    got = {tuple(r) for r in sink.corpus().collect()}
+    want = {
+        tuple(r)
+        for r in crawl_to_corpus(
+            ingest_warc(spark, str(feed)), minhash_threshold=_NEARDUP_THRESHOLD
+        ).collect()
+    }
+    assert len(want) > 0
+    assert got == want
+
+    # the split genuinely exercised retroactive displacement: some
+    # content group's min doc_id arrived in a LATER file than another
+    # occurrence of the same content
+    all_docs = warc_responses_to_docs(
+        ingest_warc(spark, str(feed)),
+        main_content=True,
+        normalize_urls=True,
+        dedup=False,
+    ).select("doc_id", "source", F.md5("text").alias("h"))
+    uri_file = {}
+    for j, fl in enumerate(files):
+        for rec in fl:
+            if rec["warc_type"] == "response":
+                uri_file[rec["target_uri"]] = j
+    from spdb_spark.functions.url import url_normalize
+
+    raw = spark.createDataFrame(
+        [(u, j) for u, j in uri_file.items()], "raw string, file int"
+    ).select(url_normalize(F.col("raw")).alias("source"), "file")
+    placed = all_docs.join(raw, "source").collect()
+    groups: dict[str, list[tuple[int, int]]] = {}
+    for r in placed:
+        groups.setdefault(r.h, []).append((r.doc_id, r.file))
+    retro = [
+        g
+        for g in groups.values()
+        if len({d for d, _ in g}) > 1
+        and min(g)[1] > min(f for _, f in g)
+    ]
+    assert retro, "split never placed a group's min doc_id in a later file"
+
+    # a redelivered batch id is a no-op (exactly-once)
+    before = sink.corpus().count()
+    sink.process_batch(
+        spark.createDataFrame([], "doc_id long, text string, lang string,"
+                                  " source string, n_chars int"),
+        sink._committed()[-1],
+    )
+    assert sink.corpus().count() == before
+
+
+def test_streaming_crawl_corpus_compaction_preserves_state(spark, tmp_path):
+    from spdb_spark.sources.warc import warc_encode
+    from spdb_spark.streaming.crawl import (
+        StreamingCrawlCorpus,
+        stream_crawl_docs,
+    )
+
+    feed = tmp_path / "feed"
+    feed.mkdir()
+    (feed / "a.warc.gz").write_bytes(_warc_bytes("alpha", 6))
+    (feed / "b.warc.gz").write_bytes(_warc_bytes("beta", 4))
+    sink = StreamingCrawlCorpus(spark, str(tmp_path / "state"), quality=False)
+    q = sink.start(
+        stream_crawl_docs(spark, str(feed), max_files_per_trigger=1),
+        str(tmp_path / "ckpt"),
+    )
+    q.awaitTermination(300)
+    before = {tuple(r) for r in sink.corpus().collect()}
+    assert len(before) == 10
+    sink.compact()
+    sink.vacuum()
+    assert {tuple(r) for r in sink.corpus().collect()} == before
