@@ -21,14 +21,18 @@ windows, the same trade minhash makes against exact all-pairs):
    reassemble — array ops inside the row, no token-level explode of the
    corpus beyond the window hashing.
 
-POLICY NOTE: every occurrence of a duplicated span is removed,
-including the "first" — stricter than Lee et al.'s keep-one-copy
-repair. Keep-one needs a global occurrence order (a corpus-wide sort);
-pipelines that want one surviving copy run document-level dedup first,
-which this complements. Resolution is `stride` tokens: a duplicated run
-is detected when it covers at least one full window, so runs shorter
-than `window` tokens survive (Lee et al. use 50 BPE tokens; `window`
-plays that role here).
+POLICY: `keep` selects the repair semantics. `keep="none"` (default)
+removes EVERY occurrence of a duplicated span — stricter than Lee et
+al.'s repair, zero extra passes. `keep="first"` preserves the
+canonical first occurrence of each duplicated window — the
+min-(doc_id, start) occurrence per hash — matching Lee et al.'s
+keep-one-copy semantics WITHOUT a corpus-wide sort: the canonical pick
+is one more partial-aggregating min-struct over the already-built
+window table plus one dup-hash-keyed equi-join (the firsts side is one
+row per duplicated hash, broadcast-sized relative to the corpus).
+Resolution is `stride` tokens: a duplicated run is detected when it
+covers at least one full window, so runs shorter than `window` tokens
+survive (Lee et al. use 50 BPE tokens; `window` plays that role here).
 
 RECALL NOTE: with stride > 1, two occurrences of a run are detected
 only when they contain an ALIGNED window (identical content at window
@@ -75,9 +79,15 @@ def duplicate_windows(
     window: int = 20,
     stride: int = 10,
     min_count: int = 2,
+    keep: str = "none",
 ) -> DataFrame:
     """(id, start, h) for every window whose hash occurs >= min_count
-    times corpus-wide."""
+    times corpus-wide. With keep="first", the canonical first occurrence
+    of each duplicated hash — min (id, start) — is EXCLUDED from the
+    output, so downstream removal preserves one copy of every duplicated
+    run (Lee et al.'s repair semantics)."""
+    if keep not in ("none", "first"):
+        raise ValueError("keep must be 'none' or 'first'")
     toks = docs.select(F.col(id_col), tokens(F.col(text_col)).alias("_t"))
     wins = toks.select(
         id_col, F.explode(_window_structs(F.col("_t"), window, stride)).alias("w")
@@ -88,7 +98,25 @@ def duplicate_windows(
         .where(F.col("c") >= min_count)
         .select("h")
     )
-    return wins.join(dup_h, "h", "left_semi")
+    dup = wins.join(dup_h, "h", "left_semi")
+    if keep == "first":
+        # one row per duplicated hash (min-struct: reducing partials, no
+        # window/no sort), joined back on the hash key — the occurrence
+        # equal to its hash's canonical pick survives
+        firsts = dup.groupBy("h").agg(
+            F.min(F.struct(F.col(id_col), F.col("start"))).alias("_f")
+        )
+        dup = (
+            dup.join(firsts, "h")
+            .where(
+                ~(
+                    (F.col(id_col) == F.col(f"_f.{id_col}"))
+                    & (F.col("start") == F.col("_f.start"))
+                )
+            )
+            .drop("_f")
+        )
+    return dup
 
 
 def remove_duplicate_spans(
@@ -98,11 +126,15 @@ def remove_duplicate_spans(
     window: int = 20,
     stride: int = 10,
     min_count: int = 2,
+    keep: str = "none",
 ) -> DataFrame:
     """docs -> (id, clean_text, n_tokens, n_removed): duplicated spans
     cut from every document (empty clean_text when the whole doc was
-    duplicated runs)."""
-    dups = duplicate_windows(docs, id_col, text_col, window, stride, min_count)
+    duplicated runs). keep="first" preserves the min-(id, start)
+    occurrence of each duplicated window (see module POLICY note)."""
+    dups = duplicate_windows(
+        docs, id_col, text_col, window, stride, min_count, keep=keep
+    )
     starts = dups.groupBy(id_col).agg(
         F.sort_array(F.collect_list("start")).alias("_starts")
     )

@@ -653,6 +653,87 @@ FROM t LEFT JOIN agg USING (doc_id)
 SQL_DUP_SPAN_REMOVAL = _sql_dup_span_removal()
 
 
+def q_dup_span_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lee-et-al keep-one-copy repair: same fixture as
+    llm_dup_span_removal, but the canonical first occurrence
+    (min (doc_id, start) per duplicated hash) of the shared span
+    survives — here the smallest doc_id divisible by 3 keeps its copy."""
+    from spdb_spark.functions.spandedup import remove_duplicate_spans
+
+    d = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(F.col("text"), F.lit(" " + _SPAN_SHARED)),
+        ).otherwise(F.col("text")).alias("text"),
+    )
+    return remove_duplicate_spans(d, window=_SPAN_W, stride=1, keep="first")
+
+
+def _sql_dup_span_keep_first() -> str:
+    from spdb_spark.functions.hashing import md5_long_sql
+
+    w = _SPAN_W
+    shared = _sql_quote(" " + _SPAN_SHARED)
+    return f"""
+WITH d AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 3 = 0 THEN text || {shared} ELSE text END AS text
+  FROM documents
+),
+t AS MATERIALIZED (
+  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS t FROM d
+),
+w AS MATERIALIZED (
+  SELECT doc_id, i - 1 AS start,
+         {md5_long_sql(f"array_to_string(t[i:i+{w - 1}], ' ')")} AS h
+  FROM t, unnest(range(1, len(t) - {w} + 2)) AS u(i)
+  WHERE len(t) >= {w}
+),
+dh AS (SELECT h FROM w GROUP BY h HAVING COUNT(*) >= 2),
+dw0 AS MATERIALIZED (SELECT w.* FROM w JOIN dh USING (h)),
+firsts AS (
+  SELECT h, doc_id, start FROM (
+    SELECT dw0.*,
+           row_number() OVER (PARTITION BY h ORDER BY doc_id, start) AS rn
+    FROM dw0
+  ) WHERE rn = 1
+),
+dw AS MATERIALIZED (
+  SELECT dw0.* FROM dw0
+  WHERE NOT EXISTS (
+    SELECT 1 FROM firsts f
+    WHERE f.h = dw0.h AND f.doc_id = dw0.doc_id AND f.start = dw0.start
+  )
+),
+tok AS MATERIALIZED (
+  SELECT doc_id, i - 1 AS idx, t[i] AS tok
+  FROM t, unnest(range(1, len(t) + 1)) AS u(i)
+),
+kept AS (
+  SELECT k.doc_id, k.idx, k.tok FROM tok k
+  WHERE NOT EXISTS (
+    SELECT 1 FROM dw
+    WHERE dw.doc_id = k.doc_id
+      AND k.idx >= dw.start AND k.idx < dw.start + {w}
+  )
+),
+agg AS (
+  SELECT doc_id, string_agg(tok, ' ' ORDER BY idx) AS clean_text,
+         COUNT(*) AS n_kept
+  FROM kept GROUP BY doc_id
+)
+SELECT t.doc_id,
+       COALESCE(agg.clean_text, '') AS clean_text,
+       len(t.t)::BIGINT AS n_tokens,
+       (len(t.t) - COALESCE(agg.n_kept, 0))::BIGINT AS n_removed
+FROM t LEFT JOIN agg USING (doc_id)
+"""
+
+
+SQL_DUP_SPAN_KEEP_FIRST = _sql_dup_span_keep_first()
+
+
 def q_crawl_corpus_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The STREAMING crawl composition (streaming/crawl.StreamingCrawlCorpus)
     driven end-to-end against the SAME oracle as llm_crawl_corpus: the
@@ -720,6 +801,7 @@ def q_crawl_corpus_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 STAGED_R10: dict = {
     "llm_crawl_corpus_stream": (q_crawl_corpus_stream, SQL_CRAWL_CORPUS),
+    "llm_dup_span_keep_first": (q_dup_span_keep_first, SQL_DUP_SPAN_KEEP_FIRST),
 }
 
 

@@ -78,3 +78,44 @@ def test_duplicate_windows_counts_and_plan(spark):
     # the dup-hash filter is a semi join keyed on the window hash; the
     # corpus is never broadcast
     assert "LeftSemi" in plan
+
+
+def test_keep_first_preserves_canonical_occurrence(spark):
+    # Lee et al. repair semantics: the min-(doc_id, start) occurrence of
+    # each duplicated window survives; every other occurrence is cut
+    out = {
+        r["doc_id"]: (r["clean_text"], r["n_removed"])
+        for r in remove_duplicate_spans(
+            _docs(spark), window=20, stride=1, keep="first"
+        ).collect()
+    }
+    # doc 2 carries the globally-first occurrence (doc_id 2 < 3 < 5):
+    # its copy of SHARED survives intact
+    assert "shared0" in out[2][0] and out[2][1] == 0
+    # docs 3 and 5 lose their copies
+    assert "shared0" not in out[3][0] and out[3][1] == 25
+    assert "u3w0" in out[3][0]
+    # doc 5 has TWO occurrences; both are non-canonical, both cut
+    assert "shared0" not in out[5][0] and "marker" in out[5][0]
+    assert out[5][1] == 50
+    # unique docs untouched either way
+    assert out[1][1] == 0 and out[4][1] == 0
+
+
+def test_keep_first_within_doc_keeps_exactly_one(spark):
+    # a single doc repeating a run: keep='first' keeps the EARLIEST copy
+    docs = spark.createDataFrame(
+        [(7, SHARED + " " + " ".join(f"mid{i}" for i in range(6)) + " " + SHARED)],
+        "doc_id long, text string",
+    )
+    row = remove_duplicate_spans(docs, window=20, stride=1, keep="first").first()
+    assert row["n_removed"] == 25
+    assert row["clean_text"].startswith("shared0")
+    assert row["clean_text"].count("shared0") == 1
+
+
+def test_keep_validates(spark):
+    import pytest
+
+    with pytest.raises(ValueError, match="keep"):
+        duplicate_windows(_docs(spark), keep="last")
