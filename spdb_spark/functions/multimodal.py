@@ -93,17 +93,21 @@ MEDIA_BUILD_SCHEMA = StructType(
 def synthetic_media_payloads(df: DataFrame, id_col: str) -> DataFrame:
     """Deterministic mixed-codec IMAGE payloads for the decode gate and
     bench: a 16x16 constant-gray image (v = id % 256) encoded as PNG
-    (id % 5 == 0), baseline JPEG (== 1), progressive SOF2 JPEG (== 2) at
-    quality 95, GIF (== 3), or lossless WebP VP8L with subtract-green +
-    LZ77 runs (== 4). All five decode PIXEL-EXACT — PNG/GIF/VP8L are
-    lossless and a flat block is lossless through the DC-only JPEG path
-    (Q_DC = 2 divides 8*(v-128); test-pinned) — so the downstream band
-    features have the closed form v/255 that an external SQL oracle can
-    replay. Arrow-batched (mapInPandas): at corpus scale payload
-    construction is the same per-partition kernel shape as real ingest."""
+    (id % 6 == 0), baseline JPEG (== 1), progressive SOF2 JPEG (== 2) at
+    quality 95, GIF (== 3), lossless WebP VP8L with subtract-green +
+    LZ77 runs (== 4), or an ANIMATED WebP (== 5: two VP8L frames — a
+    full-canvas base plus an offset sub-rect replacement of the same
+    gray, so composition, offsets, and the no-blend path all execute).
+    All six decode PIXEL-EXACT — PNG/GIF/VP8L are lossless, animated
+    composition of constant frames is constant, and a flat block is
+    lossless through the DC-only JPEG path (Q_DC = 2 divides 8*(v-128);
+    test-pinned) — so the downstream band features have the closed form
+    v/255 that an external SQL oracle can replay. Arrow-batched
+    (mapInPandas): at corpus scale payload construction is the same
+    per-partition kernel shape as real ingest."""
     from spdb_spark.functions.gif import gif_encode
     from spdb_spark.functions.jpeg import jpeg_encode
-    from spdb_spark.functions.webp import vp8l_encode
+    from spdb_spark.functions.webp import vp8l_encode, webp_encode_animation
     from spdb_spark.operators.render import png_encode
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -112,7 +116,7 @@ def synthetic_media_payloads(df: DataFrame, id_col: str) -> DataFrame:
             for mid in pdf["media_id"]:
                 mid = int(mid)
                 img = np.full((16, 16), mid % 256, np.uint8)
-                sel = mid % 5
+                sel = mid % 6
                 if sel == 0:
                     blob = png_encode(img)
                 elif sel == 1:
@@ -121,9 +125,13 @@ def synthetic_media_payloads(df: DataFrame, id_col: str) -> DataFrame:
                     blob = jpeg_encode(img, quality=95, progressive=True)
                 elif sel == 3:
                     blob = gif_encode(img)
-                else:
+                elif sel == 4:
                     blob = vp8l_encode(
                         img, subtract_green=True, lz77_runs=True
+                    )
+                else:
+                    blob = webp_encode_animation(
+                        [img, img[:8, :8]], offsets=[(0, 0), (4, 4)]
                     )
                 out.append((mid, blob))
             yield pd.DataFrame(out, columns=["media_id", "payload"])
@@ -198,9 +206,17 @@ def decode_features_status(
 
         return flac_frame_features(payload, n_frames, dim), "ok"
     if payload[:4] == b"RIFF" and payload[8:12] == b"WEBP":
-        from spdb_spark.functions.webp import UnsupportedWebPError, webp_decode
+        from spdb_spark.functions.webp import (
+            UnsupportedWebPError,
+            is_animated_webp,
+            webp_decode,
+            webp_frame_features,
+        )
 
         try:
+            if is_animated_webp(payload):  # VP8L frames composite for
+                # real, sampled on the video schedule (like APNG/GIF)
+                return webp_frame_features(payload, n_frames, dim), "ok"
             return (
                 _image_frame_features(webp_decode(payload), n_frames, dim),
                 "ok",

@@ -655,6 +655,226 @@ def webp_decode(payload: bytes) -> np.ndarray:
     raise UnsupportedWebPError("webp: no VP8L chunk")
 
 
+# --------------------------------------------------------------------------
+# animation (VP8X + ANIM + ANMF, container spec)
+# --------------------------------------------------------------------------
+
+
+def _iter_chunks(payload: bytes):
+    """Yield (chunk_id, body) over a RIFF/WEBP container."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WEBP":
+        raise ValueError("webp: not a RIFF/WEBP payload")
+    pos = 12
+    end = min(8 + struct.unpack_from("<I", payload, 4)[0], len(payload))
+    while pos + 8 <= end:
+        cid = payload[pos : pos + 4]
+        (size,) = struct.unpack("<I", payload[pos + 4 : pos + 8])
+        yield cid, payload[pos + 8 : pos + 8 + size]
+        pos += 8 + size + (size & 1)
+
+
+def is_animated_webp(payload: bytes) -> bool:
+    """VP8X container with the animation flag set and an ANIM chunk."""
+    try:
+        flags = None
+        for cid, body in _iter_chunks(payload):
+            if cid == b"VP8X" and len(body) >= 10:
+                flags = body[0]
+            elif cid == b"ANIM":
+                return flags is not None and bool(flags & 0x02)
+        return False
+    except (ValueError, struct.error):
+        return False
+
+
+def _to_rgba(img: np.ndarray) -> np.ndarray:
+    """vp8l_decode output ((h,w,3) for opaque, (h,w,4) else) -> RGBA."""
+    if img.shape[-1] == 4:
+        return img
+    out = np.empty((*img.shape[:2], 4), np.uint8)
+    out[..., :3] = img
+    out[..., 3] = 255
+    return out
+
+
+def webp_frames(payload: bytes) -> list[np.ndarray]:
+    """Animated (or still) WebP -> list of composited (H, W, 4) RGBA
+    uint8 canvases, one per frame. A still VP8L yields its single image.
+
+    Composition follows the container spec: the canvas starts fully
+    transparent; each ANMF frame's sub-image lands at its (even-pixel)
+    offset rect either by alpha blending (flag bit 1 clear) or plain
+    replacement (bit 1 set); after output, dispose-to-background (flag
+    bit 0 set) fills the frame rect with the ANIM background color
+    (stored BGRA). Frames must be VP8L — lossy VP8 frames raise
+    UnsupportedWebPError like their still counterparts."""
+    from spdb_spark.functions.limits import check_pixel_budget, check_total_budget
+
+    canvas_wh = None
+    background = (0, 0, 0, 0)
+    anim = False
+    frames: list[bytes] = []
+    for cid, body in _iter_chunks(payload):
+        if cid == b"VP8X" and len(body) >= 10:
+            canvas_wh = (
+                1 + int.from_bytes(body[4:7], "little"),
+                1 + int.from_bytes(body[7:10], "little"),
+            )
+        elif cid == b"ANIM" and len(body) >= 6:
+            # background color is stored B, G, R, A
+            background = (body[2], body[1], body[0], body[3])
+            anim = True
+        elif cid == b"ANMF":
+            frames.append(body)
+        elif cid == b"VP8L" and not anim:
+            return [_to_rgba(vp8l_decode(body))]
+        elif cid == b"VP8 " and not anim:
+            raise UnsupportedWebPError("webp: lossy VP8 decode not supported")
+    if not anim or canvas_wh is None:
+        raise UnsupportedWebPError("webp: no VP8L chunk")
+    if not frames:
+        raise ValueError("webp: animation without ANMF frames")
+    w, h = canvas_wh
+    check_pixel_budget(w, h, "webp")
+    check_total_budget((len(frames) + 1) * w * h, "webp")
+
+    canvas = np.zeros((h, w, 4), np.uint8)
+    out: list[np.ndarray] = []
+    for body in frames:
+        if len(body) < 16:
+            raise ValueError("webp: truncated ANMF header")
+        fx = 2 * int.from_bytes(body[0:3], "little")
+        fy = 2 * int.from_bytes(body[3:6], "little")
+        fw = 1 + int.from_bytes(body[6:9], "little")
+        fh = 1 + int.from_bytes(body[9:12], "little")
+        flags = body[15]
+        if fx + fw > w or fy + fh > h:
+            raise ValueError("webp: frame rect outside canvas")
+        src = None
+        pos = 16
+        while pos + 8 <= len(body):
+            scid = body[pos : pos + 4]
+            (ssize,) = struct.unpack("<I", body[pos + 4 : pos + 8])
+            sbody = body[pos + 8 : pos + 8 + ssize]
+            if scid == b"VP8L":
+                src = _to_rgba(vp8l_decode(sbody))
+                break
+            if scid == b"VP8 ":
+                raise UnsupportedWebPError(
+                    "webp: lossy VP8 animation frames not supported"
+                )
+            pos += 8 + ssize + (ssize & 1)
+        if src is None:
+            raise ValueError("webp: ANMF frame without VP8L data")
+        if src.shape[:2] != (fh, fw):
+            raise ValueError("webp: frame data does not match ANMF rect")
+        region = (slice(fy, fy + fh), slice(fx, fx + fw))
+        if flags & 0x02:  # do-not-blend: plain replacement
+            canvas[region] = src
+        else:
+            from spdb_spark.functions.apng import _blend_over
+
+            canvas[region] = _blend_over(canvas[region], src)
+        out.append(canvas.copy())
+        if flags & 0x01:  # dispose to background color
+            canvas[region] = np.array(background, np.uint8)
+    return out
+
+
+def webp_frame_features(payload: bytes, n_frames: int, dim: int) -> np.ndarray:
+    """(n_frames, dim) band features on the GIF/video schedule: a still
+    (or single-frame animation) featurizes exactly like its PNG twin; an
+    animation samples n_frames composited frames evenly (mirror of
+    apng.apng_frame_features)."""
+    from spdb_spark.functions.gif import _collapse_gray
+    from spdb_spark.functions.multimodal import _image_frame_features
+    from spdb_spark.functions.video import sample_frame_indices
+
+    frames = webp_frames(payload)
+    if len(frames) == 1:
+        return _image_frame_features(_collapse_gray(frames[0]), n_frames, dim)
+    out = np.zeros((n_frames, dim), dtype=np.float32)
+    for row, i in enumerate(sample_frame_indices(len(frames), n_frames)):
+        out[row] = _image_frame_features(_collapse_gray(frames[i]), 1, dim)[0]
+    return out
+
+
+def _extract_vp8l_chunk(webp_file: bytes) -> bytes:
+    """The VP8L chunk body of a still .webp produced by vp8l_encode."""
+    for cid, body in _iter_chunks(webp_file):
+        if cid == b"VP8L":
+            return body
+    raise ValueError("webp: no VP8L chunk")
+
+
+def _chunk(cid: bytes, body: bytes) -> bytes:
+    out = cid + struct.pack("<I", len(body)) + body
+    if len(body) & 1:
+        out += b"\x00"
+    return out
+
+
+def webp_encode_animation(
+    frames: list[np.ndarray],
+    offsets: list[tuple[int, int]] | None = None,
+    durations: int | list[int] = 100,
+    blends: list[bool] | None = None,
+    disposes: list[bool] | None = None,
+    background: tuple[int, int, int, int] = (0, 0, 0, 0),
+    loop: int = 0,
+    **vp8l_kw,
+) -> bytes:
+    """Fixture encoder: gray8/RGB/RGBA uint8 frames -> an animated .webp
+    (VP8X + ANIM + ANMF x N, each frame a REAL VP8L stream through
+    vp8l_encode). offsets are canvas positions (must be even per the
+    spec's /2 storage); blends[i]=True alpha-blends frame i onto the
+    canvas (flag bit 1 CLEAR), False replaces; disposes[i]=True fills
+    the rect with `background` (RGBA) after output. The canvas is the
+    bounding box of all frame rects."""
+    if not frames:
+        raise ValueError("webp encode: no frames")
+    offsets = offsets or [(0, 0)] * len(frames)
+    blends = blends if blends is not None else [False] * len(frames)
+    disposes = disposes if disposes is not None else [False] * len(frames)
+    if isinstance(durations, int):
+        durations = [durations] * len(frames)
+    shapes = [np.asarray(f).shape[:2] for f in frames]
+    for (x, y) in offsets:
+        if x % 2 or y % 2:
+            raise ValueError("webp encode: frame offsets must be even")
+    cw = max(x + s[1] for (x, y), s in zip(offsets, shapes))
+    ch = max(y + s[0] for (x, y), s in zip(offsets, shapes))
+    if not (1 <= cw <= 16777216 and 1 <= ch <= 16777216):
+        raise ValueError("webp encode: canvas out of range")
+    has_alpha = any(
+        np.asarray(f).ndim == 3
+        and np.asarray(f).shape[-1] == 4
+        and (np.asarray(f)[..., 3] != 255).any()
+        for f in frames
+    )
+    vp8x = bytes(
+        [0x02 | (0x10 if has_alpha else 0), 0, 0, 0]
+    ) + (cw - 1).to_bytes(3, "little") + (ch - 1).to_bytes(3, "little")
+    r, g, b, a = background
+    anim = bytes([b, g, r, a]) + struct.pack("<H", loop)
+    body = _chunk(b"VP8X", vp8x) + _chunk(b"ANIM", anim)
+    for f, (x, y), dur, blend, dispose in zip(
+        frames, offsets, durations, blends, disposes
+    ):
+        fh, fw = np.asarray(f).shape[:2]
+        vp8l = _chunk(b"VP8L", _extract_vp8l_chunk(vp8l_encode(f, **vp8l_kw)))
+        hdr = (
+            (x // 2).to_bytes(3, "little")
+            + (y // 2).to_bytes(3, "little")
+            + (fw - 1).to_bytes(3, "little")
+            + (fh - 1).to_bytes(3, "little")
+            + int(dur).to_bytes(3, "little")
+            + bytes([(0 if blend else 0x02) | (0x01 if dispose else 0)])
+        )
+        body += _chunk(b"ANMF", hdr + vp8l)
+    return b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WEBP" + body
+
+
 def _riff_wrap(vp8l_payload: bytes) -> bytes:
     chunk = b"VP8L" + struct.pack("<I", len(vp8l_payload)) + vp8l_payload
     if len(vp8l_payload) & 1:

@@ -2192,13 +2192,16 @@ SQL_DEDUP_JACCARD_CAPPED = _jaccard_pairs_sql(3, 0.3)
 
 def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL mixed-codec decode driven end-to-end (round 6; WebP VP8L
-    added round 9): deterministic PNG / baseline-JPEG /
-    progressive-SOF2-JPEG / GIF / lossless-WebP payloads built per doc
+    added round 9, ANIMATED WebP round 10): deterministic PNG /
+    baseline-JPEG / progressive-SOF2-JPEG / GIF / lossless-WebP /
+    animated-WebP payloads built per doc
     (multimodal.synthetic_media_payloads), decoded through the Arrow
     extract_frame_features kernel. Every codec is lossless on these
-    payloads, so the band feature has the closed form (doc_id%256)/255
-    the DuckDB oracle replays — a decoder regression flips status to
-    'stub' or shifts f0 and the hash check fails."""
+    payloads — the animated entry composites two constant VP8L frames
+    (offset sub-rect replacement), so its sampled canvases stay constant
+    — and the band feature has the closed form (doc_id%256)/255 the
+    DuckDB oracle replays; a decoder regression flips status to 'stub'
+    or shifts f0 and the hash check fails."""
     from spdb_spark.functions.multimodal import (
         extract_frame_features,
         synthetic_media_payloads,

@@ -219,3 +219,80 @@ def test_unsupported_vs_corrupt_webp_status():
         pass
     feats, status = decode_features_status(corrupt, 2, 4)
     assert status in ("error", "ok") and feats.shape == (2, 4)
+
+
+def test_animation_roundtrip_and_composition():
+    from spdb_spark.functions.apng import _blend_over
+    from spdb_spark.functions.webp import (
+        is_animated_webp,
+        webp_encode_animation,
+        webp_frames,
+    )
+
+    rng = np.random.default_rng(11)
+    base = rng.integers(0, 256, (12, 16, 3), dtype=np.uint8)
+    sub = rng.integers(0, 256, (6, 8, 3), dtype=np.uint8)
+
+    # no-blend replacement at an offset rect
+    p = webp_encode_animation([base, sub], offsets=[(0, 0), (4, 2)])
+    assert is_animated_webp(p) and not is_animated_webp(vp8l_encode(base))
+    fr = webp_frames(p)
+    exp0 = np.dstack([base, np.full((12, 16), 255, np.uint8)])
+    assert np.array_equal(fr[0], exp0)
+    exp1 = exp0.copy()
+    exp1[2:8, 4:12, :3] = sub
+    assert np.array_equal(fr[1], exp1)
+
+    # alpha blending of a semi-transparent overlay
+    ov = np.zeros((4, 4, 4), np.uint8)
+    ov[..., 0], ov[..., 3] = 200, 128
+    fr2 = webp_frames(
+        webp_encode_animation([base, ov], offsets=[(0, 0), (0, 0)], blends=[False, True])
+    )
+    assert np.array_equal(fr2[1][:4, :4], _blend_over(exp0[:4, :4].copy(), ov))
+
+    # dispose-to-background feeds the NEXT frame's canvas
+    bg = (10, 20, 30, 255)
+    fr3 = webp_frames(
+        webp_encode_animation(
+            [base, sub], offsets=[(0, 0), (0, 0)], disposes=[True, False],
+            background=bg,
+        )
+    )
+    assert tuple(fr3[1][10, 12]) == bg
+
+    # a still decodes through webp_frames as its single canvas
+    assert np.array_equal(webp_frames(vp8l_encode(base))[0], exp0)
+
+
+def test_animation_features_match_png_twin():
+    from spdb_spark.functions.multimodal import decode_features_status
+    from spdb_spark.functions.webp import webp_encode_animation
+
+    img = np.full((16, 16), 93, np.uint8)
+    p = webp_encode_animation([img, img[:8, :8]], offsets=[(0, 0), (4, 4)])
+    feats, status = decode_features_status(p, 2, 4)
+    assert status == "ok" and np.allclose(feats, 93 / 255)
+
+
+def test_animation_corruption_and_validation():
+    from spdb_spark.functions.webp import webp_encode_animation, webp_frames
+
+    img = np.full((10, 10), 5, np.uint8)
+    with pytest.raises(ValueError, match="even"):
+        webp_encode_animation([img, img], offsets=[(0, 0), (3, 0)])
+    base = bytearray(webp_encode_animation([img, img[:4, :4]]))
+    rng = np.random.default_rng(3)
+    for _ in range(60):
+        buf = bytearray(base)
+        pos = int(rng.integers(20, len(buf)))
+        buf[pos] ^= 1 << int(rng.integers(0, 8))
+        try:
+            webp_frames(bytes(buf))
+        except ValueError:  # incl. UnsupportedWebPError
+            pass
+    for cut in (30, len(base) // 2, len(base) - 3):
+        try:
+            webp_frames(bytes(base[:cut]))
+        except ValueError:
+            pass
