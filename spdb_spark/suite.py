@@ -23,20 +23,19 @@ import os
 from spdb_spark.suite_crawl import STAGED_R9 as CRAWL_R9
 from spdb_spark.suite_crawl import STAGED_R10 as CRAWL_R10
 from spdb_spark.suite_llm import QUERIES as LLM
+from spdb_spark.suite_llm import STAGED_R7 as LLM_R7
 from spdb_spark.suite_relational import QUERIES as RELATIONAL
 from spdb_spark.suite_spatial import QUERIES as SPATIAL
-from spdb_spark.suite_staging import STAGED as LLM_R7
 
 _BASE: dict = {}
 _BASE.update(LLM)
 _BASE.update(RELATIONAL)
 _BASE.update(SPATIAL)
-# Round-7 registration of the ten staged gate queries (see PLANS.md,
-# "Round-7 registration plan"). Merged here rather than into
-# suite_llm.QUERIES because suite_staging imports suite_llm at module
-# level (SQL_CCNET_BUCKETS composes SQL_TEXT_UNIGRAM_LOGPROB); all ten
-# are never driver-checked, so the rotation puts them at the head of the
-# round-7 window regardless of dict position.
+# Round-7 registration of the twelve staged gate queries (see PLANS.md,
+# "Round-7 registration plan"; implementations folded into suite_llm in
+# round 10). Merged HERE, after the three suites, because the merge
+# position is the rotation tie-break the recorded driver windows were
+# built against — moving it would reorder same-round entries.
 _BASE.update(LLM_R7)
 # Round-9 registration: the crawl-composition flagship
 # (crawl_to_corpus) and the zip-shard ingest round-trip. Never
