@@ -284,10 +284,40 @@ def cross_hamming_pairs(
     )
 
 
+def _animation_canvases(payload: bytes) -> list[np.ndarray] | None:
+    """Composited frame canvases for the non-AVI animated containers the
+    repo decodes (animated GIF / APNG / animated WebP VP8L), or None
+    when the payload is not one of them. Canvases collapse to grayscale
+    exactly like the feature pipeline so a lossless container re-encode
+    of the same clip hashes identically."""
+    from spdb_spark.functions.gif import _collapse_gray
+
+    if payload[:6] in (b"GIF87a", b"GIF89a"):
+        from spdb_spark.functions.gif import gif_frames
+
+        return [_collapse_gray(f) for f in gif_frames(payload)]
+    if payload[:8] == b"\x89PNG\r\n\x1a\n":
+        from spdb_spark.functions.apng import apng_frames, is_apng
+
+        if not is_apng(payload):
+            return None
+        return [_collapse_gray(f) for f in apng_frames(payload)]
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WEBP":
+        from spdb_spark.functions.webp import is_animated_webp, webp_frames
+
+        if not is_animated_webp(payload):
+            return None
+        return [_collapse_gray(f) for f in webp_frames(payload)]
+    return None
+
+
 def video_phash_frames(payload: bytes, n_samples: int = 8) -> list[int]:
-    """AVI payload -> per-sampled-frame pHashes (evenly sampled via the
-    video feature schedule; PNG/MJPG/DIB frame codecs — the same decode
-    set as video_frame_features). ValueError on foreign frame codecs."""
+    """Video-ish payload -> per-sampled-frame pHashes (evenly sampled via
+    the video feature schedule). AVI carries PNG/MJPG/DIB frame codecs
+    (the same decode set as video_frame_features); animated GIF / APNG /
+    animated WebP hash their COMPOSITED canvases, so the same clip
+    re-packed across animated containers votes to the same signature.
+    ValueError on foreign frame codecs."""
     from spdb_spark.functions.jpeg import jpeg_decode
     from spdb_spark.functions.video import (
         _dib_frame_decode,
@@ -297,6 +327,16 @@ def video_phash_frames(payload: bytes, n_samples: int = 8) -> list[int]:
     )
     from spdb_spark.operators.render import png_decode
 
+    canvases = _animation_canvases(payload)
+    if canvases is not None:
+        if not canvases:
+            raise ValueError("video: no frames")
+        return [
+            phash64(canvases[i])
+            for i in sample_frame_indices(
+                len(canvases), min(n_samples, len(canvases))
+            )
+        ]
     frames = avi_frames(payload)
     if not frames:
         raise ValueError("video: no frames")
@@ -342,9 +382,9 @@ def video_phashes(
     payload_col: str = "payload",
     n_samples: int = 8,
 ) -> DataFrame:
-    """(id, payload) -> (media_id, phash, status) for AVI videos — the
-    video analogue of image_phash, so `phash_neardup_pairs` serves both
-    modalities unchanged."""
+    """(id, payload) -> (media_id, phash, status) for video-ish payloads
+    (AVI, animated GIF/APNG/WebP) — the video analogue of image_phash,
+    so `phash_neardup_pairs` serves both modalities unchanged."""
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from spdb_spark.functions.limits import PixelBudgetError

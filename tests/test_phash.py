@@ -174,3 +174,50 @@ def test_media_clusters_compose_with_text_machinery(spark):
         assert clusters[i] == i % 3  # min member of each class
     keepers = {v for v in clusters.values()}
     assert keepers == {0, 1, 2}
+
+
+def test_video_signature_invariant_across_animated_containers():
+    # the SAME gray clip packed as AVI-MPNG, animated GIF, APNG, and
+    # animated WebP must vote to the IDENTICAL 64-bit video signature
+    # (all four containers are lossless on these frames)
+    import numpy as np
+
+    from spdb_spark.functions.apng import apng_encode
+    from spdb_spark.functions.gif import gif_encode_frames
+    from spdb_spark.functions.phash import video_phash_frames, video_signature
+    from spdb_spark.functions.video import avi_encode_mpng
+    from spdb_spark.functions.webp import webp_encode_animation
+    from spdb_spark.operators.render import png_encode
+
+    rng = np.random.default_rng(21)
+    frames = [rng.integers(0, 256, (40, 48), dtype=np.uint8) for _ in range(4)]
+    payloads = {
+        "avi": avi_encode_mpng([png_encode(f) for f in frames], 48, 40),
+        "gif": gif_encode_frames(frames),
+        "apng": apng_encode(frames),
+        "webp": webp_encode_animation(frames),
+    }
+    sigs = {
+        k: video_signature(video_phash_frames(p, 4))
+        for k, p in payloads.items()
+    }
+    assert len(set(sigs.values())) == 1, sigs
+
+
+def test_video_phashes_kernel_accepts_animated_webp(spark):
+    import numpy as np
+
+    from spdb_spark.functions.phash import video_phashes
+    from spdb_spark.functions.webp import webp_encode_animation
+
+    rng = np.random.default_rng(4)
+    rows = []
+    for mid in range(6):
+        frames = [
+            rng.integers(0, 256, (16, 16), dtype=np.uint8) for _ in range(3)
+        ]
+        rows.append((mid, bytearray(webp_encode_animation(frames))))
+    media = spark.createDataFrame(rows, "media_id long, payload binary")
+    out = video_phashes(media).collect()
+    assert len(out) == 6
+    assert all(r["status"] == "ok" and r["phash"] is not None for r in out)
