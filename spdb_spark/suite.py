@@ -24,6 +24,7 @@ from spdb_spark.suite_crawl import STAGED_R9 as CRAWL_R9
 from spdb_spark.suite_crawl import STAGED_R10 as CRAWL_R10
 from spdb_spark.suite_llm import QUERIES as LLM
 from spdb_spark.suite_llm import STAGED_R7 as LLM_R7
+from spdb_spark.suite_llm import STAGED_R10_LLM as LLM_R10
 from spdb_spark.suite_relational import QUERIES as RELATIONAL
 from spdb_spark.suite_spatial import QUERIES as SPATIAL
 
@@ -42,9 +43,11 @@ _BASE.update(LLM_R7)
 # driver-checked, so the rotation puts them at the head of the round-9
 # window.
 _BASE.update(CRAWL_R9)
-# Round-10 registration (append-only): the streaming crawl composition,
-# gated against the SAME composed oracle as llm_crawl_corpus.
+# Round-10 registration (append-only): the streaming crawl composition
+# (gated against the SAME composed oracle as llm_crawl_corpus), the
+# span keep-first repair, and PQ-ADC approximate top-k.
 _BASE.update(CRAWL_R10)
+_BASE.update(LLM_R10)
 
 
 def _last_checked_round() -> dict[str, int]:

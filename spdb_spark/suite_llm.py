@@ -2938,3 +2938,109 @@ FROM d JOIN rd USING (host)
 SQL_REGISTERED_DOMAIN = _sql_registered_domain()
 
 STAGED_R7["llm_registered_domain"] = (q_registered_domain, SQL_REGISTERED_DOMAIN)
+
+
+# ===========================================================================
+# Round-10 gate: product quantization with ADC scoring (functions/pq.py)
+# ===========================================================================
+
+
+def q_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ-ADC approximate top-k driven end-to-end: deterministic
+    md5-picked codebooks (16 codes x 8 subspaces over dim 64), corpus
+    encoded to 8 small ints per vector in one zero-exchange projection,
+    ADC candidate scan over codes only, exact float re-rank of each
+    query's 30 best. The oracle replays the identical protocol: every
+    subspace distance is the dot-expansion rounded to 6dp BEFORE
+    argmin/summation (rounded terms are 1e-6 multiples, so sums round
+    identically in any order)."""
+    from spdb_spark.functions.pq import pq_topk
+
+    embs = _embs(spark, sf_dir)
+    queries = embs.where(F.col("vec_id") % 50 == 0)
+    return pq_topk(
+        embs, queries, dim=64, k=10, m=8, n_codes=16, rerank=30
+    )
+
+
+def _pq_sql() -> str:
+    d2 = (
+        "ROUND(list_dot_product({a}, {a}) - 2 * list_dot_product({a}, {b})"
+        " + list_dot_product({b}, {b}), 6)"
+    )
+    return f"""
+WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+cents AS (
+  SELECT CAST(ROW_NUMBER() OVER (ORDER BY cid_src) - 1 AS INTEGER) AS centroid_id,
+         c_vec
+  FROM (
+    SELECT vec_id AS cid_src, v AS c_vec
+    FROM base
+    ORDER BY {md5_long_sql("CAST(vec_id AS VARCHAR)")}, vec_id
+    LIMIT 16
+  )
+),
+sub AS MATERIALIZED (
+  SELECT vec_id, j, v[j*8+1 : j*8+8] AS sv
+  FROM base, unnest(range(0, 8)) AS t(j)
+),
+csub AS MATERIALIZED (
+  SELECT centroid_id, j, c_vec[j*8+1 : j*8+8] AS cv
+  FROM cents, unnest(range(0, 8)) AS t(j)
+),
+codes AS MATERIALIZED (
+  SELECT vec_id, j, centroid_id AS code FROM (
+    SELECT s.vec_id, s.j, c.centroid_id,
+           ROW_NUMBER() OVER (
+             PARTITION BY s.vec_id, s.j
+             ORDER BY {d2.format(a="s.sv", b="c.cv")}, c.centroid_id
+           ) AS rn
+    FROM sub s JOIN csub c ON s.j = c.j
+  ) WHERE rn = 1
+),
+lut AS MATERIALIZED (
+  SELECT s.vec_id AS query_id, c.j, c.centroid_id,
+         {d2.format(a="s.sv", b="c.cv")} AS d
+  FROM sub s JOIN csub c ON s.j = c.j
+  WHERE s.vec_id % 50 = 0
+),
+adc AS (
+  SELECT l.query_id, co.vec_id AS neighbor_id, ROUND(SUM(l.d), 6) AS adc
+  FROM codes co
+  JOIN lut l ON l.j = co.j AND l.centroid_id = co.code
+  WHERE co.vec_id <> l.query_id
+  GROUP BY l.query_id, co.vec_id
+),
+cand AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT adc.*,
+           ROW_NUMBER() OVER (
+             PARTITION BY query_id ORDER BY adc, neighbor_id
+           ) AS rn
+    FROM adc
+  ) WHERE rn <= 30
+),
+exact AS (
+  SELECT cand.query_id, cand.neighbor_id,
+         ROUND(list_dot_product(q.v, c.v)
+               / (sqrt(list_dot_product(q.v, q.v))
+                  * sqrt(list_dot_product(c.v, c.v))), 6) AS cos_sim
+  FROM cand
+  JOIN base q ON q.vec_id = cand.query_id
+  JOIN base c ON c.vec_id = cand.neighbor_id
+)
+SELECT * FROM (
+  SELECT query_id, neighbor_id, cos_sim,
+         CAST(ROW_NUMBER() OVER (
+           PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id
+         ) AS BIGINT) AS "rank"
+  FROM exact
+) WHERE "rank" <= 10
+"""
+
+
+SQL_ANN_PQ = _pq_sql()
+
+STAGED_R10_LLM: dict = {
+    "llm_ann_pq": (q_ann_pq, SQL_ANN_PQ),
+}

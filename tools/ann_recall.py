@@ -135,8 +135,20 @@ def main() -> None:
             {"rerank": rerank},
             quantized_topk(corpus, queries, k=k, rerank=rerank),
         )
+    from spdb_spark.functions.pq import pq_topk
 
-    for engine in ("ivf", "lsh", "sq8"):
+    for n_codes in (16, 64):
+        for rerank in (k, 3 * k):
+            run(
+                "pq",
+                {"n_codes": n_codes, "rerank": rerank},
+                pq_topk(
+                    corpus, queries, dim=dim, k=k, m=8,
+                    n_codes=n_codes, rerank=rerank,
+                ),
+            )
+
+    for engine in ("ivf", "lsh", "sq8", "pq"):
         rows = [r for r in results if r["engine"] == engine]
         keys = [c for c in rows[0] if c not in ("engine", "recall", "wall_sec")]
         print(f"\n## {engine} recall@{k} ({n_corpus} vectors, "
