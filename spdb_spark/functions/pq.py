@@ -277,3 +277,299 @@ def pq_topk(
         exact.withColumn("rank", F.row_number().over(w).cast("long"))
         .where(F.col("rank") <= k)
     )
+
+
+def ivfpq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    k: int = 10,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    m: int = 8,
+    n_codes: int = 16,
+    rerank: int = 30,
+) -> DataFrame:
+    """IVF-PQ — the standard billion-scale composite (faiss IVFPQ,
+    public method): a coarse IVF quantizer routes each vector to one
+    inverted list, the RESIDUAL (vector minus its coarse centroid) is
+    PQ-encoded to m small ints, and a query ADC-scans only its n_probe
+    probed lists with a per-(query, probed-list) residual LUT, followed
+    by the shared exact float re-rank.
+
+    Why this is THE 100 TB shape: candidates per query are
+    ~n/n_centroids * n_probe rows of m BYTES each — both the candidate
+    COUNT (IVF pruning) and the candidate WIDTH (PQ codes) shrink, and
+    the scan arrives through one equi-join on centroid_id (the
+    IVF-bucketed join; the query side broadcasts). Residual encoding is
+    what makes a small per-subspace codebook usable across all lists:
+    residuals live near zero regardless of which cell a vector is in.
+
+    Determinism: coarse centroids + residual codebooks both come from
+    the md5 pick; every distance follows pq.py's rounded dot-expansion
+    protocol — so the DuckDB gate oracle replays the whole composite.
+    Returns (query_id, neighbor_id, rank, cos_sim)."""
+    from spdb_spark.functions.ivf import assign_lists, choose_centroids
+
+    cents = choose_centroids(corpus, id_col, vec_col, n_centroids)
+    cents = corpus.sparkSession.createDataFrame(
+        [(int(r.centroid_id), list(r.centroid_vec)) for r in cents.collect()],
+        schema="centroid_id int, centroid_vec array<double>",
+    )
+    d_sub = dim // m
+
+    def residual(v_col):
+        return F.zip_with(v_col, F.col("centroid_vec"), lambda a, b: a - b)
+
+    lists = (
+        assign_lists(corpus, cents, id_col, vec_col, n_probe=1)
+        .join(F.broadcast(cents), "centroid_id")
+        .select(
+            F.col("vid").alias("neighbor_id"),
+            "centroid_id",
+            residual(F.col("v")).alias("resid"),
+        )
+    )
+    # residual codebooks: md5 pick over the residual table (ids are the
+    # corpus ids, so the pick is the same rows' residuals — bit-stable)
+    codebooks = pq_codebooks(
+        lists, "neighbor_id", "resid", dim=dim, m=m, n_codes=n_codes
+    )
+    codes = lists.select(
+        "neighbor_id",
+        "centroid_id",
+        F.array(
+            *[_code_expr(F.col("resid"), codebooks, j, d_sub) for j in range(m)]
+        ).alias("codes"),
+    )
+    probes = (
+        assign_lists(queries, cents, id_col, vec_col, n_probe=n_probe)
+        .join(F.broadcast(cents), "centroid_id")
+        .select(
+            F.col("vid").alias("query_id"),
+            "centroid_id",
+            _lut_expr(residual(F.col("v")), codebooks, d_sub).alias("_lut"),
+        )
+    )
+    adc = (
+        codes.join(F.broadcast(probes), "centroid_id")
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(
+                F.aggregate(
+                    F.zip_with(
+                        F.col("codes"),
+                        F.col("_lut"),
+                        lambda c, row: F.element_at(row, c + 1),
+                    ),
+                    F.lit(0.0),
+                    lambda acc, v: acc + v,
+                ),
+                6,
+            ).alias("adc"),
+        )
+        # a neighbor reachable through two probed lists appears once per
+        # its OWN list only (codes carry one centroid_id per vector), so
+        # no dedup is needed here
+    )
+    wq = Window.partitionBy("query_id").orderBy("adc", "neighbor_id")
+    cands = (
+        adc.withColumn("_r", F.row_number().over(wq))
+        .where(F.col("_r") <= rerank)
+        .select("query_id", "neighbor_id")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), _as_double(F.col(vec_col)).alias("c_vec")
+    ).withColumn("_cn", norm(F.col("c_vec")))
+    qv = F.broadcast(
+        queries.select(
+            F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("q_vec")
+        ).withColumn("_qn", norm(F.col("q_vec")))
+    )
+    exact = (
+        cands.join(c, "neighbor_id")
+        .join(qv, "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(
+                cosine_prenormed(
+                    F.col("q_vec"), F.col("c_vec"), F.col("_qn"), F.col("_cn")
+                ),
+                6,
+            ).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), "neighbor_id")
+    return (
+        exact.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= k)
+    )
+
+
+def save_ivfpq_index(
+    corpus: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    n_centroids: int = 16,
+    m: int = 8,
+    n_codes: int = 16,
+) -> None:
+    """Persist an IVF-PQ index: `<path>/centroids` (coarse quantizer),
+    `<path>/pq_codebooks` (m * n_codes residual sub-centroids), and
+    `<path>/codes` — m small ints per vector, PARTITIONED BY
+    centroid_id so a probe reads n_probe/k of the files via
+    directory-level pruning. This is the billion-vector layout: the
+    scannable index is ~m bytes/vector (vs 8*dim for floats — 64x at
+    dim 64/m 8), and the floats stay in primary storage, touched only
+    for each query's re-rank candidates."""
+    from spdb_spark.functions.ivf import assign_lists, choose_centroids
+
+    cents = choose_centroids(corpus, id_col, vec_col, n_centroids)
+    cents = corpus.sparkSession.createDataFrame(
+        [(int(r.centroid_id), list(r.centroid_vec)) for r in cents.collect()],
+        schema="centroid_id int, centroid_vec array<double>",
+    )
+    cents.write.mode("overwrite").parquet(path + "/centroids")
+    lists = (
+        assign_lists(corpus, cents, id_col, vec_col, n_probe=1)
+        .join(F.broadcast(cents), "centroid_id")
+        .select(
+            F.col("vid"),
+            "centroid_id",
+            F.zip_with(F.col("v"), F.col("centroid_vec"), lambda a, b: a - b).alias(
+                "resid"
+            ),
+        )
+    )
+    codebooks = pq_codebooks(lists, "vid", "resid", dim=dim, m=m, n_codes=n_codes)
+    d_sub = dim // m
+    corpus.sparkSession.createDataFrame(
+        [
+            (j, cid, vec)
+            for j, cb in enumerate(codebooks)
+            for cid, vec in cb
+        ],
+        schema="subspace int, pq_id int, sub_vec array<double>",
+    ).write.mode("overwrite").parquet(path + "/pq_codebooks")
+    (
+        lists.select(
+            "vid",
+            "centroid_id",
+            F.array(
+                *[_code_expr(F.col("resid"), codebooks, j, d_sub) for j in range(m)]
+            ).alias("codes"),
+        )
+        .write.mode("overwrite")
+        .partitionBy("centroid_id")
+        .parquet(path + "/codes")
+    )
+
+
+def ivfpq_topk_indexed(
+    spark,
+    path: str,
+    queries: DataFrame,
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    k: int = 10,
+    n_probe: int = 4,
+    rerank: int = 30,
+) -> DataFrame:
+    """Query a persisted IVF-PQ index: probed centroid_id values prune
+    the codes scan at the directory level; `corpus` supplies the float
+    vectors for the exact re-rank (primary storage — only candidate
+    rows are fetched). Bit-identical to the unindexed `ivfpq_topk` at
+    the same settings (test-pinned)."""
+    from spdb_spark.functions.ivf import assign_lists
+
+    cents = spark.read.parquet(path + "/centroids")
+    cents = spark.createDataFrame(
+        [(int(r.centroid_id), list(r.centroid_vec)) for r in cents.collect()],
+        schema="centroid_id int, centroid_vec array<double>",
+    )
+    cb_rows = spark.read.parquet(path + "/pq_codebooks").collect()
+    m = 1 + max(r["subspace"] for r in cb_rows)
+    codebooks: list[list[tuple[int, list[float]]]] = [[] for _ in range(m)]
+    for r in cb_rows:
+        codebooks[r["subspace"]].append((int(r["pq_id"]), list(r["sub_vec"])))
+    for cb in codebooks:
+        cb.sort()
+    d_sub = dim // m
+    codes = spark.read.parquet(path + "/codes").select(
+        F.col("vid").alias("neighbor_id"), "centroid_id", "codes"
+    )
+    probes = (
+        assign_lists(queries, cents, id_col, vec_col, n_probe=n_probe)
+        .join(F.broadcast(cents), "centroid_id")
+        .select(
+            F.col("vid").alias("query_id"),
+            "centroid_id",
+            _lut_expr(
+                F.zip_with(F.col("v"), F.col("centroid_vec"), lambda a, b: a - b),
+                codebooks,
+                d_sub,
+            ).alias("_lut"),
+        )
+    )
+    adc = (
+        codes.join(F.broadcast(probes), "centroid_id")
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(
+                F.aggregate(
+                    F.zip_with(
+                        F.col("codes"),
+                        F.col("_lut"),
+                        lambda c, row: F.element_at(row, c + 1),
+                    ),
+                    F.lit(0.0),
+                    lambda acc, v: acc + v,
+                ),
+                6,
+            ).alias("adc"),
+        )
+    )
+    wq = Window.partitionBy("query_id").orderBy("adc", "neighbor_id")
+    cands = (
+        adc.withColumn("_r", F.row_number().over(wq))
+        .where(F.col("_r") <= rerank)
+        .select("query_id", "neighbor_id")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), _as_double(F.col(vec_col)).alias("c_vec")
+    ).withColumn("_cn", norm(F.col("c_vec")))
+    qv = F.broadcast(
+        queries.select(
+            F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("q_vec")
+        ).withColumn("_qn", norm(F.col("q_vec")))
+    )
+    exact = (
+        cands.join(c, "neighbor_id")
+        .join(qv, "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(
+                cosine_prenormed(
+                    F.col("q_vec"), F.col("c_vec"), F.col("_qn"), F.col("_cn")
+                ),
+                6,
+            ).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), "neighbor_id")
+    return (
+        exact.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= k)
+    )

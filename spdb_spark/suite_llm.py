@@ -3041,6 +3041,114 @@ SELECT * FROM (
 
 SQL_ANN_PQ = _pq_sql()
 
+
+def q_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ composite (faiss-style) driven end-to-end: cosine coarse
+    quantizer (16 lists, probe 4), residual PQ (16 codes x 8 subspaces),
+    per-(query, probed-list) residual LUTs, ADC over probed lists only,
+    exact re-rank of the 30 best. The oracle composes the gated IVF
+    quantizer fragment with the PQ distance protocol over residuals."""
+    from spdb_spark.functions.pq import ivfpq_topk
+
+    embs = _embs(spark, sf_dir)
+    queries = embs.where(F.col("vec_id") % 50 == 0)
+    return ivfpq_topk(
+        embs, queries, dim=64, k=10,
+        n_centroids=16, n_probe=4, m=8, n_codes=16, rerank=30,
+    )
+
+
+def _ivfpq_sql() -> str:
+    d2 = (
+        "ROUND(list_dot_product({a}, {a}) - 2 * list_dot_product({a}, {b})"
+        " + list_dot_product({b}, {b}), 6)"
+    )
+    return f"""
+WITH {_ivf_quantizer_sql(16)},
+lists0 AS MATERIALIZED (
+  SELECT a.vec_id AS neighbor_id, a.centroid_id,
+         list_transform(range(1, 65), i -> a.v[i] - c.c_vec[i]) AS resid
+  FROM assigned a JOIN cents c USING (centroid_id)
+  WHERE a.crank = 1
+),
+pcents AS (
+  SELECT CAST(ROW_NUMBER() OVER (ORDER BY cid_src) - 1 AS INTEGER) AS pq_id,
+         p_vec
+  FROM (
+    SELECT neighbor_id AS cid_src, resid AS p_vec
+    FROM lists0
+    ORDER BY {md5_long_sql("CAST(neighbor_id AS VARCHAR)")}, neighbor_id
+    LIMIT 16
+  )
+),
+psub AS MATERIALIZED (
+  SELECT pq_id, j, p_vec[j*8+1 : j*8+8] AS pv
+  FROM pcents, unnest(range(0, 8)) AS t(j)
+),
+rsub AS MATERIALIZED (
+  SELECT neighbor_id, centroid_id, j, resid[j*8+1 : j*8+8] AS rv
+  FROM lists0, unnest(range(0, 8)) AS t(j)
+),
+codes AS MATERIALIZED (
+  SELECT neighbor_id, centroid_id, j, pq_id AS code FROM (
+    SELECT r.neighbor_id, r.centroid_id, r.j, p.pq_id,
+           ROW_NUMBER() OVER (
+             PARTITION BY r.neighbor_id, r.j
+             ORDER BY {d2.format(a="r.rv", b="p.pv")}, p.pq_id
+           ) AS rn
+    FROM rsub r JOIN psub p ON r.j = p.j
+  ) WHERE rn = 1
+),
+probes AS MATERIALIZED (
+  SELECT a.vec_id AS query_id, a.centroid_id,
+         list_transform(range(1, 65), i -> a.v[i] - c.c_vec[i]) AS qresid
+  FROM assigned a JOIN cents c USING (centroid_id)
+  WHERE a.crank <= 4 AND a.vec_id % 50 = 0
+),
+lut AS MATERIALIZED (
+  SELECT q.query_id, q.centroid_id, p.j, p.pq_id,
+         {d2.format(a="q.qresid[p.j*8+1 : p.j*8+8]", b="p.pv")} AS d
+  FROM probes q JOIN psub p ON TRUE
+),
+adc AS (
+  SELECT l.query_id, co.neighbor_id, ROUND(SUM(l.d), 6) AS adc
+  FROM codes co
+  JOIN lut l ON l.centroid_id = co.centroid_id
+            AND l.j = co.j AND l.pq_id = co.code
+  WHERE co.neighbor_id <> l.query_id
+  GROUP BY l.query_id, co.neighbor_id
+),
+cand AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT adc.*,
+           ROW_NUMBER() OVER (
+             PARTITION BY query_id ORDER BY adc, neighbor_id
+           ) AS rn
+    FROM adc
+  ) WHERE rn <= 30
+),
+exact AS (
+  SELECT cand.query_id, cand.neighbor_id,
+         ROUND(list_dot_product(q.v, c.v)
+               / (sqrt(list_dot_product(q.v, q.v))
+                  * sqrt(list_dot_product(c.v, c.v))), 6) AS cos_sim
+  FROM cand
+  JOIN base q ON q.vec_id = cand.query_id
+  JOIN base c ON c.vec_id = cand.neighbor_id
+)
+SELECT * FROM (
+  SELECT query_id, neighbor_id, cos_sim,
+         CAST(ROW_NUMBER() OVER (
+           PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id
+         ) AS BIGINT) AS "rank"
+  FROM exact
+) WHERE "rank" <= 10
+"""
+
+
+SQL_ANN_IVFPQ = _ivfpq_sql()
+
 STAGED_R10_LLM: dict = {
     "llm_ann_pq": (q_ann_pq, SQL_ANN_PQ),
+    "llm_ann_ivfpq": (q_ann_ivfpq, SQL_ANN_IVFPQ),
 }

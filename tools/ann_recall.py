@@ -148,7 +148,23 @@ def main() -> None:
                 ),
             )
 
-    for engine in ("ivf", "lsh", "sq8", "pq"):
+    from spdb_spark.functions.pq import ivfpq_topk
+
+    # the residual-code budget and the re-rank margin are IVF-PQ's two
+    # quality dials (n_probe mostly sets which cells are REACHABLE):
+    for n_codes, rerank in ((16, 3 * k), (64, 3 * k), (64, 10 * k)):
+        run(
+            "ivfpq",
+            {"n_centroids": 16, "n_probe": 4, "n_codes": n_codes,
+             "rerank": rerank},
+            ivfpq_topk(
+                corpus, queries, dim=dim, k=k,
+                n_centroids=16, n_probe=4, m=8, n_codes=n_codes,
+                rerank=rerank,
+            ),
+        )
+
+    for engine in ("ivf", "lsh", "sq8", "pq", "ivfpq"):
         rows = [r for r in results if r["engine"] == engine]
         keys = [c for c in rows[0] if c not in ("engine", "recall", "wall_sec")]
         print(f"\n## {engine} recall@{k} ({n_corpus} vectors, "
