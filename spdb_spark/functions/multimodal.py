@@ -16,7 +16,9 @@ PNG-compressed frames (AVI/MPNG) is REAL via functions/video.py. Only
 payloads pure Python genuinely can't parse (H.264, mp3, arithmetic-coded
 JPEG, synthetic text fixtures) fall to a deterministic fake —
 swap `_fake_decode` for pyav in production. Stub-decoded rows are labeled
-status="stub" (real decodes say "ok") so downstream consumers can filter
+status="stub" (real decodes say "ok"; a VP8L stream that fails
+MID-DECODE says "error" — a corruption signal, distinct from the
+intentional stub surface) so downstream consumers can filter
 synthetic features from real signal. Everything Spark-cares-about —
 schema, binary payload handling, partitioning, mapInPandas batch shape,
 UDF signatures — is real and tested either way.
