@@ -479,3 +479,58 @@ def test_crawl_suite_plan_shapes(spark):
     bplan = plan_of(q_domain_blocklist(spark, sf))
     for m in re.finditer(r"Exchange hashpartitioning\(([^)]*)\)", bplan):
         assert "doc_id" not in m.group(1), bplan
+
+
+def test_pq_adc_plan_shapes(spark):
+    """PQ/IVF-PQ posture: no row-at-a-time UDFs, no cartesian products;
+    the PQ candidate scan broadcasts the query side (BNLJ of a tiny
+    broadcast — intended, like brute force), and the IVF-PQ candidate
+    stage arrives through a centroid_id BROADCAST HASH join, never a
+    nested loop over the corpus."""
+    from pyspark.sql import functions as F
+
+    from spdb_spark.functions.pq import ivfpq_topk, pq_topk
+    from spdb_spark.session import load_tables
+
+    embs = load_tables(spark, "/root/testdata/sf0.001", names=("embeddings",))[
+        "embeddings"
+    ]
+    queries = embs.where(F.col("vec_id") % 50 == 0)
+
+    pq_plan = plan_of(pq_topk(embs, queries, dim=64, k=5, rerank=10))
+    assert "BatchEvalPython" not in pq_plan
+    assert "CartesianProduct" not in pq_plan
+    assert "BroadcastExchange" in pq_plan  # query side broadcast
+
+    ivfpq_plan = plan_of(
+        ivfpq_topk(embs, queries, dim=64, k=5, n_centroids=8, n_probe=2, rerank=10)
+    )
+    assert "BatchEvalPython" not in ivfpq_plan
+    assert "CartesianProduct" not in ivfpq_plan
+    # the ADC stage joins codes to probes on centroid_id as a broadcast
+    # hash join (the probe table is query-count x n_probe rows)
+    assert "BroadcastHashJoin" in ivfpq_plan
+
+
+def test_streaming_crawl_corpus_reader_plan(spark, tmp_path):
+    """corpus() posture: the canonicalization is one min-struct
+    aggregate (partial map-side), pairs/losers resolve through hash
+    joins — no cartesian products, no row-UDFs, no window over the
+    corpus."""
+    from spdb_spark.streaming.crawl import StreamingCrawlCorpus
+
+    sink = StreamingCrawlCorpus(spark, str(tmp_path / "state"), quality=False)
+    batch = spark.createDataFrame(
+        [
+            (i, f"text body number {i} with several words", "en",
+             f"http://h{i % 3}.example/p{i}", 30)
+            for i in range(30)
+        ],
+        "doc_id long, text string, lang string, source string, n_chars int",
+    )
+    sink.process_batch(batch, 0)
+    plan = plan_of(sink.corpus())
+    assert "BatchEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    assert "partial_min" in plan or "partial" in plan  # min-struct agg
+    assert "Window" not in plan

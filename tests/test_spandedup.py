@@ -119,3 +119,52 @@ def test_keep_validates(spark):
 
     with pytest.raises(ValueError, match="keep"):
         duplicate_windows(_docs(spark), keep="last")
+
+
+def test_keep_first_invariants_on_random_corpora(spark):
+    """Structural invariants on seeded random corpora: the keep-first
+    removal set is the keep-none set minus EXACTLY the min-(doc_id,
+    start) occurrence of each duplicated hash — so per-hash counts drop
+    by one, the excluded row is the canonical one, and per-doc
+    n_removed never increases."""
+    import numpy as np
+
+    rng = np.random.default_rng(31)
+    vocab = [f"w{i}" for i in range(12)]  # tiny vocab -> many dup windows
+    for trial in range(3):
+        rows = [
+            (d, " ".join(rng.choice(vocab, size=int(rng.integers(8, 40)))))
+            for d in range(12)
+        ]
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        none_rows = {
+            (r["doc_id"], r["start"], r["h"])
+            for r in duplicate_windows(docs, window=5, stride=1).collect()
+        }
+        first_rows = {
+            (r["doc_id"], r["start"], r["h"])
+            for r in duplicate_windows(
+                docs, window=5, stride=1, keep="first"
+            ).collect()
+        }
+        assert first_rows <= none_rows
+        by_hash_none: dict = {}
+        for d, s, h in none_rows:
+            by_hash_none.setdefault(h, []).append((d, s))
+        by_hash_first: dict = {}
+        for d, s, h in first_rows:
+            by_hash_first.setdefault(h, []).append((d, s))
+        for h, occs in by_hash_none.items():
+            kept = set(occs) - set(by_hash_first.get(h, []))
+            assert kept == {min(occs)}, (trial, h)
+        n_none = {
+            r["doc_id"]: r["n_removed"]
+            for r in remove_duplicate_spans(docs, window=5, stride=1).collect()
+        }
+        n_first = {
+            r["doc_id"]: r["n_removed"]
+            for r in remove_duplicate_spans(
+                docs, window=5, stride=1, keep="first"
+            ).collect()
+        }
+        assert all(n_first[d] <= n_none[d] for d in n_none)
