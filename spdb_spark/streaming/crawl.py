@@ -319,6 +319,36 @@ class StreamingCrawlCorpus(BatchLedgerSink):
             out = out.join(losers, "doc_id", "left_anti")
         return out.select(*self._DOC_COLS)
 
+    def corpus_selected(
+        self,
+        select_target: DataFrame,
+        select_k: int,
+        select_buckets: int = 10_000,
+        select_seed: int = 0,
+    ) -> DataFrame:
+        """The curated corpus with DSIR importance resampling applied —
+        the same selection stage batch `crawl_to_corpus` appends
+        (sources/crawl.py): fit target/corpus hashed n-gram log-ratios,
+        weight the survivors, keep the deterministic Gumbel top-k.
+        Because `corpus()` equals the batch corpus row for row, this
+        equals the batch pipeline WITH selection (test-pinned).
+        Selection runs at read time over the accumulated state — the
+        right place for a distribution-matching stage, which is a
+        global decision a per-batch sink cannot make incrementally."""
+        from pyspark.sql import functions as F
+
+        from spdb_spark.functions.dsir import (
+            dsir_bucket_logratio,
+            dsir_resample,
+            dsir_weights,
+        )
+
+        docs = self.corpus()
+        lr = dsir_bucket_logratio(docs, select_target, n_buckets=select_buckets)
+        w = dsir_weights(docs, lr, n_buckets=select_buckets)
+        chosen = dsir_resample(w, select_k, seed=select_seed).select("doc_id")
+        return docs.join(F.broadcast(chosen), "doc_id", "left_semi")
+
     # -- streaming attachment ---------------------------------------------------
 
     def start(self, stream: DataFrame, checkpoint: str, **trigger_kwargs):

@@ -213,3 +213,63 @@ def test_streaming_crawl_corpus_compaction_preserves_state(spark, tmp_path):
     sink.compact()
     sink.vacuum()
     assert {tuple(r) for r in sink.corpus().collect()} == before
+
+
+def test_streaming_corpus_with_dsir_selection_matches_batch(spark, tmp_path):
+    """The FULL pipeline incl. the DSIR selection stage: streaming
+    corpus_selected() must equal batch crawl_to_corpus(select_target,
+    select_k) — closing stream==batch over every stage the batch
+    composition offers."""
+    import hashlib
+
+    from conftest import SF_DIR
+
+    from spdb_spark.session import load_tables
+    from spdb_spark.sources.crawl import crawl_to_corpus
+    from spdb_spark.sources.warc import ingest_warc, warc_encode
+    from spdb_spark.streaming.crawl import (
+        StreamingCrawlCorpus,
+        stream_crawl_docs,
+    )
+    from spdb_spark.suite_crawl import _NEARDUP_THRESHOLD, warc_records_from_docs
+
+    tables = load_tables(spark, SF_DIR)
+    recs = warc_records_from_docs(tables["documents"]).collect()
+    recs = sorted(recs, key=lambda r: hashlib.md5(r.target_uri.encode()).hexdigest())
+    feed = tmp_path / "feed"
+    feed.mkdir()
+    for j in range(2):
+        fl = [
+            {
+                "warc_type": r.warc_type,
+                "target_uri": r.target_uri,
+                "payload": bytes(r.payload),
+            }
+            for i, r in enumerate(recs)
+            if i % 2 == j
+        ]
+        (feed / f"f{j}.warc.gz").write_bytes(warc_encode(fl))
+
+    target = tables["documents"].where("doc_id % 10 = 0")
+    sink = StreamingCrawlCorpus(
+        spark, str(tmp_path / "state"), minhash_threshold=_NEARDUP_THRESHOLD
+    )
+    q = sink.start(
+        stream_crawl_docs(spark, str(feed), max_files_per_trigger=1),
+        str(tmp_path / "ckpt"),
+    )
+    q.awaitTermination(300)
+    got = {
+        tuple(r) for r in sink.corpus_selected(target, select_k=25).collect()
+    }
+    want = {
+        tuple(r)
+        for r in crawl_to_corpus(
+            ingest_warc(spark, str(feed)),
+            minhash_threshold=_NEARDUP_THRESHOLD,
+            select_target=target,
+            select_k=25,
+        ).collect()
+    }
+    assert len(want) == 25
+    assert got == want
