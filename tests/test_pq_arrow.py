@@ -1,0 +1,324 @@
+"""Round-11 PQ surface: the Arrow encode/LUT engine (bit-identical to
+the expression form — the production 8-bit path where the expression
+plan-build cost is the measured ceiling), IVF-PQ incremental append
+(frozen quantizer, exactly-once), and compaction parity with the IVF
+index (compact/vacuum + pruning preserved)."""
+
+import os
+import shutil
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from tools.ann_recall import make_clustered
+
+
+@pytest.fixture(scope="module")
+def small(spark):
+    return make_clustered(spark, n=300, dim=64, n_clusters=12, noise=0.3).persist()
+
+
+def _codes_tuples(df):
+    return sorted((r[0], tuple(r[1])) for r in df.collect())
+
+
+def test_arrow_encode_bit_identical_to_expression(spark, small):
+    """The whole point of the arrow engine: SAME protocol, same bits.
+    Pinned at 16 and 64 codes (the expression form's practical range)."""
+    from spdb_spark.functions.pq import pq_codebooks, pq_encode
+
+    for n_codes in (16, 64):
+        cb = pq_codebooks(small, dim=64, m=8, n_codes=n_codes)
+        expr = _codes_tuples(pq_encode(small, cb, engine="expr"))
+        arrow = _codes_tuples(pq_encode(small, cb, engine="arrow"))
+        assert expr == arrow and len(expr) == 300, n_codes
+
+
+def test_arrow_topk_bit_identical_to_expression(spark, small):
+    from spdb_spark.functions.pq import ivfpq_topk, pq_topk
+
+    queries = small.where(F.col("vec_id") % 60 == 0)
+    for fn in (pq_topk, ivfpq_topk):
+        expr = sorted(
+            map(tuple, fn(small, queries, dim=64, k=5, rerank=40,
+                          engine="expr").collect())
+        )
+        arrow = sorted(
+            map(tuple, fn(small, queries, dim=64, k=5, rerank=40,
+                          engine="arrow").collect())
+        )
+        assert expr == arrow and len(expr) > 0, fn.__name__
+
+
+def test_arrow_engine_stays_zero_exchange(spark, small):
+    """The arrow encode is still a shuffle-free projection (Arrow batch
+    eval, not row-at-a-time BatchEvalPython)."""
+    from spdb_spark.functions.pq import pq_codebooks, pq_encode
+
+    cb = pq_codebooks(small, dim=64, m=8, n_codes=16)
+    plan = (
+        pq_encode(small, cb, engine="arrow")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan and "BatchEvalPython" not in plan
+
+
+def test_arrow_unlocks_256_codes(spark, small):
+    """8-bit PQ (the billion-scale code budget): the arrow engine's plan
+    is constant-size in n_codes, so 256-code encode builds and runs where
+    the expression form hits the measured 73 s plan-build ceiling
+    (SCALE.md r10). Codes must cover the widened range and be
+    deterministic across runs."""
+    import time
+
+    from spdb_spark.functions.pq import pq_codebooks, pq_encode
+
+    cb = pq_codebooks(small, dim=64, m=8, n_codes=256)
+    assert all(len(j) == 256 for j in cb)
+    t0 = time.time()
+    codes = pq_encode(small, cb, engine="arrow")
+    build = time.time() - t0
+    assert build < 10, f"arrow plan-build took {build:.1f}s — should be ~0"
+    rows1 = _codes_tuples(codes)
+    rows2 = _codes_tuples(pq_encode(small, cb, engine="arrow"))
+    assert rows1 == rows2 and len(rows1) == 300
+    flat = [c for _id, cs in rows1 for c in cs]
+    assert min(flat) >= 0 and max(flat) > 63, "256-code range unused"
+
+
+def test_pq256_recall_floor_clustered(spark):
+    """Recall floor at the 8-bit code budget: more codes = finer
+    subspace cells, so recall at a FIXED rerank must not fall below the
+    16-code floor (measured 1.0 at rerank=100 on this fixture)."""
+    from tools.ann_recall import _truth_sets, recall_at_k
+
+    from spdb_spark.functions.pq import pq_topk
+    from spdb_spark.functions.similarity import brute_force_topk
+
+    corpus = make_clustered(spark, n=2000, dim=64, n_clusters=40, noise=0.3)
+    queries = corpus.where(F.col("vec_id") % 100 == 0)
+    truth = _truth_sets(brute_force_topk(corpus, queries, k=10))
+    approx = pq_topk(
+        corpus, queries, dim=64, k=10, m=8, n_codes=256, rerank=100,
+        engine="arrow",
+    )
+    r = recall_at_k(approx, truth)
+    assert r >= 0.9, f"pq256 recall@10 {r}"
+
+
+# ---------------------------------------------------------------------------
+# incremental append + compaction
+# ---------------------------------------------------------------------------
+
+
+def _frozen_quantizer(spark, corpus, n_centroids=8, n_codes=16):
+    from spdb_spark.functions.ivf import assign_lists, choose_centroids
+    from spdb_spark.functions.pq import pq_codebooks
+
+    cents = choose_centroids(corpus, "vec_id", "embedding", n_centroids)
+    cents = spark.createDataFrame(
+        [(int(r.centroid_id), list(r.centroid_vec)) for r in cents.collect()],
+        schema="centroid_id int, centroid_vec array<double>",
+    )
+    lists = (
+        assign_lists(corpus, cents, "vec_id", "embedding", n_probe=1)
+        .join(F.broadcast(cents), "centroid_id")
+        .select(
+            "vid",
+            "centroid_id",
+            F.zip_with(
+                F.col("v"), F.col("centroid_vec"), lambda a, b: a - b
+            ).alias("resid"),
+        )
+    )
+    cbs = pq_codebooks(lists, "vid", "resid", dim=64, m=8, n_codes=n_codes)
+    return cents, cbs
+
+
+def test_ivfpq_append_equals_rebuild(spark, small, tmp_path):
+    """Appending under the frozen quantizer is bit-identical to a full
+    rebuild with the same quantizer: identical codes table, identical
+    indexed top-k. (The quantizer is trained on the union for both, so
+    this pins the APPEND path, not quantizer drift.)"""
+    from spdb_spark.functions.pq import (
+        _codes_dir,
+        append_to_ivfpq_index,
+        ivfpq_topk_indexed,
+        save_ivfpq_index,
+    )
+
+    cents, cbs = _frozen_quantizer(spark, small)
+    boot = small.where(F.col("vec_id") < 200)
+    extra = small.where(F.col("vec_id") >= 200)
+    p_full = str(tmp_path / "full")
+    p_inc = str(tmp_path / "inc")
+    save_ivfpq_index(small, p_full, dim=64, cents=cents, codebooks=cbs)
+    save_ivfpq_index(boot, p_inc, dim=64, cents=cents, codebooks=cbs)
+    append_to_ivfpq_index(spark, p_inc, extra, dim=64, batch_id="b1")
+
+    codes_full = _codes_tuples(
+        spark.read.parquet(_codes_dir(p_full)).select("vid", "codes")
+    )
+    codes_inc = _codes_tuples(
+        spark.read.parquet(_codes_dir(p_inc)).select("vid", "codes")
+    )
+    assert codes_full == codes_inc and len(codes_full) == 300
+
+    q = small.where(F.col("vec_id") % 60 == 0)
+    full = sorted(
+        map(tuple, ivfpq_topk_indexed(spark, p_full, q, small, dim=64,
+                                      k=5, rerank=40).collect())
+    )
+    inc = sorted(
+        map(tuple, ivfpq_topk_indexed(spark, p_inc, q, small, dim=64,
+                                      k=5, rerank=40).collect())
+    )
+    assert full == inc and len(full) > 0
+
+
+def test_ivfpq_append_redelivery_noop(spark, small, tmp_path):
+    """foreachBatch redelivery semantics: re-appending the same batch_id
+    changes nothing (committed marker short-circuits)."""
+    from spdb_spark.functions.pq import (
+        _codes_dir,
+        append_to_ivfpq_index,
+        save_ivfpq_index,
+    )
+
+    cents, cbs = _frozen_quantizer(spark, small)
+    boot = small.where(F.col("vec_id") < 200)
+    extra = small.where(F.col("vec_id") >= 200)
+    path = str(tmp_path / "idx")
+    save_ivfpq_index(boot, path, dim=64, cents=cents, codebooks=cbs)
+    append_to_ivfpq_index(spark, path, extra, dim=64, batch_id="b1")
+    before = _codes_tuples(spark.read.parquet(_codes_dir(path)).select("vid", "codes"))
+    append_to_ivfpq_index(spark, path, extra, dim=64, batch_id="b1")
+    after = _codes_tuples(spark.read.parquet(_codes_dir(path)).select("vid", "codes"))
+    assert before == after and len(before) == 300
+
+
+def test_ivfpq_append_crash_mid_publish_recovers(spark, small, tmp_path, monkeypatch):
+    """A crash between staging and publish: the retry with the SAME
+    batch_id republishes from the SEALED staging (same file names, so
+    skip-if-present is exact) — never a double-append, never a restage
+    against a half-appended base."""
+    import shutil as _shutil
+
+    from spdb_spark.functions.pq import (
+        _codes_dir,
+        append_to_ivfpq_index,
+        save_ivfpq_index,
+    )
+
+    cents, cbs = _frozen_quantizer(spark, small)
+    boot = small.where(F.col("vec_id") < 200)
+    extra = small.where(F.col("vec_id") >= 200)
+    path = str(tmp_path / "idx")
+    save_ivfpq_index(boot, path, dim=64, cents=cents, codebooks=cbs)
+
+    state = {"copies": 0}
+    real_copyfile = _shutil.copyfile
+
+    def crashing_copyfile(src, dst, **kw):
+        state["copies"] += 1
+        if state["copies"] == 2:
+            raise OSError("injected crash mid-publish")
+        return real_copyfile(src, dst, **kw)
+
+    # the function body does `import shutil` per call, so patching the
+    # module attribute intercepts its copies
+    monkeypatch.setattr(_shutil, "copyfile", crashing_copyfile)
+    raised = False
+    try:
+        append_to_ivfpq_index(spark, path, extra, dim=64, batch_id="b1")
+    except OSError:
+        raised = True
+    assert raised and state["copies"] >= 2
+    assert os.path.exists(os.path.join(path, "_staging", "b1", "_STAGED"))
+    assert not os.path.exists(os.path.join(path, "_appendlog", "b1.json"))
+    monkeypatch.undo()
+
+    append_to_ivfpq_index(spark, path, extra, dim=64, batch_id="b1")
+    got = _codes_tuples(spark.read.parquet(_codes_dir(path)).select("vid", "codes"))
+    # equals a clean rebuild over the union with the same quantizer
+    p_full = str(tmp_path / "full")
+    save_ivfpq_index(small, p_full, dim=64, cents=cents, codebooks=cbs)
+    want = _codes_tuples(
+        spark.read.parquet(_codes_dir(p_full)).select("vid", "codes")
+    )
+    assert got == want and len(got) == 300
+    assert not os.path.exists(os.path.join(path, "_staging", "b1"))
+
+
+def test_ivfpq_compact_vacuum_preserves_results_and_pruning(spark, small, tmp_path):
+    """Compaction parity with the IVF index: after appends, compact
+    rewrites the codes into one generation dir, vacuum reclaims the old
+    one, results are unchanged, and the probe scan still carries the
+    centroid_id partition filter (directory pruning intact)."""
+    from spdb_spark.functions.pq import (
+        _codes_dir,
+        append_to_ivfpq_index,
+        compact_ivfpq_index,
+        ivfpq_topk_indexed,
+        save_ivfpq_index,
+        vacuum_ivfpq_index,
+    )
+
+    cents, cbs = _frozen_quantizer(spark, small)
+    boot = small.where(F.col("vec_id") < 150)
+    path = str(tmp_path / "idx")
+    save_ivfpq_index(boot, path, dim=64, cents=cents, codebooks=cbs)
+    append_to_ivfpq_index(
+        spark, path, small.where((F.col("vec_id") >= 150) & (F.col("vec_id") < 220)),
+        dim=64, batch_id="b1",
+    )
+    append_to_ivfpq_index(
+        spark, path, small.where(F.col("vec_id") >= 220), dim=64, batch_id="b2"
+    )
+    q = small.where(F.col("vec_id") % 60 == 0)
+    before = sorted(
+        map(tuple, ivfpq_topk_indexed(spark, path, q, small, dim=64,
+                                      k=5, rerank=40).collect())
+    )
+    compact_ivfpq_index(spark, path)
+    vacuum_ivfpq_index(path)
+    assert not os.path.exists(os.path.join(path, "codes"))  # gen0 reclaimed
+    assert os.path.basename(_codes_dir(path)) == "codes_g1"
+    after_df = ivfpq_topk_indexed(spark, path, q, small, dim=64, k=5, rerank=40)
+    after = sorted(map(tuple, after_df.collect()))
+    assert before == after and len(after) > 0
+    # one parquet file per centroid partition in the new generation
+    gen = _codes_dir(path)
+    for part in os.listdir(gen):
+        if part.startswith("centroid_id="):
+            files = [f for f in os.listdir(os.path.join(gen, part))
+                     if f.endswith(".parquet")]
+            assert len(files) == 1, (part, files)
+    # pruning: the codes scan keeps its partition filter
+    plan = after_df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [centroid_id" in plan or "centroid_id#" in plan
+    # second compact generation increments
+    compact_ivfpq_index(spark, path)
+    assert os.path.basename(_codes_dir(path)) == "codes_g2"
+    vacuum_ivfpq_index(path)
+    assert not os.path.exists(os.path.join(path, "codes_g1"))
+
+
+def test_ivfpq_empty_codebooks_guard(spark, small, tmp_path):
+    """A corrupt/empty pq_codebooks dir raises a diagnosable layout
+    error, not max()-of-empty-sequence."""
+    from spdb_spark.functions.pq import ivfpq_topk_indexed, save_ivfpq_index
+
+    cents, cbs = _frozen_quantizer(spark, small)
+    path = str(tmp_path / "idx")
+    save_ivfpq_index(small, path, dim=64, cents=cents, codebooks=cbs)
+    shutil.rmtree(os.path.join(path, "pq_codebooks"))
+    spark.createDataFrame(
+        [], "subspace int, pq_id int, sub_vec array<double>"
+    ).write.mode("overwrite").parquet(os.path.join(path, "pq_codebooks"))
+    q = small.where(F.col("vec_id") % 60 == 0)
+    with pytest.raises(ValueError, match="empty pq_codebooks"):
+        ivfpq_topk_indexed(spark, path, q, small, dim=64, k=5)
