@@ -25,6 +25,7 @@ from spdb_spark.suite_crawl import STAGED_R10 as CRAWL_R10
 from spdb_spark.suite_llm import QUERIES as LLM
 from spdb_spark.suite_llm import STAGED_R7 as LLM_R7
 from spdb_spark.suite_llm import STAGED_R10_LLM as LLM_R10
+from spdb_spark.suite_llm import STAGED_R11_LLM as LLM_R11
 from spdb_spark.suite_relational import QUERIES as RELATIONAL
 from spdb_spark.suite_spatial import QUERIES as SPATIAL
 
@@ -48,6 +49,10 @@ _BASE.update(CRAWL_R9)
 # span keep-first repair, and PQ-ADC approximate top-k.
 _BASE.update(CRAWL_R10)
 _BASE.update(LLM_R10)
+# Round-11 registration (append-only): 8-bit PQ through the Arrow encode
+# engine, and the IVF-PQ append/compact lifecycle gated against the SAME
+# oracle as the full build (append==rebuild proven by the driver compare).
+_BASE.update(LLM_R11)
 
 
 def _last_checked_round() -> dict[str, int]:

@@ -788,7 +788,16 @@ def q_crawl_corpus_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
             stream_crawl_docs(spark, feed, max_files_per_trigger=1),
             os.path.join(tmp, "ckpt"),
         )
-        q.awaitTermination(600)
+        try:
+            # availableNow terminates on its own; a False return means a
+            # hung stream — fail loudly rather than reading partial sink
+            # state (which would surface as a confusing row mismatch)
+            if not q.awaitTermination(600):
+                raise TimeoutError(
+                    "crawl stream did not finish within 600s"
+                )
+        finally:
+            q.stop()  # no-op if terminated; never rmtree under a live query
         rows = (
             sink.corpus().select("doc_id", "text", "source", "n_chars").collect()
         )

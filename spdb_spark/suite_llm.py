@@ -2963,7 +2963,7 @@ def q_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _pq_sql() -> str:
+def _pq_sql(n_codes: int = 16) -> str:
     d2 = (
         "ROUND(list_dot_product({a}, {a}) - 2 * list_dot_product({a}, {b})"
         " + list_dot_product({b}, {b}), 6)"
@@ -2977,7 +2977,7 @@ cents AS (
     SELECT vec_id AS cid_src, v AS c_vec
     FROM base
     ORDER BY {md5_long_sql("CAST(vec_id AS VARCHAR)")}, vec_id
-    LIMIT 16
+    LIMIT {n_codes}
   )
 ),
 sub AS MATERIALIZED (
@@ -3151,4 +3151,108 @@ SQL_ANN_IVFPQ = _ivfpq_sql()
 STAGED_R10_LLM: dict = {
     "llm_ann_pq": (q_ann_pq, SQL_ANN_PQ),
     "llm_ann_ivfpq": (q_ann_ivfpq, SQL_ANN_IVFPQ),
+}
+
+
+# ===========================================================================
+# Round-11 gates: 8-bit PQ via the Arrow encode engine, and the IVF-PQ
+# incremental-append path gated against the SAME oracle as a full build
+# ===========================================================================
+
+
+def q_ann_pq256(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """8-bit product quantization — the billion-scale code budget
+    (n_codes=256 is what faiss-style deployments store, one byte per
+    subspace): same PQ-ADC + exact re-rank pipeline as `llm_ann_pq`, but
+    encoded through the ARROW engine (pq.py), whose plan is constant-size
+    in n_codes. The expression engine measured a 73 s plan-build at 256
+    codes (SCALE.md r10) — this gate is that ceiling converted into a
+    closed capability. Oracle: the identical protocol SQL with a
+    256-vector codebook pick (engines are bit-identical by construction
+    AND test-pinned, so one oracle serves both)."""
+    from spdb_spark.functions.pq import pq_topk
+
+    embs = _embs(spark, sf_dir)
+    queries = embs.where(F.col("vec_id") % 50 == 0)
+    return pq_topk(
+        embs, queries, dim=64, k=10, m=8, n_codes=256, rerank=30,
+        engine="arrow",
+    )
+
+
+SQL_ANN_PQ256 = _pq_sql(256)
+
+
+def q_ann_ivfpq_appended(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The IVF-PQ maintenance lifecycle under the full-build oracle:
+    train the quantizer on the corpus (frozen), persist an index over
+    3/4 of the vectors, APPEND the remaining 1/4 as a batch
+    (append_to_ivfpq_index — O(batch), staged exactly-once), COMPACT +
+    VACUUM the code partitions, then query through the pruned indexed
+    path. Because appending under a frozen quantizer is bit-identical
+    to a rebuild with the same quantizer, the gate shares
+    `llm_ann_ivfpq`'s oracle verbatim — the driver comparison IS the
+    append==rebuild proof at both SFs.
+
+    The result is collected and re-created as a local DataFrame because
+    the index lives in a temp dir removed before return (bounded: k
+    rows per query at gate SF)."""
+    import os
+    import shutil
+    import tempfile
+
+    from spdb_spark.functions.ivf import assign_lists, choose_centroids
+    from spdb_spark.functions.pq import (
+        append_to_ivfpq_index,
+        compact_ivfpq_index,
+        ivfpq_topk_indexed,
+        pq_codebooks,
+        save_ivfpq_index,
+        vacuum_ivfpq_index,
+    )
+
+    embs = _embs(spark, sf_dir)
+    queries = embs.where(F.col("vec_id") % 50 == 0)
+    cents = choose_centroids(embs, "vec_id", "embedding", 16)
+    cents = spark.createDataFrame(
+        [(int(r.centroid_id), list(r.centroid_vec)) for r in cents.collect()],
+        schema="centroid_id int, centroid_vec array<double>",
+    )
+    lists = (
+        assign_lists(embs, cents, "vec_id", "embedding", n_probe=1)
+        .join(F.broadcast(cents), "centroid_id")
+        .select(
+            "vid",
+            "centroid_id",
+            F.zip_with(
+                F.col("v"), F.col("centroid_vec"), lambda a, b: a - b
+            ).alias("resid"),
+        )
+    )
+    cbs = pq_codebooks(lists, "vid", "resid", dim=64, m=8, n_codes=16)
+    tmp = tempfile.mkdtemp(prefix="ivfpqidx-")
+    try:
+        idx = os.path.join(tmp, "idx")
+        save_ivfpq_index(
+            embs.where(F.col("vec_id") % 4 != 0), idx, dim=64,
+            cents=cents, codebooks=cbs,
+        )
+        append_to_ivfpq_index(
+            spark, idx, embs.where(F.col("vec_id") % 4 == 0), dim=64,
+            batch_id="gate",
+        )
+        compact_ivfpq_index(spark, idx)
+        vacuum_ivfpq_index(idx)
+        res = ivfpq_topk_indexed(
+            spark, idx, queries, embs, dim=64, k=10, n_probe=4, rerank=30
+        )
+        rows, schema = res.collect(), res.schema
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return spark.createDataFrame(rows, schema)
+
+
+STAGED_R11_LLM: dict = {
+    "llm_ann_pq256": (q_ann_pq256, SQL_ANN_PQ256),
+    "llm_ann_ivfpq_appended": (q_ann_ivfpq_appended, SQL_ANN_IVFPQ),
 }
