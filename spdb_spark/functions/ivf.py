@@ -225,6 +225,7 @@ def semantic_dedup_pairs(
     kernel: str = "fold",
     n_rows: int | None = None,
     gemm_block_rows: int = 8192,
+    cents: DataFrame | None = None,
 ) -> DataFrame:
     """Semantic (embedding-space) near-dup pairs at scale, SemDeDup-style:
     bucket vectors into the `n_probe` nearest coarse-quantizer lists, score
@@ -258,16 +259,26 @@ def semantic_dedup_pairs(
     recall by co-scaling p (~sqrt(k): k=62, p=6 -> 0.90) gives back the
     candidate savings. For loose-tau sweeps prefer the calibrated fixed
     k, or the multi-table hyperplane LSH in functions/similarity.py.
+    `cents` accepts a FROZEN quantizer (centroid_id, centroid_vec) —
+    the streaming-dedup contract (streaming/semdedup.py pins stream ==
+    batch pair-set equality under the same frozen quantizer); by
+    default the quantizer is picked from `corpus`.
+
     Returns (id_a, id_b, cos_sim), id_a < id_b, deduplicated."""
-    if k is None:
-        if n_rows is None:
-            raise ValueError(
-                "semantic_dedup_pairs: pass k or n_rows — auto-k needs the "
-                "corpus size, and counting it here would run a full-scan "
-                "job at plan-build time (use auto_k(n_rows) for the policy)"
-            )
-        k = auto_k(n_rows)
-    cents = choose_centroids(corpus, id_col, vec_col, k)
+    if cents is None:
+        if k is None:
+            if n_rows is None:
+                raise ValueError(
+                    "semantic_dedup_pairs: pass k, n_rows, or cents — auto-k "
+                    "needs the corpus size, and counting it here would run a "
+                    "full-scan job at plan-build time (use auto_k(n_rows) "
+                    "for the policy)"
+                )
+            k = auto_k(n_rows)
+        cents = choose_centroids(corpus, id_col, vec_col, k)
+    elif k is None:
+        # the salt heuristic below only needs the bucket count
+        k = cents.count()
     lists = assign_lists(corpus, cents, id_col, vec_col, n_probe=n_probe)
     if kernel == "arrow":
         # Bucket-local all-pairs via applyInPandas: each task receives ONE
@@ -506,12 +517,81 @@ def vacuum_index(path: str) -> None:
             shutil.rmtree(os.path.join(path, d), ignore_errors=True)
 
 
+def staged_partitioned_append(
+    spark,
+    root: str,
+    live_dir: str,
+    batch_id: str,
+    write_stage,
+    partition_col: str = "centroid_id",
+) -> None:
+    """Exactly-once append of a partitioned parquet batch into a live
+    partitioned dir — the retrieval.append_to_bm25_index staged protocol
+    shared by the IVF and IVF-PQ indexes (and any partition-dir layout):
+
+    1. skip if `_appendlog/{batch_id}` exists (committed earlier);
+    2. else (re)stage: `write_stage(stage_data_dir)` writes the batch
+       partitioned by `partition_col`, sealed by a `_STAGED` marker —
+       the live dir is untouched, so partial staging is throwaway;
+    3. publish: each staged partition file copies into the live
+       partition dir under a batch-derived SKIP-IF-PRESENT name (via a
+       "_"-temp + rename, so a crash mid-copy never exposes a truncated
+       parquet), then the commit marker renames into place.
+
+    A retry with the SAME batch_id after a crash at ANY point is
+    idempotent: committed -> no-op; staged-but-unpublished -> republish
+    from the sealed staging (same file names); mid-staging -> restage."""
+    import json
+    import os
+    import shutil
+    import tempfile
+
+    log_dir = os.path.join(root, "_appendlog")
+    os.makedirs(log_dir, exist_ok=True)
+    marker = os.path.join(log_dir, f"{batch_id}.json")
+    if os.path.exists(marker):
+        return  # committed earlier — idempotent retry
+    stage = os.path.join(root, "_staging", batch_id)
+    staged_flag = os.path.join(stage, "_STAGED")
+    src_root = os.path.join(stage, "data")
+
+    if not os.path.exists(staged_flag):
+        shutil.rmtree(stage, ignore_errors=True)
+        write_stage(src_root)
+        fd, tmp = tempfile.mkstemp(dir=stage, suffix=".tmp")
+        os.close(fd)
+        os.rename(tmp, staged_flag)  # seal: staging complete + reusable
+
+    for part in sorted(os.listdir(src_root)):
+        if not part.startswith(f"{partition_col}="):
+            continue
+        dest_part = os.path.join(live_dir, part)
+        os.makedirs(dest_part, exist_ok=True)
+        for fname in sorted(os.listdir(os.path.join(src_root, part))):
+            if not fname.endswith(".parquet"):
+                continue
+            dest = os.path.join(dest_part, f"a{batch_id}-{fname}")
+            if not os.path.exists(dest):
+                fd, tmp = tempfile.mkstemp(
+                    dir=dest_part, prefix="_appendcopy-", suffix=".tmp"
+                )
+                os.close(fd)
+                shutil.copyfile(os.path.join(src_root, part, fname), tmp)
+                os.rename(tmp, dest)
+    fd, tmp = tempfile.mkstemp(dir=log_dir, suffix=".tmp")
+    with os.fdopen(fd, "w") as f:
+        json.dump({"batch_id": batch_id}, f)
+    os.rename(tmp, marker)
+    shutil.rmtree(stage, ignore_errors=True)
+
+
 def append_to_index(
     spark,
     path: str,
     new_vectors: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    batch_id: str | None = None,
 ) -> None:
     """Incremental index maintenance: assign a NEW batch to the index's
     EXISTING centroids and append its list rows — the corpus already in
@@ -526,6 +606,11 @@ def append_to_index(
     are frozen at save_index time; re-train by rebuilding when drift
     matters (quantizer quality, not correctness — queries stay exact
     within probed lists either way).
+
+    With a caller `batch_id` (e.g. foreachBatch's) the append runs
+    through `staged_partitioned_append` — a redelivery after a crash at
+    any point is a no-op or a republish from the sealed staging, never
+    a double-append (the StreamingVectorIndex exactly-once path).
 
     If the index was saved with `meta_cols` (filtered-search layout),
     the batch MUST carry the same columns: they are detected from the
@@ -561,20 +646,26 @@ def append_to_index(
         q = quantize_embeddings(
             lists.select("vid", "v"), id_col="vid", vec_col="v"
         ).withColumnRenamed("vec_id", "vid")
-        (
+        out = (
             lists.select("vid", "centroid_id", *meta_cols)
             .join(q, "vid")
             .select("vid", "qvec", "scale", "centroid_id", *meta_cols)
-            .write.mode("append")
-            .partitionBy("centroid_id")
-            .parquet(lists_dir)
         )
+    else:
+        out = lists.select("vid", "v", "centroid_id", *meta_cols)
+    if batch_id is None:
+        # direct append: cheap, but a blind retry double-appends — pass
+        # the upstream batch id (e.g. foreachBatch's) for exactly-once
+        out.write.mode("append").partitionBy("centroid_id").parquet(lists_dir)
         return
-    (
-        lists.select("vid", "v", "centroid_id", *meta_cols)
-        .write.mode("append")
+    staged_partitioned_append(
+        spark,
+        path,
+        lists_dir,
+        str(batch_id),
+        lambda dest: out.write.mode("overwrite")
         .partitionBy("centroid_id")
-        .parquet(lists_dir)
+        .parquet(dest),
     )
 
 

@@ -746,38 +746,24 @@ def append_to_ivfpq_index(
     quantizer itself is retrained only by rebuilding, a quality knob,
     not a correctness one.
 
-    Exactly-once (the retrieval.append_to_bm25_index staged protocol):
-    with a caller `batch_id` (e.g. foreachBatch's), the batch is STAGED
-    under `_staging/{batch_id}` and sealed before any file lands in the
-    live codes dir; publish copies files in under skip-if-present names
-    derived from the batch_id and records `_appendlog/{batch_id}`. A
-    redelivery after a crash at any point is a no-op or a republish
-    from the sealed staging — never a double-append. Without a
-    batch_id the append publishes safely but a blind retry is a NEW
-    batch.
+    Exactly-once (ivf.staged_partitioned_append — the shared staged
+    atomic-rename protocol): with a caller `batch_id` (e.g.
+    foreachBatch's), a redelivery after a crash at any point is a no-op
+    or a republish from the sealed staging — never a double-append.
+    Without a batch_id the append publishes safely but a blind retry is
+    a NEW batch.
 
     Contract: batch ids must be new (same as ivf.append_to_index)."""
-    import json
-    import os
-    import shutil
-    import tempfile
     import uuid
 
-    from spdb_spark.functions.ivf import assign_lists
+    from spdb_spark.functions.ivf import assign_lists, staged_partitioned_append
 
     if batch_id is None:
         batch_id = uuid.uuid4().hex
-    batch_id = str(batch_id)
-    log_dir = os.path.join(path, "_appendlog")
-    os.makedirs(log_dir, exist_ok=True)
-    marker = os.path.join(log_dir, f"{batch_id}.json")
-    if os.path.exists(marker):
-        return  # committed earlier — idempotent retry
-    stage = os.path.join(path, "_staging", batch_id)
-    staged_flag = os.path.join(stage, "_STAGED")
 
-    if not os.path.exists(staged_flag):
-        shutil.rmtree(stage, ignore_errors=True)
+    def write_stage(dest: str) -> None:
+        # quantizer load + encode only run when (re)staging — a
+        # committed or sealed retry never re-reads the index
         cents, codebooks = _load_ivfpq_quantizer(spark, path)
         codes_of = _codes_column(codebooks, engine)
         (
@@ -794,41 +780,12 @@ def append_to_ivfpq_index(
             )
             .write.mode("overwrite")
             .partitionBy("centroid_id")
-            .parquet(os.path.join(stage, "codes"))
+            .parquet(dest)
         )
-        fd, tmp = tempfile.mkstemp(dir=stage, suffix=".tmp")
-        os.close(fd)
-        os.rename(tmp, staged_flag)  # seal: staging complete + reusable
 
-    # publish — every step idempotent under retry of the same batch_id;
-    # partitioned copy: each centroid_id=N dir's parquet files move in
-    # under a batch-derived skip-if-present name
-    dest_root = _codes_dir(path)
-    src_root = os.path.join(stage, "codes")
-    for part in sorted(os.listdir(src_root)):
-        if not part.startswith("centroid_id="):
-            continue
-        dest_part = os.path.join(dest_root, part)
-        os.makedirs(dest_part, exist_ok=True)
-        for fname in sorted(os.listdir(os.path.join(src_root, part))):
-            if not fname.endswith(".parquet"):
-                continue
-            dest = os.path.join(dest_part, f"a{batch_id}-{fname}")
-            if not os.path.exists(dest):
-                # copy to a "_"-temp in the destination then rename: a
-                # crash mid-copy never leaves a truncated parquet under
-                # the final name (and _* is invisible to the reader)
-                fd, tmp = tempfile.mkstemp(
-                    dir=dest_part, prefix="_codecopy-", suffix=".tmp"
-                )
-                os.close(fd)
-                shutil.copyfile(os.path.join(src_root, part, fname), tmp)
-                os.rename(tmp, dest)
-    fd, tmp = tempfile.mkstemp(dir=log_dir, suffix=".tmp")
-    with os.fdopen(fd, "w") as f:
-        json.dump({"batch_id": batch_id}, f)
-    os.rename(tmp, marker)
-    shutil.rmtree(stage, ignore_errors=True)
+    staged_partitioned_append(
+        spark, path, _codes_dir(path), str(batch_id), write_stage
+    )
 
 
 def ivfpq_topk_indexed(

@@ -297,7 +297,7 @@ class TestSemanticDedup:
         embs = load_tables(spark, "/root/testdata/sf0.001", names=("embeddings",))[
             "embeddings"
         ]
-        with pytest.raises(ValueError, match="pass k or n_rows"):
+        with pytest.raises(ValueError, match="pass k, n_rows, or cents"):
             semantic_dedup_pairs(embs, "vec_id", "embedding")
 
 
