@@ -3252,7 +3252,63 @@ def q_ann_ivfpq_appended(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, schema)
 
 
+def q_dedup_semantic_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming semantic dedup (streaming/semdedup.py) gated against
+    the SAME oracle as the batch gate `llm_dedup_semantic`: the corpus
+    streams in three micro-batches (split by vec_id hash-thirds through
+    a real readStream, one file per trigger) into the foreachBatch sink
+    under the FROZEN k=16 quantizer the oracle replays; the accumulated
+    pair set must equal the batch pipeline on the union — the driver
+    comparison IS the stream==batch proof at both SFs (any arrival
+    order; the reversed-order pin lives in tests/test_streaming_semdedup).
+
+    The result is collected and re-created as a local DataFrame because
+    the sink state lives in a temp dir removed before return (bounded:
+    the tau-surviving pair set at gate SF)."""
+    import os
+    import shutil
+    import tempfile
+
+    from spdb_spark.functions.ivf import choose_centroids
+    from spdb_spark.streaming.semdedup import StreamingSemanticDedup
+
+    embs = _embs(spark, sf_dir)
+    c = choose_centroids(embs, "vec_id", "embedding", 16)
+    cents = spark.createDataFrame(
+        [(int(r.centroid_id), list(r.centroid_vec)) for r in c.collect()],
+        schema="centroid_id int, centroid_vec array<double>",
+    )
+    tmp = tempfile.mkdtemp(prefix="semstream-")
+    q = None
+    try:
+        src = os.path.join(tmp, "src")
+        os.makedirs(src)
+        for i in range(3):
+            embs.where(F.crc32(F.col("vec_id").cast("string")) % 3 == i).coalesce(
+                1
+            ).write.parquet(os.path.join(src, f"p{i}"))
+        sink = StreamingSemanticDedup(
+            spark, os.path.join(tmp, "state"), cents, tau=_COS_TAU, n_probe=3
+        )
+        stream = (
+            spark.readStream.schema(embs.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(os.path.join(src, "*"))
+        )
+        q = sink.start(stream, os.path.join(tmp, "ckpt"), availableNow=True)
+        if not q.awaitTermination(600):
+            raise TimeoutError("semantic dedup stream did not finish in 600s")
+        res = sink.pairs().select("id_a", "id_b", "cos_sim")
+        rows, schema = res.collect(), res.schema
+    finally:
+        if q is not None:
+            q.stop()
+        shutil.rmtree(tmp, ignore_errors=True)
+    return spark.createDataFrame(rows, schema)
+
+
 STAGED_R11_LLM: dict = {
     "llm_ann_pq256": (q_ann_pq256, SQL_ANN_PQ256),
     "llm_ann_ivfpq_appended": (q_ann_ivfpq_appended, SQL_ANN_IVFPQ),
+    "llm_dedup_semantic_stream": (q_dedup_semantic_stream, SQL_DEDUP_SEMANTIC),
 }

@@ -68,3 +68,12 @@ def test_appended_gate_shares_full_build_oracle():
     from spdb_spark.suite_llm import SQL_ANN_IVFPQ, STAGED_R11_LLM
 
     assert STAGED_R11_LLM["llm_ann_ivfpq_appended"][1] is SQL_ANN_IVFPQ
+
+
+def test_stream_gate_shares_batch_oracle():
+    """llm_dedup_semantic_stream intentionally registers the SAME oracle
+    SQL as llm_dedup_semantic: the driver comparison is the stream==batch
+    proof (the llm_crawl_corpus_stream pattern)."""
+    from spdb_spark.suite_llm import SQL_DEDUP_SEMANTIC, STAGED_R11_LLM
+
+    assert STAGED_R11_LLM["llm_dedup_semantic_stream"][1] is SQL_DEDUP_SEMANTIC
