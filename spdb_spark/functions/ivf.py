@@ -46,6 +46,9 @@ def choose_centroids(corpus: DataFrame, id_col: str, vec_col: str, k: int) -> Da
         .limit(k)
     )
     return picked.select(
+        # unpartitioned window over exactly k rows (the LIMIT above):
+        # single-partition by construction, never corpus-sized — the
+        # WindowExec warning here is bounded-cardinality noise
         (F.row_number().over(Window.orderBy("cid_src")) - 1).alias("centroid_id"),
         _as_double(F.col("c_vec")).alias("centroid_vec"),
     )

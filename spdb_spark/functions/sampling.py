@@ -186,6 +186,9 @@ def deterministic_shuffle(
         "_bucket", F.substring("shuffle_key", 1, prefix_chars)
     )
     sizes = base.groupBy("_bucket").agg(F.count("*").alias("_n"))
+    # unpartitioned prefix-sum window over at most 16^prefix_chars bucket
+    # rows (256 at the default width) — single-partition by construction,
+    # never corpus-sized; the WindowExec warning is bounded noise
     w_off = (
         Window.orderBy("_bucket")
         .rowsBetween(Window.unboundedPreceding, -1)

@@ -202,6 +202,18 @@ def video_frame_features(payload: bytes, n_frames: int, dim: int) -> np.ndarray:
                 dib = avi_stream_format(payload)
             w, h, bpp, fourcc, palette = dib
             if fourcc != b"DIB " or bpp not in (8, 24, 32):
+                # external-adapter seam (functions/lossy.py): a deployment
+                # with ffmpeg/PyAV registers a "video" decoder and the
+                # whole payload re-decodes through it (same sampling +
+                # feature contract); pure-Python codecs never route here
+                from spdb_spark.functions.lossy import get_decoder
+
+                ext = get_decoder("video")
+                if ext is not None:
+                    imgs = ext(payload, n_frames)
+                    return np.stack(
+                        [_image_frame_features(im, 1, dim)[0] for im in imgs]
+                    )
                 raise ValueError(
                     "non-PNG/JPEG/DIB frame codec — pure-Python decode "
                     "unavailable"

@@ -650,6 +650,15 @@ def webp_decode(payload: bytes) -> np.ndarray:
         if cid == b"VP8L":
             return vp8l_decode(body)
         if cid == b"VP8 ":
+            # the external-adapter seam (functions/lossy.py): a deployment
+            # with libwebp registers a "webp_vp8" decoder and this branch
+            # decodes instead of stubbing — the pure VP8L path above never
+            # consults the registry, so gated results are unchanged
+            from spdb_spark.functions.lossy import get_decoder
+
+            ext = get_decoder("webp_vp8")
+            if ext is not None:
+                return ext(payload)
             raise UnsupportedWebPError("webp: lossy VP8 decode not supported")
         pos += 8 + size + (size & 1)
     raise UnsupportedWebPError("webp: no VP8L chunk")
@@ -729,6 +738,11 @@ def webp_frames(payload: bytes) -> list[np.ndarray]:
         elif cid == b"VP8L" and not anim:
             return [_to_rgba(vp8l_decode(body))]
         elif cid == b"VP8 " and not anim:
+            from spdb_spark.functions.lossy import get_decoder
+
+            ext = get_decoder("webp_vp8")
+            if ext is not None:
+                return [_to_rgba(np.asarray(ext(payload)))]
             raise UnsupportedWebPError("webp: lossy VP8 decode not supported")
     if not anim or canvas_wh is None:
         raise UnsupportedWebPError("webp: no VP8L chunk")
@@ -851,6 +865,15 @@ def webp_encode_animation(
         and np.asarray(f).shape[-1] == 4
         and (np.asarray(f)[..., 3] != 255).any()
         for f in frames
+    )
+    # the composited canvas can be transparent even when no frame pixel
+    # is: a rect smaller than the canvas leaves the (transparent-start)
+    # canvas showing, and dispose-to-background paints background alpha —
+    # strict external decoders trust the VP8X flag, so set it for those
+    # cases too (conservative: the flag means "may contain alpha")
+    first_covers = offsets[0] == (0, 0) and shapes[0] == (ch, cw)
+    has_alpha = has_alpha or not first_covers or (
+        any(disposes) and background[3] != 255
     )
     vp8x = bytes(
         [0x02 | (0x10 if has_alpha else 0), 0, 0, 0]

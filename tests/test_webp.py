@@ -265,6 +265,43 @@ def test_animation_roundtrip_and_composition():
     assert np.array_equal(webp_frames(vp8l_encode(base))[0], exp0)
 
 
+def test_animation_vp8x_alpha_flag_covers_composited_transparency():
+    """The VP8X alpha bit (0x10) must be set whenever the COMPOSITED
+    canvas can be transparent, not only when a frame pixel is: a first
+    frame smaller than the canvas exposes the transparent canvas start,
+    and dispose-to-transparent-background paints alpha<255 — strict
+    external decoders trust the flag."""
+    from spdb_spark.functions.webp import webp_encode_animation
+
+    def vp8x_flags(payload: bytes) -> int:
+        i = payload.index(b"VP8X")
+        return payload[i + 8]
+
+    rng = np.random.default_rng(7)
+    full = rng.integers(0, 256, (8, 8, 3), dtype=np.uint8)
+    small = rng.integers(0, 256, (4, 4, 3), dtype=np.uint8)
+
+    # opaque frames covering the canvas, no dispose: flag clear
+    assert not vp8x_flags(webp_encode_animation([full, full])) & 0x10
+    # first frame smaller than the canvas (canvas = union of rects):
+    # transparent canvas shows through -> flag set
+    assert vp8x_flags(
+        webp_encode_animation([small, full], offsets=[(0, 0), (0, 0)])
+    ) & 0x10
+    # dispose to a transparent background -> flag set
+    assert vp8x_flags(
+        webp_encode_animation(
+            [full, full], disposes=[True, False], background=(0, 0, 0, 0)
+        )
+    ) & 0x10
+    # dispose to an OPAQUE background keeps the flag clear
+    assert not vp8x_flags(
+        webp_encode_animation(
+            [full, full], disposes=[True, False], background=(1, 2, 3, 255)
+        )
+    ) & 0x10
+
+
 def test_animation_features_match_png_twin():
     from spdb_spark.functions.multimodal import decode_features_status
     from spdb_spark.functions.webp import webp_encode_animation
