@@ -68,6 +68,7 @@ EXTRA = [
     "llm_zipshard_ingest",  # r9: zip shard encode/parse round-trip
     "llm_quality_classifier",  # r9: fastText-style NB train + inference
     "llm_dup_span_removal",  # r9: exact substring-level dedup
+    "llm_ann_pq256",  # r11: 8-bit PQ through the Arrow encode engine
 ]
 
 

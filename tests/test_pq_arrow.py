@@ -6,12 +6,77 @@ index (compact/vacuum + pruning preserved)."""
 
 import os
 import shutil
+from decimal import ROUND_HALF_UP, Decimal
 
+import numpy as np
 import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
 
 from pyspark.sql import functions as F
 
 from tools.ann_recall import make_clustered
+
+
+def _decimal_round6(x: float) -> float:
+    """The definitional target of _np_round6: BigDecimal.valueOf(x)
+    .setScale(6, HALF_UP).toDouble — repr(x) is the same shortest
+    round-trip decimal as Java's Double.toString."""
+    return float(Decimal(repr(x)).quantize(Decimal("0.000001"), ROUND_HALF_UP))
+
+
+@given(
+    st.floats(
+        min_value=-1e9, max_value=1e9, allow_nan=False, allow_infinity=False
+    )
+)
+@settings(max_examples=2000, deadline=None)
+def test_np_round6_matches_decimal_reference(x):
+    """The vectorized fast path + boundary slow path must equal the
+    exact decimal-string HALF_UP round for EVERY double — this is what
+    makes the arrow engine bit-identical to Spark's round()."""
+    from spdb_spark.functions.pq import _np_round6
+
+    got = _np_round6(np.array([x]))[0]
+    assert got == _decimal_round6(x), (x, got, _decimal_round6(x))
+
+
+def test_np_round6_boundary_values():
+    """Values engineered onto the .5 boundary take the Decimal path."""
+    from spdb_spark.functions.pq import _np_round6
+
+    xs = [0.1234565, -0.1234565, 2.0000005, -2.0000005, 0.0000005,
+          -0.0000005, 1e-7, -1e-7, 0.0, 12345.6789015]
+    got = _np_round6(np.array(xs))
+    want = [_decimal_round6(x) for x in xs]
+    assert list(got) == want
+    assert str(got[np.array(xs) == 0.0][0]) == "0.0"  # no negative zero
+
+
+@given(
+    st.lists(
+        st.floats(min_value=-100, max_value=100, allow_nan=False,
+                  allow_infinity=False, width=64),
+        min_size=8, max_size=8,
+    ),
+    st.lists(
+        st.floats(min_value=-100, max_value=100, allow_nan=False,
+                  allow_infinity=False, width=64),
+        min_size=8, max_size=8,
+    ),
+)
+@settings(max_examples=500, deadline=None)
+def test_np_seq_dot_matches_python_fold(a, b):
+    """The numpy row-fold must replay the F.aggregate per-element op
+    order exactly — pinned against the literal Python left-to-right
+    fold (same IEEE sequence the JVM executes)."""
+    from spdb_spark.functions.pq import _np_seq_dot
+
+    acc = 0.0
+    for x, y in zip(a, b):
+        acc = acc + x * y
+    got = _np_seq_dot(np.array([a]), np.array(b))[0]
+    assert got == acc
 
 
 @pytest.fixture(scope="module")
