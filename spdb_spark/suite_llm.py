@@ -3307,8 +3307,82 @@ def q_dedup_semantic_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, schema)
 
 
+def q_ann_ivfpq_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """StreamingVectorIndex driven end-to-end under the full-build
+    oracle: the quantizer trains on the corpus (frozen — the offline
+    step of every streaming-ANN deployment), the index bootstraps over
+    half the vectors, the other half arrives through a REAL readStream
+    (two files, one per micro-batch, foreachBatch appends via the
+    staged exactly-once protocol), and the query runs through the
+    pruned indexed path. Because streamed appends under a frozen
+    quantizer are bit-identical to a rebuild, the gate shares
+    `llm_ann_ivfpq`'s oracle verbatim — the driver comparison is the
+    stream==batch proof at both SFs.
+
+    The result is collected and re-created as a local DataFrame because
+    the index lives in a temp dir removed before return."""
+    import os
+    import shutil
+    import tempfile
+
+    from spdb_spark.functions.ivf import assign_lists, choose_centroids
+    from spdb_spark.functions.pq import pq_codebooks, save_ivfpq_index
+    from spdb_spark.streaming.vectorindex import StreamingVectorIndex
+
+    embs = _embs(spark, sf_dir)
+    queries = embs.where(F.col("vec_id") % 50 == 0)
+    cents = choose_centroids(embs, "vec_id", "embedding", 16)
+    cents = spark.createDataFrame(
+        [(int(r.centroid_id), list(r.centroid_vec)) for r in cents.collect()],
+        schema="centroid_id int, centroid_vec array<double>",
+    )
+    lists = (
+        assign_lists(embs, cents, "vec_id", "embedding", n_probe=1)
+        .join(F.broadcast(cents), "centroid_id")
+        .select(
+            "vid",
+            "centroid_id",
+            F.zip_with(
+                F.col("v"), F.col("centroid_vec"), lambda a, b: a - b
+            ).alias("resid"),
+        )
+    )
+    cbs = pq_codebooks(lists, "vid", "resid", dim=64, m=8, n_codes=16)
+    tmp = tempfile.mkdtemp(prefix="ivfpqstream-")
+    q = None
+    try:
+        idx = os.path.join(tmp, "idx")
+        save_ivfpq_index(
+            embs.where(F.col("vec_id") % 4 < 2), idx, dim=64,
+            cents=cents, codebooks=cbs,
+        )
+        src = os.path.join(tmp, "src")
+        os.makedirs(src)
+        for i, part in enumerate((2, 3)):
+            embs.where(F.col("vec_id") % 4 == part).coalesce(1).write.parquet(
+                os.path.join(src, f"p{i}")
+            )
+        sink = StreamingVectorIndex(spark, idx, kind="ivfpq", dim=64)
+        stream = (
+            spark.readStream.schema(embs.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(os.path.join(src, "*"))
+        )
+        q = sink.start(stream, os.path.join(tmp, "ckpt"), availableNow=True)
+        if not q.awaitTermination(600):
+            raise TimeoutError("vector-index stream did not finish in 600s")
+        res = sink.topk(queries, embs, k=10, n_probe=4, rerank=30)
+        rows, schema = res.collect(), res.schema
+    finally:
+        if q is not None:
+            q.stop()
+        shutil.rmtree(tmp, ignore_errors=True)
+    return spark.createDataFrame(rows, schema)
+
+
 STAGED_R11_LLM: dict = {
     "llm_ann_pq256": (q_ann_pq256, SQL_ANN_PQ256),
     "llm_ann_ivfpq_appended": (q_ann_ivfpq_appended, SQL_ANN_IVFPQ),
     "llm_dedup_semantic_stream": (q_dedup_semantic_stream, SQL_DEDUP_SEMANTIC),
+    "llm_ann_ivfpq_stream": (q_ann_ivfpq_stream, SQL_ANN_IVFPQ),
 }

@@ -77,3 +77,6 @@ def test_stream_gate_shares_batch_oracle():
     from spdb_spark.suite_llm import SQL_DEDUP_SEMANTIC, STAGED_R11_LLM
 
     assert STAGED_R11_LLM["llm_dedup_semantic_stream"][1] is SQL_DEDUP_SEMANTIC
+    from spdb_spark.suite_llm import SQL_ANN_IVFPQ
+
+    assert STAGED_R11_LLM["llm_ann_ivfpq_stream"][1] is SQL_ANN_IVFPQ
