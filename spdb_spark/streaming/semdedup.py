@@ -29,6 +29,13 @@ Exactly-once: per-batch subdirectories plus the atomic-rename ledger
 vecs state is a bucketed table on centroid_id so the probe join
 co-locates without shuffling the corpus side; compaction via the
 inherited compact()/vacuum().
+
+Sizing the frozen quantizer: per-batch cross work is
+O(batch x bucket), and buckets grow as corpus/k under a FIXED k — so
+train with k sized for the TARGET corpus (ivf.auto_k(n_target), not
+auto_k(bootstrap)); at the tau >= ~0.9 near-dup regime a small fixed
+n_probe then holds recall while bucket scans stay bounded (the
+semantic_dedup_pairs auto-k argument, frozen at stream start).
 """
 
 from __future__ import annotations
