@@ -800,12 +800,24 @@ def ivfpq_topk_indexed(
     n_probe: int = 4,
     rerank: int = 30,
     engine: str = "expr",
+    where=None,
 ) -> DataFrame:
     """Query a persisted IVF-PQ index: probed centroid_id values prune
     the codes scan at the directory level; `corpus` supplies the float
     vectors for the exact re-rank (primary storage — only candidate
     rows are fetched). Bit-identical to the unindexed `ivfpq_topk` at
-    the same settings (test-pinned)."""
+    the same settings (test-pinned).
+
+    Filtered search (`where`, PRE-filter semantics like
+    ivf_topk_indexed): the predicate applies to the CORPUS (metadata
+    lives in primary storage, not the code index — the faiss IDSelector
+    shape), pushed down on the corpus scan; the matching-id set
+    semi-joins the probed codes so non-matching vectors never consume
+    ADC rerank budget. Recall escalation: a query whose probed+filtered
+    candidate set runs short of k falls back to exact brute-force over
+    the FILTERED corpus — the short set stays a DataFrame end-to-end,
+    and when no query is short AQE collapses the empty-broadcast
+    fallback subtree."""
     from spdb_spark.functions.ivf import assign_lists
 
     cents, codebooks = _load_ivfpq_quantizer(spark, path)
@@ -819,6 +831,14 @@ def ivfpq_topk_indexed(
     codes = spark.read.parquet(_codes_dir(path)).select(
         F.col("vid").alias("neighbor_id"), "centroid_id", "codes"
     )
+    fc = corpus
+    if where is not None:
+        fc = corpus.where(F.expr(where) if isinstance(where, str) else where)
+        codes = codes.join(
+            fc.select(F.col(id_col).alias("neighbor_id")),
+            "neighbor_id",
+            "semi",
+        )
     probes = (
         assign_lists(queries, cents, id_col, vec_col, n_probe=n_probe)
         .join(F.broadcast(cents), "centroid_id")
@@ -831,4 +851,26 @@ def ivfpq_topk_indexed(
         )
     )
     cands = _adc_candidates(codes.join(F.broadcast(probes), "centroid_id"), rerank)
-    return _exact_rerank(cands, corpus, queries, id_col, vec_col, k)
+    if where is None:
+        return _exact_rerank(cands, corpus, queries, id_col, vec_col, k)
+    counts = cands.groupBy("query_id").agg(F.count("*").alias("_n"))
+    short_q = (
+        queries.select(F.col(id_col).alias("query_id"))
+        .distinct()
+        .join(counts, "query_id", "left")
+        .where(F.coalesce(F.col("_n"), F.lit(0)) < k)
+        .select("query_id")
+    )
+    # brute-force candidate set for the short queries: every filtered
+    # corpus id (broadcast the tiny/empty short side — BNLJ, never a
+    # cartesian over the corpus)
+    short_cands = (
+        fc.select(F.col(id_col).alias("neighbor_id"))
+        .crossJoin(F.broadcast(short_q))
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id")
+    )
+    cands = cands.join(
+        F.broadcast(short_q), "query_id", "left_anti"
+    ).unionByName(short_cands)
+    return _exact_rerank(cands, fc, queries, id_col, vec_col, k)

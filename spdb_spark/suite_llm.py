@@ -3380,9 +3380,35 @@ def q_ann_ivfpq_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, schema)
 
 
+def q_ann_ivfpq_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FILTERED vector search on the persisted IVF-PQ index (pq.py
+    `where=` — the faiss IDSelector shape: the predicate pushes down on
+    the CORPUS scan and the matching-id set semi-joins the probed
+    codes): k=25 against ~10%-selective metadata (label = 6) with one
+    probed list leaves every query short of k, so each escalates to
+    exact brute force over the filtered corpus — the same
+    full-escalation contract (and therefore the same oracle) as the IVF
+    gate `llm_ann_filtered`. The partial-escalation semantics are
+    pinned in tests/test_pq_arrow.py."""
+    import os
+
+    from spdb_spark.functions.pq import ivfpq_topk_indexed, save_ivfpq_index
+
+    embs = _embs(spark, sf_dir)
+    path = _cache_dir(sf_dir, "ivfpq_plain")
+    if not os.path.exists(os.path.join(path, "centroids", "_SUCCESS")):
+        save_ivfpq_index(embs, path, dim=64, n_centroids=16, m=8, n_codes=16)
+    queries = embs.where(F.col("vec_id") % 100 == 0)
+    return ivfpq_topk_indexed(
+        spark, path, queries, embs, dim=64, k=25, n_probe=1, rerank=30,
+        where="label = 6",
+    )
+
+
 STAGED_R11_LLM: dict = {
     "llm_ann_pq256": (q_ann_pq256, SQL_ANN_PQ256),
     "llm_ann_ivfpq_appended": (q_ann_ivfpq_appended, SQL_ANN_IVFPQ),
     "llm_dedup_semantic_stream": (q_dedup_semantic_stream, SQL_DEDUP_SEMANTIC),
     "llm_ann_ivfpq_stream": (q_ann_ivfpq_stream, SQL_ANN_IVFPQ),
+    "llm_ann_ivfpq_filtered": (q_ann_ivfpq_filtered, SQL_ANN_FILTERED),
 }

@@ -372,6 +372,44 @@ def test_ivfpq_compact_vacuum_preserves_results_and_pruning(spark, small, tmp_pa
     assert not os.path.exists(os.path.join(path, "codes_g1"))
 
 
+def test_ivfpq_filtered_search_semantics(spark, small, tmp_path):
+    """PRE-filter semantics on the IVF-PQ index: results satisfy the
+    predicate; with rerank >= filtered-corpus size the filtered result
+    equals brute force over the filtered corpus; and a starved probe
+    (n_probe=1, large k) escalates every query to the same exact
+    answer."""
+    from spdb_spark.functions.pq import ivfpq_topk_indexed, save_ivfpq_index
+    from spdb_spark.functions.similarity import brute_force_topk
+
+    cents, cbs = _frozen_quantizer(spark, small)
+    path = str(tmp_path / "idx")
+    save_ivfpq_index(small, path, dim=64, cents=cents, codebooks=cbs)
+    q = small.where(F.col("vec_id") % 60 == 0)
+    fc = small.where(F.col("label") == 3)
+    n_f = fc.count()
+    assert 0 < n_f < 100  # selective predicate on the clustered fixture
+
+    got = ivfpq_topk_indexed(
+        spark, path, q, small, dim=64, k=5, n_probe=8, rerank=300,
+        where="label = 3",
+    )
+    rows = got.collect()
+    assert rows and {r.neighbor_id for r in rows} <= {
+        r.vec_id for r in fc.collect()
+    }
+    # brute force over the filtered corpus only (PRE-filter semantics)
+    want = sorted(map(tuple, brute_force_topk(fc, q, k=5).collect()))
+    assert sorted(map(tuple, rows)) == want
+
+    # starved probe: every query short -> full filtered-scan fallback
+    esc = ivfpq_topk_indexed(
+        spark, path, q, small, dim=64, k=20, n_probe=1, rerank=30,
+        where="label = 3",
+    )
+    want20 = sorted(map(tuple, brute_force_topk(fc, q, k=20).collect()))
+    assert sorted(map(tuple, esc.collect())) == want20
+
+
 def test_ivfpq_empty_codebooks_guard(spark, small, tmp_path):
     """A corrupt/empty pq_codebooks dir raises a diagnosable layout
     error, not max()-of-empty-sequence."""

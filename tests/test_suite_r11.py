@@ -77,6 +77,9 @@ def test_stream_gate_shares_batch_oracle():
     from spdb_spark.suite_llm import SQL_DEDUP_SEMANTIC, STAGED_R11_LLM
 
     assert STAGED_R11_LLM["llm_dedup_semantic_stream"][1] is SQL_DEDUP_SEMANTIC
-    from spdb_spark.suite_llm import SQL_ANN_IVFPQ
+    from spdb_spark.suite_llm import SQL_ANN_FILTERED, SQL_ANN_IVFPQ
 
     assert STAGED_R11_LLM["llm_ann_ivfpq_stream"][1] is SQL_ANN_IVFPQ
+    # the filtered ivfpq gate fully escalates by construction, so it
+    # shares the IVF filtered gate's exact-brute-force oracle
+    assert STAGED_R11_LLM["llm_ann_ivfpq_filtered"][1] is SQL_ANN_FILTERED
