@@ -91,6 +91,7 @@ def refine_pq_codebooks(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     iters: int = 2,
+    engine: str = "expr",
 ) -> list[list[tuple[int, list[float]]]]:
     """Per-subspace Lloyd k-means over the md5-picked init — the
     standard PQ training step. ONE aggregate per iteration for ALL
@@ -109,18 +110,23 @@ def refine_pq_codebooks(
     d_sub = len(codebooks[0][0][1])
     v = _as_double(F.col(vec_col))
     for _ in range(iters):
+        # assignment under the chosen engine (arrow keeps the plan
+        # constant-size in n_codes — the 8-bit training path); the
+        # aggregate below is engine-independent
+        codes_of = _codes_column(codebooks, engine)
+        assigned = corpus.select(v.alias("_v"), codes_of(v).alias("_codes"))
         per_j = F.array(
             *[
                 F.struct(
                     F.lit(j).alias("j"),
-                    _code_expr(v, codebooks, j, d_sub).alias("code"),
-                    F.slice(v, j * d_sub + 1, d_sub).alias("sv"),
+                    F.element_at("_codes", j + 1).alias("code"),
+                    F.slice("_v", j * d_sub + 1, d_sub).alias("sv"),
                 )
                 for j in range(m)
             ]
         )
         means = (
-            corpus.select(F.explode(per_j).alias("p"))
+            assigned.select(F.explode(per_j).alias("p"))
             .select("p.j", "p.code", F.posexplode("p.sv").alias("pos", "val"))
             .groupBy("j", "code", "pos")
             .agg(F.avg("val").alias("mu"))

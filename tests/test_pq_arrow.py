@@ -410,6 +410,66 @@ def test_ivfpq_filtered_search_semantics(spark, small, tmp_path):
     assert sorted(map(tuple, esc.collect())) == want20
 
 
+def test_refine_codebooks_arrow_engine(spark, small):
+    """Lloyd refinement through the arrow assignment: runs at the 8-bit
+    code budget (constant plan size) and keeps the k-means objective
+    non-increasing, same as the expression form."""
+    import numpy as np
+
+    from spdb_spark.functions.pq import pq_codebooks, refine_pq_codebooks
+
+    cb = pq_codebooks(small, dim=64, m=8, n_codes=256)
+    refined = refine_pq_codebooks(small, cb, iters=1, engine="arrow")
+    assert len(refined) == 8 and all(len(j) == 256 for j in refined)
+
+    V = np.array([r.embedding for r in small.select("embedding").collect()])
+
+    def distortion(books):
+        tot = 0.0
+        for j, bk in enumerate(books):
+            S = V[:, j * 8 : (j + 1) * 8]
+            C = np.array([vec for _cid, vec in sorted(bk)])
+            d2 = ((S[:, None, :] - C[None, :, :]) ** 2).sum(-1)
+            tot += d2.min(1).sum()
+        return tot
+
+    assert distortion(refined) <= distortion(cb) * (1 + 1e-9)
+
+
+def test_empty_inputs_for_new_surfaces(spark, small, tmp_path):
+    """Empty-batch behavior of the r11 entry points: encode of an empty
+    frame, an empty index append (commits a marker, changes nothing),
+    and an empty streaming-dedup batch (commits, finds nothing)."""
+    from spdb_spark.functions.pq import (
+        _codes_dir,
+        append_to_ivfpq_index,
+        pq_codebooks,
+        pq_encode,
+        save_ivfpq_index,
+    )
+    from spdb_spark.streaming.semdedup import StreamingSemanticDedup
+
+    empty = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    cb = pq_codebooks(small, dim=64, m=8, n_codes=16)
+    for eng in ("expr", "arrow"):
+        assert pq_encode(empty, cb, engine=eng).count() == 0, eng
+
+    cents, cbs = _frozen_quantizer(spark, small)
+    path = str(tmp_path / "idx")
+    save_ivfpq_index(small, path, dim=64, cents=cents, codebooks=cbs)
+    before = _codes_tuples(spark.read.parquet(_codes_dir(path)).select("vid", "codes"))
+    append_to_ivfpq_index(spark, path, empty, dim=64, batch_id="e0")
+    after = _codes_tuples(spark.read.parquet(_codes_dir(path)).select("vid", "codes"))
+    assert before == after
+    assert os.path.exists(os.path.join(path, "_appendlog", "e0.json"))
+
+    sd = StreamingSemanticDedup(spark, str(tmp_path / "sd"), cents, tau=0.9)
+    sd.process_batch(empty, 0)
+    sd.process_batch(small.where(F.col("vec_id") < 50), 1)
+    assert sd._committed() == [0, 1]
+    assert sd.pairs().count() >= 0  # readable state either way
+
+
 def test_ivfpq_empty_codebooks_guard(spark, small, tmp_path):
     """A corrupt/empty pq_codebooks dir raises a diagnosable layout
     error, not max()-of-empty-sequence."""
