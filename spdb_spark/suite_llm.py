@@ -3405,10 +3405,98 @@ def q_ann_ivfpq_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_TFR_SHARDS = 16
+
+
+def q_tfrecord_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TFRecord export round-trip: documents grouped into synthetic
+    shards (one TFRecord stream of tf.train.Examples per group, built
+    by the dependency-free proto encoder in sources/tfrecord.py), then
+    walked back through the REAL CRC-verified record scanner and
+    Example decoder. Decoded id / text-md5 / byte length / in-shard
+    position are pure functions of the corpus, so the oracle replays
+    them without touching TFRecord at all — the gate proves the whole
+    encode -> frame -> CRC -> parse -> decode chain is lossless,
+    distributed, and deterministic (the zipshard-gate pattern)."""
+    import pandas as pd
+
+    from spdb_spark.sources.tfrecord import tfrecord_members
+
+    docs = _docs(spark, sf_dir).withColumn(
+        "shard_id", (F.col("doc_id") % _TFR_SHARDS).cast("int")
+    )
+
+    def build(pdf: pd.DataFrame) -> pd.DataFrame:
+        from spdb_spark.sources.tfrecord import (
+            tf_example_encode,
+            tfrecord_encode,
+        )
+
+        sid = int(pdf["shard_id"].iloc[0])
+        pdf = pdf.sort_values("doc_id")
+        payloads = [
+            tf_example_encode(
+                {"doc_id": [int(i)], "text": [str(t).encode("utf-8")]}
+            )
+            for i, t in zip(pdf["doc_id"], pdf["text"])
+        ]
+        return pd.DataFrame(
+            [(f"mem://shard-{sid:04d}.tfrecord", tfrecord_encode(payloads))],
+            columns=["path", "content"],
+        )
+
+    raw = docs.groupBy("shard_id").applyInPandas(
+        build, "path string, content binary"
+    )
+    members = tfrecord_members(raw)
+
+    def decode(pdfs):
+        import hashlib
+
+        from spdb_spark.sources.tfrecord import tf_example_decode
+
+        for pdf in pdfs:
+            ids, nb, md5s = [], [], []
+            for payload in pdf["payload"]:
+                feats = tf_example_decode(bytes(payload))
+                text = bytes(feats["text"][0])
+                ids.append(int(feats["doc_id"][0]))
+                nb.append(len(text))
+                md5s.append(hashlib.md5(text).hexdigest())
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "rec_index": pdf["rec_index"].astype("int64"),
+                    "n_text_bytes": pd.Series(nb, dtype="int64"),
+                    "text_md5": md5s,
+                    "shard": pdf["shard"],
+                }
+            )
+
+    return members.mapInPandas(
+        decode,
+        "doc_id long, rec_index long, n_text_bytes long, "
+        "text_md5 string, shard string",
+    )
+
+
+SQL_TFRECORD_EXPORT = f"""
+SELECT doc_id,
+       ROW_NUMBER() OVER (PARTITION BY doc_id % {_TFR_SHARDS}
+                          ORDER BY doc_id) - 1 AS rec_index,
+       strlen(text)::BIGINT AS n_text_bytes,
+       md5(text) AS text_md5,
+       'mem://shard-' || lpad((doc_id % {_TFR_SHARDS})::VARCHAR, 4, '0')
+         || '.tfrecord' AS shard
+FROM documents
+"""
+
+
 STAGED_R11_LLM: dict = {
     "llm_ann_pq256": (q_ann_pq256, SQL_ANN_PQ256),
     "llm_ann_ivfpq_appended": (q_ann_ivfpq_appended, SQL_ANN_IVFPQ),
     "llm_dedup_semantic_stream": (q_dedup_semantic_stream, SQL_DEDUP_SEMANTIC),
     "llm_ann_ivfpq_stream": (q_ann_ivfpq_stream, SQL_ANN_IVFPQ),
     "llm_ann_ivfpq_filtered": (q_ann_ivfpq_filtered, SQL_ANN_FILTERED),
+    "llm_tfrecord_export": (q_tfrecord_export, SQL_TFRECORD_EXPORT),
 }
