@@ -3492,6 +3492,62 @@ FROM documents
 """
 
 
+_BLOOM_M, _BLOOM_K = 600, 3
+
+
+def q_bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed Bloom filter (functions/membership.py): build the
+    bitmap over every third document's text, probe the whole corpus,
+    report maybe-member beside exact membership. The filter is sized
+    SMALL (600 bits / 3 hashes over ~170 keys, ~56% fill) so real
+    false positives flow through both engines — the oracle replays the
+    full double-hash + 60-bit-word protocol, proving the engine
+    computes Bloom semantics, not exact membership."""
+    from spdb_spark.functions.membership import bloom_build, bloom_probe
+
+    docs = _docs(spark, sf_dir)
+    bloom = bloom_build(
+        docs.where(F.col("doc_id") % 3 == 0), "text", _BLOOM_M, _BLOOM_K
+    )
+    probed = bloom_probe(
+        docs.select("doc_id", "text"), "text", bloom, _BLOOM_M, _BLOOM_K
+    )
+    return probed.select(
+        "doc_id",
+        F.col("maybe_member").cast("long").alias("maybe_member"),
+        (F.col("doc_id") % 3 == 0).cast("long").alias("is_member"),
+    )
+
+
+def _sql_bloom_membership() -> str:
+    from spdb_spark.functions.membership import bloom_positions_sql
+
+    positions = bloom_positions_sql("text", _BLOOM_M, _BLOOM_K)
+    mask = "(CAST(1 AS BIGINT) << CAST(pos % 60 AS INTEGER))"
+    return f"""
+WITH pos AS (
+  SELECT doc_id, unnest({positions}) AS pos FROM documents
+),
+bloom AS (
+  SELECT pos // 60 AS word_idx, bit_or({mask}) AS bits
+  FROM pos WHERE doc_id % 3 = 0 GROUP BY 1
+),
+probe AS (
+  SELECT p.doc_id,
+         bool_and(b.bits IS NOT NULL AND (b.bits & {mask.replace('pos', 'p.pos')})
+                    = {mask.replace('pos', 'p.pos')}) AS maybe
+  FROM pos p LEFT JOIN bloom b ON p.pos // 60 = b.word_idx
+  GROUP BY p.doc_id
+)
+SELECT doc_id, CAST(maybe AS BIGINT) AS maybe_member,
+       CAST(doc_id % 3 = 0 AS BIGINT) AS is_member
+FROM probe
+"""
+
+
+SQL_BLOOM_MEMBERSHIP = _sql_bloom_membership()
+
+
 STAGED_R11_LLM: dict = {
     "llm_ann_pq256": (q_ann_pq256, SQL_ANN_PQ256),
     "llm_ann_ivfpq_appended": (q_ann_ivfpq_appended, SQL_ANN_IVFPQ),
@@ -3499,4 +3555,5 @@ STAGED_R11_LLM: dict = {
     "llm_ann_ivfpq_stream": (q_ann_ivfpq_stream, SQL_ANN_IVFPQ),
     "llm_ann_ivfpq_filtered": (q_ann_ivfpq_filtered, SQL_ANN_FILTERED),
     "llm_tfrecord_export": (q_tfrecord_export, SQL_TFRECORD_EXPORT),
+    "llm_bloom_membership": (q_bloom_membership, SQL_BLOOM_MEMBERSHIP),
 }
