@@ -1,0 +1,179 @@
+"""Interpolated Kneser-Ney trigram language model — the real CCNet-style
+quality signal: perplexity of each document under an n-gram LM trained
+on the corpus itself (Wenzek et al. filter CommonCrawl with a KenLM
+5-gram; the published smoothing for such models is interpolated
+modified Kneser-Ney — this is the classic single-discount form of it,
+Kneser & Ney 1995 / Chen & Goodman 1999).
+
+Everything is count algebra over two corpus aggregates, so the whole
+model trains in one distributed pass family (no iteration, no UDFs):
+
+    c3(u,v,w)      trigram occurrence counts          (one groupBy)
+    c2ctx(u,v)     = sum_w c3          t3(u,v) = |{w : c3 > 0}|
+    n2cont(v,w)    = |{u : c3 > 0}|    (continuation counts, from the
+    n2ctx(v)       = |{(u,w)}|          trigram TYPE table — lower
+    t2(v)          = |{w}|              orders always derive from the
+    n1cont(w)      = |{v : (v,w)}|      highest order in KN)
+    n2types        = |{(v,w)}|         t1 = |{w : n1cont > 0}|
+    V              = |vocabulary|
+
+    P1(w)     = max(n1cont-D,0)/n2types + D*t1/n2types/V
+    P2(w|v)   = max(n2cont-D,0)/n2ctx   + D*t2/n2ctx   * P1(w)
+    P3(w|u,v) = max(c3-D,0)/c2ctx       + D*t3/c2ctx   * P2(w|v)
+
+with absolute discount D = 0.75 and a uniform 1/V base, so every
+probability is strictly positive and sums to 1 over the vocabulary.
+
+Engine-parity protocol: each trigram's log-probability quantizes to
+MICRO-NATS (floor(ln(P3) * 1e6) as BIGINT) before the per-document
+aggregate, so the document mean is integer arithmetic — order-
+independent across partitions and engines; the only cross-engine float
+exposure is a 1-ulp ln() difference landing exactly on a 1e-6 floor
+boundary (~1e-10 per trigram). The DuckDB twin replays the identical
+expression shape (SQL_KN_TRIGRAM in suite_llm.py).
+
+Scale shape: count tables are bounded by distinct n-gram TYPES (grows
+~ O(corpus^0.8), far below corpus size); the scoring stream joins them
+on gram keys — the standard LM-training join topology, map-side
+partial-aggregated everywhere. At 100 TB the count tables shuffle-join
+(they no longer broadcast) and a hot-gram salt on the score stream is
+the documented dial; nothing here collects to the driver except the
+two single-row totals (n2types, t1, V), which broadcast.
+
+Reference-capability analogue: none — spdb has no text tier; this is
+north-star surface next to text.py's unigram/bigram proxies.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from spdb_spark.functions.text import tokens, word_ngrams
+
+DISCOUNT = 0.75
+
+
+def _part(g: Column, which: str) -> Column:
+    """Split a space-joined trigram into its pieces (tokens are
+    whitespace-split upstream, so they contain no spaces)."""
+    if which == "u":
+        return F.substring_index(g, " ", 1)
+    if which == "v":
+        return F.substring_index(F.substring_index(g, " ", 2), " ", -1)
+    if which == "w":
+        return F.substring_index(g, " ", -1)
+    if which == "uv":
+        return F.substring_index(g, " ", 2)
+    if which == "vw":
+        return F.substring_index(g, " ", -2)
+    raise ValueError(which)
+
+
+def kn_trigram_logprob(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    discount: float = DISCOUNT,
+) -> DataFrame:
+    """(id_col, mean_logprob, n_trigrams) — mean interpolated-KN
+    trigram log-probability per document (natural log, micro-nat
+    quantized; higher = more typical of the corpus). Documents with
+    fewer than 3 tokens have no trigrams and are excluded."""
+    if not 0.0 < discount < 1.0:
+        raise ValueError(f"discount must be in (0, 1), got {discount}")
+    d = float(discount)
+
+    toks = docs.select(
+        F.col(id_col), tokens(F.col(text_col)).alias("_t")
+    ).where(F.size("_t") >= 3)
+    grams = toks.select(
+        id_col, F.explode(word_ngrams(F.col("_t"), 3)).alias("g")
+    )
+
+    # --- count tables (all map-side combined groupBys) ---
+    tri = grams.groupBy("g").agg(F.count("*").alias("c3"))
+    tri_keys = tri.select(
+        "g",
+        "c3",
+        _part(F.col("g"), "uv").alias("uv"),
+        _part(F.col("g"), "vw").alias("vw"),
+        _part(F.col("g"), "v").alias("v"),
+        _part(F.col("g"), "w").alias("w"),
+    )
+    ctx = tri_keys.groupBy("uv").agg(
+        F.sum("c3").alias("c2ctx"), F.count("*").alias("t3")
+    )
+    cont2 = tri_keys.groupBy("vw").agg(F.count("*").alias("n2cont"))
+    mid = tri_keys.groupBy("v").agg(
+        F.count("*").alias("n2ctx"), F.count_distinct("w").alias("t2")
+    )
+    cont1 = cont2.select(
+        F.substring_index(F.col("vw"), " ", -1).alias("w")
+    ).groupBy("w").agg(F.count("*").alias("n1cont"))
+    totals = cont2.agg(F.count("*").alias("n2types")).crossJoin(
+        cont1.agg(F.count("*").alias("t1"))
+    ).crossJoin(
+        toks.select(F.explode("_t").alias("_tok")).agg(
+            F.count_distinct("_tok").alias("v_size")
+        )
+    )
+
+    # --- score every trigram occurrence ---
+    scored = (
+        grams.withColumn("uv", _part(F.col("g"), "uv"))
+        .withColumn("vw", _part(F.col("g"), "vw"))
+        .withColumn("v", _part(F.col("g"), "v"))
+        .withColumn("w", _part(F.col("g"), "w"))
+        .join(tri, "g")
+        .join(ctx, "uv")
+        .join(mid, "v")
+        .join(cont2, "vw")
+        .join(cont1, "w")
+        .crossJoin(F.broadcast(totals))
+    )
+    # The expression SHAPE below is replayed token-for-token by the
+    # DuckDB twin — edit both together or neither.
+    p1 = (
+        F.greatest(F.col("n1cont") - d, F.lit(0.0)) / F.col("n2types")
+        + F.lit(d) * F.col("t1") / F.col("n2types") / F.col("v_size")
+    )
+    p2 = (
+        F.greatest(F.col("n2cont") - d, F.lit(0.0)) / F.col("n2ctx")
+        + F.lit(d) * F.col("t2") / F.col("n2ctx") * p1
+    )
+    p3 = (
+        F.greatest(F.col("c3") - d, F.lit(0.0)) / F.col("c2ctx")
+        + F.lit(d) * F.col("t3") / F.col("c2ctx") * p2
+    )
+    lp_q = F.floor(F.log(p3) * 1e6).cast("long")
+
+    return (
+        scored.select(id_col, lp_q.alias("_lpq"))
+        .groupBy(id_col)
+        .agg(
+            (
+                F.floor(F.sum("_lpq").cast("double") / F.count("*")) / 1e6
+            ).alias("mean_logprob"),
+            F.count("*").alias("n_trigrams"),
+        )
+    )
+
+
+def kn_perplexity(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    discount: float = DISCOUNT,
+) -> DataFrame:
+    """(id_col, perplexity, n_trigrams): exp(-mean_logprob) — the
+    conventional reporting unit (lower = more fluent under the corpus
+    LM; CCNet buckets head/middle/tail on exactly this)."""
+    lp = kn_trigram_logprob(docs, text_col, id_col, discount)
+    return lp.select(
+        id_col,
+        (
+            F.floor(F.exp(-F.col("mean_logprob")) * 1e6) / 1e6
+        ).alias("perplexity"),
+        "n_trigrams",
+    )

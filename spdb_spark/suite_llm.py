@@ -3548,6 +3548,86 @@ FROM probe
 SQL_BLOOM_MEMBERSHIP = _sql_bloom_membership()
 
 
+def q_kn_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated Kneser-Ney trigram LM (functions/ngramlm.py) — the
+    real CCNet-family quality signal, one order past llm_bigram_logprob
+    and with the smoothing the published CommonCrawl filters actually
+    use. Per-trigram log-probabilities quantize to micro-nat BIGINTs
+    before the per-doc mean, so the aggregate is integer arithmetic —
+    order-independent across engines (tighter than the bigram gate's
+    float AVG). The oracle replays the identical count algebra and
+    expression shape."""
+    from spdb_spark.functions.ngramlm import kn_trigram_logprob
+
+    return kn_trigram_logprob(_docs(spark, sf_dir))
+
+
+SQL_KN_TRIGRAM = f"""
+WITH t AS MATERIALIZED (
+  SELECT doc_id, {_TOKENS_SQL} AS t FROM documents
+),
+grams AS MATERIALIZED (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(t) - 1),
+                i -> concat_ws(' ', t[i], t[i+1], t[i+2]))) AS g
+  FROM t WHERE len(t) >= 3
+),
+tri AS MATERIALIZED (SELECT g, COUNT(*) AS c3 FROM grams GROUP BY g),
+trik AS MATERIALIZED (
+  SELECT g, c3,
+         split_part(g, ' ', 1) || ' ' || split_part(g, ' ', 2) AS uv,
+         split_part(g, ' ', 2) || ' ' || split_part(g, ' ', 3) AS vw,
+         split_part(g, ' ', 2) AS v,
+         split_part(g, ' ', 3) AS w
+  FROM tri
+),
+ctx AS (SELECT uv, CAST(SUM(c3) AS BIGINT) AS c2ctx, COUNT(*) AS t3
+        FROM trik GROUP BY uv),
+cont2 AS MATERIALIZED (SELECT vw, COUNT(*) AS n2cont FROM trik GROUP BY vw),
+mid AS (SELECT v, COUNT(*) AS n2ctx, COUNT(DISTINCT w) AS t2
+        FROM trik GROUP BY v),
+cont1 AS MATERIALIZED (
+  SELECT split_part(vw, ' ', 2) AS w, COUNT(*) AS n1cont
+  FROM cont2 GROUP BY 1
+),
+totals AS (
+  SELECT (SELECT COUNT(*) FROM cont2) AS n2types,
+         (SELECT COUNT(*) FROM cont1) AS t1,
+         (SELECT COUNT(DISTINCT tok)
+          FROM (SELECT unnest(t) AS tok FROM t WHERE len(t) >= 3)) AS v_size
+),
+s AS (
+  SELECT doc_id, g,
+         split_part(g, ' ', 1) || ' ' || split_part(g, ' ', 2) AS uv,
+         split_part(g, ' ', 2) || ' ' || split_part(g, ' ', 3) AS vw,
+         split_part(g, ' ', 2) AS v,
+         split_part(g, ' ', 3) AS w
+  FROM grams
+),
+scored AS (
+  SELECT s.doc_id,
+         CAST(FLOOR(LN(
+           GREATEST(c3 - 0.75, 0.0) / c2ctx
+           + 0.75 * t3 / c2ctx * (
+               GREATEST(n2cont - 0.75, 0.0) / n2ctx
+               + 0.75 * t2 / n2ctx * (
+                   GREATEST(n1cont - 0.75, 0.0) / n2types
+                   + 0.75 * t1 / n2types / v_size
+               )
+           )
+         ) * 1e6) AS BIGINT) AS lpq
+  FROM s
+  JOIN tri USING (g) JOIN ctx USING (uv) JOIN mid USING (v)
+  JOIN cont2 USING (vw) JOIN cont1 USING (w)
+  CROSS JOIN totals
+)
+SELECT doc_id,
+       FLOOR(CAST(SUM(lpq) AS DOUBLE) / COUNT(*)) / 1e6 AS mean_logprob,
+       COUNT(*) AS n_trigrams
+FROM scored GROUP BY doc_id
+"""
+
+
 STAGED_R11_LLM: dict = {
     "llm_ann_pq256": (q_ann_pq256, SQL_ANN_PQ256),
     "llm_ann_ivfpq_appended": (q_ann_ivfpq_appended, SQL_ANN_IVFPQ),
@@ -3556,4 +3636,5 @@ STAGED_R11_LLM: dict = {
     "llm_ann_ivfpq_filtered": (q_ann_ivfpq_filtered, SQL_ANN_FILTERED),
     "llm_tfrecord_export": (q_tfrecord_export, SQL_TFRECORD_EXPORT),
     "llm_bloom_membership": (q_bloom_membership, SQL_BLOOM_MEMBERSHIP),
+    "llm_kn_logprob": (q_kn_logprob, SQL_KN_TRIGRAM),
 }
