@@ -3548,6 +3548,58 @@ FROM probe
 SQL_BLOOM_MEMBERSHIP = _sql_bloom_membership()
 
 
+def q_bloom_membership_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming Bloom accumulation (streaming/bloom.py) gated against
+    the SAME oracle as the batch gate `llm_bloom_membership`: the member
+    docs (doc_id % 3 == 0) arrive in three micro-batches through a real
+    readStream (hash-thirds, one file per trigger) and fold into the
+    persisted bitmap; probing the whole corpus must then equal the
+    one-shot batch filter — the driver comparison IS the stream==batch
+    proof (bit_or is a monoid, so arrival order is immaterial; the
+    redelivery/compaction pins live in tests/test_streaming_bloom)."""
+    import os
+    import shutil
+    import tempfile
+
+    from spdb_spark.streaming.bloom import StreamingBloomFilter
+
+    docs = _docs(spark, sf_dir)
+    members = docs.where(F.col("doc_id") % 3 == 0)
+    tmp = tempfile.mkdtemp(prefix="bloomstream-")
+    q = None
+    try:
+        src = os.path.join(tmp, "src")
+        os.makedirs(src)
+        feed = members.select("doc_id", "text")
+        for i in range(3):
+            feed.where(
+                F.crc32(F.col("doc_id").cast("string")) % 3 == i
+            ).coalesce(1).write.parquet(os.path.join(src, f"p{i}"))
+        sink = StreamingBloomFilter(
+            spark, os.path.join(tmp, "state"), _BLOOM_M, _BLOOM_K,
+            key_col="text",
+        )
+        stream = (
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(os.path.join(src, "*"))
+        )
+        q = sink.start(stream, os.path.join(tmp, "ckpt"), availableNow=True)
+        if not q.awaitTermination(600):
+            raise TimeoutError("bloom stream did not finish in 600s")
+        res = sink.probe(docs.select("doc_id", "text"), "text").select(
+            "doc_id",
+            F.col("maybe_member").cast("long").alias("maybe_member"),
+            (F.col("doc_id") % 3 == 0).cast("long").alias("is_member"),
+        )
+        rows, schema = res.collect(), res.schema
+    finally:
+        if q is not None:
+            q.stop()
+        shutil.rmtree(tmp, ignore_errors=True)
+    return spark.createDataFrame(rows, schema)
+
+
 def q_kn_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Interpolated Kneser-Ney trigram LM (functions/ngramlm.py) — the
     real CCNet-family quality signal, one order past llm_bigram_logprob
@@ -3637,4 +3689,8 @@ STAGED_R11_LLM: dict = {
     "llm_tfrecord_export": (q_tfrecord_export, SQL_TFRECORD_EXPORT),
     "llm_bloom_membership": (q_bloom_membership, SQL_BLOOM_MEMBERSHIP),
     "llm_kn_logprob": (q_kn_logprob, SQL_KN_TRIGRAM),
+    "llm_bloom_membership_stream": (
+        q_bloom_membership_stream,
+        SQL_BLOOM_MEMBERSHIP,
+    ),
 }

@@ -77,6 +77,18 @@ def test_stream_gate_shares_batch_oracle():
     from spdb_spark.suite_llm import SQL_DEDUP_SEMANTIC, STAGED_R11_LLM
 
     assert STAGED_R11_LLM["llm_dedup_semantic_stream"][1] is SQL_DEDUP_SEMANTIC
+
+
+def test_bloom_stream_gate_shares_batch_oracle():
+    """llm_bloom_membership_stream registers the SAME oracle SQL as
+    llm_bloom_membership: the driver comparison is the stream==batch
+    bitmap proof."""
+    from spdb_spark.suite_llm import SQL_BLOOM_MEMBERSHIP, STAGED_R11_LLM
+
+    assert (
+        STAGED_R11_LLM["llm_bloom_membership_stream"][1]
+        is SQL_BLOOM_MEMBERSHIP
+    )
     from spdb_spark.suite_llm import SQL_ANN_FILTERED, SQL_ANN_IVFPQ
 
     assert STAGED_R11_LLM["llm_ann_ivfpq_stream"][1] is SQL_ANN_IVFPQ
