@@ -69,6 +69,8 @@ EXTRA = [
     "llm_quality_classifier",  # r9: fastText-style NB train + inference
     "llm_dup_span_removal",  # r9: exact substring-level dedup
     "llm_ann_pq256",  # r11: 8-bit PQ through the Arrow encode engine
+    "llm_kn_logprob",  # r11: interpolated Kneser-Ney trigram LM
+    "llm_tfrecord_export",  # r11: TFRecord/Example encode->parse round-trip
 ]
 
 
