@@ -3600,6 +3600,56 @@ def q_bloom_membership_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, schema)
 
 
+_CM_W, _CM_D = 32, 2
+
+
+def q_countmin_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch heavy hitters (functions/sketch.py): sketch the
+    token stream into 2x32 integer cells, then estimate every distinct
+    token's frequency and report the top-100 by estimate beside the
+    true count. The sketch is deliberately narrow (32 buckets against
+    the fixture's 31-token vocabulary) so collisions force REAL
+    overestimates through both engines — the oracle replays the full
+    hash/sum/min protocol, proving count-min semantics, not exact
+    counting. All-integer arithmetic: no float protocol at all."""
+    from spdb_spark.functions.sketch import countmin_build, countmin_estimate
+
+    docs = _docs(spark, sf_dir)
+    toks = docs.select(F.explode(T.tokens(F.col("text"))).alias("tok"))
+    sketch = countmin_build(toks, "tok", _CM_W, _CM_D)
+    true = toks.groupBy("tok").agg(F.count("*").alias("true_cnt"))
+    est = countmin_estimate(true, "tok", sketch, _CM_W, _CM_D)
+    return (
+        est.orderBy(F.col("est").desc(), "tok")
+        .limit(100)
+        .select("tok", "est", "true_cnt")
+    )
+
+
+SQL_COUNTMIN_VOCAB = f"""
+WITH toks AS MATERIALIZED (
+  SELECT unnest({_TOKENS_SQL}) AS tok FROM documents
+),
+pos AS MATERIALIZED (
+  SELECT tok, r.range AS row,
+         (CAST(('0x' || substr(md5(CAST(r.range AS VARCHAR) || ':' || tok),
+                               1, 15)) AS BIGINT) % {_CM_W}) AS bucket
+  FROM toks CROSS JOIN range(0, {_CM_D}) r
+),
+sketch AS (SELECT row, bucket, COUNT(*) AS cnt FROM pos GROUP BY 1, 2),
+true_c AS (SELECT tok, COUNT(*) AS true_cnt FROM toks GROUP BY tok),
+est AS (
+  SELECT t.tok, MIN(s.cnt) AS est
+  FROM (SELECT DISTINCT tok, row, bucket FROM pos) t
+  JOIN sketch s USING (row, bucket)
+  GROUP BY t.tok
+)
+SELECT t.tok, e.est, t.true_cnt
+FROM true_c t JOIN est e USING (tok)
+ORDER BY e.est DESC, t.tok LIMIT 100
+"""
+
+
 def q_kn_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Interpolated Kneser-Ney trigram LM (functions/ngramlm.py) — the
     real CCNet-family quality signal, one order past llm_bigram_logprob
@@ -3693,4 +3743,5 @@ STAGED_R11_LLM: dict = {
         q_bloom_membership_stream,
         SQL_BLOOM_MEMBERSHIP,
     ),
+    "llm_countmin_vocab": (q_countmin_vocab, SQL_COUNTMIN_VOCAB),
 }
