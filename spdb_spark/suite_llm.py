@@ -3650,6 +3650,64 @@ ORDER BY e.est DESC, t.tok LIMIT 100
 """
 
 
+def q_countmin_vocab_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming count-min accumulation (streaming/sketch.py) gated
+    against the SAME oracle as the batch gate `llm_countmin_vocab`: the
+    token stream arrives in three micro-batches (doc-hash thirds
+    through a real readStream) and SUMS into the persisted cells —
+    unlike Bloom's bit_or, the fold is not idempotent, so this gate is
+    also the driver-level witness that the ledger's exactly-once
+    machinery (not the operation's algebra) is what prevents
+    double-counting. Estimating every distinct token then equals the
+    one-shot batch sketch — the driver comparison IS the stream==batch
+    proof."""
+    import os
+    import shutil
+    import tempfile
+
+    from spdb_spark.streaming.sketch import StreamingCountMin
+
+    docs = _docs(spark, sf_dir)
+    toks_all = docs.select(
+        "doc_id", F.explode(T.tokens(F.col("text"))).alias("tok")
+    )
+    tmp = tempfile.mkdtemp(prefix="cmstream-")
+    q = None
+    try:
+        src = os.path.join(tmp, "src")
+        os.makedirs(src)
+        for i in range(3):
+            toks_all.where(
+                F.crc32(F.col("doc_id").cast("string")) % 3 == i
+            ).select("tok").coalesce(1).write.parquet(
+                os.path.join(src, f"p{i}")
+            )
+        sink = StreamingCountMin(
+            spark, os.path.join(tmp, "state"), _CM_W, _CM_D, key_col="tok"
+        )
+        stream = (
+            spark.readStream.schema("tok string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(os.path.join(src, "*"))
+        )
+        q = sink.start(stream, os.path.join(tmp, "ckpt"), availableNow=True)
+        if not q.awaitTermination(600):
+            raise TimeoutError("count-min stream did not finish in 600s")
+        true = toks_all.groupBy("tok").agg(F.count("*").alias("true_cnt"))
+        res = (
+            sink.estimate(true, "tok")
+            .orderBy(F.col("est").desc(), "tok")
+            .limit(100)
+            .select("tok", "est", "true_cnt")
+        )
+        rows, schema = res.collect(), res.schema
+    finally:
+        if q is not None:
+            q.stop()
+        shutil.rmtree(tmp, ignore_errors=True)
+    return spark.createDataFrame(rows, schema)
+
+
 def q_kn_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Interpolated Kneser-Ney trigram LM (functions/ngramlm.py) — the
     real CCNet-family quality signal, one order past llm_bigram_logprob
@@ -3744,4 +3802,8 @@ STAGED_R11_LLM: dict = {
         SQL_BLOOM_MEMBERSHIP,
     ),
     "llm_countmin_vocab": (q_countmin_vocab, SQL_COUNTMIN_VOCAB),
+    "llm_countmin_vocab_stream": (
+        q_countmin_vocab_stream,
+        SQL_COUNTMIN_VOCAB,
+    ),
 }

@@ -89,6 +89,19 @@ def test_bloom_stream_gate_shares_batch_oracle():
         STAGED_R11_LLM["llm_bloom_membership_stream"][1]
         is SQL_BLOOM_MEMBERSHIP
     )
+
+
+def test_countmin_stream_gate_shares_batch_oracle():
+    """llm_countmin_vocab_stream registers the SAME oracle SQL as
+    llm_countmin_vocab: the driver comparison is the stream==batch
+    proof, and — because count-min's fold is a SUM, not an idempotent
+    OR — the driver-level witness that the ledger (not the algebra)
+    provides exactly-once."""
+    from spdb_spark.suite_llm import SQL_COUNTMIN_VOCAB, STAGED_R11_LLM
+
+    assert (
+        STAGED_R11_LLM["llm_countmin_vocab_stream"][1] is SQL_COUNTMIN_VOCAB
+    )
     from spdb_spark.suite_llm import SQL_ANN_FILTERED, SQL_ANN_IVFPQ
 
     assert STAGED_R11_LLM["llm_ann_ivfpq_stream"][1] is SQL_ANN_IVFPQ
