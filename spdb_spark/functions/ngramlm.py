@@ -160,6 +160,138 @@ def kn_trigram_logprob(
     )
 
 
+def kn_model(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> dict[str, DataFrame]:
+    """Train the KN count tables once and reuse them — the frozen-model
+    path for scoring OTHER corpora (decontamination-style quality
+    scoring of a new crawl under yesterday's LM, and the streaming
+    scorer). Returns {tri, ctx, mid, cont2, cont1, totals}; persist the
+    pieces (or write them to parquet) when scoring many batches."""
+    toks = docs.select(
+        F.col(id_col), tokens(F.col(text_col)).alias("_t")
+    ).where(F.size("_t") >= 3)
+    grams = toks.select(
+        id_col, F.explode(word_ngrams(F.col("_t"), 3)).alias("g")
+    )
+    tri = grams.groupBy("g").agg(F.count("*").alias("c3"))
+    tri_keys = tri.select(
+        "g",
+        "c3",
+        _part(F.col("g"), "uv").alias("uv"),
+        _part(F.col("g"), "vw").alias("vw"),
+        _part(F.col("g"), "v").alias("v"),
+        _part(F.col("g"), "w").alias("w"),
+    )
+    ctx = tri_keys.groupBy("uv").agg(
+        F.sum("c3").alias("c2ctx"), F.count("*").alias("t3")
+    )
+    cont2 = tri_keys.groupBy("vw").agg(F.count("*").alias("n2cont"))
+    mid = tri_keys.groupBy("v").agg(
+        F.count("*").alias("n2ctx"), F.count_distinct("w").alias("t2")
+    )
+    cont1 = cont2.select(
+        F.substring_index(F.col("vw"), " ", -1).alias("w")
+    ).groupBy("w").agg(F.count("*").alias("n1cont"))
+    totals = cont2.agg(F.count("*").alias("n2types")).crossJoin(
+        cont1.agg(F.count("*").alias("t1"))
+    ).crossJoin(
+        toks.select(F.explode("_t").alias("_tok")).agg(
+            F.count_distinct("_tok").alias("v_size")
+        )
+    )
+    return {
+        "tri": tri,
+        "ctx": ctx,
+        "mid": mid,
+        "cont2": cont2,
+        "cont1": cont1,
+        "totals": totals,
+    }
+
+
+def kn_score(
+    docs: DataFrame,
+    model: dict[str, DataFrame],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    discount: float = DISCOUNT,
+    backoff_alpha: float = 0.4,
+) -> DataFrame:
+    """Score ANY documents under a frozen `kn_model` — the tables join
+    LEFT, with a backoff ladder for material the model never saw:
+    unseen trigram context (u,v) scores as alpha * P2(w|v); unseen
+    middle word v as alpha * P1(w); unseen w keeps the strictly-
+    positive uniform-base mass (n1cont = 0). The per-level alpha = 0.4
+    is the stupid-backoff penalty (Brants et al. 2007) — without it an
+    all-novel-context document would score pure continuation-unigram
+    mass with no out-of-distribution penalty at all, which is exactly
+    what a quality filter must not do. On the model's own training
+    corpus every join hits, no backoff branch fires, and the seen
+    branch is token-identical to `kn_trigram_logprob`, so self-scoring
+    is bit-equal (test-pinned)."""
+    if not 0.0 < discount < 1.0:
+        raise ValueError(f"discount must be in (0, 1), got {discount}")
+    if not 0.0 < backoff_alpha <= 1.0:
+        raise ValueError(
+            f"backoff_alpha must be in (0, 1], got {backoff_alpha}"
+        )
+    d = float(discount)
+    alpha = float(backoff_alpha)
+
+    toks = docs.select(
+        F.col(id_col), tokens(F.col(text_col)).alias("_t")
+    ).where(F.size("_t") >= 3)
+    grams = toks.select(
+        id_col, F.explode(word_ngrams(F.col("_t"), 3)).alias("g")
+    )
+    scored = (
+        grams.withColumn("uv", _part(F.col("g"), "uv"))
+        .withColumn("vw", _part(F.col("g"), "vw"))
+        .withColumn("v", _part(F.col("g"), "v"))
+        .withColumn("w", _part(F.col("g"), "w"))
+        .join(model["tri"], "g", "left")
+        .join(model["ctx"], "uv", "left")
+        .join(model["mid"], "v", "left")
+        .join(model["cont2"], "vw", "left")
+        .join(model["cont1"], "w", "left")
+        .crossJoin(F.broadcast(model["totals"]))
+    )
+    # Seen branches are token-identical to kn_trigram_logprob.
+    p1 = (
+        F.greatest(
+            F.coalesce(F.col("n1cont"), F.lit(0)) - d, F.lit(0.0)
+        ) / F.col("n2types")
+        + F.lit(d) * F.col("t1") / F.col("n2types") / F.col("v_size")
+    )
+    p2_seen = (
+        F.greatest(F.coalesce(F.col("n2cont"), F.lit(0)) - d, F.lit(0.0))
+        / F.col("n2ctx")
+        + F.lit(d) * F.col("t2") / F.col("n2ctx") * p1
+    )
+    p2 = F.when(F.col("n2ctx").isNull(), F.lit(alpha) * p1).otherwise(p2_seen)
+    p3_seen = (
+        F.greatest(F.coalesce(F.col("c3"), F.lit(0)) - d, F.lit(0.0))
+        / F.col("c2ctx")
+        + F.lit(d) * F.col("t3") / F.col("c2ctx") * p2
+    )
+    p3 = F.when(F.col("c2ctx").isNull(), F.lit(alpha) * p2).otherwise(p3_seen)
+    lp_q = F.floor(F.log(p3) * 1e6).cast("long")
+
+    return (
+        scored.select(id_col, lp_q.alias("_lpq"))
+        .groupBy(id_col)
+        .agg(
+            (
+                F.floor(F.sum("_lpq").cast("double") / F.count("*")) / 1e6
+            ).alias("mean_logprob"),
+            F.count("*").alias("n_trigrams"),
+        )
+    )
+
+
 def kn_perplexity(
     docs: DataFrame,
     text_col: str = "text",

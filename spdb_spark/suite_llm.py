@@ -3788,6 +3788,103 @@ FROM scored GROUP BY doc_id
 """
 
 
+def q_kn_score_frozen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frozen-model KN scoring (ngramlm.kn_model + kn_score) — the
+    CCNet deployment shape: the LM trains on HALF the corpus (even
+    doc_ids) and scores ALL documents: the even half exercises the
+    bit-identical seen path and the held-out half drives 7.5k
+    unseen-trigram discount-interpolation rows at sf0.001 (the
+    fixture's 31-token vocabulary leaves no unseen CONTEXTS, so the
+    alpha = 0.4 stupid-backoff CASE levels — Brants et al. 2007 — are
+    replayed by the oracle but fire only in the toy-corpus pytest,
+    tests/test_ngramlm_frozen.py). The oracle replays training-on-half,
+    the LEFT joins, and the CASE ladder with the identical expression
+    shape."""
+    from spdb_spark.functions.ngramlm import kn_model, kn_score
+
+    docs = _docs(spark, sf_dir)
+    model = kn_model(docs.where(F.col("doc_id") % 2 == 0))
+    return kn_score(docs, model)
+
+
+_KN_P1_BACKOFF = (
+    "(GREATEST(COALESCE(n1cont, 0) - 0.75, 0.0) / n2types"
+    " + 0.75 * t1 / n2types / v_size)"
+)
+_KN_P2_BACKOFF = (
+    f"(CASE WHEN n2ctx IS NULL THEN 0.4 * {_KN_P1_BACKOFF}"
+    f" ELSE GREATEST(COALESCE(n2cont, 0) - 0.75, 0.0) / n2ctx"
+    f" + 0.75 * t2 / n2ctx * {_KN_P1_BACKOFF} END)"
+)
+_KN_P3_BACKOFF = (
+    f"(CASE WHEN c2ctx IS NULL THEN 0.4 * {_KN_P2_BACKOFF}"
+    f" ELSE GREATEST(COALESCE(c3, 0) - 0.75, 0.0) / c2ctx"
+    f" + 0.75 * t3 / c2ctx * {_KN_P2_BACKOFF} END)"
+)
+
+SQL_KN_SCORE_FROZEN = f"""
+WITH traint AS MATERIALIZED (
+  SELECT doc_id, {_TOKENS_SQL} AS t FROM documents WHERE doc_id % 2 = 0
+),
+traingrams AS MATERIALIZED (
+  SELECT unnest(list_transform(range(1, len(t) - 1),
+                i -> concat_ws(' ', t[i], t[i+1], t[i+2]))) AS g
+  FROM traint WHERE len(t) >= 3
+),
+tri AS MATERIALIZED (SELECT g, COUNT(*) AS c3 FROM traingrams GROUP BY g),
+trik AS MATERIALIZED (
+  SELECT g, c3,
+         split_part(g, ' ', 1) || ' ' || split_part(g, ' ', 2) AS uv,
+         split_part(g, ' ', 2) || ' ' || split_part(g, ' ', 3) AS vw,
+         split_part(g, ' ', 2) AS v,
+         split_part(g, ' ', 3) AS w
+  FROM tri
+),
+ctx AS (SELECT uv, CAST(SUM(c3) AS BIGINT) AS c2ctx, COUNT(*) AS t3
+        FROM trik GROUP BY uv),
+cont2 AS MATERIALIZED (SELECT vw, COUNT(*) AS n2cont FROM trik GROUP BY vw),
+mid AS (SELECT v, COUNT(*) AS n2ctx, COUNT(DISTINCT w) AS t2
+        FROM trik GROUP BY v),
+cont1 AS MATERIALIZED (
+  SELECT split_part(vw, ' ', 2) AS w, COUNT(*) AS n1cont
+  FROM cont2 GROUP BY 1
+),
+totals AS (
+  SELECT (SELECT COUNT(*) FROM cont2) AS n2types,
+         (SELECT COUNT(*) FROM cont1) AS t1,
+         (SELECT COUNT(DISTINCT tok)
+          FROM (SELECT unnest(t) AS tok FROM traint WHERE len(t) >= 3))
+           AS v_size
+),
+s AS (
+  SELECT doc_id, g,
+         split_part(g, ' ', 1) || ' ' || split_part(g, ' ', 2) AS uv,
+         split_part(g, ' ', 2) || ' ' || split_part(g, ' ', 3) AS vw,
+         split_part(g, ' ', 2) AS v,
+         split_part(g, ' ', 3) AS w
+  FROM (
+    SELECT doc_id, unnest(list_transform(range(1, len(t) - 1),
+                   i -> concat_ws(' ', t[i], t[i+1], t[i+2]))) AS g
+    FROM (SELECT doc_id, {_TOKENS_SQL} AS t FROM documents)
+    WHERE len(t) >= 3
+  )
+),
+scored AS (
+  SELECT s.doc_id,
+         CAST(FLOOR(LN({_KN_P3_BACKOFF}) * 1e6) AS BIGINT) AS lpq
+  FROM s
+  LEFT JOIN tri USING (g) LEFT JOIN ctx USING (uv)
+  LEFT JOIN mid USING (v) LEFT JOIN cont2 USING (vw)
+  LEFT JOIN cont1 USING (w)
+  CROSS JOIN totals
+)
+SELECT doc_id,
+       FLOOR(CAST(SUM(lpq) AS DOUBLE) / COUNT(*)) / 1e6 AS mean_logprob,
+       COUNT(*) AS n_trigrams
+FROM scored GROUP BY doc_id
+"""
+
+
 STAGED_R11_LLM: dict = {
     "llm_ann_pq256": (q_ann_pq256, SQL_ANN_PQ256),
     "llm_ann_ivfpq_appended": (q_ann_ivfpq_appended, SQL_ANN_IVFPQ),
@@ -3806,4 +3903,5 @@ STAGED_R11_LLM: dict = {
         q_countmin_vocab_stream,
         SQL_COUNTMIN_VOCAB,
     ),
+    "llm_kn_score_frozen": (q_kn_score_frozen, SQL_KN_SCORE_FROZEN),
 }

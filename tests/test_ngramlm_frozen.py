@@ -1,0 +1,126 @@
+"""Frozen-model KN scoring (kn_model + kn_score) and the streaming
+scorer: self-scoring bit-equality with kn_trigram_logprob, backoff
+ladder semantics on unseen material, stream == batch, redelivery."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from spdb_spark.functions.ngramlm import (
+    kn_model,
+    kn_score,
+    kn_trigram_logprob,
+)
+from spdb_spark.streaming.ngramlm import StreamingKNScorer
+
+TRAIN = {
+    0: "the cat sat on the mat",
+    1: "the cat sat on the hat",
+    2: "the dog sat on the mat",
+    3: "a dog ran to the park",
+    4: "the cat ran to the park",
+}
+NEW = {
+    10: "the cat sat on the mat",  # fully in-distribution
+    11: "the cat sat on the moon",  # unseen word "moon"
+    12: "the mat sat on the cat",  # seen words, unseen contexts
+    13: "zebra quark sat on the mat",  # unseen words AND contexts
+}
+
+
+def _df(spark, d):
+    return spark.createDataFrame(list(d.items()), "doc_id long, text string")
+
+
+@pytest.fixture(scope="module")
+def model(spark):
+    return kn_model(_df(spark, TRAIN))
+
+
+def test_self_scoring_bit_equal(spark, model):
+    train = _df(spark, TRAIN)
+    a = {
+        r.doc_id: (r.mean_logprob, r.n_trigrams)
+        for r in kn_trigram_logprob(train).collect()
+    }
+    b = {
+        r.doc_id: (r.mean_logprob, r.n_trigrams)
+        for r in kn_score(train, model).collect()
+    }
+    assert a == b
+
+
+def test_backoff_ladder_ranks_sensibly(spark, model):
+    got = {
+        r.doc_id: r.mean_logprob
+        for r in kn_score(_df(spark, NEW), model).collect()
+    }
+    assert set(got) == set(NEW)
+    # the in-distribution doc strictly outranks every perturbed one;
+    # every score finite (11-vs-13 relative order is a function of the
+    # alpha/discount constants, deliberately unasserted)
+    for other in (11, 12, 13):
+        assert got[10] > got[other], other
+    assert all(s == s and s > float("-inf") for s in got.values())
+
+
+def test_backoff_alpha_penalises_unseen_contexts(spark, model):
+    """alpha < 1 must strictly lower all-novel-context docs vs the
+    unpenalised ladder, and leave in-distribution docs untouched."""
+    df = _df(spark, {10: NEW[10], 13: NEW[13]})
+    pen = {r.doc_id: r.mean_logprob for r in kn_score(df, model).collect()}
+    free = {
+        r.doc_id: r.mean_logprob
+        for r in kn_score(df, model, backoff_alpha=1.0).collect()
+    }
+    assert pen[13] < free[13]
+    assert pen[10] == free[10]
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        kn_score(df, model, backoff_alpha=0.0)
+
+
+def test_unseen_material_strictly_positive_probability(spark, model):
+    # A doc of entirely novel tokens still scores (uniform-base mass).
+    df = _df(spark, {99: "aa bb cc dd"})
+    rows = kn_score(df, model).collect()
+    assert len(rows) == 1 and rows[0].n_trigrams == 2
+    assert rows[0].mean_logprob > float("-inf")
+
+
+def test_streaming_scorer_equals_batch(spark, tmp_path, model):
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    items = sorted(NEW.items())
+    for i, chunk in enumerate([items[:2], items[2:]]):
+        _df(spark, dict(chunk)).coalesce(1).write.parquet(f"{src}/p{i}")
+
+    sink = StreamingKNScorer(spark, str(tmp_path / "state"), model)
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/*")
+    )
+    q = sink.start(stream, str(tmp_path / "ckpt"), availableNow=True)
+    assert q.awaitTermination(300), "KN scorer stream did not finish"
+
+    got = {
+        r.doc_id: (r.mean_logprob, r.n_trigrams)
+        for r in sink.scores().collect()
+    }
+    want = {
+        r.doc_id: (r.mean_logprob, r.n_trigrams)
+        for r in kn_score(_df(spark, NEW), model).collect()
+    }
+    assert got == want
+
+
+def test_streaming_redelivery_noop(spark, tmp_path, model):
+    sink = StreamingKNScorer(spark, str(tmp_path / "state"), model)
+    batch = _df(spark, NEW)
+    sink.process_batch(batch, 0)
+    assert sink.scores().count() == len(NEW)
+    sink.process_batch(batch, 0)  # redelivered: no duplicate rows
+    assert sink.scores().count() == len(NEW)
