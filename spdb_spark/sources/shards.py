@@ -210,10 +210,15 @@ def write_jsonl_shards(
     docs_per_shard: int = 10_000,
     text_col: str = "text",
     id_col: str = "doc_id",
+    name_prefix: str = "shard-",
+    write_manifest: bool = True,
 ) -> DataFrame:
-    """documents -> out_dir/shard-NNNNN.jsonl.gz (one JSON object per
-    line, docs sorted by id within a shard, mtime pinned in the gzip
-    header so re-runs are byte-identical) plus _manifest.parquet."""
+    """documents -> out_dir/{name_prefix}NNNNN.jsonl.gz (one JSON object
+    per line, docs sorted by id within a shard, mtime pinned in the gzip
+    header so re-runs are byte-identical) plus _manifest.parquet.
+    `name_prefix`/`write_manifest` let incremental callers (the
+    streaming exporter) namespace per-batch shards and own the manifest
+    lifecycle themselves."""
     spark = docs.sparkSession
     n_docs = docs.count()
     n_shards = _shard_count(n_docs, docs_per_shard)
@@ -231,7 +236,7 @@ def write_jsonl_shards(
             }
             lines.append(json.dumps(obj, sort_keys=True, ensure_ascii=False))
         blob = gzip.compress(("\n".join(lines) + "\n").encode(), mtime=0)
-        path = os.path.join(out_dir, f"shard-{shard_id:05d}.jsonl.gz")
+        path = os.path.join(out_dir, f"{name_prefix}{shard_id:05d}.jsonl.gz")
         _atomic_write(path, blob)
         return pd.DataFrame(
             [
@@ -255,7 +260,8 @@ def write_jsonl_shards(
         assigned.groupBy("shard_id").applyInPandas(kernel, MANIFEST_SCHEMA).collect()
     )
     manifest = spark.createDataFrame(rows, MANIFEST_SCHEMA)
-    manifest.coalesce(1).write.mode("overwrite").parquet(
-        os.path.join(out_dir, "_manifest.parquet")
-    )
+    if write_manifest:
+        manifest.coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(out_dir, "_manifest.parquet")
+        )
     return manifest

@@ -385,10 +385,14 @@ def write_tfrecord_shards(
     docs_per_shard: int = 10_000,
     text_col: str = "text",
     id_col: str = "doc_id",
+    name_prefix: str = "shard-",
+    write_manifest: bool = True,
 ) -> DataFrame:
-    """documents -> out_dir/shard-NNNNN.tfrecord of tf.train.Examples
-    ({id_col: Int64List, text_col: BytesList}, utf-8), plus
-    _manifest.parquet. Byte-identical across re-runs."""
+    """documents -> out_dir/{name_prefix}NNNNN.tfrecord of
+    tf.train.Examples ({id_col: Int64List, text_col: BytesList}, utf-8),
+    plus _manifest.parquet. Byte-identical across re-runs.
+    `name_prefix`/`write_manifest` serve incremental callers (the
+    streaming exporter) exactly as in shards.write_jsonl_shards."""
     from spdb_spark.sources.shards import (
         MANIFEST_SCHEMA,
         _atomic_write,
@@ -415,7 +419,7 @@ def write_tfrecord_shards(
             for i, t in zip(pdf[id_col], pdf[text_col])
         ]
         blob = tfrecord_encode(payloads)
-        path = os.path.join(out_dir, f"shard-{shard_id:05d}.tfrecord")
+        path = os.path.join(out_dir, f"{name_prefix}{shard_id:05d}.tfrecord")
         _atomic_write(path, blob)
         return pd.DataFrame(
             [
@@ -440,7 +444,8 @@ def write_tfrecord_shards(
         .collect()
     )
     manifest = spark.createDataFrame(rows, MANIFEST_SCHEMA)
-    manifest.coalesce(1).write.mode("overwrite").parquet(
-        os.path.join(out_dir, "_manifest.parquet")
-    )
+    if write_manifest:
+        manifest.coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(out_dir, "_manifest.parquet")
+        )
     return manifest
