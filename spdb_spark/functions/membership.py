@@ -121,7 +121,8 @@ def bloom_probe(
     the set" — false positives possible, false negatives impossible).
     Probe side explodes to k rows per key; the bitmap joins broadcast
     (default) or shuffled on word_idx (broadcast_filter=False for
-    filters past executor memory)."""
+    filters past executor memory). id_col must uniquely identify df's
+    rows — the k probe rows group back on it and re-join df."""
     _validate(m_bits, k)
     pos = df.select(
         id_col,

@@ -101,7 +101,9 @@ def countmin_estimate(
 ) -> DataFrame:
     """df + estimated-count column (min over the depth rows; >= the true
     count always). One explode to depth rows per key, one equi-join on
-    the broadcast sketch, one min-aggregate back to df's grain. Keys the
+    the broadcast sketch, one min-aggregate back to df's grain — which
+    means df's rows must be DISTINCT (duplicate rows collapse in the
+    group-back; estimate distinct keys, not raw occurrences). Keys the
     sketch never saw estimate 0 (their cells may be unpopulated: a
     missing cell IS a zero counter)."""
     _validate(width, depth)
