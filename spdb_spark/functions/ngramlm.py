@@ -75,11 +75,17 @@ def kn_trigram_logprob(
     text_col: str = "text",
     id_col: str = "doc_id",
     discount: float = DISCOUNT,
+    materialize: bool = True,
 ) -> DataFrame:
     """(id_col, mean_logprob, n_trigrams) — mean interpolated-KN
     trigram log-probability per document (natural log, micro-nat
     quantized; higher = more typical of the corpus). Documents with
-    fewer than 3 tokens have no trigrams and are excluded."""
+    fewer than 3 tokens have no trigrams and are excluded.
+
+    `materialize` lazily checkpoints the trigram occurrence stream and
+    the type table (consumed 2x and 4x respectively by the count tables
+    + scoring joins) — the crawl_to_corpus posture; pass False to keep
+    pure lineage."""
     if not 0.0 < discount < 1.0:
         raise ValueError(f"discount must be in (0, 1), got {discount}")
     d = float(discount)
@@ -90,9 +96,17 @@ def kn_trigram_logprob(
     grams = toks.select(
         id_col, F.explode(word_ngrams(F.col("_t"), 3)).alias("g")
     )
+    if materialize:
+        from spdb_spark.session import truncate_lineage
+
+        grams = truncate_lineage(grams, eager=False)
 
     # --- count tables (all map-side combined groupBys) ---
     tri = grams.groupBy("g").agg(F.count("*").alias("c3"))
+    if materialize:
+        from spdb_spark.session import truncate_lineage
+
+        tri = truncate_lineage(tri, eager=False)
     tri_keys = tri.select(
         "g",
         "c3",
@@ -164,12 +178,19 @@ def kn_model(
     docs: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
+    materialize: bool = True,
 ) -> dict[str, DataFrame]:
     """Train the KN count tables once and reuse them — the frozen-model
     path for scoring OTHER corpora (decontamination-style quality
     scoring of a new crawl under yesterday's LM, and the streaming
-    scorer). Returns {tri, ctx, mid, cont2, cont1, totals}; persist the
-    pieces (or write them to parquet) when scoring many batches."""
+    scorer). Returns {tri, ctx, mid, cont2, cont1, totals}.
+
+    `materialize` (default True) checkpoints the trigram TYPE table —
+    the root every other table and every scoring join derives from.
+    Without it each of the five consumers re-runs the corpus explode +
+    count (measured: frozen-model scoring of a 10%% slice cost as much
+    as training at 30k synthetic docs, SCALE.md). The crawl_to_corpus
+    materialize posture, via session.truncate_lineage."""
     toks = docs.select(
         F.col(id_col), tokens(F.col(text_col)).alias("_t")
     ).where(F.size("_t") >= 3)
@@ -177,6 +198,10 @@ def kn_model(
         id_col, F.explode(word_ngrams(F.col("_t"), 3)).alias("g")
     )
     tri = grams.groupBy("g").agg(F.count("*").alias("c3"))
+    if materialize:
+        from spdb_spark.session import truncate_lineage
+
+        tri = truncate_lineage(tri, eager=False)
     tri_keys = tri.select(
         "g",
         "c3",
