@@ -51,6 +51,80 @@ def test_self_scoring_bit_equal(spark, model):
     assert a == b
 
 
+def _ref_frozen_scores(train, new_docs, alpha=0.4, D=0.75):
+    """Independent plain-Python replica of kn_score's backoff ladder."""
+    import math
+    import re
+    from collections import Counter, defaultdict
+
+    toks = {
+        i: re.split(r"\s+", t.strip().lower()) for i, t in train.items()
+    }
+    toks = {i: t for i, t in toks.items() if len(t) >= 3}
+    tris = [
+        (t[j], t[j + 1], t[j + 2])
+        for t in toks.values()
+        for j in range(len(t) - 2)
+    ]
+    c3 = Counter(tris)
+    ctx, t3, cont2, n2ctx = Counter(), Counter(), Counter(), Counter()
+    t2 = defaultdict(set)
+    for (u, v, w), c in c3.items():
+        ctx[(u, v)] += c
+        t3[(u, v)] += 1
+        cont2[(v, w)] += 1
+        n2ctx[v] += 1
+        t2[v].add(w)
+    cont1 = defaultdict(set)
+    for v, w in cont2:
+        cont1[w].add(v)
+    n1cont = {w: len(vs) for w, vs in cont1.items()}
+    n2types, t1 = len(cont2), len(n1cont)
+    V = len({tok for t in toks.values() for tok in t})
+
+    def p(u, v, w):
+        p1 = (
+            max(n1cont.get(w, 0) - D, 0) / n2types
+            + D * t1 / n2types / V
+        )
+        if v in n2ctx:
+            p2 = (
+                max(cont2.get((v, w), 0) - D, 0) / n2ctx[v]
+                + D * len(t2[v]) / n2ctx[v] * p1
+            )
+        else:
+            p2 = alpha * p1
+        if (u, v) in ctx:
+            return (
+                max(c3.get((u, v, w), 0) - D, 0) / ctx[(u, v)]
+                + D * t3[(u, v)] / ctx[(u, v)] * p2
+            )
+        return alpha * p2
+
+    out = {}
+    for i, text in new_docs.items():
+        t = re.split(r"\s+", text.strip().lower())
+        if len(t) < 3:
+            continue
+        lpq = [
+            math.floor(math.log(p(t[j], t[j + 1], t[j + 2])) * 1e6)
+            for j in range(len(t) - 2)
+        ]
+        out[i] = (math.floor(sum(lpq) / len(lpq)) / 1e6, len(lpq))
+    return out
+
+
+def test_frozen_scores_match_reference_exactly(spark, model):
+    """Exact value equality of the full backoff ladder (not just
+    ranking) against the independent replica — including docs that
+    drive the unseen-context alpha branches."""
+    got = {
+        r.doc_id: (r.mean_logprob, r.n_trigrams)
+        for r in kn_score(_df(spark, NEW), model).collect()
+    }
+    assert got == _ref_frozen_scores(TRAIN, NEW)
+
+
 def test_backoff_ladder_ranks_sensibly(spark, model):
     got = {
         r.doc_id: r.mean_logprob
