@@ -3885,6 +3885,105 @@ FROM scored GROUP BY doc_id
 """
 
 
+_PR_LINKS, _PR_ITERS = 3, 5
+
+
+def q_host_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Host-graph PageRank (functions/graph.py) — the crawl-
+    prioritization quality prior (Common Crawl publishes host-level
+    link ranks; curation pipelines consume them beside eTLD+1). The
+    fixture link graph is deterministic: each document cites 3 target
+    documents picked by md5, collapsed to weighted source->source host
+    edges. Ranks are exact BIGINT micro-units (integer contributions,
+    floor divisions), so the oracle — 5 unrolled join+groupBy
+    iterations — matches bit-for-bit with no float protocol."""
+    from spdb_spark.functions.graph import pagerank
+    from spdb_spark.functions.hashing import md5_long
+
+    docs = _docs(spark, sf_dir).select("doc_id", "source")
+    n = docs.agg(F.count("*").alias("_nd"))
+    targets = [
+        (
+            md5_long(
+                F.concat_ws(
+                    ":", F.col("doc_id").cast("string"), F.lit(str(i))
+                )
+            )
+            % F.col("_nd")
+        ).alias(f"t{i}")
+        for i in range(_PR_LINKS)
+    ]
+    links = (
+        docs.crossJoin(F.broadcast(n))
+        .select("source", F.explode(F.array(*targets)).alias("target_doc"))
+    )
+    edges = links.join(
+        docs.select(
+            F.col("doc_id").alias("target_doc"), F.col("source").alias("dst")
+        ),
+        "target_doc",
+    ).select(F.col("source").alias("src"), "dst")
+    pr = pagerank(edges, "src", "dst", iterations=_PR_ITERS)
+    return pr.select(F.col("node").alias("host"), "rank_q")
+
+
+def _sql_host_pagerank() -> str:
+    from spdb_spark.functions.hashing import md5_long_sql
+
+    tgt = md5_long_sql(
+        "CAST(doc_id AS VARCHAR) || ':' || CAST(i.range AS VARCHAR)"
+    )
+    prev = "r0"
+    its = []
+    for k in range(1, _PR_ITERS + 1):
+        its.append(
+            f"""it{k} AS (
+  SELECT n.node,
+         CAST((SELECT t FROM tele)
+              + (85 * COALESCE(s.sm, 0)) // 100 AS BIGINT) AS rq
+  FROM nodes n LEFT JOIN (
+    SELECT e.dst AS node, SUM((r.rq * e.w) // o.od) AS sm
+    FROM edges e JOIN {prev} r ON e.src = r.node
+    JOIN outdeg o ON e.src = o.src
+    GROUP BY e.dst
+  ) s USING (node)
+)"""
+        )
+        prev = f"it{k}"
+    iters_sql = ",\n".join(its)
+    return f"""
+WITH docs AS MATERIALIZED (SELECT doc_id, source FROM documents),
+nd AS (SELECT COUNT(*) AS nd FROM docs),
+links AS (
+  SELECT d.source AS src, ({tgt} % (SELECT nd FROM nd)) AS target_doc
+  FROM docs d CROSS JOIN range(0, {_PR_LINKS}) i
+),
+edges AS MATERIALIZED (
+  SELECT l.src, t.source AS dst, COUNT(*) AS w
+  FROM links l JOIN docs t ON l.target_doc = t.doc_id
+  GROUP BY 1, 2
+),
+nodes AS MATERIALIZED (
+  SELECT DISTINCT node FROM (
+    SELECT src AS node FROM edges UNION ALL SELECT dst FROM edges
+  )
+),
+nn AS (SELECT COUNT(*) AS nn FROM nodes),
+outdeg AS MATERIALIZED (SELECT src, CAST(SUM(w) AS BIGINT) AS od
+                        FROM edges GROUP BY src),
+r0 AS (SELECT node,
+              CAST(1000000000 // (SELECT nn FROM nn) AS BIGINT) AS rq
+       FROM nodes),
+tele AS (SELECT CAST(15000000000 // (100 * (SELECT nn FROM nn)) AS BIGINT)
+           AS t),
+{iters_sql}
+SELECT node AS host, rq AS rank_q FROM it{_PR_ITERS}
+"""
+
+
+SQL_HOST_PAGERANK = _sql_host_pagerank()
+
+
 STAGED_R11_LLM: dict = {
     "llm_ann_pq256": (q_ann_pq256, SQL_ANN_PQ256),
     "llm_ann_ivfpq_appended": (q_ann_ivfpq_appended, SQL_ANN_IVFPQ),
@@ -3904,4 +4003,5 @@ STAGED_R11_LLM: dict = {
         SQL_COUNTMIN_VOCAB,
     ),
     "llm_kn_score_frozen": (q_kn_score_frozen, SQL_KN_SCORE_FROZEN),
+    "llm_host_pagerank": (q_host_pagerank, SQL_HOST_PAGERANK),
 }
