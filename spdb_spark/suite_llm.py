@@ -3885,6 +3885,111 @@ FROM scored GROUP BY doc_id
 """
 
 
+def q_kn5_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-5 interpolated Kneser-Ney (ngramlm.kn_ngram_logprob) — the
+    model order the published CommonCrawl filters actually score with
+    (CCNet's KenLM 5-gram). Same micro-nat integer protocol as the
+    trigram gate; the generalized recursion is independently pinned
+    bit-equal to the hand-rolled trigram at n=3 in pytest, and this
+    oracle replays all five levels of the suffix-type/continuation
+    algebra with identical expression shapes."""
+    from spdb_spark.functions.ngramlm import kn_ngram_logprob
+
+    return kn_ngram_logprob(_docs(spark, sf_dir), 5)
+
+
+def _sql_kn_ngram(n: int) -> str:
+    def parts(expr: str, lo: int, hi: int) -> str:
+        return " || ' ' || ".join(
+            f"split_part({expr}, ' ', {i})" for i in range(lo, hi + 1)
+        )
+
+    gram_list = (
+        f"list_transform(range(1, len(t) - {n - 2}), "
+        f"i -> concat_ws(' ', {', '.join(f't[i+{j}]' for j in range(n))}))"
+    )
+    ctes = [
+        f"t AS MATERIALIZED (SELECT doc_id, {_TOKENS_SQL} AS t FROM documents)",
+        f"""grams AS MATERIALIZED (
+  SELECT doc_id, unnest({gram_list}) AS g
+  FROM t WHERE len(t) >= {n}
+)""",
+        f"t{n} AS MATERIALIZED (SELECT g, COUNT(*) AS cn FROM grams GROUP BY g)",
+        f"""ctx{n} AS (
+  SELECT {parts('g', 1, n - 1)} AS p,
+         CAST(SUM(cn) AS BIGINT) AS ctxsum, COUNT(*) AS tdistn
+  FROM t{n} GROUP BY 1
+)""",
+    ]
+    prev_key, prev_tokens = "g", n
+    for k in range(n - 1, 0, -1):
+        src = f"t{n}" if prev_tokens == n else f"t{prev_tokens}"
+        ctes.append(
+            f"""t{k} AS MATERIALIZED (
+  SELECT {parts(prev_key, prev_tokens - k + 1, prev_tokens)} AS s{k},
+         COUNT(*) AS nc{k}
+  FROM {src} GROUP BY 1
+)"""
+        )
+        prev_key, prev_tokens = f"s{k}", k
+    for k in range(n - 1, 1, -1):
+        ctes.append(
+            f"""ctx{k} AS (
+  SELECT {parts(f's{k}', 1, k - 1)} AS m{k},
+         CAST(SUM(nc{k}) AS BIGINT) AS denom{k}, COUNT(*) AS tdist{k}
+  FROM t{k} GROUP BY 1
+)"""
+        )
+    ctes.append(
+        f"""totals AS (
+  SELECT (SELECT COUNT(*) FROM t2) AS denom1,
+         (SELECT COUNT(*) FROM t1) AS t1total,
+         (SELECT COUNT(DISTINCT tok)
+          FROM (SELECT unnest(t) AS tok FROM t WHERE len(t) >= {n}))
+           AS v_size
+)"""
+    )
+    s_cols = [f"{parts('g', 1, n - 1)} AS p"]
+    s_cols += [f"{parts('g', n - k + 1, n)} AS s{k}" for k in range(1, n)]
+    s_cols += [f"{parts('g', n - k + 1, n - 1)} AS m{k}" for k in range(2, n)]
+    ctes.append(
+        "s AS (SELECT doc_id, g, " + ", ".join(s_cols) + " FROM grams)"
+    )
+    expr = (
+        "GREATEST(nc1 - 0.75, 0.0) / denom1"
+        " + 0.75 * t1total / denom1 / v_size"
+    )
+    for k in range(2, n):
+        expr = (
+            f"GREATEST(nc{k} - 0.75, 0.0) / denom{k}"
+            f" + 0.75 * tdist{k} / denom{k} * ({expr})"
+        )
+    expr = (
+        f"GREATEST(cn - 0.75, 0.0) / ctxsum"
+        f" + 0.75 * tdistn / ctxsum * ({expr})"
+    )
+    joins = [f"JOIN t{n} USING (g)", f"JOIN ctx{n} USING (p)"]
+    joins += [f"JOIN t{k} USING (s{k})" for k in range(1, n)]
+    joins += [f"JOIN ctx{k} USING (m{k})" for k in range(2, n)]
+    ctes.append(
+        f"""scored AS (
+  SELECT s.doc_id, CAST(FLOOR(LN({expr}) * 1e6) AS BIGINT) AS lpq
+  FROM s {' '.join(joins)} CROSS JOIN totals
+)"""
+    )
+    return (
+        "WITH " + ",\n".join(ctes) + """
+SELECT doc_id,
+       FLOOR(CAST(SUM(lpq) AS DOUBLE) / COUNT(*)) / 1e6 AS mean_logprob,
+       COUNT(*) AS n_ngrams
+FROM scored GROUP BY doc_id
+"""
+    )
+
+
+SQL_KN5 = _sql_kn_ngram(5)
+
+
 _PR_LINKS, _PR_ITERS = 3, 5
 
 
@@ -4004,4 +4109,5 @@ STAGED_R11_LLM: dict = {
     ),
     "llm_kn_score_frozen": (q_kn_score_frozen, SQL_KN_SCORE_FROZEN),
     "llm_host_pagerank": (q_host_pagerank, SQL_HOST_PAGERANK),
+    "llm_kn5_logprob": (q_kn5_logprob, SQL_KN5),
 }

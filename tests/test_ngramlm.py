@@ -124,6 +124,111 @@ def test_perplexity_relation(spark):
         assert px[i] == math.floor(math.exp(-m) * 1e6) / 1e6
 
 
+def _ref_ngram_model(docs: dict[int, str], n: int):
+    """Generalized order-n replica: suffix type tables + continuation
+    counts derived from the top order, as the production recursion."""
+    toks = {i: re.split(r"\s+", t.strip().lower()) for i, t in docs.items()}
+    toks = {i: t for i, t in toks.items() if len(t) >= n}
+    grams = {
+        i: [tuple(t[j : j + n]) for j in range(len(t) - n + 1)]
+        for i, t in toks.items()
+    }
+    top = Counter(g for gs in grams.values() for g in gs)
+    ctx_top, tdist_top = Counter(), Counter()
+    for g, c in top.items():
+        ctx_top[g[:-1]] += c
+        tdist_top[g[:-1]] += 1
+    types = {n: set(top)}
+    nc = {}
+    for k in range(n - 1, 0, -1):
+        nc[k] = Counter(g[-k:] for g in types[k + 1])
+        types[k] = set(nc[k])
+    denom, tdist = {}, {}
+    for k in range(n - 1, 1, -1):
+        denom[k], tdist[k] = Counter(), Counter()
+        for s, c in nc[k].items():
+            denom[k][s[:-1]] += c
+            tdist[k][s[:-1]] += 1
+    denom1, t1total = len(types[2]), len(types[1])
+    vocab = {tok for t in toks.values() for tok in t}
+
+    def p(g):
+        pr = (
+            max(nc[1].get(g[-1:], 0) - D, 0) / denom1
+            + D * t1total / denom1 / len(vocab)
+        )
+        for k in range(2, n):
+            m = g[-k:-1]
+            pr = (
+                max(nc[k].get(g[-k:], 0) - D, 0) / denom[k][m]
+                + D * tdist[k][m] / denom[k][m] * pr
+            )
+        return (
+            max(top.get(g, 0) - D, 0) / ctx_top[g[:-1]]
+            + D * tdist_top[g[:-1]] / ctx_top[g[:-1]] * pr
+        )
+
+    return grams, p, ctx_top, vocab
+
+
+def _ref_ngram_scores(docs: dict[int, str], n: int):
+    grams, p, _, _ = _ref_ngram_model(docs, n)
+    out = {}
+    for i, gs in grams.items():
+        lpq = [math.floor(math.log(p(g)) * 1e6) for g in gs]
+        out[i] = (math.floor(sum(lpq) / len(lpq)) / 1e6, len(lpq))
+    return out
+
+
+def test_ngram_n3_bit_equal_to_trigram(spark):
+    """Two independent implementations — the hand-rolled trigram and
+    the generalized order-n recursion — must agree bit-for-bit."""
+    from spdb_spark.functions.ngramlm import kn_ngram_logprob
+
+    df = spark.createDataFrame(
+        list(CORPUS.items()), "doc_id long, text string"
+    )
+    a = {
+        r.doc_id: (r.mean_logprob, r.n_trigrams)
+        for r in kn_trigram_logprob(df).collect()
+    }
+    b = {
+        r.doc_id: (r.mean_logprob, r.n_ngrams)
+        for r in kn_ngram_logprob(df, 3).collect()
+    }
+    assert a == b
+
+
+def test_ngram_n4_matches_reference_exactly(spark):
+    from spdb_spark.functions.ngramlm import kn_ngram_logprob
+
+    df = spark.createDataFrame(
+        list(CORPUS.items()), "doc_id long, text string"
+    )
+    got = {
+        r.doc_id: (r.mean_logprob, r.n_ngrams)
+        for r in kn_ngram_logprob(df, 4).collect()
+    }
+    assert got == _ref_ngram_scores(CORPUS, 4)
+
+
+def test_ngram_n4_normalization_law():
+    grams, p, ctx_top, vocab = _ref_ngram_model(CORPUS, 4)
+    for ctx in ctx_top:
+        total = sum(p(ctx + (w,)) for w in vocab)
+        assert abs(total - 1.0) < 1e-9, (ctx, total)
+
+
+def test_ngram_order_validation(spark):
+    from spdb_spark.functions.ngramlm import kn_ngram_logprob
+
+    df = spark.createDataFrame([(0, "a b c")], "doc_id long, text string")
+    with pytest.raises(ValueError):
+        kn_ngram_logprob(df, 1)
+    with pytest.raises(ValueError):
+        kn_ngram_logprob(df, 9)
+
+
 def test_discount_validation(spark):
     df = spark.createDataFrame([(0, "a b c")], "doc_id long, text string")
     with pytest.raises(ValueError):
