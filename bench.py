@@ -71,6 +71,8 @@ EXTRA = [
     "llm_ann_pq256",  # r11: 8-bit PQ through the Arrow encode engine
     "llm_kn_logprob",  # r11: interpolated Kneser-Ney trigram LM
     "llm_tfrecord_export",  # r11: TFRecord/Example encode->parse round-trip
+    "llm_kn5_logprob",  # r11: order-5 KN (the CCNet KenLM model order)
+    "llm_host_pagerank",  # r11: integer-protocol host PageRank
 ]
 
 
