@@ -38,6 +38,140 @@ from pyspark.sql import functions as F
 
 SCALE = 10**9
 
+# --- HyperBall (Boldi & Vigna 2013) -----------------------------------------
+#
+# Common Crawl's harmonic host ranks are computed with exactly this
+# algorithm: per node an HLL counter of its in-ball B_t(v) = {u :
+# d(u, v) <= t}, grown by register-wise MAX along edges (src counter
+# flows to dst — the transposed-graph ball), with the neighbourhood
+# function estimated per round and harmonic centrality accumulated as
+# sum_t (|B_t| - |B_{t-1}|) / t.
+#
+# Engine-portable protocol: register index j = md5_long('reg:'||v) % m;
+# rank rho = trailing-zeros(md5_long('rho:'||v) % 2^50) + 1 computed as
+# bit_count((h & -h) - 1) + 1 — pure integer, no log2 float risk.
+# Register state is (node, j, rho) rows (<= m per node) and the
+# per-node HLL sum scales to integers (2^(51-rho) summed in BIGINT), so
+# every aggregate is order-independent; the only float is the final
+# per-node scalar estimator (alpha * m^2 * 2^51 / Z, linear-counting
+# small-range correction), deterministic arithmetic on exact integers.
+# Ball estimates may wobble down when the correction switches branches,
+# so increments clamp at 0 (the standard HyperBall practice).
+
+_HB_W = 50  # rank-source width; rho <= 51, 2^(51-rho) fits BIGINT
+
+
+def _hll_alpha(m: int) -> float:
+    if m == 16:
+        return 0.673
+    if m == 32:
+        return 0.697
+    if m == 64:
+        return 0.709
+    return 0.7213 / (1 + 1.079 / m)
+
+
+def hyperball(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    p: int = 4,
+    iterations: int = 5,
+    materialize: bool = True,
+) -> DataFrame:
+    """HyperBall harmonic centrality -> (node, reach, harmonic):
+    `reach` = estimated |B_T(v)| (how many nodes reach v within T
+    hops), `harmonic` = sum_t (|B_t|-|B_{t-1}|)/t — both floored at
+    1e-6 for cross-engine stability. m = 2^p registers per node; state
+    is m rows/node, per-iteration work one join + one max-groupBy (the
+    PageRank shuffle shape), lineage truncated per iteration."""
+    if not 2 <= p <= 12:
+        raise ValueError(f"p must be in [2, 12], got {p}")
+    if iterations < 1:
+        raise ValueError(f"iterations must be >= 1, got {iterations}")
+    from spdb_spark.functions.hashing import md5_long
+
+    m = 1 << p
+    alpha = _hll_alpha(m)
+    e = edges.select(F.col(src).alias("_src"), F.col(dst).alias("_dst")).distinct()
+    nodes = (
+        e.select(F.col("_src").alias("node"))
+        .unionByName(e.select(F.col("_dst").alias("node")))
+        .distinct()
+    )
+    if materialize:
+        from spdb_spark.session import truncate_lineage
+
+        e = truncate_lineage(e, eager=False)
+        nodes = truncate_lineage(nodes, eager=False)
+
+    node_s = F.col("node").cast("string")
+    h = md5_long(F.concat(F.lit("rho:"), node_s)) % (1 << _HB_W)
+    rho = F.when(h == 0, F.lit(_HB_W + 1)).otherwise(
+        F.bit_count(h.bitwiseAND(-h) - 1) + 1
+    )
+    regs = nodes.select(
+        "node",
+        (md5_long(F.concat(F.lit("reg:"), node_s)) % m).alias("j"),
+        rho.cast("int").alias("rho"),
+    )
+
+    def estimate(r: DataFrame, colname: str) -> DataFrame:
+        per = r.groupBy("node").agg(
+            F.count("*").alias("_nnz"),
+            F.sum(
+                F.expr(f"shiftleft(cast(1 as bigint), cast({_HB_W + 1} - rho as int))")
+            ).alias("_zp"),
+        )
+        z = (
+            (m - F.col("_nnz")) * F.lit(1 << (_HB_W + 1)).cast("long")
+            + F.col("_zp")
+        )
+        e_raw = F.lit(alpha * m * m) * F.lit(float(1 << (_HB_W + 1))) / z
+        v_zero = m - F.col("_nnz")
+        est = F.when(
+            (v_zero > 0) & (e_raw <= 2.5 * m),
+            F.lit(float(m)) * F.log(F.lit(float(m)) / v_zero),
+        ).otherwise(e_raw)
+        return nodes.join(per, "node").select("node", est.alias(colname))
+
+    acc = estimate(regs, "_prev").withColumn("_harm", F.lit(0.0))
+    for t in range(1, iterations + 1):
+        prop = (
+            e.join(regs, e["_src"] == regs["node"])
+            .select(F.col("_dst").alias("node"), "j", "rho")
+        )
+        regs = (
+            regs.unionByName(prop)
+            .groupBy("node", "j")
+            .agg(F.max("rho").alias("rho"))
+        )
+        if materialize:
+            from spdb_spark.session import truncate_lineage
+
+            regs = truncate_lineage(regs, eager=False)
+        acc = (
+            acc.join(estimate(regs, "_est"), "node")
+            .select(
+                "node",
+                (
+                    F.col("_harm")
+                    + F.greatest(F.col("_est") - F.col("_prev"), F.lit(0.0))
+                    / t
+                ).alias("_harm"),
+                F.col("_est").alias("_prev"),
+            )
+        )
+        if materialize:
+            from spdb_spark.session import truncate_lineage
+
+            acc = truncate_lineage(acc, eager=False)
+    return acc.select(
+        "node",
+        (F.floor(F.col("_prev") * 1e6) / 1e6).alias("reach"),
+        (F.floor(F.col("_harm") * 1e6) / 1e6).alias("harmonic"),
+    )
+
 
 def pagerank(
     edges: DataFrame,

@@ -4089,6 +4089,142 @@ SELECT node AS host, rq AS rank_q FROM it{_PR_ITERS}
 SQL_HOST_PAGERANK = _sql_host_pagerank()
 
 
+def q_harmonic_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperBall harmonic centrality (functions/graph.py hyperball —
+    Boldi & Vigna 2013, the algorithm behind Common Crawl's published
+    harmonic host ranks) over the SAME md5-derived host link graph as
+    llm_host_pagerank: per-host HLL counters (16 registers, integer
+    trailing-zero ranks) grow by register-wise MAX along edges; the
+    neighbourhood function estimates per round and harmonic centrality
+    accumulates clamped per-distance increments. All register state and
+    HLL sums are integers; the only floats are per-node scalar
+    estimator arithmetic on exact integers, floored at 1e-6. The
+    oracle unrolls all 5 iterations — the verified substance is the
+    full register algebra (indices, ranks, maxes, integer HLL sums)
+    matching bit-exactly; the fixture host graph is near-complete so
+    estimates saturate at distance 1 (2 distinct harmonic values at
+    sf0.001) — distance-varying behavior is pinned on the pytest line
+    graph (tests/test_graph.py)."""
+    from spdb_spark.functions.graph import hyperball
+    from spdb_spark.functions.hashing import md5_long
+
+    docs = _docs(spark, sf_dir).select("doc_id", "source")
+    n = docs.agg(F.count("*").alias("_nd"))
+    targets = [
+        (
+            md5_long(
+                F.concat_ws(
+                    ":", F.col("doc_id").cast("string"), F.lit(str(i))
+                )
+            )
+            % F.col("_nd")
+        ).alias(f"t{i}")
+        for i in range(_PR_LINKS)
+    ]
+    links = docs.crossJoin(F.broadcast(n)).select(
+        "source", F.explode(F.array(*targets)).alias("target_doc")
+    )
+    edges = links.join(
+        docs.select(
+            F.col("doc_id").alias("target_doc"), F.col("source").alias("dst")
+        ),
+        "target_doc",
+    ).select(F.col("source").alias("src"), "dst")
+    hb = hyperball(edges, "src", "dst", p=4, iterations=_PR_ITERS)
+    return hb.select(F.col("node").alias("host"), "reach", "harmonic")
+
+
+def _sql_harmonic(n_iters: int = 5, p: int = 4) -> str:
+    from spdb_spark.functions.hashing import md5_long_sql
+
+    m = 1 << p
+    w = 50
+    alpha = {16: 0.673, 32: 0.697, 64: 0.709}.get(
+        m, 0.7213 / (1 + 1.079 / m)
+    )
+    # e-notation forces DuckDB to parse these as DOUBLE (a plain decimal
+    # literal becomes DECIMAL and the product overflows DECIMAL(18));
+    # 17 significant digits round-trip the exact double
+    a_lit = f"{alpha * m * m:.17e}"
+    b_lit = f"{float(1 << (w + 1)):.17e}"
+    tgt = md5_long_sql(
+        "CAST(doc_id AS VARCHAR) || ':' || CAST(i.range AS VARCHAR)"
+    )
+    jref = md5_long_sql("'reg:' || node")
+    href = md5_long_sql("'rho:' || node")
+    est_body = f"""
+  SELECT node,
+         CASE WHEN ({m} - nnz) > 0
+                   AND ({a_lit} * {b_lit}
+                        / (({m} - nnz) * CAST({1 << (w + 1)} AS BIGINT) + zp))
+                       <= {2.5 * m}
+              THEN {float(m)} * LN({float(m)} / ({m} - nnz))
+              ELSE {a_lit} * {b_lit}
+                   / (({m} - nnz) * CAST({1 << (w + 1)} AS BIGINT) + zp)
+         END AS est
+  FROM (SELECT node, COUNT(*) AS nnz,
+               CAST(SUM(CAST(1 AS BIGINT)
+                        << CAST({w + 1} - rho AS INTEGER)) AS BIGINT) AS zp
+        FROM {{src}} GROUP BY node)"""
+    ctes = [
+        "docs AS MATERIALIZED (SELECT doc_id, source FROM documents)",
+        "nd AS (SELECT COUNT(*) AS nd FROM docs)",
+        f"""links AS (
+  SELECT d.source AS src, ({tgt} % (SELECT nd FROM nd)) AS target_doc
+  FROM docs d CROSS JOIN range(0, {_PR_LINKS}) i
+)""",
+        """edges AS MATERIALIZED (
+  SELECT DISTINCT l.src, t.source AS dst
+  FROM links l JOIN docs t ON l.target_doc = t.doc_id
+)""",
+        """nodes AS MATERIALIZED (
+  SELECT DISTINCT node FROM (
+    SELECT src AS node FROM edges UNION ALL SELECT dst FROM edges
+  )
+)""",
+        f"""r0 AS MATERIALIZED (
+  SELECT node, ({jref} % {m}) AS j,
+         CASE WHEN ({href} % {1 << w}) = 0 THEN {w + 1}
+              ELSE bit_count((({href} % {1 << w})
+                              & -({href} % {1 << w})) - 1) + 1
+         END AS rho
+  FROM nodes
+)""",
+        f"e0 AS ({est_body.format(src='r0')})",
+    ]
+    for t in range(1, n_iters + 1):
+        ctes.append(
+            f"""r{t} AS MATERIALIZED (
+  SELECT node, j, MAX(rho) AS rho FROM (
+    SELECT node, j, rho FROM r{t - 1}
+    UNION ALL
+    SELECT e.dst AS node, r.j, r.rho
+    FROM edges e JOIN r{t - 1} r ON e.src = r.node
+  ) GROUP BY node, j
+)"""
+        )
+        ctes.append(f"e{t} AS ({est_body.format(src=f'r{t}')})")
+    harm = "0.0"
+    for t in range(1, n_iters + 1):
+        harm = f"({harm} + GREATEST(e{t}.est - e{t - 1}.est, 0.0) / {t})"
+    joins = " ".join(
+        f"JOIN e{t} ON e{t}.node = e0.node" for t in range(1, n_iters + 1)
+    )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+SELECT e0.node AS host,
+       FLOOR(e{n_iters}.est * 1e6) / 1e6 AS reach,
+       FLOOR({harm} * 1e6) / 1e6 AS harmonic
+FROM e0 {joins}
+"""
+    )
+
+
+SQL_HARMONIC = _sql_harmonic(_PR_ITERS)
+
+
 STAGED_R11_LLM: dict = {
     "llm_ann_pq256": (q_ann_pq256, SQL_ANN_PQ256),
     "llm_ann_ivfpq_appended": (q_ann_ivfpq_appended, SQL_ANN_IVFPQ),
@@ -4110,4 +4246,5 @@ STAGED_R11_LLM: dict = {
     "llm_kn_score_frozen": (q_kn_score_frozen, SQL_KN_SCORE_FROZEN),
     "llm_host_pagerank": (q_host_pagerank, SQL_HOST_PAGERANK),
     "llm_kn5_logprob": (q_kn5_logprob, SQL_KN5),
+    "llm_harmonic_centrality": (q_harmonic_centrality, SQL_HARMONIC),
 }

@@ -90,6 +90,108 @@ def test_validation(spark, edges_df):
         pagerank(edges_df, iterations=0)
 
 
+# --- HyperBall ---------------------------------------------------------
+
+
+def _md5_60(s: str) -> int:
+    import hashlib
+
+    return int(hashlib.md5(s.encode()).hexdigest()[0:15], 16)
+
+
+def _ref_hyperball(edges, p=4, iterations=5, W=50):
+    import math
+
+    m = 1 << p
+    alpha = {16: 0.673, 32: 0.697, 64: 0.709}.get(
+        m, 0.7213 / (1 + 1.079 / m)
+    )
+    nodes = sorted({s for s, _ in edges} | {d for _, d in edges})
+
+    def jrho(v):
+        j = _md5_60(f"reg:{v}") % m
+        h = _md5_60(f"rho:{v}") % (1 << W)
+        if h == 0:
+            return j, W + 1
+        return j, bin((h & -h) - 1).count("1") + 1
+
+    regs = {v: {jrho(v)[0]: jrho(v)[1]} for v in nodes}
+
+    def est(r):
+        nnz = len(r)
+        zp = sum(1 << (W + 1 - rho) for rho in r.values())
+        z = (m - nnz) * (1 << (W + 1)) + zp
+        e_raw = alpha * m * m * float(1 << (W + 1)) / z
+        v0 = m - nnz
+        if v0 > 0 and e_raw <= 2.5 * m:
+            return m * math.log(m / v0)
+        return e_raw
+
+    prev = {v: est(regs[v]) for v in nodes}
+    harm = {v: 0.0 for v in nodes}
+    for t in range(1, iterations + 1):
+        new = {v: dict(regs[v]) for v in nodes}
+        for s, d in edges:
+            for j, rho in regs[s].items():
+                if new[d].get(j, 0) < rho:
+                    new[d][j] = rho
+        regs = new
+        for v in nodes:
+            e_t = est(regs[v])
+            harm[v] += max(e_t - prev[v], 0.0) / t
+            prev[v] = e_t
+    import math as _m
+
+    return {
+        v: (_m.floor(prev[v] * 1e6) / 1e6, _m.floor(harm[v] * 1e6) / 1e6)
+        for v in nodes
+    }
+
+
+HB_EDGES = [
+    ("a", "b"), ("b", "c"), ("c", "d"), ("d", "e"),  # line: distances 1-4
+    ("x", "e"), ("y", "e"), ("z", "x"),              # extra in-tree to e
+]
+
+
+def test_hyperball_matches_reference_exactly(spark):
+    from spdb_spark.functions.graph import hyperball
+
+    df = spark.createDataFrame(HB_EDGES, "src string, dst string")
+    got = {
+        r.node: (r.reach, r.harmonic)
+        for r in hyperball(df, iterations=5).collect()
+    }
+    assert got == _ref_hyperball(HB_EDGES, iterations=5)
+
+
+def test_hyperball_reach_monotone_and_sink_dominates(spark):
+    from spdb_spark.functions.graph import hyperball
+
+    df = spark.createDataFrame(HB_EDGES, "src string, dst string")
+    r3 = {r.node: r.reach for r in hyperball(df, iterations=3).collect()}
+    r5 = {r.node: r.reach for r in hyperball(df, iterations=5).collect()}
+    assert all(r5[v] >= r3[v] for v in r3)  # registers only grow
+    # 'e' is reachable from every other node; 'a'/'z' from none
+    assert max(r5, key=r5.get) == "e"
+    assert r5["a"] == min(r5.values())
+
+
+def test_hyperball_rho_protocol():
+    # bit_count((h & -h) - 1) + 1 == trailing zeros + 1, the HLL rho
+    for h, want in [(1, 1), (2, 2), (4, 3), (12, 3), (1 << 49, 50), (5, 1)]:
+        assert bin((h & -h) - 1).count("1") + 1 == want
+
+
+def test_hyperball_validation(spark, edges_df):
+    from spdb_spark.functions.graph import hyperball
+
+    with pytest.raises(ValueError):
+        hyperball(edges_df, p=1)
+    with pytest.raises(ValueError):
+        hyperball(edges_df, iterations=0)
+
+
 def test_plan_shape(spark, edges_df):
     plan = (
         pagerank(edges_df, weight="w", iterations=2, materialize=False)
