@@ -55,9 +55,12 @@ def test_r11_registration_landed():
     for name, (fn, sql) in STAGED_R11_LLM.items():
         assert suite._BASE.get(name) == (fn, sql), f"not registered: {name}"
         assert callable(fn) and isinstance(sql, str) and sql.strip()
-        assert (
-            list(suite.REGISTRY).index(name) < 50
-        ), f"{name} outside the next driver window"
+
+    last = suite._last_checked_round()
+    window = list(suite.REGISTRY)[:50]
+    for name in STAGED_R11_LLM:
+        if last.get(name, 0) == 0:
+            assert name in window, f"{name} missed the next rotation window"
 
 
 def test_appended_gate_shares_full_build_oracle():
@@ -102,9 +105,18 @@ def test_countmin_stream_gate_shares_batch_oracle():
     assert (
         STAGED_R11_LLM["llm_countmin_vocab_stream"][1] is SQL_COUNTMIN_VOCAB
     )
-    from spdb_spark.suite_llm import SQL_ANN_FILTERED, SQL_ANN_IVFPQ
+
+
+def test_ivfpq_gates_share_exact_oracles():
+    """llm_ann_ivfpq_stream shares the batch IVF-PQ oracle (stream==
+    batch-rebuild proof); llm_ann_ivfpq_filtered fully escalates by
+    construction, so it shares the IVF filtered gate's exact
+    brute-force oracle."""
+    from spdb_spark.suite_llm import (
+        SQL_ANN_FILTERED,
+        SQL_ANN_IVFPQ,
+        STAGED_R11_LLM,
+    )
 
     assert STAGED_R11_LLM["llm_ann_ivfpq_stream"][1] is SQL_ANN_IVFPQ
-    # the filtered ivfpq gate fully escalates by construction, so it
-    # shares the IVF filtered gate's exact-brute-force oracle
     assert STAGED_R11_LLM["llm_ann_ivfpq_filtered"][1] is SQL_ANN_FILTERED
