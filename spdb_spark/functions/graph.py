@@ -252,3 +252,57 @@ def pagerank(
     return ranks.select(
         "node", "rank_q", (F.col("rank_q") / scale).alias("rank")
     )
+
+
+def pagerank_sql(
+    edges_cte: str, iterations: int = 5, scale: int = SCALE
+) -> str:
+    """DuckDB replay of pagerank(): a parenthesized subquery -> (node,
+    rank_q) given a CTE/table `edges_cte` with columns (src, dst, w) —
+    w already summed per (src, dst), as host_graph_edges_sql emits.
+    The integer micro-unit protocol makes each unrolled iteration
+    bit-exact against the Spark recurrence (the llm_host_pagerank gate
+    pins the same algebra); this helper exists so composed oracles
+    (e.g. the ranked crawl gate) reuse it instead of re-deriving the
+    unroll."""
+    if iterations < 1:
+        raise ValueError(f"iterations must be >= 1, got {iterations}")
+    prev = "pr_r0"
+    its = []
+    for k in range(1, iterations + 1):
+        its.append(
+            f"""pr_it{k} AS (
+  SELECT n.node,
+         CAST((SELECT t FROM pr_tele)
+              + (85 * COALESCE(s.sm, 0)) // 100 AS BIGINT) AS rq
+  FROM pr_nodes n LEFT JOIN (
+    SELECT e.dst AS node, SUM((r.rq * e.w) // o.od) AS sm
+    FROM {edges_cte} e JOIN {prev} r ON e.src = r.node
+    JOIN pr_outdeg o ON e.src = o.src
+    GROUP BY e.dst
+  ) s USING (node)
+)"""
+        )
+        prev = f"pr_it{k}"
+    iters_sql = ",\n".join(its)
+    return f"""(
+WITH pr_nodes AS (
+  SELECT DISTINCT node FROM (
+    SELECT src AS node FROM {edges_cte}
+    UNION ALL SELECT dst FROM {edges_cte}
+  )
+),
+pr_nn AS (SELECT COUNT(*) AS nn FROM pr_nodes),
+pr_outdeg AS (
+  SELECT src, CAST(SUM(w) AS BIGINT) AS od FROM {edges_cte} GROUP BY src
+),
+pr_r0 AS (
+  SELECT node, CAST({scale} // (SELECT nn FROM pr_nn) AS BIGINT) AS rq
+  FROM pr_nodes
+),
+pr_tele AS (
+  SELECT CAST({15 * scale} // (100 * (SELECT nn FROM pr_nn)) AS BIGINT) AS t
+),
+{iters_sql}
+SELECT node, rq AS rank_q FROM pr_it{iterations}
+)"""

@@ -133,6 +133,64 @@ def html_blocks(df: DataFrame, id_col: str, html_col: str) -> DataFrame:
     )
 
 
+# One pattern per quoting style — they are mutually exclusive on the
+# first character after `=` so concatenating the three match lists
+# yields each href exactly once. `href` must follow WHITESPACE (not a
+# word boundary: `-` borders words, so `\b` would match `data-href=`).
+_HREF_PRE = r"(?is)<a(?:\s[^>]*?)?\shref\s*=\s*"
+_HREF_DQ = _HREF_PRE + r'"([^"]*)"'
+_HREF_SQ = _HREF_PRE + r"'([^']*)'"
+_HREF_UQ = _HREF_PRE + r"""([^\s"'>][^\s>]*)"""
+
+
+def html_href_targets(html: Column) -> Column:
+    """-> array<string> of raw href attribute values from the document's
+    `<a>` tags (double-quoted, then single-quoted, then unquoted
+    spellings), entity-unescaped (`&amp;` is the legal spelling of `&`
+    inside attribute values). Comments and script/style subtrees are
+    stripped first so commented-out markup contributes no links. Pure
+    projection — zero exchanges, no UDF; at 100 TB link extraction
+    rides the same scan pass as main-content extraction."""
+    c = strip_invisible(html)
+    raw = F.concat(
+        F.regexp_extract_all(c, F.lit(_HREF_DQ), F.lit(1)),
+        F.regexp_extract_all(c, F.lit(_HREF_SQ), F.lit(1)),
+        F.regexp_extract_all(c, F.lit(_HREF_UQ), F.lit(1)),
+    )
+
+    def unescape(v: Column) -> Column:
+        for ent, rep in _ENTITIES:
+            v = F.replace(v, F.lit(ent), F.lit(rep))
+        return F.trim(v)
+
+    return F.filter(F.transform(raw, unescape), lambda v: v != "")
+
+
+def href_targets_sql(html_expr: str) -> str:
+    """DuckDB SQL computing exactly html_href_targets(html_expr) as a
+    LIST(VARCHAR). Spark's patterns capture the href in group 1 (the
+    attribute prefix is non-capturing); RE2 under DuckDB has no
+    non-capturing-group extract_all shorthand here, so the SQL spelling
+    wraps the prefix in a group and the href is group 2."""
+    c = _sql_strip_invisible(html_expr)
+    pre = "(?is)<a(\\s[^>]*?)?\\shref\\s*=\\s*"
+    dq = pre + '"([^"]*)"'
+    sq = pre + "''([^'']*)''"
+    uq = pre + "([^\\s\"''>][^\\s>]*)"
+    parts = " || ".join(
+        f"regexp_extract_all({c}, '{p}', 2)" for p in (dq, sq, uq)
+    )
+    v = "v"
+    for ent, rep in _ENTITIES:
+        ent_sql = ent.replace("'", "''")
+        rep_sql = rep.replace("'", "''")
+        v = f"replace({v}, '{ent_sql}', '{rep_sql}')"
+    return (
+        f"list_filter(list_transform({parts}, v -> trim({v})),"
+        f" v -> v <> '')"
+    )
+
+
 # ---------------------------------------------------------------------------
 # DuckDB oracle builders: the same extraction as ANSI-ish SQL over RE2.
 # DuckDB regexp_replace is single-match unless the 'g' option is passed;

@@ -122,7 +122,10 @@ def bloom_probe(
     Probe side explodes to k rows per key; the bitmap joins broadcast
     (default) or shuffled on word_idx (broadcast_filter=False for
     filters past executor memory). id_col must uniquely identify df's
-    rows — the k probe rows group back on it and re-join df."""
+    rows — the k probe rows group back on it and re-join df. A NULL
+    key yields no probe positions (md5(NULL) is NULL) and comes back
+    maybe_member=false — NULL is never a member, matching
+    countmin_estimate's keep-with-est-0 treatment of NULL keys."""
     _validate(m_bits, k)
     pos = df.select(
         id_col,
@@ -140,7 +143,12 @@ def bloom_probe(
         .groupBy(id_col)
         .agg(F.bool_and("_hit").alias(result_col))
     )
-    return df.join(agg, id_col)
+    # LEFT join + coalesce: a NULL key produced zero probe rows, so it
+    # has no agg row — an inner join would silently drop it from the
+    # output instead of reporting non-membership.
+    return df.join(agg, id_col, "left").withColumn(
+        result_col, F.coalesce(F.col(result_col), F.lit(False))
+    )
 
 
 def bloom_positions_sql(expr: str, m_bits: int, k: int) -> str:

@@ -61,6 +61,67 @@ def url_host(c: Column) -> Column:
     )
 
 
+def url_resolve(base: Column, href: Column) -> Column:
+    """Resolve an href against its page URL (RFC 3986 reference
+    resolution, the cases a host-graph extractor needs):
+
+    - absolute (`scheme:...`)            -> the href itself;
+    - protocol-relative (`//host/p`)     -> base's scheme + `:` + href;
+    - root-relative (`/p`)               -> base's scheme://authority + href;
+    - query-only (`?q`)                  -> base minus query/fragment + href;
+    - fragment-only (`#f`) / empty       -> base minus fragment;
+    - relative path (`p`, `../p`)        -> base's directory + href.
+
+    Documented approximation: dot-segments (`./`, `../`) are NOT
+    collapsed — the authority (all a HOST graph consumes) is exact in
+    every branch; only the path spelling of relative links differs from
+    a full RFC resolver. Pure Column expressions, RE2-compatible, with
+    a DuckDB twin (url_resolve_sql) replaying every branch."""
+    h = F.trim(href)
+    base_nofrag = F.regexp_replace(base, r"#.*$", "")
+    base_noq = F.regexp_replace(base_nofrag, r"\?.*$", "")
+    scheme = F.regexp_extract(base, r"^([a-zA-Z][a-zA-Z0-9+.-]*):", 1)
+    root = F.regexp_extract(base, _PREFIX, 0)
+    # directory of the base path: strip the last path segment; a base
+    # with NO path ('http://host') must keep its authority and gain '/'
+    has_path = base_noq.rlike(r"^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*/")
+    dirp = F.when(
+        has_path, F.regexp_replace(base_noq, r"[^/]*$", "")
+    ).otherwise(F.concat(base_noq, F.lit("/")))
+    return (
+        F.when(h.rlike(r"^[a-zA-Z][a-zA-Z0-9+.-]*:"), h)
+        .when(h.startswith("//"), F.concat(scheme, F.lit(":"), h))
+        .when(h.startswith("/"), F.concat(root, h))
+        .when(h.startswith("?"), F.concat(base_noq, h))
+        .when((h == "") | h.startswith("#"), base_nofrag)
+        .otherwise(F.concat(dirp, h))
+    )
+
+
+def url_resolve_sql(base_expr: str, href_expr: str) -> str:
+    """DuckDB SQL computing exactly url_resolve(base_expr, href_expr)."""
+    h = f"trim({href_expr})"
+    base_nofrag = f"regexp_replace({base_expr}, '#.*$', '', 'g')"
+    base_noq = f"regexp_replace({base_nofrag}, '\\?.*$', '', 'g')"
+    scheme = f"regexp_extract({base_expr}, '^([a-zA-Z][a-zA-Z0-9+.-]*):', 1)"
+    root = f"regexp_extract({base_expr}, '{_PREFIX}', 0)"
+    dirp = (
+        f"(CASE WHEN regexp_matches({base_noq},"
+        f" '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*/')"
+        f" THEN regexp_replace({base_noq}, '[^/]*$', '', 'g')"
+        f" ELSE {base_noq} || '/' END)"
+    )
+    return (
+        f"(CASE"
+        f" WHEN regexp_matches({h}, '^[a-zA-Z][a-zA-Z0-9+.-]*:') THEN {h}"
+        f" WHEN {h} LIKE '//%' THEN {scheme} || ':' || {h}"
+        f" WHEN {h} LIKE '/%' THEN {root} || {h}"
+        f" WHEN {h} LIKE '?%' THEN {base_noq} || {h}"
+        f" WHEN {h} = '' OR {h} LIKE '#%' THEN {base_nofrag}"
+        f" ELSE {dirp} || {h} END)"
+    )
+
+
 def url_normalize_sql(expr: str) -> str:
     """DuckDB SQL computing exactly url_normalize(expr)."""
     s = f"regexp_replace({expr}, '#.*$', '', 'g')"

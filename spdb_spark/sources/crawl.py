@@ -38,6 +38,10 @@ def crawl_to_corpus(
     select_k: int | None = None,
     select_buckets: int = 10_000,
     select_seed: int = 0,
+    rank_prior: bool = False,
+    rank_iterations: int = 5,
+    min_host_rank_q: int | None = None,
+    suffix_rules: DataFrame | None = None,
 ) -> DataFrame:
     """WARC record rows (sources/warc.ingest_warc) -> curated documents.
 
@@ -69,7 +73,21 @@ def crawl_to_corpus(
     resampling (functions/dsir.py) after dedup: fit target/raw hashed
     n-gram log-ratios, weight the survivors, keep a deterministic
     Gumbel top-k sample of `select_k` docs — the full
-    crawl -> curate -> select path ahead of write_jsonl_shards."""
+    crawl -> curate -> select path ahead of write_jsonl_shards.
+
+    `rank_prior=True` derives the crawl's OWN host graph — href targets
+    extracted from every distinct fetched page (functions/linkgraph.py),
+    collapsed to weighted eTLD+1 edges — runs integer-protocol PageRank
+    (functions/graph.py) over it, and attaches each surviving doc's
+    domain rank as a `host_rank_q` column (BIGINT micro-units; 0 for
+    domains outside the graph). This is the Common Crawl recipe: the
+    quality prior comes from the crawl itself, not an external list.
+    `min_host_rank_q` additionally FILTERS to docs whose domain rank
+    meets the floor — rank-prior selection. The graph is built from the
+    raw responses (pre-quality, pre-dedup: link structure is evidence
+    even when a page's text is dropped), so the rank join is the only
+    coupling to the curation chain — a broadcast of the graph-sized
+    (domain, rank) map onto the corpus."""
     from spdb_spark.functions.quality import gopher_filter
     from spdb_spark.sources.warc import warc_responses_to_docs
 
@@ -118,7 +136,92 @@ def crawl_to_corpus(
         w = dsir_weights(docs, lr, n_buckets=select_buckets)
         chosen = dsir_resample(w, select_k, seed=select_seed).select("doc_id")
         docs = docs.join(F.broadcast(chosen), "doc_id", "left_semi")
+    if rank_prior:
+        rank_map = crawl_host_ranks(
+            warc,
+            normalize_urls=normalize_urls,
+            iterations=rank_iterations,
+            rules=suffix_rules,
+        )
+        docs = attach_host_rank(docs, rank_map, rules=suffix_rules)
+        if min_host_rank_q is not None:
+            docs = docs.where(F.col("host_rank_q") >= min_host_rank_q)
     return docs
+
+
+def crawl_host_ranks(
+    warc: DataFrame,
+    normalize_urls: bool = True,
+    iterations: int = 5,
+    rules: DataFrame | None = None,
+) -> DataFrame:
+    """The crawl's own host-rank prior: distinct fetched pages (the
+    same content-addressed collapse the doc pipeline applies) -> href
+    host graph at eTLD+1 (functions/linkgraph.host_graph_edges) ->
+    integer-protocol PageRank -> (domain, rank_q). Graph-sized output —
+    broadcastable onto any corpus."""
+    from spdb_spark.functions.graph import pagerank
+    from spdb_spark.functions.hashing import md5_long
+    from spdb_spark.functions.linkgraph import host_graph_edges
+    from spdb_spark.sources.warc import http_response_body
+
+    uri = F.col("target_uri")
+    if normalize_urls:
+        from spdb_spark.functions.url import url_normalize
+
+        uri = url_normalize(uri)
+    pages = (
+        warc.where(F.col("warc_type") == "response")
+        .select(
+            uri.alias("page_url"),
+            F.col("payload"),
+            md5_long(
+                F.concat_ws("\x1f", uri, F.md5(F.col("payload")))
+            ).alias("_pid"),
+        )
+        .dropDuplicates(["_pid"])
+        .select(
+            "page_url",
+            http_response_body(F.col("payload")).alias("html"),
+        )
+    )
+    edges = host_graph_edges(pages, "page_url", "html", rules=rules)
+    pr = pagerank(
+        edges, "src_domain", "dst_domain", weight="weight",
+        iterations=iterations,
+    )
+    return pr.select(F.col("node").alias("domain"), "rank_q")
+
+
+def attach_host_rank(
+    docs: DataFrame,
+    rank_map: DataFrame,
+    url_col: str = "source",
+    rules: DataFrame | None = None,
+    out_col: str = "host_rank_q",
+) -> DataFrame:
+    """Attach a (domain, rank_q) prior to a corpus by the registered
+    domain of each doc's URL — distinct-host broadcast map, corpus
+    never shuffled; rank 0 for domains outside the graph."""
+    from spdb_spark.functions.domains import host_registered_domains
+    from spdb_spark.functions.url import url_host
+
+    d = docs.withColumn("_host", url_host(F.col(url_col)))
+    hosts = d.select(F.col("_host").alias("host")).where(
+        F.col("host") != ""
+    ).distinct()
+    mapping = host_registered_domains(hosts, "host", rules).select(
+        F.col("host").alias("_host"),
+        F.coalesce("domain", "host").alias("_dom"),
+    )
+    ranked = mapping.join(
+        rank_map.withColumnRenamed("domain", "_dom"), "_dom", "left"
+    ).select("_host", F.coalesce("rank_q", F.lit(0)).alias(out_col))
+    return (
+        d.join(F.broadcast(ranked), "_host", "left")
+        .drop("_host")
+        .withColumn(out_col, F.coalesce(F.col(out_col), F.lit(0)))
+    )
 
 
 def cap_per_host(

@@ -271,18 +271,27 @@ def _skip_field(buf: bytes, pos: int, wire: int) -> int:
         _, pos = _read_varint(buf, pos)
         return pos
     if wire == 1:
-        return pos + 8
-    if wire == 2:
+        end = pos + 8
+    elif wire == 2:
         ln, pos = _read_varint(buf, pos)
-        return pos + ln
-    if wire == 5:
-        return pos + 4
-    raise ValueError(f"tf.Example: unsupported wire type {wire}")
+        end = pos + ln
+    elif wire == 5:
+        end = pos + 4
+    else:
+        raise ValueError(f"tf.Example: unsupported wire type {wire}")
+    if end > len(buf):
+        raise ValueError("tf.Example: truncated field")
+    return end
 
 
 def _decode_list(buf: bytes, kind: int) -> list:
     """BytesList/FloatList/Int64List body -> python list. Accepts packed
-    and unpacked primitive encodings."""
+    and unpacked primitive encodings. Every fixed-width read is bounds-
+    checked so a CRC-valid but malformed payload raises the module's
+    uniform ValueError contract (like the varint paths), never a raw
+    struct.error/IndexError from inside the kernel — crawled shard
+    corpora are dirty by nature and the caller routes ValueError to its
+    bad-record policy."""
     values: list = []
     pos = 0
     while pos < len(buf):
@@ -293,28 +302,44 @@ def _decode_list(buf: bytes, kind: int) -> list:
             continue
         if kind == 1:  # bytes
             ln, pos = _read_varint(buf, pos)
+            if pos + ln > len(buf):
+                raise ValueError("tf.Example: truncated field")
             values.append(buf[pos : pos + ln])
             pos += ln
         elif kind == 2:  # float
             if wire == 2:  # packed
                 ln, pos = _read_varint(buf, pos)
+                if ln % 4 or pos + ln > len(buf):
+                    raise ValueError("tf.Example: truncated field")
                 values.extend(
                     struct.unpack(f"<{ln // 4}f", buf[pos : pos + ln])
                 )
                 pos += ln
-            else:
+            elif wire == 5:
+                if pos + 4 > len(buf):
+                    raise ValueError("tf.Example: truncated field")
                 values.append(struct.unpack("<f", buf[pos : pos + 4])[0])
                 pos += 4
+            else:
+                raise ValueError(
+                    f"tf.Example: float value with wire type {wire}"
+                )
         else:  # int64
             if wire == 2:  # packed
                 ln, pos = _read_varint(buf, pos)
                 end = pos + ln
+                if end > len(buf):
+                    raise ValueError("tf.Example: truncated field")
                 while pos < end:
                     v, pos = _read_varint(buf, pos)
                     values.append(v - (1 << 64) if v >= 1 << 63 else v)
-            else:
+            elif wire == 0:
                 v, pos = _read_varint(buf, pos)
                 values.append(v - (1 << 64) if v >= 1 << 63 else v)
+            else:
+                raise ValueError(
+                    f"tf.Example: int64 value with wire type {wire}"
+                )
     return values
 
 

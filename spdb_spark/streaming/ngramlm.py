@@ -54,8 +54,26 @@ class StreamingKNScorer(BatchLedgerSink):
         super().__init__(spark, base_path)
         # (id_col, id_type, discount) shape the persisted score rows —
         # guard reopen mismatches like the Bloom/count-min sinks do.
+        # The frozen model's identity is part of the guard too: scores
+        # under different models are incomparable, and a reopen with a
+        # retrained model would silently append mixed-scale rows into
+        # one accumulated table. Fingerprint = the totals row (n2types,
+        # t1, v_size) — a bounded 1-row collect, and any retraining
+        # that changes the count tables virtually always moves at least
+        # one of the three corpus-level totals.
+        totals = model["totals"].collect()[0]
+        fingerprint = {
+            "n2types": int(totals["n2types"]),
+            "t1": int(totals["t1"]),
+            "v_size": int(totals["v_size"]),
+        }
         params_path = os.path.join(base_path, "_params.json")
-        params = {"id_col": id_col, "id_type": id_type, "discount": discount}
+        params = {
+            "id_col": id_col,
+            "id_type": id_type,
+            "discount": discount,
+            "model": fingerprint,
+        }
         if os.path.exists(params_path):
             with open(params_path) as f:
                 on_disk = json.load(f)

@@ -22,6 +22,7 @@ import os
 
 from spdb_spark.suite_crawl import STAGED_R9 as CRAWL_R9
 from spdb_spark.suite_crawl import STAGED_R10 as CRAWL_R10
+from spdb_spark.suite_crawl import STAGED_R12 as CRAWL_R12
 from spdb_spark.suite_llm import QUERIES as LLM
 from spdb_spark.suite_llm import STAGED_R7 as LLM_R7
 from spdb_spark.suite_llm import STAGED_R10_LLM as LLM_R10
@@ -53,6 +54,9 @@ _BASE.update(LLM_R10)
 # engine, and the IVF-PQ append/compact lifecycle gated against the SAME
 # oracle as the full build (append==rebuild proven by the driver compare).
 _BASE.update(LLM_R11)
+# Round-12 registration (append-only): the real outbound-link host
+# graph — edge extraction and the rank-prior crawl composition.
+_BASE.update(CRAWL_R12)
 
 
 def _last_checked_round() -> dict[str, int]:

@@ -68,16 +68,59 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return load_tables(spark, sf_dir)["documents"]
 
 
-def _crawl_warc_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+# Per-doc outbound-link nav block (round 12): closed-form cross-site
+# targets exercising all three href quoting styles, protocol-relative
+# and subdomain (eTLD+1-collapsing) spellings, a root-relative self
+# link, and a mailto (excluded by scheme filter). The multipliers are
+# decorrelated mod 23 (3i+1, 5i+7, 7i+3) so the self-edge coincidences
+# land on different doc classes. Anchor texts are single digits: the
+# block is 5 words of 9 chars with 9 link chars — dropped by the main-
+# text link-density rule, so adding the block leaves extracted TEXT
+# (and therefore every dedup/quality decision) untouched.
+_NAV_PRE = '<div><a href="http://site'
+_NAV_1 = ".example/p\">0</a> <a href='//site"
+_NAV_2 = ".example/q'>1</a> <a href=https://w"
+_NAV_3 = ".site"
+_NAV_4 = (
+    '.example/r#f>2</a> <a href="/self">3</a>'
+    ' <a href="mailto:x@example.org">4</a></div>'
+)
+
+
+def _nav_col(d: F.Column) -> F.Column:
+    return F.concat(
+        F.lit(_NAV_PRE), ((d * 3 + 1) % 23).cast("string"),
+        F.lit(_NAV_1), ((d * 5 + 7) % 23).cast("string"),
+        F.lit(_NAV_2), (d % 3).cast("string"),
+        F.lit(_NAV_3), ((d * 7 + 3) % 23).cast("string"),
+        F.lit(_NAV_4),
+    )
+
+
+def _nav_sql() -> str:
+    return (
+        f"{_sql_quote(_NAV_PRE)} || ((3*doc_id+1)%23)::VARCHAR"
+        f" || {_sql_quote(_NAV_1)} || ((5*doc_id+7)%23)::VARCHAR"
+        f" || {_sql_quote(_NAV_2)} || (doc_id%3)::VARCHAR"
+        f" || {_sql_quote(_NAV_3)} || ((7*doc_id+3)%23)::VARCHAR"
+        f" || {_sql_quote(_NAV_4)}"
+    )
+
+
+def _crawl_warc_fixture(
+    spark: SparkSession, sf_dir: str, links: bool = False
+) -> DataFrame:
     """Synthetic WARC record rows (warc_type, target_uri, payload) built
     from documents — the structure the module docstring describes."""
-    return warc_records_from_docs(_docs(spark, sf_dir))
+    return warc_records_from_docs(_docs(spark, sf_dir), links=links)
 
 
-def warc_records_from_docs(docs: DataFrame) -> DataFrame:
+def warc_records_from_docs(docs: DataFrame, links: bool = False) -> DataFrame:
     """The fixture generator over an arbitrary (doc_id, text) frame —
     shared by the gate (fixture = the documents table) and the scale
-    stress (tools/stress_crawl.py: replicated corpus)."""
+    stress (tools/stress_crawl.py: replicated corpus). links=True
+    appends the per-doc outbound nav block (the ranked-crawl fixture;
+    extracted text is unchanged by construction, see _NAV_PRE)."""
     d = F.col("doc_id")
     k = (d % 23).cast("string")
     n = d.cast("string")
@@ -99,7 +142,10 @@ def warc_records_from_docs(docs: DataFrame) -> DataFrame:
         parts = [F.lit(_HDR + _CHROME_PRE), woven(_PROSE_PRE), F.col("text")]
         if suffix:
             parts.append(woven(suffix))
-        parts += [woven(_PROSE_POST), F.lit(_CHROME_POST)]
+        parts.append(woven(_PROSE_POST))
+        if links:
+            parts.append(_nav_col(d))
+        parts.append(F.lit(_CHROME_POST))
         return F.concat(*parts)
 
     rec = lambda t, uri, p: F.struct(  # noqa: E731
@@ -145,19 +191,64 @@ def q_crawl_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "text", "source", "n_chars")
 
 
-def _sql_crawl_corpus() -> str:
+def _sql_crawl_corpus(links: bool = False, ranked: bool = False) -> str:
+    """The composed crawl oracle. links=True adds the per-doc nav block
+    to every payload (matching warc_records_from_docs(links=True));
+    ranked=True swaps the final select for the rank-prior join: the
+    href host graph of the distinct fetched pages -> unrolled integer
+    PageRank -> each surviving doc's registered-domain rank."""
     def woven(template: str) -> str:
         return f"replace({_sql_quote(template)}, '{{S}}', 'd' || doc_id)"
 
     hdr_pre = f"{_sql_quote(_HDR + _CHROME_PRE)} || {woven(_PROSE_PRE)}"
-    tail = f"{woven(_PROSE_POST)} || {_sql_quote(_CHROME_POST)}"
+    nav = f" || {_nav_sql()}" if links else ""
+    tail = f"{woven(_PROSE_POST)}{nav} || {_sql_quote(_CHROME_POST)}"
     tail_s = f"{woven(_SUF_SHORT)} || {tail}"
     tail_l = f"{woven(_SUF_LONG)} || {tail}"
     boundary = "chr(13)||chr(10)||chr(13)||chr(10)"
-    body = (
-        "(CASE WHEN strpos(pay, {b}) > 0"
-        " THEN substr(pay, strpos(pay, {b}) + 4) ELSE pay END)"
-    ).format(b=boundary)
+
+    def body_of(col: str) -> str:
+        return (
+            "(CASE WHEN strpos({c}, {b}) > 0"
+            " THEN substr({c}, strpos({c}, {b}) + 4) ELSE {c} END)"
+        ).format(b=boundary, c=col)
+
+    body = body_of("pay")
+    if ranked:
+        from spdb_spark.functions.domains import registered_domain_sql
+        from spdb_spark.functions.graph import pagerank_sql
+        from spdb_spark.functions.linkgraph import host_graph_edges_sql
+        from spdb_spark.functions.url import url_host_sql
+
+        final = f""",
+pages AS MATERIALIZED (
+  SELECT page_url, {body_of("pay0")} AS html
+  FROM (SELECT DISTINCT src AS page_url, pay AS pay0 FROM norm)
+),
+edges AS MATERIALIZED (
+  SELECT * FROM {host_graph_edges_sql("pages")}
+),
+e2 AS (SELECT src_domain AS src, dst_domain AS dst, weight AS w FROM edges),
+pr AS MATERIALIZED (SELECT * FROM {pagerank_sql("e2", _RANK_ITERS)}),
+surv AS (
+  SELECT d2.doc_id, d2.src AS source FROM d2
+  WHERE NOT EXISTS (SELECT 1 FROM losers l WHERE l.doc_id = d2.doc_id)
+),
+dh AS (SELECT DISTINCT {url_host_sql("source")} AS host FROM surv),
+dm AS (SELECT host, coalesce(domain, host) AS dom
+       FROM {registered_domain_sql("dh")})
+SELECT s.doc_id, s.source,
+       COALESCE(pr.rank_q, 0) AS host_rank_q
+FROM surv s
+JOIN dm ON {url_host_sql("s.source")} = dm.host
+LEFT JOIN pr ON dm.dom = pr.node
+"""
+    else:
+        final = """
+SELECT d2.doc_id, d2.text, d2.src AS source, length(d2.text)::INT AS n_chars
+FROM d2
+WHERE NOT EXISTS (SELECT 1 FROM losers l WHERE l.doc_id = d2.doc_id)
+"""
     return f"""
 WITH p AS (
   SELECT doc_id,
@@ -231,11 +322,7 @@ losers AS (
   JOIN sizes sb ON sb.doc = i.doc_b
   WHERE CAST(i.inter AS DOUBLE) / (sa.sz + sb.sz - i.inter)
         >= {_NEARDUP_THRESHOLD}
-)
-SELECT d2.doc_id, d2.text, d2.src AS source, length(d2.text)::INT AS n_chars
-FROM d2
-WHERE NOT EXISTS (SELECT 1 FROM losers l WHERE l.doc_id = d2.doc_id)
-"""
+){final}"""
 
 
 SQL_CRAWL_CORPUS = _sql_crawl_corpus()
@@ -806,6 +893,93 @@ def q_crawl_corpus_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "doc_id long, text string, source string, n_chars int"
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 12: the REAL outbound-link host graph. llm_host_graph_edges
+# gates the extraction machinery itself (href targets -> resolve ->
+# host -> eTLD+1 -> weighted edges) on closed-form synthetic pages;
+# llm_crawl_corpus_ranked gates the full composition: the same WARC
+# fixture as llm_crawl_corpus (plus nav blocks that leave extracted
+# text untouched), curated end-to-end, with each surviving doc joined
+# to the PageRank of its registered domain computed from the crawl's
+# OWN link graph — the Common Crawl quality-prior recipe.
+# ---------------------------------------------------------------------------
+
+_RANK_ITERS = 5
+
+
+def _link_pages(docs: DataFrame) -> DataFrame:
+    d = F.col("doc_id")
+    page_url = F.concat(
+        F.lit("http://site"), (d % 23).cast("string"),
+        F.lit(".example/dir/d"), d.cast("string"), F.lit(".html"),
+    )
+    html = F.concat(
+        F.lit("<html><body><p>doc intro</p>"),
+        _nav_col(d),
+        F.lit("</body></html>"),
+    )
+    return docs.select(page_url.alias("page_url"), html.alias("html"))
+
+
+def q_host_graph_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted eTLD+1 link-graph edges (functions/linkgraph.py) from
+    synthetic pages with closed-form cross-site links: every href
+    quoting style, protocol-relative + root-relative + subdomain
+    resolution, scheme filtering, self-edge dropping, and the
+    registered-domain collapse are all discriminative in the output
+    weights."""
+    from spdb_spark.functions.linkgraph import host_graph_edges
+
+    pages = _link_pages(_docs(spark, sf_dir))
+    return host_graph_edges(pages, "page_url", "html")
+
+
+def _sql_host_graph_edges() -> str:
+    from spdb_spark.functions.linkgraph import host_graph_edges_sql
+
+    return f"""
+WITH pages AS (
+  SELECT 'http://site' || (doc_id % 23)::VARCHAR || '.example/dir/d'
+           || doc_id::VARCHAR || '.html' AS page_url,
+         '<html><body><p>doc intro</p>' || {_nav_sql()}
+           || '</body></html>' AS html
+  FROM documents
+)
+SELECT * FROM {host_graph_edges_sql("pages")}
+"""
+
+
+SQL_HOST_GRAPH_EDGES = _sql_host_graph_edges()
+
+
+def q_crawl_corpus_ranked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """crawl_to_corpus with rank_prior=True over the linked WARC
+    fixture: the curated corpus joined to the integer-protocol PageRank
+    of each doc's registered domain, the rank computed from the href
+    host graph of the crawl's own distinct fetched pages."""
+    from spdb_spark.sources.crawl import crawl_to_corpus
+    from spdb_spark.suite_llm import _docs_rowcount
+
+    warc = _crawl_warc_fixture(spark, sf_dir, links=True)
+    out = crawl_to_corpus(
+        warc,
+        minhash_threshold=_NEARDUP_THRESHOLD,
+        n_docs=3 * _docs_rowcount(sf_dir),
+        rank_prior=True,
+        rank_iterations=_RANK_ITERS,
+    )
+    return out.select("doc_id", "source", "host_rank_q")
+
+
+SQL_CRAWL_CORPUS_RANKED = _sql_crawl_corpus(links=True, ranked=True)
+
+
+STAGED_R12: dict = {
+    "llm_host_graph_edges": (q_host_graph_edges, SQL_HOST_GRAPH_EDGES),
+    "llm_crawl_corpus_ranked": (q_crawl_corpus_ranked, SQL_CRAWL_CORPUS_RANKED),
+}
 
 
 STAGED_R10: dict = {

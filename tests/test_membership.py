@@ -68,6 +68,24 @@ def test_probe_exact_vs_reference(spark, keys):
     assert fps > 0  # discriminative fixture: real FPs exercised
 
 
+def test_probe_keeps_null_keys_as_nonmembers(spark, keys):
+    """A NULL key has no md5 positions, so it produces zero probe rows;
+    the probe must still RETURN the row (maybe_member=false, matching
+    countmin_estimate's est=0 treatment of NULLs) rather than dropping
+    it from the output."""
+    df, _, _ = keys
+    bloom = bloom_build(df.where(F.col("doc_id") < 120), "key", M, K)
+    with_null = df.unionByName(
+        df.sparkSession.createDataFrame(
+            [(999, None)], "doc_id long, key string"
+        )
+    )
+    res = {r.doc_id: r.maybe_member for r in
+           bloom_probe(with_null, "key", bloom, M, K).collect()}
+    assert len(res) == with_null.count()
+    assert res[999] is False
+
+
 def test_merge_equals_union_build(spark, keys):
     df, _, _ = keys
     a = bloom_build(df.where(F.col("doc_id") % 2 == 0), "key", M, K)

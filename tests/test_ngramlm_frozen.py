@@ -198,3 +198,23 @@ def test_streaming_redelivery_noop(spark, tmp_path, model):
     assert sink.scores().count() == len(NEW)
     sink.process_batch(batch, 0)  # redelivered: no duplicate rows
     assert sink.scores().count() == len(NEW)
+
+
+def test_reopen_rejects_different_model(spark, tmp_path, model):
+    """The _params.json guard covers the frozen model's identity: a
+    reopen of the same state path with a model trained on a different
+    corpus must fail instead of appending incomparable scores."""
+    import pytest
+
+    from spdb_spark.functions.ngramlm import kn_model
+
+    path = str(tmp_path / "state")
+    StreamingKNScorer(spark, path, model)
+    # same params, same model -> reopen OK
+    StreamingKNScorer(spark, path, model)
+    other = kn_model(
+        _df(spark, {**NEW, 900: "a wholly different reference corpus "
+                    "with new words entirely"})
+    )
+    with pytest.raises(ValueError, match="was built with"):
+        StreamingKNScorer(spark, path, other)

@@ -150,6 +150,37 @@ def test_example_rejects_empty_and_bool():
         tf_example_encode({"a": [True]})
 
 
+def _example_with_feature_body(body: bytes) -> bytes:
+    """Wrap a hand-built Feature message body into a full Example."""
+    feature = body
+    entry = bytes([0x0A, 0x01]) + b"k" + bytes([0x12, len(feature)]) + feature
+    features = bytes([0x0A, len(entry)]) + entry
+    return bytes([0x0A, len(features)]) + features
+
+
+def test_malformed_payloads_raise_valueerror_not_struct_error():
+    """CRC-valid but malformed Example payloads must surface the
+    module's uniform ValueError contract (the dirty-corpus policy),
+    never a raw struct.error/IndexError from the decode kernel."""
+    # BytesList whose declared value length overruns the buffer:
+    # bytes_list(field 1, wire 2, len 3) -> value claims 9 bytes, has 1
+    bad_bytes = bytes([0x0A, 0x03, 0x0A, 0x09]) + b"x"
+    with pytest.raises(ValueError):
+        tf_example_decode(_example_with_feature_body(bad_bytes))
+    # packed FloatList with a 3-byte (non-multiple-of-4) payload
+    bad_float = bytes([0x12, 0x05, 0x0A, 0x03, 0x01, 0x02, 0x03])
+    with pytest.raises(ValueError):
+        tf_example_decode(_example_with_feature_body(bad_float))
+    # unpacked float claimed via an illegal wire type (varint)
+    bad_wire = bytes([0x12, 0x02, 0x08, 0x01])
+    with pytest.raises(ValueError):
+        tf_example_decode(_example_with_feature_body(bad_wire))
+    # int64 value with an illegal fixed64 wire type
+    bad_int = bytes([0x1A, 0x0A, 0x09]) + bytes(8)
+    with pytest.raises(ValueError):
+        tf_example_decode(_example_with_feature_body(bad_int))
+
+
 @given(
     st.dictionaries(
         st.text(min_size=1, max_size=8),
