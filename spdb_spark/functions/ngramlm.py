@@ -182,33 +182,42 @@ def _prefix(g: Column, k: int) -> Column:
     return F.substring_index(g, " ", k)
 
 
-def kn_ngram_logprob(
+def kn_ngram_model(
     docs: DataFrame,
     n: int = 5,
     text_col: str = "text",
     id_col: str = "doc_id",
-    discount: float = DISCOUNT,
     materialize: bool = True,
-) -> DataFrame:
-    """Order-n interpolated Kneser-Ney — the published CommonCrawl
-    filters score with a KenLM **5-gram**; this is that model order,
-    same single-discount smoothing and micro-nat protocol as the
-    trigram form. Documents with fewer than n tokens are excluded.
+) -> dict:
+    """Train the order-n KN count tables ONCE and reuse them across
+    scoring runs — the (corpus, n)-keyed analogue of `kn_model` for the
+    general-order form. Returns {"n", "top", "ctx_top", "types",
+    "ctxs", "totals"}; `kn_ngram_logprob(docs, n, model=...)` consumes
+    it without re-deriving anything.
 
-    The recursion derives every lower order from the top-order TYPE
-    table exactly as the trigram implementation does: T_k = the
-    distinct k-token suffixes of T_{k+1} with continuation count
-    N_k = |distinct left extensions|, context tables group T_k by its
-    (k-1)-token prefix (denom_k = sum N_k, tdist_k = |{w}|), down to
-    the uniform 1/V base. The expression shapes are token-identical to
-    `kn_trigram_logprob`'s at every level, so **kn_ngram_logprob(docs,
-    3) is bit-equal to kn_trigram_logprob(docs)** — pinned in tests as
-    a two-implementation cross-check."""
+    materialize checkpoints ONLY the top-order type table (via
+    session.truncate_lineage): it feeds the whole level-table cascade
+    plus the scoring join, and it is the one table whose recompute
+    re-runs the corpus explode+count. The occurrence stream is NOT
+    checkpointed — under per-type scoring it has exactly two consumers
+    (the top count and the final score join), both narrow re-reads of
+    the scan, and checkpointing an n-x-corpus string stream costs more
+    than scanning the corpus twice (measured at sf0.1; the same
+    trade-off holds harder at 100 TB). The level tables stay pure
+    aggregates on purpose: checkpointing them replaces
+    statistics-bearing plans with LogicalRDD scans AQE cannot size,
+    silently demoting their broadcast joins to sort-merge (measured 2x
+    slower at sf0.1), while exchange reuse already dedupes their
+    derivation."""
     if not 2 <= n <= 8:
         raise ValueError(f"n must be in [2, 8], got {n}")
-    if not 0.0 < discount < 1.0:
-        raise ValueError(f"discount must be in (0, 1), got {discount}")
-    d = float(discount)
+
+    def trunc(df: DataFrame) -> DataFrame:
+        if not materialize:
+            return df
+        from spdb_spark.session import truncate_lineage
+
+        return truncate_lineage(df, eager=False)
 
     toks = docs.select(
         F.col(id_col), tokens(F.col(text_col)).alias("_t")
@@ -216,23 +225,12 @@ def kn_ngram_logprob(
     grams = toks.select(
         id_col, F.explode(word_ngrams(F.col("_t"), n)).alias("g")
     )
-    if materialize:
-        from spdb_spark.session import truncate_lineage
-
-        grams = truncate_lineage(grams, eager=False)
-
-    top = grams.groupBy("g").agg(F.count("*").alias("cn"))
-    if materialize:
-        from spdb_spark.session import truncate_lineage
-
-        top = truncate_lineage(top, eager=False)
-    ctx_top = top.select(
-        _prefix(F.col("g"), n - 1).alias("p"), "cn"
-    ).groupBy("p").agg(
-        F.sum("cn").alias("ctxsum"), F.count("*").alias("tdistn")
+    top = trunc(grams.groupBy("g").agg(F.count("*").alias("cn")))
+    ctx_top = (
+        top.select(_prefix(F.col("g"), n - 1).alias("p"), "cn")
+        .groupBy("p")
+        .agg(F.sum("cn").alias("ctxsum"), F.count("*").alias("tdistn"))
     )
-
-    # suffix type tables T_{n-1} .. T_1 (continuation counts)
     types: dict[int, DataFrame] = {}
     prev, prev_key = top, "g"
     for k in range(n - 1, 0, -1):
@@ -243,7 +241,6 @@ def kn_ngram_logprob(
         )
         types[k] = tk
         prev, prev_key = tk, f"s{k}"
-    # context tables for mid orders k = n-1 .. 2
     ctxs: dict[int, DataFrame] = {}
     for k in range(n - 1, 1, -1):
         ctxs[k] = (
@@ -264,13 +261,86 @@ def kn_ngram_logprob(
             )
         )
     )
+    return {
+        "n": n,
+        "top": top,
+        "ctx_top": ctx_top,
+        "types": types,
+        "ctxs": ctxs,
+        "totals": totals,
+        # the tokenized gram stream is not part of the frozen model
+        # proper, but self-scoring reuses it (one corpus explode, not
+        # two) — callers scoring OTHER corpora ignore it
+        "_grams": grams,
+    }
 
-    scored = grams.withColumn("p", _prefix(F.col("g"), n - 1))
+
+def kn_ngram_logprob(
+    docs: DataFrame,
+    n: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    discount: float = DISCOUNT,
+    materialize: bool = True,
+    model: dict | None = None,
+) -> DataFrame:
+    """Order-n interpolated Kneser-Ney — the published CommonCrawl
+    filters score with a KenLM **5-gram**; this is that model order,
+    same single-discount smoothing and micro-nat protocol as the
+    trigram form. Documents with fewer than n tokens are excluded.
+
+    The recursion derives every lower order from the top-order TYPE
+    table exactly as the trigram implementation does: T_k = the
+    distinct k-token suffixes of T_{k+1} with continuation count
+    N_k = |distinct left extensions|, context tables group T_k by its
+    (k-1)-token prefix (denom_k = sum N_k, tdist_k = |{w}|), down to
+    the uniform 1/V base. The expression shapes are token-identical to
+    `kn_trigram_logprob`'s at every level, so **kn_ngram_logprob(docs,
+    3) is bit-equal to kn_trigram_logprob(docs)** — pinned in tests as
+    a two-implementation cross-check.
+
+    `model` accepts a prebuilt `kn_ngram_model(docs, n)` so repeated
+    scoring runs share one set of count tables; without it the model
+    is trained here (self-scoring, every join hits)."""
+    if not 2 <= n <= 8:
+        raise ValueError(f"n must be in [2, 8], got {n}")
+    if not 0.0 < discount < 1.0:
+        raise ValueError(f"discount must be in (0, 1), got {discount}")
+    d = float(discount)
+
+    if model is None:
+        model = kn_ngram_model(docs, n, text_col, id_col, materialize)
+        grams = model["_grams"]
+    else:
+        if model.get("n") != n:
+            raise ValueError(
+                f"model order {model.get('n')} != requested n {n}"
+            )
+        toks = docs.select(
+            F.col(id_col), tokens(F.col(text_col)).alias("_t")
+        ).where(F.size("_t") >= n)
+        # no checkpoint: the stream has ONE consumer here (the score
+        # join) — see kn_ngram_model's materialize note
+        grams = toks.select(
+            id_col, F.explode(word_ngrams(F.col("_t"), n)).alias("g")
+        )
+    top, ctx_top = model["top"], model["ctx_top"]
+    types, ctxs, totals = model["types"], model["ctxs"], model["totals"]
+
+    # Score each distinct n-gram TYPE once, then join the per-type
+    # score onto the occurrence stream by g. lp_q is a pure function
+    # of the type's count-table row, so per-type and per-occurrence
+    # evaluation are value-identical — but the 2n-1 count-table joins
+    # now act on the TYPE table (sublinear in corpus), and the corpus-
+    # sized occurrence stream shuffles exactly once (the g join)
+    # before the per-doc aggregate. At 100 TB this is the difference
+    # between nine corpus shuffles and one.
+    scored = top.withColumn("p", _prefix(F.col("g"), n - 1))
     for k in range(1, n):
         scored = scored.withColumn(f"s{k}", _suffix(F.col("g"), k))
     for k in range(2, n):
         scored = scored.withColumn(f"m{k}", _prefix(F.col(f"s{k}"), k - 1))
-    scored = scored.join(top, "g").join(ctx_top, "p")
+    scored = scored.join(ctx_top, "p")
     for k in range(1, n):
         scored = scored.join(types[k], f"s{k}")
     for k in range(2, n):
@@ -292,9 +362,10 @@ def kn_ngram_logprob(
         + F.lit(d) * F.col("tdistn") / F.col("ctxsum") * p
     )
     lp_q = F.floor(F.log(p) * 1e6).cast("long")
+    type_lp = scored.select("g", lp_q.alias("_lpq"))
 
     return (
-        scored.select(id_col, lp_q.alias("_lpq"))
+        grams.join(type_lp, "g")
         .groupBy(id_col)
         .agg(
             (
