@@ -27,6 +27,7 @@ from spdb_spark.suite_llm import QUERIES as LLM
 from spdb_spark.suite_llm import STAGED_R7 as LLM_R7
 from spdb_spark.suite_llm import STAGED_R10_LLM as LLM_R10
 from spdb_spark.suite_llm import STAGED_R11_LLM as LLM_R11
+from spdb_spark.suite_llm import STAGED_R12_LLM as LLM_R12
 from spdb_spark.suite_relational import QUERIES as RELATIONAL
 from spdb_spark.suite_spatial import QUERIES as SPATIAL
 
@@ -55,8 +56,10 @@ _BASE.update(LLM_R10)
 # oracle as the full build (append==rebuild proven by the driver compare).
 _BASE.update(LLM_R11)
 # Round-12 registration (append-only): the real outbound-link host
-# graph — edge extraction and the rank-prior crawl composition.
+# graph — edge extraction and the rank-prior crawl composition — and
+# the unigram-LM subword tokenizer.
 _BASE.update(CRAWL_R12)
+_BASE.update(LLM_R12)
 
 
 def _last_checked_round() -> dict[str, int]:

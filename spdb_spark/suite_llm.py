@@ -4248,3 +4248,168 @@ STAGED_R11_LLM: dict = {
     "llm_kn5_logprob": (q_kn5_logprob, SQL_KN5),
     "llm_harmonic_centrality": (q_harmonic_centrality, SQL_HARMONIC),
 }
+
+
+# ---------------------------------------------------------------------------
+# Round 12: unigram-LM subword tokenizer (functions/unigram.py). The
+# gate fixture builds three words per doc from closed-form substrings
+# of repeating-alphabet templates (heavy shared substructure, so the
+# substring vocabulary is discriminative), trains the seed vocabulary
+# (integer micro-nat scores) on that word stream, and Viterbi-encodes
+# every doc. The oracle replays the ENTIRE path in SQL: substring
+# counts -> kept vocab -> logp_q -> a 6-position unrolled DP with the
+# exact (score DESC, n_pieces ASC, seg ASC) tie order of
+# unigram._viterbi. EM refinement is float forward-backward (not SQL-
+# replayable) and is pinned in tests/test_unigram.py instead:
+# likelihood monotonicity, byte-identical re-runs, train/apply
+# round-trip.
+# ---------------------------------------------------------------------------
+
+_UNI_T1 = "abcdeabcdeab"
+_UNI_T2 = "aabbccddee"
+_UNI_L = 3  # max piece length
+_UNI_TOP = 12  # kept multi-char pieces
+_UNI_MAXW = 6  # longest fixture word -> DP unroll depth
+
+
+def _unigram_fixture_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    return d.select(
+        "doc_id",
+        F.expr(
+            f"substr('{_UNI_T1}', cast(doc_id % 5 as int) + 1,"
+            " 4 + cast(doc_id % 3 as int))"
+        ).alias("w1"),
+        F.expr(
+            f"substr('{_UNI_T2}', cast(doc_id % 4 as int) + 1,"
+            " 3 + cast(doc_id % 4 as int))"
+        ).alias("w2"),
+        F.expr(
+            f"substr('{_UNI_T1}', cast(doc_id % 7 as int) + 1, 5)"
+        ).alias("w3"),
+    )
+
+
+def q_unigram_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spdb_spark.functions.unigram import (
+        unigram_seed_vocab,
+        unigram_tokenize,
+        word_freqs,
+    )
+
+    w = _unigram_fixture_words(spark, sf_dir)
+    docs = w.select(
+        "doc_id", F.concat_ws(" ", "w1", "w2", "w3").alias("text")
+    )
+    vocab = unigram_seed_vocab(
+        word_freqs(docs), max_piece_len=_UNI_L, keep_top=_UNI_TOP
+    )
+    out = unigram_tokenize(docs, "doc_id", "text", vocab, _UNI_L)
+    return out.select(
+        "doc_id", F.array_join("pieces", " ").alias("pieces"), "n_pieces"
+    )
+
+
+def _sql_unigram_tokenize() -> str:
+    fixture = (
+        f"SELECT doc_id,\n"
+        f"  substr('{_UNI_T1}', (doc_id % 5)::INT + 1,"
+        f" 4 + (doc_id % 3)::INT) AS w1,\n"
+        f"  substr('{_UNI_T2}', (doc_id % 4)::INT + 1,"
+        f" 3 + (doc_id % 4)::INT) AS w2,\n"
+        f"  substr('{_UNI_T1}', (doc_id % 7)::INT + 1, 5) AS w3\n"
+        f"FROM documents"
+    )
+    dps = []
+    for j in range(1, _UNI_MAXW + 1):
+        cands = []
+        for l in range(1, min(_UNI_L, j) + 1):
+            piece = f"substr(p.word, {j - l + 1}, {l})"
+            if l == 1:
+                cands.append(
+                    f"SELECT p.word, p.score + coalesce(v.lq,"
+                    f" -30000000) AS score, p.np + 1 AS np,\n"
+                    f"    (CASE WHEN p.seg = '' THEN '' ELSE p.seg ||"
+                    f" ' ' END) || {piece} AS seg\n"
+                    f"  FROM dp{j - l} p LEFT JOIN vocab v"
+                    f" ON v.piece = {piece}\n"
+                    f"  WHERE length(p.word) >= {j}"
+                )
+            else:
+                cands.append(
+                    f"SELECT p.word, p.score + v.lq AS score,"
+                    f" p.np + 1 AS np,\n"
+                    f"    (CASE WHEN p.seg = '' THEN '' ELSE p.seg ||"
+                    f" ' ' END) || {piece} AS seg\n"
+                    f"  FROM dp{j - l} p JOIN vocab v"
+                    f" ON v.piece = {piece}\n"
+                    f"  WHERE length(p.word) >= {j}"
+                )
+        union = "\n  UNION ALL\n".join(cands)
+        dps.append(
+            f"dp{j} AS (\n"
+            f"  SELECT word, score, np, seg FROM (\n"
+            f"    SELECT c.*, row_number() OVER (PARTITION BY word\n"
+            f"      ORDER BY score DESC, np, seg) AS rk\n"
+            f"    FROM (\n{union}\n    ) c\n"
+            f"  ) WHERE rk = 1\n)"
+        )
+    dp_sql = ",\n".join(dps)
+    fins = "\n  UNION ALL ".join(
+        f"SELECT word, np, seg FROM dp{j} WHERE length(word) = {j}"
+        for j in range(1, _UNI_MAXW + 1)
+    )
+    return f"""
+WITH d AS ({fixture}),
+wf AS (
+  SELECT word, COUNT(*)::BIGINT AS freq FROM (
+    SELECT w1 AS word FROM d
+    UNION ALL SELECT w2 FROM d
+    UNION ALL SELECT w3 FROM d
+  ) GROUP BY word
+),
+subs AS (
+  SELECT substr(word, i.i::INT, l.l::INT) AS piece, freq
+  FROM wf, range(1, {_UNI_MAXW + 1}) i(i), range(1, {_UNI_L + 1}) l(l)
+  WHERE i.i <= length(word)
+    AND l.l <= least({_UNI_L}, length(word) - i.i + 1)
+),
+cnts AS (SELECT piece, SUM(freq) AS cnt FROM subs GROUP BY piece),
+keep AS (
+  SELECT piece, cnt FROM cnts WHERE length(piece) = 1
+  UNION ALL
+  SELECT piece, cnt FROM (
+    SELECT piece, cnt,
+           row_number() OVER (ORDER BY cnt DESC, piece) AS rk
+    FROM cnts WHERE length(piece) > 1
+  ) WHERE rk <= {_UNI_TOP}
+),
+tot AS (SELECT SUM(cnt) AS t FROM keep),
+vocab AS (
+  SELECT piece,
+         CAST(FLOOR(ln(cnt::DOUBLE / (SELECT t FROM tot)) * 1000000)
+              AS BIGINT) AS lq
+  FROM keep
+),
+words AS (SELECT DISTINCT word FROM wf),
+dp0 AS (SELECT word, 0::BIGINT AS score, 0 AS np, '' AS seg FROM words),
+{dp_sql},
+fin AS (
+  {fins}
+)
+SELECT d.doc_id,
+       f1.seg || ' ' || f2.seg || ' ' || f3.seg AS pieces,
+       (f1.np + f2.np + f3.np)::INT AS n_pieces
+FROM d
+JOIN fin f1 ON f1.word = d.w1
+JOIN fin f2 ON f2.word = d.w2
+JOIN fin f3 ON f3.word = d.w3
+"""
+
+
+SQL_UNIGRAM_TOKENIZE = _sql_unigram_tokenize()
+
+
+STAGED_R12_LLM: dict = {
+    "llm_unigram_tokenize": (q_unigram_tokenize, SQL_UNIGRAM_TOKENIZE),
+}

@@ -8,7 +8,10 @@ import pandas as pd
 import pytest
 
 from spdb_spark.suite_crawl import STAGED_R12
+from spdb_spark.suite_llm import STAGED_R12_LLM
 from tests.conftest import SF_DIR
+
+ALL_R12 = {**STAGED_R12, **STAGED_R12_LLM}
 
 TABLES = (
     "region nation customer supplier part orders lineitem events "
@@ -28,9 +31,9 @@ def _canon(df: pd.DataFrame) -> pd.DataFrame:
     return df.sort_values(sorted(df.columns)).reset_index(drop=True)
 
 
-@pytest.mark.parametrize("name", list(STAGED_R12))
+@pytest.mark.parametrize("name", list(ALL_R12))
 def test_r12_gate_exact(spark, name):
-    fn, sql = STAGED_R12[name]
+    fn, sql = ALL_R12[name]
     got = _canon(fn(spark, SF_DIR).toPandas())
     want = _canon(_oracle(sql))
     assert list(got.columns) == list(want.columns), name
@@ -52,13 +55,13 @@ def test_r12_registration_landed():
     them inside the driver's next 50-query window."""
     import spdb_spark.suite as suite
 
-    for name, (fn, sql) in STAGED_R12.items():
+    for name, (fn, sql) in ALL_R12.items():
         assert suite._BASE.get(name) == (fn, sql), f"not registered: {name}"
         assert callable(fn) and isinstance(sql, str) and sql.strip()
 
     last = suite._last_checked_round()
     window = list(suite.REGISTRY)[:50]
-    for name in STAGED_R12:
+    for name in ALL_R12:
         if last.get(name, 0) == 0:
             assert name in window, f"{name} missed the next rotation window"
 
