@@ -4413,3 +4413,121 @@ SQL_UNIGRAM_TOKENIZE = _sql_unigram_tokenize()
 STAGED_R12_LLM: dict = {
     "llm_unigram_tokenize": (q_unigram_tokenize, SQL_UNIGRAM_TOKENIZE),
 }
+
+
+# ---------------------------------------------------------------------------
+# Round 12: streaming graph maintenance (streaming/graph.py). The same
+# md5-derived citation edges as llm_host_pagerank / llm_harmonic_
+# centrality arrive in three micro-batches through a real readStream;
+# the sink accumulates per-batch weighted edge slices (sum-monoid +
+# ledger exactly-once, the count-min posture) and the rank reads
+# recompute the integer-protocol algorithms over the accumulated
+# graph. Each stream gate registers the SAME oracle as its batch twin,
+# so the driver comparison IS the stream==batch proof for any arrival
+# order.
+# ---------------------------------------------------------------------------
+
+
+def _pr_edges_with_row_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The llm_host_pagerank fixture edge multiset, with (doc_id, i)
+    retained so the stream gates can split rows into batches
+    deterministically."""
+    from spdb_spark.functions.hashing import md5_long
+
+    docs = _docs(spark, sf_dir).select("doc_id", "source")
+    n = docs.agg(F.count("*").alias("_nd"))
+    targets = [
+        (
+            md5_long(
+                F.concat_ws(
+                    ":", F.col("doc_id").cast("string"), F.lit(str(i))
+                )
+            )
+            % F.col("_nd")
+        ).alias(f"t{i}")
+        for i in range(_PR_LINKS)
+    ]
+    links = docs.crossJoin(F.broadcast(n)).select(
+        "doc_id",
+        "source",
+        F.posexplode(F.array(*targets)).alias("i", "target_doc"),
+    )
+    return links.join(
+        docs.select(
+            F.col("doc_id").alias("target_doc"), F.col("source").alias("dst")
+        ),
+        "target_doc",
+    ).select("doc_id", "i", F.col("source").alias("src"), "dst")
+
+
+def _run_graph_stream(spark: SparkSession, sf_dir: str):
+    """Feed the fixture edges through StreamingHostGraph in three
+    hash-split micro-batches; yields the live sink (caller reads ranks
+    before the temp state is removed)."""
+    import os
+    import shutil
+    import tempfile
+
+    from spdb_spark.streaming.graph import StreamingHostGraph
+
+    edges = _pr_edges_with_row_ids(spark, sf_dir)
+    tmp = tempfile.mkdtemp(prefix="graphstream-")
+    q = None
+    try:
+        src = os.path.join(tmp, "src")
+        os.makedirs(src)
+        for b in range(3):
+            edges.where(
+                F.crc32(
+                    F.concat_ws(":", F.col("doc_id").cast("string"), "i")
+                )
+                % 3
+                == b
+            ).select("src", "dst").coalesce(1).write.parquet(
+                os.path.join(src, f"p{b}")
+            )
+        sink = StreamingHostGraph(spark, os.path.join(tmp, "state"))
+        stream = (
+            spark.readStream.schema("src string, dst string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(os.path.join(src, "*"))
+        )
+        q = sink.start(stream, os.path.join(tmp, "ckpt"), availableNow=True)
+        if not q.awaitTermination(600):
+            raise TimeoutError("graph stream did not finish in 600s")
+        yield sink
+    finally:
+        if q is not None:
+            q.stop()
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def q_host_pagerank_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming edge accumulation -> exact T-iteration PageRank ==
+    the batch gate's oracle (SQL_HOST_PAGERANK), bit-for-bit."""
+    for sink in _run_graph_stream(spark, sf_dir):
+        res = sink.pagerank_ranks(_PR_ITERS).select(
+            F.col("node").alias("host"), "rank_q"
+        )
+        rows, schema = res.collect(), res.schema
+    return spark.createDataFrame(rows, schema)
+
+
+def q_harmonic_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming edge accumulation -> HyperBall harmonic centrality ==
+    the batch gate's oracle (SQL_HARMONIC): the register algebra is a
+    max-monoid over the accumulated DISTINCT edges, so multiplicity
+    and arrival order are irrelevant by construction."""
+    for sink in _run_graph_stream(spark, sf_dir):
+        res = sink.harmonic_ranks(p=4, iterations=_PR_ITERS).select(
+            F.col("node").alias("host"), "reach", "harmonic"
+        )
+        rows, schema = res.collect(), res.schema
+    return spark.createDataFrame(rows, schema)
+
+
+STAGED_R12_LLM["llm_host_pagerank_stream"] = (
+    q_host_pagerank_stream,
+    SQL_HOST_PAGERANK,
+)
+STAGED_R12_LLM["llm_harmonic_stream"] = (q_harmonic_stream, SQL_HARMONIC)
