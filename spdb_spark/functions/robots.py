@@ -1,0 +1,329 @@
+"""robots.txt exclusion (RFC 9309, the Robots Exclusion Protocol) —
+the curation stage every responsible crawl pipeline runs before a URL's
+content enters a corpus: parse each host's robots.txt into per-agent
+rule groups, then keep only documents whose URL path the selected
+group allows.
+
+Semantics implemented (RFC 9309 core):
+- lines are `key: value` with `#` comments stripped; unknown keys
+  (crawl-delay, sitemap, ...) are ignored for matching;
+- consecutive `User-agent:` lines form ONE group header; the
+  allow/disallow rules that follow bind to every agent in the group;
+  rules before any user-agent line bind to nothing;
+- group selection per host: the group naming the product token
+  (case-insensitive exact match) if any, else the `*` group, else
+  everything is allowed. (RFC longest-token prefix selection is
+  simplified to exact-or-star — the common real-world shape;
+  documented divergence.)
+- path patterns support `*` (any octet sequence) and a trailing `$`
+  end anchor; an EMPTY pattern matches nothing (so `Disallow:` on its
+  own line allows everything, per the RFC example);
+- precedence per URL: the longest pattern (octet length) wins; on a
+  tie, allow wins; no matching rule means allowed.
+
+Spark-first shape: parsing is posexplode(lines) + ONE window over
+(host, line order) to assign group ids — robots files are small, and
+there is one per HOST, so the parse table is host-count-sized, never
+corpus-sized. Matching broadcast-joins the (host-sized) rule table
+onto the corpus keyed by host and evaluates the pattern as a per-row
+regex (patterns compile from the rule value by pure string ops);
+precedence is one max(struct(len, is_allow)) aggregate per doc. Every
+step has a DuckDB SQL twin, so the driver gate replays parse + match
+exactly.
+
+Reference-capability analogue: none (jhuapl-boss/spdb is voxel-only);
+north-star crawl-curation surface (SURVEY.md) beside functions/url.py
+and functions/domains.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def robots_rules(
+    robots: DataFrame,
+    host_col: str = "host",
+    text_col: str = "robots_txt",
+) -> DataFrame:
+    """(host, robots_txt) -> (host, grp, agent, rule_type, pattern,
+    pattern_len): one row per (agent, rule) pair, grp numbering the
+    user-agent groups per host in file order. Rules preceding any
+    user-agent line are dropped (grp 0 has no agents)."""
+    from pyspark.sql import Window
+
+    lines = robots.select(
+        F.col(host_col).alias("host"),
+        F.posexplode(
+            F.split(F.col(text_col), r"\r?\n")
+        ).alias("line_no", "raw"),
+    )
+    cleaned = lines.select(
+        "host",
+        "line_no",
+        F.trim(F.regexp_replace(F.col("raw"), r"#.*$", "")).alias("line"),
+    ).where(F.col("line") != "")
+    kv = cleaned.select(
+        "host",
+        "line_no",
+        F.lower(
+            F.regexp_extract(F.col("line"), r"^([A-Za-z-]+)\s*:", 1)
+        ).alias("key"),
+        F.trim(
+            F.regexp_extract(F.col("line"), r"^[A-Za-z-]+\s*:\s*(.*)$", 1)
+        ).alias("value"),
+    ).where(F.col("key").isin("user-agent", "allow", "disallow"))
+
+    w = Window.partitionBy("host").orderBy("line_no")
+    grouped = kv.withColumn(
+        "_starts",
+        (
+            (F.col("key") == "user-agent")
+            & (F.coalesce(F.lag("key").over(w), F.lit("")) != "user-agent")
+        ).cast("int"),
+    ).withColumn("grp", F.sum("_starts").over(w))
+
+    agents = (
+        grouped.where(F.col("key") == "user-agent")
+        .select("host", "grp", F.lower(F.col("value")).alias("agent"))
+        .distinct()
+    )
+    rules = grouped.where(
+        (F.col("key") != "user-agent") & (F.col("grp") > 0)
+    ).select(
+        "host",
+        "grp",
+        F.col("key").alias("rule_type"),
+        F.col("value").alias("pattern"),
+        F.length("value").alias("pattern_len"),
+    )
+    return agents.join(rules, ["host", "grp"]).select(
+        "host", "grp", "agent", "rule_type", "pattern", "pattern_len"
+    )
+
+
+def _pattern_regex(pattern: Column) -> Column:
+    """robots path pattern -> anchored Java/RE2 regex (shared by the
+    SQL twin): escape regex metachars, `*` -> `.*`, trailing `$` stays
+    an anchor, prefix semantics otherwise."""
+    anchored = pattern.endswith("$")
+    body = F.when(
+        anchored, F.substring(pattern, 1, F.length(pattern) - 1)
+    ).otherwise(pattern)
+    esc = F.regexp_replace(body, r"([.^$+?(){}\[\]|\\])", r"\\$1")
+    wild = F.replace(esc, F.lit("*"), F.lit(".*"))
+    return F.concat(
+        F.lit("^"), wild, F.when(anchored, F.lit("$")).otherwise(F.lit(""))
+    )
+
+
+def url_path(url: Column) -> Column:
+    """Path + query of a URL ('/' when absent) — the string robots
+    patterns match against."""
+    p = F.regexp_extract(url, r"^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*(.*)$", 1)
+    return F.when(p == "", F.lit("/")).otherwise(p)
+
+
+def robots_filter(
+    docs: DataFrame,
+    robots: DataFrame,
+    agent: str,
+    url_col: str = "source",
+    host_col: str = "host",
+    text_col: str = "robots_txt",
+    keep_verdict: bool = False,
+) -> DataFrame:
+    """Drop documents whose URL the host's robots.txt disallows for
+    `agent`. `robots` is (host, robots_txt) — host-count-sized, so the
+    rule join broadcasts; the corpus never shuffles. keep_verdict=True
+    returns ALL docs with an `allowed` boolean instead of filtering."""
+    from spdb_spark.functions.url import url_host
+
+    rules = robots_rules(robots, host_col, text_col)
+    me = agent.lower()
+    # group selection: exact agent group if the host has one, else '*'
+    cand = rules.where(F.col("agent").isin(me, "*"))
+    pick = (
+        cand.select("host", "agent", "grp")
+        .distinct()
+        .groupBy("host")
+        .agg(
+            F.min(F.when(F.col("agent") == me, F.col("grp"))).alias("_g_me"),
+            F.min(F.when(F.col("agent") == "*", F.col("grp"))).alias("_g_any"),
+        )
+        .select(
+            "host", F.coalesce("_g_me", "_g_any").alias("grp")
+        )
+    )
+    active = (
+        cand.join(pick, ["host", "grp"])
+        .where(F.col("pattern") != "")
+        .select(
+            "host",
+            "rule_type",
+            "pattern_len",
+            _pattern_regex(F.col("pattern")).alias("rx"),
+        )
+    )
+    d = docs.withColumn("_rb_host", url_host(F.col(url_col))).withColumn(
+        "_rb_path", url_path(F.col(url_col))
+    )
+    id_cols = docs.columns
+    matched = (
+        d.join(
+            F.broadcast(active),
+            (d["_rb_host"] == active["host"])
+            & F.expr("rlike(_rb_path, rx)"),
+            "left",
+        )
+        .groupBy(*[d[c] for c in id_cols])
+        .agg(
+            # guard the struct behind the join hit: an unmatched doc's
+            # struct(NULL, NULL) is NOT null and would win max()
+            F.max(
+                F.when(
+                    F.col("rule_type").isNotNull(),
+                    F.struct(
+                        F.col("pattern_len"),
+                        (F.col("rule_type") == "allow")
+                        .cast("int")
+                        .alias("_a"),
+                    ),
+                )
+            ).alias("_top")
+        )
+        .select(
+            *id_cols,
+            (
+                F.col("_top").isNull() | (F.col("_top._a") == 1)
+            ).alias("allowed"),
+        )
+    )
+    if keep_verdict:
+        return matched
+    return matched.where(F.col("allowed")).drop("allowed")
+
+
+# ---------------------------------------------------------------------------
+# DuckDB twins: the same parse + match over a (host, robots_txt) CTE.
+# ---------------------------------------------------------------------------
+
+
+def robots_rules_sql(robots_cte: str) -> str:
+    """SELECT host, grp, agent, rule_type, pattern, pattern_len —
+    exactly robots_rules() over `robots_cte`(host, robots_txt)."""
+    return f"""(
+WITH rb_split AS (
+  SELECT host, string_split_regex(robots_txt, '\\r?\\n') AS ls
+  FROM {robots_cte}
+),
+rb_lines AS (
+  SELECT host, u.i - 1 AS line_no,
+         trim(regexp_replace(ls[u.i::INT], '#.*$', '', 'g')) AS line
+  FROM rb_split, unnest(range(1, len(ls) + 1)) AS u(i)
+),
+rb_kv AS (
+  SELECT host, line_no,
+         lower(regexp_extract(line, '^([A-Za-z-]+)\\s*:', 1)) AS key,
+         trim(regexp_extract(line, '^[A-Za-z-]+\\s*:\\s*(.*)$', 1)) AS value
+  FROM rb_lines
+  WHERE line <> ''
+    AND lower(regexp_extract(line, '^([A-Za-z-]+)\\s*:', 1))
+        IN ('user-agent', 'allow', 'disallow')
+),
+rb_starts AS (
+  SELECT host, line_no, key, value,
+         CASE WHEN key = 'user-agent' AND
+              coalesce(lag(key) OVER (PARTITION BY host
+                                      ORDER BY line_no), '')
+              <> 'user-agent' THEN 1 ELSE 0 END AS starts
+  FROM rb_kv
+),
+rb_grp AS (
+  SELECT host, line_no, key, value,
+         SUM(starts) OVER (PARTITION BY host ORDER BY line_no) AS grp
+  FROM rb_starts
+),
+rb_agents AS (
+  SELECT DISTINCT host, grp, lower(value) AS agent
+  FROM rb_grp WHERE key = 'user-agent'
+),
+rb_rules AS (
+  SELECT host, grp, key AS rule_type, value AS pattern,
+         length(value) AS pattern_len
+  FROM rb_grp WHERE key <> 'user-agent' AND grp > 0
+)
+SELECT a.host, a.grp, a.agent, r.rule_type, r.pattern, r.pattern_len
+FROM rb_agents a JOIN rb_rules r USING (host, grp)
+)"""
+
+
+def robots_filter_sql(
+    docs_cte: str,
+    robots_cte: str,
+    agent: str,
+    url_expr: str = "source",
+    id_expr: str = "doc_id",
+) -> str:
+    """SELECT <docs_cte>.*, allowed — exactly robots_filter(...,
+    keep_verdict=True). `docs_cte` must expose the URL as `url_expr`
+    and a row-unique `id_expr` (the per-doc precedence partition)."""
+    from spdb_spark.functions.url import url_host_sql
+
+    me = agent.lower().replace("'", "''")
+    rx = (
+        "'^' || replace(regexp_replace("
+        "CASE WHEN pattern LIKE '%$' THEN substr(pattern, 1,"
+        " length(pattern) - 1) ELSE pattern END,"
+        " '([.^$+?(){}\\[\\]|\\\\])', '\\\\\\1', 'g'),"
+        " '*', '.*')"
+        " || CASE WHEN pattern LIKE '%$' THEN '$' ELSE '' END"
+    )
+    path = (
+        f"(CASE WHEN regexp_extract({url_expr},"
+        f" '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*(.*)$', 1) = ''"
+        f" THEN '/' ELSE regexp_extract({url_expr},"
+        f" '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*(.*)$', 1) END)"
+    )
+    return f"""(
+WITH rb_all AS (
+  SELECT * FROM {robots_rules_sql(robots_cte)}
+),
+rb_cand AS (
+  SELECT * FROM rb_all WHERE agent IN ('{me}', '*')
+),
+rb_pick AS (
+  SELECT host,
+         coalesce(min(CASE WHEN agent = '{me}' THEN grp END),
+                  min(CASE WHEN agent = '*' THEN grp END)) AS grp
+  FROM (SELECT DISTINCT host, agent, grp FROM rb_cand)
+  GROUP BY host
+),
+rb_active AS (
+  SELECT c.host, c.rule_type, c.pattern_len, {rx} AS rx
+  FROM rb_cand c JOIN rb_pick p ON c.host = p.host AND c.grp = p.grp
+  WHERE c.pattern <> ''
+),
+rb_docs AS (
+  SELECT d.*, {url_host_sql(url_expr)} AS _rb_host, {path} AS _rb_path
+  FROM {docs_cte} d
+),
+rb_matched AS (
+  SELECT d.*, a.rule_type, a.pattern_len
+  FROM rb_docs d LEFT JOIN rb_active a
+    ON d._rb_host = a.host AND regexp_matches(d._rb_path, a.rx)
+),
+rb_top AS (
+  SELECT * EXCLUDE (rule_type, pattern_len, _rn) FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY {id_expr}
+      ORDER BY pattern_len DESC NULLS LAST,
+               (rule_type = 'allow') DESC
+    ) AS _rn,
+    (pattern_len IS NULL OR rule_type = 'allow') AS allowed
+    FROM rb_matched
+  ) WHERE _rn = 1
+)
+SELECT * EXCLUDE (_rb_host, _rb_path) FROM rb_top
+)"""

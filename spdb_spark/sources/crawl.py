@@ -42,6 +42,8 @@ def crawl_to_corpus(
     rank_iterations: int = 5,
     min_host_rank_q: int | None = None,
     suffix_rules: DataFrame | None = None,
+    robots: DataFrame | None = None,
+    robots_agent: str = "*",
 ) -> DataFrame:
     """WARC record rows (sources/warc.ingest_warc) -> curated documents.
 
@@ -87,13 +89,28 @@ def crawl_to_corpus(
     raw responses (pre-quality, pre-dedup: link structure is evidence
     even when a page's text is dropped), so the rank join is the only
     coupling to the curation chain — a broadcast of the graph-sized
-    (domain, rank) map onto the corpus."""
+    (domain, rank) map onto the corpus.
+
+    `robots` (a host-keyed (host, robots_txt) DataFrame) applies
+    RFC 9309 exclusion for `robots_agent` (functions/robots.py) before
+    any content-derived stage: disallowed pages never reach quality
+    scoring, dedup survivor choice, or DSIR — but their outbound links
+    still feed the rank-prior graph (link structure is crawl evidence;
+    content is not corpus material)."""
     from spdb_spark.functions.quality import gopher_filter
     from spdb_spark.sources.warc import warc_responses_to_docs
 
     docs = warc_responses_to_docs(
         warc, main_content=main_content, normalize_urls=normalize_urls
     )
+    if robots is not None:
+        # robots exclusion runs FIRST — a disallowed page's content
+        # must not influence dedup survivor choice or the rank prior's
+        # doc set (the graph still sees its links: link structure is
+        # crawl evidence, content is not corpus material)
+        from spdb_spark.functions.robots import robots_filter
+
+        docs = robots_filter(docs, robots, robots_agent, url_col="source")
     if quality:
         docs = docs.where(gopher_filter(F.col("text")))
     if materialize:

@@ -1000,3 +1000,102 @@ STAGED_R9: dict = {
     "llm_quality_classifier": (q_quality_classifier, SQL_QUALITY_CLASSIFIER),
     "llm_dup_span_removal": (q_dup_span_removal, SQL_DUP_SPAN_REMOVAL),
 }
+
+
+# ---------------------------------------------------------------------------
+# Round 12 (second batch): robots.txt exclusion (functions/robots.py).
+# 23 synthetic hosts carry closed-form robots files — agent groups
+# (specific + catch-all), allow-overrides, `*` wildcards, `$` anchors,
+# empty-disallow allow-all hosts, comments/blank lines — and six URL
+# path classes per doc make every rule kind discriminative. The oracle
+# replays parse (line split -> group window) and match (pattern ->
+# regex, longest-match, allow-wins-tie) exactly.
+# ---------------------------------------------------------------------------
+
+_RB_AGENT = "trainingbot"
+
+
+def _robots_fixture(spark: SparkSession, sf_dir: str):
+    d = F.col("doc_id")
+    k = (d % 23).cast("string")
+    k3 = ((d % 23) * 3 % 7).cast("string")
+    host = F.concat(F.lit("site"), k, F.lit(".example"))
+    path = (
+        F.when(d % 6 == 0, F.concat(F.lit("/sec"), k, F.lit("/page"), d.cast("string")))
+        .when(d % 6 == 1, F.concat(F.lit("/sec"), k, F.lit("/open/x")))
+        .when(d % 6 == 2, F.concat(F.lit("/d"), k, F.lit("file")))
+        .when(d % 6 == 3, F.concat(F.lit("/p"), k3))
+        .when(d % 6 == 4, F.concat(F.lit("/p"), k3, F.lit("x")))
+        .otherwise(F.lit("/welcome"))
+    )
+    docs = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.concat(F.lit("http://"), host, path).alias("source"),
+    )
+    hk = F.col("id").cast("string")
+    hk3 = (F.col("id") * 3 % 7).cast("string")
+    rb_full = F.concat(
+        F.lit("# synthetic\nUser-agent: "), F.lit(_RB_AGENT),
+        F.lit("\nDisallow: /sec"), hk,
+        F.lit("\nAllow: /sec"), hk, F.lit("/open"),
+        F.lit("\nDisallow: /d"), hk, F.lit("*"),
+        F.lit("\nDisallow: /p"), hk3, F.lit("$"),
+        F.lit("\n\nUser-agent: *\nDisallow: /\n"),
+    )
+    robots = spark.range(23).select(
+        F.concat(F.lit("site"), hk, F.lit(".example")).alias("host"),
+        F.when(F.col("id") % 4 == 0, F.lit("User-agent: *\nDisallow:\n"))
+        .otherwise(rb_full)
+        .alias("robots_txt"),
+    )
+    return docs, robots
+
+
+def q_robots_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spdb_spark.functions.robots import robots_filter
+
+    docs, robots = _robots_fixture(spark, sf_dir)
+    return robots_filter(docs, robots, _RB_AGENT, keep_verdict=True)
+
+
+def _sql_robots_filter() -> str:
+    from spdb_spark.functions.robots import robots_filter_sql
+
+    return f"""
+WITH d AS (
+  SELECT doc_id,
+         'http://site' || (doc_id % 23)::VARCHAR || '.example' ||
+         CASE doc_id % 6
+           WHEN 0 THEN '/sec' || (doc_id % 23)::VARCHAR || '/page'
+                       || doc_id::VARCHAR
+           WHEN 1 THEN '/sec' || (doc_id % 23)::VARCHAR || '/open/x'
+           WHEN 2 THEN '/d' || (doc_id % 23)::VARCHAR || 'file'
+           WHEN 3 THEN '/p' || ((doc_id % 23) * 3 % 7)::VARCHAR
+           WHEN 4 THEN '/p' || ((doc_id % 23) * 3 % 7)::VARCHAR || 'x'
+           ELSE '/welcome' END AS source
+  FROM documents
+),
+rb AS (
+  SELECT 'site' || i::VARCHAR || '.example' AS host,
+         CASE WHEN i % 4 = 0
+           THEN 'User-agent: *' || chr(10) || 'Disallow:' || chr(10)
+           ELSE '# synthetic' || chr(10)
+             || 'User-agent: {_RB_AGENT}' || chr(10)
+             || 'Disallow: /sec' || i::VARCHAR || chr(10)
+             || 'Allow: /sec' || i::VARCHAR || '/open' || chr(10)
+             || 'Disallow: /d' || i::VARCHAR || '*' || chr(10)
+             || 'Disallow: /p' || (i * 3 % 7)::VARCHAR || '$' || chr(10)
+             || chr(10) || 'User-agent: *' || chr(10) || 'Disallow: /'
+             || chr(10)
+         END AS robots_txt
+  FROM range(0, 23) t(i)
+)
+SELECT doc_id, source, allowed
+FROM {robots_filter_sql("d", "rb", _RB_AGENT)}
+"""
+
+
+SQL_ROBOTS_FILTER = _sql_robots_filter()
+
+
+STAGED_R12["llm_robots_filter"] = (q_robots_filter, SQL_ROBOTS_FILTER)

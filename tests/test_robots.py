@@ -1,0 +1,207 @@
+"""robots.txt exclusion (functions/robots.py): hand-pinned RFC 9309
+semantics (group formation, agent selection, wildcard/anchor patterns,
+longest-match precedence, allow-wins-tie, empty-disallow), DuckDB twin
+parity, and the plan shape (broadcast rule join, no corpus shuffle)."""
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from spdb_spark.functions.robots import (
+    robots_filter,
+    robots_filter_sql,
+    robots_rules,
+    robots_rules_sql,
+    url_path,
+)
+
+RB = """# test file
+User-agent: trainingbot
+Disallow: /private
+Allow: /private/ok
+Disallow: /tmp*
+Disallow: /exact$
+Crawl-delay: 5
+
+User-agent: otherbot
+User-agent: *
+Disallow: /
+Allow: /pub
+"""
+RB_ALLOW_ALL = "User-agent: *\nDisallow:\n"
+
+DOCS = [
+    (1, "http://a.example/private/x", False),    # prefix disallow
+    (2, "http://a.example/private/ok/page", True),  # longer allow wins
+    (3, "http://a.example/tmpfile", False),      # '*' wildcard
+    (4, "http://a.example/exact", False),        # '$' anchor hits
+    (5, "http://a.example/exactly", True),       # '$' anchor misses
+    (6, "http://a.example/open", True),          # no rule -> allowed
+    (7, "http://b.example/anything", True),      # empty Disallow: = all ok
+    (8, "http://c.example/norobots", True),      # host without robots
+    (9, "http://a.example", True),               # bare host -> path '/'
+]
+
+
+@pytest.fixture()
+def fixture(spark):
+    robots = spark.createDataFrame(
+        [("a.example", RB), ("b.example", RB_ALLOW_ALL)],
+        "host string, robots_txt string",
+    )
+    docs = spark.createDataFrame(
+        [(i, u) for i, u, _ in DOCS], "doc_id long, source string"
+    )
+    return docs, robots
+
+
+def test_rules_parse_groups(spark, fixture):
+    _, robots = fixture
+    rows = robots_rules(robots).collect()
+    # trainingbot group: 4 rules; otherbot+* share a group: 2 rules x 2
+    # agents; allow-all host: 1 empty rule under '*'
+    by_agent = {}
+    for r in rows:
+        by_agent.setdefault((r.host, r.agent), []).append(
+            (r.rule_type, r.pattern)
+        )
+    assert len(by_agent[("a.example", "trainingbot")]) == 4
+    assert sorted(by_agent[("a.example", "*")]) == [
+        ("allow", "/pub"),
+        ("disallow", "/"),
+    ]
+    assert by_agent[("a.example", "otherbot")] == by_agent[("a.example", "*")]
+    assert by_agent[("b.example", "*")] == [("disallow", "")]
+
+
+def test_filter_hand_pinned(spark, fixture):
+    docs, robots = fixture
+    got = {
+        r.doc_id: r.allowed
+        for r in robots_filter(
+            docs, robots, "TrainingBot", keep_verdict=True
+        ).collect()
+    }
+    assert got == {i: a for i, _, a in DOCS}
+    kept = {
+        r.doc_id
+        for r in robots_filter(docs, robots, "TrainingBot").collect()
+    }
+    assert kept == {i for i, _, a in DOCS if a}
+
+
+def test_unknown_agent_falls_to_star_group(spark, fixture):
+    docs, robots = fixture
+    got = {
+        r.doc_id: r.allowed
+        for r in robots_filter(
+            docs, robots, "somebot", keep_verdict=True
+        ).collect()
+    }
+    # a.example's '*' group: Disallow / (len 1) vs Allow /pub; none of
+    # the fixture paths start with /pub -> everything on a.example is
+    # blocked; b/c.example unaffected
+    for i, u, _ in DOCS:
+        assert got[i] == (not u.startswith("http://a.example")), u
+
+
+def test_duckdb_twin_parity(spark, fixture):
+    docs, robots = fixture
+    con = duckdb.connect()
+    con.execute("CREATE TABLE robots (host VARCHAR, robots_txt VARCHAR)")
+    con.executemany(
+        "INSERT INTO robots VALUES (?, ?)",
+        [(r.host, r.robots_txt) for r in robots.collect()],
+    )
+    con.execute("CREATE TABLE docs (doc_id BIGINT, source VARCHAR)")
+    con.executemany(
+        "INSERT INTO docs VALUES (?, ?)", [(i, u) for i, u, _ in DOCS]
+    )
+    duck_rules = sorted(
+        con.execute(
+            f"SELECT host, grp, agent, rule_type, pattern, pattern_len"
+            f" FROM {robots_rules_sql('robots')}"
+        ).fetchall()
+    )
+    spark_rules = sorted(tuple(r) for r in robots_rules(robots).collect())
+    assert duck_rules == spark_rules
+    duck_v = dict(
+        con.execute(
+            f"SELECT doc_id, allowed FROM "
+            f"{robots_filter_sql('docs', 'robots', 'TrainingBot')}"
+        ).fetchall()
+    )
+    spark_v = {
+        r.doc_id: r.allowed
+        for r in robots_filter(
+            docs, robots, "TrainingBot", keep_verdict=True
+        ).collect()
+    }
+    assert duck_v == spark_v
+
+
+def test_url_path_extraction(spark):
+    df = spark.createDataFrame(
+        [
+            ("http://h.ex/a/b?q=1",),
+            ("https://h.ex",),
+            ("http://h.ex/",),
+        ],
+        "u string",
+    )
+    got = [r.p for r in df.select(url_path(F.col("u")).alias("p")).collect()]
+    assert got == ["/a/b?q=1", "/", "/"]
+
+
+def test_filter_plan_broadcasts_rules(spark, fixture):
+    docs, robots = fixture
+    plan = (
+        robots_filter(docs, robots, "trainingbot", keep_verdict=True)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BatchEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_crawl_to_corpus_robots_stage(spark):
+    """robots exclusion composes into crawl_to_corpus: disallowed pages
+    never reach the corpus, allowed pages are untouched."""
+    from spdb_spark.sources.crawl import crawl_to_corpus
+
+    def body(word: str) -> bytearray:
+        # the distinguishing word sits INSIDE the main block — outside
+        # it would be its own 1-word block, dropped by extraction, and
+        # exact dedup would collapse the then-identical texts
+        prose = (
+            "we have the words to pass the gopher floor and this page "
+            "carries enough prose that the quality stage keeps it with "
+            "plenty of stopwords in it to be sure of that outcome today "
+        ) * 3
+        return bytearray(
+            (
+                "HTTP/1.1 200 OK\r\n\r\n<html><body><p>"
+                + prose
+                + word
+                + "</p></body></html>"
+            ).encode()
+        )
+
+    warc = spark.createDataFrame(
+        [
+            ("response", "http://a.example/private/doc1", body("one")),
+            ("response", "http://a.example/pub/doc2", body("two")),
+            ("response", "http://b.example/doc3", body("three")),
+        ],
+        "warc_type string, target_uri string, payload binary",
+    )
+    robots = spark.createDataFrame(
+        [("a.example", "User-agent: *\nDisallow: /private\n")],
+        "host string, robots_txt string",
+    )
+    out = crawl_to_corpus(
+        warc, near_dedup=False, materialize=False, robots=robots
+    )
+    srcs = {r.source for r in out.collect()}
+    assert srcs == {"http://a.example/pub/doc2", "http://b.example/doc3"}
