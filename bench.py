@@ -73,6 +73,10 @@ EXTRA = [
     "llm_tfrecord_export",  # r11: TFRecord/Example encode->parse round-trip
     "llm_kn5_logprob",  # r11: order-5 KN (the CCNet KenLM model order)
     "llm_host_pagerank",  # r11: integer-protocol host PageRank
+    "llm_host_graph_edges",  # r12: href extraction -> eTLD+1 edges
+    "llm_crawl_corpus_ranked",  # r12: curation + crawl-derived rank prior
+    "llm_unigram_tokenize",  # r12: unigram-LM tokenizer (Viterbi apply)
+    "llm_robots_filter",  # r12: RFC 9309 exclusion parse + match
 ]
 
 

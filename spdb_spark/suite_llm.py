@@ -4531,3 +4531,132 @@ STAGED_R12_LLM["llm_host_pagerank_stream"] = (
     SQL_HOST_PAGERANK,
 )
 STAGED_R12_LLM["llm_harmonic_stream"] = (q_harmonic_stream, SQL_HARMONIC)
+
+
+# ---------------------------------------------------------------------------
+# Round 12: WordPiece tokenizer gate — the same closed-form word
+# fixture as llm_unigram_tokenize, but the vocabulary is POSITIONAL
+# (plain at word start, ##-prefixed elsewhere, the BERT convention)
+# and encoding is greedy longest-match-first. The oracle replays seed
+# construction and the greedy loop as a step-unrolled SQL program
+# (max 6 steps: fixture words are <= 6 chars, min piece 1 char);
+# [UNK] semantics and training are pytest-pinned (test_wordpiece.py).
+# ---------------------------------------------------------------------------
+
+
+def q_wordpiece_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spdb_spark.functions.unigram import word_freqs
+    from spdb_spark.functions.wordpiece import (
+        wordpiece_seed_vocab,
+        wordpiece_tokenize,
+    )
+
+    w = _unigram_fixture_words(spark, sf_dir)
+    docs = w.select(
+        "doc_id", F.concat_ws(" ", "w1", "w2", "w3").alias("text")
+    )
+    vocab = wordpiece_seed_vocab(
+        word_freqs(docs), max_piece_len=_UNI_L, keep_top=_UNI_TOP
+    )
+    out = wordpiece_tokenize(docs, "doc_id", "text", vocab, _UNI_L)
+    return out.select(
+        "doc_id", F.array_join("pieces", " ").alias("pieces"), "n_pieces"
+    )
+
+
+def _sql_wordpiece_tokenize() -> str:
+    fixture = (
+        f"SELECT doc_id,\n"
+        f"  substr('{_UNI_T1}', (doc_id % 5)::INT + 1,"
+        f" 4 + (doc_id % 3)::INT) AS w1,\n"
+        f"  substr('{_UNI_T2}', (doc_id % 4)::INT + 1,"
+        f" 3 + (doc_id % 4)::INT) AS w2,\n"
+        f"  substr('{_UNI_T1}', (doc_id % 7)::INT + 1, 5) AS w3\n"
+        f"FROM documents"
+    )
+    steps = []
+    for k in range(1, _UNI_MAXW + 1):
+        steps.append(
+            f"""st{k} AS (
+  SELECT word,
+         CASE WHEN pos >= length(word) OR dead OR bestl IS NULL
+              THEN pos ELSE pos + bestl END AS pos,
+         CASE WHEN pos >= length(word) OR dead OR bestl IS NULL THEN seg
+              ELSE (CASE WHEN seg = '' THEN '' ELSE seg || ' ' END) ||
+                   (CASE WHEN pos = 0 THEN substr(word, 1, bestl::INT)
+                         ELSE '##' || substr(word, pos + 1, bestl::INT)
+                    END)
+         END AS seg,
+         CASE WHEN pos >= length(word) OR dead OR bestl IS NULL
+              THEN np ELSE np + 1 END AS np,
+         dead OR (pos < length(word) AND bestl IS NULL) AS dead
+  FROM (
+    SELECT s.*,
+           (SELECT max(l.l)
+            FROM range(1, {_UNI_L + 1}) l(l) JOIN vset v
+              ON l.l <= length(s.word) - s.pos
+             AND v.piece = CASE WHEN s.pos = 0
+                    THEN substr(s.word, 1, l.l::INT)
+                    ELSE '##' || substr(s.word, s.pos + 1, l.l::INT) END
+           ) AS bestl
+    FROM st{k - 1} s
+  )
+)"""
+        )
+    steps_sql = ",\n".join(steps)
+    return f"""
+WITH d AS ({fixture}),
+wf AS (
+  SELECT word, COUNT(*)::BIGINT AS freq FROM (
+    SELECT w1 AS word FROM d
+    UNION ALL SELECT w2 FROM d
+    UNION ALL SELECT w3 FROM d
+  ) GROUP BY word
+),
+subs AS (
+  SELECT CASE WHEN i.i = 1 THEN substr(word, i.i::INT, l.l::INT)
+              ELSE '##' || substr(word, i.i::INT, l.l::INT) END AS piece,
+         freq
+  FROM wf, range(1, {_UNI_MAXW + 1}) i(i), range(1, {_UNI_L + 1}) l(l)
+  WHERE i.i <= length(word)
+    AND l.l <= least({_UNI_L}, length(word) - i.i + 1)
+),
+cnts AS (SELECT piece, SUM(freq) AS cnt FROM subs GROUP BY piece),
+keep AS (
+  SELECT piece FROM cnts
+  WHERE length(regexp_replace(piece, '^##', '')) = 1
+  UNION ALL
+  SELECT piece FROM (
+    SELECT piece,
+           row_number() OVER (ORDER BY cnt DESC, piece) AS rk
+    FROM cnts WHERE length(regexp_replace(piece, '^##', '')) > 1
+  ) WHERE rk <= {_UNI_TOP}
+),
+vset AS (SELECT piece FROM keep),
+words AS (SELECT DISTINCT word FROM wf),
+st0 AS (SELECT word, 0 AS pos, '' AS seg, 0 AS np, FALSE AS dead
+        FROM words),
+{steps_sql},
+fin AS (
+  SELECT word,
+         CASE WHEN dead THEN '[UNK]' ELSE seg END AS seg,
+         CASE WHEN dead THEN 1 ELSE np END AS np
+  FROM st{_UNI_MAXW}
+)
+SELECT d.doc_id,
+       f1.seg || ' ' || f2.seg || ' ' || f3.seg AS pieces,
+       (f1.np + f2.np + f3.np)::INT AS n_pieces
+FROM d
+JOIN fin f1 ON f1.word = d.w1
+JOIN fin f2 ON f2.word = d.w2
+JOIN fin f3 ON f3.word = d.w3
+"""
+
+
+SQL_WORDPIECE_TOKENIZE = _sql_wordpiece_tokenize()
+
+
+STAGED_R12_LLM["llm_wordpiece_tokenize"] = (
+    q_wordpiece_tokenize,
+    SQL_WORDPIECE_TOKENIZE,
+)
