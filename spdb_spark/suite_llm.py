@@ -4660,3 +4660,100 @@ STAGED_R12_LLM["llm_wordpiece_tokenize"] = (
     q_wordpiece_tokenize,
     SQL_WORDPIECE_TOKENIZE,
 )
+
+
+# ---------------------------------------------------------------------------
+# Round 12: Unicode script profiling (functions/scripts.py). Fixture
+# text mixes three doc_id-selected alphabet segments (Latin chrome + two
+# rotating scripts with varying repeat counts) so every script class
+# appears and dominance flips across docs; the oracle replays the
+# shared \x{...} codepoint-class counts, ratio floors, and the
+# struct-argmax dominant-script rule.
+# ---------------------------------------------------------------------------
+
+_SCR_ALPHABETS = (
+    "abcdefgh",       # latin
+    "абвгдежз",       # cyrillic
+    "αβγδεζηθ",       # greek
+    "مرحبابال",       # arabic
+    "אבגדהוזח",       # hebrew
+    "अआइईउऊएऐ",       # devanagari
+    "中文字词语文本写",  # cjk
+    "ひらがなカタカナ",  # kana
+    "한국어텍스트글자",  # hangul
+)
+
+
+def _scr_text_col() -> F.Column:
+    d = F.col("doc_id")
+    lat = F.expr(
+        "repeat(substring('abcdefgh', cast(doc_id % 8 as int) + 1, 1),"
+        " 2 + cast(doc_id % 4 as int))"
+    )
+    segs = [lat]
+    for j, mult in ((1, 3), (2, 7)):
+        pick = [
+            F.when(
+                (d * mult + j) % 9 == i,
+                F.expr(
+                    f"repeat(substring('{a}',"
+                    f" cast(doc_id % {len(a)} as int) + 1, 1),"
+                    f" {2 + j} + cast(doc_id % 5 as int))"
+                ),
+            )
+            for i, a in enumerate(_SCR_ALPHABETS)
+        ]
+        segs.append(F.coalesce(*pick))
+    return F.concat_ws(" ", *segs)
+
+
+def q_script_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spdb_spark.functions.scripts import dominant_script, script_ratio
+
+    t = _scr_text_col()
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        dominant_script(t).alias("dominant"),
+        script_ratio(t, "latin").alias("latin_q"),
+        script_ratio(t, "cyrillic").alias("cyrillic_q"),
+        script_ratio(t, "cjk").alias("cjk_q"),
+        script_ratio(t, "arabic").alias("arabic_q"),
+    )
+
+
+def _sql_script_profile() -> str:
+    from spdb_spark.functions.scripts import (
+        dominant_script_sql,
+        script_ratio_sql,
+    )
+
+    lat = (
+        "repeat(substring('abcdefgh', (doc_id % 8)::INT + 1, 1),"
+        " 2 + (doc_id % 4)::INT)"
+    )
+    segs = [lat]
+    for j, mult in ((1, 3), (2, 7)):
+        branches = " ".join(
+            f"WHEN (doc_id * {mult} + {j}) % 9 = {i} THEN"
+            f" repeat(substring('{a}', (doc_id % {len(a)})::INT + 1, 1),"
+            f" {2 + j} + (doc_id % 5)::INT)"
+            for i, a in enumerate(_SCR_ALPHABETS)
+        )
+        segs.append(f"(CASE {branches} END)")
+    text = " || ' ' || ".join(segs)
+    return f"""
+WITH t AS (SELECT doc_id, {text} AS txt FROM documents)
+SELECT doc_id,
+       {dominant_script_sql("txt")} AS dominant,
+       {script_ratio_sql("txt", "latin")} AS latin_q,
+       {script_ratio_sql("txt", "cyrillic")} AS cyrillic_q,
+       {script_ratio_sql("txt", "cjk")} AS cjk_q,
+       {script_ratio_sql("txt", "arabic")} AS arabic_q
+FROM t
+"""
+
+
+SQL_SCRIPT_PROFILE = _sql_script_profile()
+
+
+STAGED_R12_LLM["llm_script_profile"] = (q_script_profile, SQL_SCRIPT_PROFILE)
