@@ -77,6 +77,8 @@ EXTRA = [
     "llm_crawl_corpus_ranked",  # r12: curation + crawl-derived rank prior
     "llm_unigram_tokenize",  # r12: unigram-LM tokenizer (Viterbi apply)
     "llm_robots_filter",  # r12: RFC 9309 exclusion parse + match
+    "llm_wordpiece_tokenize",  # r12: WordPiece greedy MaxMatch
+    "llm_script_profile",  # r12: Unicode script ratios + dominant
 ]
 
 

