@@ -136,8 +136,14 @@ def robots_filter(
 ) -> DataFrame:
     """Drop documents whose URL the host's robots.txt disallows for
     `agent`. `robots` is (host, robots_txt) — host-count-sized, so the
-    rule join broadcasts; the corpus never shuffles. keep_verdict=True
-    returns ALL docs with an `allowed` boolean instead of filtering."""
+    rule join broadcasts; the corpus never shuffles AND never
+    aggregates: each host's active rules collect into ONE array row
+    (host-sized state), the corpus broadcast-joins it 1:1, and the
+    longest-match/allow-wins precedence evaluates as a per-row
+    aggregate() fold over the array — stateless end to end, so the
+    same operator drops into a structured stream unchanged.
+    keep_verdict=True returns ALL docs with an `allowed` boolean
+    instead of filtering."""
     from spdb_spark.functions.url import url_host
 
     rules = robots_rules(robots, host_col, text_col)
@@ -166,32 +172,32 @@ def robots_filter(
             _pattern_regex(F.col("pattern")).alias("rx"),
         )
     )
+    host_rules = active.groupBy("host").agg(
+        F.collect_list(
+            F.struct(
+                F.col("pattern_len"),
+                (F.col("rule_type") == "allow").cast("int").alias("_a"),
+                F.col("rx"),
+            )
+        ).alias("_rb_rules")
+    )
     d = docs.withColumn("_rb_host", url_host(F.col(url_col))).withColumn(
         "_rb_path", url_path(F.col(url_col))
     )
     id_cols = docs.columns
+    # per-row fold: among rules whose regex matches the path, keep the
+    # max (pattern_len, is_allow) struct; absent/empty rules or no
+    # match -> NULL -> allowed
     matched = (
-        d.join(
-            F.broadcast(active),
-            (d["_rb_host"] == active["host"])
-            & F.expr("rlike(_rb_path, rx)"),
-            "left",
-        )
-        .groupBy(*[d[c] for c in id_cols])
-        .agg(
-            # guard the struct behind the join hit: an unmatched doc's
-            # struct(NULL, NULL) is NOT null and would win max()
-            F.max(
-                F.when(
-                    F.col("rule_type").isNotNull(),
-                    F.struct(
-                        F.col("pattern_len"),
-                        (F.col("rule_type") == "allow")
-                        .cast("int")
-                        .alias("_a"),
-                    ),
+        d.join(F.broadcast(host_rules), d["_rb_host"] == host_rules["host"], "left")
+        .drop(host_rules["host"])
+        .withColumn(
+            "_top",
+            F.array_max(
+                F.expr(
+                    "filter(_rb_rules, r -> rlike(_rb_path, r.rx))"
                 )
-            ).alias("_top")
+            ),
         )
         .select(
             *id_cols,

@@ -205,3 +205,39 @@ def test_crawl_to_corpus_robots_stage(spark):
     )
     srcs = {r.source for r in out.collect()}
     assert srcs == {"http://a.example/pub/doc2", "http://b.example/doc3"}
+
+
+def test_filter_is_streaming_safe(spark, tmp_path, fixture):
+    """The fold form has no corpus-side aggregation, so the SAME
+    operator runs on a readStream (stream-static broadcast join) and
+    yields the batch verdicts."""
+    import os
+
+    docs, robots = fixture
+    src = str(tmp_path / "src")
+    docs.coalesce(1).write.parquet(src)
+    stream = (
+        spark.readStream.schema("doc_id long, source string")
+        .parquet(src)
+    )
+    out_dir = str(tmp_path / "out")
+    q = (
+        robots_filter(stream, robots, "trainingbot", keep_verdict=True)
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(300)
+    got = {
+        r.doc_id: r.allowed
+        for r in spark.read.parquet(out_dir).collect()
+    }
+    want = {
+        r.doc_id: r.allowed
+        for r in robots_filter(
+            docs, robots, "trainingbot", keep_verdict=True
+        ).collect()
+    }
+    assert got == want
