@@ -132,3 +132,27 @@ def test_unk_char_scores_floor(spark):
     r = unigram_tokenize(df, "doc_id", "text", vocab, 3).collect()[0]
     assert r.pieces == ["a", "q", "a"]
     assert UNK_Q < -20_000_000  # the floor is a real OOD penalty
+
+
+def test_tokenize_is_streaming_safe(spark, tmp_path, corpus):
+    """Frozen-vocab Viterbi encode is a stateless Arrow kernel — the
+    SAME operator runs on a readStream and yields the batch pieces."""
+    vocab = unigram_seed_vocab(word_freqs(corpus), 3, keep_top=8)
+    src = str(tmp_path / "src")
+    corpus.coalesce(1).write.parquet(src)
+    stream = spark.readStream.schema("doc_id long, text string").parquet(src)
+    out_dir = str(tmp_path / "out")
+    q = (
+        unigram_tokenize(stream, "doc_id", "text", vocab, 3)
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(300)
+    got = {r.doc_id: (tuple(r.pieces), r.n_pieces)
+           for r in spark.read.parquet(out_dir).collect()}
+    want = {r.doc_id: (tuple(r.pieces), r.n_pieces)
+            for r in unigram_tokenize(corpus, "doc_id", "text", vocab, 3).collect()}
+    assert got == want

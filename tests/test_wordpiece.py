@@ -117,3 +117,27 @@ def test_tokenize_null_and_empty(spark):
     assert got[1] == (None, None)
     assert got[2] == ([], 0)
     assert got[3] == (["aa"], 1)
+
+
+def test_tokenize_is_streaming_safe(spark, tmp_path, corpus):
+    """Frozen-vocab greedy encode is a stateless Arrow kernel — the
+    SAME operator runs on a readStream and yields the batch pieces."""
+    vocab = wordpiece_seed_vocab(word_freqs(corpus), 3, keep_top=8)
+    src = str(tmp_path / "src")
+    corpus.coalesce(1).write.parquet(src)
+    stream = spark.readStream.schema("doc_id long, text string").parquet(src)
+    out_dir = str(tmp_path / "out")
+    q = (
+        wordpiece_tokenize(stream, "doc_id", "text", vocab, 3)
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(300)
+    got = {r.doc_id: (tuple(r.pieces), r.n_pieces)
+           for r in spark.read.parquet(out_dir).collect()}
+    want = {r.doc_id: (tuple(r.pieces), r.n_pieces)
+            for r in wordpiece_tokenize(corpus, "doc_id", "text", vocab, 3).collect()}
+    assert got == want
