@@ -30,8 +30,6 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from spdb_spark.functions.text import tokens
-
 UNK = "[UNK]"
 
 
