@@ -211,6 +211,115 @@ def robots_filter(
     return matched.where(F.col("allowed")).drop("allowed")
 
 
+def robots_crawl_delays(
+    robots: DataFrame,
+    agent: str,
+    host_col: str = "host",
+    text_col: str = "robots_txt",
+) -> DataFrame:
+    """(host, delay_s double) — the Crawl-delay directive of the
+    agent's selected group (exact agent group if present, else `*`;
+    non-numeric or absent values drop the host). The politeness input
+    of a frontier scheduler; host-count-sized."""
+    from pyspark.sql import Window
+
+    lines = robots.select(
+        F.col(host_col).alias("host"),
+        F.posexplode(F.split(F.col(text_col), r"\r?\n")).alias(
+            "line_no", "raw"
+        ),
+    )
+    kv = (
+        lines.select(
+            "host",
+            "line_no",
+            F.trim(F.regexp_replace(F.col("raw"), r"#.*$", "")).alias(
+                "line"
+            ),
+        )
+        .where(F.col("line") != "")
+        .select(
+            "host",
+            "line_no",
+            F.lower(
+                F.regexp_extract(F.col("line"), r"^([A-Za-z-]+)\s*:", 1)
+            ).alias("key"),
+            F.trim(
+                F.regexp_extract(
+                    F.col("line"), r"^[A-Za-z-]+\s*:\s*(.*)$", 1
+                )
+            ).alias("value"),
+        )
+        .where(F.col("key").isin("user-agent", "crawl-delay"))
+    )
+    w = Window.partitionBy("host").orderBy("line_no")
+    grouped = kv.withColumn(
+        "_starts",
+        (
+            (F.col("key") == "user-agent")
+            & (F.coalesce(F.lag("key").over(w), F.lit("")) != "user-agent")
+        ).cast("int"),
+    ).withColumn("grp", F.sum("_starts").over(w))
+    agents = (
+        grouped.where(F.col("key") == "user-agent")
+        .select("host", "grp", F.lower(F.col("value")).alias("agent"))
+        .distinct()
+    )
+    delays = grouped.where(
+        (F.col("key") == "crawl-delay") & (F.col("grp") > 0)
+    ).select("host", "grp", F.col("value").cast("double").alias("delay_s"))
+    me = agent.lower()
+    cand = agents.where(F.col("agent").isin(me, "*")).join(
+        delays, ["host", "grp"]
+    )
+    pick = (
+        cand.groupBy("host")
+        .agg(
+            F.min(
+                F.when(F.col("agent") == me, F.col("delay_s"))
+            ).alias("_d_me"),
+            F.min(
+                F.when(F.col("agent") == "*", F.col("delay_s"))
+            ).alias("_d_any"),
+        )
+        .select("host", F.coalesce("_d_me", "_d_any").alias("delay_s"))
+    )
+    return pick.where(F.col("delay_s").isNotNull())
+
+
+def robots_sitemaps(
+    robots: DataFrame,
+    host_col: str = "host",
+    text_col: str = "robots_txt",
+) -> DataFrame:
+    """(host, sitemap string) — Sitemap directives, which per the
+    protocol live OUTSIDE user-agent groups (one row per occurrence,
+    file order not preserved; duplicates dropped). Frontier seeds."""
+    lines = robots.select(
+        F.col(host_col).alias("host"),
+        F.explode(F.split(F.col(text_col), r"\r?\n")).alias("raw"),
+    )
+    return (
+        lines.select(
+            "host",
+            F.trim(F.regexp_replace(F.col("raw"), r"#.*$", "")).alias(
+                "line"
+            ),
+        )
+        .where(F.lower(F.col("line")).rlike(r"^sitemap\s*:"))
+        .select(
+            "host",
+            F.trim(
+                F.regexp_extract(
+                    F.col("line"), r"(?i)^sitemap\s*:\s*(.*)$", 1
+                )
+            ).alias("sitemap"),
+        )
+        .where(F.col("sitemap") != "")
+        .distinct()
+    )
+
+
 # ---------------------------------------------------------------------------
 # DuckDB twins: the same parse + match over a (host, robots_txt) CTE.
 # ---------------------------------------------------------------------------

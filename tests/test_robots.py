@@ -241,3 +241,44 @@ def test_filter_is_streaming_safe(spark, tmp_path, fixture):
         ).collect()
     }
     assert got == want
+
+
+def test_crawl_delays_and_sitemaps(spark):
+    from spdb_spark.functions.robots import (
+        robots_crawl_delays,
+        robots_sitemaps,
+    )
+
+    rb = (
+        "Sitemap: http://a.example/sitemap.xml\n"
+        "User-agent: trainingbot\n"
+        "Crawl-delay: 2.5\n"
+        "Disallow: /x\n"
+        "\n"
+        "User-agent: *\n"
+        "Crawl-delay: 10\n"
+        "Sitemap: http://a.example/extra.xml\n"
+    )
+    rb2 = "User-agent: *\nDisallow:\n"  # no delay, no sitemap
+    rb3 = "User-agent: *\nCrawl-delay: soon\n"  # non-numeric -> dropped
+    robots = spark.createDataFrame(
+        [("a.example", rb), ("b.example", rb2), ("c.example", rb3)],
+        "host string, robots_txt string",
+    )
+    got = {
+        r.host: r.delay_s
+        for r in robots_crawl_delays(robots, "TrainingBot").collect()
+    }
+    assert got == {"a.example": 2.5}
+    got_star = {
+        r.host: r.delay_s
+        for r in robots_crawl_delays(robots, "somebot").collect()
+    }
+    assert got_star == {"a.example": 10.0}
+    maps = {
+        (r.host, r.sitemap) for r in robots_sitemaps(robots).collect()
+    }
+    assert maps == {
+        ("a.example", "http://a.example/sitemap.xml"),
+        ("a.example", "http://a.example/extra.xml"),
+    }
