@@ -359,8 +359,13 @@ def apply_bpe_merges(
                     out.append(None)
                     continue
                 # exact tokens() semantics: split(lower(trim(s)), '\s+') —
-                # empty/whitespace-only text yields [''] in both engines
-                toks = re.split(r"\s+", str(text).strip().lower())
+                # Spark's trim strips only ' ' and Java's \s is the ASCII
+                # class (Python's is Unicode-aware), so mirror both
+                # literally; empty/whitespace-only text yields [''] in
+                # both engines
+                toks = re.split(
+                    r"[ \t\n\x0b\f\r]+", str(text).strip(" ").lower()
+                )
                 for a, b in order:
                     res: list[str] = []
                     for x in toks:

@@ -42,6 +42,13 @@ from spdb_spark.functions.text import tokens
 UNK_Q = -30_000_000  # micro-nats for a single char never seen in training
 MICRO = 1_000_000
 
+# The Arrow kernels split words with EXACTLY Java's default \s class
+# ([ \t\n\x0B\f\r] — ASCII only), matching the Spark/DuckDB tokens()
+# twins. Python's own \s is Unicode-aware (U+00A0, U+2028, ...), so
+# using it would train on different word boundaries than encoding uses;
+# parity pinned in tests/test_unigram.py::test_nbsp_word_boundary.
+WS_ASCII = "[ \t\n\x0b\f\r]+"
+
 
 def word_freqs(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """(word, freq) over the corpus — the distinct-word table every
@@ -90,14 +97,16 @@ def unigram_seed_vocab(
     )
     counts = subs.groupBy("piece").agg(F.sum("freq").alias("cnt"))
     chars = counts.where(F.length("piece") == 1)
-    from pyspark.sql import Window
-
-    w = Window.orderBy(F.col("cnt").desc(), F.col("piece"))
+    # Deterministic global top-K as sort+limit -> TakeOrderedAndProject:
+    # per-partition heap then a K-row merge, NOT the single-partition
+    # sort an unpartitioned row_number window would force — at web scale
+    # the substring-TYPE table is hundreds of millions of rows. Same
+    # kept set (ties fully broken by the unique piece key); plan shape
+    # asserted in tests/test_plans.py.
     multi = (
         counts.where(F.length("piece") > 1)
-        .withColumn("_rk", F.row_number().over(w))
-        .where(F.col("_rk") <= keep_top)
-        .drop("_rk")
+        .orderBy(F.col("cnt").desc(), F.col("piece"))
+        .limit(keep_top)
     )
     kept = chars.unionByName(multi)
     total = kept.agg(F.sum("cnt").alias("_tot"))
@@ -153,15 +162,19 @@ def unigram_tokenize(
     array<string>, n_pieces). Words (tokens() semantics) segment
     independently; a doc's pieces concatenate in word order. One Arrow
     pass; the vocab collects to a driver dict (vocab-sized, the BPE
-    merge-table posture) and ships inside the kernel closure."""
+    merge-table posture) and ships as a Spark broadcast — one copy per
+    executor, not one pickle per task batch."""
     import pandas as pd
 
-    vmap = {r["piece"]: int(r["logp_q"]) for r in vocab.collect()}
+    bc = docs.sparkSession.sparkContext.broadcast(
+        {r["piece"]: int(r["logp_q"]) for r in vocab.collect()}
+    )
     L = int(max_piece_len)
 
     def encode(batches):
         import re
 
+        vmap = bc.value
         for pdf in batches:
             ids, pieces_out, nps = [], [], []
             for did, text in zip(pdf[id_col], pdf[text_col]):
@@ -172,7 +185,7 @@ def unigram_tokenize(
                     continue
                 words = [
                     w
-                    for w in re.split(r"\s+", str(text).strip().lower())
+                    for w in re.split(WS_ASCII, str(text).lower())
                     if w
                 ]
                 pieces: list[str] = []
@@ -206,10 +219,13 @@ def unigram_em_step(
     so log stays finite (they prune next)."""
     import pandas as pd
 
-    vmap = {r["piece"]: int(r["logp_q"]) for r in vocab.collect()}
+    bc = words.sparkSession.sparkContext.broadcast(
+        {r["piece"]: int(r["logp_q"]) for r in vocab.collect()}
+    )
     L = int(max_piece_len)
 
     def estep(batches):
+        vmap = bc.value
         for pdf in batches:
             acc: dict[str, int] = {}
             for word, freq in zip(pdf["word"], pdf["freq"]):
@@ -308,15 +324,13 @@ def train_unigram(
         for _ in range(em_iters):
             vocab = unigram_em_step(words, vocab, max_piece_len)
         chars = vocab.where(F.length("piece") == 1)
-        from pyspark.sql import Window
-
         n_multi = max(vocab_size - chars.count(), 0)
-        w = Window.orderBy(F.col("cnt_q").desc(), F.col("piece"))
+        # sort+limit -> TakeOrderedAndProject (same deterministic set as
+        # a ranked window, no single-partition sort; see unigram_seed_vocab)
         multi = (
             vocab.where(F.length("piece") > 1)
-            .withColumn("_rk", F.row_number().over(w))
-            .where(F.col("_rk") <= n_multi)
-            .drop("_rk")
+            .orderBy(F.col("cnt_q").desc(), F.col("piece"))
+            .limit(n_multi)
         )
         kept = chars.unionByName(multi).select("piece", "cnt_q")
         total = kept.agg(F.sum("cnt_q").alias("_tot"))
@@ -344,18 +358,21 @@ def corpus_logprob_q(
     improvement on this number."""
     import pandas as pd
 
-    vmap = {r["piece"]: int(r["logp_q"]) for r in vocab.collect()}
+    bc = docs.sparkSession.sparkContext.broadcast(
+        {r["piece"]: int(r["logp_q"]) for r in vocab.collect()}
+    )
     L = int(max_piece_len)
 
     def score(batches):
         import re
 
+        vmap = bc.value
         for pdf in batches:
             tot = 0
             for text in pdf[text_col]:
                 if text is None or text is pd.NA or text != text:
                     continue
-                for w in re.split(r"\s+", str(text).strip().lower()):
+                for w in re.split(WS_ASCII, str(text).lower()):
                     if not w:
                         continue
                     n = len(w)

@@ -44,8 +44,6 @@ def wordpiece_seed_vocab(
     convention). Kept: every single-character unit (both spellings, so
     any training-alphabet word stays encodable) + the keep_top most
     frequent multi-character units, ties (cnt DESC, piece ASC)."""
-    from pyspark.sql import Window
-
     word = F.col("word")
     n = F.length(word)
     grid = F.flatten(
@@ -70,12 +68,15 @@ def wordpiece_seed_vocab(
     )
     base_len = F.length(F.regexp_replace(F.col("piece"), r"^##", ""))
     chars = counts.where(base_len == 1)
-    w = Window.orderBy(F.col("cnt").desc(), F.col("piece"))
+    # Deterministic top-K via sort+limit -> TakeOrderedAndProject: a
+    # per-partition heap + K-row merge instead of the single-partition
+    # sort an unpartitioned row_number window forces (the substring-TYPE
+    # table is huge at web scale). Ties fully broken by the unique piece
+    # key, so the kept set is identical; asserted in tests/test_plans.py.
     multi = (
         counts.where(base_len > 1)
-        .withColumn("_rk", F.row_number().over(w))
-        .where(F.col("_rk") <= keep_top)
-        .drop("_rk")
+        .orderBy(F.col("cnt").desc(), F.col("piece"))
+        .limit(keep_top)
     )
     return chars.unionByName(multi)
 
@@ -110,15 +111,23 @@ def wordpiece_tokenize(
 ) -> DataFrame:
     """Encode documents -> (id, pieces array<string>, n_pieces) under a
     frozen WordPiece vocab (a DataFrame with a `piece` column). One
-    Arrow pass; vocab collects to a driver frozenset (vocab-sized)."""
+    Arrow pass; vocab collects to a driver frozenset (vocab-sized) and
+    ships as a Spark broadcast — one copy per executor, not one pickle
+    per task batch. Word boundaries use the ASCII-only Java \\s class
+    (unigram.WS_ASCII) so train and apply split identically."""
     import pandas as pd
 
-    vset = frozenset(r["piece"] for r in vocab.select("piece").collect())
+    from spdb_spark.functions.unigram import WS_ASCII
+
+    bc = docs.sparkSession.sparkContext.broadcast(
+        frozenset(r["piece"] for r in vocab.select("piece").collect())
+    )
     L = int(max_piece_len)
 
     def encode(batches):
         import re
 
+        vset = bc.value
         for pdf in batches:
             ids, pieces_out, nps = [], [], []
             for did, text in zip(pdf[id_col], pdf[text_col]):
@@ -128,7 +137,7 @@ def wordpiece_tokenize(
                     nps.append(None)
                     continue
                 pieces: list[str] = []
-                for w in re.split(r"\s+", str(text).strip().lower()):
+                for w in re.split(WS_ASCII, str(text).lower()):
                     if w:
                         pieces.extend(_greedy(w, vset, L))
                 ids.append(did)

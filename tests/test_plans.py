@@ -534,3 +534,26 @@ def test_streaming_crawl_corpus_reader_plan(spark, tmp_path):
     assert "CartesianProduct" not in plan
     assert "partial_min" in plan or "partial" in plan  # min-struct agg
     assert "Window" not in plan
+
+
+def test_tokenizer_seed_topk_is_take_ordered_not_window(spark):
+    """The seed-vocab top-K ranks the multi-char substring-TYPE table —
+    hundreds of millions of rows at web scale. It must compile to
+    TakeOrderedAndProject (per-partition heap + K-row merge), never an
+    unpartitioned row_number window (single-partition sort of the whole
+    type table)."""
+    from spdb_spark.functions.unigram import unigram_seed_vocab, word_freqs
+    from spdb_spark.functions.wordpiece import wordpiece_seed_vocab
+
+    docs = spark.createDataFrame(
+        [(i, f"banana bandana word{i % 7}") for i in range(50)],
+        "doc_id long, text string",
+    )
+    words = word_freqs(docs)
+    for seed in (
+        unigram_seed_vocab(words, max_piece_len=3, keep_top=5),
+        wordpiece_seed_vocab(words, max_piece_len=3, keep_top=5),
+    ):
+        plan = plan_of(seed)
+        assert "Window" not in plan
+        assert "TakeOrderedAndProject" in plan

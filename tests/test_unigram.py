@@ -156,3 +156,23 @@ def test_tokenize_is_streaming_safe(spark, tmp_path, corpus):
     want = {r.doc_id: (tuple(r.pieces), r.n_pieces)
             for r in unigram_tokenize(corpus, "doc_id", "text", vocab, 3).collect()}
     assert got == want
+
+
+def test_nbsp_word_boundary_parity(spark):
+    """U+00A0 (and every other non-ASCII whitespace) is NOT a word
+    boundary to Java's \\s, so tokens()/word_freqs keep 'a\\u00a0b' as
+    ONE word — the Arrow apply kernel must agree (it splits with the
+    ASCII-only WS_ASCII class, not Python's Unicode-aware \\s)."""
+    doc = spark.createDataFrame(
+        [(1, "a\u00a0b")], "doc_id long, text string"
+    )
+    assert [(r.word, r.freq) for r in word_freqs(doc).collect()] == [
+        ("a\u00a0b", 1)
+    ]
+    vocab = spark.createDataFrame(
+        [("a", -1_000_000), ("b", -1_000_000)], "piece string, logp_q long"
+    )
+    out = unigram_tokenize(doc, "doc_id", "text", vocab).collect()[0]
+    # one word; the NBSP interior char segments as an UNK single char
+    assert out.pieces == ["a", "\u00a0", "b"]
+    assert out.n_pieces == 3

@@ -141,3 +141,20 @@ def test_tokenize_is_streaming_safe(spark, tmp_path, corpus):
     want = {r.doc_id: (tuple(r.pieces), r.n_pieces)
             for r in wordpiece_tokenize(corpus, "doc_id", "text", vocab, 3).collect()}
     assert got == want
+
+
+def test_nbsp_word_boundary_parity(spark):
+    """'a\\u00a0b' is ONE word under the ASCII whitespace definition the
+    trainer (tokens()) uses; the greedy Arrow kernel must treat it the
+    same — the interior NBSP has no ## piece, so the WHOLE word
+    collapses to [UNK] (a Unicode-aware split would wrongly emit two
+    clean words)."""
+    from spdb_spark.functions.wordpiece import UNK, wordpiece_tokenize
+
+    doc = spark.createDataFrame(
+        [(1, "a\u00a0b")], "doc_id long, text string"
+    )
+    vocab = spark.createDataFrame([("a",), ("##b",)], "piece string")
+    out = wordpiece_tokenize(doc, "doc_id", "text", vocab).collect()[0]
+    assert out.pieces == [UNK]
+    assert out.n_pieces == 1
