@@ -6,15 +6,22 @@ group allows.
 
 Semantics implemented (RFC 9309 core):
 - lines are `key: value` with `#` comments stripped; unknown keys
-  (crawl-delay, sitemap, ...) are ignored for matching;
+  (crawl-delay, sitemap, ...) carry no rules but DO participate in
+  group structure: a `User-agent:` line after ANY non-user-agent
+  key starts a new group, so a group whose lines are all non-rule
+  directives still bounds its neighbours;
 - consecutive `User-agent:` lines form ONE group header; the
   allow/disallow rules that follow bind to every agent in the group;
   rules before any user-agent line bind to nothing;
-- group selection per host: the group naming the product token
-  (case-insensitive exact match) if any, else the `*` group, else
-  everything is allowed. (RFC longest-token prefix selection is
-  simplified to exact-or-star — the common real-world shape;
-  documented divergence.)
+- group selection per host (RFC 9309 §2.2.1 / the Googlebot
+  longest-match convention): among agent values that are a
+  case-insensitive PREFIX of the product token, the longest wins
+  (`mybot-news` obeys a `mybot` group when no `mybot-news` group
+  exists, and prefers `mybot-news` when both exist); else the `*`
+  group; else everything is allowed. ALL groups naming the winning
+  agent value are combined (RFC: matching groups' rules MUST be
+  combined), and a matched group with no rules allows everything —
+  it does NOT fall through to `*`;
 - path patterns support `*` (any octet sequence) and a trailing `$`
   end anchor; an EMPTY pattern matches nothing (so `Disallow:` on its
   own line allows everything, per the RFC example);
@@ -42,15 +49,16 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
-def robots_rules(
-    robots: DataFrame,
-    host_col: str = "host",
-    text_col: str = "robots_txt",
+def _parsed_kv(
+    robots: DataFrame, host_col: str, text_col: str
 ) -> DataFrame:
-    """(host, robots_txt) -> (host, grp, agent, rule_type, pattern,
-    pattern_len): one row per (agent, rule) pair, grp numbering the
-    user-agent groups per host in file order. Rules preceding any
-    user-agent line are dropped (grp 0 has no agents)."""
+    """(host, line_no, key, value, grp): every recognized `key: value`
+    line with its user-agent group id. Group starts are detected over
+    the FULL key stream — not just user-agent/allow/disallow — so two
+    groups separated only by non-rule directives (crawl-delay, ...)
+    never merge, and a group whose lines are all unrecognized keys
+    still registers. One window over (host, line order): the parse
+    table is host-count-sized."""
     from pyspark.sql import Window
 
     lines = robots.select(
@@ -59,38 +67,100 @@ def robots_rules(
             F.split(F.col(text_col), r"\r?\n")
         ).alias("line_no", "raw"),
     )
-    cleaned = lines.select(
-        "host",
-        "line_no",
-        F.trim(F.regexp_replace(F.col("raw"), r"#.*$", "")).alias("line"),
-    ).where(F.col("line") != "")
-    kv = cleaned.select(
-        "host",
-        "line_no",
-        F.lower(
-            F.regexp_extract(F.col("line"), r"^([A-Za-z-]+)\s*:", 1)
-        ).alias("key"),
-        F.trim(
-            F.regexp_extract(F.col("line"), r"^[A-Za-z-]+\s*:\s*(.*)$", 1)
-        ).alias("value"),
-    ).where(F.col("key").isin("user-agent", "allow", "disallow"))
-
+    kv = (
+        lines.select(
+            "host",
+            "line_no",
+            F.trim(
+                F.regexp_replace(F.col("raw"), r"#.*$", "")
+            ).alias("line"),
+        )
+        .where(F.col("line") != "")
+        .select(
+            "host",
+            "line_no",
+            F.lower(
+                F.regexp_extract(F.col("line"), r"^([A-Za-z-]+)\s*:", 1)
+            ).alias("key"),
+            F.trim(
+                F.regexp_extract(
+                    F.col("line"), r"^[A-Za-z-]+\s*:\s*(.*)$", 1
+                )
+            ).alias("value"),
+        )
+        .where(F.col("key") != "")
+    )
     w = Window.partitionBy("host").orderBy("line_no")
-    grouped = kv.withColumn(
-        "_starts",
-        (
-            (F.col("key") == "user-agent")
-            & (F.coalesce(F.lag("key").over(w), F.lit("")) != "user-agent")
-        ).cast("int"),
-    ).withColumn("grp", F.sum("_starts").over(w))
+    return (
+        kv.withColumn(
+            "_starts",
+            (
+                (F.col("key") == "user-agent")
+                & (
+                    F.coalesce(F.lag("key").over(w), F.lit(""))
+                    != "user-agent"
+                )
+            ).cast("int"),
+        )
+        .withColumn("grp", F.sum("_starts").over(w))
+        .drop("_starts")
+    )
 
-    agents = (
-        grouped.where(F.col("key") == "user-agent")
+
+def _agents(parsed: DataFrame) -> DataFrame:
+    return (
+        parsed.where(F.col("key") == "user-agent")
         .select("host", "grp", F.lower(F.col("value")).alias("agent"))
         .distinct()
     )
+
+
+def _select_agent(agents: DataFrame, me: str) -> DataFrame:
+    """(host, agent): the group-selection winner per host for product
+    token `me` — the longest agent value that is a case-insensitive
+    prefix of `me`, else `*`, else no row (allow-all host). Selection
+    runs on the AGENTS table so rule-less groups still win (a matched
+    empty group allows all rather than falling through to `*`)."""
+    cand = agents.where(
+        (F.col("agent") == "*")
+        | (
+            F.col("agent")
+            == F.substring(F.lit(me), F.lit(1), F.length(F.col("agent")))
+        )
+    )
+    return (
+        cand.select("host", "agent")
+        .distinct()
+        .groupBy("host")
+        .agg(
+            F.max(
+                F.struct(
+                    (F.col("agent") != "*").cast("int").alias("spec"),
+                    F.length("agent").alias("len"),
+                    F.col("agent").alias("agent"),
+                )
+            ).alias("_p")
+        )
+        .select("host", F.col("_p.agent").alias("agent"))
+    )
+
+
+def robots_rules(
+    robots: DataFrame,
+    host_col: str = "host",
+    text_col: str = "robots_txt",
+) -> DataFrame:
+    """(host, robots_txt) -> (host, grp, agent, rule_type, pattern,
+    pattern_len): one row per (agent, rule) pair, grp numbering the
+    user-agent groups per host in file order (every recognized key
+    counts toward group structure). Rules preceding any user-agent
+    line are dropped (grp 0 has no agents); groups with no
+    allow/disallow lines produce no rows here — group SELECTION runs
+    on the agents table, not this join."""
+    grouped = _parsed_kv(robots, host_col, text_col)
+    agents = _agents(grouped)
     rules = grouped.where(
-        (F.col("key") != "user-agent") & (F.col("grp") > 0)
+        F.col("key").isin("allow", "disallow") & (F.col("grp") > 0)
     ).select(
         "host",
         "grp",
@@ -146,31 +216,25 @@ def robots_filter(
     instead of filtering."""
     from spdb_spark.functions.url import url_host
 
-    rules = robots_rules(robots, host_col, text_col)
     me = agent.lower()
-    # group selection: exact agent group if the host has one, else '*'
-    cand = rules.where(F.col("agent").isin(me, "*"))
-    pick = (
-        cand.select("host", "agent", "grp")
-        .distinct()
-        .groupBy("host")
-        .agg(
-            F.min(F.when(F.col("agent") == me, F.col("grp"))).alias("_g_me"),
-            F.min(F.when(F.col("agent") == "*", F.col("grp"))).alias("_g_any"),
-        )
-        .select(
-            "host", F.coalesce("_g_me", "_g_any").alias("grp")
-        )
+    grouped = _parsed_kv(robots, host_col, text_col)
+    agents = _agents(grouped)
+    # group selection: longest prefix-matching agent, else '*' (see
+    # _select_agent); ALL groups naming the winning agent combine, and
+    # a rule-less selected group yields no active rules -> allow-all
+    sel = agents.join(_select_agent(agents, me), ["host", "agent"]).select(
+        "host", "grp"
     )
-    active = (
-        cand.join(pick, ["host", "grp"])
-        .where(F.col("pattern") != "")
-        .select(
-            "host",
-            "rule_type",
-            "pattern_len",
-            _pattern_regex(F.col("pattern")).alias("rx"),
-        )
+    rules = grouped.where(
+        F.col("key").isin("allow", "disallow")
+        & (F.col("grp") > 0)
+        & (F.col("value") != "")
+    )
+    active = rules.join(sel, ["host", "grp"]).select(
+        "host",
+        F.col("key").alias("rule_type"),
+        F.length("value").alias("pattern_len"),
+        _pattern_regex(F.col("value")).alias("rx"),
     )
     host_rules = active.groupBy("host").agg(
         F.collect_list(
@@ -218,73 +282,27 @@ def robots_crawl_delays(
     text_col: str = "robots_txt",
 ) -> DataFrame:
     """(host, delay_s double) — the Crawl-delay directive of the
-    agent's selected group (exact agent group if present, else `*`;
-    non-numeric or absent values drop the host). The politeness input
+    agent's SELECTED group (the same longest-prefix-else-`*` selection
+    robots_filter uses, over all groups of the winning agent; min wins
+    if several). Group boundaries come from the full key stream, so a
+    rules-only group never absorbs the next group's crawl-delay.
+    Non-numeric or absent values drop the host. The politeness input
     of a frontier scheduler; host-count-sized."""
-    from pyspark.sql import Window
-
-    lines = robots.select(
-        F.col(host_col).alias("host"),
-        F.posexplode(F.split(F.col(text_col), r"\r?\n")).alias(
-            "line_no", "raw"
-        ),
-    )
-    kv = (
-        lines.select(
-            "host",
-            "line_no",
-            F.trim(F.regexp_replace(F.col("raw"), r"#.*$", "")).alias(
-                "line"
-            ),
-        )
-        .where(F.col("line") != "")
-        .select(
-            "host",
-            "line_no",
-            F.lower(
-                F.regexp_extract(F.col("line"), r"^([A-Za-z-]+)\s*:", 1)
-            ).alias("key"),
-            F.trim(
-                F.regexp_extract(
-                    F.col("line"), r"^[A-Za-z-]+\s*:\s*(.*)$", 1
-                )
-            ).alias("value"),
-        )
-        .where(F.col("key").isin("user-agent", "crawl-delay"))
-    )
-    w = Window.partitionBy("host").orderBy("line_no")
-    grouped = kv.withColumn(
-        "_starts",
-        (
-            (F.col("key") == "user-agent")
-            & (F.coalesce(F.lag("key").over(w), F.lit("")) != "user-agent")
-        ).cast("int"),
-    ).withColumn("grp", F.sum("_starts").over(w))
-    agents = (
-        grouped.where(F.col("key") == "user-agent")
-        .select("host", "grp", F.lower(F.col("value")).alias("agent"))
-        .distinct()
+    me = agent.lower()
+    grouped = _parsed_kv(robots, host_col, text_col)
+    agents = _agents(grouped)
+    sel = agents.join(_select_agent(agents, me), ["host", "agent"]).select(
+        "host", "grp"
     )
     delays = grouped.where(
         (F.col("key") == "crawl-delay") & (F.col("grp") > 0)
     ).select("host", "grp", F.col("value").cast("double").alias("delay_s"))
-    me = agent.lower()
-    cand = agents.where(F.col("agent").isin(me, "*")).join(
-        delays, ["host", "grp"]
+    return (
+        delays.join(sel, ["host", "grp"])
+        .where(F.col("delay_s").isNotNull())
+        .groupBy("host")
+        .agg(F.min("delay_s").alias("delay_s"))
     )
-    pick = (
-        cand.groupBy("host")
-        .agg(
-            F.min(
-                F.when(F.col("agent") == me, F.col("delay_s"))
-            ).alias("_d_me"),
-            F.min(
-                F.when(F.col("agent") == "*", F.col("delay_s"))
-            ).alias("_d_any"),
-        )
-        .select("host", F.coalesce("_d_me", "_d_any").alias("delay_s"))
-    )
-    return pick.where(F.col("delay_s").isNotNull())
 
 
 def robots_sitemaps(
@@ -325,11 +343,10 @@ def robots_sitemaps(
 # ---------------------------------------------------------------------------
 
 
-def robots_rules_sql(robots_cte: str) -> str:
-    """SELECT host, grp, agent, rule_type, pattern, pattern_len —
-    exactly robots_rules() over `robots_cte`(host, robots_txt)."""
-    return f"""(
-WITH rb_split AS (
+def _parsed_sql(robots_cte: str) -> str:
+    """CTE fragment chain ending in rb_grp / rb_agents — the DuckDB
+    twin of _parsed_kv + _agents (group ids over ALL recognized keys)."""
+    return f"""rb_split AS (
   SELECT host, string_split_regex(robots_txt, '\\r?\\n') AS ls
   FROM {robots_cte}
 ),
@@ -339,13 +356,13 @@ rb_lines AS (
   FROM rb_split, unnest(range(1, len(ls) + 1)) AS u(i)
 ),
 rb_kv AS (
-  SELECT host, line_no,
-         lower(regexp_extract(line, '^([A-Za-z-]+)\\s*:', 1)) AS key,
-         trim(regexp_extract(line, '^[A-Za-z-]+\\s*:\\s*(.*)$', 1)) AS value
-  FROM rb_lines
-  WHERE line <> ''
-    AND lower(regexp_extract(line, '^([A-Za-z-]+)\\s*:', 1))
-        IN ('user-agent', 'allow', 'disallow')
+  SELECT host, line_no, key, value FROM (
+    SELECT host, line_no,
+           lower(regexp_extract(line, '^([A-Za-z-]+)\\s*:', 1)) AS key,
+           trim(regexp_extract(line, '^[A-Za-z-]+\\s*:\\s*(.*)$', 1))
+             AS value
+    FROM rb_lines WHERE line <> ''
+  ) WHERE key <> ''
 ),
 rb_starts AS (
   SELECT host, line_no, key, value,
@@ -363,11 +380,36 @@ rb_grp AS (
 rb_agents AS (
   SELECT DISTINCT host, grp, lower(value) AS agent
   FROM rb_grp WHERE key = 'user-agent'
-),
+)"""
+
+
+def _pick_sql(agent: str) -> str:
+    """CTE fragment rb_pick(host, agent): the longest prefix-matching
+    agent value else '*' — the twin of _select_agent over rb_agents."""
+    me = agent.lower().replace("'", "''")
+    return f"""rb_pick AS (
+  SELECT host, agent FROM (
+    SELECT host, agent,
+           row_number() OVER (
+             PARTITION BY host
+             ORDER BY (agent <> '*') DESC, length(agent) DESC, agent
+           ) AS rn
+    FROM (SELECT DISTINCT host, agent FROM rb_agents
+          WHERE agent = '*'
+             OR agent = substr('{me}', 1, length(agent)))
+  ) WHERE rn = 1
+)"""
+
+
+def robots_rules_sql(robots_cte: str) -> str:
+    """SELECT host, grp, agent, rule_type, pattern, pattern_len —
+    exactly robots_rules() over `robots_cte`(host, robots_txt)."""
+    return f"""(
+WITH {_parsed_sql(robots_cte)},
 rb_rules AS (
   SELECT host, grp, key AS rule_type, value AS pattern,
          length(value) AS pattern_len
-  FROM rb_grp WHERE key <> 'user-agent' AND grp > 0
+  FROM rb_grp WHERE key IN ('allow', 'disallow') AND grp > 0
 )
 SELECT a.host, a.grp, a.agent, r.rule_type, r.pattern, r.pattern_len
 FROM rb_agents a JOIN rb_rules r USING (host, grp)
@@ -386,7 +428,6 @@ def robots_filter_sql(
     and a row-unique `id_expr` (the per-doc precedence partition)."""
     from spdb_spark.functions.url import url_host_sql
 
-    me = agent.lower().replace("'", "''")
     rx = (
         "'^' || replace(regexp_replace("
         "CASE WHEN pattern LIKE '%$' THEN substr(pattern, 1,"
@@ -402,23 +443,21 @@ def robots_filter_sql(
         f" '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*(.*)$', 1) END)"
     )
     return f"""(
-WITH rb_all AS (
-  SELECT * FROM {robots_rules_sql(robots_cte)}
-),
-rb_cand AS (
-  SELECT * FROM rb_all WHERE agent IN ('{me}', '*')
-),
-rb_pick AS (
-  SELECT host,
-         coalesce(min(CASE WHEN agent = '{me}' THEN grp END),
-                  min(CASE WHEN agent = '*' THEN grp END)) AS grp
-  FROM (SELECT DISTINCT host, agent, grp FROM rb_cand)
-  GROUP BY host
+WITH {_parsed_sql(robots_cte)},
+{_pick_sql(agent)},
+rb_sel AS (
+  SELECT a.host, a.grp
+  FROM rb_agents a JOIN rb_pick p
+    ON a.host = p.host AND a.agent = p.agent
 ),
 rb_active AS (
-  SELECT c.host, c.rule_type, c.pattern_len, {rx} AS rx
-  FROM rb_cand c JOIN rb_pick p ON c.host = p.host AND c.grp = p.grp
-  WHERE c.pattern <> ''
+  SELECT c.host, c.rule_type, length(c.pattern) AS pattern_len,
+         {rx} AS rx
+  FROM (SELECT host, grp, key AS rule_type, value AS pattern
+        FROM rb_grp
+        WHERE key IN ('allow', 'disallow') AND grp > 0
+          AND value <> '') c
+  JOIN rb_sel s ON c.host = s.host AND c.grp = s.grp
 ),
 rb_docs AS (
   SELECT d.*, {url_host_sql(url_expr)} AS _rb_host, {path} AS _rb_path

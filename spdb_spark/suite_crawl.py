@@ -1034,17 +1034,40 @@ def _robots_fixture(spark: SparkSession, sf_dir: str):
     )
     hk = F.col("id").cast("string")
     hk3 = (F.col("id") * 3 % 7).cast("string")
-    rb_full = F.concat(
-        F.lit("# synthetic\nUser-agent: "), F.lit(_RB_AGENT),
-        F.lit("\nDisallow: /sec"), hk,
-        F.lit("\nAllow: /sec"), hk, F.lit("/open"),
-        F.lit("\nDisallow: /d"), hk, F.lit("*"),
-        F.lit("\nDisallow: /p"), hk3, F.lit("$"),
-        F.lit("\n\nUser-agent: *\nDisallow: /\n"),
+
+    def rules_for(agent: str) -> F.Column:
+        return F.concat(
+            F.lit("# synthetic\nUser-agent: "), F.lit(agent),
+            F.lit("\nDisallow: /sec"), hk,
+            F.lit("\nAllow: /sec"), hk, F.lit("/open"),
+            F.lit("\nDisallow: /d"), hk, F.lit("*"),
+            F.lit("\nDisallow: /p"), hk3, F.lit("$"),
+        )
+
+    star_tail = F.lit("\n\nUser-agent: *\nDisallow: /\n")
+    rb_full = F.concat(rules_for(_RB_AGENT), star_tail)
+    # longest-prefix selection: 'training' IS a prefix of the product
+    # token; the longer decoy 'trainingbot-images' is NOT — the decoy's
+    # blanket Disallow must be ignored and 'training''s rules obeyed
+    rb_prefix = F.concat(
+        rules_for("training"),
+        F.lit("\n\nUser-agent: "), F.lit(_RB_AGENT),
+        F.lit("-images\nDisallow: /"),
+        star_tail,
+    )
+    # a matched group with NO rules (only a non-rule directive) allows
+    # all — it must not fall through to the blocking '*' group, and its
+    # crawl-delay line must still bound the groups around it
+    rb_ruleless = F.concat(
+        F.lit("User-agent: "), F.lit(_RB_AGENT),
+        F.lit("\nCrawl-delay: 1"),
+        star_tail,
     )
     robots = spark.range(23).select(
         F.concat(F.lit("site"), hk, F.lit(".example")).alias("host"),
         F.when(F.col("id") % 4 == 0, F.lit("User-agent: *\nDisallow:\n"))
+        .when(F.col("id") % 4 == 1, rb_prefix)
+        .when(F.col("id") % 4 == 2, rb_ruleless)
         .otherwise(rb_full)
         .alias("robots_txt"),
     )
@@ -1077,8 +1100,25 @@ WITH d AS (
 ),
 rb AS (
   SELECT 'site' || i::VARCHAR || '.example' AS host,
-         CASE WHEN i % 4 = 0
+         CASE i % 4
+           WHEN 0
            THEN 'User-agent: *' || chr(10) || 'Disallow:' || chr(10)
+           WHEN 1
+           THEN '# synthetic' || chr(10)
+             || 'User-agent: training' || chr(10)
+             || 'Disallow: /sec' || i::VARCHAR || chr(10)
+             || 'Allow: /sec' || i::VARCHAR || '/open' || chr(10)
+             || 'Disallow: /d' || i::VARCHAR || '*' || chr(10)
+             || 'Disallow: /p' || (i * 3 % 7)::VARCHAR || '$' || chr(10)
+             || chr(10) || 'User-agent: {_RB_AGENT}-images' || chr(10)
+             || 'Disallow: /'
+             || chr(10) || chr(10) || 'User-agent: *' || chr(10)
+             || 'Disallow: /' || chr(10)
+           WHEN 2
+           THEN 'User-agent: {_RB_AGENT}' || chr(10)
+             || 'Crawl-delay: 1'
+             || chr(10) || chr(10) || 'User-agent: *' || chr(10)
+             || 'Disallow: /' || chr(10)
            ELSE '# synthetic' || chr(10)
              || 'User-agent: {_RB_AGENT}' || chr(10)
              || 'Disallow: /sec' || i::VARCHAR || chr(10)

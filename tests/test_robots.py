@@ -282,3 +282,194 @@ def test_crawl_delays_and_sitemaps(spark):
         ("a.example", "http://a.example/sitemap.xml"),
         ("a.example", "http://a.example/extra.xml"),
     }
+
+
+def test_longest_prefix_agent_selection(spark):
+    """RFC 9309 / Googlebot convention: among agent values that are a
+    prefix of the product token the LONGEST wins; values longer than
+    the token never match."""
+    rb = (
+        "User-agent: training\n"
+        "Disallow: /a\n"
+        "\n"
+        "User-agent: trainingbot\n"
+        "Disallow: /b\n"
+        "\n"
+        "User-agent: trainingbot-images\n"
+        "Disallow: /\n"
+        "\n"
+        "User-agent: *\n"
+        "Disallow: /\n"
+    )
+    robots = spark.createDataFrame(
+        [("h.example", rb)], "host string, robots_txt string"
+    )
+    docs = spark.createDataFrame(
+        [(1, "http://h.example/a"), (2, "http://h.example/b"),
+         (3, "http://h.example/c")],
+        "doc_id long, source string",
+    )
+
+    def verdicts(agent):
+        return {
+            r.doc_id: r.allowed
+            for r in robots_filter(
+                docs, robots, agent, keep_verdict=True
+            ).collect()
+        }
+
+    # exact group beats the shorter prefix; the longer decoy is ignored
+    assert verdicts("TrainingBot") == {1: True, 2: False, 3: True}
+    # only the short prefix matches this token
+    assert verdicts("trainingbo") == {1: False, 2: True, 3: True}
+    # nothing matches -> '*' group blocks all
+    assert verdicts("otherbot") == {1: False, 2: False, 3: False}
+    # the most specific token picks its own group
+    assert verdicts("trainingbot-images") == {1: False, 2: False, 3: False}
+
+
+def test_matching_groups_combine(spark):
+    """Two separate groups naming the same agent combine their rules
+    (RFC: matching groups' rules MUST be combined)."""
+    rb = (
+        "User-agent: trainingbot\n"
+        "Disallow: /a\n"
+        "\n"
+        "User-agent: other\n"
+        "Disallow: /c\n"
+        "\n"
+        "User-agent: trainingbot\n"
+        "Disallow: /b\n"
+    )
+    robots = spark.createDataFrame(
+        [("h.example", rb)], "host string, robots_txt string"
+    )
+    docs = spark.createDataFrame(
+        [(1, "http://h.example/a"), (2, "http://h.example/b"),
+         (3, "http://h.example/c")],
+        "doc_id long, source string",
+    )
+    got = {
+        r.doc_id: r.allowed
+        for r in robots_filter(
+            docs, robots, "trainingbot", keep_verdict=True
+        ).collect()
+    }
+    assert got == {1: False, 2: False, 3: True}
+
+
+def test_ruleless_matched_group_allows_all(spark):
+    """A selected group whose lines are all non-rule directives allows
+    everything — it must NOT fall through to the blocking '*' group,
+    and its directive lines still bound the groups around it."""
+    rb = (
+        "User-agent: trainingbot\n"
+        "Crawl-delay: 1\n"
+        "\n"
+        "User-agent: *\n"
+        "Disallow: /\n"
+    )
+    robots = spark.createDataFrame(
+        [("h.example", rb)], "host string, robots_txt string"
+    )
+    docs = spark.createDataFrame(
+        [(1, "http://h.example/x")], "doc_id long, source string"
+    )
+    got = robots_filter(docs, robots, "trainingbot", keep_verdict=True)
+    assert [(r.doc_id, r.allowed) for r in got.collect()] == [(1, True)]
+    # the '*' group still blocks everyone else
+    got2 = robots_filter(docs, robots, "somebot", keep_verdict=True)
+    assert [(r.doc_id, r.allowed) for r in got2.collect()] == [(1, False)]
+
+
+def test_crawl_delay_group_boundaries(spark):
+    """A rules-only group followed by a crawl-delay-only group must NOT
+    merge: agent a has no delay, agent b has 5 (the lag-over-filtered-
+    keys bug assigned b's delay to a)."""
+    from spdb_spark.functions.robots import robots_crawl_delays
+
+    rb = (
+        "User-agent: aaaa\n"
+        "Disallow: /x\n"
+        "User-agent: bbbb\n"
+        "Crawl-delay: 5\n"
+    )
+    robots = spark.createDataFrame(
+        [("h.example", rb)], "host string, robots_txt string"
+    )
+    assert robots_crawl_delays(robots, "aaaa").collect() == []
+    got = {
+        r.host: r.delay_s
+        for r in robots_crawl_delays(robots, "bbbb").collect()
+    }
+    assert got == {"h.example": 5.0}
+
+
+def test_prefix_selection_duckdb_parity(spark):
+    """The SQL twin replays the longest-prefix pick, group combining,
+    and the rule-less-group allow-all byte-for-byte."""
+    import duckdb as _duck
+
+    rb_prefix = (
+        "User-agent: training\n"
+        "Disallow: /a\n"
+        "\n"
+        "User-agent: trainingbot-images\n"
+        "Disallow: /\n"
+        "\n"
+        "User-agent: *\n"
+        "Disallow: /\n"
+    )
+    rb_ruleless = (
+        "User-agent: trainingbot\n"
+        "Crawl-delay: 1\n"
+        "\n"
+        "User-agent: *\n"
+        "Disallow: /\n"
+    )
+    rb_combine = (
+        "User-agent: trainingbot\n"
+        "Disallow: /a\n"
+        "User-agent: other\n"
+        "Disallow: /c\n"
+        "User-agent: trainingbot\n"
+        "Disallow: /b\n"
+    )
+    robots_rows = [
+        ("p.example", rb_prefix),
+        ("r.example", rb_ruleless),
+        ("c.example", rb_combine),
+    ]
+    doc_rows = [
+        (i * 10 + j, f"http://{h}/{p}")
+        for i, (h, _) in enumerate(robots_rows)
+        for j, p in enumerate(("a", "b", "c"))
+    ]
+    robots = spark.createDataFrame(
+        robots_rows, "host string, robots_txt string"
+    )
+    docs = spark.createDataFrame(doc_rows, "doc_id long, source string")
+    spark_v = {
+        r.doc_id: r.allowed
+        for r in robots_filter(
+            docs, robots, "TrainingBot", keep_verdict=True
+        ).collect()
+    }
+    con = _duck.connect()
+    con.execute("CREATE TABLE robots (host VARCHAR, robots_txt VARCHAR)")
+    con.executemany("INSERT INTO robots VALUES (?, ?)", robots_rows)
+    con.execute("CREATE TABLE docs (doc_id BIGINT, source VARCHAR)")
+    con.executemany("INSERT INTO docs VALUES (?, ?)", doc_rows)
+    duck_v = dict(
+        con.execute(
+            f"SELECT doc_id, allowed FROM "
+            f"{robots_filter_sql('docs', 'robots', 'TrainingBot')}"
+        ).fetchall()
+    )
+    assert duck_v == spark_v
+    # and the semantics themselves, hand-pinned
+    assert spark_v == {
+        0: False, 1: True, 2: True,     # p: 'training' rules only
+        10: True, 11: True, 12: True,   # r: rule-less matched group
+        20: False, 21: False, 22: True  # c: combined trainingbot groups
+    }
