@@ -283,6 +283,7 @@ def kn_ngram_logprob(
     discount: float = DISCOUNT,
     materialize: bool = True,
     model: dict | None = None,
+    backoff_alpha: float = 0.4,
 ) -> DataFrame:
     """Order-n interpolated Kneser-Ney — the published CommonCrawl
     filters score with a KenLM **5-gram**; this is that model order,
@@ -300,14 +301,28 @@ def kn_ngram_logprob(
     a two-implementation cross-check.
 
     `model` accepts a prebuilt `kn_ngram_model(docs, n)` so repeated
-    scoring runs share one set of count tables; without it the model
-    is trained here (self-scoring, every join hits)."""
+    scoring runs share one set of count tables — the FROZEN path for
+    scoring other corpora. Frozen scoring joins every count table LEFT
+    and routes misses through the stupid-backoff ladder (`backoff_alpha`
+    per skipped level, Brants et al. 2007 — the kn_score posture): an
+    n-gram whose context the model never saw scores alpha * P_{k-1},
+    down to the strictly-positive uniform base for unseen words, so
+    out-of-domain documents stay in the output and score LOW instead of
+    being silently dropped (frozen n=3 is bit-equal to kn_score;
+    test-pinned). Self-scoring (model=None) trains here and every join
+    hits — the backoff branches never fire."""
     if not 2 <= n <= 8:
         raise ValueError(f"n must be in [2, 8], got {n}")
     if not 0.0 < discount < 1.0:
         raise ValueError(f"discount must be in (0, 1), got {discount}")
+    if not 0.0 < backoff_alpha <= 1.0:
+        raise ValueError(
+            f"backoff_alpha must be in (0, 1], got {backoff_alpha}"
+        )
     d = float(discount)
+    alpha = float(backoff_alpha)
 
+    frozen = model is not None
     if model is None:
         model = kn_ngram_model(docs, n, text_col, id_col, materialize)
         grams = model["_grams"]
@@ -335,32 +350,74 @@ def kn_ngram_logprob(
     # sized occurrence stream shuffles exactly once (the g join)
     # before the per-doc aggregate. At 100 TB this is the difference
     # between nine corpus shuffles and one.
-    scored = top.withColumn("p", _prefix(F.col("g"), n - 1))
+    #
+    # Frozen scoring types over the SCORED corpus's grams (the model's
+    # top table need not cover them) and joins every count table LEFT.
+    if frozen:
+        base = grams.select("g").distinct().join(top, "g", "left")
+    else:
+        base = top
+    how = "left" if frozen else "inner"
+    scored = base.withColumn("p", _prefix(F.col("g"), n - 1))
     for k in range(1, n):
         scored = scored.withColumn(f"s{k}", _suffix(F.col("g"), k))
     for k in range(2, n):
         scored = scored.withColumn(f"m{k}", _prefix(F.col(f"s{k}"), k - 1))
-    scored = scored.join(ctx_top, "p")
+    scored = scored.join(ctx_top, "p", how)
     for k in range(1, n):
-        scored = scored.join(types[k], f"s{k}")
+        scored = scored.join(types[k], f"s{k}", how)
     for k in range(2, n):
-        scored = scored.join(ctxs[k], f"m{k}")
+        scored = scored.join(ctxs[k], f"m{k}", how)
     scored = scored.crossJoin(F.broadcast(totals))
 
-    # Level expressions — token-identical shapes to kn_trigram_logprob.
-    p = (
-        F.greatest(F.col("nc1") - d, F.lit(0.0)) / F.col("denom1")
-        + F.lit(d) * F.col("t1total") / F.col("denom1") / F.col("v_size")
-    )
-    for k in range(2, n):
+    if frozen:
+        # Backoff ladder, level shapes token-identical to kn_score's:
+        # an unseen suffix type contributes its discounted-zero mass
+        # (coalesce->0); an unseen CONTEXT backs the whole level off to
+        # alpha * P_{k-1}; denominators from `totals` always exist, so
+        # unseen words keep the strictly-positive uniform base.
         p = (
-            F.greatest(F.col(f"nc{k}") - d, F.lit(0.0)) / F.col(f"denom{k}")
-            + F.lit(d) * F.col(f"tdist{k}") / F.col(f"denom{k}") * p
+            F.greatest(
+                F.coalesce(F.col("nc1"), F.lit(0)) - d, F.lit(0.0)
+            ) / F.col("denom1")
+            + F.lit(d) * F.col("t1total") / F.col("denom1") / F.col("v_size")
         )
-    p = (
-        F.greatest(F.col("cn") - d, F.lit(0.0)) / F.col("ctxsum")
-        + F.lit(d) * F.col("tdistn") / F.col("ctxsum") * p
-    )
+        for k in range(2, n):
+            pk_seen = (
+                F.greatest(
+                    F.coalesce(F.col(f"nc{k}"), F.lit(0)) - d, F.lit(0.0)
+                ) / F.col(f"denom{k}")
+                + F.lit(d) * F.col(f"tdist{k}") / F.col(f"denom{k}") * p
+            )
+            p = F.when(
+                F.col(f"denom{k}").isNull(), F.lit(alpha) * p
+            ).otherwise(pk_seen)
+        pn_seen = (
+            F.greatest(
+                F.coalesce(F.col("cn"), F.lit(0)) - d, F.lit(0.0)
+            ) / F.col("ctxsum")
+            + F.lit(d) * F.col("tdistn") / F.col("ctxsum") * p
+        )
+        p = F.when(
+            F.col("ctxsum").isNull(), F.lit(alpha) * p
+        ).otherwise(pn_seen)
+    else:
+        # Level expressions — token-identical shapes to
+        # kn_trigram_logprob (bit-equality at n=3 is test-pinned).
+        p = (
+            F.greatest(F.col("nc1") - d, F.lit(0.0)) / F.col("denom1")
+            + F.lit(d) * F.col("t1total") / F.col("denom1") / F.col("v_size")
+        )
+        for k in range(2, n):
+            p = (
+                F.greatest(F.col(f"nc{k}") - d, F.lit(0.0))
+                / F.col(f"denom{k}")
+                + F.lit(d) * F.col(f"tdist{k}") / F.col(f"denom{k}") * p
+            )
+        p = (
+            F.greatest(F.col("cn") - d, F.lit(0.0)) / F.col("ctxsum")
+            + F.lit(d) * F.col("tdistn") / F.col("ctxsum") * p
+        )
     lp_q = F.floor(F.log(p) * 1e6).cast("long")
     type_lp = scored.select("g", lp_q.alias("_lpq"))
 

@@ -218,3 +218,60 @@ def test_reopen_rejects_different_model(spark, tmp_path, model):
     )
     with pytest.raises(ValueError, match="was built with"):
         StreamingKNScorer(spark, path, other)
+
+
+def test_kn_ngram_frozen_n3_bit_equal_to_kn_score(spark, model):
+    """The general-order frozen path at n=3 replays kn_score's backoff
+    ladder bit-for-bit (same level shapes, same alpha) — including
+    docs whose every trigram/context is unseen."""
+    from spdb_spark.functions.ngramlm import kn_ngram_logprob, kn_ngram_model
+
+    train, new = _df(spark, TRAIN), _df(spark, NEW)
+    m3 = kn_ngram_model(train, 3)
+    a = {
+        r.doc_id: (r.mean_logprob, r.n_ngrams)
+        for r in kn_ngram_logprob(new, 3, model=m3).collect()
+    }
+    b = {
+        r.doc_id: (r.mean_logprob, r.n_trigrams)
+        for r in kn_score(new, model).collect()
+    }
+    assert a == b
+    assert set(a) == set(NEW)  # out-of-domain docs are NOT dropped
+
+
+def test_kn_ngram_frozen_self_scoring_bit_equal(spark):
+    """Scoring the training corpus through a prebuilt model hits every
+    join, so the backoff branches never fire and the result equals the
+    self-trained path exactly."""
+    from spdb_spark.functions.ngramlm import kn_ngram_logprob, kn_ngram_model
+
+    train = _df(spark, TRAIN)
+    m4 = kn_ngram_model(train, 4)
+    a = {
+        r.doc_id: (r.mean_logprob, r.n_ngrams)
+        for r in kn_ngram_logprob(train, 4, model=m4).collect()
+    }
+    b = {
+        r.doc_id: (r.mean_logprob, r.n_ngrams)
+        for r in kn_ngram_logprob(train, 4).collect()
+    }
+    assert a == b
+
+
+def test_kn_ngram_frozen_ranks_out_of_domain_lowest(spark):
+    """A frozen 5-gram quality filter must score the all-novel doc
+    LOWEST, not lose it (the inner-join regression this pins against)."""
+    from spdb_spark.functions.ngramlm import kn_ngram_logprob, kn_ngram_model
+
+    train = _df(spark, TRAIN)
+    new = _df(spark, NEW)
+    m5 = kn_ngram_model(train, 5)
+    got = {
+        r.doc_id: r.mean_logprob
+        for r in kn_ngram_logprob(new, 5, model=m5).collect()
+    }
+    assert set(got) == set(NEW)
+    assert got[13] < got[10]  # all-unseen scores below in-distribution
+    # the fully in-distribution doc ranks highest of the four
+    assert got[10] == max(got.values())
