@@ -166,6 +166,32 @@ def crawl_to_corpus(
     return docs
 
 
+def crawl_pages(
+    warc: DataFrame, normalize_urls: bool = True
+) -> DataFrame:
+    """One row per fetched response: (_pid, page_url, html), with _pid
+    content-addressed over (normalized URL, payload hash) — the page
+    identity BOTH the batch rank build (dropDuplicates) and the
+    streaming link-graph ledger (seen-pid anti-join) dedup on, so the
+    two paths see the same distinct-page set by construction. Narrow
+    projection; no exchange."""
+    from spdb_spark.functions.hashing import md5_long
+    from spdb_spark.sources.warc import http_response_body
+
+    uri = F.col("target_uri")
+    if normalize_urls:
+        from spdb_spark.functions.url import url_normalize
+
+        uri = url_normalize(uri)
+    return warc.where(F.col("warc_type") == "response").select(
+        md5_long(
+            F.concat_ws("\x1f", uri, F.md5(F.col("payload")))
+        ).alias("_pid"),
+        uri.alias("page_url"),
+        http_response_body(F.col("payload")).alias("html"),
+    )
+
+
 def crawl_host_ranks(
     warc: DataFrame,
     normalize_urls: bool = True,
@@ -178,29 +204,12 @@ def crawl_host_ranks(
     integer-protocol PageRank -> (domain, rank_q). Graph-sized output —
     broadcastable onto any corpus."""
     from spdb_spark.functions.graph import pagerank
-    from spdb_spark.functions.hashing import md5_long
     from spdb_spark.functions.linkgraph import host_graph_edges
-    from spdb_spark.sources.warc import http_response_body
 
-    uri = F.col("target_uri")
-    if normalize_urls:
-        from spdb_spark.functions.url import url_normalize
-
-        uri = url_normalize(uri)
     pages = (
-        warc.where(F.col("warc_type") == "response")
-        .select(
-            uri.alias("page_url"),
-            F.col("payload"),
-            md5_long(
-                F.concat_ws("\x1f", uri, F.md5(F.col("payload")))
-            ).alias("_pid"),
-        )
+        crawl_pages(warc, normalize_urls)
         .dropDuplicates(["_pid"])
-        .select(
-            "page_url",
-            http_response_body(F.col("payload")).alias("html"),
-        )
+        .select("page_url", "html")
     )
     edges = host_graph_edges(pages, "page_url", "html", rules=rules)
     pr = pagerank(

@@ -15,9 +15,14 @@ Statefulness policy: the ingest functions are stateless projections
 revisit collapse (dropDuplicates on the content-addressed doc_id) is a
 STATEFUL operator on an unbounded stream, so the streaming docs pass
 `dedup=False` — StreamingCrawlCorpus (below) carries ALL the stateful
-curation (quality -> exact dedup -> near-dedup) in a ledger-backed
-foreachBatch sink whose `corpus()` reader reproduces the batch
-`crawl_to_corpus` output exactly.
+curation (robots exclusion -> quality -> exact dedup -> near-dedup) in
+a ledger-backed foreachBatch sink whose `corpus()` reader reproduces
+the batch `crawl_to_corpus` output exactly. The rank-prior stage
+(batch: rank_prior=True / min_host_rank_q) streams through a SECOND
+sink on the raw record feed — StreamingLinkGraph, the crawl_host_ranks
+twin — consumed at read time by `corpus_ranked()`, so the full r12
+batch composition (robots + quality + dedup + rank prior) has an
+exact streaming replay.
 """
 
 from __future__ import annotations
@@ -86,6 +91,126 @@ DOCS_SCHEMA = (
     "doc_id long, text string, lang string, source string, n_chars int,"
     " text_hash string"
 )
+_PAGES_DDL = "pid long"
+_LG_EDGES_DDL = "src_domain string, dst_domain string, weight long"
+
+
+class StreamingLinkGraph(BatchLedgerSink):
+    """foreachBatch sink maintaining the crawl's OWN href host graph
+    over an unbounded WARC record feed — the streaming twin of
+    sources/crawl.crawl_host_ranks, attached to the RAW record stream
+    (stream_warc_records output) because link structure is crawl
+    evidence even for pages whose text the curation chain drops.
+
+    Parity argument: batch ranks build on the DISTINCT fetched pages
+    (_pid content-addressed over (normalized URL, payload hash) —
+    sources/crawl.crawl_pages). Here each batch contributes the edge
+    slice of its NEVER-SEEN pids only (anti-join on the committed pid
+    set), and duplicate pages carry identical content by construction,
+    so the first arrival wins a pid with the same outbound links any
+    arrival would. host_graph_edges weights are per-page-additive
+    counts — a SUM monoid over disjoint page sets (the
+    StreamingHostGraph argument) — so the per-key sum of slices equals
+    the batch edge list over the union for ANY arrival order;
+    exactly-once comes from the ledger marker.
+
+    State: pages/b{N} (pid long — distinct-page-count-sized),
+    edges/b{N} (graph-sized slices, collapsed lazily at read time and
+    physically by compact()/vacuum()). Per-batch cost is O(batch pages
+    + matching pids); rank reads recompute the exact T-iteration
+    integer-protocol PageRank over graph-sized state (warm starts
+    rejected for the reasons in streaming/graph.py).
+    """
+
+    def __init__(
+        self,
+        spark,
+        base_path: str,
+        normalize_urls: bool = True,
+        rules: DataFrame | None = None,
+    ):
+        super().__init__(spark, base_path)
+        self.STATE_TABLES = {"pages": _PAGES_DDL, "edges": _LG_EDGES_DDL}
+        self.normalize_urls = normalize_urls
+        self.rules = rules
+
+    def process_batch(self, batch: DataFrame, batch_id: int) -> None:
+        from pyspark.sql import functions as F
+
+        from spdb_spark.functions.linkgraph import host_graph_edges
+        from spdb_spark.sources.crawl import crawl_pages
+
+        committed = self._committed()
+        if batch_id in committed:
+            return  # redelivered: this batch's edge slice already summed
+        pages = (
+            crawl_pages(batch, self.normalize_urls)
+            .dropDuplicates(["_pid"])
+            .persist()
+        )
+        try:
+            seen = self._read("pages", _PAGES_DDL, committed)
+            if seen is not None:
+                new = pages.join(
+                    seen.withColumnRenamed("pid", "_pid"), "_pid", "left_anti"
+                )
+            else:
+                new = pages
+            new = new.persist()
+            try:
+                host_graph_edges(
+                    new, "page_url", "html", rules=self.rules
+                ).write.mode("overwrite").parquet(
+                    self._dir("edges", batch_id)
+                )
+                new.select(F.col("_pid").alias("pid")).write.mode(
+                    "overwrite"
+                ).parquet(self._dir("pages", batch_id))
+                self._commit(batch_id)
+            finally:
+                new.unpersist()
+        finally:
+            pages.unpersist()
+
+    def start(self, stream: DataFrame, checkpoint: str, **trigger_kwargs):
+        """Attach to a streaming WARC record DataFrame
+        (stream_warc_records output)."""
+        return (
+            stream.writeStream.foreachBatch(self.process_batch)
+            .option("checkpointLocation", checkpoint)
+            .outputMode("append")
+            .trigger(**(trigger_kwargs or {"availableNow": True}))
+            .start()
+        )
+
+    def edges(self) -> DataFrame:
+        """The accumulated weighted eTLD+1 edge list — equal to
+        host_graph_edges over the union's distinct pages."""
+        from pyspark.sql import functions as F
+
+        state = self._read_state("edges", _LG_EDGES_DDL)
+        if state is None:
+            return self.spark.createDataFrame([], _LG_EDGES_DDL)
+        return state.groupBy("src_domain", "dst_domain").agg(
+            F.sum("weight").alias("weight")
+        )
+
+    def host_ranks(self, iterations: int = 5) -> DataFrame:
+        """(domain, rank_q): the integer-protocol PageRank over the
+        accumulated graph — equal to crawl_host_ranks over the union of
+        every committed batch, any arrival order."""
+        from pyspark.sql import functions as F
+
+        from spdb_spark.functions.graph import pagerank
+
+        pr = pagerank(
+            self.edges(),
+            "src_domain",
+            "dst_domain",
+            weight="weight",
+            iterations=iterations,
+        )
+        return pr.select(F.col("node").alias("domain"), "rank_q")
 
 
 class StreamingCrawlCorpus(BatchLedgerSink):
@@ -145,6 +270,8 @@ class StreamingCrawlCorpus(BatchLedgerSink):
         num_hashes: int = 16,
         bands: int = 8,
         rows: int = 2,
+        robots: DataFrame | None = None,
+        robots_agent: str = "*",
     ):
         super().__init__(spark, base_path)
         self.STATE_TABLES = {
@@ -159,6 +286,12 @@ class StreamingCrawlCorpus(BatchLedgerSink):
         self.num_hashes = num_hashes
         self.bands = bands
         self.rows = rows
+        # robots exclusion is a stateless per-row fold over a static
+        # (host, robots_txt) table, so it drops into the sink unchanged
+        # and runs FIRST — exactly the batch crawl_to_corpus order
+        # (disallowed content must not influence survivor choice)
+        self.robots = robots
+        self.robots_agent = robots_agent
 
     _DOC_COLS = ("doc_id", "text", "lang", "source", "n_chars")
 
@@ -179,6 +312,12 @@ class StreamingCrawlCorpus(BatchLedgerSink):
         if batch_id in committed:
             return  # foreachBatch redelivery after a crash: already done
         docs = batch.select(*self._DOC_COLS)
+        if self.robots is not None:
+            from spdb_spark.functions.robots import robots_filter
+
+            docs = robots_filter(
+                docs, self.robots, self.robots_agent, url_col="source"
+            )
         if self.quality:
             from spdb_spark.functions.quality import gopher_filter
 
@@ -348,6 +487,35 @@ class StreamingCrawlCorpus(BatchLedgerSink):
         w = dsir_weights(docs, lr, n_buckets=select_buckets)
         chosen = dsir_resample(w, select_k, seed=select_seed).select("doc_id")
         return docs.join(F.broadcast(chosen), "doc_id", "left_semi")
+
+    def corpus_ranked(
+        self,
+        link_graph: "StreamingLinkGraph",
+        rank_iterations: int = 5,
+        min_host_rank_q: int | None = None,
+        rules: DataFrame | None = None,
+    ) -> DataFrame:
+        """The curated corpus with the rank prior attached — equal to
+        batch `crawl_to_corpus(rank_prior=True, rank_iterations=...,
+        min_host_rank_q=...)` over the union of every committed batch,
+        for any arrival order, when `link_graph` is a StreamingLinkGraph
+        fed from the SAME WARC feed (test-pinned and driver-gated
+        against the batch oracle). The rank prior is a global decision
+        over the accumulated graph, so it reads at corpus() time — the
+        read-time-canonicalization pattern exact dedup already uses;
+        the join itself is the distinct-host broadcast map of
+        sources/crawl.attach_host_rank (the corpus never shuffles)."""
+        from pyspark.sql import functions as F
+
+        from spdb_spark.sources.crawl import attach_host_rank
+
+        out = attach_host_rank(
+            self.corpus(), link_graph.host_ranks(rank_iterations),
+            rules=rules,
+        )
+        if min_host_rank_q is not None:
+            out = out.where(F.col("host_rank_q") >= min_host_rank_q)
+        return out
 
     # -- streaming attachment ---------------------------------------------------
 

@@ -23,6 +23,7 @@ import os
 from spdb_spark.suite_crawl import STAGED_R9 as CRAWL_R9
 from spdb_spark.suite_crawl import STAGED_R10 as CRAWL_R10
 from spdb_spark.suite_crawl import STAGED_R12 as CRAWL_R12
+from spdb_spark.suite_crawl import STAGED_R13 as CRAWL_R13
 from spdb_spark.suite_llm import QUERIES as LLM
 from spdb_spark.suite_llm import STAGED_R7 as LLM_R7
 from spdb_spark.suite_llm import STAGED_R10_LLM as LLM_R10
@@ -60,6 +61,10 @@ _BASE.update(LLM_R11)
 # the unigram-LM subword tokenizer.
 _BASE.update(CRAWL_R12)
 _BASE.update(LLM_R12)
+# Round-13 registration (append-only): the streaming rank-prior crawl
+# composition, gated against the SAME composed oracle as
+# llm_crawl_corpus_ranked (the shared-oracle stream==batch pattern).
+_BASE.update(CRAWL_R13)
 
 
 def _last_checked_round() -> dict[str, int]:

@@ -976,6 +976,96 @@ def q_crawl_corpus_ranked(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_CRAWL_CORPUS_RANKED = _sql_crawl_corpus(links=True, ranked=True)
 
 
+def q_crawl_corpus_ranked_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The STREAMING rank-prior composition driven end-to-end against
+    the SAME oracle as llm_crawl_corpus_ranked: the linked WARC fixture
+    split into three files (URI-hash order, so content groups straddle
+    micro-batches), ingested through BOTH sinks — StreamingCrawlCorpus
+    (robots-less here, matching the batch gate) for the curated docs
+    and StreamingLinkGraph for the crawl's own href host graph — then
+    corpus_ranked() joins the accumulated graph's PageRank at read
+    time. The driver compare against the batch-composed oracle IS the
+    stream == batch proof (the shared-oracle pattern of
+    llm_host_pagerank_stream)."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from spdb_spark.sources.warc import warc_encode
+    from spdb_spark.streaming.crawl import (
+        StreamingCrawlCorpus,
+        StreamingLinkGraph,
+        stream_crawl_docs,
+        stream_warc_records,
+    )
+
+    recs = _crawl_warc_fixture(spark, sf_dir, links=True).collect()
+    recs = sorted(
+        recs, key=lambda r: hashlib.md5(r.target_uri.encode()).hexdigest()
+    )
+    files: list[list[dict]] = [[], [], []]
+    for i, r in enumerate(recs):
+        files[i % 3].append(
+            {
+                "warc_type": r.warc_type,
+                "target_uri": r.target_uri,
+                "payload": bytes(r.payload),
+            }
+        )
+    tmp = tempfile.mkdtemp(prefix="crawlrankstream-")
+    try:
+        feed = os.path.join(tmp, "feed")
+        os.makedirs(feed)
+        for j, fl in enumerate(files):
+            with open(os.path.join(feed, f"f{j}.warc.gz"), "wb") as f:
+                f.write(warc_encode(fl))
+        corpus_sink = StreamingCrawlCorpus(
+            spark,
+            os.path.join(tmp, "cstate"),
+            minhash_threshold=_NEARDUP_THRESHOLD,
+        )
+        graph_sink = StreamingLinkGraph(spark, os.path.join(tmp, "gstate"))
+        for sink, stream, ck in (
+            (
+                corpus_sink,
+                stream_crawl_docs(spark, feed, max_files_per_trigger=1),
+                "cckpt",
+            ),
+            (
+                graph_sink,
+                stream_warc_records(spark, feed, max_files_per_trigger=1),
+                "gckpt",
+            ),
+        ):
+            q = sink.start(stream, os.path.join(tmp, ck))
+            try:
+                if not q.awaitTermination(600):
+                    raise TimeoutError(
+                        "crawl stream did not finish within 600s"
+                    )
+            finally:
+                q.stop()
+        rows = (
+            corpus_sink.corpus_ranked(graph_sink, rank_iterations=_RANK_ITERS)
+            .select("doc_id", "source", "host_rank_q")
+            .collect()
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return spark.createDataFrame(
+        rows, "doc_id long, source string, host_rank_q long"
+    )
+
+
+STAGED_R13: dict = {
+    "llm_crawl_corpus_ranked_stream": (
+        q_crawl_corpus_ranked_stream,
+        SQL_CRAWL_CORPUS_RANKED,
+    ),
+}
+
+
 STAGED_R12: dict = {
     "llm_host_graph_edges": (q_host_graph_edges, SQL_HOST_GRAPH_EDGES),
     "llm_crawl_corpus_ranked": (q_crawl_corpus_ranked, SQL_CRAWL_CORPUS_RANKED),

@@ -273,3 +273,185 @@ def test_streaming_corpus_with_dsir_selection_matches_batch(spark, tmp_path):
     }
     assert len(want) == 25
     assert got == want
+
+
+def test_streaming_link_graph_matches_batch_any_order(spark, tmp_path):
+    """StreamingLinkGraph == crawl_host_ranks over the union for BOTH
+    arrival orders, with duplicate pages straddling files (the pid
+    ledger must count each distinct page's links exactly once)."""
+    from spdb_spark.sources.warc import ingest_warc, warc_encode
+    from spdb_spark.streaming.crawl import (
+        StreamingLinkGraph,
+        stream_warc_records,
+    )
+    from spdb_spark.sources.crawl import crawl_host_ranks
+
+    def page(i: int, hub: bool = False) -> dict:
+        links = "".join(
+            f'<a href="http://site{j}.example/x">l</a>'
+            for j in range(3 if hub else 1)
+        )
+        return {
+            "warc_type": "response",
+            "target_uri": f"http://host{i % 4}.example/p{i}",
+            "payload": (
+                "HTTP/1.1 200 OK\r\n\r\n<html><body>" + links
+                + "</body></html>"
+            ).encode(),
+        }
+
+    pages = [page(i, hub=i % 3 == 0) for i in range(12)]
+    # duplicates of pages 0 and 5 land in the OTHER file
+    fa = pages[:6] + [pages[5]]
+    fb = pages[6:] + [pages[0], pages[5]]
+
+    def run(order):
+        feed = tmp_path / f"feed{order[0]['f']}"
+        feed.mkdir()
+        for name, recs in [(o["f"], o["recs"]) for o in order]:
+            (feed / f"{name}.warc.gz").write_bytes(warc_encode(recs))
+        sink = StreamingLinkGraph(
+            spark, str(tmp_path / f"state{order[0]['f']}")
+        )
+        q = sink.start(
+            stream_warc_records(spark, str(feed), max_files_per_trigger=1),
+            str(tmp_path / f"ckpt{order[0]['f']}"),
+        )
+        assert q.awaitTermination(300)
+        return sink
+
+    s_ab = run([{"f": "a", "recs": fa}, {"f": "b", "recs": fb}])
+    s_ba = run([{"f": "ba", "recs": fb}, {"f": "bb", "recs": fa}])
+
+    feed_all = tmp_path / "all"
+    feed_all.mkdir()
+    (feed_all / "u.warc.gz").write_bytes(warc_encode(fa + fb))
+    want_edges = {
+        (r.src_domain, r.dst_domain): r.weight
+        for r in __import__("spdb_spark.functions.linkgraph", fromlist=["x"])
+        .host_graph_edges(
+            __import__(
+                "spdb_spark.sources.crawl", fromlist=["x"]
+            ).crawl_pages(ingest_warc(spark, str(feed_all)))
+            .dropDuplicates(["_pid"])
+        )
+        .collect()
+    }
+    want_ranks = {
+        (r.domain, r.rank_q)
+        for r in crawl_host_ranks(ingest_warc(spark, str(feed_all))).collect()
+    }
+    for sink in (s_ab, s_ba):
+        got_edges = {
+            (r.src_domain, r.dst_domain): r.weight
+            for r in sink.edges().collect()
+        }
+        assert got_edges == want_edges
+        assert {
+            (r.domain, r.rank_q) for r in sink.host_ranks().collect()
+        } == want_ranks
+
+
+def test_streaming_ranked_corpus_matches_batch_full_composition(
+    spark, tmp_path
+):
+    """The COMPLETE r12 batch composition — robots exclusion + quality +
+    exact dedup + near-dedup + rank prior + rank floor — replayed by the
+    two streaming sinks: corpus_ranked() must equal crawl_to_corpus(
+    robots=..., rank_prior=True, min_host_rank_q=...) over the union."""
+    import hashlib
+
+    from conftest import SF_DIR
+    from pyspark.sql import functions as F
+
+    from spdb_spark.session import load_tables
+    from spdb_spark.sources.crawl import crawl_to_corpus
+    from spdb_spark.sources.warc import ingest_warc, warc_encode
+    from spdb_spark.streaming.crawl import (
+        StreamingCrawlCorpus,
+        StreamingLinkGraph,
+        stream_crawl_docs,
+        stream_warc_records,
+    )
+    from spdb_spark.suite_crawl import (
+        _NEARDUP_THRESHOLD,
+        warc_records_from_docs,
+    )
+
+    docs_tbl = (
+        load_tables(spark, SF_DIR)["documents"].where("doc_id < 200")
+    )
+    recs = warc_records_from_docs(docs_tbl, links=True).collect()
+    recs = sorted(
+        recs, key=lambda r: hashlib.md5(r.target_uri.encode()).hexdigest()
+    )
+    feed = tmp_path / "feed"
+    feed.mkdir()
+    for j in range(3):
+        fl = [
+            {
+                "warc_type": r.warc_type,
+                "target_uri": r.target_uri,
+                "payload": bytes(r.payload),
+            }
+            for i, r in enumerate(recs)
+            if i % 3 == j
+        ]
+        (feed / f"f{j}.warc.gz").write_bytes(warc_encode(fl))
+
+    # robots: three hosts blanket-block their /d paths; their LINKS
+    # still feed the rank graph on both paths
+    robots = spark.createDataFrame(
+        [(f"site{i}.example", "User-agent: *\nDisallow: /d\n")
+         for i in (0, 5, 10)],
+        "host string, robots_txt string",
+    )
+
+    corpus_sink = StreamingCrawlCorpus(
+        spark,
+        str(tmp_path / "cstate"),
+        minhash_threshold=_NEARDUP_THRESHOLD,
+        robots=robots,
+    )
+    q = corpus_sink.start(
+        stream_crawl_docs(spark, str(feed), max_files_per_trigger=1),
+        str(tmp_path / "cckpt"),
+    )
+    assert q.awaitTermination(600)
+    graph_sink = StreamingLinkGraph(spark, str(tmp_path / "gstate"))
+    q = graph_sink.start(
+        stream_warc_records(spark, str(feed), max_files_per_trigger=1),
+        str(tmp_path / "gckpt"),
+    )
+    assert q.awaitTermination(600)
+
+    got = {
+        tuple(r)
+        for r in corpus_sink.corpus_ranked(graph_sink)
+        .select("doc_id", "source", "host_rank_q")
+        .collect()
+    }
+    want_df = crawl_to_corpus(
+        ingest_warc(spark, str(feed)),
+        minhash_threshold=_NEARDUP_THRESHOLD,
+        robots=robots,
+        rank_prior=True,
+    ).select("doc_id", "source", "host_rank_q")
+    want = {tuple(r) for r in want_df.collect()}
+    assert len(want) > 0
+    assert got == want
+    # robots actually bit: none of the blocked hosts' docs survive
+    assert all(
+        not s.startswith("http://site0.example") for _, s, _ in got
+    )
+    # rank floor: streaming filter == batch filter for a discriminating q
+    qs = sorted({q for _, _, q in want if q > 0})
+    floor = qs[len(qs) // 2]
+    got_f = {
+        tuple(r)
+        for r in corpus_sink.corpus_ranked(
+            graph_sink, min_host_rank_q=floor
+        ).select("doc_id", "source", "host_rank_q").collect()
+    }
+    assert got_f == {t for t in want if t[2] >= floor}
+    assert 0 < len(got_f) < len(want)
