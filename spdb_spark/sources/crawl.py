@@ -41,6 +41,7 @@ def crawl_to_corpus(
     rank_prior: bool = False,
     rank_iterations: int = 5,
     min_host_rank_q: int | None = None,
+    rank_map: DataFrame | None = None,
     suffix_rules: DataFrame | None = None,
     robots: DataFrame | None = None,
     robots_agent: str = "*",
@@ -90,6 +91,14 @@ def crawl_to_corpus(
     even when a page's text is dropped), so the rank join is the only
     coupling to the curation chain — a broadcast of the graph-sized
     (domain, rank) map onto the corpus.
+
+    `rank_map` short-circuits the rank build: pass a prebuilt
+    (domain, rank_q) table — `stage_host_ranks` output read back, or
+    `crawl_host_ranks` — and the rank-prior stage becomes ONE broadcast
+    join at selection time instead of re-deriving the entire link graph
+    + PageRank chain inside this plan (the kn_ngram_model reuse
+    posture: build once per crawl, consume everywhere; identical output
+    test-pinned, split walls in SCALE.md).
 
     `robots` (a host-keyed (host, robots_txt) DataFrame) applies
     RFC 9309 exclusion for `robots_agent` (functions/robots.py) before
@@ -153,13 +162,14 @@ def crawl_to_corpus(
         w = dsir_weights(docs, lr, n_buckets=select_buckets)
         chosen = dsir_resample(w, select_k, seed=select_seed).select("doc_id")
         docs = docs.join(F.broadcast(chosen), "doc_id", "left_semi")
-    if rank_prior:
-        rank_map = crawl_host_ranks(
-            warc,
-            normalize_urls=normalize_urls,
-            iterations=rank_iterations,
-            rules=suffix_rules,
-        )
+    if rank_prior or rank_map is not None:
+        if rank_map is None:
+            rank_map = crawl_host_ranks(
+                warc,
+                normalize_urls=normalize_urls,
+                iterations=rank_iterations,
+                rules=suffix_rules,
+            )
         docs = attach_host_rank(docs, rank_map, rules=suffix_rules)
         if min_host_rank_q is not None:
             docs = docs.where(F.col("host_rank_q") >= min_host_rank_q)
@@ -217,6 +227,34 @@ def crawl_host_ranks(
         iterations=iterations,
     )
     return pr.select(F.col("node").alias("domain"), "rank_q")
+
+
+def stage_host_ranks(
+    warc: DataFrame,
+    path: str,
+    normalize_urls: bool = True,
+    iterations: int = 5,
+    rules: DataFrame | None = None,
+) -> DataFrame:
+    """Materialize the crawl's (domain, rank_q) prior once and return a
+    reader over it — the production shape for rank-prior selection: the
+    link-graph + PageRank chain (corpus-scan-heavy, graph-sized output)
+    runs ONCE per crawl snapshot, and every downstream selection pass
+    consumes the persisted table as a broadcast map via
+    `crawl_to_corpus(rank_map=...)` / `attach_host_rank`. Reading the
+    table back (rather than returning the lineage) also frees the
+    selection plan from AQE-opaque recomputation: the parquet scan
+    carries statistics, so the host join stays broadcast."""
+    ranks = crawl_host_ranks(
+        warc,
+        normalize_urls=normalize_urls,
+        iterations=iterations,
+        rules=rules,
+    )
+    ranks.write.mode("overwrite").parquet(path)
+    return warc.sparkSession.read.schema(
+        "domain string, rank_q long"
+    ).parquet(path)
 
 
 def attach_host_rank(

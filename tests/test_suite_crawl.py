@@ -91,3 +91,48 @@ def test_registration_landed():
     for name in STAGED_R9:
         if last.get(name, 0) == 0:
             assert name in window, f"{name} missed the next rotation window"
+
+
+def test_staged_rank_map_equals_inline_rank_build(spark, tmp_path):
+    """The production split — stage_host_ranks once, then
+    crawl_to_corpus(rank_map=staged) — yields EXACTLY the inline
+    rank_prior=True output (same ranks, same floor filtering), while
+    the selection plan no longer contains the PageRank iteration
+    chain."""
+    from pyspark.sql import functions as F
+
+    from spdb_spark.sources.crawl import crawl_to_corpus, stage_host_ranks
+    from spdb_spark.suite_crawl import _crawl_warc_fixture
+
+    warc = _crawl_warc_fixture(spark, SF_DIR, links=True)
+    sel = ("doc_id", "source", "host_rank_q")
+    inline = {
+        tuple(r)
+        for r in crawl_to_corpus(warc, rank_prior=True)
+        .select(*sel)
+        .collect()
+    }
+    staged = stage_host_ranks(warc, str(tmp_path / "ranks"))
+    split_df = crawl_to_corpus(warc, rank_map=staged).select(*sel)
+    split = {tuple(r) for r in split_df.collect()}
+    assert len(inline) > 0
+    assert split == inline
+
+    # the floor filter behaves identically through the staged path
+    qs = sorted({q for _, _, q in inline if q > 0})
+    floor = qs[len(qs) // 2]
+    split_floor = {
+        tuple(r)
+        for r in crawl_to_corpus(
+            warc, rank_map=staged, min_host_rank_q=floor
+        ).select(*sel).collect()
+    }
+    assert split_floor == {t for t in inline if t[2] >= floor}
+
+    # and the split plan really consumes the PERSISTED map (a parquet
+    # scan with statistics, not the rank lineage): the rank build —
+    # WARC scan + link extraction + the eager PageRank iterations —
+    # ran once inside stage_host_ranks and never re-enters a selection
+    # plan (wall split measured in SCALE.md)
+    plan = split_df._jdf.queryExecution().executedPlan().toString()
+    assert "ranks" in plan and "rank_q:bigint" in plan
