@@ -24,6 +24,10 @@ from pyspark.sql import functions as F
 # Explicit BMP ranges — deliberately the core blocks only (no
 # extensions): the signal wants "which writing system dominates", not
 # full Unicode coverage; ranges are identical in Java regex and RE2.
+# Supplementary-plane characters (emoji, CJK ext-B, ...) fall into
+# `other` and count ONCE in both engines — Java regex classes are
+# codepoint-aware (no surrogate double-count) and RE2 walks UTF-8
+# runes; parity pinned in tests/test_scripts.py::test_non_bmp_parity.
 # \x{...} codepoint escapes: the ONE spelling both Java regex and RE2
 # accept (Java-only \uXXXX would break the DuckDB twin).
 SCRIPT_RANGES: tuple[tuple[str, str], ...] = (

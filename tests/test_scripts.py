@@ -107,3 +107,49 @@ def test_every_range_is_re2_and_java_parseable(spark):
             F.regexp_count(F.col("t"), F.lit(f"[{rng}]")).alias("n")
         ).collect()
         con.execute(f"SELECT regexp_matches('x', '[{rng}]')").fetchone()
+
+
+def test_non_bmp_parity_and_other_bucket(spark):
+    """Supplementary-plane characters (emoji U+1F600, CJK ext-B
+    U+20000): BOTH engines match code points, not UTF-16 units — Java
+    regex classes are codepoint-aware and RE2 walks UTF-8 runes — so a
+    non-BMP char counts ONCE into total/other and ratios agree exactly.
+    Pinned because any engine regression here silently skews every
+    ratio on emoji-bearing text."""
+    rows = [
+        (0, "hi \U0001F600"),                 # latin + emoji
+        (1, "\U00020000\U00020000 ok"),       # CJK ext-B (outside cjk range)
+        (2, "\U0001F600\U0001F601\U0001F602"),  # pure emoji -> other
+    ]
+    df = spark.createDataFrame(rows, "id long, t string")
+    counts = {
+        r.id: (r.c["total"], r.c["other"], r.c["latin"])
+        for r in df.select(
+            "id", script_counts(F.col("t")).alias("c")
+        ).collect()
+    }
+    # one count per code point: 'hi ' = 2 latin, emoji = 1 other
+    assert counts[0] == (3, 1, 2)
+    assert counts[1] == (4, 2, 2)
+    assert counts[2] == (3, 3, 0)
+    cols = ["latin", "cjk"]
+    got = sorted(
+        tuple(r)
+        for r in df.select(
+            "id",
+            dominant_script(F.col("t")).alias("dom"),
+            *[script_ratio(F.col("t"), c).alias(c) for c in cols],
+        ).collect()
+    )
+    con = duckdb.connect()
+    con.execute("CREATE TABLE nb (id BIGINT, t VARCHAR)")
+    con.executemany("INSERT INTO nb VALUES (?,?)", rows)
+    ratio_sql = ", ".join(script_ratio_sql("t", c) for c in cols)
+    duck = sorted(
+        tuple(r)
+        for r in con.execute(
+            f"SELECT id, {dominant_script_sql('t')}, {ratio_sql}"
+            " FROM nb ORDER BY id"
+        ).fetchall()
+    )
+    assert got == duck
