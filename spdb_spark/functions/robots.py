@@ -481,3 +481,49 @@ rb_top AS (
 )
 SELECT * EXCLUDE (_rb_host, _rb_path) FROM rb_top
 )"""
+
+
+def robots_crawl_delays_sql(robots_cte: str, agent: str) -> str:
+    """SELECT host, delay_s — exactly robots_crawl_delays() over
+    `robots_cte`(host, robots_txt): the same full-key-stream grouping
+    and longest-prefix agent selection, min delay over the selected
+    agent's groups, non-numeric values dropped."""
+    return f"""(
+WITH {_parsed_sql(robots_cte)},
+{_pick_sql(agent)},
+rb_sel AS (
+  SELECT a.host, a.grp
+  FROM rb_agents a JOIN rb_pick p
+    ON a.host = p.host AND a.agent = p.agent
+),
+rb_delays AS (
+  SELECT g.host, TRY_CAST(g.value AS DOUBLE) AS delay_s
+  FROM rb_grp g JOIN rb_sel s ON g.host = s.host AND g.grp = s.grp
+  WHERE g.key = 'crawl-delay' AND g.grp > 0
+)
+SELECT host, MIN(delay_s) AS delay_s
+FROM rb_delays WHERE delay_s IS NOT NULL
+GROUP BY host
+)"""
+
+
+def robots_sitemaps_sql(robots_cte: str) -> str:
+    """SELECT host, sitemap — exactly robots_sitemaps() over
+    `robots_cte`(host, robots_txt)."""
+    return f"""(
+WITH sm_split AS (
+  SELECT host, string_split_regex(robots_txt, '\\r?\\n') AS ls
+  FROM {robots_cte}
+),
+sm_lines AS (
+  SELECT host,
+         trim(regexp_replace(ls[u.i::INT], '#.*$', '', 'g')) AS line
+  FROM sm_split, unnest(range(1, len(ls) + 1)) AS u(i)
+)
+SELECT DISTINCT host,
+       trim(regexp_extract(line, '(?i)^sitemap\\s*:\\s*(.*)$', 1))
+         AS sitemap
+FROM sm_lines
+WHERE regexp_matches(lower(line), '^sitemap\\s*:')
+  AND trim(regexp_extract(line, '(?i)^sitemap\\s*:\\s*(.*)$', 1)) <> ''
+)"""

@@ -1229,3 +1229,205 @@ SQL_ROBOTS_FILTER = _sql_robots_filter()
 
 
 STAGED_R12["llm_robots_filter"] = (q_robots_filter, SQL_ROBOTS_FILTER)
+
+
+# ---------------------------------------------------------------------------
+# Round 13 (second batch): the frontier operators that CONSUME the
+# robots side-channels. llm_sitemap_urls gates sitemap-XML parsing with
+# a full value oracle (every field is a closed form of documents);
+# llm_frontier_schedule composes robots parse -> crawl-delay selection
+# -> politeness scheduling end-to-end against the SQL twins.
+# ---------------------------------------------------------------------------
+
+
+def _sitemap_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """23 per-host sitemaps built from documents: one <url> block per
+    doc (host = doc_id % 23), loc always present (with stray spaces the
+    parser must trim), lastmod/changefreq/priority present on
+    deterministic doc classes."""
+    d = F.col("doc_id")
+    k = (d % 23).cast("string")
+    n = d.cast("string")
+    loc = F.concat(
+        F.lit("\n  <url>\n    <loc> http://site"), k,
+        F.lit(".example/d"), n, F.lit(" </loc>"),
+    )
+    lastmod = F.when(
+        d % 3 == 0,
+        F.concat(
+            F.lit("\n    <lastmod>2026-01-"),
+            F.lpad((d % 28 + 1).cast("string"), 2, "0"),
+            F.lit("</lastmod>"),
+        ),
+    ).otherwise(F.lit(""))
+    changefreq = F.when(
+        d % 4 == 0,
+        F.concat(
+            F.lit("\n    <changefreq>"),
+            F.element_at(
+                F.array(F.lit("daily"), F.lit("weekly"), F.lit("monthly")),
+                (d % 3 + 1).cast("int"),
+            ),
+            F.lit("</changefreq>"),
+        ),
+    ).otherwise(F.lit(""))
+    priority = F.when(
+        d % 5 != 0,
+        F.concat(
+            F.lit("\n    <priority>0."), (d % 10).cast("string"),
+            F.lit("</priority>"),
+        ),
+    ).otherwise(F.lit(""))
+    block = F.concat(loc, lastmod, changefreq, priority, F.lit("\n  </url>"))
+    docs = _docs(spark, sf_dir).select(
+        (d % 23).alias("k"), F.struct(d.alias("doc_id"), block.alias("b")).alias("s")
+    )
+    return docs.groupBy("k").agg(
+        F.concat(
+            F.lit('<?xml version="1.0"?>\n<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">'),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list("s")), lambda x: x["b"]
+                ),
+                "",
+            ),
+            F.lit("\n</urlset>\n"),
+        ).alias("xml")
+    ).select(
+        F.concat(F.lit("site"), F.col("k").cast("string"), F.lit(".example")).alias("host"),
+        "xml",
+    )
+
+
+def q_sitemap_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sitemap ingestion (sources/frontier.sitemap_urls) over the
+    synthetic per-host sitemaps; the oracle emits the closed forms
+    directly from documents, so the compare proves the XML round-trip
+    is lossless (the zipshard-gate pattern)."""
+    from spdb_spark.sources.frontier import sitemap_urls
+
+    return sitemap_urls(_sitemap_fixture(spark, sf_dir))
+
+
+SQL_SITEMAP_URLS = """
+SELECT 'site' || (doc_id % 23)::VARCHAR || '.example' AS host,
+       'http://site' || (doc_id % 23)::VARCHAR || '.example/d'
+         || doc_id::VARCHAR AS loc,
+       CASE WHEN doc_id % 3 = 0
+            THEN '2026-01-' || lpad((doc_id % 28 + 1)::VARCHAR, 2, '0')
+       END AS lastmod,
+       CASE WHEN doc_id % 4 = 0
+            THEN ['daily', 'weekly', 'monthly'][(doc_id % 3 + 1)::INT]
+       END AS changefreq,
+       CASE WHEN doc_id % 5 <> 0
+            THEN TRY_CAST('0.' || (doc_id % 10)::VARCHAR AS DOUBLE)
+       END AS priority
+FROM documents
+"""
+
+
+_FS_AGENT = "trainingbot"
+_FS_DEFAULT = 2.0
+_FS_START = 100.0
+
+
+def _frontier_fixture(spark: SparkSession, sf_dir: str):
+    d = F.col("doc_id")
+    k = (d % 23).cast("string")
+    urls = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.concat(
+            F.lit("http://site"), k, F.lit(".example/p"), d.cast("string")
+        ).alias("source"),
+    )
+    i = F.col("id")
+    rb = spark.range(23).select(
+        F.concat(F.lit("site"), i.cast("string"), F.lit(".example")).alias(
+            "host"
+        ),
+        F.when(
+            i % 4 == 1,
+            F.concat(
+                F.lit("User-agent: trainingbot\nCrawl-delay: "),
+                i.cast("string"),
+                F.lit(".5\n\nUser-agent: *\nCrawl-delay: 9\n"),
+            ),
+        )
+        .when(
+            i % 4 == 2,
+            F.concat(
+                F.lit("User-agent: *\nCrawl-delay: "),
+                i.cast("string"),
+                F.lit("\n"),
+            ),
+        )
+        .when(
+            i % 4 == 3,
+            F.lit("User-agent: trainingbot\nCrawl-delay: soon\n"),
+        )
+        .otherwise(F.lit("User-agent: *\nDisallow:\n"))
+        .alias("robots_txt"),
+    )
+    return urls, rb
+
+
+def q_frontier_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """robots parse -> longest-prefix crawl-delay selection -> per-host
+    politeness slots, end-to-end: per-host delays come in specific-
+    agent, star-group, non-numeric (-> default) and absent (-> default)
+    flavors, and the schedule lays each host's URLs on
+    start + slot * delay."""
+    from spdb_spark.functions.robots import robots_crawl_delays
+    from spdb_spark.sources.frontier import frontier_schedule
+
+    urls, rb = _frontier_fixture(spark, sf_dir)
+    delays = robots_crawl_delays(rb, _FS_AGENT)
+    return frontier_schedule(
+        urls,
+        delays,
+        url_col="source",
+        default_delay_s=_FS_DEFAULT,
+        start_s=_FS_START,
+    )
+
+
+def _sql_frontier_schedule() -> str:
+    from spdb_spark.functions.robots import robots_crawl_delays_sql
+    from spdb_spark.sources.frontier import frontier_schedule_sql
+
+    return f"""
+WITH d AS (
+  SELECT doc_id,
+         'http://site' || (doc_id % 23)::VARCHAR || '.example/p'
+           || doc_id::VARCHAR AS source
+  FROM documents
+),
+rb AS (
+  SELECT 'site' || i::VARCHAR || '.example' AS host,
+         CASE i % 4
+           WHEN 1 THEN 'User-agent: trainingbot' || chr(10)
+             || 'Crawl-delay: ' || i::VARCHAR || '.5' || chr(10)
+             || chr(10) || 'User-agent: *' || chr(10)
+             || 'Crawl-delay: 9' || chr(10)
+           WHEN 2 THEN 'User-agent: *' || chr(10)
+             || 'Crawl-delay: ' || i::VARCHAR || chr(10)
+           WHEN 3 THEN 'User-agent: trainingbot' || chr(10)
+             || 'Crawl-delay: soon' || chr(10)
+           ELSE 'User-agent: *' || chr(10) || 'Disallow:' || chr(10)
+         END AS robots_txt
+  FROM range(0, 23) t(i)
+),
+dl AS (SELECT * FROM {robots_crawl_delays_sql("rb", _FS_AGENT)})
+SELECT doc_id, source, host, delay_s, slot, fetch_at_s
+FROM {frontier_schedule_sql("d", "dl", "source", _FS_DEFAULT, _FS_START)}
+"""
+
+
+SQL_FRONTIER_SCHEDULE = _sql_frontier_schedule()
+
+
+STAGED_R13["llm_sitemap_urls"] = (q_sitemap_urls, SQL_SITEMAP_URLS)
+STAGED_R13["llm_frontier_schedule"] = (
+    q_frontier_schedule,
+    SQL_FRONTIER_SCHEDULE,
+)

@@ -1,0 +1,165 @@
+"""Frontier operators (sources/frontier.py): hand-pinned sitemap
+parsing (urlset + sitemapindex, missing fields, whitespace), the
+politeness schedule's slot/timestamp math and determinism, crawl-delay
+twin parity, and the plan shape (broadcast delay join, no corpus
+shuffle beyond the per-host window)."""
+
+import duckdb
+from pyspark.sql import functions as F
+
+from spdb_spark.sources.frontier import (
+    frontier_schedule,
+    frontier_schedule_sql,
+    sitemap_index_locs,
+    sitemap_urls,
+    sitemap_urls_sql,
+)
+
+XML = """<?xml version="1.0" encoding="UTF-8"?>
+<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">
+  <url>
+    <loc> http://a.example/one </loc>
+    <lastmod>2026-01-02</lastmod>
+    <changefreq>daily</changefreq>
+    <priority>0.8</priority>
+  </url>
+  <url><loc>http://a.example/two</loc></url>
+  <url><priority>0.5</priority></url>
+  <url><loc>http://a.example/three</loc><priority>notanumber</priority></url>
+</urlset>
+"""
+
+IDX = """<sitemapindex xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">
+  <sitemap><loc>http://a.example/sitemap1.xml</loc>
+    <lastmod>2025-12-31</lastmod></sitemap>
+  <sitemap><loc>http://a.example/sitemap2.xml</loc></sitemap>
+</sitemapindex>
+"""
+
+
+def test_sitemap_urls_hand_pinned(spark):
+    df = spark.createDataFrame(
+        [("a.example", XML)], "host string, xml string"
+    )
+    rows = sorted(
+        (r.loc, r.lastmod, r.changefreq, r.priority)
+        for r in sitemap_urls(df).collect()
+    )
+    # loc-less entry dropped; whitespace trimmed; bad priority -> NULL
+    assert rows == [
+        ("http://a.example/one", "2026-01-02", "daily", 0.8),
+        ("http://a.example/three", None, None, None),
+        ("http://a.example/two", None, None, None),
+    ]
+
+
+def test_sitemap_index_hand_pinned(spark):
+    df = spark.createDataFrame(
+        [("a.example", IDX)], "host string, xml string"
+    )
+    rows = sorted(
+        (r.loc, r.lastmod) for r in sitemap_index_locs(df).collect()
+    )
+    assert rows == [
+        ("http://a.example/sitemap1.xml", "2025-12-31"),
+        ("http://a.example/sitemap2.xml", None),
+    ]
+
+
+def test_sitemap_urls_duckdb_parity(spark):
+    df = spark.createDataFrame(
+        [("a.example", XML)], "host string, xml string"
+    )
+    got = sorted(tuple(r) for r in sitemap_urls(df).collect())
+    con = duckdb.connect()
+    con.execute("CREATE TABLE sm (host VARCHAR, xml VARCHAR)")
+    con.execute("INSERT INTO sm VALUES (?, ?)", ["a.example", XML])
+    duck = sorted(
+        con.execute(f"SELECT * FROM {sitemap_urls_sql('sm')}").fetchall()
+    )
+    assert got == duck
+
+
+def test_frontier_schedule_hand_pinned(spark):
+    urls = spark.createDataFrame(
+        [
+            (1, "http://a.example/p2"),
+            (2, "http://a.example/p1"),
+            (3, "http://a.example/p3"),
+            (4, "http://b.example/x"),
+            (5, "http://c.example/y"),
+        ],
+        "doc_id long, url string",
+    )
+    delays = spark.createDataFrame(
+        [("a.example", 1.5), ("b.example", 10.0)],
+        "host string, delay_s double",
+    )
+    got = {
+        r.doc_id: (r.host, r.delay_s, r.slot, r.fetch_at_s)
+        for r in frontier_schedule(
+            urls, delays, default_delay_s=2.0, start_s=100.0
+        ).collect()
+    }
+    # slots follow url order within host; c.example gets the default
+    assert got == {
+        2: ("a.example", 1.5, 0, 100.0),
+        1: ("a.example", 1.5, 1, 101.5),
+        3: ("a.example", 1.5, 2, 103.0),
+        4: ("b.example", 10.0, 0, 100.0),
+        5: ("c.example", 2.0, 0, 100.0),
+    }
+    # deterministic: a repartitioned re-run yields the identical schedule
+    again = {
+        r.doc_id: (r.host, r.delay_s, r.slot, r.fetch_at_s)
+        for r in frontier_schedule(
+            urls.repartition(7), delays, default_delay_s=2.0, start_s=100.0
+        ).collect()
+    }
+    assert again == got
+
+
+def test_frontier_schedule_duckdb_parity(spark):
+    url_rows = [
+        (i, f"http://h{i % 3}.example/p{i * 7 % 13}") for i in range(20)
+    ]
+    delay_rows = [("h0.example", 0.5), ("h2.example", 3.0)]
+    urls = spark.createDataFrame(url_rows, "doc_id long, url string")
+    delays = spark.createDataFrame(
+        delay_rows, "host string, delay_s double"
+    )
+    got = sorted(
+        tuple(r)
+        for r in frontier_schedule(urls, delays, start_s=7.0).collect()
+    )
+    con = duckdb.connect()
+    con.execute("CREATE TABLE u (doc_id BIGINT, url VARCHAR)")
+    con.executemany("INSERT INTO u VALUES (?,?)", url_rows)
+    con.execute("CREATE TABLE dl (host VARCHAR, delay_s DOUBLE)")
+    con.executemany("INSERT INTO dl VALUES (?,?)", delay_rows)
+    duck = sorted(
+        con.execute(
+            "SELECT doc_id, url, host, delay_s, slot, fetch_at_s FROM "
+            + frontier_schedule_sql("u", "dl", "url", 1.0, 7.0)
+        ).fetchall()
+    )
+    assert got == duck
+
+
+def test_frontier_plan_broadcasts_delays(spark):
+    urls = spark.createDataFrame(
+        [(i, f"http://h{i % 5}.example/p{i}") for i in range(50)],
+        "doc_id long, url string",
+    )
+    delays = spark.createDataFrame(
+        [("h0.example", 0.5)], "host string, delay_s double"
+    )
+    plan = (
+        frontier_schedule(urls, delays)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan
+    assert "BatchEvalPython" not in plan
+    assert "CartesianProduct" not in plan

@@ -473,3 +473,66 @@ def test_prefix_selection_duckdb_parity(spark):
         10: True, 11: True, 12: True,   # r: rule-less matched group
         20: False, 21: False, 22: True  # c: combined trainingbot groups
     }
+
+
+def test_delays_and_sitemaps_duckdb_parity(spark):
+    """The crawl-delay and sitemap side-channels now have SQL twins
+    (consumed by the frontier gates) — pin them against the Spark
+    forms on the mixed fixture."""
+    import duckdb as _duck
+
+    from spdb_spark.functions.robots import (
+        robots_crawl_delays,
+        robots_crawl_delays_sql,
+        robots_sitemaps,
+        robots_sitemaps_sql,
+    )
+
+    rows = [
+        (
+            "a.example",
+            "Sitemap: http://a.example/sitemap.xml\n"
+            "User-agent: trainingbot\nCrawl-delay: 2.5\nDisallow: /x\n\n"
+            "User-agent: *\nCrawl-delay: 10\n"
+            "Sitemap: http://a.example/extra.xml\n",
+        ),
+        ("b.example", "User-agent: *\nDisallow:\n"),
+        ("c.example", "User-agent: *\nCrawl-delay: soon\n"),
+        (
+            "d.example",
+            "User-agent: training\nCrawl-delay: 7\n\n"
+            "User-agent: trainingbot-images\nCrawl-delay: 1\n",
+        ),
+    ]
+    robots = spark.createDataFrame(rows, "host string, robots_txt string")
+    con = _duck.connect()
+    con.execute("CREATE TABLE rb (host VARCHAR, robots_txt VARCHAR)")
+    con.executemany("INSERT INTO rb VALUES (?,?)", rows)
+    for agent in ("TrainingBot", "somebot"):
+        got = sorted(
+            (r.host, r.delay_s)
+            for r in robots_crawl_delays(robots, agent).collect()
+        )
+        duck = sorted(
+            con.execute(
+                f"SELECT * FROM {robots_crawl_delays_sql('rb', agent)}"
+            ).fetchall()
+        )
+        assert got == duck, agent
+    # the prefix group on d.example wins for trainingbot (7), the decoy
+    # is ignored; '*'-less hosts drop for somebot
+    got_tb = dict(
+        (r.host, r.delay_s)
+        for r in robots_crawl_delays(robots, "TrainingBot").collect()
+    )
+    assert got_tb == {"a.example": 2.5, "d.example": 7.0}
+    got_maps = sorted(
+        (r.host, r.sitemap) for r in robots_sitemaps(robots).collect()
+    )
+    duck_maps = sorted(
+        con.execute(
+            f"SELECT * FROM {robots_sitemaps_sql('rb')}"
+        ).fetchall()
+    )
+    assert got_maps == duck_maps
+    assert len(got_maps) == 2

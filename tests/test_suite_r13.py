@@ -40,7 +40,13 @@ def test_r13_gate_exact(spark, name):
     for c in got.columns:
         a, b = got[c], want[c]
         if a.dtype.kind == "f" or b.dtype.kind == "f":
-            assert (a.astype(float).values == b.astype(float).values).all(), (
+            import numpy as np
+
+            av = a.astype(float).values
+            bv = b.astype(float).values
+            # exact float equality, with NULL (NaN) matching NULL — the
+            # driver compare's equal_nan semantics
+            assert ((av == bv) | (np.isnan(av) & np.isnan(bv))).all(), (
                 name,
                 c,
             )
