@@ -79,6 +79,8 @@ EXTRA = [
     "llm_robots_filter",  # r12: RFC 9309 exclusion parse + match
     "llm_wordpiece_tokenize",  # r12: WordPiece greedy MaxMatch
     "llm_script_profile",  # r12: Unicode script ratios + dominant
+    "llm_sitemap_urls",  # r13: sitemap XML -> frontier seeds
+    "llm_frontier_schedule",  # r13: crawl-delay politeness schedule
 ]
 
 
