@@ -1431,3 +1431,78 @@ STAGED_R13["llm_frontier_schedule"] = (
     q_frontier_schedule,
     SQL_FRONTIER_SCHEDULE,
 )
+
+
+def q_frontier_schedule_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The STREAMING frontier driven against the SAME oracle as
+    llm_frontier_schedule: the candidate URLs arrive across three
+    parquet files (URI-hash order, one file per micro-batch, with
+    duplicate rediscoveries injected so the url-set semantics are
+    discriminative), accumulate in the StreamingFrontier ledger, and
+    schedule() must equal the batch frontier_schedule over the distinct
+    union — the shared-oracle stream == batch pattern."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from spdb_spark.functions.robots import robots_crawl_delays
+    from spdb_spark.streaming.frontier import StreamingFrontier
+
+    urls, rb = _frontier_fixture(spark, sf_dir)
+    delays = robots_crawl_delays(rb, _FS_AGENT)
+    rows = urls.collect()
+    rows = sorted(
+        rows, key=lambda r: hashlib.md5(r.source.encode()).hexdigest()
+    )
+    files: list[list[tuple]] = [[], [], []]
+    for i, r in enumerate(rows):
+        files[i % 3].append((r.doc_id, r.source))
+        if i % 5 == 0:  # rediscovery lands in the NEXT file
+            files[(i + 1) % 3].append((r.doc_id, r.source))
+    tmp = tempfile.mkdtemp(prefix="frontierstream-")
+    try:
+        feed = os.path.join(tmp, "feed")
+        os.makedirs(feed)
+        for j, fl in enumerate(files):
+            spark.createDataFrame(
+                fl, "doc_id long, source string"
+            ).coalesce(1).write.parquet(os.path.join(feed, f"f{j}"))
+        sink = StreamingFrontier(
+            spark,
+            os.path.join(tmp, "state"),
+            "doc_id long, source string",
+            url_col="source",
+        )
+        stream = (
+            spark.readStream.schema("doc_id long, source string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(os.path.join(feed, "*"))
+        )
+        q = sink.start(stream, os.path.join(tmp, "ckpt"))
+        try:
+            if not q.awaitTermination(600):
+                raise TimeoutError(
+                    "frontier stream did not finish within 600s"
+                )
+        finally:
+            q.stop()
+        out = sink.schedule(
+            delays, default_delay_s=_FS_DEFAULT, start_s=_FS_START
+        )
+        got = out.select(
+            "doc_id", "source", "host", "delay_s", "slot", "fetch_at_s"
+        ).collect()
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return spark.createDataFrame(
+        got,
+        "doc_id long, source string, host string, delay_s double,"
+        " slot long, fetch_at_s double",
+    )
+
+
+STAGED_R13["llm_frontier_schedule_stream"] = (
+    q_frontier_schedule_stream,
+    SQL_FRONTIER_SCHEDULE,
+)
