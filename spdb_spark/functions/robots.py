@@ -108,8 +108,11 @@ def _parsed_kv(
 
 
 def _agents(parsed: DataFrame) -> DataFrame:
+    # A blank `User-agent:` line still bounds groups (that happens in
+    # _parsed_kv) but names no agent: an empty value would otherwise be
+    # a zero-length prefix of EVERY product token and beat `*`.
     return (
-        parsed.where(F.col("key") == "user-agent")
+        parsed.where((F.col("key") == "user-agent") & (F.col("value") != ""))
         .select("host", "grp", F.lower(F.col("value")).alias("agent"))
         .distinct()
     )
@@ -296,7 +299,14 @@ def robots_crawl_delays(
     )
     delays = grouped.where(
         (F.col("key") == "crawl-delay") & (F.col("grp") > 0)
-    ).select("host", "grp", F.col("value").cast("double").alias("delay_s"))
+    ).select(
+        # try_cast: a malformed delay ("Crawl-delay: soon") becomes NULL
+        # and drops the host in BOTH ANSI modes, matching the SQL twin's
+        # TRY_CAST — a plain cast throws CAST_INVALID_INPUT under ANSI.
+        "host",
+        "grp",
+        F.col("value").try_cast("double").alias("delay_s"),
+    )
     return (
         delays.join(sel, ["host", "grp"])
         .where(F.col("delay_s").isNotNull())
@@ -379,7 +389,7 @@ rb_grp AS (
 ),
 rb_agents AS (
   SELECT DISTINCT host, grp, lower(value) AS agent
-  FROM rb_grp WHERE key = 'user-agent'
+  FROM rb_grp WHERE key = 'user-agent' AND value <> ''
 )"""
 
 

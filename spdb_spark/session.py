@@ -33,9 +33,12 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
-        # Match DuckDB/ANSI on e.g. integer division and overflow behavior in
-        # oracle-compared queries without failing whole jobs.
-        .config("spark.sql.ansi.enabled", "false")
+        # ANSI on: Spark 4's default AND the correctness driver's session
+        # config. Every local verification layer (pytest, check_oracle,
+        # bench) must exercise the same strict cast/overflow/division
+        # semantics the driver does — r13's frontier gates crashed on a
+        # cast that only throws under ANSI because this was pinned false.
+        .config("spark.sql.ansi.enabled", "true")
         # The driver's parquet tables use TIMESTAMP(NANOS), which Spark 4.x
         # rejects unless read as long (converted back in load_tables).
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")

@@ -67,7 +67,9 @@ def sitemap_urls(
         _field(b, "loc").alias("loc"),
         _field(b, "lastmod").alias("lastmod"),
         _field(b, "changefreq").alias("changefreq"),
-        _field(b, "priority").cast("double").alias("priority"),
+        # try_cast: junk <priority> values become NULL in both ANSI
+        # modes, matching the twin's TRY_CAST (sitemap_urls_sql).
+        _field(b, "priority").try_cast("double").alias("priority"),
     ).where(F.col("loc").isNotNull())
 
 
@@ -109,18 +111,28 @@ def frontier_schedule(
     host-count-sized, joined as a broadcast map; hosts without a
     directive fall back to `default_delay_s`. A frontier scheduler
     consumes this as \"host h may be fetched at start + k*delay\" —
-    the RFC politeness contract laid out declaratively."""
+    the RFC politeness contract laid out declaratively.
+
+    The four output columns (host, delay_s, slot, fetch_at_s) REPLACE
+    any same-named input column — host is always recomputed from
+    `url_col` — so composing over sitemap_urls (which keeps its own
+    host) never yields an ambiguous duplicate."""
     from pyspark.sql import Window
 
     from spdb_spark.functions.url import url_host
 
-    out_cols = urls.columns
-    d = urls.withColumn("host", url_host(F.col(url_col)))
+    _mine = ("host", "delay_s", "slot", "fetch_at_s")
+    out_cols = [c for c in urls.columns if c not in _mine]
+    d = urls.select(*out_cols).withColumn("host", url_host(F.col(url_col)))
     if delays is not None:
         d = d.join(
-            F.broadcast(delays.select("host", "delay_s")), "host", "left"
+            F.broadcast(
+                delays.select("host", F.col("delay_s").alias("_fs_delay"))
+            ),
+            "host",
+            "left",
         )
-        delay = F.coalesce(F.col("delay_s"), F.lit(float(default_delay_s)))
+        delay = F.coalesce(F.col("_fs_delay"), F.lit(float(default_delay_s)))
     else:
         delay = F.lit(float(default_delay_s))
     w = Window.partitionBy("host").orderBy(F.col(url_col))
@@ -176,10 +188,14 @@ def frontier_schedule_sql(
     url_expr: str = "url",
     default_delay_s: float = 1.0,
     start_s: float = 0.0,
+    drop_cols: tuple[str, ...] = (),
 ) -> str:
     """SELECT <urls_cte>.*, host, delay_s, slot, fetch_at_s — exactly
     frontier_schedule(). `delays_cte` exposes (host, delay_s) or is
-    None for the uniform default."""
+    None for the uniform default. `drop_cols` mirrors the Python
+    side's replace-on-collision: list any of host/delay_s/slot/
+    fetch_at_s the urls_cte already carries so they are EXCLUDEd
+    before the computed columns are appended."""
     from spdb_spark.functions.url import url_host_sql
 
     if delays_cte is not None:
@@ -188,9 +204,10 @@ def frontier_schedule_sql(
     else:
         join = ""
         delay = str(float(default_delay_s))
+    ex = f" EXCLUDE ({', '.join(drop_cols)})" if drop_cols else ""
     return f"""(
 WITH fs_urls AS (
-  SELECT u.*, {url_host_sql(url_expr)} AS host FROM {urls_cte} u
+  SELECT u.*{ex}, {url_host_sql(url_expr)} AS host FROM {urls_cte} u
 ),
 fs_joined AS (
   SELECT fs_urls.*, {delay} AS _delay
