@@ -32,14 +32,56 @@ _URL_BLOCK = r"(?s)<url\b[^>]*>.*?</url>"
 _SITEMAP_BLOCK = r"(?s)<sitemap\b[^>]*>.*?</sitemap>"
 
 
+# The five XML predefined entities. &amp; decodes LAST so an escaped
+# escape (&amp;lt; = the literal text "&lt;") never double-decodes.
+_ENTITIES = (
+    ("&lt;", "<"),
+    ("&gt;", ">"),
+    ("&quot;", '"'),
+    ("&apos;", "'"),
+    ("&amp;", "&"),
+)
+
+
+def xml_unescape(col) -> "F.Column":
+    """Decode the XML predefined entities (&amp; &lt; &gt; &quot;
+    &apos;) in a string Column — the minimal decode a spec-conforming
+    sitemap needs (sitemaps.org REQUIRES these five escaped in every
+    text node). Numeric character references are out of scope (real
+    sitemap generators emit UTF-8 directly)."""
+    for ent, ch in _ENTITIES:
+        col = F.replace(col, F.lit(ent), F.lit(ch))
+    return col
+
+
+def xml_unescape_sql(expr: str) -> str:
+    """DuckDB twin of xml_unescape."""
+    for ent, ch in _ENTITIES:
+        lit = ch.replace("'", "''")
+        expr = f"replace({expr}, '{ent}', '{lit}')"
+    return expr
+
+
 def _field(block, tag: str):
-    return F.nullif(
+    """Text content of <tag> inside a block: CDATA sections pass
+    through verbatim (already-literal text), plain text is
+    entity-decoded; surrounding whitespace trims, empty -> NULL."""
+    cdata = F.trim(
+        F.regexp_extract(
+            block,
+            rf"(?s)<{tag}[^>]*>\s*<!\[CDATA\[(.*?)\]\]>\s*</{tag}>",
+            1,
+        )
+    )
+    plain = xml_unescape(
         F.trim(
             F.regexp_extract(
                 block, rf"(?s)<{tag}[^>]*>\s*([^<]*?)\s*</{tag}>", 1
             )
-        ),
-        F.lit(""),
+        )
+    )
+    return F.nullif(
+        F.when(cdata != "", cdata).otherwise(plain), F.lit("")
     )
 
 
@@ -147,9 +189,75 @@ def frontier_schedule(
     )
 
 
+def sitemap_tree_urls(
+    roots: DataFrame,
+    fetched: DataFrame,
+    loc_col: str = "loc",
+    xml_col: str = "xml",
+    keep_cols: tuple[str, ...] = ("host",),
+    max_depth: int = 3,
+) -> DataFrame:
+    """Expand a sitemap TREE: follow <sitemapindex> children from the
+    root sitemap URLs down to <urlset> leaves and return every URL
+    entry — (*keep_cols, loc, lastmod, changefreq, priority), exactly
+    sitemap_urls applied to each reachable urlset document.
+
+    `roots` is (*keep_cols, loc_col): the entry sitemap URLs, e.g.
+    robots_sitemaps output. `fetched` is (loc_col, xml_col): the
+    sitemap documents already fetched, keyed by their URL (the fetch
+    itself is I/O outside the engine). Expansion is a bounded loop of
+    `max_depth` host-count-sized broadcast joins — sitemaps.org caps
+    nesting at one index level, so 3 covers every spec-conforming tree
+    with slack; a loc visited at an earlier depth is not re-expanded
+    (cycle-safe). Documents never fetched (no row in `fetched`) are
+    skipped silently, like a 404 in a real crawl.
+
+    Reference-capability analogue: none; north-star crawl surface."""
+    frontier = roots.select(
+        *keep_cols, F.col(loc_col).alias("_sm_loc")
+    ).distinct()
+    seen = frontier.select(*keep_cols, "_sm_loc")
+    docs = fetched.select(
+        F.col(loc_col).alias("_sm_loc"), F.col(xml_col).alias("_sm_xml")
+    )
+    leaves: DataFrame | None = None
+    for _ in range(max_depth):
+        cur = frontier.join(F.broadcast(docs), "_sm_loc").select(
+            *keep_cols, F.col("_sm_xml").alias("_sm_doc")
+        )
+        urls = sitemap_urls(cur, xml_col="_sm_doc", keep_cols=keep_cols)
+        leaves = urls if leaves is None else leaves.unionByName(urls)
+        children = (
+            sitemap_index_locs(cur, xml_col="_sm_doc", keep_cols=keep_cols)
+            .select(*keep_cols, F.col("loc").alias("_sm_loc"))
+            .distinct()
+            .join(seen, [*keep_cols, "_sm_loc"], "left_anti")
+        )
+        frontier = children
+        seen = seen.unionByName(children)
+    return leaves
+
+
 # ---------------------------------------------------------------------------
 # DuckDB twins
 # ---------------------------------------------------------------------------
+
+
+def _fld_sql(tag: str) -> str:
+    """Twin of _field: CDATA passes verbatim, plain text entity-decodes,
+    trim, empty -> NULL. `b` is the block column."""
+    cdata = (
+        f"trim(regexp_extract(b, "
+        f"'(?s)<{tag}[^>]*>\\s*<!\\[CDATA\\[(.*?)\\]\\]>\\s*</{tag}>', 1))"
+    )
+    plain = xml_unescape_sql(
+        f"trim(regexp_extract(b, "
+        f"'(?s)<{tag}[^>]*>\\s*([^<]*?)\\s*</{tag}>', 1))"
+    )
+    return (
+        f"nullif(CASE WHEN {cdata} <> '' THEN {cdata} "
+        f"ELSE {plain} END, '')"
+    )
 
 
 def sitemap_urls_sql(
@@ -160,11 +268,7 @@ def sitemap_urls_sql(
     """SELECT <keep_exprs>, loc, lastmod, changefreq, priority —
     exactly sitemap_urls() over `sitemaps_cte`."""
 
-    def fld(tag: str) -> str:
-        return (
-            f"nullif(trim(regexp_extract(b, "
-            f"'(?s)<{tag}[^>]*>\\s*([^<]*?)\\s*</{tag}>', 1)), '')"
-        )
+    fld = _fld_sql
 
     return f"""(
 WITH sm_blocks AS (
@@ -180,6 +284,70 @@ SELECT {keep_exprs},
 FROM sm_blocks
 WHERE {fld("loc")} IS NOT NULL
 )"""
+
+
+def sitemap_tree_urls_sql(
+    roots_cte: str,
+    fetched_cte: str,
+    loc_expr: str = "loc",
+    xml_expr: str = "xml",
+    keep_exprs: str = "host",
+    max_depth: int = 3,
+) -> str:
+    """SELECT <keep_exprs>, loc, lastmod, changefreq, priority —
+    exactly sitemap_tree_urls(): the bounded expansion unrolled to
+    `max_depth` CTE levels (join frontier to fetched, emit urlset
+    leaves, anti-join index children against everything seen)."""
+    keys = [k.strip() for k in keep_exprs.split(",")]
+    klist = ", ".join(keys)
+    fkeys = ", ".join(f"f.{k}" for k in keys)
+    leaf_cols = (
+        f"{_fld_sql('loc')} AS loc, {_fld_sql('lastmod')} AS lastmod, "
+        f"{_fld_sql('changefreq')} AS changefreq, "
+        f"TRY_CAST({_fld_sql('priority')} AS DOUBLE) AS priority"
+    )
+    parts = [
+        f"st_f0 AS (SELECT DISTINCT {klist}, {loc_expr} AS _sm_loc "
+        f"FROM {roots_cte})"
+    ]
+    seen = "SELECT * FROM st_f0"
+    leaves = []
+    for i in range(max_depth):
+        parts.append(
+            f"st_d{i} AS (SELECT {fkeys}, x.{xml_expr} AS _sm_xml "
+            f"FROM st_f{i} f JOIN {fetched_cte} x "
+            f"ON f._sm_loc = x.{loc_expr})"
+        )
+        parts.append(
+            f"st_u{i} AS (SELECT {klist}, "
+            f"unnest(regexp_extract_all(_sm_xml, '{_URL_BLOCK}')) AS b "
+            f"FROM st_d{i})"
+        )
+        leaves.append(
+            f"SELECT {klist}, {leaf_cols} FROM st_u{i} "
+            f"WHERE {_fld_sql('loc')} IS NOT NULL"
+        )
+        if i < max_depth - 1:
+            parts.append(
+                f"st_c{i} AS (SELECT DISTINCT {klist}, "
+                f"{_fld_sql('loc')} AS _sm_loc FROM "
+                f"(SELECT {klist}, unnest(regexp_extract_all(_sm_xml, "
+                f"'{_SITEMAP_BLOCK}')) AS b FROM st_d{i}) "
+                f"WHERE {_fld_sql('loc')} IS NOT NULL)"
+            )
+            parts.append(
+                f"st_f{i + 1} AS (SELECT c.{klist.replace(', ', ', c.')},"
+                f" c._sm_loc FROM st_c{i} c ANTI JOIN ({seen}) s "
+                f"USING ({klist}, _sm_loc))"
+            )
+            seen += f" UNION SELECT * FROM st_f{i + 1}"
+    return (
+        "(\nWITH "
+        + ",\n".join(parts)
+        + "\n"
+        + "\nUNION ALL\n".join(leaves)
+        + "\n)"
+    )
 
 
 def frontier_schedule_sql(

@@ -24,6 +24,7 @@ from spdb_spark.suite_crawl import STAGED_R9 as CRAWL_R9
 from spdb_spark.suite_crawl import STAGED_R10 as CRAWL_R10
 from spdb_spark.suite_crawl import STAGED_R12 as CRAWL_R12
 from spdb_spark.suite_crawl import STAGED_R13 as CRAWL_R13
+from spdb_spark.suite_crawl import STAGED_R14 as CRAWL_R14
 from spdb_spark.suite_llm import QUERIES as LLM
 from spdb_spark.suite_llm import STAGED_R7 as LLM_R7
 from spdb_spark.suite_llm import STAGED_R10_LLM as LLM_R10
@@ -65,6 +66,10 @@ _BASE.update(LLM_R12)
 # composition, gated against the SAME composed oracle as
 # llm_crawl_corpus_ranked (the shared-oracle stream==batch pattern).
 _BASE.update(CRAWL_R13)
+# Round-14 registration (append-only): recursive sitemap-tree expansion
+# (entity/CDATA decode, nested index, cycle + missing-child handling)
+# and the tree -> politeness-schedule composition.
+_BASE.update(CRAWL_R14)
 
 
 def _last_checked_round() -> dict[str, int]:

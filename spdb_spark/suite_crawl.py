@@ -1066,6 +1066,10 @@ STAGED_R13: dict = {
 }
 
 
+# Round-14 staging (entries appended at the bottom of this module).
+STAGED_R14: dict = {}
+
+
 STAGED_R12: dict = {
     "llm_host_graph_edges": (q_host_graph_edges, SQL_HOST_GRAPH_EDGES),
     "llm_crawl_corpus_ranked": (q_crawl_corpus_ranked, SQL_CRAWL_CORPUS_RANKED),
@@ -1242,15 +1246,32 @@ STAGED_R12["llm_robots_filter"] = (q_robots_filter, SQL_ROBOTS_FILTER)
 
 def _sitemap_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     """23 per-host sitemaps built from documents: one <url> block per
-    doc (host = doc_id % 23), loc always present (with stray spaces the
-    parser must trim), lastmod/changefreq/priority present on
+    doc (host = doc_id % 23), loc always present — CDATA-wrapped on the
+    %11 class (verbatim, inner &amp; must NOT decode), entity-escaped
+    on the %7 class (&amp;/&apos; must decode), stray spaces the parser
+    must trim otherwise — lastmod/changefreq/priority present on
     deterministic doc classes."""
     d = F.col("doc_id")
     k = (d % 23).cast("string")
     n = d.cast("string")
+    base = F.concat(F.lit("http://site"), k, F.lit(".example/d"), n)
     loc = F.concat(
-        F.lit("\n  <url>\n    <loc> http://site"), k,
-        F.lit(".example/d"), n, F.lit(" </loc>"),
+        F.lit("\n  <url>\n    "),
+        F.when(
+            d % 11 == 0,
+            F.concat(
+                F.lit("<loc><![CDATA["), base,
+                F.lit("?cd=1&raw=2&amp;lit]]></loc>"),
+            ),
+        )
+        .when(
+            d % 7 == 0,
+            F.concat(
+                F.lit("<loc>"), base,
+                F.lit("?a=1&amp;b=&apos;2&apos;</loc>"),
+            ),
+        )
+        .otherwise(F.concat(F.lit("<loc> "), base, F.lit(" </loc>"))),
     )
     lastmod = F.when(
         d % 3 == 0,
@@ -1312,7 +1333,10 @@ def q_sitemap_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_SITEMAP_URLS = """
 SELECT 'site' || (doc_id % 23)::VARCHAR || '.example' AS host,
        'http://site' || (doc_id % 23)::VARCHAR || '.example/d'
-         || doc_id::VARCHAR AS loc,
+         || doc_id::VARCHAR
+         || CASE WHEN doc_id % 11 = 0 THEN '?cd=1&raw=2&amp;lit'
+                 WHEN doc_id % 7 = 0 THEN '?a=1&b=''2'''
+                 ELSE '' END AS loc,
        CASE WHEN doc_id % 3 = 0
             THEN '2026-01-' || lpad((doc_id % 28 + 1)::VARCHAR, 2, '0')
        END AS lastmod,
@@ -1505,4 +1529,169 @@ def q_frontier_schedule_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 STAGED_R13["llm_frontier_schedule_stream"] = (
     q_frontier_schedule_stream,
     SQL_FRONTIER_SCHEDULE,
+)
+
+
+# ---------------------------------------------------------------------------
+# Round 14: recursive sitemap-tree expansion (index -> index -> urlset,
+# with an unfetched child and a cycle back to the root) and the tree ->
+# politeness-schedule composition, which also driver-gates the r13
+# advice fix (frontier_schedule REPLACING the incoming host column
+# instead of duplicating it).
+# ---------------------------------------------------------------------------
+
+
+def _sitemap_tree_fixture(spark: SparkSession, sf_dir: str):
+    """Per-host sitemap TREE from documents: root index -> [urlset
+    a.xml (docs with even doc_id), sub-index sub.xml, missing.xml
+    (never fetched)]; sub.xml -> [urlset c.xml (odd doc_id), root.xml
+    again (a cycle the expansion must not re-walk)]. Returns (roots,
+    fetched): the entry locs and the (loc, xml) fetch table."""
+    d = F.col("doc_id")
+    k = (d % 23).cast("string")
+    block = F.concat(
+        F.lit("<url><loc>http://site"), k, F.lit(".example/p"),
+        d.cast("string"), F.lit("</loc>"),
+        F.when(
+            d % 4 == 0,
+            F.concat(
+                F.lit("<lastmod>2026-02-"),
+                F.lpad((d % 28 + 1).cast("string"), 2, "0"),
+                F.lit("</lastmod>"),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            d % 6 == 0,
+            F.concat(
+                F.lit("<priority>0."), (d % 10).cast("string"),
+                F.lit("</priority>"),
+            ),
+        ).otherwise(F.lit("")),
+        F.lit("</url>"),
+    )
+    docs = _docs(spark, sf_dir).select(
+        (d % 23).alias("k"),
+        (d % 2).alias("cls"),
+        F.struct(d.alias("doc_id"), block.alias("b")).alias("s"),
+    )
+    leaves = (
+        docs.groupBy("k", "cls")
+        .agg(
+            F.concat(
+                F.lit("<urlset>"),
+                F.array_join(
+                    F.transform(
+                        F.array_sort(F.collect_list("s")), lambda x: x["b"]
+                    ),
+                    "",
+                ),
+                F.lit("</urlset>"),
+            ).alias("xml")
+        )
+        .select(
+            F.concat(
+                F.lit("http://site"), F.col("k").cast("string"),
+                F.lit(".example/sm/"),
+                F.when(F.col("cls") == 0, "a").otherwise("c"),
+                F.lit(".xml"),
+            ).alias("loc"),
+            "xml",
+        )
+    )
+    i = F.col("id")
+    hosts = spark.range(23).select(
+        F.concat(F.lit("site"), i.cast("string"), F.lit(".example")).alias(
+            "host"
+        )
+    )
+    base = F.concat(F.lit("http://"), F.col("host"), F.lit("/sm/"))
+    root = hosts.select(
+        F.concat(base, F.lit("root.xml")).alias("loc"),
+        F.concat(
+            F.lit("<sitemapindex><sitemap><loc>"), base,
+            F.lit("a.xml</loc></sitemap><sitemap><loc>"), base,
+            F.lit("sub.xml</loc></sitemap><sitemap><loc>"), base,
+            F.lit("missing.xml</loc></sitemap></sitemapindex>"),
+        ).alias("xml"),
+    )
+    sub = hosts.select(
+        F.concat(base, F.lit("sub.xml")).alias("loc"),
+        F.concat(
+            F.lit("<sitemapindex><sitemap><loc>"), base,
+            F.lit("c.xml</loc></sitemap><sitemap><loc>"), base,
+            F.lit("root.xml</loc></sitemap></sitemapindex>"),
+        ).alias("xml"),
+    )
+    roots = hosts.select(
+        "host", F.concat(base, F.lit("root.xml")).alias("loc")
+    )
+    return roots, leaves.unionByName(root).unionByName(sub)
+
+
+def q_sitemap_tree(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive sitemap expansion end-to-end: every document's URL is
+    reachable only through the tree (half at depth 1, half at depth 2
+    behind a nested index), so the closed-form oracle over documents
+    discriminates missed depth, duplicate emission on the cycle, and
+    the unfetched-child path."""
+    from spdb_spark.sources.frontier import sitemap_tree_urls
+
+    roots, fetched = _sitemap_tree_fixture(spark, sf_dir)
+    return sitemap_tree_urls(roots, fetched)
+
+
+SQL_SITEMAP_TREE = """
+SELECT 'site' || (doc_id % 23)::VARCHAR || '.example' AS host,
+       'http://site' || (doc_id % 23)::VARCHAR || '.example/p'
+         || doc_id::VARCHAR AS loc,
+       CASE WHEN doc_id % 4 = 0
+            THEN '2026-02-' || lpad((doc_id % 28 + 1)::VARCHAR, 2, '0')
+       END AS lastmod,
+       CAST(NULL AS VARCHAR) AS changefreq,
+       CASE WHEN doc_id % 6 = 0
+            THEN TRY_CAST('0.' || (doc_id % 10)::VARCHAR AS DOUBLE)
+       END AS priority
+FROM documents
+"""
+
+
+_ST_DELAY = 1.5
+_ST_START = 50.0
+
+
+def q_sitemap_tree_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composition the r13 advice flagged: sitemap_tree_urls keeps
+    its own host column and frontier_schedule must REPLACE it (not
+    duplicate it) while laying the tree's URLs on politeness slots."""
+    from spdb_spark.sources.frontier import (
+        frontier_schedule,
+        sitemap_tree_urls,
+    )
+
+    roots, fetched = _sitemap_tree_fixture(spark, sf_dir)
+    tree = sitemap_tree_urls(roots, fetched)
+    return frontier_schedule(
+        tree,
+        url_col="loc",
+        default_delay_s=_ST_DELAY,
+        start_s=_ST_START,
+    )
+
+
+SQL_SITEMAP_TREE_SCHEDULE = f"""
+WITH t AS ({SQL_SITEMAP_TREE})
+SELECT loc, lastmod, changefreq, priority, host,
+       CAST({_ST_DELAY} AS DOUBLE) AS delay_s,
+       row_number() OVER (PARTITION BY host ORDER BY loc) - 1 AS slot,
+       CAST({_ST_START} AS DOUBLE)
+         + (row_number() OVER (PARTITION BY host ORDER BY loc) - 1)
+           * CAST({_ST_DELAY} AS DOUBLE) AS fetch_at_s
+FROM t
+"""
+
+
+STAGED_R14["llm_sitemap_tree"] = (q_sitemap_tree, SQL_SITEMAP_TREE)
+STAGED_R14["llm_sitemap_tree_schedule"] = (
+    q_sitemap_tree_schedule,
+    SQL_SITEMAP_TREE_SCHEDULE,
 )

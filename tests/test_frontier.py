@@ -11,6 +11,8 @@ from spdb_spark.sources.frontier import (
     frontier_schedule,
     frontier_schedule_sql,
     sitemap_index_locs,
+    sitemap_tree_urls,
+    sitemap_tree_urls_sql,
     sitemap_urls,
     sitemap_urls_sql,
 )
@@ -78,6 +80,132 @@ def test_sitemap_urls_duckdb_parity(spark):
         con.execute(f"SELECT * FROM {sitemap_urls_sql('sm')}").fetchall()
     )
     assert got == duck
+
+
+ESC_XML = """<urlset>
+  <url><loc>http://a.example/q?a=1&amp;b=&apos;2&apos;</loc>
+    <changefreq>&lt;daily&gt;</changefreq></url>
+  <url><loc><![CDATA[http://a.example/cd?x=1&y=2]]></loc></url>
+  <url><loc> <![CDATA[ spaced &amp; verbatim ]]> </loc></url>
+  <url><loc>http://a.example/amp?e=&amp;lt;</loc></url>
+</urlset>
+"""
+
+
+def test_sitemap_entities_and_cdata(spark):
+    df = spark.createDataFrame(
+        [("a.example", ESC_XML)], "host string, xml string"
+    )
+    rows = sorted(
+        (r.loc, r.changefreq) for r in sitemap_urls(df).collect()
+    )
+    assert rows == [
+        # plain text entity-decodes; CDATA passes verbatim (the inner
+        # &amp; does NOT decode, raw & and surrounding-trim apply);
+        # &amp;lt; is the LITERAL text "&lt;" (no double decode)
+        ("http://a.example/amp?e=&lt;", None),
+        ("http://a.example/cd?x=1&y=2", None),
+        ("http://a.example/q?a=1&b='2'", "<daily>"),
+        ("spaced &amp; verbatim", None),
+    ]
+
+
+def test_sitemap_escapes_duckdb_parity(spark):
+    df = spark.createDataFrame(
+        [("a.example", ESC_XML)], "host string, xml string"
+    )
+    got = sorted(tuple(r) for r in sitemap_urls(df).collect())
+    con = duckdb.connect()
+    con.execute("CREATE TABLE sm (host VARCHAR, xml VARCHAR)")
+    con.execute("INSERT INTO sm VALUES (?, ?)", ["a.example", ESC_XML])
+    duck = sorted(
+        con.execute(f"SELECT * FROM {sitemap_urls_sql('sm')}").fetchall()
+    )
+    assert got == duck
+
+
+def _tree_fixture():
+    """Root index -> [urlset A, sub-index, missing.xml(not fetched)];
+    sub-index -> [urlset C, root again (cycle)]."""
+    root = (
+        "<sitemapindex>"
+        "<sitemap><loc>http://t.example/a.xml</loc></sitemap>"
+        "<sitemap><loc>http://t.example/sub.xml</loc></sitemap>"
+        "<sitemap><loc>http://t.example/missing.xml</loc></sitemap>"
+        "</sitemapindex>"
+    )
+    sub = (
+        "<sitemapindex>"
+        "<sitemap><loc>http://t.example/c.xml</loc></sitemap>"
+        "<sitemap><loc>http://t.example/root.xml</loc></sitemap>"
+        "</sitemapindex>"
+    )
+    a = (
+        "<urlset><url><loc>http://t.example/p1</loc>"
+        "<priority>0.9</priority></url>"
+        "<url><loc>http://t.example/p2</loc></url></urlset>"
+    )
+    c = "<urlset><url><loc>http://t.example/p3</loc></url></urlset>"
+    fetched = [
+        ("http://t.example/root.xml", root),
+        ("http://t.example/sub.xml", sub),
+        ("http://t.example/a.xml", a),
+        ("http://t.example/c.xml", c),
+    ]
+    roots = [("t.example", "http://t.example/root.xml")]
+    return roots, fetched
+
+
+def test_sitemap_tree_hand_pinned(spark):
+    roots_rows, fetched_rows = _tree_fixture()
+    roots = spark.createDataFrame(roots_rows, "host string, loc string")
+    fetched = spark.createDataFrame(fetched_rows, "loc string, xml string")
+    rows = sorted(
+        (r.host, r.loc, r.priority)
+        for r in sitemap_tree_urls(roots, fetched).collect()
+    )
+    # depth-2 leaf p3 reached through sub; the root cycle and the
+    # unfetched missing.xml add nothing; no duplicates
+    assert rows == [
+        ("t.example", "http://t.example/p1", 0.9),
+        ("t.example", "http://t.example/p2", None),
+        ("t.example", "http://t.example/p3", None),
+    ]
+
+
+def test_sitemap_tree_duckdb_parity(spark):
+    roots_rows, fetched_rows = _tree_fixture()
+    roots = spark.createDataFrame(roots_rows, "host string, loc string")
+    fetched = spark.createDataFrame(fetched_rows, "loc string, xml string")
+    got = sorted(
+        tuple(r) for r in sitemap_tree_urls(roots, fetched).collect()
+    )
+    con = duckdb.connect()
+    con.execute("CREATE TABLE rt (host VARCHAR, loc VARCHAR)")
+    con.executemany("INSERT INTO rt VALUES (?,?)", roots_rows)
+    con.execute("CREATE TABLE fx (loc VARCHAR, xml VARCHAR)")
+    con.executemany("INSERT INTO fx VALUES (?,?)", fetched_rows)
+    duck = sorted(
+        con.execute(
+            "SELECT * FROM " + sitemap_tree_urls_sql("rt", "fx")
+        ).fetchall()
+    )
+    assert got == duck
+
+
+def test_schedule_over_sitemap_urls_composes(spark):
+    """The documented composition: sitemap_urls keeps its own host
+    column, and frontier_schedule REPLACES it (recomputed from the URL)
+    instead of emitting an ambiguous duplicate."""
+    df = spark.createDataFrame(
+        [("a.example", XML)], "host string, xml string"
+    )
+    out = frontier_schedule(sitemap_urls(df), url_col="loc")
+    assert out.columns.count("host") == 1
+    # by-name downstream use works (this raised AMBIGUOUS_REFERENCE
+    # before the fix)
+    hosts = sorted(r.host for r in out.select("host").collect())
+    assert hosts == ["a.example"] * 3
 
 
 def test_frontier_schedule_hand_pinned(spark):
