@@ -103,7 +103,9 @@ class StreamingFrontier(BatchLedgerSink):
         """The politeness schedule over everything committed — equal,
         row for row, to sources/frontier.frontier_schedule run as one
         batch over the union of every ingested URL slice (test-pinned
-        and driver-gated against the batch oracle)."""
+        and driver-gated against the batch oracle). `delays` may be a
+        static table OR a StreamingRobots sink's crawl_delays() read —
+        either way it is host-count-sized and broadcast at read time."""
         from spdb_spark.sources.frontier import frontier_schedule
 
         return frontier_schedule(
@@ -112,4 +114,101 @@ class StreamingFrontier(BatchLedgerSink):
             url_col=self.url_col,
             default_delay_s=default_delay_s,
             start_s=start_s,
+        )
+
+
+class StreamingRobots(BatchLedgerSink):
+    """foreachBatch sink accumulating robots.txt FETCHES — the
+    politeness side-channel of the streaming crawl loop (frontier ->
+    fetch -> link graph -> ranked corpus), so the loop closes without
+    any static table: StreamingFrontier schedules from the delays this
+    sink has accumulated so far.
+
+    The robots set is a per-host SET like the frontier's URL set: a
+    host refetched in a later batch must not yield two rule tables, so
+    each batch stores one representative row per host (min struct) and
+    reads canonicalize to the min struct per host across all slices —
+    schedule reads equal the batch computation over the distinct union
+    for ANY arrival order. State is host-count-sized (robots files are
+    one per host); every read-time consumer (crawl_delays, sitemaps,
+    the robots_filter join) is the batch operator over robots(), so
+    stream == batch is definitional, not re-implemented.
+
+    Usage:
+        rb = StreamingRobots(spark, path)
+        q = rb.start(robots_stream, checkpoint)   # (host, robots_txt)
+        ...
+        rb.robots()                    # canonical (host, robots_txt)
+        rb.crawl_delays("mybot")       # == batch robots_crawl_delays
+        frontier.schedule(rb.crawl_delays("mybot"), ...)
+    """
+
+    SCHEMA = "host string, robots_txt string"
+
+    def __init__(
+        self,
+        spark,
+        base_path: str,
+        host_col: str = "host",
+        text_col: str = "robots_txt",
+    ):
+        super().__init__(spark, base_path)
+        self.host_col = host_col
+        self.text_col = text_col
+        self.schema = f"{host_col} string, {text_col} string"
+        self.STATE_TABLES = {"robots": self.schema}
+
+    def process_batch(self, batch: DataFrame, batch_id: int) -> None:
+        from pyspark.sql import functions as F
+
+        if batch_id in self._committed():
+            return
+        reps = (
+            batch.select(self.host_col, self.text_col)
+            .groupBy(self.host_col)
+            .agg(F.min(F.struct(self.host_col, self.text_col)).alias("_s"))
+            .select("_s.*")
+        )
+        reps.write.mode("overwrite").parquet(self._dir("robots", batch_id))
+        self._commit(batch_id)
+
+    def start(self, stream: DataFrame, checkpoint: str, **trigger_kwargs):
+        return (
+            stream.writeStream.foreachBatch(self.process_batch)
+            .option("checkpointLocation", checkpoint)
+            .outputMode("append")
+            .trigger(**(trigger_kwargs or {"availableNow": True}))
+            .start()
+        )
+
+    def robots(self) -> DataFrame:
+        """Canonical (host, robots_txt): min struct per host over every
+        committed slice — the batch distinct-union representative."""
+        from pyspark.sql import functions as F
+
+        state = self._read_state("robots", self.schema)
+        if state is None:
+            return self.spark.createDataFrame([], self.schema)
+        return (
+            state.groupBy(self.host_col)
+            .agg(F.min(F.struct(self.host_col, self.text_col)).alias("_s"))
+            .select("_s.*")
+        )
+
+    def crawl_delays(self, agent: str) -> DataFrame:
+        """(host, delay_s) == batch robots_crawl_delays over robots()."""
+        from spdb_spark.functions.robots import robots_crawl_delays
+
+        return robots_crawl_delays(
+            self.robots(), agent, host_col=self.host_col,
+            text_col=self.text_col,
+        )
+
+    def sitemaps(self) -> DataFrame:
+        """(host, sitemap) == batch robots_sitemaps over robots() —
+        frontier seeds discovered from the streamed fetches."""
+        from spdb_spark.functions.robots import robots_sitemaps
+
+        return robots_sitemaps(
+            self.robots(), host_col=self.host_col, text_col=self.text_col
         )
