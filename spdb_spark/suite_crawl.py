@@ -1690,8 +1690,102 @@ FROM t
 """
 
 
+def q_frontier_robots_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FULLY streamed politeness loop against the SAME oracle as
+    llm_frontier_schedule: candidate URLs and robots.txt fetches both
+    arrive as streams (three url files with rediscoveries, two robots
+    files with a refetched host), and schedule(crawl_delays(agent))
+    over the two ledgers must equal the batch robots parse -> delay
+    selection -> schedule — the shared-oracle stream == batch proof
+    with NO static input left in the loop."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from spdb_spark.streaming.frontier import (
+        StreamingFrontier,
+        StreamingRobots,
+    )
+
+    urls, rb = _frontier_fixture(spark, sf_dir)
+    url_rows = sorted(
+        urls.collect(),
+        key=lambda r: hashlib.md5(r.source.encode()).hexdigest(),
+    )
+    files: list[list[tuple]] = [[], [], []]
+    for i, r in enumerate(url_rows):
+        files[i % 3].append((r.doc_id, r.source))
+        if i % 5 == 0:
+            files[(i + 1) % 3].append((r.doc_id, r.source))
+    rb_rows = sorted(rb.collect(), key=lambda r: r.host)
+    rb_files = [rb_rows[::2], rb_rows[1::2] + rb_rows[:1]]  # refetch host 0
+    tmp = tempfile.mkdtemp(prefix="frontierrb-")
+    try:
+        ufeed = os.path.join(tmp, "urls")
+        rfeed = os.path.join(tmp, "robots")
+        os.makedirs(ufeed)
+        os.makedirs(rfeed)
+        for j, fl in enumerate(files):
+            spark.createDataFrame(
+                fl, "doc_id long, source string"
+            ).coalesce(1).write.parquet(os.path.join(ufeed, f"f{j}"))
+        for j, fl in enumerate(rb_files):
+            spark.createDataFrame(
+                [(r.host, r.robots_txt) for r in fl],
+                "host string, robots_txt string",
+            ).coalesce(1).write.parquet(os.path.join(rfeed, f"f{j}"))
+        fr = StreamingFrontier(
+            spark,
+            os.path.join(tmp, "fstate"),
+            "doc_id long, source string",
+            url_col="source",
+        )
+        rs = StreamingRobots(spark, os.path.join(tmp, "rstate"))
+        fq = fr.start(
+            spark.readStream.schema("doc_id long, source string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(os.path.join(ufeed, "*")),
+            os.path.join(tmp, "fckpt"),
+        )
+        rq = rs.start(
+            spark.readStream.schema("host string, robots_txt string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(os.path.join(rfeed, "*")),
+            os.path.join(tmp, "rckpt"),
+        )
+        try:
+            if not (fq.awaitTermination(600) and rq.awaitTermination(600)):
+                raise TimeoutError("frontier/robots streams timed out")
+        finally:
+            fq.stop()
+            rq.stop()
+        got = (
+            fr.schedule(
+                rs.crawl_delays(_FS_AGENT),
+                default_delay_s=_FS_DEFAULT,
+                start_s=_FS_START,
+            )
+            .select(
+                "doc_id", "source", "host", "delay_s", "slot", "fetch_at_s"
+            )
+            .collect()
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return spark.createDataFrame(
+        got,
+        "doc_id long, source string, host string, delay_s double,"
+        " slot long, fetch_at_s double",
+    )
+
+
 STAGED_R14["llm_sitemap_tree"] = (q_sitemap_tree, SQL_SITEMAP_TREE)
 STAGED_R14["llm_sitemap_tree_schedule"] = (
     q_sitemap_tree_schedule,
     SQL_SITEMAP_TREE_SCHEDULE,
+)
+STAGED_R14["llm_frontier_robots_stream"] = (
+    q_frontier_robots_stream,
+    SQL_FRONTIER_SCHEDULE,
 )
