@@ -136,6 +136,123 @@ def sitemap_index_locs(
     ).where(F.col("loc").isNotNull())
 
 
+# sitemaps.org changefreq -> recrawl period (seconds). 'always' = 0
+# (every visit), 'never' = archived (no period; never due).
+_CHANGEFREQ_PERIOD_S = (
+    ("always", 0),
+    ("hourly", 3600),
+    ("daily", 86400),
+    ("weekly", 604800),
+    ("monthly", 2592000),
+    ("yearly", 31536000),
+)
+
+
+def recrawl_priority(
+    entries: DataFrame,
+    now_s: int,
+    lastmod_col: str = "lastmod",
+    changefreq_col: str = "changefreq",
+    priority_col: str = "priority",
+    default_changefreq: str = "weekly",
+    default_priority: float = 0.5,
+) -> DataFrame:
+    """Freshness-aware recrawl scoring over sitemap metadata — the
+    operator that turns a sitemap sweep into a recrawl ORDER: entries +
+    (period_s, age_s, due, recrawl_score).
+
+    - period_s: the changefreq's revisit period (NULL for 'never' =
+      archived; absent changefreq falls back to `default_changefreq`);
+    - age_s: now_s - lastmod as epoch seconds (try_cast to DATE —
+      malformed or absent lastmod -> NULL = never seen modified);
+    - due: 'never' is never due; unknown lastmod is always due; else
+      age_s >= period_s;
+    - recrawl_score: priority (default `default_priority`) x staleness,
+      where staleness = age_s/period_s capped at 2.0 (unknown lastmod
+      and 'always' score the cap; 'never' scores 0). Sort descending to
+      fill a fetch budget with the most-overdue, highest-priority URLs.
+
+    Narrow per-row projection — no exchange; composes ahead of
+    frontier_schedule (score the sweep, take the budget, schedule)."""
+    known = [n for n, _ in _CHANGEFREQ_PERIOD_S] + ["never"]
+    raw = F.lower(F.col(changefreq_col))
+    # absent OR unrecognized changefreq falls back to the default
+    freq = F.when(raw.isin(known), raw).otherwise(
+        F.lit(default_changefreq)
+    )
+    period = F.lit(None).cast("long")
+    for name, secs in reversed(_CHANGEFREQ_PERIOD_S):
+        period = F.when(freq == name, F.lit(secs).cast("long")).otherwise(
+            period
+        )
+    lastd = F.col(lastmod_col).try_cast("date")
+    age = (F.lit(now_s).cast("long") - F.unix_date(lastd) * 86400).alias(
+        "age_s"
+    )
+    due = (
+        F.when(freq == "never", F.lit(False))
+        .when(lastd.isNull(), F.lit(True))
+        .otherwise(F.col("age_s") >= F.col("period_s"))
+    )
+    staleness = F.when(
+        lastd.isNull() | (F.col("period_s") == 0), F.lit(2.0)
+    ).otherwise(
+        F.least(F.col("age_s") / F.col("period_s"), F.lit(2.0))
+    )
+    score = F.coalesce(
+        F.col(priority_col).cast("double"), F.lit(float(default_priority))
+    ) * F.when(freq == "never", F.lit(0.0)).otherwise(staleness)
+    return (
+        entries.withColumn("period_s", period)
+        .withColumn("age_s", age)
+        .withColumn("due", due)
+        .withColumn("recrawl_score", score)
+    )
+
+
+def recrawl_priority_sql(
+    entries_cte: str,
+    now_s: int,
+    lastmod_expr: str = "lastmod",
+    changefreq_expr: str = "changefreq",
+    priority_expr: str = "priority",
+    default_changefreq: str = "weekly",
+    default_priority: float = 0.5,
+) -> str:
+    """SELECT <entries_cte>.*, period_s, age_s, due, recrawl_score —
+    exactly recrawl_priority()."""
+    known = ", ".join(
+        f"'{n}'" for n, _ in _CHANGEFREQ_PERIOD_S
+    ) + ", 'never'"
+    freq = (
+        f"CASE WHEN lower({changefreq_expr}) IN ({known}) "
+        f"THEN lower({changefreq_expr}) ELSE '{default_changefreq}' END"
+    )
+    period_cases = " ".join(
+        f"WHEN '{name}' THEN {secs}" for name, secs in _CHANGEFREQ_PERIOD_S
+    )
+    return f"""(
+WITH rc_base AS (
+  SELECT e.*,
+         CAST(CASE {freq} {period_cases} END AS BIGINT) AS period_s,
+         CAST({now_s} AS BIGINT)
+           - date_diff('day', DATE '1970-01-01',
+                       TRY_CAST({lastmod_expr} AS DATE)) * 86400 AS age_s,
+         TRY_CAST({lastmod_expr} AS DATE) IS NULL AS _rc_nolast
+  FROM {entries_cte} e
+)
+SELECT * EXCLUDE (_rc_nolast),
+       CASE WHEN {freq} = 'never' THEN false
+            WHEN _rc_nolast THEN true
+            ELSE age_s >= period_s END AS due,
+       coalesce(CAST({priority_expr} AS DOUBLE), {float(default_priority)})
+         * CASE WHEN {freq} = 'never' THEN 0.0
+                WHEN _rc_nolast OR period_s = 0 THEN 2.0
+                ELSE least(age_s / period_s, 2.0) END AS recrawl_score
+FROM rc_base
+)"""
+
+
 def frontier_schedule(
     urls: DataFrame,
     delays: DataFrame | None = None,

@@ -1780,6 +1780,89 @@ def q_frontier_robots_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# 2026-03-01T00:00:00Z — the fixed "now" of the recrawl gate.
+_RC_NOW = 1772323200
+
+
+def _recrawl_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sitemap-metadata entries from documents covering every recrawl
+    branch: lastmod valid/malformed/absent (%3 classes), changefreq
+    cycling all six spec values plus 'never', a junk value, and NULL
+    (%9 classes), priority present on %5 != 0."""
+    d = F.col("doc_id")
+    k = (d % 23).cast("string")
+    return _docs(spark, sf_dir).select(
+        F.concat(F.lit("site"), k, F.lit(".example")).alias("host"),
+        F.concat(
+            F.lit("http://site"), k, F.lit(".example/d"), d.cast("string")
+        ).alias("loc"),
+        F.when(
+            d % 3 == 0,
+            F.concat(
+                F.lit("2026-01-"),
+                F.lpad((d % 28 + 1).cast("string"), 2, "0"),
+            ),
+        )
+        .when(d % 3 == 1, F.lit("not-a-date"))
+        .otherwise(F.lit(None).cast("string"))
+        .alias("lastmod"),
+        F.element_at(
+            F.array(
+                F.lit("always"), F.lit("hourly"), F.lit("daily"),
+                F.lit("weekly"), F.lit("monthly"), F.lit("yearly"),
+                F.lit("never"), F.lit("sometimes"),
+                F.lit(None).cast("string"),
+            ),
+            (d % 9 + 1).cast("int"),
+        ).alias("changefreq"),
+        F.when(
+            d % 5 != 0,
+            F.concat(F.lit("0."), (d % 10).cast("string")).try_cast(
+                "double"
+            ),
+        ).alias("priority"),
+    )
+
+
+def q_recrawl_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Freshness-aware recrawl scoring: every (lastmod, changefreq,
+    priority) branch — valid/malformed/absent dates, all six spec
+    frequencies plus 'never', junk and NULL — against the SQL twin's
+    replay of the same scoring."""
+    from spdb_spark.sources.frontier import recrawl_priority
+
+    return recrawl_priority(_recrawl_fixture(spark, sf_dir), _RC_NOW)
+
+
+def _sql_recrawl_priority() -> str:
+    from spdb_spark.sources.frontier import recrawl_priority_sql
+
+    entries = """(
+SELECT 'site' || (doc_id % 23)::VARCHAR || '.example' AS host,
+       'http://site' || (doc_id % 23)::VARCHAR || '.example/d'
+         || doc_id::VARCHAR AS loc,
+       CASE WHEN doc_id % 3 = 0
+            THEN '2026-01-' || lpad((doc_id % 28 + 1)::VARCHAR, 2, '0')
+            WHEN doc_id % 3 = 1 THEN 'not-a-date'
+       END AS lastmod,
+       (['always', 'hourly', 'daily', 'weekly', 'monthly', 'yearly',
+         'never', 'sometimes', NULL])[(doc_id % 9 + 1)::INT]
+         AS changefreq,
+       CASE WHEN doc_id % 5 <> 0
+            THEN TRY_CAST('0.' || (doc_id % 10)::VARCHAR AS DOUBLE)
+       END AS priority
+FROM documents
+)"""
+    return f"SELECT * FROM {recrawl_priority_sql(entries, _RC_NOW)}"
+
+
+SQL_RECRAWL_PRIORITY = _sql_recrawl_priority()
+
+
+STAGED_R14["llm_recrawl_priority"] = (
+    q_recrawl_priority,
+    SQL_RECRAWL_PRIORITY,
+)
 STAGED_R14["llm_sitemap_tree"] = (q_sitemap_tree, SQL_SITEMAP_TREE)
 STAGED_R14["llm_sitemap_tree_schedule"] = (
     q_sitemap_tree_schedule,

@@ -274,6 +274,80 @@ def test_frontier_schedule_duckdb_parity(spark):
     assert got == duck
 
 
+def test_recrawl_priority_hand_pinned(spark):
+    from spdb_spark.sources.frontier import recrawl_priority
+
+    now = 20513 * 86400  # 2026-03-01
+    rows = [
+        # (loc, lastmod, changefreq, priority)
+        ("u1", "2026-02-28", "daily", 1.0),    # age 1d = period -> due
+        ("u2", "2026-02-28", "weekly", 1.0),   # age < period -> not due
+        ("u3", "2026-01-01", "weekly", 0.8),   # 59d/7d -> capped 2.0
+        ("u4", None, "daily", None),           # no lastmod -> due, cap
+        ("u5", "2026-02-28", "never", 0.9),    # archived: never due, 0
+        ("u6", "junk", "daily", 0.5),          # malformed -> like absent
+        ("u7", "2026-02-28", "always", 0.5),   # period 0: due, cap
+        ("u8", "2026-02-28", "sometimes", 1.0),  # junk freq -> weekly
+        ("u9", "2026-02-28", None, 1.0),       # absent freq -> weekly
+    ]
+    df = spark.createDataFrame(
+        rows, "loc string, lastmod string, changefreq string,"
+        " priority double"
+    )
+    got = {
+        r.loc: (r.period_s, r.age_s, r.due, r.recrawl_score)
+        for r in recrawl_priority(df, now).collect()
+    }
+    day = 86400
+    assert got["u1"] == (day, day, True, 1.0 * 1.0)
+    assert got["u2"] == (7 * day, day, False, 1.0 * (1 / 7))
+    assert got["u3"] == (7 * day, 59 * day, True, 0.8 * 2.0)
+    assert got["u4"] == (day, None, True, 0.5 * 2.0)
+    assert got["u5"] == (None, day, False, 0.0)
+    assert got["u6"] == (day, None, True, 0.5 * 2.0)
+    assert got["u7"] == (0, day, True, 0.5 * 2.0)
+    assert got["u8"] == (7 * day, day, False, 1.0 * (1 / 7))
+    assert got["u9"] == (7 * day, day, False, 1.0 * (1 / 7))
+
+
+def test_recrawl_priority_duckdb_parity(spark):
+    from spdb_spark.sources.frontier import (
+        recrawl_priority,
+        recrawl_priority_sql,
+    )
+
+    now = 20513 * 86400
+    rows = [
+        (
+            f"u{i}",
+            ["2026-02-10", "bad", None][i % 3],
+            ["always", "hourly", "daily", "weekly", "monthly", "yearly",
+             "never", "junk", None][i % 9],
+            [None, 0.3, 0.9][i % 3],
+        )
+        for i in range(27)
+    ]
+    df = spark.createDataFrame(
+        rows, "loc string, lastmod string, changefreq string,"
+        " priority double"
+    )
+    got = sorted(
+        tuple(r) for r in recrawl_priority(df, now).collect()
+    )
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE e (loc VARCHAR, lastmod VARCHAR,"
+        " changefreq VARCHAR, priority DOUBLE)"
+    )
+    con.executemany("INSERT INTO e VALUES (?,?,?,?)", rows)
+    duck = sorted(
+        con.execute(
+            "SELECT * FROM " + recrawl_priority_sql("e", now)
+        ).fetchall()
+    )
+    assert got == duck
+
+
 def test_frontier_plan_broadcasts_delays(spark):
     urls = spark.createDataFrame(
         [(i, f"http://h{i % 5}.example/p{i}") for i in range(50)],
