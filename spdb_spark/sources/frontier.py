@@ -253,6 +253,110 @@ FROM rc_base
 )"""
 
 
+def fetch_budget_allocate(
+    hosts: DataFrame,
+    budget: int,
+    weight_col: str = "weight",
+    host_col: str = "host",
+) -> DataFrame:
+    """Apportion an integer fetch budget across hosts proportionally to
+    `weight_col` (host rank, backlog size, ...) by the largest-remainder
+    (Hamilton) method: hosts + (fetch_budget long), with
+    sum(fetch_budget) == budget exactly (when any weight is positive).
+
+    Semantics: non-positive/NULL weights get weight 0; every host's
+    base share is floor(budget * w / total); the remaining
+    budget - sum(base) units (< #hosts with weight) go to the largest
+    fractional remainders, ties broken by host ascending. If no weight
+    is positive the budget is unallocated (all zeros).
+
+    Scale shape: the total is one aggregate broadcast back as a 1-row
+    cross join (constant work); the remainder distribution is
+    orderBy+limit(leftover) — TakeOrderedAndProject, never a
+    single-partition window — then a broadcast semi-join of at most
+    #hosts rows. The driver materializes two scalars (total leftover),
+    both bounded; everything row-wise stays in the scan stage."""
+    out_cols = [c for c in hosts.columns if c != "fetch_budget"]
+    w = F.when(
+        F.col(weight_col).isNotNull() & (F.col(weight_col) > 0),
+        F.col(weight_col).cast("double"),
+    ).otherwise(F.lit(0.0))
+    tot = hosts.select(F.sum(w).alias("_cb_tot"))
+    d = hosts.select(*out_cols).crossJoin(F.broadcast(tot))
+    share = F.when(
+        F.col("_cb_tot") > 0,
+        F.lit(float(budget)) * w / F.col("_cb_tot"),
+    ).otherwise(F.lit(0.0))
+    d = (
+        d.withColumn("_cb_share", share)
+        .withColumn("_cb_base", F.floor("_cb_share").cast("long"))
+        .withColumn("_cb_frac", F.col("_cb_share") - F.col("_cb_base"))
+    )
+    allocated = d.select(F.sum("_cb_base")).first()[0]
+    leftover = int(budget) - int(allocated or 0)
+    top = (
+        d.where(F.col("_cb_frac") > 0)
+        .orderBy(F.col("_cb_frac").desc(), F.col(host_col))
+        .limit(max(leftover, 0))
+        .select(F.col(host_col).alias("_cb_host"), F.lit(1).alias("_cb_plus"))
+    )
+    return (
+        d.join(
+            F.broadcast(top), d[host_col] == top["_cb_host"], "left"
+        )
+        .select(
+            *out_cols,
+            (
+                F.col("_cb_base")
+                + F.coalesce(F.col("_cb_plus"), F.lit(0))
+            ).cast("long").alias("fetch_budget"),
+        )
+    )
+
+
+def fetch_budget_allocate_sql(
+    hosts_cte: str,
+    budget: int,
+    weight_expr: str = "weight",
+    host_expr: str = "host",
+) -> str:
+    """SELECT <hosts_cte>.*, fetch_budget — exactly
+    fetch_budget_allocate()."""
+    w = (
+        f"CASE WHEN {weight_expr} IS NOT NULL AND {weight_expr} > 0 "
+        f"THEN CAST({weight_expr} AS DOUBLE) ELSE 0.0 END"
+    )
+    return f"""(
+WITH cb_tot AS (SELECT sum({w}) AS tot FROM {hosts_cte}),
+cb_base AS (
+  SELECT h.*,
+         floor(CASE WHEN t.tot > 0
+                    THEN {float(budget)} * {w} / t.tot
+                    ELSE 0.0 END)::BIGINT AS _base,
+         CASE WHEN t.tot > 0
+              THEN {float(budget)} * {w} / t.tot
+              ELSE 0.0 END
+           - floor(CASE WHEN t.tot > 0
+                        THEN {float(budget)} * {w} / t.tot
+                        ELSE 0.0 END) AS _frac
+  FROM {hosts_cte} h CROSS JOIN cb_tot t
+),
+cb_left AS (
+  SELECT {budget} - coalesce(sum(_base), 0) AS leftover FROM cb_base
+),
+cb_rank AS (
+  SELECT {host_expr} AS _h,
+         row_number() OVER (ORDER BY _frac DESC, {host_expr}) AS _rn
+  FROM cb_base WHERE _frac > 0
+)
+SELECT b.* EXCLUDE (_base, _frac),
+       (_base + CASE WHEN r._rn IS NOT NULL
+                      AND r._rn <= (SELECT leftover FROM cb_left)
+                     THEN 1 ELSE 0 END)::BIGINT AS fetch_budget
+FROM cb_base b LEFT JOIN cb_rank r ON b.{host_expr} = r._h
+)"""
+
+
 def frontier_schedule(
     urls: DataFrame,
     delays: DataFrame | None = None,

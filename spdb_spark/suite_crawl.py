@@ -1859,10 +1859,56 @@ FROM documents
 SQL_RECRAWL_PRIORITY = _sql_recrawl_priority()
 
 
+_CB_BUDGET = 997  # prime: every host keeps a fractional remainder
+
+
+def q_crawl_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Largest-remainder fetch-budget apportionment across the 23
+    document hosts, with weight classes covering NULL (%7 hosts), zero
+    (%5 hosts) and fractional doubles (doc count + k/10) — the SQL twin
+    replays base shares, remainder ranking and the exact-sum property."""
+    from spdb_spark.sources.frontier import fetch_budget_allocate
+
+    d = F.col("doc_id")
+    hosts = (
+        _docs(spark, sf_dir)
+        .groupBy((d % 23).alias("k"))
+        .agg(F.count("*").alias("cnt"))
+        .select(
+            F.concat(
+                F.lit("site"), F.col("k").cast("string"), F.lit(".example")
+            ).alias("host"),
+            F.when(F.col("k") % 7 == 0, F.lit(None).cast("double"))
+            .when(F.col("k") % 5 == 0, F.lit(0.0))
+            .otherwise(F.col("cnt") + F.col("k") / F.lit(10.0))
+            .alias("weight"),
+        )
+    )
+    return fetch_budget_allocate(hosts, _CB_BUDGET)
+
+
+def _sql_crawl_budget() -> str:
+    from spdb_spark.sources.frontier import fetch_budget_allocate_sql
+
+    hosts = """(
+SELECT 'site' || k::VARCHAR || '.example' AS host,
+       CASE WHEN k % 7 = 0 THEN NULL
+            WHEN k % 5 = 0 THEN 0.0
+            ELSE cnt + k / 10.0 END AS weight
+FROM (SELECT doc_id % 23 AS k, count(*) AS cnt
+      FROM documents GROUP BY doc_id % 23)
+)"""
+    return f"SELECT * FROM {fetch_budget_allocate_sql(hosts, _CB_BUDGET)}"
+
+
+SQL_CRAWL_BUDGET = _sql_crawl_budget()
+
+
 STAGED_R14["llm_recrawl_priority"] = (
     q_recrawl_priority,
     SQL_RECRAWL_PRIORITY,
 )
+STAGED_R14["llm_crawl_budget"] = (q_crawl_budget, SQL_CRAWL_BUDGET)
 STAGED_R14["llm_sitemap_tree"] = (q_sitemap_tree, SQL_SITEMAP_TREE)
 STAGED_R14["llm_sitemap_tree_schedule"] = (
     q_sitemap_tree_schedule,

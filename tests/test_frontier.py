@@ -348,6 +348,69 @@ def test_recrawl_priority_duckdb_parity(spark):
     assert got == duck
 
 
+def test_fetch_budget_hand_pinned(spark):
+    from spdb_spark.sources.frontier import fetch_budget_allocate
+
+    hosts = spark.createDataFrame(
+        [("a", 3.0), ("b", 3.0), ("c", 3.0), ("d", 0.0), ("e", None)],
+        "host string, weight double",
+    )
+    got = {
+        r.host: r.fetch_budget
+        for r in fetch_budget_allocate(hosts, 10).collect()
+    }
+    # 10 * 3/9 = 3.33.. each -> base 3; one leftover unit goes to the
+    # tied largest remainder with the smallest host name
+    assert got == {"a": 4, "b": 3, "c": 3, "d": 0, "e": 0}
+    assert sum(got.values()) == 10
+
+    # exact division leaves no remainder units
+    even = spark.createDataFrame(
+        [("a", 1.0), ("b", 1.0)], "host string, weight double"
+    )
+    got2 = {
+        r.host: r.fetch_budget
+        for r in fetch_budget_allocate(even, 8).collect()
+    }
+    assert got2 == {"a": 4, "b": 4}
+
+    # no positive weight -> nothing allocated
+    none = spark.createDataFrame(
+        [("a", 0.0), ("b", None)], "host string, weight double"
+    )
+    got3 = {
+        r.host: r.fetch_budget
+        for r in fetch_budget_allocate(none, 5).collect()
+    }
+    assert got3 == {"a": 0, "b": 0}
+
+
+def test_fetch_budget_duckdb_parity(spark):
+    from spdb_spark.sources.frontier import (
+        fetch_budget_allocate,
+        fetch_budget_allocate_sql,
+    )
+
+    rows = [
+        (f"h{i:02d}", [None, 0.0, float(i), i + 0.37][i % 4])
+        for i in range(19)
+    ]
+    hosts = spark.createDataFrame(rows, "host string, weight double")
+    got = sorted(
+        tuple(r) for r in fetch_budget_allocate(hosts, 101).collect()
+    )
+    con = duckdb.connect()
+    con.execute("CREATE TABLE hw (host VARCHAR, weight DOUBLE)")
+    con.executemany("INSERT INTO hw VALUES (?,?)", rows)
+    duck = sorted(
+        con.execute(
+            "SELECT * FROM " + fetch_budget_allocate_sql("hw", 101)
+        ).fetchall()
+    )
+    assert got == duck
+    assert sum(b for _, _, b in [(h, w, b) for (h, w, b) in got]) == 101
+
+
 def test_frontier_plan_broadcasts_delays(spark):
     urls = spark.createDataFrame(
         [(i, f"http://h{i % 5}.example/p{i}") for i in range(50)],
