@@ -81,6 +81,8 @@ EXTRA = [
     "llm_script_profile",  # r12: Unicode script ratios + dominant
     "llm_sitemap_urls",  # r13: sitemap XML -> frontier seeds
     "llm_frontier_schedule",  # r13: crawl-delay politeness schedule
+    "llm_sitemap_tree",  # r14: recursive index->urlset expansion
+    "llm_recrawl_priority",  # r14: freshness-aware recrawl scoring
 ]
 
 
