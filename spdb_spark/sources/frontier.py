@@ -200,7 +200,8 @@ def recrawl_priority(
         F.least(F.col("age_s") / F.col("period_s"), F.lit(2.0))
     )
     score = F.coalesce(
-        F.col(priority_col).cast("double"), F.lit(float(default_priority))
+        F.col(priority_col).try_cast("double"),
+        F.lit(float(default_priority)),
     ) * F.when(freq == "never", F.lit(0.0)).otherwise(staleness)
     return (
         entries.withColumn("period_s", period)
@@ -245,7 +246,8 @@ SELECT * EXCLUDE (_rc_nolast),
        CASE WHEN {freq} = 'never' THEN false
             WHEN _rc_nolast THEN true
             ELSE age_s >= period_s END AS due,
-       coalesce(CAST({priority_expr} AS DOUBLE), {float(default_priority)})
+       coalesce(TRY_CAST({priority_expr} AS DOUBLE),
+                {float(default_priority)})
          * CASE WHEN {freq} = 'never' THEN 0.0
                 WHEN _rc_nolast OR period_s = 0 THEN 2.0
                 ELSE least(age_s / period_s, 2.0) END AS recrawl_score
@@ -277,10 +279,8 @@ def fetch_budget_allocate(
     #hosts rows. The driver materializes two scalars (total leftover),
     both bounded; everything row-wise stays in the scan stage."""
     out_cols = [c for c in hosts.columns if c != "fetch_budget"]
-    w = F.when(
-        F.col(weight_col).isNotNull() & (F.col(weight_col) > 0),
-        F.col(weight_col).cast("double"),
-    ).otherwise(F.lit(0.0))
+    w = F.coalesce(F.col(weight_col).try_cast("double"), F.lit(0.0))
+    w = F.when(w > 0, w).otherwise(F.lit(0.0))
     tot = hosts.select(F.sum(w).alias("_cb_tot"))
     d = hosts.select(*out_cols).crossJoin(F.broadcast(tot))
     share = F.when(
@@ -323,8 +323,8 @@ def fetch_budget_allocate_sql(
     """SELECT <hosts_cte>.*, fetch_budget — exactly
     fetch_budget_allocate()."""
     w = (
-        f"CASE WHEN {weight_expr} IS NOT NULL AND {weight_expr} > 0 "
-        f"THEN CAST({weight_expr} AS DOUBLE) ELSE 0.0 END"
+        f"CASE WHEN coalesce(TRY_CAST({weight_expr} AS DOUBLE), 0.0) > 0 "
+        f"THEN TRY_CAST({weight_expr} AS DOUBLE) ELSE 0.0 END"
     )
     return f"""(
 WITH cb_tot AS (SELECT sum({w}) AS tot FROM {hosts_cte}),
