@@ -2,8 +2,10 @@
 scheduling — the consumers of the robots.txt side-channels
 (functions/robots.robots_sitemaps / robots_crawl_delays) that a crawl
 pipeline runs BEFORE fetching: seed the frontier from each host's
-sitemaps, then lay candidate URLs out on per-host fetch slots spaced by
-the host's Crawl-delay.
+sitemaps (recursively through <sitemapindex> trees), score what is due
+for recrawl (lastmod/changefreq/priority), apportion the fetch budget
+across hosts, then lay candidate URLs out on per-host fetch slots
+spaced by the host's Crawl-delay.
 
 Spark-first shape: sitemap parsing is regexp_extract_all + explode —
 a scan-stage projection, no exchange (the sitemap table is
@@ -93,10 +95,9 @@ def sitemap_urls(
     """Parse <urlset> sitemap XML -> one row per <url> entry:
     (*keep_cols, loc, lastmod, changefreq, priority double). Entries
     without a <loc> are dropped (nothing to fetch); the optional fields
-    are NULL when absent. Plain-text fields only (no CDATA/entities —
-    the overwhelmingly common machine-generated shape; an escaping
-    sitemap needs a decode pass upstream). Narrow: regexp explode in
-    the scan stage."""
+    are NULL when absent; text nodes decode the XML predefined
+    entities and CDATA sections pass through verbatim (_field).
+    Narrow: regexp explode in the scan stage."""
     blocks = sitemaps.select(
         *keep_cols,
         F.explode(
