@@ -186,7 +186,11 @@ def http_response_body(payload: F.Column | str) -> F.Column:
     headers pass through unchanged."""
     col = F.col(payload) if isinstance(payload, str) else payload
     s = col.cast("string")
-    return F.coalesce(F.split(s, r"\r\n\r\n", 2).getItem(1), s)
+    # F.get (not getItem): a payload with no blank line splits into one
+    # element, and get() yields NULL in BOTH ANSI modes where getItem
+    # throws INVALID_ARRAY_INDEX under ANSI — coalesce then passes the
+    # whole payload through.
+    return F.coalesce(F.get(F.split(s, r"\r\n\r\n", 2), 1), s)
 
 
 def html_to_text(col: F.Column) -> F.Column:
