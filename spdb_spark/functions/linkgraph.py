@@ -35,15 +35,24 @@ def page_links(
     link_url resolved absolute and filtered to http/https. Narrow
     (projection + explode) — no exchange."""
     from spdb_spark.functions.html import html_href_targets
-    from spdb_spark.functions.url import url_host, url_resolve
+    from spdb_spark.functions.url import (
+        url_host,
+        url_resolve_from_parts,
+        url_resolve_parts,
+    )
 
+    # Base-URL regex pieces are hoisted BEFORE the explode: computed once
+    # per page, not once per link (fan-out× fewer regex evaluations; the
+    # resolve branch per link is CASE + concat only). Output identical to
+    # url_resolve(page_url, href).
     exploded = pages.select(
         F.col(url_col).alias("page_url"),
+        *url_resolve_parts(F.col(url_col)),
         F.explode(html_href_targets(F.col(html_col))).alias("href"),
     )
     out = exploded.select(
         "page_url",
-        url_resolve(F.col("page_url"), F.col("href")).alias("link_url"),
+        url_resolve_from_parts(F.col("href")).alias("link_url"),
     ).where(F.col("link_url").rlike(r"^(?i)https?://"))
     return out.select(
         "page_url", "link_url", url_host(F.col("link_url")).alias("dst_host")
@@ -69,9 +78,23 @@ def host_graph_edges(
     links = page_links(pages, url_col, html_col).select(
         url_host(F.col("page_url")).alias("src_host"), "dst_host"
     )
+    # Collapse to HOST-pair counts FIRST: the one crawl-sized aggregation
+    # (map-side combined), after which everything — the distinct-host
+    # set, the PSL mapping, both domain joins, the final domain-pair
+    # re-aggregation — is host-graph-sized. The previous shape derived
+    # the mapping's host set from `links` directly, so the href
+    # extraction subtree executed TWICE (once under the broadcast build,
+    # once under the edge stream); pre-aggregating makes extraction a
+    # single pass at any scale (guide §2.4).
+    host_pairs = links.groupBy("src_host", "dst_host").agg(
+        F.count("*").alias("weight")
+    )
+    from spdb_spark.session import truncate_lineage
+
+    host_pairs = truncate_lineage(host_pairs, eager=False)
     hosts = (
-        links.select(F.col("src_host").alias("host"))
-        .unionByName(links.select(F.col("dst_host").alias("host")))
+        host_pairs.select(F.col("src_host").alias("host"))
+        .unionByName(host_pairs.select(F.col("dst_host").alias("host")))
         .where(F.col("host") != "")
         .distinct()
     )
@@ -79,21 +102,21 @@ def host_graph_edges(
         "host", F.coalesce("domain", "host").alias("dom")
     )
     e = (
-        links.join(
+        host_pairs.join(
             F.broadcast(mapping.withColumnRenamed("dom", "src_domain")),
-            links["src_host"] == mapping["host"],
+            host_pairs["src_host"] == mapping["host"],
         )
         .drop("host")
         .join(
             F.broadcast(mapping.withColumnRenamed("dom", "dst_domain")),
-            links["dst_host"] == mapping["host"],
+            host_pairs["dst_host"] == mapping["host"],
         )
-        .select("src_domain", "dst_domain")
+        .select("src_domain", "dst_domain", "weight")
     )
     if drop_self:
         e = e.where(F.col("src_domain") != F.col("dst_domain"))
     return e.groupBy("src_domain", "dst_domain").agg(
-        F.count("*").alias("weight")
+        F.sum("weight").alias("weight")
     )
 
 

@@ -61,6 +61,46 @@ def url_host(c: Column) -> Column:
     )
 
 
+def url_resolve_parts(base: Column) -> list[Column]:
+    """The base-URL-derived pieces url_resolve needs, as five aliased
+    columns (_rs_nofrag, _rs_noq, _rs_scheme, _rs_root, _rs_dirp).
+    Everything here depends ONLY on the page URL — computing these once
+    per PAGE (before an href explode) instead of once per LINK removes
+    ~fan-out× regex evaluations from link extraction (guide §1.2 "per-
+    task work"); url_resolve_from_parts consumes them."""
+    base_nofrag = F.regexp_replace(base, r"#.*$", "")
+    base_noq = F.regexp_replace(base_nofrag, r"\?.*$", "")
+    scheme = F.regexp_extract(base, r"^([a-zA-Z][a-zA-Z0-9+.-]*):", 1)
+    root = F.regexp_extract(base, _PREFIX, 0)
+    has_path = base_noq.rlike(r"^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*/")
+    dirp = F.when(
+        has_path, F.regexp_replace(base_noq, r"[^/]*$", "")
+    ).otherwise(F.concat(base_noq, F.lit("/")))
+    return [
+        base_nofrag.alias("_rs_nofrag"),
+        base_noq.alias("_rs_noq"),
+        scheme.alias("_rs_scheme"),
+        root.alias("_rs_root"),
+        dirp.alias("_rs_dirp"),
+    ]
+
+
+def url_resolve_from_parts(href: Column) -> Column:
+    """url_resolve with the base-derived pieces read from the columns
+    url_resolve_parts projected — the per-link branch is CASE + concat
+    only (no regex on the base side). Same branch semantics as
+    url_resolve; bit-identical output."""
+    h = F.trim(href)
+    return (
+        F.when(h.rlike(r"^[a-zA-Z][a-zA-Z0-9+.-]*:"), h)
+        .when(h.startswith("//"), F.concat(F.col("_rs_scheme"), F.lit(":"), h))
+        .when(h.startswith("/"), F.concat(F.col("_rs_root"), h))
+        .when(h.startswith("?"), F.concat(F.col("_rs_noq"), h))
+        .when((h == "") | h.startswith("#"), F.col("_rs_nofrag"))
+        .otherwise(F.concat(F.col("_rs_dirp"), h))
+    )
+
+
 def url_resolve(base: Column, href: Column) -> Column:
     """Resolve an href against its page URL (RFC 3986 reference
     resolution, the cases a host-graph extractor needs):

@@ -860,7 +860,126 @@ def _scatter_union(v: DataFrame) -> DataFrame:
     )
 
 
-def dilate(v: DataFrame) -> DataFrame:
+def _pack_shifts(bounds: tuple[int, int, int, int], slack: int = 4):
+    """Bit layout for packing (t, x, y, z) into ONE 64-bit key given the
+    caller's region bounds (coords in [0, bound) per axis). Each spatial
+    axis gets `2*slack` extra values of headroom so morphology scatters
+    (±1 per round, two rounds for closing) never carry across fields;
+    t is never scattered, so its field is exact. Returns (t_shift,
+    x_shift, y_shift, z_bits_tuple...) — see _pack_expr/_unpack_cols."""
+    tb_, xb_, yb_, zb_ = bounds
+    if min(bounds) < 1:
+        raise ValueError(f"bounds must be positive, got {bounds}")
+    tbits = max(1, (tb_ - 1).bit_length() or 1)
+    xbits = (xb_ + 2 * slack).bit_length()
+    ybits = (yb_ + 2 * slack).bit_length()
+    zbits = (zb_ + 2 * slack).bit_length()
+    if tbits + xbits + ybits + zbits > 62:
+        raise ValueError(
+            f"bounds {bounds} need {tbits + xbits + ybits + zbits} bits; "
+            "packed morphology requires <= 62"
+        )
+    return slack, tbits, xbits, ybits, zbits
+
+
+def _pack_expr(shifts, t, x, y, z):
+    slack, _tbits, xbits, ybits, zbits = shifts
+    return (
+        F.shiftleft(t, xbits + ybits + zbits)
+        + F.shiftleft(x + slack, ybits + zbits)
+        + F.shiftleft(y + slack, zbits)
+        + (z + slack)
+    ).alias("pk")
+
+
+def _pack_delta(shifts, dx: int, dy: int, dz: int) -> int:
+    _slack, _tbits, _xbits, ybits, zbits = shifts
+    return (dx << (ybits + zbits)) + (dy << zbits) + dz
+
+
+def _unpack_cols(shifts):
+    slack, _tbits, xbits, ybits, zbits = shifts
+    pk = F.col("pk")
+    return [
+        F.shiftright(pk, xbits + ybits + zbits).alias("t"),
+        (
+            F.shiftright(pk, ybits + zbits).bitwiseAND(F.lit((1 << xbits) - 1))
+            - slack
+        ).alias("x"),
+        (
+            F.shiftright(pk, zbits).bitwiseAND(F.lit((1 << ybits) - 1)) - slack
+        ).alias("y"),
+        (pk.bitwiseAND(F.lit((1 << zbits) - 1)) - slack).alias("z"),
+    ]
+
+
+def _packed_scatter(pv: DataFrame, shifts, offs) -> DataFrame:
+    """(pk, value) -> one row per (pk + packed_delta, value, d) where d
+    is the raw packed delta (d = 0 marks the self/present contribution).
+    The offset add is ONE long addition instead of three coordinate
+    adds, and the downstream group key is ONE column instead of four —
+    §2.3 'narrower types': the scatter/agg shuffle carries 2-3 longs
+    per row instead of 6-7."""
+    deltas = [_pack_delta(shifts, dx, dy, dz) for dx, dy, dz in offs]
+    return pv.select(
+        "pk", "value", F.explode(F.array(*[F.lit(d) for d in deltas])).alias("d")
+    ).select((F.col("pk") + F.col("d")).alias("pk"), "value", "d")
+
+
+_FACE_OFFS = [(0, 0, 0), (1, 0, 0), (-1, 0, 0), (0, 1, 0), (0, -1, 0), (0, 0, 1), (0, 0, -1)]
+
+
+def _packed_dilate(pv: DataFrame, shifts) -> DataFrame:
+    g = (
+        _packed_scatter(pv, shifts, _FACE_OFFS)
+        .groupBy("pk")
+        .agg(
+            F.max(F.when(F.col("d") == 0, F.col("value"))).alias("self_val"),
+            F.min(F.when(F.col("d") != 0, F.col("value"))).alias("nbr_min"),
+        )
+    )
+    return g.select(
+        "pk", F.coalesce(F.col("self_val"), F.col("nbr_min")).alias("value")
+    )
+
+
+def _packed_erode(pv: DataFrame, shifts) -> DataFrame:
+    # value stays OUT of the group key (cf. erode): a voxel survives iff
+    # it exists (sv not null), all 6 neighbors exist (cnt = 6), and every
+    # neighbor carries the same id (min = max = sv) — bit-identical to
+    # the (position, value)-keyed count form, with a 1-column key.
+    g = (
+        _packed_scatter(pv, shifts, _FACE_OFFS)
+        .groupBy("pk")
+        .agg(
+            F.max(F.when(F.col("d") == 0, F.col("value"))).alias("sv"),
+            F.min(F.when(F.col("d") != 0, F.col("value"))).alias("nmin"),
+            F.max(F.when(F.col("d") != 0, F.col("value"))).alias("nmax"),
+            F.count(F.when(F.col("d") != 0, F.lit(1))).alias("cnt"),
+        )
+    )
+    return g.where(
+        F.col("sv").isNotNull()
+        & (F.col("cnt") == 6)
+        & (F.col("nmin") == F.col("sv"))
+        & (F.col("nmax") == F.col("sv"))
+    ).select("pk", F.col("sv").alias("value"))
+
+
+def _pack_input(v: DataFrame, shifts) -> DataFrame:
+    return v.select(
+        _pack_expr(shifts, F.col("t"), F.col("x"), F.col("y"), F.col("z")),
+        "value",
+    )
+
+
+def _unpack_output(pv: DataFrame, shifts) -> DataFrame:
+    return pv.select(*_unpack_cols(shifts), "value")
+
+
+def dilate(
+    v: DataFrame, bounds: tuple[int, int, int, int] | None = None
+) -> DataFrame:
     """Binary 6-neighborhood dilation of a segmentation: a position is
     labeled after dilation if it holds a voxel (keeps its own id) or any
     face-neighbor does (takes the MIN claiming id — deterministic when
@@ -868,7 +987,16 @@ def dilate(v: DataFrame) -> DataFrame:
     the grid is unbounded (no clamp) — clip with box_predicate if needed.
 
     Same scale shape as surface_stats: scatter-union then ONE
-    partial/final aggregate keyed by position — no self-join."""
+    partial/final aggregate keyed by position — no self-join.
+
+    `bounds` = (t_bound, x_bound, y_bound, z_bound), the caller's region
+    extents (every cutout request carries them): when given, positions
+    pack into ONE 64-bit key for the scatter/aggregate — the shuffle
+    row shrinks from 6 longs to 3 and the hash key from 4 columns to 1
+    (guide §2.3). Output is identical (unpacked on the way out)."""
+    if bounds is not None:
+        shifts = _pack_shifts(bounds)
+        return _unpack_output(_packed_dilate(_pack_input(v, shifts), shifts), shifts)
     g = (
         _scatter_union(v)
         .groupBy("t", "x", "y", "z")
@@ -883,22 +1011,43 @@ def dilate(v: DataFrame) -> DataFrame:
     )
 
 
-def erode(v: DataFrame) -> DataFrame:
+def erode(
+    v: DataFrame, bounds: tuple[int, int, int, int] | None = None
+) -> DataFrame:
     """Binary 6-neighborhood erosion of a segmentation: a voxel survives
     iff all 6 face-neighbors hold the SAME id (object interiors; surface
     voxels — surface_stats' n < 6 — are removed). Same single-shuffle
-    scatter-union shape."""
+    scatter-union shape; `bounds` as in dilate.
+
+    The group key is the position alone (NOT position+value): survival
+    = own id exists AND 6 neighbor contributions AND neighbor min = max
+    = own id — equivalent to the (position, value)-keyed count form (a
+    position holds one value, each neighbor contributes exactly once)
+    with one fewer key column in the shuffle hash."""
+    if bounds is not None:
+        shifts = _pack_shifts(bounds)
+        return _unpack_output(_packed_erode(_pack_input(v, shifts), shifts), shifts)
     g = (
         _scatter_union(v)
-        .groupBy("t", "x", "y", "z", "value")
-        .agg(F.sum("present").alias("p"), F.sum("nbr").alias("n"))
+        .groupBy("t", "x", "y", "z")
+        .agg(
+            F.max(F.when(F.col("present") == 1, F.col("value"))).alias("sv"),
+            F.min(F.when(F.col("nbr") == 1, F.col("value"))).alias("nmin"),
+            F.max(F.when(F.col("nbr") == 1, F.col("value"))).alias("nmax"),
+            F.count(F.when(F.col("nbr") == 1, F.lit(1))).alias("cnt"),
+        )
     )
-    return g.where((F.col("p") > 0) & (F.col("n") == 6)).select(
-        "t", "x", "y", "z", "value"
-    )
+    return g.where(
+        F.col("sv").isNotNull()
+        & (F.col("cnt") == 6)
+        & (F.col("nmin") == F.col("sv"))
+        & (F.col("nmax") == F.col("sv"))
+    ).select("t", "x", "y", "z", F.col("sv").alias("value"))
 
 
-def object_contacts(v: DataFrame) -> DataFrame:
+def object_contacts(
+    v: DataFrame, bounds: tuple[int, int, int, int] | None = None
+) -> DataFrame:
     """Contact surfaces between segmented objects: (id_a, id_b,
     n_contacts) for every unordered pair of DIFFERENT non-zero ids with
     face-adjacent voxels, n_contacts = number of touching voxel faces
@@ -917,7 +1066,34 @@ def object_contacts(v: DataFrame) -> DataFrame:
     ObjectHashAggregate (no whole-stage codegen, object allocation per
     row, sort-based fallback under pressure), which loses far more than
     the second exchange costs. The codegen'd equi-join + count agg is
-    the right plan."""
+    the right plan.
+
+    With `bounds` (region extents, as in dilate) the position equi-join
+    keys on ONE packed long instead of four coordinate columns — same
+    join strategy, narrower hash and build rows."""
+    if bounds is not None:
+        shifts = _pack_shifts(bounds)
+        nzp = _pack_input(v.where(F.col("value") != 0), shifts)
+        deltas = [
+            _pack_delta(shifts, dx, dy, dz)
+            for dx, dy, dz in _FACE_OFFS
+            if (dx, dy, dz) != (0, 0, 0)
+        ]
+        scattered = nzp.select(
+            F.col("value").alias("src_id"),
+            F.explode(F.array(*[(F.col("pk") + F.lit(d)) for d in deltas])).alias(
+                "pk"
+            ),
+        )
+        hits = scattered.join(nzp, "pk").where(F.col("value") != F.col("src_id"))
+        return (
+            hits.select(
+                F.least(F.col("src_id"), F.col("value")).alias("id_a"),
+                F.greatest(F.col("src_id"), F.col("value")).alias("id_b"),
+            )
+            .groupBy("id_a", "id_b")
+            .agg((F.count("*") / 2).cast("long").alias("n_contacts"))
+        )
     nz = v.where(F.col("value") != 0)
     offs = [(1, 0, 0), (-1, 0, 0), (0, 1, 0), (0, -1, 0), (0, 0, 1), (0, 0, -1)]
     scattered = nz.select(
@@ -977,7 +1153,9 @@ def value_histogram(v: DataFrame, n_buckets: int = 64, bucket_width: int = 4) ->
     )
 
 
-def closing(v: DataFrame) -> DataFrame:
+def closing(
+    v: DataFrame, bounds: tuple[int, int, int, int] | None = None
+) -> DataFrame:
     """Morphological closing: erode(dilate(v)) as ONE straight-line plan
     — scan -> 7-way scatter -> position agg (dilate) -> 7-way scatter ->
     position agg (erode): two position-keyed shuffles, one input scan,
@@ -987,5 +1165,15 @@ def closing(v: DataFrame) -> DataFrame:
     its input twice and re-executed the whole dilate pipeline; measured
     2x wall). No checkpoint also means nothing to lose with executor
     churn — the plan is a plain two-stage pipeline Spark can retry per
-    task."""
+    task.
+
+    With `bounds` (region extents, as in dilate) the whole composition
+    runs PACKED: pack once, dilate agg, scatter, erode agg, unpack once
+    — both shuffles carry the single-long position key."""
+    if bounds is not None:
+        shifts = _pack_shifts(bounds)
+        return _unpack_output(
+            _packed_erode(_packed_dilate(_pack_input(v, shifts), shifts), shifts),
+            shifts,
+        )
     return erode(dilate(v))

@@ -13,7 +13,21 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from spdb_spark.constants import CUBOID_X, CUBOID_Y, CUBOID_Z
-from spdb_spark.fixtures import VALUE_ANNO, VALUE_IMAGE, voxels_df, voxels_sql
+from spdb_spark.fixtures import (
+    T_MOD,
+    VALUE_ANNO,
+    VALUE_IMAGE,
+    X_MOD,
+    Y_MOD,
+    Z_MOD,
+    voxels_df,
+    voxels_sql,
+)
+
+# Region extents of the derived voxel fixture (fixtures.py coordinate
+# mods): lets the morphology gates use the packed single-long position
+# key — the bounds a real cutout request always carries.
+FIXTURE_BOUNDS = (T_MOD, X_MOD, Y_MOD, Z_MOD)
 from spdb_spark.morton import morton_encode_sql
 from spdb_spark.operators import voxel as V
 
@@ -818,7 +832,7 @@ _MORPH_OFFS_SQL = """CROSS JOIN (VALUES (CAST(1 AS BIGINT), CAST(0 AS BIGINT), C
 def q_spatial_dilate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary 6-neighborhood dilation (min-id claim on empty positions)."""
     v = voxels_df(spark, sf_dir, value_expr=VALUE_ANNO, dedup=True)
-    return V.dilate(v)
+    return V.dilate(v, bounds=FIXTURE_BOUNDS)
 
 
 SQL_SPATIAL_DILATE = f"""
@@ -847,7 +861,7 @@ def q_spatial_closing(spark: SparkSession, sf_dir: str) -> DataFrame:
     sparse fixture has no interior voxels for a bare erosion to keep
     (plain erode's semantics are pinned by crafted-shape unit tests)."""
     v = voxels_df(spark, sf_dir, value_expr=VALUE_ANNO, dedup=True)
-    return V.closing(v)
+    return V.closing(v, bounds=FIXTURE_BOUNDS)
 
 
 SQL_SPATIAL_CLOSING = f"""
@@ -885,7 +899,7 @@ SELECT t, x, y, z, value FROM g WHERE p > 0 AND n = 6
 def q_spatial_object_contacts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Face-contact counts between different annotation objects."""
     v = voxels_df(spark, sf_dir, value_expr=VALUE_ANNO, dedup=True)
-    return V.object_contacts(v)
+    return V.object_contacts(v, bounds=FIXTURE_BOUNDS)
 
 
 SQL_SPATIAL_OBJECT_CONTACTS = f"""
