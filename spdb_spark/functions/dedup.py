@@ -302,33 +302,35 @@ def dup_clusters(
         .withColumn("cluster_id", F.col("id"))
         .persist()
     )
+    _prev = labels  # the persisted handle backing `labels`
     for it in range(max_iter):
         neighbor_min = (
             edges.join(labels, edges.dst == labels.id)
             .groupBy("src")
             .agg(F.min("cluster_id").alias("nbr_min"))
         )
-        new_labels = labels.join(
+        # _chg rides along instead of a separate new-vs-old join: the new
+        # label is least(old, nbr_min), so "some label changed" is exactly
+        # "some nbr_min undercuts its old label" — the convergence probe
+        # becomes a limit(1) scan of the frame this iteration materializes
+        # anyway (one join + one shuffle fewer per iteration).
+        new_full = labels.join(
             neighbor_min, labels.id == neighbor_min.src, "left"
         ).select(
             "id",
             F.least(
                 F.col("cluster_id"), F.coalesce(F.col("nbr_min"), F.col("cluster_id"))
             ).alias("cluster_id"),
+            (F.col("nbr_min") < F.col("cluster_id")).alias("_chg"),
         )
         if checkpoint_every and (it + 1) % checkpoint_every == 0:
-            new_labels = truncate_lineage(new_labels, eager=True)
+            new_full = truncate_lineage(new_full, eager=True)
         else:
-            new_labels = new_labels.persist()
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .where(F.col("n.cluster_id") != F.col("o.cluster_id"))
-            .limit(1)
-            .count()
-        )
-        labels.unpersist()
-        labels = new_labels
+            new_full = new_full.persist()
+        changed = new_full.where(F.col("_chg")).limit(1).count()
+        _prev.unpersist()
+        _prev = new_full
+        labels = new_full.select("id", "cluster_id")
         if changed == 0:
             break
     edges.unpersist()

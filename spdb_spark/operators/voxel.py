@@ -489,6 +489,7 @@ def connected_components(
     ).persist()
 
     labels = vox.select(*key, F.col("vid").alias("component")).persist()
+    _prev = labels  # the persisted handle backing `labels`
     for it in range(max_iter):
         nbr_min = (
             edges.join(
@@ -499,7 +500,11 @@ def connected_components(
             .agg(F.min("component").alias("nbr_min"))
             .select(F.col("t").alias("nt"), "src", "nbr_min")
         )
-        new_labels = labels.join(
+        # _chg rides along instead of a separate new-vs-old join (see
+        # dedup.dup_clusters): the new label is least(old, nbr_min), so
+        # "changed" is exactly "nbr_min < old component" — the probe is a
+        # limit(1) scan of the frame this round materializes anyway.
+        new_full = labels.join(
             nbr_min,
             (labels.t == nbr_min.nt) & (labels.vid == nbr_min.src),
             "left",
@@ -510,23 +515,19 @@ def connected_components(
                 F.col("component"),
                 F.coalesce(F.col("nbr_min"), F.col("component")),
             ).alias("component"),
+            (F.col("nbr_min") < F.col("component")).alias("_chg"),
         )
         # truncate lineage periodically: O(diameter) rounds would otherwise
         # nest the plan O(diameter) deep and Catalyst re-analyzes the whole
         # tree each round (see dedup.dup_clusters for the cluster-mode note)
         if checkpoint_every and (it + 1) % checkpoint_every == 0:
-            new_labels = truncate_lineage(new_labels, eager=True)
+            new_full = truncate_lineage(new_full, eager=True)
         else:
-            new_labels = new_labels.persist()
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), key)
-            .where(F.col("n.component") != F.col("o.component"))
-            .limit(1)
-            .count()
-        )
-        labels.unpersist()
-        labels = new_labels
+            new_full = new_full.persist()
+        changed = new_full.where(F.col("_chg")).limit(1).count()
+        _prev.unpersist()
+        _prev = new_full
+        labels = new_full.select(*key, "component")
         if changed == 0:
             break
     edges.unpersist()

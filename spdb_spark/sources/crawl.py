@@ -109,9 +109,27 @@ def crawl_to_corpus(
     from spdb_spark.functions.quality import gopher_filter
     from spdb_spark.sources.warc import warc_responses_to_docs
 
-    docs = warc_responses_to_docs(
-        warc, main_content=main_content, normalize_urls=normalize_urls
-    )
+    pages_all = None
+    if rank_prior and rank_map is None:
+        # The rank prior needs the distinct fetched pages and the doc
+        # pipeline needs the same parsed bodies (doc_id IS crawl_pages'
+        # content-addressed _pid, text derives from the same
+        # http_response_body html). Parse ONCE, materialize the parsed
+        # pages, and derive BOTH sides from the cache — the old shape ran
+        # the WARC parse + body split + distinct twice, once per side.
+        # At 100 TB this is the difference between one and two passes
+        # over every payload.
+        from spdb_spark.session import truncate_lineage
+
+        pages_all = truncate_lineage(
+            crawl_pages(warc, normalize_urls).dropDuplicates(["_pid"]),
+            eager=False,
+        )
+        docs = docs_from_pages(pages_all, main_content=main_content)
+    else:
+        docs = warc_responses_to_docs(
+            warc, main_content=main_content, normalize_urls=normalize_urls
+        )
     if robots is not None:
         # robots exclusion runs FIRST — a disallowed page's content
         # must not influence dedup survivor choice or the rank prior's
@@ -164,9 +182,8 @@ def crawl_to_corpus(
         docs = docs.join(F.broadcast(chosen), "doc_id", "left_semi")
     if rank_prior or rank_map is not None:
         if rank_map is None:
-            rank_map = crawl_host_ranks(
-                warc,
-                normalize_urls=normalize_urls,
+            rank_map = host_ranks_from_pages(
+                pages_all.select("page_url", "html"),
                 iterations=rank_iterations,
                 rules=suffix_rules,
             )
@@ -202,31 +219,74 @@ def crawl_pages(
     )
 
 
-def crawl_host_ranks(
-    warc: DataFrame,
-    normalize_urls: bool = True,
+def docs_from_pages(
+    pages: DataFrame, main_content: bool = True
+) -> DataFrame:
+    """crawl_pages output -> the documents schema (doc_id, text, lang,
+    source, n_chars), identical to warc_responses_to_docs(dedup=True)
+    over the same records: doc_id is the shared content-addressed _pid
+    and text extracts from the same http_response_body html. Exists so
+    a pipeline that needs BOTH the corpus and the page set (rank-prior
+    curation) parses every payload once."""
+    from spdb_spark.functions.text import lang_id
+
+    if main_content:
+        from spdb_spark.functions.html import html_main_text
+
+        text = html_main_text(F.col("html"))
+    else:
+        from spdb_spark.sources.warc import html_to_text
+
+        text = html_to_text(F.col("html"))
+    out = pages.select(
+        F.col("_pid").alias("doc_id"),
+        text.alias("text"),
+        F.col("page_url").alias("source"),
+    )
+    return out.where(F.length("text") > 0).select(
+        "doc_id",
+        "text",
+        lang_id(F.col("text")).alias("lang"),
+        "source",
+        F.length("text").cast("int").alias("n_chars"),
+    )
+
+
+def host_ranks_from_pages(
+    pages: DataFrame,
     iterations: int = 5,
     rules: DataFrame | None = None,
 ) -> DataFrame:
-    """The crawl's own host-rank prior: distinct fetched pages (the
-    same content-addressed collapse the doc pipeline applies) -> href
-    host graph at eTLD+1 (functions/linkgraph.host_graph_edges) ->
-    integer-protocol PageRank -> (domain, rank_q). Graph-sized output —
-    broadcastable onto any corpus."""
+    """(page_url, html) distinct pages -> href host graph at eTLD+1
+    (functions/linkgraph.host_graph_edges) -> integer-protocol PageRank
+    -> (domain, rank_q). Graph-sized output — broadcastable onto any
+    corpus."""
     from spdb_spark.functions.graph import pagerank
     from spdb_spark.functions.linkgraph import host_graph_edges
 
-    pages = (
-        crawl_pages(warc, normalize_urls)
-        .dropDuplicates(["_pid"])
-        .select("page_url", "html")
-    )
     edges = host_graph_edges(pages, "page_url", "html", rules=rules)
     pr = pagerank(
         edges, "src_domain", "dst_domain", weight="weight",
         iterations=iterations,
     )
     return pr.select(F.col("node").alias("domain"), "rank_q")
+
+
+def crawl_host_ranks(
+    warc: DataFrame,
+    normalize_urls: bool = True,
+    iterations: int = 5,
+    rules: DataFrame | None = None,
+) -> DataFrame:
+    """The crawl's own host-rank prior from raw WARC records: distinct
+    fetched pages (the same content-addressed collapse the doc pipeline
+    applies) -> host_ranks_from_pages."""
+    pages = (
+        crawl_pages(warc, normalize_urls)
+        .dropDuplicates(["_pid"])
+        .select("page_url", "html")
+    )
+    return host_ranks_from_pages(pages, iterations=iterations, rules=rules)
 
 
 def stage_host_ranks(
