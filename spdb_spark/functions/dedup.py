@@ -89,14 +89,27 @@ def shingles(
 
     `distinct=False` skips the dedup shuffle for consumers that are
     idempotent to repeated shingles (MinHash min, collect_set) — the
-    minhash pipeline saves a full shuffle of the shingle table this way."""
+    minhash pipeline saves a full shuffle of the shingle table this way.
+
+    The space-join runs in a POST-explode projection (whole-stage
+    codegen) rather than inside transform's interpreted lambda — same
+    rows, measured faster (the repo's HOF penalty note). F.get replaces
+    element_at for the short-doc tail (docs with < k tokens emit ONE
+    shingle of their tokens): NULL-on-out-of-bounds in BOTH ANSI modes,
+    where element_at throws under ANSI."""
     with_toks = df.select(F.col(id_col), tokens(F.col(text_col)).alias("_toks"))
     t = F.col("_toks")
-    sh = F.transform(
-        F.sequence(F.lit(0), F.greatest(F.size(t) - k, F.lit(0))),
-        lambda i: F.concat_ws(" ", *[F.element_at(t, i + j + 1) for j in range(k)]),
+    e = with_toks.select(
+        F.col(id_col),
+        t,
+        F.explode(
+            F.sequence(F.lit(0), F.greatest(F.size(t) - k, F.lit(0)))
+        ).alias("_shi"),
     )
-    out = with_toks.select(F.col(id_col), F.explode(sh).alias("shingle"))
+    gram = F.concat_ws(
+        " ", *[F.get(F.col("_toks"), F.col("_shi") + j) for j in range(k)]
+    )
+    out = e.select(F.col(id_col), gram.alias("shingle"))
     return out.distinct() if distinct else out
 
 
@@ -587,21 +600,23 @@ def shared_ngram_coverage(
     re-aggregate. The gram join is keyed by the gram string (uniform,
     unskewed); the shared-gram set is boilerplate-sized in practice, so
     AQE turns the back-join into a broadcast when it fits."""
-    from spdb_spark.functions.text import tokens as _tokens, word_ngrams
+    from spdb_spark.functions.text import exploded_word_ngrams
+    from spdb_spark.functions.text import tokens as _tokens
 
     staged = df.select(
-        F.col(id_col).alias("doc"), _tokens(F.col(text_col)).alias("_toks")
+        F.col(id_col).alias("doc"),
+        _tokens(F.col(text_col)).alias("_toks"),
+        # n_grams must be a SCALAR next to the explode: putting
+        # size(grams) in the same projection forces the Generate to
+        # retain the whole gram array on every exploded row (quadratic
+        # row-copy per doc — measured 30x slower); a scalar derived from
+        # the token count carries for free
+        F.greatest(
+            F.size(_tokens(F.col(text_col))) - (k - 1), F.lit(0)
+        ).cast("long").alias("n_grams"),
     )
-    # n_grams must be a SCALAR next to the explode: putting size(grams)
-    # in the same projection forces the Generate to retain the whole gram
-    # array on every exploded row (quadratic row-copy per doc — measured
-    # 30x slower); a scalar derived from the token count carries for free
-    g = staged.select(
-        "doc",
-        F.greatest(F.size("_toks") - (k - 1), F.lit(0))
-        .cast("long")
-        .alias("n_grams"),
-        F.explode(word_ngrams(F.col("_toks"), k)).alias("gram"),
+    g = exploded_word_ngrams(
+        staged, "_toks", k, out="gram", keep=("doc", "n_grams")
     )
     shared = (
         g.groupBy("gram")
@@ -755,18 +770,20 @@ def cross_corpus_gram_novelty(
     semi-join (no corpus shuffle) to find which eval grams it contains,
     and that matched set (<= eval grams) broadcasts back into the per-doc
     coverage join. Returns (id, n_grams, n_seen, novelty_frac)."""
-    from spdb_spark.functions.text import tokens as _tokens, word_ngrams
+    from spdb_spark.functions.text import exploded_word_ngrams
+    from spdb_spark.functions.text import tokens as _tokens
 
     staged = df.select(
         F.col(id_col).alias("doc"),
         F.col(source_col).alias("src"),
         _tokens(F.col(text_col)).alias("_toks"),
     )
-    grams = staged.select(
-        "doc",
-        "src",
-        F.greatest(F.size("_toks") - (k - 1), F.lit(0)).cast("long").alias("n_grams"),
-        F.explode(word_ngrams(F.col("_toks"), k)).alias("gram"),
+    staged = staged.withColumn(
+        "n_grams",
+        F.greatest(F.size("_toks") - (k - 1), F.lit(0)).cast("long"),
+    )
+    grams = exploded_word_ngrams(
+        staged, "_toks", k, out="gram", keep=("doc", "src", "n_grams")
     )
     eval_grams = grams.where(F.col("src") == F.lit(eval_source))
     eval_gram_set = eval_grams.select("gram").distinct()

@@ -49,7 +49,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from spdb_spark.functions.text import tokens, word_ngrams
+from spdb_spark.functions.text import exploded_word_ngrams, tokens
 
 DISCOUNT = 0.75
 
@@ -93,9 +93,7 @@ def kn_trigram_logprob(
     toks = docs.select(
         F.col(id_col), tokens(F.col(text_col)).alias("_t")
     ).where(F.size("_t") >= 3)
-    grams = toks.select(
-        id_col, F.explode(word_ngrams(F.col("_t"), 3)).alias("g")
-    )
+    grams = exploded_word_ngrams(toks, "_t", 3, out="g", keep=(id_col,))
     if materialize:
         from spdb_spark.session import truncate_lineage
 
@@ -222,9 +220,7 @@ def kn_ngram_model(
     toks = docs.select(
         F.col(id_col), tokens(F.col(text_col)).alias("_t")
     ).where(F.size("_t") >= n)
-    grams = toks.select(
-        id_col, F.explode(word_ngrams(F.col("_t"), n)).alias("g")
-    )
+    grams = exploded_word_ngrams(toks, "_t", n, out="g", keep=(id_col,))
     top = trunc(grams.groupBy("g").agg(F.count("*").alias("cn")))
     ctx_top = (
         top.select(_prefix(F.col("g"), n - 1).alias("p"), "cn")
@@ -336,9 +332,7 @@ def kn_ngram_logprob(
         ).where(F.size("_t") >= n)
         # no checkpoint: the stream has ONE consumer here (the score
         # join) — see kn_ngram_model's materialize note
-        grams = toks.select(
-            id_col, F.explode(word_ngrams(F.col("_t"), n)).alias("g")
-        )
+        grams = exploded_word_ngrams(toks, "_t", n, out="g", keep=(id_col,))
     top, ctx_top = model["top"], model["ctx_top"]
     types, ctxs, totals = model["types"], model["ctxs"], model["totals"]
 
@@ -453,9 +447,7 @@ def kn_model(
     toks = docs.select(
         F.col(id_col), tokens(F.col(text_col)).alias("_t")
     ).where(F.size("_t") >= 3)
-    grams = toks.select(
-        id_col, F.explode(word_ngrams(F.col("_t"), 3)).alias("g")
-    )
+    grams = exploded_word_ngrams(toks, "_t", 3, out="g", keep=(id_col,))
     tri = grams.groupBy("g").agg(F.count("*").alias("c3"))
     if materialize:
         from spdb_spark.session import truncate_lineage
@@ -528,9 +520,7 @@ def kn_score(
     toks = docs.select(
         F.col(id_col), tokens(F.col(text_col)).alias("_t")
     ).where(F.size("_t") >= 3)
-    grams = toks.select(
-        id_col, F.explode(word_ngrams(F.col("_t"), 3)).alias("g")
-    )
+    grams = exploded_word_ngrams(toks, "_t", 3, out="g", keep=(id_col,))
     scored = (
         grams.withColumn("uv", _part(F.col("g"), "uv"))
         .withColumn("vw", _part(F.col("g"), "vw"))

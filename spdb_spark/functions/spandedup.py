@@ -89,9 +89,30 @@ def duplicate_windows(
     if keep not in ("none", "first"):
         raise ValueError("keep must be 'none' or 'first'")
     toks = docs.select(F.col(id_col), tokens(F.col(text_col)).alias("_t"))
-    wins = toks.select(
-        id_col, F.explode(_window_structs(F.col("_t"), window, stride)).alias("w")
-    ).select(id_col, F.col("w.start").alias("start"), F.col("w.h").alias("h"))
+    # window hashing POST-explode: explode the start-index sequence and
+    # compute the slice/join/md5 as a plain projection (whole-stage
+    # codegen) instead of inside transform's interpreted lambda (same
+    # rows as exploding _window_structs; the hash per window is the hot
+    # loop of this operator at stride=1)
+    n = F.size(F.col("_t"))
+    n_wins = (F.floor((n - window) / stride) + 1).cast("int")
+    wins = (
+        toks.where(n >= window)
+        .select(
+            id_col,
+            "_t",
+            F.explode(F.sequence(F.lit(0), n_wins - 1)).alias("_j"),
+        )
+        .select(
+            id_col,
+            (F.col("_j") * stride).alias("start"),
+            md5_long(
+                F.array_join(
+                    F.slice(F.col("_t"), F.col("_j") * stride + 1, window), " "
+                )
+            ).alias("h"),
+        )
+    )
     dup_h = (
         wins.groupBy("h")
         .agg(F.count("*").alias("c"))
@@ -141,7 +162,6 @@ def remove_duplicate_spans(
     toks = docs.select(F.col(id_col), tokens(F.col(text_col)).alias("_t"))
     j = toks.join(starts, id_col, "left")
     t = F.col("_t")
-    n = F.size(t)
     # merge equal-width intervals [s, s+window) over the sorted starts:
     # extend the last span when the next start overlaps it, else append
     spans = F.aggregate(
@@ -169,18 +189,37 @@ def remove_duplicate_spans(
             )
         ),
     )
+    # The merged spans MUST be materialized as their own projected
+    # column before the per-token filter references them: inlined, the
+    # whole O(starts²) merge fold re-evaluates once per token index
+    # (the quadratic-inlining trap word_ngrams documents) — measured
+    # ~4x the operator wall at sf0.1 stride=1.
+    staged = j.select(id_col, "_t", spans.alias("_spans"))
+    n = F.size(t)
     kept = F.filter(
         F.sequence(F.lit(0), n - 1),
         lambda i: ~F.exists(
-            spans, lambda sp: (i >= sp["s"]) & (i < sp["e"])
+            F.col("_spans"), lambda sp: (i >= sp["s"]) & (i < sp["e"])
         ),
     )
     kept = F.when(n > 0, kept).otherwise(F.array().cast("array<int>"))
-    return j.select(
+    # Fast path for the (dominant) span-free docs: with no spans the
+    # rebuild is exactly the tokens re-joined — a codegen'd array_join —
+    # so the interpreted per-token exists() filter + transform only run
+    # for rows that actually carry spans (CASE WHEN evaluates one branch
+    # per row). Identical output: filter-nothing + transform + join ≡
+    # array_join(tokens).
+    no_spans = F.size("_spans") == 0
+    rebuilt = F.array_join(
+        F.transform(kept, lambda i: F.element_at(t, i + 1)), " "
+    )
+    return staged.select(
         id_col,
-        F.array_join(
-            F.transform(kept, lambda i: F.element_at(t, i + 1)), " "
-        ).alias("clean_text"),
+        F.when(no_spans, F.array_join(t, " "))
+        .otherwise(rebuilt)
+        .alias("clean_text"),
         n.cast("long").alias("n_tokens"),
-        (n - F.size(kept)).cast("long").alias("n_removed"),
+        F.when(no_spans, F.lit(0).cast("long"))
+        .otherwise((n - F.size(kept)).cast("long"))
+        .alias("n_removed"),
     )

@@ -174,6 +174,37 @@ def word_ngrams(toks: Column, n: int = 3) -> Column:
     )
 
 
+def exploded_word_ngrams(
+    df: DataFrame,
+    toks_col: str,
+    n: int,
+    out: str = "g",
+    keep: tuple[str, ...] = (),
+) -> DataFrame:
+    """One row per word n-gram: (keep..., out). Yields exactly the rows
+    of `select(keep..., explode(word_ngrams(toks_col, n)))`, but the
+    space-join runs in a POST-explode projection — whole-stage codegen —
+    instead of inside transform's lambda, which Spark evaluates
+    interpreted per element (the repo's measured HOF penalty; see
+    minhash_lsh_dedup's signature note). Docs shorter than n yield no
+    rows (word_ngrams' empty-array case), filtered BEFORE the explode so
+    sequence() never runs descending."""
+    t = F.col(toks_col)
+    e = df.where(F.size(t) >= n).select(
+        *keep,
+        t.alias("_egt"),
+        F.explode(F.sequence(F.lit(0), F.size(t) - n)).alias("_egi"),
+    )
+    gram = F.concat_ws(
+        " ",
+        *[
+            F.element_at(F.col("_egt"), F.col("_egi") + j + 1)
+            for j in range(n)
+        ],
+    )
+    return e.select(*keep, gram.alias(out))
+
+
 def repetition_stats(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
     """Within-document repetition metrics (Gopher-style): the fraction of
     duplicate tokens and duplicate word n-grams per document.
@@ -239,7 +270,7 @@ def bpe_pair_counts(df: DataFrame, text_col: str, top_n: int = 30) -> DataFrame:
     aggregation, so the shuffle carries vocabulary-pair rows, not corpus
     rows; the final top-N is a TakeOrdered over the pair vocabulary."""
     staged = df.select(tokens(F.col(text_col)).alias("_toks"))
-    pairs = staged.select(F.explode(word_ngrams(F.col("_toks"), 2)).alias("pair"))
+    pairs = exploded_word_ngrams(staged, "_toks", 2, out="pair")
     return (
         pairs.groupBy("pair")
         .agg(F.count("*").alias("n"))

@@ -1919,8 +1919,8 @@ def q_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     groupBy. Docs with < 2 tokens have no bigrams and are excluded."""
     docs = _docs(spark, sf_dir)
     toks = docs.select("doc_id", T.tokens(F.col("text")).alias("_toks"))
-    grams = toks.select(
-        "doc_id", F.explode(T.word_ngrams(F.col("_toks"), 2)).alias("gram")
+    grams = T.exploded_word_ngrams(
+        toks, "_toks", 2, out="gram", keep=("doc_id",)
     ).withColumn("prefix", F.substring_index("gram", " ", 1))
     c2 = grams.groupBy("gram").agg(F.count("*").alias("c2"))
     c1 = grams.groupBy("prefix").agg(F.count("*").alias("c1"))
