@@ -83,14 +83,27 @@ def html_block_stats(html: Column) -> Column:
     segments with their classification signals, in document order. Pure
     projection (split + transform); empty blocks are dropped."""
     blocks = F.split(strip_invisible(html), _BLOCK_SPLIT)
-    structs = F.transform(
+    # Two nested transforms so the _clean_text regex chain (tag strip +
+    # 6 entity replaces + whitespace collapse) runs ONCE per block: the
+    # single-transform form inlined it into the lambda three times
+    # (text, n_chars, n_words) and lambdas re-evaluate inlined
+    # expressions per reference. Same structs, same order.
+    base = F.transform(
         blocks,
         lambda b, i: F.struct(
             i.alias("pos"),
             _clean_text(b).alias("text"),
-            F.length(_clean_text(b)).alias("n_chars"),
-            F.size(F.split(_clean_text(b), " ")).alias("n_words"),
             F.length(_anchor_text(b)).alias("link_chars"),
+        ),
+    )
+    structs = F.transform(
+        base,
+        lambda s: F.struct(
+            s["pos"].alias("pos"),
+            s["text"].alias("text"),
+            F.length(s["text"]).alias("n_chars"),
+            F.size(F.split(s["text"], " ")).alias("n_words"),
+            s["link_chars"].alias("link_chars"),
         ),
     )
     return F.filter(structs, lambda s: s["n_chars"] > 0)
