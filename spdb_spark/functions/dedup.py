@@ -661,13 +661,23 @@ def word_chunk_paragraphs(
     n_chunks = F.greatest(
         F.ceil(F.size(t) / F.lit(chunk_words)).cast("int"), F.lit(1)
     )
-    chunks = F.transform(
-        F.sequence(F.lit(0), n_chunks - F.lit(1)),
-        lambda i: F.concat_ws(" ", F.slice(t, i * chunk_words + 1, chunk_words)),
-    )
-    return df.select(
+    # chunk join runs POST-explode (whole-stage codegen), not inside
+    # transform's interpreted lambda; the exploded sequence value IS the
+    # posexplode idx
+    e = df.select(
         F.col(id_col).alias("doc"), tokens(F.col(text_col)).alias("_toks")
-    ).select("doc", F.posexplode(chunks).alias("idx", "para"))
+    ).select(
+        "doc",
+        "_toks",
+        F.explode(F.sequence(F.lit(0), n_chunks - F.lit(1))).alias("idx"),
+    )
+    return e.select(
+        "doc",
+        "idx",
+        F.concat_ws(
+            " ", F.slice(t, F.col("idx") * chunk_words + 1, chunk_words)
+        ).alias("para"),
+    )
 
 
 def paragraph_dedup(paras: DataFrame, min_df: int = 2, keep_first: bool = True) -> DataFrame:
