@@ -156,17 +156,44 @@ def crawl_to_corpus(
         .agg(F.min("doc_id").alias("doc_id"))
         .select("doc_id")
     )
-    docs = docs.join(keep, "doc_id", "left_semi")
+    if materialize:
+        # The dedup tail consumes the exact-survivor set several times
+        # (shingle/signature scan, verify sets, the final attach; the
+        # rank-prior path adds the hosts-distinct build). Broadcast
+        # builds are not unified by exchange reuse, so without this the
+        # md5-per-doc aggregate re-executes once per consumer — id-only
+        # checkpoint, corpus never duplicated.
+        from spdb_spark.session import truncate_lineage
+
+        keep = truncate_lineage(keep, eager=False)
+    docs_kept = docs.join(keep, "doc_id", "left_semi")
     if near_dedup:
         from spdb_spark.functions.dedup import minhash_lsh_dedup
 
         pairs = minhash_lsh_dedup(
-            docs, "doc_id", "text", threshold=minhash_threshold, n_docs=n_docs
+            docs_kept, "doc_id", "text", threshold=minhash_threshold,
+            n_docs=n_docs,
         )
         losers = pairs.select(
             F.greatest("id_a", "id_b").alias("doc_id")
         ).distinct()
-        docs = docs.join(losers, "doc_id", "left_anti")
+        if materialize:
+            # Survivor ids = exact survivors minus near-dup losers —
+            # id-only algebra, checkpointed so the entire minhash chain
+            # runs ONCE no matter how many consumers read the corpus
+            # (docs X (keep \ losers) == (docs X keep) \ losers: both
+            # keep exactly the rows whose doc_id is an exact survivor
+            # and not a near-dup loser).
+            from spdb_spark.session import truncate_lineage
+
+            surv = truncate_lineage(
+                keep.join(losers, "doc_id", "left_anti"), eager=False
+            )
+            docs = docs.join(surv, "doc_id", "left_semi")
+        else:
+            docs = docs_kept.join(losers, "doc_id", "left_anti")
+    else:
+        docs = docs_kept
     if select_target is not None and select_k is not None:
         from spdb_spark.functions.dsir import (
             dsir_bucket_logratio,

@@ -435,6 +435,8 @@ def sitemap_tree_urls(
     skipped silently, like a 404 in a real crawl.
 
     Reference-capability analogue: none; north-star crawl surface."""
+    from spdb_spark.session import truncate_lineage
+
     frontier = roots.select(
         *keep_cols, F.col(loc_col).alias("_sm_loc")
     ).distinct()
@@ -443,20 +445,36 @@ def sitemap_tree_urls(
         F.col(loc_col).alias("_sm_loc"), F.col(xml_col).alias("_sm_xml")
     )
     leaves: DataFrame | None = None
-    for _ in range(max_depth):
-        cur = frontier.join(F.broadcast(docs), "_sm_loc").select(
-            *keep_cols, F.col("_sm_xml").alias("_sm_doc")
+    for depth in range(max_depth):
+        # Broadcast the frontier LOC SET (bounded by the sitemap count)
+        # and keep the fetched-XML corpus on executors — the reversed
+        # join would collect every sitemap document to the driver per
+        # depth. `cur` (this depth's matched documents only) is
+        # checkpointed because both the urlset and the sitemapindex
+        # extraction read it; the frontier checkpoint below keeps depth
+        # d's plan from replaying depths 0..d-1 (each depth was
+        # otherwise re-deriving the full expansion chain of every
+        # earlier depth — quadratic in max_depth).
+        cur = truncate_lineage(
+            docs.join(F.broadcast(frontier), "_sm_loc").select(
+                *keep_cols, F.col("_sm_xml").alias("_sm_doc")
+            ),
+            eager=False,
         )
         urls = sitemap_urls(cur, xml_col="_sm_doc", keep_cols=keep_cols)
         leaves = urls if leaves is None else leaves.unionByName(urls)
+        if depth == max_depth - 1:
+            break  # the last depth's children can never be expanded
         children = (
             sitemap_index_locs(cur, xml_col="_sm_doc", keep_cols=keep_cols)
             .select(*keep_cols, F.col("loc").alias("_sm_loc"))
             .distinct()
             .join(seen, [*keep_cols, "_sm_loc"], "left_anti")
         )
-        frontier = children
-        seen = seen.unionByName(children)
+        frontier = truncate_lineage(children)
+        if not frontier.take(1):
+            break  # no unvisited children anywhere — tree exhausted
+        seen = seen.unionByName(frontier)
     return leaves
 
 
