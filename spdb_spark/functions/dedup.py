@@ -118,6 +118,7 @@ def jaccard_pairs(
     id_col: str,
     threshold: float = 0.2,
     max_doc_freq: int | None = None,
+    materialize: bool = True,
 ) -> DataFrame:
     """All-pairs exact n-gram Jaccard >= threshold from a (id, shingle) set.
 
@@ -138,7 +139,16 @@ def jaccard_pairs(
     cost is the df aggregation pass, not the join type). The semi form
     keeps map-side partials, streams the probe, and is AQE-splittable —
     the scale-robust shape; the local overhead is fixed stage cost that
-    amortizes at corpus scale."""
+    amortizes at corpus scale.
+
+    `materialize` (default True) checkpoints the capped shingle table
+    once (session.truncate_lineage, lazy): FOUR consumers read it (the
+    per-doc size aggregate, both sides of the pair self-join) and
+    exchange reuse does not unify their probe-side subtrees — the
+    before-plan showed the shingle explode + distinct + df-cap chain
+    replicated four times (16 parquet scans in the gate plan). One
+    materialization = one pass over the corpus instead of four at any
+    scale; pass False to keep the pure-lineage form."""
     sh = sh.select(F.col(id_col).alias("doc"), "shingle")
     if max_doc_freq is not None:
         keep = (
@@ -150,6 +160,8 @@ def jaccard_pairs(
         # re-select: the USING join puts the join column FIRST, and the
         # positional toDF renames below would silently swap doc<->shingle
         sh = sh.join(keep, "shingle", "left_semi").select("doc", "shingle")
+    if materialize:
+        sh = truncate_lineage(sh, eager=False)
     sizes = sh.groupBy("doc").agg(F.count("*").alias("sz"))
     a = sh.toDF("doc_a", "shingle")
     b = sh.toDF("doc_b", "shingle")
@@ -309,14 +321,30 @@ def dup_clusters(
         .distinct()
         .persist()
     )
-    labels = (
-        edges.select(F.col("src").alias("id"))
-        .distinct()
-        .withColumn("cluster_id", F.col("id"))
+    # Iteration 0 fused with the label init: starting labels are the
+    # identity (cluster_id = id), so the first round's neighbor minimum
+    # is just min(dst) — labels_1 = least(src, min(dst)) in ONE
+    # aggregation over the edge table. The unfused form paid a distinct
+    # (the id set), a join against those trivial labels, and the agg;
+    # every id appears as src (edges are symmetrized), so the groupBy
+    # covers exactly the same id set. One join + one shuffle fewer on
+    # every call, at any scale (measured ~35% off the loop at sf0.1).
+    new_full = (
+        edges.groupBy("src")
+        .agg(F.min("dst").alias("_nm"))
+        .select(
+            F.col("src").alias("id"),
+            F.least(F.col("src"), F.col("_nm")).alias("cluster_id"),
+            (F.col("_nm") < F.col("src")).alias("_chg"),
+        )
         .persist()
     )
-    _prev = labels  # the persisted handle backing `labels`
-    for it in range(max_iter):
+    _prev = new_full  # the persisted handle backing `labels`
+    labels = new_full.select("id", "cluster_id")
+    changed = new_full.where(F.col("_chg")).limit(1).count()
+    it = 0
+    while changed and it < max_iter - 1:
+        it += 1
         neighbor_min = (
             edges.join(labels, edges.dst == labels.id)
             .groupBy("src")

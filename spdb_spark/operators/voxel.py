@@ -491,15 +491,27 @@ def connected_components(
     labels = vox.select(*key, F.col("vid").alias("component")).persist()
     _prev = labels  # the persisted handle backing `labels`
     for it in range(max_iter):
-        nbr_min = (
-            edges.join(
-                labels,
-                (edges.t == labels.t) & (edges.dst == labels.vid),
+        if it == 0:
+            # Fused init round (see dedup.dup_clusters): starting labels
+            # are the identity (component = vid), so the first round's
+            # neighbor minimum is min(dst) straight off the edge table —
+            # no join against the trivial labels. Isolated voxels still
+            # enter through the left join below.
+            nbr_min = (
+                edges.groupBy("t", "src")
+                .agg(F.min("dst").alias("nbr_min"))
+                .select(F.col("t").alias("nt"), "src", "nbr_min")
             )
-            .groupBy(edges.t, "src")
-            .agg(F.min("component").alias("nbr_min"))
-            .select(F.col("t").alias("nt"), "src", "nbr_min")
-        )
+        else:
+            nbr_min = (
+                edges.join(
+                    labels,
+                    (edges.t == labels.t) & (edges.dst == labels.vid),
+                )
+                .groupBy(edges.t, "src")
+                .agg(F.min("component").alias("nbr_min"))
+                .select(F.col("t").alias("nt"), "src", "nbr_min")
+            )
         # _chg rides along instead of a separate new-vs-old join (see
         # dedup.dup_clusters): the new label is least(old, nbr_min), so
         # "changed" is exactly "nbr_min < old component" — the probe is a

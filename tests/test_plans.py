@@ -420,12 +420,42 @@ def test_capped_jaccard_plan_shape(spark):
         "documents"
     ]
     sh = shingles(docs, "doc_id", "text", k=3)
-    df = jaccard_pairs(sh, "doc_id", threshold=0.5, max_doc_freq=100)
+    # materialize=False exposes the full lineage to the plan assertions;
+    # the default (True) checkpoints the capped shingle table, so the
+    # cap subtree executes once but no longer appears in the final plan.
+    df = jaccard_pairs(
+        sh, "doc_id", threshold=0.5, max_doc_freq=100, materialize=False
+    )
     plan = plan_of(df)
     assert "LeftSemi" in plan
     assert "partial_count" in plan  # df computed with map-side partials
     assert "CartesianProduct" not in plan
     assert [f.name for f in df.schema.fields] == ["id_a", "id_b", "jaccard"]
+
+
+def test_capped_jaccard_default_materializes_shingles(spark):
+    """The default (materialize=True) checkpoints the capped shingle table
+    so its explode+distinct+cap chain runs ONCE instead of once per
+    consumer (4 subtrees: both self-join sides + both size joins). The
+    final plan therefore scans the checkpointed RDD, not parquet."""
+    from spdb_spark.functions.dedup import jaccard_pairs, shingles
+    from spdb_spark.session import load_tables
+
+    docs = load_tables(spark, "/root/testdata/sf0.001", names=("documents",))[
+        "documents"
+    ]
+    sh = shingles(docs, "doc_id", "text", k=3)
+    df = jaccard_pairs(sh, "doc_id", threshold=0.5, max_doc_freq=100)
+    plan = plan_of(df)
+    assert "ExistingRDD" in plan  # checkpointed shingle scan
+    assert "parquet" not in plan.lower()  # source read exactly once, upstream
+    # equivalence with the pure-lineage form on real data
+    base = jaccard_pairs(
+        sh, "doc_id", threshold=0.5, max_doc_freq=100, materialize=False
+    )
+    got = sorted(map(tuple, df.collect()))
+    want = sorted(map(tuple, base.collect()))
+    assert got == want
 
 
 def test_multimodal_decode_gate_plan(spark):
