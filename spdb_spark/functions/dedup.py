@@ -411,10 +411,25 @@ def minhash_lsh_dedup(
     threshold: float = 0.2,
     verify: str = "auto",
     n_docs: int | None = None,
+    materialize: bool = False,
 ) -> DataFrame:
     """Full MinHash-LSH near-dup pipeline: shingle -> minhash -> band ->
     bucket-join candidates -> exact-Jaccard verify. Output
     (id_a, id_b, jaccard) for verified pairs.
+
+    `materialize` (default False) checkpoints the DOC-SIZED intermediates
+    that multiple plan subtrees re-derive from the corpus scan: the
+    signature table (doc + num_hashes ints — both band self-join sides
+    rebuild it otherwise, since a broadcast build is never unified by
+    exchange reuse) and, in broadcast verify, the per-doc shingle-set
+    table (both verify sides broadcast-build it). Shingle ROWS are still
+    never cached (corpus x k bytes — the r6 note stands); only tables
+    bounded by the document count. Net: 4 corpus passes -> 2 — the
+    100 TB dial, where re-shingling the corpus dwarfs a doc-sized
+    checkpoint. Default OFF: at bench scale the re-derivation is cheaper
+    than the checkpoint round-trip (interleaved A/B at sf0.1, 8 paired
+    passes: 1.22x slower materialized), and micro-batch streaming
+    callers never want it.
 
     `verify` picks the exact-Jaccard stage's physical form:
     - "auto" (default): `minhash_verify_mode(n_docs)` — broadcast when
@@ -442,6 +457,10 @@ def minhash_lsh_dedup(
     # scan is the scale-correct shape.
     sh = shingles(df, id_col, text_col, k, distinct=False)
     sigs = minhash_signatures(sh, id_col, num_hashes)
+    if materialize:
+        from spdb_spark.session import truncate_lineage
+
+        sigs = truncate_lineage(sigs, eager=False)
     cands = lsh_candidate_pairs(sigs, bands, rows)
     if verify == "shuffle":
         sh_d = sh.select(F.col(id_col).alias("doc"), "shingle").distinct()
@@ -460,12 +479,15 @@ def minhash_lsh_dedup(
         # the old groupBy(collect_set) shuffled every shingle row with
         # no map-side reduction (collect_set partials are the full
         # sets). One whole-corpus shuffle gone, local cost unchanged.
-        sh_sets = F.broadcast(
-            shingle_arrays(df, id_col, text_col, k).select(
-                "doc",
-                F.array_sort(F.array_distinct(F.col("sh_arr"))).alias("sh_set"),
-            )
+        sh_sets = shingle_arrays(df, id_col, text_col, k).select(
+            "doc",
+            F.array_sort(F.array_distinct(F.col("sh_arr"))).alias("sh_set"),
         )
+        if materialize:
+            from spdb_spark.session import truncate_lineage
+
+            sh_sets = truncate_lineage(sh_sets, eager=False)
+        sh_sets = F.broadcast(sh_sets)
         inter = (
             cands.join(sh_sets.toDF("doc_a", "set_a"), "doc_a")
             .join(sh_sets.toDF("doc_b", "set_b"), "doc_b")

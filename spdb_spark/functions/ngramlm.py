@@ -131,13 +131,14 @@ def kn_trigram_logprob(
         )
     )
 
-    # --- score every trigram occurrence ---
+    # --- score each distinct trigram TYPE once, then attach to the
+    # occurrence stream by g (the kn_ngram_logprob shape): lp_q is a
+    # pure function of the type's count-table row, so per-type and
+    # per-occurrence evaluation are value-identical — but the five
+    # count-table joins now act on the type table (sublinear in corpus)
+    # and the corpus-sized occurrence stream joins exactly once ---
     scored = (
-        grams.withColumn("uv", _part(F.col("g"), "uv"))
-        .withColumn("vw", _part(F.col("g"), "vw"))
-        .withColumn("v", _part(F.col("g"), "v"))
-        .withColumn("w", _part(F.col("g"), "w"))
-        .join(tri, "g")
+        tri_keys
         .join(ctx, "uv")
         .join(mid, "v")
         .join(cont2, "vw")
@@ -159,9 +160,10 @@ def kn_trigram_logprob(
         + F.lit(d) * F.col("t3") / F.col("c2ctx") * p2
     )
     lp_q = F.floor(F.log(p3) * 1e6).cast("long")
+    type_lp = scored.select("g", lp_q.alias("_lpq"))
 
     return (
-        scored.select(id_col, lp_q.alias("_lpq"))
+        grams.join(type_lp, "g")
         .groupBy(id_col)
         .agg(
             (
@@ -521,8 +523,16 @@ def kn_score(
         F.col(id_col), tokens(F.col(text_col)).alias("_t")
     ).where(F.size("_t") >= 3)
     grams = exploded_word_ngrams(toks, "_t", 3, out="g", keep=(id_col,))
+    # Score each distinct trigram TYPE once against the frozen tables,
+    # then attach per-type scores to the occurrence stream by g (the
+    # kn_ngram_logprob frozen shape): lp_q is a pure function of the
+    # type's count-table row, so per-type and per-occurrence evaluation
+    # are value-identical — but the five LEFT joins act on the scored
+    # corpus's TYPE table, and the occurrence stream joins exactly once.
     scored = (
-        grams.withColumn("uv", _part(F.col("g"), "uv"))
+        grams.select("g")
+        .distinct()
+        .withColumn("uv", _part(F.col("g"), "uv"))
         .withColumn("vw", _part(F.col("g"), "vw"))
         .withColumn("v", _part(F.col("g"), "v"))
         .withColumn("w", _part(F.col("g"), "w"))
@@ -553,9 +563,10 @@ def kn_score(
     )
     p3 = F.when(F.col("c2ctx").isNull(), F.lit(alpha) * p2).otherwise(p3_seen)
     lp_q = F.floor(F.log(p3) * 1e6).cast("long")
+    type_lp = scored.select("g", lp_q.alias("_lpq"))
 
     return (
-        scored.select(id_col, lp_q.alias("_lpq"))
+        grams.join(type_lp, "g")
         .groupBy(id_col)
         .agg(
             (

@@ -441,8 +441,15 @@ def sitemap_tree_urls(
         *keep_cols, F.col(loc_col).alias("_sm_loc")
     ).distinct()
     seen = frontier.select(*keep_cols, "_sm_loc")
-    docs = fetched.select(
-        F.col(loc_col).alias("_sm_loc"), F.col(xml_col).alias("_sm_xml")
+    # The fetch table is joined once PER DEPTH: without truncation every
+    # depth replays its full lineage (whatever parse/decode produced the
+    # XML corpus) — max_depth passes over the fetch pipeline instead of
+    # one. One lazy checkpoint, sized by the sitemap corpus itself.
+    docs = truncate_lineage(
+        fetched.select(
+            F.col(loc_col).alias("_sm_loc"), F.col(xml_col).alias("_sm_xml")
+        ),
+        eager=False,
     )
     leaves: DataFrame | None = None
     for depth in range(max_depth):

@@ -354,8 +354,10 @@ class StreamingCrawlCorpus(BatchLedgerSink):
                         rows=self.rows,
                         threshold=self.minhash_threshold,
                         # a micro-batch is bounded by the trigger size,
-                        # never the corpus — broadcast verify is legal
+                        # never the corpus — broadcast verify is legal;
+                        # no checkpointing on micro-batches
                         verify="broadcast",
+                        materialize=False,
                     ).select("id_a", "id_b", "jaccard")
                     pairs = within
                     idx = self._read("bands", _BAND_SCHEMA, committed)

@@ -116,8 +116,10 @@ class StreamingNearDup(BatchLedgerSink):
                 rows=self.rows,
                 threshold=self.threshold,
                 # a micro-batch is bounded by the trigger size, never the
-                # corpus — broadcast verify is always legal here
+                # corpus — broadcast verify is always legal here; no
+                # checkpointing on micro-batches
                 verify="broadcast",
+                materialize=False,
             ).select("id_a", "id_b", "jaccard")
             idx = self._read("bands", _BAND_SCHEMA, committed)
             if idx is not None:

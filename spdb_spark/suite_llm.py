@@ -21,7 +21,7 @@ from spdb_spark.functions import sampling as SP
 from spdb_spark.functions import similarity as S
 from spdb_spark.functions import text as T
 from spdb_spark.functions.hashing import md5_long_sql
-from spdb_spark.session import load_tables
+from spdb_spark.session import load_tables, truncate_lineage
 
 _TOKENS_SQL = "regexp_split_to_array(lower(trim(text)), '\\s+')"
 _SHINGLES_SQL = f"""
@@ -341,12 +341,14 @@ def q_text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = docs.select("doc_id", F.explode(T.tokens(F.col("text"))).alias("tok"))
     freq = toks.groupBy("tok").agg(F.count("*").alias("tf"))
     total = freq.agg(F.sum("tf").alias("total"))
-    freq = freq.crossJoin(F.broadcast(total))
+    # lp is a pure function of (tf, total): evaluate it once per VOCAB
+    # entry before the join, not once per token occurrence
+    freq = freq.crossJoin(F.broadcast(total)).select(
+        "tok", F.log(F.col("tf") / F.col("total")).alias("lp")
+    )
     if _docs_rowcount(sf_dir) <= _UNIGRAM_BROADCAST_MAX_DOCS:
         freq = F.broadcast(freq)
-    scored = toks.join(freq, "tok").select(
-        "doc_id", F.log(F.col("tf") / F.col("total")).alias("lp")
-    )
+    scored = toks.join(freq, "tok").select("doc_id", "lp")
     return scored.groupBy("doc_id").agg(
         (F.floor(F.avg("lp") * 1000000) / 1000000).alias("mean_logprob"),
         F.count("*").alias("n_tokens"),
@@ -1482,6 +1484,13 @@ def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     kept_docs = docs.join(kept_ids, "doc_id")
     paras = D.word_chunk_paragraphs(kept_docs, "doc_id", "text", _PD_CHUNK)
+    # Checkpoint the chunked-paragraph table once (lazy): three plan
+    # subtrees consume it (dedup stats build, dedup occurrence probe,
+    # reassembly totals), and each replica would otherwise re-run the
+    # ENTIRE upstream triage — the minhash-LSH verdict chain included.
+    # One materialization = one triage pass over the corpus instead of
+    # three, at any scale.
+    paras = truncate_lineage(paras, eager=False)
     kept_paras = D.paragraph_dedup(paras, min_df=2)
     clean = (
         D.reassemble_paragraph_docs(paras, kept_paras)
@@ -1927,15 +1936,20 @@ def q_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     vocab = docs.select(
         F.explode(T.tokens(F.col("text"))).alias("tok")
     ).agg(F.count_distinct("tok").alias("v"))
-    scored = (
-        grams.join(c2, "gram")
+    # per-TYPE scoring (the kn_ngram_logprob shape): lp is a pure
+    # function of (c2, c1, v), so score each distinct gram once and
+    # attach by gram — the count joins act on the type table and the
+    # corpus-sized gram stream joins exactly once
+    type_lp = (
+        c2.withColumn("prefix", F.substring_index("gram", " ", 1))
         .join(c1, "prefix")
         .crossJoin(F.broadcast(vocab))
         .select(
-            "doc_id",
+            "gram",
             F.log((F.col("c2") + 1) / (F.col("c1") + F.col("v"))).alias("lp"),
         )
     )
+    scored = grams.join(type_lp, "gram").select("doc_id", "lp")
     return scored.groupBy("doc_id").agg(
         (F.floor(F.avg("lp") * 1000000) / 1000000).alias("mean_logprob"),
         F.count("*").alias("n_bigrams"),
