@@ -89,6 +89,35 @@ def test_shuffle_verify_equals_broadcast_verify(spark):
     assert bc  # non-trivial fixture
 
 
+def test_materialized_equals_pure_lineage(spark):
+    """The `materialize` dial (doc-sized signature/shingle-set
+    checkpoints, the 100 TB corpus-pass saver) must be plan-only: the
+    verified pair set is identical with and without it, in both verify
+    forms."""
+    from spdb_spark.functions.dedup import minhash_lsh_dedup
+    from spdb_spark.session import load_tables
+
+    docs = load_tables(spark, "/root/testdata/sf0.001", names=("documents",))[
+        "documents"
+    ]
+    kw = dict(k=3, num_hashes=16, bands=8, rows=2, threshold=0.2)
+    for verify in ("broadcast", "shuffle"):
+        plain = {
+            (r.id_a, r.id_b): round(r.jaccard, 9)
+            for r in minhash_lsh_dedup(
+                docs, "doc_id", "text", verify=verify, **kw
+            ).collect()
+        }
+        mat = {
+            (r.id_a, r.id_b): round(r.jaccard, 9)
+            for r in minhash_lsh_dedup(
+                docs, "doc_id", "text", verify=verify, materialize=True, **kw
+            ).collect()
+        }
+        assert plain == mat
+        assert plain  # non-trivial fixture
+
+
 class TestIncrementalClusters:
     def test_incremental_equals_full_recompute(self, spark):
         """Chaining batches of pairs through incremental_dup_clusters

@@ -308,25 +308,23 @@ def test_paragraph_dedup_single_hash_keyed_exchange(spark):
     assert "hashpartitioning(ph" in dedup_plan  # stats keyed by the hash
 
 
-def test_curation_pipeline_is_one_plan_no_eager_jobs(spark):
-    """Building the composite curation DataFrame must not run any job —
-    every stage stays lazy inside the single plan."""
+def test_curation_pipeline_runs_triage_once(spark):
+    """The curation pipeline checkpoints the chunked-paragraph table, so
+    the upstream triage (quality verdicts + joins) runs exactly ONCE:
+    the final plan reads the materialized paragraph RDD wherever the
+    three consumers (dedup stats, dedup probe, reassembly) need it,
+    instead of replaying the triage chain per consumer (38 parquet-scan
+    subtrees before the r14 change, 2 after). Construction therefore
+    runs the checkpoint's upstream stages — that work happens inside
+    the gate call, which the bench times."""
     from spdb_spark.suite_llm import q_curation_pipeline
 
-    from spdb_spark.suite_llm import _docs
-
-    tracker = spark.sparkContext.statusTracker()
-    # baseline: table registration itself costs parquet footer jobs; the
-    # pipeline build may pay that per load_tables call but nothing more
-    n0 = len(tracker.getJobIdsForGroup(None))
-    _docs(spark, "/root/testdata/sf0.001")
-    _docs(spark, "/root/testdata/sf0.001")
-    per_two_loads = len(tracker.getJobIdsForGroup(None)) - n0
-
-    n1 = len(tracker.getJobIdsForGroup(None))
     df = q_curation_pipeline(spark, "/root/testdata/sf0.001")
-    built = len(tracker.getJobIdsForGroup(None)) - n1
-    assert built <= per_two_loads  # no operator stage ran eagerly
+    plan = plan_of(df)
+    assert plan.count("ExistingRDD") >= 1  # the paragraph checkpoint
+    # one residual documents scan for the lang join (+1 slack for AQE
+    # formatting variance); the triage chain must NOT be replayed
+    assert plan.count("Scan parquet") <= 3
     assert df.columns == ["split", "lang", "n_docs", "n_tokens"]
 
 
