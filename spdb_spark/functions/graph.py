@@ -209,7 +209,14 @@ def pagerank(
 
         ew = truncate_lineage(ew, eager=False)
         nodes = truncate_lineage(nodes, eager=False)
+    # Out-degree and teleport mass are iteration-INVARIANT: join the
+    # degree onto the edge frame once and checkpoint both, instead of
+    # re-running the edge-sized degree aggregation + join and the
+    # node-sized teleport projection inside every iteration's plan
+    # (each iteration's checkpoint otherwise replays them — one extra
+    # pass over every edge per iteration, at any scale).
     outdeg = ew.groupBy("_src").agg(F.sum("_w").alias("_outdeg"))
+    ew = ew.join(outdeg, "_src")
     n_nodes = nodes.agg(F.count("*").alias("_n"))
 
     # integer div throughout — a float division here could round up
@@ -222,10 +229,14 @@ def pagerank(
         "node",
         F.expr(f"cast({15 * scale} as bigint) div (100 * _n)").alias("_tele"),
     )
+    if materialize:
+        from spdb_spark.session import truncate_lineage
+
+        ew = truncate_lineage(ew, eager=False)
+        teleport = truncate_lineage(teleport, eager=False)
     for _ in range(iterations):
         contrib = (
             ew.join(ranks, ew["_src"] == ranks["node"])
-            .join(outdeg, "_src")
             .select(
                 F.col("_dst").alias("node"),
                 F.expr("(rank_q * _w) div _outdeg").alias("_c"),
