@@ -12,10 +12,16 @@ windows, the same trade minhash makes against exact all-pairs):
 
 1. slide a token window of `window` tokens, stride `stride`, over every
    document — one projection + one explode, linear in tokens;
-2. a window is DUPLICATED iff its md5 hash occurs >= `min_count` times
+2. a window is DUPLICATED iff its hash occurs >= `min_count` times
    corpus-wide (within- and cross-document occurrences both count) —
    one hash-keyed groupBy + a semi join back, never an all-pairs
-   comparison and never a corpus-sized broadcast;
+   comparison and never a corpus-sized broadcast. The hash is
+   xxhash64 over the token SLICE itself (no per-window string build,
+   no digest): outputs depend on the hash only through which window
+   CONTENTS collide, and 64-bit xxhash64 is at least the collision
+   class of the 60-bit truncated md5 it replaced (the DuckDB twin
+   keeps its own md5-keyed detection — both sides group identical
+   content identically);
 3. per document, duplicated window starts merge into spans (equal-width
    intervals, merged with one in-row array fold), and the kept tokens
    reassemble — array ops inside the row, no token-level explode of the
@@ -44,32 +50,10 @@ are the recall-for-cost dial, exactly like LSH banding.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from spdb_spark.functions.hashing import md5_long
 from spdb_spark.functions.text import tokens
-
-
-def _window_structs(toks: Column, window: int, stride: int) -> Column:
-    n = F.size(toks)
-    n_wins = F.when(
-        n >= window, F.floor((n - window) / stride) + 1
-    ).otherwise(F.lit(0)).cast("int")
-    wins = F.transform(
-        F.sequence(F.lit(0), n_wins - 1),
-        lambda j: F.struct(
-            (j * stride).alias("start"),
-            md5_long(
-                F.array_join(F.slice(toks, j * stride + 1, window), " ")
-            ).alias("h"),
-        ),
-    )
-    # sequence(0, -1) DESCENDS ([0, -1]) — a doc shorter than the window
-    # must yield zero windows, not two bogus ones
-    return F.when(n_wins > 0, wins).otherwise(
-        F.array().cast("array<struct<start:int,h:bigint>>")
-    )
 
 
 def duplicate_windows(
@@ -81,19 +65,22 @@ def duplicate_windows(
     min_count: int = 2,
     keep: str = "none",
 ) -> DataFrame:
-    """(id, start, h) for every window whose hash occurs >= min_count
-    times corpus-wide. With keep="first", the canonical first occurrence
-    of each duplicated hash — min (id, start) — is EXCLUDED from the
-    output, so downstream removal preserves one copy of every duplicated
-    run (Lee et al.'s repair semantics)."""
+    """(id, start, h) for every window whose hash (xxhash64 of the
+    token slice) occurs >= min_count times corpus-wide. With
+    keep="first", the canonical first occurrence of each duplicated
+    hash — min (id, start) — is EXCLUDED from the output, so downstream
+    removal preserves one copy of every duplicated run (Lee et al.'s
+    repair semantics)."""
     if keep not in ("none", "first"):
         raise ValueError("keep must be 'none' or 'first'")
     toks = docs.select(F.col(id_col), tokens(F.col(text_col)).alias("_t"))
     # window hashing POST-explode: explode the start-index sequence and
-    # compute the slice/join/md5 as a plain projection (whole-stage
-    # codegen) instead of inside transform's interpreted lambda (same
-    # rows as exploding _window_structs; the hash per window is the hot
-    # loop of this operator at stride=1)
+    # hash in a plain projection (whole-stage codegen) instead of inside
+    # transform's interpreted lambda. The hash is xxhash64 over the token
+    # SLICE directly — no window string is ever built and no md5/conv
+    # digest runs; this is the hot loop of the operator at stride=1, and
+    # it executes twice (the count build and the semi-join probe share no
+    # exchange, so the probe side re-derives)
     n = F.size(F.col("_t"))
     n_wins = (F.floor((n - window) / stride) + 1).cast("int")
     wins = (
@@ -106,10 +93,8 @@ def duplicate_windows(
         .select(
             id_col,
             (F.col("_j") * stride).alias("start"),
-            md5_long(
-                F.array_join(
-                    F.slice(F.col("_t"), F.col("_j") * stride + 1, window), " "
-                )
+            F.xxhash64(
+                F.slice(F.col("_t"), F.col("_j") * stride + 1, window)
             ).alias("h"),
         )
     )
