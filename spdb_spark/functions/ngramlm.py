@@ -123,8 +123,14 @@ def kn_trigram_logprob(
     cont1 = cont2.select(
         F.substring_index(F.col("vw"), " ", -1).alias("w")
     ).groupBy("w").agg(F.count("*").alias("n1cont"))
-    totals = cont2.agg(F.count("*").alias("n2types")).crossJoin(
-        cont1.agg(F.count("*").alias("t1"))
+    # Both totals come from ONE pass over cont1: |cont2| = sum(n1cont)
+    # (every vw type contributes once to its w's continuation count)
+    # and t1 = |cont1|. Two separate count-aggregates would each replay
+    # the whole tri -> cont2 [-> cont1] derivation chain as its own
+    # subtree (exchange reuse never unifies them: column pruning makes
+    # the subtrees non-identical) — same integers, one chain fewer.
+    totals = cont1.agg(
+        F.sum("n1cont").alias("n2types"), F.count("*").alias("t1")
     ).crossJoin(
         toks.select(F.explode("_t").alias("_tok")).agg(
             F.count_distinct("_tok").alias("v_size")
@@ -250,13 +256,18 @@ def kn_ngram_model(
                 F.count("*").alias(f"tdist{k}"),
             )
         )
-    totals = (
-        types[2].agg(F.count("*").alias("denom1"))
-        .crossJoin(types[1].agg(F.count("*").alias("t1total")))
-        .crossJoin(
-            toks.select(F.explode("_t").alias("_tok")).agg(
-                F.count_distinct("_tok").alias("v_size")
-            )
+    # Both totals come from ONE pass over types[1]: |types[2]| =
+    # sum(nc1) (each bigram type contributes once to its 1-suffix's
+    # continuation count) and t1total = |types[1]|. Two separate
+    # count-aggregates would each replay the whole top -> t_{n-1} ->
+    # ... -> t1/t2 derivation cascade as its own subtree (exchange
+    # reuse never unifies them: column pruning makes the subtrees
+    # non-identical) — same integers, one cascade fewer.
+    totals = types[1].agg(
+        F.sum("nc1").alias("denom1"), F.count("*").alias("t1total")
+    ).crossJoin(
+        toks.select(F.explode("_t").alias("_tok")).agg(
+            F.count_distinct("_tok").alias("v_size")
         )
     )
     return {
@@ -473,8 +484,10 @@ def kn_model(
     cont1 = cont2.select(
         F.substring_index(F.col("vw"), " ", -1).alias("w")
     ).groupBy("w").agg(F.count("*").alias("n1cont"))
-    totals = cont2.agg(F.count("*").alias("n2types")).crossJoin(
-        cont1.agg(F.count("*").alias("t1"))
+    # One pass over cont1 for both totals (|cont2| = sum(n1cont),
+    # t1 = |cont1|) — see the kn_trigram_logprob note.
+    totals = cont1.agg(
+        F.sum("n1cont").alias("n2types"), F.count("*").alias("t1")
     ).crossJoin(
         toks.select(F.explode("_t").alias("_tok")).agg(
             F.count_distinct("_tok").alias("v_size")
