@@ -87,19 +87,63 @@ def gopher_quality_flags(c: Column) -> Column:
 
 
 def gopher_filter(c: Column) -> Column:
-    """True iff the document passes every published Gopher rule."""
-    s = gopher_quality_flags(c)
-    return (
-        (s["word_count"] >= MIN_WORDS)
-        & (s["word_count"] <= MAX_WORDS)
-        & (s["mean_word_len"] >= MIN_MEAN_WORD_LEN)
-        & (s["mean_word_len"] <= MAX_MEAN_WORD_LEN)
-        & (s["symbol_ratio"] <= MAX_SYMBOL_RATIO)
-        & (s["bullet_frac"] <= MAX_BULLET_FRAC)
-        & (s["ellipsis_frac"] <= MAX_ELLIPSIS_FRAC)
-        & (s["alpha_frac"] >= MIN_ALPHA_FRAC)
-        & (s["stop_hits"] >= MIN_STOP_HITS)
-        & (s["dup_line_frac"] <= MAX_DUP_LINE_FRAC)
+    """True iff the document passes every published Gopher rule.
+
+    NOT gopher_quality_flags + field extraction: Catalyst simplifies
+    GetStructField(CreateNamedStruct) by inlining each field's whole
+    expression tree at each reference site, so the ten rule checks
+    would re-evaluate the token split / line split up to ~14 times per
+    row (CSE does not reach inside higher-order-function lambdas). The
+    token and line arrays are bound ONCE (text._bind_once) and every
+    signal reads the bound arrays; each signal expression is otherwise
+    identical to its gopher_quality_flags twin, so the boolean is
+    value-identical."""
+    from spdb_spark.functions.text import _bind_once
+
+    def body(b: Column) -> Column:
+        words, lines = b["w"], b["ln"]
+        wc = F.size(words).cast("long")
+        nl = F.size(lines)
+        nl_safe = F.when(nl > 0, nl.cast("double")).otherwise(F.lit(1.0))
+        hashes = F.length(c) - F.length(F.replace(c, F.lit("#"), F.lit("")))
+        dots = (
+            F.length(c) - F.length(F.replace(c, F.lit("..."), F.lit("")))
+        ) / F.lit(3)
+        uni = F.length(c) - F.length(F.replace(c, F.lit("…"), F.lit("")))
+        chars = F.length(F.regexp_replace(F.trim(c), r"\s+", ""))
+        mean_word_len = (chars / wc).cast("double")
+        stop_hits = None
+        for w in GOPHER_STOPS:
+            hit = F.array_contains(words, w).cast("long")
+            stop_hits = hit if stop_hits is None else stop_hits + hit
+        symbol_ratio = ((hashes + dots + uni) / wc).cast("double")
+        bullet_frac = (
+            F.size(F.filter(lines, lambda l: l.rlike(_BULLET_RE))) / nl_safe
+        ).cast("double")
+        ellipsis_frac = (
+            F.size(F.filter(lines, lambda l: l.rlike(_ELLIPSIS_RE))) / nl_safe
+        ).cast("double")
+        alpha_frac = (
+            F.size(F.filter(words, lambda t: t.rlike("[a-z]"))) / wc
+        ).cast("double")
+        dup_line_frac = (
+            F.lit(1.0) - F.size(F.array_distinct(lines)) / nl_safe
+        ).cast("double")
+        return (
+            (wc >= MIN_WORDS)
+            & (wc <= MAX_WORDS)
+            & (mean_word_len >= MIN_MEAN_WORD_LEN)
+            & (mean_word_len <= MAX_MEAN_WORD_LEN)
+            & (symbol_ratio <= MAX_SYMBOL_RATIO)
+            & (bullet_frac <= MAX_BULLET_FRAC)
+            & (ellipsis_frac <= MAX_ELLIPSIS_FRAC)
+            & (alpha_frac >= MIN_ALPHA_FRAC)
+            & (stop_hits >= MIN_STOP_HITS)
+            & (dup_line_frac <= MAX_DUP_LINE_FRAC)
+        )
+
+    return _bind_once(
+        F.struct(tokens(c).alias("w"), _lines(c).alias("ln")), body
     )
 
 

@@ -60,41 +60,74 @@ def _hit_count(toks: Column, words: tuple[str, ...]) -> Column:
     return F.size(F.filter(toks, lambda t: F.array_contains(arr, t))).cast("long")
 
 
+def _bind_once(value: Column, body) -> Column:
+    """Evaluate `value` ONCE and let `body` reference it many times: a
+    transform over a single-element array binds the value to the lambda
+    variable, so every reference inside `body` is a cheap variable read
+    instead of a re-evaluation of the whole subtree. Catalyst duplicates
+    an expression tree at every reference site, and common-subexpression
+    elimination does not reach inside higher-order-function lambdas — a
+    scalar built from k references to an expensive input (lang_id's four
+    per-language hit counts over the SAME token split; gopher_filter's
+    ten rule signals) otherwise evaluates that input k times per row
+    (measured 2x on lang_id at sf0.1). Only for single-scalar outputs:
+    binding a STRUCT result would re-run the lambda once per field
+    extraction downstream."""
+    return F.get(F.transform(F.array(value), body), 0)
+
+
 def lang_id(c: Column) -> Column:
     """Language ID: argmax of per-language marker-stopword hit counts,
     ties -> lexicographically smallest code, zero hits -> 'und'.
 
     array_max over (hits, rank, code) structs compares fields in order; rank
-    is the negated alphabetical index so ties prefer the smallest code."""
-    toks = tokens(c)
-    ranked = F.array(
-        *[
-            F.struct(
-                _hit_count(toks, words).alias("hits"),
-                F.lit(-i).alias("rank"),
-                F.lit(code).alias("code"),
-            )
-            for i, (code, words) in enumerate(sorted(LANG_MARKERS.items()))
-        ]
-    )
-    top = F.array_max(ranked)
-    return F.when(top["hits"] > 0, top["code"]).otherwise(F.lit("und"))
+    is the negated alphabetical index so ties prefer the smallest code.
+    The token split is bound once (_bind_once): the four hit counts read
+    the same array instead of re-splitting the text per language."""
+
+    def body(toks: Column) -> Column:
+        ranked = F.array(
+            *[
+                F.struct(
+                    _hit_count(toks, words).alias("hits"),
+                    F.lit(-i).alias("rank"),
+                    F.lit(code).alias("code"),
+                )
+                for i, (code, words) in enumerate(sorted(LANG_MARKERS.items()))
+            ]
+        )
+        top = F.array_max(ranked)
+        return F.when(top["hits"] > 0, top["code"]).otherwise(F.lit("und"))
+
+    return _bind_once(tokens(c), body)
 
 
 def stopword_ratio(c: Column, stopwords: tuple[str, ...] = EN_STOPWORDS) -> Column:
-    toks = tokens(c)
-    return (_hit_count(toks, stopwords) / F.size(toks)).cast("double")
+    return _bind_once(
+        tokens(c),
+        lambda toks: (_hit_count(toks, stopwords) / F.size(toks)).cast(
+            "double"
+        ),
+    )
 
 
 def quality_score(c: Column) -> Column:
     """Composite quality in [0,1]: length target + stopword ratio + mean
-    token length target (cheap heuristics standard in pretraining pipelines)."""
-    n = token_count(c)
-    return (
-        F.least(n / F.lit(100.0), F.lit(1.0)) * 0.4
-        + stopword_ratio(c) * 0.3
-        + F.least(mean_token_length(c) / F.lit(8.0), F.lit(1.0)) * 0.3
-    ).cast("double")
+    token length target (cheap heuristics standard in pretraining
+    pipelines). One token split feeds all three terms (_bind_once)."""
+
+    def body(toks: Column) -> Column:
+        n = F.size(toks).cast("long")
+        ratio = (_hit_count(toks, EN_STOPWORDS) / F.size(toks)).cast("double")
+        chars = F.length(F.regexp_replace(F.trim(c), r"\s+", ""))
+        mean_len = (chars / n).cast("double")
+        return (
+            F.least(n / F.lit(100.0), F.lit(1.0)) * 0.4
+            + ratio * 0.3
+            + F.least(mean_len / F.lit(8.0), F.lit(1.0)) * 0.3
+        ).cast("double")
+
+    return _bind_once(tokens(c), body)
 
 
 def char_ngram_fingerprint(c: Column, n: int = 8) -> Column:
