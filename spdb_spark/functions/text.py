@@ -248,13 +248,22 @@ def repetition_stats(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> D
     (bit-identical across engines; both divide exact small ints)."""
     toks = tokens(F.col(text_col))
     staged = df.select(F.col(id_col), toks.alias("_toks"))
-    grams = word_ngrams(F.col("_toks"), n)
+    # The n-gram array gets its OWN projection stage: it is consumed
+    # twice below (size + array_distinct), and the transform that
+    # builds it is interpreted — inlined, Catalyst would duplicate the
+    # whole n-gram build at each reference (CSE does not reach inside
+    # HOF lambdas), running it twice per row.
+    staged = staged.select(
+        F.col(id_col),
+        F.col("_toks"),
+        word_ngrams(F.col("_toks"), n).alias("_g"),
+    )
     staged = staged.select(
         F.col(id_col),
         F.size("_toks").cast("long").alias("n_tokens"),
         F.size(F.array_distinct("_toks")).cast("long").alias("n_distinct_tokens"),
-        F.size(grams).cast("long").alias("n_ngrams"),
-        F.size(F.array_distinct(grams)).cast("long").alias("n_distinct_ngrams"),
+        F.size("_g").cast("long").alias("n_ngrams"),
+        F.size(F.array_distinct("_g")).cast("long").alias("n_distinct_ngrams"),
     )
     frac = lambda tot, dis: F.when(  # noqa: E731
         F.col(tot) > 0,
