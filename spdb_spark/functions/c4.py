@@ -96,9 +96,18 @@ def _sentence_count(c: Column) -> Column:
 def c4_page_flags(c: Column, badwords: tuple[str, ...] = ()) -> Column:
     """struct of the raw page-level signals over the ORIGINAL text plus
     the post-line-filter counts: kept_lines, kept_words, n_sentences
-    (of the cleaned text), has_lorem, has_brace, has_badword."""
-    cleaned = c4_clean_lines(c, badwords)
-    kept = F.filter(
+    (of the cleaned text), has_lorem, has_brace, has_badword.
+
+    The kept-line array (the expensive per-line predicate chain) is
+    bound ONCE (text._bind_once): three fields consume it (count, word
+    sum, and the cleaned-text sentence count via array_join), and each
+    reference would otherwise re-run the whole line filter per row.
+    One evaluation of this struct therefore runs the chain once, not
+    three times; extract the struct behind its own projection (as the
+    gate does) rather than calling this per field."""
+    from spdb_spark.functions.text import _bind_once
+
+    kept_expr = F.filter(
         F.transform(F.split(c, "\n"), lambda l: F.trim(l)),
         lambda l: _clean_line_pred(l, badwords),
     )
@@ -106,18 +115,22 @@ def c4_page_flags(c: Column, badwords: tuple[str, ...] = ()) -> Column:
     has_bad = F.lit(False)
     for w in badwords:
         has_bad = has_bad | low.contains(w.lower())
-    return F.struct(
-        F.size(kept).cast("long").alias("kept_lines"),
-        F.aggregate(
-            kept,
-            F.lit(0).cast("long"),
-            lambda acc, l: acc + F.size(tokens(l)),
-        ).alias("kept_words"),
-        _sentence_count(cleaned).alias("n_sentences"),
-        low.contains("lorem ipsum").alias("has_lorem"),
-        c.contains("{").alias("has_brace"),
-        has_bad.alias("has_badword"),
-    )
+
+    def body(kept: Column) -> Column:
+        return F.struct(
+            F.size(kept).cast("long").alias("kept_lines"),
+            F.aggregate(
+                kept,
+                F.lit(0).cast("long"),
+                lambda acc, l: acc + F.size(tokens(l)),
+            ).alias("kept_words"),
+            _sentence_count(F.array_join(kept, "\n")).alias("n_sentences"),
+            low.contains("lorem ipsum").alias("has_lorem"),
+            c.contains("{").alias("has_brace"),
+            has_bad.alias("has_badword"),
+        )
+
+    return _bind_once(kept_expr, body)
 
 
 def c4_filter(
@@ -125,13 +138,22 @@ def c4_filter(
     badwords: tuple[str, ...] = (),
     min_sentences: int = MIN_SENTENCES,
 ) -> Column:
-    """True iff the page passes the C4 page rules after line cleaning."""
-    s = c4_page_flags(c, badwords)
+    """True iff the page passes the C4 page rules after line cleaning.
+
+    Computed directly rather than extracting c4_page_flags fields: the
+    flags struct is built inside a higher-order binding, so each field
+    extraction would re-run its whole body; the filter needs the
+    line-filter chain exactly once (the sentence count) and three cheap
+    contains() signals."""
+    low = F.lower(c)
+    has_bad = F.lit(False)
+    for w in badwords:
+        has_bad = has_bad | low.contains(w.lower())
     return (
-        (s["n_sentences"] >= min_sentences)
-        & ~s["has_lorem"]
-        & ~s["has_brace"]
-        & ~s["has_badword"]
+        (_sentence_count(c4_clean_lines(c, badwords)) >= min_sentences)
+        & ~low.contains("lorem ipsum")
+        & ~c.contains("{")
+        & ~has_bad
     )
 
 
