@@ -67,13 +67,26 @@ def quality_filter(
     callers tune per corpus.
     """
     c = F.col(text_col)
-    stats = docs.select(
+    # ONE token split and ONE whitespace-strip per row, staged behind a
+    # projection barrier (multi-referenced non-cheap columns survive
+    # CollapseProject) — the five signals below would otherwise each
+    # carry their own split of the same text (lang_id, stop_ratio,
+    # quality, n_tokens, mean_tok_len: 5+ splits per row).
+    toked = docs.select(
         id_col,
-        T.token_count(c).alias("n_tokens"),
-        _fl6(T.mean_token_length(c)).alias("mean_tok_len"),
-        _fl6(T.stopword_ratio(c)).alias("stop_ratio"),
-        _fl6(T.quality_score(c)).alias("quality"),
-        T.lang_id(c).alias("pred_lang"),
+        T.tokens(c).alias("_tk"),
+        F.length(F.regexp_replace(F.trim(c), r"\s+", "")).alias("_ch"),
+    )
+    tk, ch = F.col("_tk"), F.col("_ch")
+    stats = toked.select(
+        id_col,
+        F.size(tk).cast("long").alias("n_tokens"),
+        _fl6((ch / F.size(tk).cast("long")).cast("double")).alias(
+            "mean_tok_len"
+        ),
+        _fl6(T._stopword_ratio_from_tokens(tk)).alias("stop_ratio"),
+        _fl6(T._quality_from_tokens(tk, ch)).alias("quality"),
+        T._lang_from_tokens(tk).alias("pred_lang"),
     )
     if drop_ids is not None:
         marks = drop_ids.select(id_col).distinct().withColumn(

@@ -76,6 +76,43 @@ def _bind_once(value: Column, body) -> Column:
     return F.get(F.transform(F.array(value), body), 0)
 
 
+def _lang_from_tokens(toks: Column) -> Column:
+    """lang_id body over an already-available token array — for callers
+    that stage ONE split and derive several signals from it
+    (pipeline.quality_filter, the text-stats gate)."""
+    ranked = F.array(
+        *[
+            F.struct(
+                _hit_count(toks, words).alias("hits"),
+                F.lit(-i).alias("rank"),
+                F.lit(code).alias("code"),
+            )
+            for i, (code, words) in enumerate(sorted(LANG_MARKERS.items()))
+        ]
+    )
+    top = F.array_max(ranked)
+    return F.when(top["hits"] > 0, top["code"]).otherwise(F.lit("und"))
+
+
+def _stopword_ratio_from_tokens(
+    toks: Column, stopwords: tuple[str, ...] = EN_STOPWORDS
+) -> Column:
+    return (_hit_count(toks, stopwords) / F.size(toks)).cast("double")
+
+
+def _quality_from_tokens(toks: Column, chars: Column) -> Column:
+    """quality_score body over a staged token array and non-space char
+    count (`chars` = length of the whitespace-stripped text)."""
+    n = F.size(toks).cast("long")
+    ratio = _stopword_ratio_from_tokens(toks)
+    mean_len = (chars / n).cast("double")
+    return (
+        F.least(n / F.lit(100.0), F.lit(1.0)) * 0.4
+        + ratio * 0.3
+        + F.least(mean_len / F.lit(8.0), F.lit(1.0)) * 0.3
+    ).cast("double")
+
+
 def lang_id(c: Column) -> Column:
     """Language ID: argmax of per-language marker-stopword hit counts,
     ties -> lexicographically smallest code, zero hits -> 'und'.
@@ -84,30 +121,12 @@ def lang_id(c: Column) -> Column:
     is the negated alphabetical index so ties prefer the smallest code.
     The token split is bound once (_bind_once): the four hit counts read
     the same array instead of re-splitting the text per language."""
-
-    def body(toks: Column) -> Column:
-        ranked = F.array(
-            *[
-                F.struct(
-                    _hit_count(toks, words).alias("hits"),
-                    F.lit(-i).alias("rank"),
-                    F.lit(code).alias("code"),
-                )
-                for i, (code, words) in enumerate(sorted(LANG_MARKERS.items()))
-            ]
-        )
-        top = F.array_max(ranked)
-        return F.when(top["hits"] > 0, top["code"]).otherwise(F.lit("und"))
-
-    return _bind_once(tokens(c), body)
+    return _bind_once(tokens(c), _lang_from_tokens)
 
 
 def stopword_ratio(c: Column, stopwords: tuple[str, ...] = EN_STOPWORDS) -> Column:
     return _bind_once(
-        tokens(c),
-        lambda toks: (_hit_count(toks, stopwords) / F.size(toks)).cast(
-            "double"
-        ),
+        tokens(c), lambda toks: _stopword_ratio_from_tokens(toks, stopwords)
     )
 
 
@@ -115,19 +134,8 @@ def quality_score(c: Column) -> Column:
     """Composite quality in [0,1]: length target + stopword ratio + mean
     token length target (cheap heuristics standard in pretraining
     pipelines). One token split feeds all three terms (_bind_once)."""
-
-    def body(toks: Column) -> Column:
-        n = F.size(toks).cast("long")
-        ratio = (_hit_count(toks, EN_STOPWORDS) / F.size(toks)).cast("double")
-        chars = F.length(F.regexp_replace(F.trim(c), r"\s+", ""))
-        mean_len = (chars / n).cast("double")
-        return (
-            F.least(n / F.lit(100.0), F.lit(1.0)) * 0.4
-            + ratio * 0.3
-            + F.least(mean_len / F.lit(8.0), F.lit(1.0)) * 0.3
-        ).cast("double")
-
-    return _bind_once(tokens(c), body)
+    chars = F.length(F.regexp_replace(F.trim(c), r"\s+", ""))
+    return _bind_once(tokens(c), lambda toks: _quality_from_tokens(toks, chars))
 
 
 def char_ngram_fingerprint(c: Column, n: int = 8) -> Column:

@@ -272,14 +272,23 @@ def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     # doubles here, and floor is deterministic at decimal tie points where
     # ROUND half-up (Spark) vs nearbyint (DuckDB) can disagree by 1e-6.
     fl6 = lambda col: F.floor(col * 1000000) / 1000000  # noqa: E731
-    return docs.select(
+    # ONE token split / whitespace-strip per row, staged (the
+    # quality_filter pattern): five of the signals share them.
+    toked = docs.select(
         "doc_id",
-        T.token_count(c).alias("n_tokens"),
+        F.col("text"),
+        T.tokens(c).alias("_tk"),
+        F.length(F.regexp_replace(F.trim(c), r"\s+", "")).alias("_ch"),
+    )
+    tk, ch = F.col("_tk"), F.col("_ch")
+    return toked.select(
+        "doc_id",
+        F.size(tk).cast("long").alias("n_tokens"),
         T.word_token_count(c).alias("n_word_tokens"),
-        fl6(T.mean_token_length(c)).alias("mean_tok_len"),
-        fl6(T.stopword_ratio(c)).alias("stop_ratio"),
-        fl6(T.quality_score(c)).alias("quality"),
-        T.lang_id(c).alias("pred_lang"),
+        fl6((ch / F.size(tk).cast("long")).cast("double")).alias("mean_tok_len"),
+        fl6(T._stopword_ratio_from_tokens(tk)).alias("stop_ratio"),
+        fl6(T._quality_from_tokens(tk, ch)).alias("quality"),
+        T._lang_from_tokens(tk).alias("pred_lang"),
     )
 
 
