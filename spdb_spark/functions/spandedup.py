@@ -81,10 +81,15 @@ def duplicate_windows(
     # digest runs; this is the hot loop of the operator at stride=1, and
     # it executes twice (the count build and the semi-join probe share no
     # exchange, so the probe side re-derives)
+    from spdb_spark.session import where_above
+
     n = F.size(F.col("_t"))
     n_wins = (F.floor((n - window) / stride) + 1).cast("int")
+    # where_above: the length gate must read the PROJECTED token array —
+    # pushed below the projection it re-runs the whitespace split inside
+    # the Filter, doubling the tokenize cost of BOTH window passes.
     wins = (
-        toks.where(n >= window)
+        where_above(toks, n >= window)
         .select(
             id_col,
             "_t",

@@ -122,6 +122,45 @@ def _restore_nano_timestamps(df, path: str):
     return df
 
 
+def where_above(df, pred):
+    """`df.where(pred)` with the Filter pinned ABOVE df's projection.
+
+    PushDownPredicates substitutes projected aliases into a predicate
+    with no cost guard — in Spark 4 even a NONDETERMINISTIC predicate
+    is pushed through a deterministic Project — so
+    `select(expensive.alias(c)).where(f(c))` evaluates `expensive`
+    TWICE per row: once inside the pushed-down Filter and once in the
+    Project above it (the built-in-expression analogue of the guide's
+    duplicated-UDF trap, which is fixed there with asNondeterministic;
+    built-ins have no such handle). What pushdown through a Project DOES
+    still require is that every PROJECT FIELD be deterministic — so a
+    nondeterministic guard column joins the projection, the predicate
+    gains an always-false disjunct referencing it (rand in [0,1) is
+    never < -1; p OR false = p, NULL OR false = NULL — the filter's
+    value is untouched), and the guard is dropped above the filter.
+    Net plan: Project(expensive) -> Filter(attribute) — the expensive
+    column evaluates once. A later filter stacked on the result still
+    stops at this Filter (it cannot combine with or cross a filter
+    that references the guard), so no caller's predicate can tunnel
+    down to re-expand the projection either.
+
+    The guard is rand(seed), not monotonically_increasing_id: mid is
+    rejected by the streaming UnsupportedOperationChecker, and a bare
+    rand comparison placed directly in the predicate is range-folded
+    by Spark 4's optimizer — as a PROJECTED field read back through an
+    attribute it survives both. Fixed seed keeps plans reproducible;
+    Rand is flagged nondeterministic regardless of seed.
+
+    Use ONLY where the predicate's inputs are expensive projected
+    expressions: on cheap columns the lost pushdown (filtering earlier,
+    closer to the scan) outweighs the saved re-evaluation."""
+    from pyspark.sql import functions as F
+
+    tag = "_no_pushdown"
+    staged = df.withColumn(tag, F.rand(42))
+    return staged.where(pred | (F.col(tag) < F.lit(-1.0))).drop(tag)
+
+
 def truncate_lineage(df, eager: bool = True):
     """Checkpoint `df` to truncate its lineage, choosing durability by
     session configuration: when a RELIABLE checkpoint dir is set

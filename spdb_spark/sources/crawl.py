@@ -265,12 +265,19 @@ def docs_from_pages(
         from spdb_spark.sources.warc import html_to_text
 
         text = html_to_text(F.col("html"))
+    from spdb_spark.session import where_above
+
     out = pages.select(
         F.col("_pid").alias("doc_id"),
         text.alias("text"),
         F.col("page_url").alias("source"),
     )
-    return out.where(F.length("text") > 0).select(
+    # where_above: the emptiness test must read the PROJECTED text —
+    # pushed below the projection it would re-run the whole main-text
+    # extraction inside the Filter (and any caller's quality filter
+    # stacks above this one rather than tunneling down to the scan), so
+    # extraction runs once per page instead of up to three times.
+    return where_above(out, F.length("text") > 0).select(
         "doc_id",
         "text",
         lang_id(F.col("text")).alias("lang"),

@@ -266,7 +266,12 @@ def warc_responses_to_docs(
         # route exact dedup through the incremental ledger sinks
         # (streaming/dedup.py) instead
         out = out.dropDuplicates(["doc_id"])
-    return out.where(F.length("text") > 0).select(
+    # where_above: with dedup=True the aggregate is already a pushdown
+    # barrier; with dedup=False the filter would tunnel below the
+    # projection and re-run the whole extraction inside itself.
+    from spdb_spark.session import where_above
+
+    return where_above(out, F.length("text") > 0).select(
         "doc_id",
         "text",
         lang_id(F.col("text")).alias("lang"),
