@@ -373,7 +373,13 @@ def semantic_dedup_pairs(
             F.sequence(F.lit(0), F.lit(salts - 1)).cast("array<int>")
         ).alias("_salt"),
     )
-    scored = (
+    from spdb_spark.session import where_above
+
+    # where_above: the tau gate must read the PROJECTED cos_sim —
+    # pushed below the projection it would re-run the whole 64-term
+    # cosine fold inside the Filter, doubling the per-candidate score
+    # cost (the hot loop of this form).
+    scored = where_above(
         a.join(b, ["centroid_id", "_salt"])
         .where(F.col("id_a") < F.col("id_b"))
         .select(
@@ -385,8 +391,8 @@ def semantic_dedup_pairs(
                 ),
                 6,
             ).alias("cos_sim"),
-        )
-        .where(F.col("cos_sim") >= tau)
+        ),
+        F.col("cos_sim") >= tau,
     )
     return scored.dropDuplicates(["id_a", "id_b"])
 
