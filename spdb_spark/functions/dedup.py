@@ -295,13 +295,27 @@ def lsh_candidate_pairs(
 
 
 def dup_clusters(
-    pairs: DataFrame, max_iter: int = 20, checkpoint_every: int | None = 5
+    pairs: DataFrame,
+    max_iter: int = 20,
+    checkpoint_every: int | None = 5,
+    probe_every: int = 2,
 ) -> DataFrame:
     """Transitive closure of near-dup pairs: connected components via
     iterative min-label propagation (the step that turns pairwise matches
     into dedup groups). Each iteration is one join + one min-agg; the loop
     terminates when no label changes (checked with a cheap count) or at
     max_iter. Iterative by nature — not SQL-expressible in one query.
+
+    `probe_every` batches the convergence probe: the limit(1) count is a
+    driver-synchronized JOB, so probing every round serializes the loop
+    into one job per iteration (the r14 scaling block measured the
+    iterative gates mildly ANTI-scaling 8->32 cores on exactly this).
+    Probing every k-th round lets k iterations pipeline into one job
+    (lazy persists chain until the probe materializes them) at the cost
+    of at most k-1 idempotent extra rounds after the fixed point — a
+    converged round recomputes identical labels, so the result is
+    value-identical for any k >= 1. Checkpoint rounds already pay a
+    materializing job, so the probe is folded into them for free.
 
     Every `checkpoint_every` iterations the label lineage is truncated
     (session.truncate_lineage): without it each iteration's plan nests
@@ -339,10 +353,13 @@ def dup_clusters(
         )
         .persist()
     )
-    _prev = new_full  # the persisted handle backing `labels`
+    pending: list = [new_full]  # persisted handles awaiting a probe
     labels = new_full.select("id", "cluster_id")
+    # Iteration-0 probe stays unbatched: already-converged inputs (the
+    # common small-cluster case) exit here without paying a join round.
     changed = new_full.where(F.col("_chg")).limit(1).count()
     it = 0
+    since_probe = 0
     while changed and it < max_iter - 1:
         it += 1
         neighbor_min = (
@@ -364,21 +381,41 @@ def dup_clusters(
             ).alias("cluster_id"),
             (F.col("nbr_min") < F.col("cluster_id")).alias("_chg"),
         )
-        if checkpoint_every and (it + 1) % checkpoint_every == 0:
+        ckpt = bool(checkpoint_every) and (it + 1) % checkpoint_every == 0
+        if ckpt:
             new_full = truncate_lineage(new_full, eager=True)
         else:
             new_full = new_full.persist()
-        changed = new_full.where(F.col("_chg")).limit(1).count()
-        _prev.unpersist()
-        _prev = new_full
         labels = new_full.select("id", "cluster_id")
-        if changed == 0:
-            break
-    edges.unpersist()
+        since_probe += 1
+        # Probe on checkpoint rounds (the job already ran) and every
+        # probe_every-th round otherwise; skipped rounds stay lazy and
+        # pipeline into the next probe's job. Convergence only needs the
+        # LATEST round's _chg: no nbr_min undercuts its label <=> the
+        # frame is a fixed point, regardless of what skipped rounds did.
+        if ckpt or since_probe >= max(1, probe_every):
+            changed = new_full.where(F.col("_chg")).limit(1).count()
+            since_probe = 0
+            # new_full is materialized now — earlier handles are dead
+            # weight (recompute-on-eviction falls back to lineage). Keep
+            # new_full itself in pending so the final cleanup (or the
+            # next probe) drops its cache too, including on the break
+            # path below.
+            for h in pending:
+                h.unpersist()
+            pending = [new_full]
+            if changed == 0:
+                break
+        else:
+            pending.append(new_full)
     # truncate the RETURNED plan too: up to checkpoint_every-1 rounds of
-    # join tower (each doubling) otherwise ride along into every consumer
+    # join tower (each doubling) otherwise ride along into every consumer.
+    # Materialize BEFORE dropping the edge/label caches it reads through.
     if checkpoint_every:
         labels = truncate_lineage(labels, eager=True)
+    for h in pending:
+        h.unpersist()
+    edges.unpersist()
     return labels
 
 

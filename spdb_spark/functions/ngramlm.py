@@ -129,8 +129,13 @@ def kn_trigram_logprob(
     # the whole tri -> cont2 [-> cont1] derivation chain as its own
     # subtree (exchange reuse never unifies them: column pruning makes
     # the subtrees non-identical) — same integers, one chain fewer.
+    # coalesce: sum() over an empty cont1 is NULL where the count-based
+    # form this replaced yielded 0 — keep the totals row well-defined on
+    # an empty corpus (the scoring join is empty there, so non-empty
+    # corpora are value-identical either way).
     totals = cont1.agg(
-        F.sum("n1cont").alias("n2types"), F.count("*").alias("t1")
+        F.coalesce(F.sum("n1cont"), F.lit(0)).alias("n2types"),
+        F.count("*").alias("t1"),
     ).crossJoin(
         toks.select(F.explode("_t").alias("_tok")).agg(
             F.count_distinct("_tok").alias("v_size")
@@ -264,7 +269,8 @@ def kn_ngram_model(
     # reuse never unifies them: column pruning makes the subtrees
     # non-identical) — same integers, one cascade fewer.
     totals = types[1].agg(
-        F.sum("nc1").alias("denom1"), F.count("*").alias("t1total")
+        F.coalesce(F.sum("nc1"), F.lit(0)).alias("denom1"),
+        F.count("*").alias("t1total"),
     ).crossJoin(
         toks.select(F.explode("_t").alias("_tok")).agg(
             F.count_distinct("_tok").alias("v_size")
@@ -485,9 +491,11 @@ def kn_model(
         F.substring_index(F.col("vw"), " ", -1).alias("w")
     ).groupBy("w").agg(F.count("*").alias("n1cont"))
     # One pass over cont1 for both totals (|cont2| = sum(n1cont),
-    # t1 = |cont1|) — see the kn_trigram_logprob note.
+    # t1 = |cont1|) — see the kn_trigram_logprob note. coalesce keeps
+    # the totals row 0 (not NULL) on an empty corpus.
     totals = cont1.agg(
-        F.sum("n1cont").alias("n2types"), F.count("*").alias("t1")
+        F.coalesce(F.sum("n1cont"), F.lit(0)).alias("n2types"),
+        F.count("*").alias("t1"),
     ).crossJoin(
         toks.select(F.explode("_t").alias("_tok")).agg(
             F.count_distinct("_tok").alias("v_size")

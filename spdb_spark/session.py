@@ -157,6 +157,12 @@ def where_above(df, pred):
     from pyspark.sql import functions as F
 
     tag = "_no_pushdown"
+    # withColumn REPLACES an existing column of the same name — uniquify
+    # so a caller column named _no_pushdown survives the barrier intact.
+    i = 0
+    while tag in df.columns:
+        i += 1
+        tag = f"_no_pushdown{i}"
     staged = df.withColumn(tag, F.rand(42))
     return staged.where(pred | (F.col(tag) < F.lit(-1.0))).drop(tag)
 

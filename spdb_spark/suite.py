@@ -90,10 +90,27 @@ def _last_checked_round() -> dict[str, int]:
     return last
 
 
+# Verification-policy override (r14 verdict "Next round" #2): queries whose
+# recorded driver check FAILED and whose fix has only been verified locally
+# sort ahead of the LRU rotation until a later CORRECTNESS file re-records
+# them green. llm_frontier_schedule[_stream] went red in r13 (ANSI
+# CAST_INVALID_INPUT), were fixed in r14 (try_cast + ANSI-on session,
+# tests/test_ansi_parity.py), but rotated out of the r14 driver sample —
+# this pins them into the next 50-query window for driver re-verification.
+_PRIORITY_RECHECK = ("llm_frontier_schedule", "llm_frontier_schedule_stream")
+
+
 def _rotated() -> dict:
     last = _last_checked_round()
     pos = {name: i for i, name in enumerate(_BASE)}
-    ordered = sorted(_BASE, key=lambda name: (last.get(name, 0), pos[name]))
+    ordered = sorted(
+        _BASE,
+        key=lambda name: (
+            name not in _PRIORITY_RECHECK,
+            last.get(name, 0),
+            pos[name],
+        ),
+    )
     return {name: _BASE[name] for name in ordered}
 
 

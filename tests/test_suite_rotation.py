@@ -9,22 +9,28 @@ def test_never_checked_queries_come_first():
     import glob
     import os
 
-    from spdb_spark.suite import REGISTRY, _BASE, _last_checked_round
+    from spdb_spark.suite import _PRIORITY_RECHECK, REGISTRY, _BASE, _last_checked_round
 
     last = _last_checked_round()
     names = list(REGISTRY)
     # same contents as the static union, just reordered
     assert set(names) == set(_BASE)
-    # ordering key (last-checked round) must be non-decreasing
-    rounds = [last.get(n, 0) for n in names]
+    # priority-recheck queries (fixed-but-never-driver-reverified) jump the
+    # LRU rotation and lead the registry outright
+    n_prio = len([n for n in names if n in _PRIORITY_RECHECK])
+    assert set(names[:n_prio]) == set(_PRIORITY_RECHECK) & set(_BASE)
+    # below the priority pins, the ordering key (last-checked round) must
+    # be non-decreasing
+    rest = names[n_prio:]
+    rounds = [last.get(n, 0) for n in rest]
     assert rounds == sorted(rounds)
     # with the repo's recorded results present, anything never checked
-    # must appear before anything ever checked
+    # must appear before anything ever checked (priority pins aside)
     if glob.glob(
         os.path.join(os.path.dirname(os.path.dirname(__file__)), "CORRECTNESS_r*.json")
     ):
-        checked_positions = [i for i, n in enumerate(names) if last.get(n, 0) > 0]
-        unchecked_positions = [i for i, n in enumerate(names) if last.get(n, 0) == 0]
+        checked_positions = [i for i, n in enumerate(rest) if last.get(n, 0) > 0]
+        unchecked_positions = [i for i, n in enumerate(rest) if last.get(n, 0) == 0]
         if checked_positions and unchecked_positions:
             assert max(unchecked_positions) < min(checked_positions)
 
