@@ -76,6 +76,8 @@ def kn_trigram_logprob(
     id_col: str = "doc_id",
     discount: float = DISCOUNT,
     materialize: bool = True,
+    materialize_levels: bool = False,
+    broadcast_levels: bool | None = None,
 ) -> DataFrame:
     """(id_col, mean_logprob, n_trigrams) — mean interpolated-KN
     trigram log-probability per document (natural log, micro-nat
@@ -85,26 +87,51 @@ def kn_trigram_logprob(
     `materialize` lazily checkpoints the trigram occurrence stream and
     the type table (consumed 2x and 4x respectively by the count tables
     + scoring joins) — the crawl_to_corpus posture; pass False to keep
-    pure lineage."""
+    pure lineage.
+
+    `materialize_levels` additionally checkpoints cont2 — the count
+    table with a deep derivation chain hanging off it (cont1 replays
+    tri->cont2 as its own subtree, totals replays tri->cont2->cont1;
+    exchange reuse never unifies the replicas — see kn_ngram_model).
+    Default OFF: at bench scale the redundant replays execute as
+    CONCURRENT broadcast-build jobs on otherwise-idle cores, while the
+    checkpoint serializes the chain into dependent materializations —
+    measured 1.2x slower at sf0.1 (11-pass interleaved A/B). Flip it on
+    when the type tables are large enough that total work, not the
+    critical path, is the budget — the 100 TB posture — or whenever the
+    model is reused across scoring runs. `broadcast_levels` (default:
+    follow materialize_levels) hints the scoring joins to broadcast the
+    materialized tables, restoring the strategy statistics-based
+    planning chose before checkpointing stripped the stats (measured 2x
+    slower without the hint); pass False when the count tables exceed
+    broadcast capacity (the joins then shuffle-join the materialized
+    tables; the derive-once win survives)."""
     if not 0.0 < discount < 1.0:
         raise ValueError(f"discount must be in (0, 1), got {discount}")
     d = float(discount)
+    if broadcast_levels is None:
+        broadcast_levels = materialize_levels
+
+    def _mk_trunc(on: bool):
+        def trunc(df: DataFrame) -> DataFrame:
+            if not on:
+                return df
+            from spdb_spark.session import truncate_lineage
+
+            return truncate_lineage(df, eager=False)
+
+        return trunc
+
+    trunc = _mk_trunc(materialize)
+    ltrunc = _mk_trunc(materialize_levels)
 
     toks = docs.select(
         F.col(id_col), tokens(F.col(text_col)).alias("_t")
     ).where(F.size("_t") >= 3)
-    grams = exploded_word_ngrams(toks, "_t", 3, out="g", keep=(id_col,))
-    if materialize:
-        from spdb_spark.session import truncate_lineage
-
-        grams = truncate_lineage(grams, eager=False)
+    grams = trunc(exploded_word_ngrams(toks, "_t", 3, out="g", keep=(id_col,)))
 
     # --- count tables (all map-side combined groupBys) ---
-    tri = grams.groupBy("g").agg(F.count("*").alias("c3"))
-    if materialize:
-        from spdb_spark.session import truncate_lineage
-
-        tri = truncate_lineage(tri, eager=False)
+    tri = trunc(grams.groupBy("g").agg(F.count("*").alias("c3")))
     tri_keys = tri.select(
         "g",
         "c3",
@@ -116,7 +143,14 @@ def kn_trigram_logprob(
     ctx = tri_keys.groupBy("uv").agg(
         F.sum("c3").alias("c2ctx"), F.count("*").alias("t3")
     )
-    cont2 = tri_keys.groupBy("vw").agg(F.count("*").alias("n2cont"))
+    # cont2 is the one DEEP-chain table (cont1 and totals both hang
+    # off it): under materialize_levels they derive from the computed
+    # table instead of each replaying tri -> cont2 as its own subtree.
+    # ctx/mid/cont1 stay pure single aggregates — their replays are one
+    # level over a checkpoint scan (cheap), while a localCheckpoint per
+    # table adds a materialization barrier (measured: all-level
+    # checkpointing is 1.29x slower at sf0.1 than none).
+    cont2 = ltrunc(tri_keys.groupBy("vw").agg(F.count("*").alias("n2cont")))
     mid = tri_keys.groupBy("v").agg(
         F.count("*").alias("n2ctx"), F.count_distinct("w").alias("t2")
     )
@@ -148,12 +182,19 @@ def kn_trigram_logprob(
     # per-occurrence evaluation are value-identical — but the five
     # count-table joins now act on the type table (sublinear in corpus)
     # and the corpus-sized occurrence stream joins exactly once ---
+    # Explicit broadcast hints: the materialized count tables are
+    # LogicalRDD scans with no statistics, so without the hint the
+    # planner demotes these (locally tiny) joins to sort-merge — see
+    # the broadcast_levels docstring note for the scale dial.
+    def _side(t: DataFrame) -> DataFrame:
+        return F.broadcast(t) if broadcast_levels else t
+
     scored = (
         tri_keys
-        .join(ctx, "uv")
-        .join(mid, "v")
-        .join(cont2, "vw")
-        .join(cont1, "w")
+        .join(_side(ctx), "uv")
+        .join(_side(mid), "v")
+        .join(_side(cont2), "vw")
+        .join(_side(cont1), "w")
         .crossJoin(F.broadcast(totals))
     )
     # The expression SHAPE below is replayed token-for-token by the
@@ -199,6 +240,8 @@ def kn_ngram_model(
     text_col: str = "text",
     id_col: str = "doc_id",
     materialize: bool = True,
+    materialize_levels: bool = False,
+    broadcast_levels: bool | None = None,
 ) -> dict:
     """Train the order-n KN count tables ONCE and reuse them across
     scoring runs — the (corpus, n)-keyed analogue of `kn_model` for the
@@ -206,29 +249,68 @@ def kn_ngram_model(
     "ctxs", "totals"}; `kn_ngram_logprob(docs, n, model=...)` consumes
     it without re-deriving anything.
 
-    materialize checkpoints ONLY the top-order type table (via
-    session.truncate_lineage): it feeds the whole level-table cascade
-    plus the scoring join, and it is the one table whose recompute
-    re-runs the corpus explode+count. The occurrence stream is NOT
-    checkpointed — under per-type scoring it has exactly two consumers
-    (the top count and the final score join), both narrow re-reads of
-    the scan, and checkpointing an n-x-corpus string stream costs more
-    than scanning the corpus twice (measured at sf0.1; the same
-    trade-off holds harder at 100 TB). The level tables stay pure
-    aggregates on purpose: checkpointing them replaces
-    statistics-bearing plans with LogicalRDD scans AQE cannot size,
-    silently demoting their broadcast joins to sort-merge (measured 2x
-    slower at sf0.1), while exchange reuse already dedupes their
-    derivation."""
+    materialize checkpoints the top-order type table (via
+    session.truncate_lineage): it feeds the whole cascade plus the
+    scoring join and is the one table whose recompute re-runs the
+    corpus explode+count.
+
+    materialize_levels additionally checkpoints every types[k] in the
+    suffix cascade. The types tables form a chain (types[k] derives
+    from types[k+1]) that every scoring-join build side replays as its
+    own subtree — exchange reuse NEVER unifies the replicas (column
+    pruning makes them non-canonical; measured 0 ReusedExchange, 10
+    checkpoint scans in the executed kn5 plan) — so materializing each
+    level makes every derivation run exactly once. Default OFF: at
+    bench scale the redundant replays execute as CONCURRENT
+    broadcast-build jobs on otherwise-idle cores, while the checkpoint
+    SERIALIZES the cascade into dependent materializations — measured
+    1.2x slower at sf0.1 (11-pass interleaved A/B; checkpointing
+    ctxs/ctx_top too is 1.29x). Flip it on when the type tables are
+    large enough that total aggregation work, not the critical path,
+    is the budget — the 100 TB posture, where each replay is a full
+    O(corpus^0.8) aggregation cascade — and whenever the model is
+    REUSED across scoring runs (the frozen-model/streaming shape: the
+    one-time checkpoint amortizes over every batch). The ctx tables
+    stay pure single aggregates either way: their replays are one
+    exchange over the level below, cheaper than a per-table
+    materialization barrier. The occurrence stream is NOT checkpointed — under
+    per-type scoring it has exactly two consumers (the top count and
+    the final score join), both narrow re-reads of the scan, and
+    checkpointing an n-x-corpus string stream costs more than scanning
+    the corpus twice (measured at sf0.1; the same trade-off holds
+    harder at 100 TB).
+
+    broadcast_levels (default: follow `materialize_levels`) hints the
+    scoring joins to BROADCAST the materialized level tables. Checkpointed
+    tables are LogicalRDD scans whose size AQE cannot estimate, so
+    without the hint Spark silently demotes the (locally tiny)
+    broadcast joins to sort-merge — measured 2x slower at sf0.1 when
+    r14 tried level checkpointing without hints. The hint restores
+    exactly the strategy statistics-based planning chose before
+    materialization. Scale dial: type tables grow ~O(corpus^0.8); on a
+    corpus whose high-order type tables exceed broadcast capacity
+    (~8 GB hard cap), pass broadcast_levels=False — the joins
+    shuffle-join the materialized tables, keeping the
+    derive-once-per-level win, which is the part that matters at
+    100 TB (the published-practice analogue: a KN scorer whose model
+    no longer fits every node stops shipping it whole)."""
     if not 2 <= n <= 8:
         raise ValueError(f"n must be in [2, 8], got {n}")
+    if broadcast_levels is None:
+        broadcast_levels = materialize_levels
 
-    def trunc(df: DataFrame) -> DataFrame:
-        if not materialize:
-            return df
-        from spdb_spark.session import truncate_lineage
+    def _mk_trunc(on: bool):
+        def trunc(df: DataFrame) -> DataFrame:
+            if not on:
+                return df
+            from spdb_spark.session import truncate_lineage
 
-        return truncate_lineage(df, eager=False)
+            return truncate_lineage(df, eager=False)
+
+        return trunc
+
+    trunc = _mk_trunc(materialize)
+    ltrunc = _mk_trunc(materialize_levels)
 
     toks = docs.select(
         F.col(id_col), tokens(F.col(text_col)).alias("_t")
@@ -243,7 +325,10 @@ def kn_ngram_model(
     types: dict[int, DataFrame] = {}
     prev, prev_key = top, "g"
     for k in range(n - 1, 0, -1):
-        tk = (
+        # ltrunc each level: types[k-1] then derives from the
+        # MATERIALIZED types[k], so the cascade runs once end to end
+        # instead of once per consumer (see the docstring).
+        tk = ltrunc(
             prev.select(_suffix(F.col(prev_key), k).alias(f"s{k}"))
             .groupBy(f"s{k}")
             .agg(F.count("*").alias(f"nc{k}"))
@@ -283,6 +368,7 @@ def kn_ngram_model(
         "types": types,
         "ctxs": ctxs,
         "totals": totals,
+        "broadcast_levels": bool(broadcast_levels),
         # the tokenized gram stream is not part of the frozen model
         # proper, but self-scoring reuses it (one corpus explode, not
         # two) — callers scoring OTHER corpora ignore it
@@ -299,6 +385,8 @@ def kn_ngram_logprob(
     materialize: bool = True,
     model: dict | None = None,
     backoff_alpha: float = 0.4,
+    materialize_levels: bool = False,
+    broadcast_levels: bool | None = None,
 ) -> DataFrame:
     """Order-n interpolated Kneser-Ney — the published CommonCrawl
     filters score with a KenLM **5-gram**; this is that model order,
@@ -339,7 +427,15 @@ def kn_ngram_logprob(
 
     frozen = model is not None
     if model is None:
-        model = kn_ngram_model(docs, n, text_col, id_col, materialize)
+        model = kn_ngram_model(
+            docs,
+            n,
+            text_col,
+            id_col,
+            materialize,
+            materialize_levels,
+            broadcast_levels,
+        )
         grams = model["_grams"]
     else:
         if model.get("n") != n:
@@ -376,11 +472,18 @@ def kn_ngram_logprob(
         scored = scored.withColumn(f"s{k}", _suffix(F.col("g"), k))
     for k in range(2, n):
         scored = scored.withColumn(f"m{k}", _prefix(F.col(f"s{k}"), k - 1))
-    scored = scored.join(ctx_top, "p", how)
+    # Explicit broadcast hints for materialized level tables: their
+    # LogicalRDD plans carry no statistics, so without the hint the
+    # planner demotes these (locally tiny) joins to sort-merge — see
+    # kn_ngram_model's broadcast_levels note for the scale dial.
+    def _side(t: DataFrame) -> DataFrame:
+        return F.broadcast(t) if model.get("broadcast_levels") else t
+
+    scored = scored.join(_side(ctx_top), "p", how)
     for k in range(1, n):
-        scored = scored.join(types[k], f"s{k}", how)
+        scored = scored.join(_side(types[k]), f"s{k}", how)
     for k in range(2, n):
-        scored = scored.join(ctxs[k], f"m{k}", how)
+        scored = scored.join(_side(ctxs[k]), f"m{k}", how)
     scored = scored.crossJoin(F.broadcast(totals))
 
     if frozen:
@@ -451,6 +554,8 @@ def kn_model(
     text_col: str = "text",
     id_col: str = "doc_id",
     materialize: bool = True,
+    materialize_levels: bool = False,
+    broadcast_levels: bool | None = None,
 ) -> dict[str, DataFrame]:
     """Train the KN count tables once and reuse them — the frozen-model
     path for scoring OTHER corpora (decontamination-style quality
@@ -462,16 +567,42 @@ def kn_model(
     Without it each of the five consumers re-runs the corpus explode +
     count (measured: frozen-model scoring of a 10%% slice cost as much
     as training at 30k synthetic docs, SCALE.md). The crawl_to_corpus
-    materialize posture, via session.truncate_lineage."""
+    materialize posture, via session.truncate_lineage.
+
+    `materialize_levels` additionally checkpoints the four derived
+    count tables, so every kn_score run reads them as computed tables
+    instead of replaying each derivation chain per join (exchange
+    reuse never unifies the replicas — see kn_ngram_model, including
+    the measured reason the default is OFF for one-shot scoring).
+    FLIP IT ON when one model scores many batches — the streaming
+    scorer / decontamination shape — where the one-time checkpoint
+    amortizes over every batch. `broadcast_levels` (default: follow
+    materialize_levels) makes kn_score hint its joins to broadcast the
+    materialized tables — statistics are stripped by checkpointing, so
+    the planner would otherwise demote to sort-merge; pass False when
+    the count tables exceed broadcast capacity (the derive-once win
+    survives as shuffle joins)."""
+    if broadcast_levels is None:
+        broadcast_levels = materialize_levels
+
+    def _mk_trunc(on: bool):
+        def trunc(df: DataFrame) -> DataFrame:
+            if not on:
+                return df
+            from spdb_spark.session import truncate_lineage
+
+            return truncate_lineage(df, eager=False)
+
+        return trunc
+
+    trunc = _mk_trunc(materialize)
+    ltrunc = _mk_trunc(materialize_levels)
+
     toks = docs.select(
         F.col(id_col), tokens(F.col(text_col)).alias("_t")
     ).where(F.size("_t") >= 3)
     grams = exploded_word_ngrams(toks, "_t", 3, out="g", keep=(id_col,))
-    tri = grams.groupBy("g").agg(F.count("*").alias("c3"))
-    if materialize:
-        from spdb_spark.session import truncate_lineage
-
-        tri = truncate_lineage(tri, eager=False)
+    tri = trunc(grams.groupBy("g").agg(F.count("*").alias("c3")))
     tri_keys = tri.select(
         "g",
         "c3",
@@ -480,16 +611,22 @@ def kn_model(
         _part(F.col("g"), "v").alias("v"),
         _part(F.col("g"), "w").alias("w"),
     )
-    ctx = tri_keys.groupBy("uv").agg(
-        F.sum("c3").alias("c2ctx"), F.count("*").alias("t3")
+    ctx = ltrunc(
+        tri_keys.groupBy("uv").agg(
+            F.sum("c3").alias("c2ctx"), F.count("*").alias("t3")
+        )
     )
-    cont2 = tri_keys.groupBy("vw").agg(F.count("*").alias("n2cont"))
-    mid = tri_keys.groupBy("v").agg(
-        F.count("*").alias("n2ctx"), F.count_distinct("w").alias("t2")
+    cont2 = ltrunc(tri_keys.groupBy("vw").agg(F.count("*").alias("n2cont")))
+    mid = ltrunc(
+        tri_keys.groupBy("v").agg(
+            F.count("*").alias("n2ctx"), F.count_distinct("w").alias("t2")
+        )
     )
-    cont1 = cont2.select(
-        F.substring_index(F.col("vw"), " ", -1).alias("w")
-    ).groupBy("w").agg(F.count("*").alias("n1cont"))
+    cont1 = ltrunc(
+        cont2.select(
+            F.substring_index(F.col("vw"), " ", -1).alias("w")
+        ).groupBy("w").agg(F.count("*").alias("n1cont"))
+    )
     # One pass over cont1 for both totals (|cont2| = sum(n1cont),
     # t1 = |cont1|) — see the kn_trigram_logprob note. coalesce keeps
     # the totals row 0 (not NULL) on an empty corpus.
@@ -508,6 +645,7 @@ def kn_model(
         "cont2": cont2,
         "cont1": cont1,
         "totals": totals,
+        "broadcast_levels": bool(broadcast_levels),
     }
 
 
@@ -550,6 +688,11 @@ def kn_score(
     # type's count-table row, so per-type and per-occurrence evaluation
     # are value-identical — but the five LEFT joins act on the scored
     # corpus's TYPE table, and the occurrence stream joins exactly once.
+    # Materialized model tables carry no statistics, so the broadcast
+    # decision is explicit (see kn_model's broadcast_levels note).
+    def _b(t: DataFrame) -> DataFrame:
+        return F.broadcast(t) if model.get("broadcast_levels") else t
+
     scored = (
         grams.select("g")
         .distinct()
@@ -557,11 +700,11 @@ def kn_score(
         .withColumn("vw", _part(F.col("g"), "vw"))
         .withColumn("v", _part(F.col("g"), "v"))
         .withColumn("w", _part(F.col("g"), "w"))
-        .join(model["tri"], "g", "left")
-        .join(model["ctx"], "uv", "left")
-        .join(model["mid"], "v", "left")
-        .join(model["cont2"], "vw", "left")
-        .join(model["cont1"], "w", "left")
+        .join(_b(model["tri"]), "g", "left")
+        .join(_b(model["ctx"]), "uv", "left")
+        .join(_b(model["mid"]), "v", "left")
+        .join(_b(model["cont2"]), "vw", "left")
+        .join(_b(model["cont1"]), "w", "left")
         .crossJoin(F.broadcast(model["totals"]))
     )
     # Seen branches are token-identical to kn_trigram_logprob.

@@ -419,6 +419,7 @@ def connected_components(
     max_iter: int = 30,
     same_value_only: bool = True,
     checkpoint_every: int | None = 5,
+    probe_every: int = 2,
 ) -> DataFrame:
     """3D connected-component labeling over the 6-neighborhood: label every
     non-zero voxel with the minimum Morton-style scalar key of its
@@ -489,7 +490,8 @@ def connected_components(
     ).persist()
 
     labels = vox.select(*key, F.col("vid").alias("component")).persist()
-    _prev = labels  # the persisted handle backing `labels`
+    pending: list = [labels]  # persisted handles awaiting a probe
+    since_probe = 0
     for it in range(max_iter):
         if it == 0:
             # Fused init round (see dedup.dup_clusters): starting labels
@@ -532,19 +534,42 @@ def connected_components(
         # truncate lineage periodically: O(diameter) rounds would otherwise
         # nest the plan O(diameter) deep and Catalyst re-analyzes the whole
         # tree each round (see dedup.dup_clusters for the cluster-mode note)
-        if checkpoint_every and (it + 1) % checkpoint_every == 0:
+        ckpt = bool(checkpoint_every) and (it + 1) % checkpoint_every == 0
+        if ckpt:
             new_full = truncate_lineage(new_full, eager=True)
         else:
             new_full = new_full.persist()
-        changed = new_full.where(F.col("_chg")).limit(1).count()
-        _prev.unpersist()
-        _prev = new_full
         labels = new_full.select(*key, "component")
-        if changed == 0:
-            break
-    edges.unpersist()
+        since_probe += 1
+        # Batched convergence probe (see dedup.dup_clusters): the limit(1)
+        # count is a driver-synchronized job, so probing every round
+        # serializes the loop into one job per iteration. Probe on
+        # checkpoint rounds (that job already ran), on round 0 (so
+        # already-converged volumes — the common small-object case — exit
+        # without extra rounds), and every probe_every-th round otherwise;
+        # skipped rounds stay lazy and pipeline into the next probe's job.
+        # Convergence only needs the LATEST round's _chg, so the result is
+        # value-identical for any probe_every >= 1 (a converged round
+        # recomputes identical labels).
+        if ckpt or it == 0 or since_probe >= max(1, probe_every):
+            changed = new_full.where(F.col("_chg")).limit(1).count()
+            since_probe = 0
+            # new_full is materialized now — earlier handles are dead
+            # weight; keep new_full itself in pending so the final cleanup
+            # releases it too (including on the break path).
+            for h in pending:
+                h.unpersist()
+            pending = [new_full]
+            if changed == 0:
+                break
+        else:
+            pending.append(new_full)
+    # materialize the returned labels BEFORE dropping the caches they read
     if checkpoint_every:
         labels = truncate_lineage(labels, eager=True)
+    for h in pending:
+        h.unpersist()
+    edges.unpersist()
     out = vox.join(labels, key).select("t", "x", "y", "z", "value", "component")
     vox.unpersist()
     return out

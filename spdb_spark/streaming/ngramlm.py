@@ -30,7 +30,10 @@ class StreamingKNScorer(BatchLedgerSink):
     kn_model and appending (id, mean_logprob, n_trigrams) rows.
 
     Usage:
-        model = kn_model(reference_docs)          # freeze once
+        # freeze once; materialize_levels: the one-time checkpoint of
+        # the count tables amortizes over every scored micro-batch
+        # (without it each batch replays every table's derivation)
+        model = kn_model(reference_docs, materialize_levels=True)
         sink = StreamingKNScorer(spark, path, model)
         q = sink.start(doc_stream, checkpoint)
         ...

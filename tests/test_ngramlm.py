@@ -246,3 +246,59 @@ def test_plan_shape(spark):
     )
     assert "BatchEvalPython" not in plan  # pure Column algebra
     assert "CartesianProduct" not in plan  # totals join is broadcast
+
+
+def test_materialize_levels_dial_value_identical(spark):
+    """The 100 TB level-materialization dial must not change a single
+    output value or the set of checkpoint/broadcast hints reachable
+    from the result: same rows for default (off), on, and on-without-
+    broadcast-hints, for both the trigram and the order-5 forms."""
+    from spdb_spark.functions.ngramlm import kn_ngram_logprob
+
+    df = spark.createDataFrame(
+        list(CORPUS.items()), "doc_id long, text string"
+    )
+    base3 = {
+        r["doc_id"]: (r["mean_logprob"], r["n_trigrams"])
+        for r in kn_trigram_logprob(df).collect()
+    }
+    for kwargs in (
+        dict(materialize_levels=True),
+        dict(materialize_levels=True, broadcast_levels=False),
+    ):
+        got = {
+            r["doc_id"]: (r["mean_logprob"], r["n_trigrams"])
+            for r in kn_trigram_logprob(df, **kwargs).collect()
+        }
+        assert got == base3, kwargs
+    base5 = {
+        r["doc_id"]: (r["mean_logprob"], r["n_ngrams"])
+        for r in kn_ngram_logprob(df, 5).collect()
+    }
+    got5 = {
+        r["doc_id"]: (r["mean_logprob"], r["n_ngrams"])
+        for r in kn_ngram_logprob(df, 5, materialize_levels=True).collect()
+    }
+    assert got5 == base5
+
+
+def test_frozen_model_levels_dial_value_identical(spark):
+    """kn_model(materialize_levels=True) + kn_score must score exactly
+    like the default-path model — the streaming scorer's posture."""
+    from spdb_spark.functions.ngramlm import kn_model, kn_score
+
+    df = spark.createDataFrame(
+        list(CORPUS.items()), "doc_id long, text string"
+    )
+    train = df.where(F.col("doc_id") % 2 == 0)
+    base = {
+        r["doc_id"]: (r["mean_logprob"], r["n_trigrams"])
+        for r in kn_score(df, kn_model(train)).collect()
+    }
+    got = {
+        r["doc_id"]: (r["mean_logprob"], r["n_trigrams"])
+        for r in kn_score(
+            df, kn_model(train, materialize_levels=True)
+        ).collect()
+    }
+    assert got == base
