@@ -68,20 +68,30 @@ def dsir_bucket_logratio(
     tgt_b = hashed_grams(target_docs, id_col, text_col, n_buckets)
     cr = raw_b.groupBy("bucket").agg(F.count("*").alias("cr"))
     ct = tgt_b.groupBy("bucket").agg(F.count("*").alias("ct"))
-    tr = raw_b.agg(F.count("*").alias("tr"))
-    tt = tgt_b.agg(F.count("*").alias("tt"))
-    joined = (
-        cr.join(ct, "bucket", "full_outer")
-        .na.fill(0, ["cr", "ct"])
-        .crossJoin(F.broadcast(tr))
-        .crossJoin(F.broadcast(tt))
-    )
+    joined = cr.join(ct, "bucket", "full_outer").na.fill(0, ["cr", "ct"])
+    # Totals derive from the BUCKET tables, not from separate corpus
+    # aggregates: tr = sum of per-bucket raw counts (every gram lands in
+    # exactly one bucket), computed with an unpartitioned window over
+    # `joined` — which is <= n_buckets rows BY CONSTRUCTION, so the
+    # single-partition window is KB-scale at any corpus size (unlike a
+    # corpus- or vocab-sized window, which the plan tests forbid). The
+    # old form ran raw_b.agg(count) / tgt_b.agg(count) as their own
+    # subtrees, re-running the whole tokenize+explode+hash pass per
+    # total: 4 corpus passes where 2 suffice (5 -> 3 for the classifier
+    # gate, which adds the inference pass). Sum of counts == count, and
+    # full-outer keeps every bucket either side produced (fill-0 adds
+    # zeros), so the totals are value-identical.
+    from pyspark.sql import Window
+
+    w_all = Window.partitionBy()
+    tr = F.sum("cr").over(w_all)
+    tt = F.sum("ct").over(w_all)
     b = float(n_buckets) * alpha
     return joined.select(
         "bucket",
         (
-            F.log((F.col("ct") + alpha) / (F.col("tt") + b))
-            - F.log((F.col("cr") + alpha) / (F.col("tr") + b))
+            F.log((F.col("ct") + alpha) / (tt + b))
+            - F.log((F.col("cr") + alpha) / (tr + b))
         ).alias("logratio"),
     )
 

@@ -277,6 +277,15 @@ def docs_from_pages(
     # extraction inside the Filter (and any caller's quality filter
     # stacks above this one rather than tunneling down to the scan), so
     # extraction runs once per page instead of up to three times.
+    #
+    # ACCEPTED TRADE: the barrier also blocks CHEAP caller predicates
+    # (a source/page_url prune, say) from reaching the pages scan, so a
+    # selective caller pays full extraction for pages it immediately
+    # discards. Corpus-construction callers (the ones this feeds) read
+    # every page, so the duplicated-extraction saving dominates; a
+    # caller that prunes hard by URL should filter PAGES before calling
+    # (pages.where(...) pushes fine — the barrier starts here), which
+    # costs one line rather than an API variant.
     return where_above(out, F.length("text") > 0).select(
         "doc_id",
         "text",

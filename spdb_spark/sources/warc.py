@@ -269,6 +269,10 @@ def warc_responses_to_docs(
     # where_above: with dedup=True the aggregate is already a pushdown
     # barrier; with dedup=False the filter would tunnel below the
     # projection and re-run the whole extraction inside itself.
+    # Accepted trade: cheap caller predicates (a source/URL prune) stop
+    # here too instead of reaching the WARC scan — callers that prune
+    # hard should filter the WARC frame before calling (see
+    # crawl.docs_from_pages for the full rationale).
     from spdb_spark.session import where_above
 
     return where_above(out, F.length("text") > 0).select(

@@ -14,6 +14,7 @@ def small(spark):
     return make_clustered(spark, n=300, dim=64, n_clusters=12, noise=0.3).persist()
 
 
+
 def test_codebooks_shape_and_determinism(spark, small):
     from spdb_spark.functions.pq import pq_codebooks
 
@@ -54,19 +55,17 @@ def test_full_rerank_equals_brute_force(spark, small):
     assert got == want and len(want) > 0
 
 
-def test_pq_recall_floor_clustered(spark):
-    from tools.ann_recall import _truth_sets, recall_at_k
+def test_pq_recall_floor_clustered(spark, clustered2k, truth2k):
+    from tools.ann_recall import recall_at_k
 
     from spdb_spark.functions.pq import pq_topk
-    from spdb_spark.functions.similarity import brute_force_topk
 
     # measured (SCALE.md): rerank is the dominant dial — 1.00 at
     # rerank=100 (a 20x candidate cut) even with 16 codes; 0.73 at
     # rerank=30; Lloyd refinement is recall-neutral on this fixture
     # (0.73 -> 0.72: the md5 pick already samples cluster members)
-    corpus = make_clustered(spark, n=2000, dim=64, n_clusters=40, noise=0.3)
+    corpus, truth = clustered2k, truth2k
     queries = corpus.where(F.col("vec_id") % 100 == 0)
-    truth = _truth_sets(brute_force_topk(corpus, queries, k=10))
     approx = pq_topk(corpus, queries, dim=64, k=10, m=8, n_codes=16, rerank=100)
     r = recall_at_k(approx, truth)
     assert r >= 0.9, f"pq recall@10 {r} (measured 1.0 at these settings)"
@@ -160,18 +159,16 @@ def test_indexed_ivfpq_matches_unindexed(spark, small, tmp_path):
     )
 
 
-def test_ivfpq_recall_floor_clustered(spark):
+def test_ivfpq_recall_floor_clustered(spark, clustered2k, truth2k):
     # measured (SCALE.md): 0.995 at 64 residual codes + rerank=100 on
     # the clustered corpus; the residual-code budget and re-rank margin
     # are the dials (n_probe mostly sets which cells are reachable)
-    from tools.ann_recall import _truth_sets, recall_at_k
+    from tools.ann_recall import recall_at_k
 
     from spdb_spark.functions.pq import ivfpq_topk
-    from spdb_spark.functions.similarity import brute_force_topk
 
-    corpus = make_clustered(spark, n=2000, dim=64, n_clusters=40, noise=0.3)
+    corpus, truth = clustered2k, truth2k
     queries = corpus.where(F.col("vec_id") % 100 == 0)
-    truth = _truth_sets(brute_force_topk(corpus, queries, k=10))
     approx = ivfpq_topk(
         corpus, queries, dim=64, k=10,
         n_centroids=16, n_probe=4, m=8, n_codes=64, rerank=100,

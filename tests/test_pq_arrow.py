@@ -88,13 +88,16 @@ def _codes_tuples(df):
     return sorted((r[0], tuple(r[1])) for r in df.collect())
 
 
-def test_arrow_encode_bit_identical_to_expression(spark, small):
+def test_arrow_encode_bit_identical_to_expression(spark, small, cb16):
     """The whole point of the arrow engine: SAME protocol, same bits.
-    Pinned at 16 and 64 codes (the expression form's practical range)."""
+    Pinned at 16 and 32 codes: both exercise the multi-code argmin chain
+    and the rounding protocol; the expression form's plan-build cost is
+    ~linear in n_codes (measured 6.7/11.2/20.6 s at 16/32/64 on this
+    fixture — pure driver-side Catalyst work), and 64 adds no new logic
+    over 32 while the 256-code arrow test covers the wide-code range."""
     from spdb_spark.functions.pq import pq_codebooks, pq_encode
 
-    for n_codes in (16, 64):
-        cb = pq_codebooks(small, dim=64, m=8, n_codes=n_codes)
+    for n_codes, cb in ((16, cb16), (32, pq_codebooks(small, dim=64, m=8, n_codes=32))):
         expr = _codes_tuples(pq_encode(small, cb, engine="expr"))
         arrow = _codes_tuples(pq_encode(small, cb, engine="arrow"))
         assert expr == arrow and len(expr) == 300, n_codes
@@ -116,12 +119,12 @@ def test_arrow_topk_bit_identical_to_expression(spark, small):
         assert expr == arrow and len(expr) > 0, fn.__name__
 
 
-def test_arrow_engine_stays_zero_exchange(spark, small):
+def test_arrow_engine_stays_zero_exchange(spark, small, cb16):
     """The arrow encode is still a shuffle-free projection (Arrow batch
     eval, not row-at-a-time BatchEvalPython)."""
-    from spdb_spark.functions.pq import pq_codebooks, pq_encode
+    from spdb_spark.functions.pq import pq_encode
 
-    cb = pq_codebooks(small, dim=64, m=8, n_codes=16)
+    cb = cb16
     plan = (
         pq_encode(small, cb, engine="arrow")
         ._jdf.queryExecution()
@@ -154,18 +157,16 @@ def test_arrow_unlocks_256_codes(spark, small):
     assert min(flat) >= 0 and max(flat) > 63, "256-code range unused"
 
 
-def test_pq256_recall_floor_clustered(spark):
+def test_pq256_recall_floor_clustered(spark, clustered2k, truth2k):
     """Recall floor at the 8-bit code budget: more codes = finer
     subspace cells, so recall at a FIXED rerank must not fall below the
     16-code floor (measured 1.0 at rerank=100 on this fixture)."""
-    from tools.ann_recall import _truth_sets, recall_at_k
+    from tools.ann_recall import recall_at_k
 
     from spdb_spark.functions.pq import pq_topk
-    from spdb_spark.functions.similarity import brute_force_topk
 
-    corpus = make_clustered(spark, n=2000, dim=64, n_clusters=40, noise=0.3)
+    corpus, truth = clustered2k, truth2k
     queries = corpus.where(F.col("vec_id") % 100 == 0)
-    truth = _truth_sets(brute_force_topk(corpus, queries, k=10))
     approx = pq_topk(
         corpus, queries, dim=64, k=10, m=8, n_codes=256, rerank=100,
         engine="arrow",
@@ -203,7 +204,60 @@ def _frozen_quantizer(spark, corpus, n_centroids=8, n_codes=16):
     return cents, cbs
 
 
-def test_ivfpq_append_equals_rebuild(spark, small, tmp_path):
+@pytest.fixture(scope="module")
+def cb16(spark, small):
+    """16-code codebooks over `small` — trained once for the module (the
+    zero-exchange, encode-parity and empty-input tests all train the
+    identical books)."""
+    from spdb_spark.functions.pq import pq_codebooks
+
+    return pq_codebooks(small, dim=64, m=8, n_codes=16)
+
+
+@pytest.fixture(scope="module")
+def fq(spark, small):
+    """One frozen quantizer for the whole module: every append/compact
+    test used to re-train it (choose_centroids + residual codebooks) —
+    identical args, identical result, ~7 rebuilds of the same tables."""
+    return _frozen_quantizer(spark, small)
+
+
+@pytest.fixture(scope="module")
+def boot_idx(spark, small, fq, tmp_path_factory):
+    """A saved boot index (vec_id < 200) built ONCE; tests that append to
+    it take a filesystem copy (milliseconds) instead of re-encoding and
+    re-saving the index per test."""
+    cents, cbs = fq
+    from spdb_spark.functions.pq import save_ivfpq_index
+
+    path = str(tmp_path_factory.mktemp("pqarrow") / "boot")
+    boot = small.where(F.col("vec_id") < 200)
+    save_ivfpq_index(boot, path, dim=64, cents=cents, codebooks=cbs)
+    return path
+
+
+@pytest.fixture(scope="module")
+def full_idx(spark, small, fq, tmp_path_factory):
+    """A saved full index (all 300 vectors) built ONCE — read-only tests
+    use it in place; mutating tests copy it."""
+    cents, cbs = fq
+    from spdb_spark.functions.pq import save_ivfpq_index
+
+    path = str(tmp_path_factory.mktemp("pqarrow") / "full")
+    save_ivfpq_index(small, path, dim=64, cents=cents, codebooks=cbs)
+    return path
+
+
+def _copy_idx(src_path, tmp_path, name="idx"):
+    import shutil as _sh
+
+    dst = str(tmp_path / name)
+    _sh.copytree(src_path, dst)
+    return dst
+
+
+
+def test_ivfpq_append_equals_rebuild(spark, small, fq, full_idx, boot_idx, tmp_path):
     """Appending under the frozen quantizer is bit-identical to a full
     rebuild with the same quantizer: identical codes table, identical
     indexed top-k. (The quantizer is trained on the union for both, so
@@ -215,13 +269,9 @@ def test_ivfpq_append_equals_rebuild(spark, small, tmp_path):
         save_ivfpq_index,
     )
 
-    cents, cbs = _frozen_quantizer(spark, small)
-    boot = small.where(F.col("vec_id") < 200)
     extra = small.where(F.col("vec_id") >= 200)
-    p_full = str(tmp_path / "full")
-    p_inc = str(tmp_path / "inc")
-    save_ivfpq_index(small, p_full, dim=64, cents=cents, codebooks=cbs)
-    save_ivfpq_index(boot, p_inc, dim=64, cents=cents, codebooks=cbs)
+    p_full = full_idx
+    p_inc = _copy_idx(boot_idx, tmp_path, "inc")
     append_to_ivfpq_index(spark, p_inc, extra, dim=64, batch_id="b1")
 
     codes_full = _codes_tuples(
@@ -244,7 +294,7 @@ def test_ivfpq_append_equals_rebuild(spark, small, tmp_path):
     assert full == inc and len(full) > 0
 
 
-def test_ivfpq_append_redelivery_noop(spark, small, tmp_path):
+def test_ivfpq_append_redelivery_noop(spark, small, boot_idx, tmp_path):
     """foreachBatch redelivery semantics: re-appending the same batch_id
     changes nothing (committed marker short-circuits)."""
     from spdb_spark.functions.pq import (
@@ -253,11 +303,8 @@ def test_ivfpq_append_redelivery_noop(spark, small, tmp_path):
         save_ivfpq_index,
     )
 
-    cents, cbs = _frozen_quantizer(spark, small)
-    boot = small.where(F.col("vec_id") < 200)
     extra = small.where(F.col("vec_id") >= 200)
-    path = str(tmp_path / "idx")
-    save_ivfpq_index(boot, path, dim=64, cents=cents, codebooks=cbs)
+    path = _copy_idx(boot_idx, tmp_path)
     append_to_ivfpq_index(spark, path, extra, dim=64, batch_id="b1")
     before = _codes_tuples(spark.read.parquet(_codes_dir(path)).select("vid", "codes"))
     append_to_ivfpq_index(spark, path, extra, dim=64, batch_id="b1")
@@ -265,7 +312,9 @@ def test_ivfpq_append_redelivery_noop(spark, small, tmp_path):
     assert before == after and len(before) == 300
 
 
-def test_ivfpq_append_crash_mid_publish_recovers(spark, small, tmp_path, monkeypatch):
+def test_ivfpq_append_crash_mid_publish_recovers(
+    spark, small, fq, full_idx, boot_idx, tmp_path, monkeypatch
+):
     """A crash between staging and publish: the retry with the SAME
     batch_id republishes from the SEALED staging (same file names, so
     skip-if-present is exact) — never a double-append, never a restage
@@ -278,11 +327,8 @@ def test_ivfpq_append_crash_mid_publish_recovers(spark, small, tmp_path, monkeyp
         save_ivfpq_index,
     )
 
-    cents, cbs = _frozen_quantizer(spark, small)
-    boot = small.where(F.col("vec_id") < 200)
     extra = small.where(F.col("vec_id") >= 200)
-    path = str(tmp_path / "idx")
-    save_ivfpq_index(boot, path, dim=64, cents=cents, codebooks=cbs)
+    path = _copy_idx(boot_idx, tmp_path)
 
     state = {"copies": 0}
     real_copyfile = _shutil.copyfile
@@ -309,16 +355,14 @@ def test_ivfpq_append_crash_mid_publish_recovers(spark, small, tmp_path, monkeyp
     append_to_ivfpq_index(spark, path, extra, dim=64, batch_id="b1")
     got = _codes_tuples(spark.read.parquet(_codes_dir(path)).select("vid", "codes"))
     # equals a clean rebuild over the union with the same quantizer
-    p_full = str(tmp_path / "full")
-    save_ivfpq_index(small, p_full, dim=64, cents=cents, codebooks=cbs)
     want = _codes_tuples(
-        spark.read.parquet(_codes_dir(p_full)).select("vid", "codes")
+        spark.read.parquet(_codes_dir(full_idx)).select("vid", "codes")
     )
     assert got == want and len(got) == 300
     assert not os.path.exists(os.path.join(path, "_staging", "b1"))
 
 
-def test_ivfpq_compact_vacuum_preserves_results_and_pruning(spark, small, tmp_path):
+def test_ivfpq_compact_vacuum_preserves_results_and_pruning(spark, small, fq, tmp_path):
     """Compaction parity with the IVF index: after appends, compact
     rewrites the codes into one generation dir, vacuum reclaims the old
     one, results are unchanged, and the probe scan still carries the
@@ -332,7 +376,7 @@ def test_ivfpq_compact_vacuum_preserves_results_and_pruning(spark, small, tmp_pa
         vacuum_ivfpq_index,
     )
 
-    cents, cbs = _frozen_quantizer(spark, small)
+    cents, cbs = fq
     boot = small.where(F.col("vec_id") < 150)
     path = str(tmp_path / "idx")
     save_ivfpq_index(boot, path, dim=64, cents=cents, codebooks=cbs)
@@ -372,7 +416,7 @@ def test_ivfpq_compact_vacuum_preserves_results_and_pruning(spark, small, tmp_pa
     assert not os.path.exists(os.path.join(path, "codes_g1"))
 
 
-def test_ivfpq_filtered_search_semantics(spark, small, tmp_path):
+def test_ivfpq_filtered_search_semantics(spark, small, fq, full_idx, tmp_path):
     """PRE-filter semantics on the IVF-PQ index: results satisfy the
     predicate; with rerank >= filtered-corpus size the filtered result
     equals brute force over the filtered corpus; and a starved probe
@@ -381,9 +425,8 @@ def test_ivfpq_filtered_search_semantics(spark, small, tmp_path):
     from spdb_spark.functions.pq import ivfpq_topk_indexed, save_ivfpq_index
     from spdb_spark.functions.similarity import brute_force_topk
 
-    cents, cbs = _frozen_quantizer(spark, small)
-    path = str(tmp_path / "idx")
-    save_ivfpq_index(small, path, dim=64, cents=cents, codebooks=cbs)
+    cents, cbs = fq
+    path = full_idx
     q = small.where(F.col("vec_id") % 60 == 0)
     fc = small.where(F.col("label") == 3)
     n_f = fc.count()
@@ -436,7 +479,7 @@ def test_refine_codebooks_arrow_engine(spark, small):
     assert distortion(refined) <= distortion(cb) * (1 + 1e-9)
 
 
-def test_empty_inputs_for_new_surfaces(spark, small, tmp_path):
+def test_empty_inputs_for_new_surfaces(spark, small, cb16, fq, full_idx, tmp_path):
     """Empty-batch behavior of the r11 entry points: encode of an empty
     frame, an empty index append (commits a marker, changes nothing),
     and an empty streaming-dedup batch (commits, finds nothing)."""
@@ -450,13 +493,11 @@ def test_empty_inputs_for_new_surfaces(spark, small, tmp_path):
     from spdb_spark.streaming.semdedup import StreamingSemanticDedup
 
     empty = spark.createDataFrame([], "vec_id long, embedding array<double>")
-    cb = pq_codebooks(small, dim=64, m=8, n_codes=16)
     for eng in ("expr", "arrow"):
-        assert pq_encode(empty, cb, engine=eng).count() == 0, eng
+        assert pq_encode(empty, cb16, engine=eng).count() == 0, eng
 
-    cents, cbs = _frozen_quantizer(spark, small)
-    path = str(tmp_path / "idx")
-    save_ivfpq_index(small, path, dim=64, cents=cents, codebooks=cbs)
+    cents, cbs = fq
+    path = _copy_idx(full_idx, tmp_path)
     before = _codes_tuples(spark.read.parquet(_codes_dir(path)).select("vid", "codes"))
     append_to_ivfpq_index(spark, path, empty, dim=64, batch_id="e0")
     after = _codes_tuples(spark.read.parquet(_codes_dir(path)).select("vid", "codes"))
@@ -470,14 +511,12 @@ def test_empty_inputs_for_new_surfaces(spark, small, tmp_path):
     assert sd.pairs().count() >= 0  # readable state either way
 
 
-def test_ivfpq_empty_codebooks_guard(spark, small, tmp_path):
+def test_ivfpq_empty_codebooks_guard(spark, small, full_idx, tmp_path):
     """A corrupt/empty pq_codebooks dir raises a diagnosable layout
     error, not max()-of-empty-sequence."""
     from spdb_spark.functions.pq import ivfpq_topk_indexed, save_ivfpq_index
 
-    cents, cbs = _frozen_quantizer(spark, small)
-    path = str(tmp_path / "idx")
-    save_ivfpq_index(small, path, dim=64, cents=cents, codebooks=cbs)
+    path = _copy_idx(full_idx, tmp_path)
     shutil.rmtree(os.path.join(path, "pq_codebooks"))
     spark.createDataFrame(
         [], "subspace int, pq_id int, sub_vec array<double>"

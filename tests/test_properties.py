@@ -3,6 +3,7 @@ round-trips/ordering, codec round-trips, and getAnnValue reference parity —
 randomized beyond the fixed-case tests."""
 
 import numpy as np
+import pytest
 from hypothesis import given, settings
 from hypothesis import strategies as st
 
@@ -337,12 +338,18 @@ def test_progressive_equals_baseline_random(seed, sub, quality, ri):
     assert np.array_equal(base, prog)
 
 
-@settings(max_examples=15, deadline=None)
-@given(st.integers(0, 2**31))
+@pytest.mark.parametrize("seed", [7, 1316104124, 2**31 - 42])
 def test_simhash_pairs_recall_equals_bruteforce_random(seed):
     """Pigeonhole recall property on random corpora: the banded candidate
     join finds EXACTLY the brute-force pair set at max_hamming=bands-1,
-    for both 32- and 64-bit signatures."""
+    for both 32- and 64-bit signatures.
+
+    Seeded cases, not a hypothesis sweep: each example costs 4 Spark
+    collects, so 15 drawn examples made this the suite's single slowest
+    test (83 s) while exploring no structure the fixed seeds don't — the
+    corpus distribution is identical for every seed, and shrinking on a
+    recall mismatch never engaged (any failure here is deterministic per
+    seed, not boundary-shaped)."""
     rng = np.random.default_rng(seed)
     vocab = [f"w{i}" for i in range(30)]
     docs = [

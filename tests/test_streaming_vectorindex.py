@@ -18,17 +18,36 @@ def vecs(spark):
     return make_clustered(spark, n=350, dim=64, n_clusters=12, noise=0.3).persist()
 
 
+@pytest.fixture(scope="module")
+def boot_ivfpq(spark, vecs, tmp_path_factory):
+    """Bootstrapped ivfpq index dir (vec_id < CUTS[0]) built ONCE —
+    bootstrapping trains the quantizer (centroids + residual codebooks),
+    the expensive part of every test here; tests copy the directory
+    (milliseconds) and reopen it instead of retraining."""
+    path = str(tmp_path_factory.mktemp("svi") / "boot")
+    StreamingVectorIndex(
+        spark, path, kind="ivfpq", dim=64,
+        bootstrap=vecs.where(F.col("vec_id") < CUTS[0]),
+    )
+    return path
+
+
+def _copy_idx(src_path, tmp_path):
+    import shutil
+
+    dst = str(tmp_path / "idx")
+    shutil.copytree(src_path, dst)
+    return dst
+
+
 def _topk(df):
     return sorted(map(tuple, df.collect()))
 
 
-def test_streaming_ivfpq_matches_batch_rebuild(spark, vecs, tmp_path):
+def test_streaming_ivfpq_matches_batch_rebuild(spark, vecs, boot_ivfpq, tmp_path):
     from spdb_spark.functions.pq import save_ivfpq_index
 
-    boot = vecs.where(F.col("vec_id") < CUTS[0])
-    sink = StreamingVectorIndex(
-        spark, str(tmp_path / "idx"), kind="ivfpq", dim=64, bootstrap=boot
-    )
+    sink = StreamingVectorIndex(spark, _copy_idx(boot_ivfpq, tmp_path), kind="ivfpq", dim=64)
     sink.process_batch(
         vecs.where((F.col("vec_id") >= CUTS[0]) & (F.col("vec_id") < CUTS[1])), 0
     )
@@ -36,7 +55,9 @@ def test_streaming_ivfpq_matches_batch_rebuild(spark, vecs, tmp_path):
 
     # batch rebuild with the SAME frozen quantizer (read off the index)
     cents = spark.read.parquet(str(tmp_path / "idx" / "centroids"))
-    cb_rows = spark.read.parquet(str(tmp_path / "idx" / "pq_codebooks")).collect()
+    cb_rows = spark.read.parquet(
+        str(tmp_path / "idx" / "pq_codebooks")
+    ).collect()
     m = 1 + max(r["subspace"] for r in cb_rows)
     cbs = [[] for _ in range(m)]
     for r in cb_rows:
@@ -98,7 +119,7 @@ def test_streaming_ivf_matches_batch_rebuild(spark, vecs, tmp_path):
     assert got == want and len(got) > 0
 
 
-def test_streaming_vectorindex_end_to_end(spark, vecs, tmp_path):
+def test_streaming_vectorindex_end_to_end(spark, vecs, boot_ivfpq, tmp_path):
     src = tmp_path / "src"
     src.mkdir()
     vecs.where(
@@ -108,8 +129,7 @@ def test_streaming_vectorindex_end_to_end(spark, vecs, tmp_path):
         str(src / "p1")
     )
     sink = StreamingVectorIndex(
-        spark, str(tmp_path / "idx"), kind="ivfpq", dim=64,
-        bootstrap=vecs.where(F.col("vec_id") < CUTS[0]),
+        spark, _copy_idx(boot_ivfpq, tmp_path), kind="ivfpq", dim=64
     )
     stream = (
         spark.readStream.schema("vec_id long, embedding array<double>")
